@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core over the star schema — the scan/project/filter/join/
+  * agg/window/set-op surface of SURVEY §2.1-2.7 expressed on the driver
+  * tables.
+  *
+  * Scale notes (100 TB): every query here is a declarative DataFrame plan
+  * — Catalyst pushes filters/projections into the parquet scan, picks
+  * broadcast-hash for the dimension joins (region/nation/supplier are
+  * tiny relative to the fact tables at any SF), and AQE handles skew.
+  * Aggregations are hash-based with map-side partial aggregation, so the
+  * only full shuffles are the groupBy exchanges on the (high-cardinality)
+  * grouping keys.
+  */
+object Relational {
+
+  /** Exact money arithmetic: cast the 2-dp-generated DOUBLE to DECIMAL
+    * before summing so results are order-independent and hash-match the
+    * DuckDB oracle bit-for-bit (see GateQuery scaladoc). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** q1: pricing-summary hash aggregation (SURVEY A1-shape; ref
+    * youtube_api_handler.py:926-966 is the same sum/count/avg shape).
+    * Partial agg map-side; one shuffle on the 6-value grouping key. */
+  private def q1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2: fact ⋈ broadcast dimension chain (SURVEY J2 — the 83-row
+    * language-dim lookup shape). supplier/nation/region are dimensions:
+    * explicitly broadcast so the fact table never shuffles for the join;
+    * the only exchange is the final groupBy on (region, nation). */
+  private def q2(s: SparkSession, d: String): DataFrame = {
+    val li  = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
+  private val q2Sql =
+    """SELECT r_name AS region_name, n_name AS nation_name,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** q3: fact ⋈ fact shuffle join (orders ⋈ customer on custkey; SURVEY
+    * J3 driving-join shape) + rollup by market segment. customer is
+    * broadcastable at test SFs but scales with the data — leave the
+    * strategy to Catalyst/AQE rather than pinning broadcast. */
+  private def q3(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_revenue"))
+
+  private val q3Sql =
+    """SELECT c_mktsegment AS segment,
+      |  count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** q4: top-N per group via row_number (SURVEY W1 — top-`max_videos`
+    * most-recent RSS entries per channel). Unique tie-break on
+    * o_orderkey keeps the result deterministic (SURVEY §7.4 gotcha 9).
+    * One shuffle (window partitioning); no global sort. */
+  private def q4(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  private val q4Sql =
+    """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders) t WHERE rk <= 3""".stripMargin
+
+  /** q5: UNION ALL of per-slice pipelines (SURVEY §2.7 — chunked API
+    * results concatenated) then aggregated; duplicates preserved. */
+  private def q5(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val a = li.filter(col("l_returnflag") === "A")
+    val n = li.filter(col("l_returnflag") === "N")
+    a.unionAll(n)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
+  private val q5Sql =
+    """SELECT l_linestatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM (
+      |  SELECT * FROM lineitem WHERE l_returnflag = 'A'
+      |  UNION ALL
+      |  SELECT * FROM lineitem WHERE l_returnflag = 'N') t
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** q6: semi/anti join (SURVEY S3 "fetch only what's referenced" ≈
+    * left-semi pushdown; anti = channels with no videos default path).
+    * Emits one row per customer with a flag, via left_anti + left_semi
+    * unioned — exercises both join types while keeping output
+    * deterministic. */
+  private def q6(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+    val ords = Tables.orders(s, d).select("o_custkey")
+    val withO = cust.join(ords, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("has_orders", lit(true))
+    val noO = cust.join(ords, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("has_orders", lit(false))
+    withO.unionAll(noO)
+  }
+
+  private val q6Sql =
+    """SELECT c_custkey, c_name, TRUE AS has_orders FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, c_name, FALSE AS has_orders FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** q7: left join with null-default (SURVEY J1 — RSS × detailed-video
+    * enrichment, no match → 'unknown'). orders left-joined to a filtered
+    * slice of lineitem; coalesce provides the default. */
+  private def q7(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_returned"))
+    Tables.orders(s, d)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        when(col("n_returned").isNotNull, lit("returned")).otherwise(lit("unknown")).as("return_tag"))
+  }
+
+  private val q7Sql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  COALESCE(n_returned, 0) AS n_returned,
+      |  CASE WHEN n_returned IS NOT NULL THEN 'returned' ELSE 'unknown' END AS return_tag
+      |FROM orders LEFT JOIN (
+      |  SELECT l_orderkey, count(*) AS n_returned FROM lineitem
+      |  WHERE l_returnflag = 'R' GROUP BY l_orderkey) li
+      |ON o_orderkey = l_orderkey""".stripMargin
+
+  def queries: Seq[GateQuery] = Seq(
+    GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
+    GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
+    GateQuery("q3_fact_join", q3, Some(q3Sql), "shuffle join + distinct agg (J3)"),
+    GateQuery("q4_topn_window", q4, Some(q4Sql), "top-N per group, deterministic (W1)"),
+    GateQuery("q5_union", q5, Some(q5Sql), "UNION ALL of slices (§2.7)"),
+    GateQuery("q6_semi_anti", q6, Some(q6Sql), "left_semi/left_anti (S3)"),
+    GateQuery("q7_left_join_default", q7, Some(q7Sql), "left join w/ coalesce default (J1)"))
+}

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark result), runs the
+matching SQL from oracle_sql.json in DuckDB over the sfDir parquet
+tables, and compares: schema (sorted column names), row count, and
+exact values after sorting columns by name and rows by all columns.
+Reports per-query PASS/FAIL with a diff sample on mismatch.
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: decimals -> float, categoricals -> str
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = df[c].astype(float)
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        got = pd.read_parquet(path)
+        if name not in oracles:
+            print(f"{name}: NO-ORACLE rows={len(got)}")
+            continue
+        exp = con.execute(oracles[name]).df()
+        ok = True
+        msgs = []
+        if sorted(got.columns) != sorted(exp.columns):
+            ok = False
+            msgs.append(f"schema spark={sorted(got.columns)} duckdb={sorted(exp.columns)}")
+        elif len(got) != len(exp):
+            ok = False
+            msgs.append(f"rows spark={len(got)} duckdb={len(exp)}")
+        else:
+            g, e = canon(got), canon(exp)
+            for c in g.columns:
+                bad = [
+                    i for i in range(len(g))
+                    if not values_equal(g[c].iloc[i], e[c].iloc[i])
+                ]
+                if bad:
+                    ok = False
+                    i = bad[0]
+                    msgs.append(
+                        f"col {c}: {len(bad)} mismatches, first@{i}: "
+                        f"spark={g[c].iloc[i]!r} duckdb={e[c].iloc[i]!r}")
+        if ok:
+            n_pass += 1
+            print(f"{name}: PASS rows={len(got)}")
+        else:
+            n_fail += 1
+            print(f"{name}: FAIL  " + " | ".join(msgs))
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
