@@ -1,8 +1,158 @@
 package graft.operators
 
-import graft.GateQuery
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-/** Log filter/paginate/stats queries (SURVEY S10/W3/A7/S11). */
+/** Log-analytics surface (reference `sqlite_logger.py`, SURVEY §2.1
+  * S9-S11, §2.3 F3-F8, §2.5 A7-A8, §2.6 W3-W4, §3.3) over the `events`
+  * table standing in for the `logs` table:
+  *
+  *   timestamp   := ts            level      := event_type
+  *   logger_name := 'u<user_id>'  level_no   := severity rank of type
+  *   message     := props
+  *
+  * The reference's SQLite WHERE/ORDER BY/LIMIT/OFFSET engine
+  * (sqlite_logger.py:121-255) becomes filter + window pagination;
+  * Catalyst pushes the predicates into the parquet scan (the SQLite
+  * secondary indexes' job, sqlite_logger.py:49-60, is done by
+  * partition pruning + row-group stats at scale).
+  *
+  * Scale notes: pagination sorts only the filtered slice and ranks with
+  * a single window; rollups are map-side-combined hash aggs. The
+  * "last 24 h" anchor is max(ts) — computed as a 1-row broadcast, not a
+  * driver collect.
+  */
 object LogAnalytics {
-  def queries: Seq[GateQuery] = Seq.empty
+
+  /** Log-shaped view of events (F3-F5 level machinery). error→40,
+    * signup→30, purchase→20, rest→10 — the python logging level scale
+    * (sqlite_logger.py:171-173 filters level_no >= 40). */
+  private def logs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      upper(col("event_type")).as("level"),
+      concat(lit("u"), col("user_id")).as("logger_name"),
+      when(col("event_type") === "error", 40)
+        .when(col("event_type") === "signup", 30)
+        .when(col("event_type") === "purchase", 20)
+        .otherwise(10).as("level_no"),
+      col("props").as("message"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("value_cents"))
+
+  private val logsSql =
+    """WITH logs AS (
+      |  SELECT event_id, epoch_us(ts) AS ts_us,
+      |    upper(event_type) AS level,
+      |    'u' || user_id AS logger_name,
+      |    CASE event_type WHEN 'error' THEN 40 WHEN 'signup' THEN 30
+      |      WHEN 'purchase' THEN 20 ELSE 10 END AS level_no,
+      |    props AS message,
+      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS value_cents
+      |  FROM events)
+      |""".stripMargin
+
+  /** la1: filtered pagination (S10+W3): WHERE level_no >= 40 ORDER BY
+    * ts DESC LIMIT 200 OFFSET 100, as row_number over (ts_us DESC,
+    * event_id DESC) — unique tie-break keeps pages stable (the
+    * reference relies on SQLite's stable rowid order). */
+  private def la1(s: SparkSession, d: String): DataFrame =
+    logs(s, d)
+      .filter(col("level_no") >= 40)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("rn") > 100 && col("rn") <= 300)
+      .select(col("rn"), col("event_id"), col("ts_us"), col("level"),
+        col("logger_name"), col("message"))
+
+  private val la1Sql = logsSql +
+    """SELECT rn, event_id, ts_us, level, logger_name, message FROM (
+      |  SELECT *, row_number() OVER (ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM logs WHERE level_no >= 40) t
+      |WHERE rn > 100 AND rn <= 300""".stripMargin
+
+  /** la2: level rollup + filtered count (A7+A8): COUNT(*) GROUP BY
+    * level, with each level's share of total (one IEEE division). */
+  private def la2(s: SparkSession, d: String): DataFrame = {
+    val counts = logs(s, d).groupBy(col("level")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("level"), col("n"),
+        (col("n").cast("double") * 100 / col("total")).as("share_pct"))
+  }
+
+  private val la2Sql = logsSql +
+    """SELECT level, n, CAST(n AS DOUBLE) * 100 / total AS share_pct FROM (
+      |  SELECT level, count(*) AS n,
+      |    sum(count(*)) OVER () AS total
+      |  FROM logs GROUP BY level) t""".stripMargin
+
+  /** la3: top-10 loggers by volume (W4, sqlite_logger.py:283-289) —
+    * ORDER BY count DESC with logger_name tie-break, LIMIT 10. */
+  private def la3(s: SparkSession, d: String): DataFrame =
+    logs(s, d)
+      .groupBy(col("logger_name"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("value_cents"))
+      .orderBy(col("n").desc, col("logger_name").asc)
+      .limit(10)
+
+  private val la3Sql = logsSql +
+    """SELECT logger_name, count(*) AS n, sum(value_cents) AS value_cents
+      |FROM logs GROUP BY logger_name
+      |ORDER BY n DESC, logger_name ASC LIMIT 10""".stripMargin
+
+  /** la4: last-24h activity by level (F7/T3, sqlite_logger.py:295-300)
+    * anchored at max(ts) for determinism (the reference anchors at
+    * wall-clock now()). The 1-row max is cross-joined (broadcast) —
+    * no driver-side collect. */
+  private def la4(s: SparkSession, d: String): DataFrame = {
+    val l = logs(s, d)
+    val anchor = l.agg(max(col("ts_us")).as("max_us"))
+    l.crossJoin(broadcast(anchor))
+      .filter(col("ts_us") > col("max_us") - expr("24L * 3600 * 1000000"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_last_24h"))
+  }
+
+  private val la4Sql = logsSql +
+    """SELECT level, count(*) AS n_last_24h
+      |FROM logs, (SELECT max(ts_us) AS max_us FROM logs) m
+      |WHERE ts_us > max_us - 86400000000
+      |GROUP BY level""".stripMargin
+
+  /** la5: retention sweep (S11/F8, sqlite_logger.py:317-350): partition
+    * rows into kept/deleted at max(ts) − 7 days and report per-day
+    * volumes — the DELETE's effect, computed declaratively (at scale
+    * this is a partition-pruned Delta DELETE). */
+  private def la5(s: SparkSession, d: String): DataFrame = {
+    val l = logs(s, d)
+    val anchor = l.agg(max(col("ts_us")).as("max_us"))
+    l.crossJoin(broadcast(anchor))
+      .withColumn("day_us",
+        expr("(ts_us div (24L * 3600 * 1000000)) * (24L * 3600 * 1000000)"))
+      .withColumn("kept", col("ts_us") >= col("max_us") - expr("7L * 24 * 3600 * 1000000"))
+      .groupBy(col("day_us"), col("kept"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val la5Sql = logsSql +
+    """SELECT (ts_us // 86400000000) * 86400000000 AS day_us,
+      |  ts_us >= max_us - 604800000000 AS kept,
+      |  count(*) AS n
+      |FROM logs, (SELECT max(ts_us) AS max_us FROM logs) m
+      |GROUP BY 1, 2""".stripMargin
+
+  def queries: Seq[GateQuery] = Seq(
+    GateQuery("la1_filter_paginate", la1, Some(la1Sql),
+      "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
+    GateQuery("la2_level_rollup", la2, Some(la2Sql),
+      "count by level + share of total (A7/A8)"),
+    GateQuery("la3_top_loggers", la3, Some(la3Sql),
+      "top-10 loggers by count, deterministic order (W4)"),
+    GateQuery("la4_last_24h", la4, Some(la4Sql),
+      "sliding last-24h filter anchored at max ts (F7/T3)"),
+    GateQuery("la5_retention", la5, Some(la5Sql),
+      "retention cutoff partition, per-day kept/deleted (S11/F8)"))
 }

@@ -1,8 +1,170 @@
 package graft.operators
 
-import graft.GateQuery
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-/** Tumbling/sliding time-window semantics (SURVEY T1-T3). */
+/** Time-window semantics (SURVEY §2.8 T1-T3, §2.5 A10): the reference's
+  * quota tumbling windows (`APIKeyStats.reset_if_needed`,
+  * youtube_api_handler.py:47-61), TTL-cache expiry (`CacheEntry`,
+  * :23-31) and last-24h sliding stats — generalized to event-time
+  * window aggregation over `events`.
+  *
+  * Batch forms here (oracle-checkable); the identical column logic is
+  * reused by the Structured Streaming pipeline in
+  * `graft.streaming.EventStream` (watermark + window aggs).
+  *
+  * Window starts are emitted as epoch-µs BIGINTs (not timestamps) so
+  * Spark µs and DuckDB ns precision can never diverge. Spark's
+  * `window()` is epoch-aligned in UTC, which is exactly the integer
+  * arithmetic the oracles use.
+  */
 object TimeWindows {
-  def queries: Seq[GateQuery] = Seq.empty
+
+  private val HourUs  = 3600L * 1000000
+  private val SlideUs = 1800L * 1000000
+
+  private def evs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("value_cents"))
+
+  private val evsSql =
+    """WITH evs AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS value_cents
+      |  FROM events)
+      |""".stripMargin
+
+  /** tw1: tumbling 1-hour aggregation (T2 hourly quota shape): per
+    * window — events, exact value sum, distinct users. Spark's
+    * `window(ts, "1 hour")` is used on the real TimestampType column;
+    * the oracle reproduces its epoch-aligned start arithmetic. */
+  private def tw1(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long")).as("value_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("n_events"), col("value_cents"), col("n_users"))
+
+  private val tw1Sql = evsSql +
+    s"""SELECT (ts_us // $HourUs) * $HourUs AS window_start_us,
+       |  count(*) AS n_events, sum(value_cents) AS value_cents,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM evs GROUP BY 1""".stripMargin
+
+  /** tw2: sliding 1-hour window, 30-min slide (T3 last-24h sliding
+    * shape): every event lands in 2 windows. Spark's built-in
+    * `window(ts, len, slide)` generator; oracle expands via a 2-row
+    * range join — identical epoch alignment. */
+  private def tw2(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"))
+
+  private val tw2Sql = evsSql +
+    s"""SELECT (ts_us // $SlideUs) * $SlideUs - k.k * $SlideUs AS window_start_us,
+       |  event_type, count(*) AS n_events
+       |FROM evs CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k
+       |WHERE ts_us >= (ts_us // $SlideUs) * $SlideUs - k.k * $SlideUs
+       |  AND ts_us < (ts_us // $SlideUs) * $SlideUs - k.k * $SlideUs + $HourUs
+       |GROUP BY 1, 2""".stripMargin
+
+  /** tw3: sessionization (T1 TTL-expiry shape: a session dies after
+    * 30 min of inactivity, like a cache entry): per user, lag-gap
+    * detection + running sum → session ids → per-session envelope.
+    * Two window passes over one (user_id, ts) exchange, then a hash
+    * agg — the classic scalable sessionize; identical SQL on both
+    * engines (Spark session_window would also work but is kept out of
+    * the oracle path). */
+  private def tw3(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    evs(s, d)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SlideUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        min(col("ts_us")).as("sess_start_us"),
+        max(col("ts_us")).as("sess_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("value_cents"))
+      .withColumn("duration_us", col("sess_end_us") - col("sess_start_us"))
+  }
+
+  private val tw3Sql = evsSql +
+    s"""SELECT user_id, sess_id, min(ts_us) AS sess_start_us,
+       |  max(ts_us) AS sess_end_us, count(*) AS n_events,
+       |  sum(value_cents) AS value_cents,
+       |  max(ts_us) - min(ts_us) AS duration_us
+       |FROM (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM (
+       |    SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SlideUs
+       |        THEN 1 ELSE 0 END AS new_sess
+       |    FROM (
+       |      SELECT *, lag(ts_us, 1) OVER (PARTITION BY user_id
+       |          ORDER BY ts_us ASC, event_id ASC) AS prev_us
+       |      FROM evs) a) b) c
+       |GROUP BY user_id, sess_id""".stripMargin
+
+  /** tw4: quota admission windows (T2+A10+F10): per (user "API key",
+    * day) — daily volume, peak-hour volume, and the admission flags
+    * the reference checks before dispatch (daily < 80, hourly < 20
+    * stand in for the 10k/1k quotas). Two-level rollup: hour counts →
+    * day aggregate. */
+  private def tw4(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * HourUs
+    evs(s, d)
+      .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
+      .withColumn("hour_us", expr(s"(ts_us div ${HourUs}L) * ${HourUs}L"))
+      .groupBy(col("user_id"), col("day_us"), col("hour_us"))
+      .agg(count(lit(1)).as("hn"))
+      .groupBy(col("user_id"), col("day_us"))
+      .agg(sum(col("hn")).as("daily_requests"),
+        max(col("hn")).as("peak_hour_requests"))
+      .select(col("user_id"), col("day_us"), col("daily_requests"),
+        col("peak_hour_requests"),
+        (col("daily_requests") < 80 && col("peak_hour_requests") < 20).as("admitted"),
+        (col("daily_requests").cast("double") * 100 / 80).as("daily_quota_pct"))
+  }
+
+  private val tw4Sql = {
+    val DayUs = 24L * HourUs
+    evsSql +
+      s"""SELECT user_id, day_us, sum(hn) AS daily_requests,
+         |  max(hn) AS peak_hour_requests,
+         |  sum(hn) < 80 AND max(hn) < 20 AS admitted,
+         |  CAST(sum(hn) AS DOUBLE) * 100 / 80 AS daily_quota_pct
+         |FROM (
+         |  SELECT user_id, (ts_us // $DayUs) * $DayUs AS day_us,
+         |    (ts_us // $HourUs) * $HourUs AS hour_us, count(*) AS hn
+         |  FROM evs GROUP BY 1, 2, 3) h
+         |GROUP BY user_id, day_us""".stripMargin
+  }
+
+  def queries: Seq[GateQuery] = Seq(
+    GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
+      "tumbling 1h agg: count/sum/distinct users (T2)"),
+    GateQuery("tw2_sliding_windows", tw2, Some(tw2Sql),
+      "sliding 1h/30m window counts by type (T3)"),
+    GateQuery("tw3_sessionize", tw3, Some(tw3Sql),
+      "30-min-gap sessionization via lag + running sum (T1)"),
+    GateQuery("tw4_quota_windows", tw4, Some(tw4Sql),
+      "daily/peak-hour quota admission rollup (T2/A10/F10)"))
 }
