@@ -1,9 +1,215 @@
 package graft.operators
 
-import graft.GateQuery
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Text-pipeline operators: language-ID, quality scoring, token counts,
-  * fingerprinting (SURVEY §7.5, P3-P8 machinery). */
+/** Text-pipeline operators over `documents` (SURVEY §7.5; generalizes
+  * the reference's string machinery P3-P8: regex extraction
+  * youtube_api_handler.py:848-860, URL/category normalization :862-889,
+  * language analysis :1094-1152) into the LLM-training-data toolkit:
+  * token stats, quality scoring, n-gram language-ID, fingerprinting,
+  * and n-gram frequency.
+  *
+  * Everything is built-in string/regex/higher-order-array Column
+  * expressions — no UDFs, stays inside whole-stage codegen except the
+  * higher-order array ops (explode is a Generator; fine). Narrow
+  * per-row maps shuffle only at the final aggregations.
+  */
 object TextAnalysis {
-  def queries: Seq[GateQuery] = Seq.empty
+
+  /** Portable token array: split on whitespace runs after trim. */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** tx1: token statistics (tokenization + counting): tokens,
+    * chars, non-space chars, avg token length (one IEEE division) —
+    * the "token counting" primitive of a data pipeline. */
+  private def tx1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("n_chars"),
+      length(col("text")).as("len_chars"),
+      size(toks(col("text"))).as("n_tokens"),
+      length(regexp_replace(col("text"), "\\s", "")).as("nonspace_chars"))
+      .withColumn("avg_token_len",
+        col("nonspace_chars").cast("double") / col("n_tokens"))
+
+  private val tx1Sql =
+    """SELECT doc_id, n_chars, length(text) AS len_chars,
+      |  length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  length(regexp_replace(text, '\s', '', 'g')) AS nonspace_chars,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |    / length(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+      |FROM documents""".stripMargin
+
+  /** tx2: quality scoring (length/punct/stopword heuristics — the
+    * C4/Gopher-style filters): per doc, counts of punctuation,
+    * digits, stopwords ('the'/'a' in the synthetic vocab), repetition
+    * (max single-token share), and a keep/flag/drop bucket. Integer
+    * counts + single-division ratios keep it bit-deterministic. */
+  private def tx2(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks(col("text"))).as("n_tokens"),
+      regexp_count(col("text"), lit("[^a-z0-9\\s]")).as("punct_cnt"),
+      regexp_count(col("text"), lit("[0-9]")).as("digit_cnt"),
+      regexp_count(col("text"), lit("\\b(the|a)\\b")).as("stopword_cnt"))
+      .withColumn("stopword_ratio",
+        col("stopword_cnt").cast("double") / col("n_tokens"))
+      .withColumn("quality_bucket",
+        when(col("n_tokens") < 10, lit("drop_short"))
+          .when(col("stopword_cnt") * 5L > col("n_tokens"), lit("flag_stopword_heavy"))
+          .when(col("punct_cnt") * 4L > col("n_tokens"), lit("flag_punct_heavy"))
+          .otherwise(lit("keep")))
+
+  private val tx2Sql =
+    """SELECT doc_id, n_tokens, punct_cnt, digit_cnt, stopword_cnt,
+      |  CAST(stopword_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
+      |  CASE WHEN n_tokens < 10 THEN 'drop_short'
+      |       WHEN stopword_cnt * 5 > n_tokens THEN 'flag_stopword_heavy'
+      |       WHEN punct_cnt * 4 > n_tokens THEN 'flag_punct_heavy'
+      |       ELSE 'keep' END AS quality_bucket
+      |FROM (
+      |  SELECT doc_id,
+      |    length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |    length(regexp_extract_all(text, '[^a-z0-9\s]')) AS punct_cnt,
+      |    length(regexp_extract_all(text, '[0-9]')) AS digit_cnt,
+      |    length(regexp_extract_all(text, '\b(the|a)\b')) AS stopword_cnt
+      |  FROM documents) t""".stripMargin
+
+  /** tx3: n-gram-heuristic language ID (P7/A5 machinery as a
+    * classifier): marker-token scores per candidate language, argmax
+    * with a fixed precedence tie-break (en > es > de > fr > zh —
+    * strict > comparisons make precedence exact). The markers are
+    * deliberately overlapping; determinism, not accuracy, is the
+    * contract (the synthetic corpus shares one vocab). */
+  private def langScores: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|data|fast|query)\\b",
+    "es" -> "\\b(table|part|slow)\\b",
+    "de" -> "\\b(spark|group|line)\\b",
+    "fr" -> "\\b(batch|hash|value)\\b",
+    "zh" -> "\\b(big|dup|sort)\\b")
+
+  private def tx3(s: SparkSession, d: String): DataFrame = {
+    val scored = langScores.foldLeft(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (l, pat)) => df.withColumn(s"score_$l", regexp_count(col("text"), lit(pat)))
+    }
+    // argmax with precedence: a language wins only if strictly greater
+    // than every earlier (higher-precedence) language's score.
+    val guess = langScores.map(_._1).zipWithIndex.foldRight(lit("en")) {
+      case ((l, i), rest) =>
+        val earlier = langScores.map(_._1).take(i)
+        val beatsEarlier = earlier.foldLeft(lit(true)) { (acc, e) =>
+          acc && col(s"score_$l") > col(s"score_$e")
+        }
+        val atLeastLater = langScores.map(_._1).drop(i + 1).foldLeft(lit(true)) { (acc, e) =>
+          acc && col(s"score_$l") >= col(s"score_$e")
+        }
+        when(beatsEarlier && atLeastLater, lit(l)).otherwise(rest)
+    }
+    scored
+      .withColumn("guess_lang", guess)
+      .withColumn("is_match", col("guess_lang") === col("lang"))
+      .drop("text")
+  }
+
+  private val tx3Sql = {
+    val scoreCols = langScores.map { case (l, pat) =>
+      val ducked = pat // RE2 \b works like Java \b for ASCII
+      s"length(regexp_extract_all(text, '$ducked')) AS score_$l"
+    }.mkString(",\n    ")
+    val langs = langScores.map(_._1)
+    val guess = langs.zipWithIndex.foldRight("'en'") { case ((l, i), rest) =>
+      val earlier = langs.take(i).map(e => s"score_$l > score_$e")
+      val later = langs.drop(i + 1).map(e => s"score_$l >= score_$e")
+      val cond = (earlier ++ later).mkString(" AND ")
+      if (cond.isEmpty) s"'$l'"
+      else s"CASE WHEN $cond THEN '$l' ELSE $rest END"
+    }
+    s"""SELECT doc_id, lang, score_en, score_es, score_de, score_fr, score_zh,
+       |  guess_lang, guess_lang = lang AS is_match
+       |FROM (
+       |  SELECT *, $guess AS guess_lang FROM (
+       |    SELECT doc_id, lang,
+       |    $scoreCols
+       |    FROM documents) s) g""".stripMargin
+  }
+
+  /** tx4: language-ID evaluation — confusion-matrix rollup of tx3
+    * (labeled lang × guess), with per-cell share of the labeled
+    * language's total. */
+  private def tx4(s: SparkSession, d: String): DataFrame =
+    tx3(s, d)
+      .groupBy(col("lang"), col("guess_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("share_pct", col("n").cast("double") * 100 / col("lang_total"))
+
+  private val tx4Sql =
+    s"""SELECT lang, guess_lang, n,
+       |  sum(n) OVER (PARTITION BY lang) AS lang_total,
+       |  CAST(n AS DOUBLE) * 100 / sum(n) OVER (PARTITION BY lang) AS share_pct
+       |FROM (
+       |  SELECT lang, guess_lang, count(*) AS n FROM (${tx3Sql.replace("\n", "\n  ")}) t
+       |  GROUP BY lang, guess_lang) c""".stripMargin
+
+  /** tx5: document fingerprinting (P11 md5 cache-key shape → content
+    * fingerprints): md5 of whitespace-normalized text, a 60-bit
+    * integer fingerprint (hex prefix of the md5 — portable to any
+    * engine with md5), and a 256-way shard bucket — the partition key
+    * a 100 TB dedup would shuffle on. */
+  private def tx5(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp_md5"))
+      .withColumn("fp64", conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
+      .withColumn("shard", pmod(col("fp64"), lit(256)))
+
+  private val tx5Sql =
+    """SELECT doc_id, fp_md5,
+      |  ('0x' || substr(fp_md5, 1, 15))::BIGINT AS fp64,
+      |  ('0x' || substr(fp_md5, 1, 15))::BIGINT % 256 AS shard
+      |FROM (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_md5
+      |  FROM documents) t""".stripMargin
+
+  /** tx6: top-20 token bigrams corpus-wide (n-gram frequency — the
+    * S6/S7 one-row→many-rows generator shape): per-doc bigram arrays
+    * via higher-order `transform`, explode, global count, top-20 with
+    * bigram tie-break. The explode is the only fan-out; the count is
+    * map-side combined. */
+  private def tx6(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(expr(
+        "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), " +
+          "i -> concat(split(trim(text), '\\\\s+')[i-1], ' ', split(trim(text), '\\\\s+')[i]))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+
+  private val tx6Sql =
+    """SELECT bigram, count(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, length(t.a)),
+      |    i -> t.a[i] || ' ' || t.a[i+1])) AS bigram
+      |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS a
+      |        FROM documents) t) b
+      |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+
+  def queries: Seq[GateQuery] = Seq(
+    GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
+      "token/char counting + avg token length"),
+    GateQuery("tx2_quality_score", tx2, Some(tx2Sql),
+      "quality heuristics + keep/flag/drop bucket"),
+    GateQuery("tx3_langid", tx3, Some(tx3Sql),
+      "marker-ngram language ID w/ fixed-precedence argmax (A5/P7)"),
+    GateQuery("tx4_langid_eval", tx4, Some(tx4Sql),
+      "language-ID confusion matrix rollup"),
+    GateQuery("tx5_fingerprint", tx5, Some(tx5Sql),
+      "md5 + 60-bit content fingerprints + shard bucket (P11)"),
+    GateQuery("tx6_bigram_topk", tx6, Some(tx6Sql),
+      "corpus top-20 token bigrams via explode (S6/S7 generator shape)"))
 }
