@@ -1,9 +1,255 @@
 package graft.operators
 
-import graft.GateQuery
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Dedup operators: exact, minhash-LSH, simhash, n-gram Jaccard,
-  * embedding near-dup (SURVEY §7.5). */
+/** Deduplication operators over `documents` (SURVEY §7.5 north-star;
+  * the reference's md5 cache-key, youtube_api_handler.py:113, grown
+  * into a full training-data dedup suite): exact, blocked n-gram
+  * Jaccard, MinHash-LSH, and weighted SimHash.
+  *
+  * Portable hash primitive shared with the DuckDB oracles: the 60-bit
+  * integer from the md5 hex prefix (see TextAnalysis tx5) —
+  * Spark `conv(substring(md5(s),1,15),16,10)` ≡ DuckDB
+  * `('0x'||substr(md5(s),1,15))::BIGINT`. MinHash permutations are
+  * `(a*h + b) mod p` over h mod p, p = 2^31−1, so products stay well
+  * inside int64.
+  *
+  * Scale design (100 TB): exact dedup is a hash-shuffle on the
+  * fingerprint. All-pairs Jaccard is intentionally NOT offered
+  * unblocked — dd2 blocks by `source` (bounded blocks), and dd3 is the
+  * scale path: LSH bands turn near-dup search into an equi-join on
+  * band keys, and only the tiny candidate set pays the exact-verify
+  * cost (array_intersect on two ~100-element arrays). Band buckets are
+  * high-cardinality → even shuffle; a hot bucket would be AQE-skew
+  * handled. SimHash reduces each doc to ONE 64-bit value — the
+  * cheapest near-dup index at scale — with 16-bit bands guaranteeing
+  * recall for hamming ≤ 3.
+  */
 object Dedup {
-  def queries: Seq[GateQuery] = Seq.empty
+
+  private val P = 2147483647L // 2^31 - 1
+  /** 16 fixed (a, b) permutation constants for MinHash. */
+  private val AB = Seq(
+    (2971L, 1234L), (4111L, 5678L), (5003L, 91011L), (6007L, 1213L),
+    (7001L, 1415L), (8009L, 1617L), (9001L, 1819L), (10007L, 2021L),
+    (11003L, 2223L), (12007L, 2425L), (13001L, 2627L), (14009L, 2829L),
+    (15013L, 3031L), (16033L, 3233L), (17011L, 3435L), (18013L, 3637L))
+
+  // ---------------------------------------------------------------- dd1
+
+  /** dd1: exact dedup by content fingerprint: group by md5 of
+    * whitespace-normalized text; keeper = min doc_id (deterministic),
+    * plus copy count. One hash-shuffle on the fingerprint. */
+  private def dd1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  private val dd1Sql =
+    """SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM (SELECT doc_id,
+      |        md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+      |      FROM documents) t
+      |GROUP BY fp""".stripMargin
+
+  // ------------------------------------------------------- shingle base
+
+  /** Distinct word-bigram shingle set per doc (the n-gram unit for
+    * dd2/dd3). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("a", split(trim(col("text")), "\\s+"))
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(1, size(a)-1), " +
+          "i -> concat(element_at(a, i), ' ', element_at(a, i+1))))"))
+      .select(col("doc_id"), col("source"), col("shingles"),
+        size(col("shingles")).as("sz"))
+
+  private val shingledSql =
+    """sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(range(1, length(a)),
+      |      i -> a[i] || ' ' || a[i+1])) AS shingles
+      |  FROM (SELECT doc_id, source,
+      |          regexp_split_to_array(trim(text), '\s+') AS a
+      |        FROM documents) t)
+      |""".stripMargin
+
+  // ---------------------------------------------------------------- dd2
+
+  /** dd2: blocked exact n-gram Jaccard: within each `source` block,
+    * pairs with shingle-set Jaccard ≥ 0.5. The shingle equi-join only
+    * ever pairs docs inside one block, so cost is Σ block², not N² —
+    * the blocking-key pattern every entity-resolution pipeline uses.
+    * Jaccard = |∩| / (|A|+|B|−|∩|), one IEEE division. */
+  private def dd2(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val ex = sh.select(col("source"), col("doc_id"),
+      explode(col("shingles")).as("shingle"))
+    val common = ex.as("a").join(ex.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sh.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("c").cast("double") / (col("sz1") + col("sz2") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  private val dd2Sql = "WITH " + shingledSql +
+    """, ex AS (SELECT source, doc_id, unnest(shingles) AS shingle FROM sh),
+      |common AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.source = b.source
+      |    AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2, jaccard FROM (
+      |  SELECT id1, id2,
+      |    CAST(c AS DOUBLE) / (len(s1.shingles) + len(s2.shingles) - c) AS jaccard
+      |  FROM common JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id) v
+      |WHERE jaccard >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- dd3
+
+  /** dd3: MinHash-LSH near-dup detection — the 100 TB path. 16-perm
+    * signature over shingle hashes; 4 bands × 4 rows; docs sharing any
+    * band key become candidates (equi-join on the band key, no all-
+    * pairs anywhere); candidates verified with exact Jaccard ≥ 0.8 via
+    * array_intersect. At j=0.99 P(candidate) ≈ 1; at j=0.15 ≈ 0.002. */
+  private def dd3(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+      .withColumn("hs", expr(
+        s"transform(shingles, s -> cast(conv(substring(md5(s),1,15),16,10) as bigint) % ${P}L)"))
+    val sig = AB.zipWithIndex.foldLeft(sh) { case (df, ((a, b), j)) =>
+      df.withColumn(s"m$j", expr(s"array_min(transform(hs, h -> (${a}L*h + ${b}L) % ${P}L))"))
+    }
+    val keys = (0 until 4).map(bd =>
+      concat_ws("_", (0 until 4).map(r => col(s"m${bd * 4 + r}")): _*))
+    val bands = sig
+      .select(col("doc_id"), col("shingles"), col("sz"),
+        posexplode(array(keys: _*)).as(Seq("band", "key")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.shingles").as("sh1"), col("a.sz").as("sz1"),
+        col("b.shingles").as("sh2"), col("b.sz").as("sz2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))))
+      .select(col("id1"), col("id2"),
+        (col("c").cast("double") / (col("sz1") + col("sz2") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  private val dd3Sql = {
+    val mins = AB.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(hs, h -> ($a*h + $b) % $P)) AS m$j"
+    }.mkString(",\n    ")
+    val bandKeys = (0 until 4).map { bd =>
+      val k = (0 until 4).map(r => s"m${bd * 4 + r}").mkString("||'_'||")
+      s"WHEN $bd THEN $k"
+    }.mkString(" ")
+    "WITH " + shingledSql +
+      s""", hsx AS (
+         |  SELECT doc_id, shingles, list_transform(shingles,
+         |    s -> ('0x' || substr(md5(s),1,15))::BIGINT % $P) AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    $mins
+         |  FROM hsx),
+         |bands AS (
+         |  SELECT doc_id, shingles, b.band,
+         |    CASE b.band $bandKeys END AS key
+         |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, jaccard FROM (
+         |  SELECT id1, id2,
+         |    CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      (len(s1.shingles) + len(s2.shingles)
+         |        - len(list_intersect(s1.shingles, s2.shingles))) AS jaccard
+         |  FROM cand JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id) v
+         |WHERE jaccard >= 0.8""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- dd4
+
+  /** dd4: weighted SimHash near-dup pairs. Per doc: 64-bit simhash
+    * from token-frequency-weighted bit votes; 4 × 16-bit bands
+    * (pigeonhole: hamming ≤ 3 ⟹ at least one band identical); pairs
+    * sharing a band with hamming ≤ 3 emitted. Each doc collapses to
+    * one long — the cheapest near-dup sketch at scale. */
+  private def dd4(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", expr("cast(conv(substring(md5(w),1,15),16,10) as bigint)"))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i"))
+    val bitSums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val simExpr = (0 until 64).map { i =>
+      val v = if (i < 63) (1L << i).toString + "L" else "-9223372036854775808L"
+      s"(CASE WHEN b$i > 0 THEN $v ELSE 0L END)"
+    }.mkString(" + ")
+    val sim = bitSums.withColumn("simhash", expr(simExpr)).select("doc_id", "simhash")
+    val bands = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(bd =>
+        expr(s"shiftright(simhash, ${bd * 16}) & 65535")): _*)).as(Seq("band", "key")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .dropDuplicates("id1", "id2")
+      .filter(col("hamming") <= 3)
+  }
+
+  private val dd4Sql = {
+    val bits = (0 until 64).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS b$i")
+      .mkString(",\n    ")
+    val tosim = (0 until 64).map { i =>
+      val v = if (i < 63) (1L << i).toString else "-9223372036854775808"
+      s"(CASE WHEN b$i > 0 THEN $v ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, w, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) t GROUP BY doc_id, w),
+       |th AS (SELECT doc_id, cnt, ('0x' || substr(md5(w),1,15))::BIGINT AS h FROM tok),
+       |bitsums AS (SELECT doc_id, $bits FROM th GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $tosim AS simhash FROM bitsums),
+       |bands AS (
+       |  SELECT doc_id, simhash, b.band, (simhash >> (b.band*16)) & 65535 AS key
+       |  FROM sim, (SELECT unnest(range(4)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    a.simhash AS s1, b.simhash AS s2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming
+       |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin
+  }
+
+  def queries: Seq[GateQuery] = Seq(
+    GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
+      "exact dedup by md5 fingerprint, min-id keeper"),
+    GateQuery("dd2_jaccard_blocked", dd2, Some(dd2Sql),
+      "source-blocked exact bigram-shingle Jaccard >= 0.5 pairs"),
+    GateQuery("dd3_minhash_lsh", dd3, Some(dd3Sql),
+      "MinHash 16-perm, 4x4 LSH bands, exact-verified Jaccard >= 0.8"),
+    GateQuery("dd4_simhash", dd4, Some(dd4Sql),
+      "weighted 64-bit SimHash, 16-bit bands, hamming <= 3 pairs"))
 }
