@@ -1,9 +1,300 @@
 package graft.operators
 
-import graft.GateQuery
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Embedding similarity search: brute-force cosine top-k + LSH-bucketed
-  * ANN (SURVEY §7.5). */
+/** Similarity search over `embeddings` (64-dim float vectors; SURVEY
+  * §7.5 north-star): brute-force cosine top-k as the exactness
+  * baseline, random-hyperplane LSH as the ANN scale path, LSH-blocked
+  * near-duplicate pairs, and an IVF-style coarse quantizer
+  * (centroids + nearest-centroid assignment).
+  *
+  * FP determinism (why this hash-matches DuckDB bit-for-bit):
+  *   - float→double casts are exact; every dot product is a LEFT FOLD
+  *     in array order (Spark `aggregate(zip_with(...))` ≡ DuckDB
+  *     `list_reduce(list_transform(...))`), so both engines run the
+  *     identical sequence of IEEE adds;
+  *   - cosine = dot / (sqrt(n1)·sqrt(n2)) — three more deterministic
+  *     IEEE ops on identical inputs;
+  *   - anything that must be SUMMED ACROSS ROWS (centroids,
+  *     distances), where engines order partial aggregation
+  *     differently, is floor-scaled to BIGINT first (sum is then
+  *     exact and order-free); double→DECIMAL casts are avoided
+  *     entirely (engines disagree: shortest-repr vs binary
+  *     expansion).
+  *
+  * Scale design: brute-force is queries × corpus — fine for a small
+  * query set, and the broadcast side is the query set, so the corpus
+  * never shuffles. The LSH signature collapses each vector to 16 bits;
+  * candidate generation is an equi-join on 4-bit band keys. IVF
+  * assignment joins a broadcast centroid table (n_labels × 64 rows).
+  * At 100 TB: same plans, plus bucketing the corpus by band key.
+  */
 object Similarity {
-  def queries: Seq[GateQuery] = Seq.empty
+
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes, components in
+    * [-1, 1] with 3-dp granularity: ((md5-prefix-60-bit of
+    * "pl<j>_<i>") mod 2001 − 1000) / 1000 — reproducible in any
+    * engine with md5 (same formula inlined in the oracle SQL). */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+  private val planes: Seq[Seq[Double]] =
+    (0 until 16).map(j => (0 until Dim).map(i =>
+      (h60(s"pl${j}_${i}") % 2001 - 1000) / 1000.0))
+
+  /** Left-fold dot product of two array<double> columns (codegen'd
+    * higher-order expr; identical op order to the oracle's
+    * list_reduce). */
+  private def dotExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** Base relation: vec_id, label, v (array<double>), n2 (self-dot). */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("n2", dotExpr("v", "v"))
+      .select("vec_id", "label", "v", "n2")
+
+  private val vecsSql =
+    s"""vecs AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |    ${dotSql("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")} AS n2
+       |  FROM embeddings)
+       |""".stripMargin
+
+  // --------------------------------------------------------------- sim1
+
+  /** sim1: brute-force cosine top-10 (the exactness baseline every ANN
+    * variant is judged against). Query set = vec_id ≡ 0 (mod 100);
+    * the query side is broadcast so the corpus scan never shuffles;
+    * ranking is one window per query with unique neighbor tie-break. */
+  private def sim1(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+  }
+
+  private val sim1Sql = "WITH " + vecsSql +
+    s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) DESC,
+       |               b.vec_id ASC) AS rank
+       |  FROM vecs q JOIN vecs b ON b.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 100 = 0) t
+       |WHERE rank <= 10""".stripMargin
+
+  // ------------------------------------------------------ LSH signature
+
+  /** 16-bit random-hyperplane signature: bit j = sign(v · plane_j). */
+  private def withSig(df: DataFrame): DataFrame = {
+    val sigExpr = (0 until 16).map { j =>
+      val lits = planes(j).map(v => s"${v}D").mkString(", ")
+      when(expr(
+        s"aggregate(zip_with(v, array($lits), (x, y) -> x * y), cast(0 as double), (acc, w) -> acc + w)") > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("sig", sigExpr)
+  }
+
+  private val sigSql =
+    s"""planes AS (
+       |  SELECT j, list(val ORDER BY i) AS p FROM (
+       |    SELECT j.range AS j, i.range AS i,
+       |      ((('0x' || substr(md5('pl' || j.range || '_' || i.range), 1, 15))::BIGINT
+       |        % 2001) - 1000) / 1000.0 AS val
+       |    FROM range(16) j, range($Dim) i) t GROUP BY j),
+       |sigs AS (
+       |  SELECT vec_id, label, v, n2, sum(bit)::BIGINT AS sig FROM (
+       |    SELECT vecs.*, CASE WHEN ${dotSql("v", "p")} > 0
+       |      THEN (1::BIGINT << j) ELSE 0 END AS bit
+       |    FROM vecs, planes) b
+       |  GROUP BY vec_id, label, v, n2)
+       |""".stripMargin
+
+  /** 4-bit band keys (4 bands) for bucketed candidate generation. */
+  private def withBands(df: DataFrame): DataFrame =
+    df.select(col("*"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"shiftright(sig, ${b * 4}) & 15")): _*)).as(Seq("band", "key")))
+
+  private val bandsSql =
+    """bands AS (
+      |  SELECT sigs.*, b.band, (sig >> (b.band * 4)) & 15 AS key
+      |  FROM sigs, (SELECT unnest(range(4)) AS band) b)
+      |""".stripMargin
+
+  // --------------------------------------------------------------- sim2
+
+  /** sim2: LSH ANN top-10 — the 100 TB path. Candidates = vectors
+    * sharing ≥ 1 of 4 band keys with the query (equi-join on the band
+    * key; no all-pairs), then exact cosine re-rank of candidates only.
+    * Recall < 1 vs sim1 by construction; that's the documented ANN
+    * trade. */
+  private def sim2(s: SparkSession, d: String): DataFrame = {
+    val bands = withBands(withSig(vecs(s, d)))
+    val qb = bands.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("band"), col("key"))
+    bands.join(broadcast(qb),
+        Seq("band", "key")).filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qv", "qn2", "vec_id", "v", "n2")
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cosine",
+        dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+  }
+
+  private val sim2Sql = "WITH " + vecsSql.dropRight(1) + ", " + sigSql.dropRight(1) +
+    ", " + bandsSql +
+    s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM (
+       |    SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) AS cosine
+       |    FROM bands q JOIN bands b ON q.band = b.band AND q.key = b.key
+       |      AND b.vec_id <> q.vec_id
+       |    WHERE q.vec_id % 100 = 0) c) t
+       |WHERE rank <= 10""".stripMargin
+
+  // --------------------------------------------------------------- sim3
+
+  /** sim3: embedding near-duplicate pairs (the dedup-by-embedding
+    * member of the dedup suite): LSH-blocked candidates (id1 < id2,
+    * any shared band), kept when cosine ≥ 0.45 (this corpus has no
+    * tighter geometric duplicates — max off-diagonal cosine ≈ 0.55). */
+  private def sim3(s: SparkSession, d: String): DataFrame = {
+    val bands = withBands(withSig(vecs(s, d)))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("a.v").as("v1"), col("a.n2").as("m1"),
+        col("b.v").as("v2"), col("b.n2").as("m2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("cosine",
+        dotExpr("v1", "v2") / (sqrt(col("m1")) * sqrt(col("m2"))))
+      .filter(col("cosine") >= 0.45)
+      .select("id1", "id2", "cosine")
+  }
+
+  private val sim3Sql = "WITH " + vecsSql.dropRight(1) + ", " + sigSql.dropRight(1) +
+    ", " + bandsSql +
+    s"""SELECT id1, id2, cosine FROM (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+       |    ${dotSql("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |    AND a.vec_id < b.vec_id) p
+       |WHERE cosine >= 0.45""".stripMargin
+
+  // --------------------------------------------------------------- sim4
+
+  /** sim4: IVF coarse-quantizer centroids: per (label, dimension) the
+    * component mean. Cross-row FP sums are order-sensitive, so each
+    * component is floor-scaled to an integer (×10^9) first — BIGINT
+    * sums are exact in any order — and the mean is ONE division of
+    * exact doubles. posexplode fans each vector into 64 (dim, value)
+    * rows; the agg is map-side combined. */
+  private def sim4(s: SparkSession, d: String): DataFrame =
+    vecs(s, d)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "comp")))
+      .withColumn("comp_scaled", expr("floor(comp * 1000000000.0D)"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("comp_scaled")).as("sum_scaled"), count(lit(1)).as("n"))
+      .withColumn("centroid",
+        col("sum_scaled").cast("double") / (col("n") * 1000000000L).cast("double"))
+
+  private val sim4Sql = "WITH " + vecsSql +
+    s"""SELECT label, dim, sum_scaled, n,
+       |  CAST(sum_scaled AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE) AS centroid
+       |FROM (
+       |  SELECT label, i.range AS dim,
+       |    sum(CAST(floor(v[i.range + 1] * 1000000000.0) AS BIGINT)) AS sum_scaled,
+       |    count(*) AS n
+       |  FROM vecs, range($Dim) i GROUP BY 1, 2) t""".stripMargin
+
+  // --------------------------------------------------------------- sim5
+
+  /** sim5: IVF assignment — each vector to its nearest centroid by
+    * squared L2, distances floor-scaled (×10^12) per term and summed
+    * exactly, argmin with label tie-break. The centroid table
+    * (n_labels × 64 rows) is broadcast; the probe is one narrow
+    * fan-out join — the IVF "which cell does this vector live in"
+    * step at any scale. */
+  private def sim5(s: SparkSession, d: String): DataFrame = {
+    val cent = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
+    vecs(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("dim", "comp")))
+      .join(broadcast(cent), Seq("dim"))
+      .withColumn("term", expr("floor((comp - centroid) * (comp - centroid) * 1000000000000.0D)"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(col("term")).as("dist_scaled"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist_scaled").asc, col("clabel").asc)))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("assigned_label"),
+        col("dist_scaled"), (col("clabel") === col("label")).as("is_home"))
+  }
+
+  private val sim5Sql = "WITH " + vecsSql.dropRight(1) + ", " +
+    s"""cent AS (
+       |  SELECT label AS clabel, dim,
+       |    CAST(sum_scaled AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE) AS centroid
+       |  FROM (
+       |    SELECT label, i.range AS dim,
+       |      sum(CAST(floor(v[i.range + 1] * 1000000000.0) AS BIGINT)) AS sum_scaled,
+       |      count(*) AS n
+       |    FROM vecs, range($Dim) i GROUP BY 1, 2) t)
+       |SELECT vec_id, label, assigned_label, dist_scaled, is_home FROM (
+       |  SELECT vec_id, label, clabel AS assigned_label, dist_scaled,
+       |    clabel = label AS is_home,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |  FROM (
+       |    SELECT e.vec_id, e.label, c.clabel,
+       |      sum(CAST(floor((e.v[c.dim + 1] - c.centroid) * (e.v[c.dim + 1] - c.centroid)
+       |        * 1000000000000.0) AS BIGINT)) AS dist_scaled
+       |    FROM vecs e, cent c
+       |    GROUP BY 1, 2, 3) d) r
+       |WHERE rk = 1""".stripMargin
+
+  def queries: Seq[GateQuery] = Seq(
+    GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
+      "brute-force cosine top-10, broadcast query set"),
+    GateQuery("sim2_ann_lsh", sim2, Some(sim2Sql),
+      "random-hyperplane LSH candidates + exact re-rank (ANN scale path)"),
+    GateQuery("sim3_embedding_neardup", sim3, Some(sim3Sql),
+      "LSH-blocked embedding near-dup pairs, cosine >= 0.45"),
+    GateQuery("sim4_ivf_centroids", sim4, Some(sim4Sql),
+      "IVF centroids via exact scaled-integer component sums"),
+    GateQuery("sim5_ivf_assign", sim5, Some(sim5Sql),
+      "IVF nearest-centroid assignment, exact scaled distances"))
 }
