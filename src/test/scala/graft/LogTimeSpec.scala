@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark._
+
+/** Invariant tests for log-analytics and time-window operators on the
+  * driver's sf0.001 tables (goldens for these live in the DuckDB
+  * oracle; here we pin structural semantics). */
+class LogTimeSpec extends AnyFunSuite {
+
+  test("la1 pagination: dense rank range, descending timestamps") {
+    val rows = gate("la1_filter_paginate", sf0001).collect()
+      .sortBy(_.getAs[Int]("rn"))
+    assert(rows.nonEmpty)
+    val rns = rows.map(_.getAs[Int]("rn"))
+    assert(rns.head > 100 && rns.last <= 300)
+    assert(rns.zip(rns.tail).forall { case (a, b) => b == a + 1 })
+    val ts = rows.map(_.getAs[Long]("ts_us"))
+    assert(ts.zip(ts.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[String]("level") == "ERROR"))
+  }
+
+  test("la2 shares sum to 100") {
+    val shares = gate("la2_level_rollup", sf0001).collect()
+      .map(_.getAs[Double]("share_pct"))
+    assert(math.abs(shares.sum - 100.0) < 1e-9)
+  }
+
+  test("la3 top-10: descending counts, at most 10 rows") {
+    val rows = gate("la3_top_loggers", sf0001).collect()
+    assert(rows.length <= 10)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("tw1 tumbling windows: hour-aligned, counts sum to total") {
+    val rows = gate("tw1_tumbling_hourly", sf0001).collect()
+    rows.foreach(r =>
+      assert(r.getAs[Long]("window_start_us") % 3600000000L == 0))
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sf0001).count())
+  }
+
+  test("tw2 sliding windows double-count exactly 2x") {
+    val slid = gate("tw2_sliding_windows", sf0001).collect()
+      .map(_.getAs[Long]("n_events")).sum
+    assert(slid == 2 * Tables.events(spark, sf0001).count())
+  }
+
+  test("tw3 sessions: disjoint per user, events conserved, gap rule") {
+    val rows = gate("tw3_sessionize", sf0001).collect()
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sf0001).count())
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { ss =>
+      val sorted = ss.sortBy(_.getAs[Long]("sess_start_us"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        // next session starts strictly more than 30 min after prev end
+        assert(b.getAs[Long]("sess_start_us") - a.getAs[Long]("sess_end_us") >
+          1800L * 1000000)
+      }
+    }
+  }
+
+  test("tw4 quota: daily >= peak hourly, flags consistent") {
+    gate("tw4_quota_windows", sf0001).collect().foreach { r =>
+      val daily = r.getAs[Long]("daily_requests")
+      val peak = r.getAs[Long]("peak_hour_requests")
+      assert(daily >= peak)
+      assert(r.getAs[Boolean]("admitted") == (daily < 80 && peak < 20))
+    }
+  }
+}

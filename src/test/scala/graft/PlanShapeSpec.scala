@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark._
+
+/** Physical-plan assertions (SURVEY §4): the optimizations we rely on
+  * at 100 TB must actually appear in the plan — broadcast joins for
+  * dimension sides, predicate/projection pushdown into the parquet
+  * scan, and no more exchanges than the operator needs.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private def plan(name: String): String =
+    gate(name, sf0001).queryExecution.executedPlan.toString
+
+  test("q2 dimension chain joins are broadcast, not shuffled") {
+    val p = plan("q2_dim_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ca2/ca6 subscriber dimension join is broadcast") {
+    assert(plan("ca2_engagement_rate").contains("BroadcastHashJoin"))
+    assert(plan("ca6_final_metrics").contains("BroadcastHashJoin"))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = gate("la1_filter_paginate", sf0001)
+      .queryExecution.executedPlan.toString
+    // level_no >= 40 derives from event_type = 'error' — the CASE is
+    // post-scan, but the scan must not read all columns
+    assert(p.contains("ReadSchema"))
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!scanLine.contains("value"), s"column pruning failed: $scanLine")
+  }
+
+  test("projection pruning: ca5 scans only source+lang") {
+    val p = plan("ca5_language_mode")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("source") && scanLine.contains("lang"))
+    assert(!scanLine.contains("text"), s"text not pruned: $scanLine")
+  }
+
+  test("ca1 windows + agg reuse one exchange on channel_id") {
+    val p = plan("ca1_window_metrics")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one shuffle for the window partitioning; the groupBy on the same
+    // key must NOT re-shuffle (hashpartitioning(channel_id) reused)
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges\n$p")
+  }
+
+  test("q1 aggregation is partial + final (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), "no partial aggregation found")
+  }
+
+  test("whole-stage codegen covers the hot path of q1") {
+    // AQE finalizes the plan only after execution
+    val df = gate("q1_agg", sf0001)
+    df.collect()
+    // codegen stages print as "*(n) Operator" in the executed plan
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+}

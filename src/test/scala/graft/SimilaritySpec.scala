@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark._
+
+/** Golden + structural tests for similarity search and IVF. */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val dir: String = {
+    // vec 0 and 1 identical; vec 2 orthogonal to them; vec 3 ≈ −vec0.
+    val e0 = Seq.fill(32)(Seq(1.0f, 0.0f)).flatten
+    val e2 = Seq.fill(32)(Seq(0.0f, 1.0f)).flatten
+    val e3 = e0.map(-_)
+    fixtureDir("embeddings" -> embeddingsDf(Seq(
+      (0L, e0, 0), (1L, e0, 0), (2L, e2, 1), (3L, e3, 1))))
+  }
+
+  test("sim1 brute force: exact neighbors of query 0") {
+    val rows = gate("sim1_knn_bruteforce", dir).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+    assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(rows(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(rows(1).getAs[Double]("cosine") == 0.0)
+    assert(math.abs(rows(2).getAs[Double]("cosine") + 1.0) < 1e-12)
+  }
+
+  test("sim3 near-dup: identical pair detected with cosine 1.0") {
+    val pairs = gate("sim3_embedding_neardup", dir).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cosine")))
+    val p01 = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(p01.isDefined && math.abs(p01.get._3 - 1.0) < 1e-12)
+  }
+
+  test("sim4 centroids: label-0 centroid is the shared vector") {
+    val cent = gate("sim4_ivf_centroids", dir).collect()
+      .filter(_.getAs[Int]("label") == 0)
+    assert(cent.length == 64)
+    val byDim = cent.map(r => r.getAs[Int]("dim") -> r.getAs[Double]("centroid")).toMap
+    assert(byDim(0) == 1.0 && byDim(1) == 0.0)
+  }
+
+  test("sim5 assignment: vectors assign to their own tight centroid") {
+    val m = gate("sim5_ivf_assign", dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(m.size == 4) // exactly one row per vector
+    assert(m(0L).getAs[Int]("assigned_label") == 0)
+    assert(m(1L).getAs[Int]("assigned_label") == 0)
+    assert(m(0L).getAs[Long]("dist_scaled") == 0L)
+    // vec2 ⟂ both centroids (label-1 centroid = (e3+e2)/2) — just check shape
+    m.values.foreach(r => assert(r.getAs[Long]("dist_scaled") >= 0L))
+  }
+
+  test("sim1/sim2 on driver data: ranks dense, ANN ⊆ exact-scored") {
+    val s1 = gate("sim1_knn_bruteforce", sf0001).collect()
+    val byQ = s1.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length).toSeq)
+      val cos = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      cos.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+    }
+    // ANN results: every (query, neighbor, cosine) must agree with the
+    // exact cosine brute force computed for that pair
+    val exact = s1.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+      r.getAs[Double]("cosine")).toMap
+    val s2 = gate("sim2_ann_lsh", sf0001).collect()
+    s2.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exact.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+}
