@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY §2.8): the reference's
+  * time-based semantics productionized on an event stream —
+  *   T2 hourly/daily quota tumbling windows  → watermarked window aggs
+  *   T3 sliding last-N activity              → sliding window aggs
+  *   T1 TTL cache expiry                     → per-key state with
+  *     processing/event-time timeout via flatMapGroupsWithState
+  *
+  * Every transform is a pure DataFrame→DataFrame function usable on a
+  * batch frame OR a readStream frame (identical Catalyst plans modulo
+  * the streaming source/sink) — the batch twins are what the
+  * TimeWindows gate queries verify against DuckDB; stream execution is
+  * covered by MemoryStream tests in EventStreamSpec.
+  *
+  * Scale notes: watermark + tumbling windows keep state bounded to
+  * in-flight windows per key; the session/TTL state store holds one
+  * small case class per key. Shuffle partitioning is by the grouping
+  * key, the same plan a 1000-executor cluster runs.
+  */
+object EventStream {
+
+  /** Tumbling per-type hourly counts with a 10-minute watermark
+    * (late events beyond it are dropped, windows finalize). */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("value_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  /** Sliding 1h/30m per-user activity — the "last hour, refreshed every
+    * half hour" quota view (T2/A10). */
+  def slidingUserActivity(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("n_events"))
+
+  /** Per-key TTL cache state (T1): first event for a key inserts an
+    * entry; subsequent events within `ttl` refresh hit counts; an
+    * event-time timeout expires the entry and emits its tombstone —
+    * the streaming restatement of `CacheEntry.is_expired`
+    * (reference youtube_api_handler.py:23-31). */
+  case class CacheState(key: String, firstUs: Long, lastUs: Long, hits: Long)
+  case class CacheEvent(key: String, status: String, hits: Long)
+
+  def ttlCache(spark: SparkSession, events: DataFrame, ttl: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    val ttlMs = ttl match {
+      case "30 minutes" => 30L * 60 * 1000
+      case other => other.trim.split("\\s+")(0).toLong * 60 * 1000
+    }
+    events
+      .withWatermark("ts", "10 minutes") // event-time timeout needs one
+      .select(col("event_type").as("key"), col("ts"))
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CacheState, CacheEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[CacheState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(CacheEvent(key, "expired", st.hits))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq
+            val st0 = state.getOption.getOrElse(
+              CacheState(key, times.min, times.min, 0L))
+            val st = st0.copy(lastUs = math.max(st0.lastUs, times.max),
+              hits = st0.hits + times.size)
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastUs + ttlMs)
+            Iterator(CacheEvent(key, "cached", st.hits))
+          }
+      }.toDF()
+  }
+}

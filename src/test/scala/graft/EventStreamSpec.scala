@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import TestSpark._
+
+/** Structured Streaming tests via MemoryStream: the windowed transforms
+  * must produce, over a replayed finite stream, exactly what the batch
+  * twin produces over the same rows (stream/batch unification), and the
+  * TTL state machine must expire entries past the watermark. */
+class EventStreamSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000)
+
+  private val rows: Seq[(Long, Timestamp, Long, String, Double)] = Seq(
+    (1L, ts(0), 1L, "click", 10.0), (2L, ts(5), 1L, "click", 20.0),
+    (3L, ts(61), 2L, "view", 30.0), (4L, ts(65), 1L, "click", 40.0),
+    (5L, ts(125), 2L, "view", 50.0), // advances watermark past window 1
+    (6L, ts(250), 1L, "click", 60.0))
+
+  private def toEvents(df: org.apache.spark.sql.DataFrame) =
+    df.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("streamed hourly counts equal the batch computation") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    mem.addData(rows: _*)
+    val q = EventStream.hourlyTypeCounts(toEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("value_cents"))).toSet
+      val batch = EventStream.hourlyTypeCounts(toEvents(rows.toDF())).collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("value_cents"))).toSet
+      assert(streamed == batch)
+      assert(batch.toSeq.map(_._3).sum == rows.size)
+    } finally q.stop()
+  }
+
+  test("ttl cache: entries refresh within ttl and expire after it") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val q = EventStream.ttlCache(spark, toEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("ttl")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(4): _*) // ts(125)/ts(250) advance event time
+      q.processAllAvailable()
+      mem.addData() // one more empty batch lets timeouts fire
+      q.processAllAvailable()
+      val out = spark.table("ttl").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("status"), r.getAs[Long]("hits")))
+      // view's last event is t=125, timeout 155 < final watermark 240 →
+      // expired; click's last event t=250 keeps it alive past watermark
+      assert(out.exists(o => o._1 == "click" && o._2 == "cached"))
+      assert(out.exists(o => o._1 == "view" && o._2 == "expired"))
+      assert(!out.exists(o => o._1 == "click" && o._2 == "expired"))
+    } finally q.stop()
+  }
+}
