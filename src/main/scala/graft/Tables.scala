@@ -21,7 +21,9 @@ object Tables {
     * exactly DuckDB's `epoch_us(ts)`. */
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // native graft expressions (dot_f64) — see graft.functions
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -87,12 +87,21 @@ object Dedup {
     * the blocking-key pattern every entity-resolution pipeline uses.
     * Jaccard = |∩| / (|A|+|B|−|∩|), one IEEE division. */
   private def dd2(s: SparkSession, d: String): DataFrame = {
+    // Exploded equi-join on (source, shingle-hash): common-shingle
+    // counts come from a hash-agg over the pair stream. Joining on the
+    // 60-bit hash (not the string) keeps the shuffle payload to 8-byte
+    // keys; collisions are engine-identical (same md5 both sides).
+    // Measured against the block-cross-join + array_intersect variant
+    // at sf0.1 this uses far less task memory (no buffered duplicate-
+    // key groups), which keeps GC pressure off the rest of the suite.
     val sh = shingled(s, d)
     val ex = sh.select(col("source"), col("doc_id"),
       explode(col("shingles")).as("shingle"))
+      .select(col("source"), col("doc_id"),
+        expr("cast(conv(substring(md5(shingle),1,15),16,10) as bigint)").as("sh_h"))
     val common = ex.as("a").join(ex.as("b"),
         col("a.source") === col("b.source") &&
-          col("a.shingle") === col("b.shingle") &&
+          col("a.sh_h") === col("b.sh_h") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("c"))
@@ -105,11 +114,14 @@ object Dedup {
   }
 
   private val dd2Sql = "WITH " + shingledSql +
-    """, ex AS (SELECT source, doc_id, unnest(shingles) AS shingle FROM sh),
+    """, ex AS (
+      |  SELECT source, doc_id,
+      |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
+      |  FROM (SELECT source, doc_id, unnest(shingles) AS shingle FROM sh) u),
       |common AS (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
       |  FROM ex a JOIN ex b ON a.source = b.source
-      |    AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |    AND a.sh_h = b.sh_h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT id1, id2, jaccard FROM (
       |  SELECT id1, id2,

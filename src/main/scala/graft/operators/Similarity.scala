@@ -53,7 +53,7 @@ object Similarity {
     * higher-order expr; identical op order to the oracle's
     * list_reduce). */
   private def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+    expr(s"dot_f64($a, $b)")
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
@@ -110,8 +110,7 @@ object Similarity {
   private def withSig(df: DataFrame): DataFrame = {
     val sigExpr = (0 until 16).map { j =>
       val lits = planes(j).map(v => s"${v}D").mkString(", ")
-      when(expr(
-        s"aggregate(zip_with(v, array($lits), (x, y) -> x * y), cast(0 as double), (acc, w) -> acc + w)") > 0,
+      when(expr(s"dot_f64(v, array($lits))") > 0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn("sig", sigExpr)

@@ -183,9 +183,10 @@ object TextAnalysis {
     * map-side combined. */
   private def tx6(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .select(split(trim(col("text")), "\\s+").as("toks")) // split ONCE per doc
       .select(explode(expr(
-        "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), " +
-          "i -> concat(split(trim(text), '\\\\s+')[i-1], ' ', split(trim(text), '\\\\s+')[i]))"))
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
         .as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
