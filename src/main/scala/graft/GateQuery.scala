@@ -27,9 +27,11 @@ object GateQueries {
   def all: Seq[GateQuery] =
     operators.Relational.queries ++
       operators.ChannelMetrics.queries ++
+      operators.YtFormats.queries ++
       operators.LogAnalytics.queries ++
       operators.TimeWindows.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      operators.Multimodal.queries
 }

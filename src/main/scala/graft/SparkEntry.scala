@@ -10,11 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Currently the pricing-summary aggregation; upgraded to the full
-    * channel-analytics analog once ChannelMetrics lands. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full channel-analytics assembly (SURVEY §3.1): recency
+    * windows → type-partitioned engagement → format classifier →
+    * channel_type decision, one row per channel. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("ca6_final_metrics")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

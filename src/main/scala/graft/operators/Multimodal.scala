@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §7.5): image/audio/video payloads
+  * as opaque BINARY columns with typed metadata, flowing through the
+  * standard operators. The container has no media codecs, so DECODING
+  * IS STUBBED with a deterministic fake (byte-level statistics standing
+  * in for decoded features) — the Spark-side schema, partitioning,
+  * batching and operator plumbing are real and oracle-checked where
+  * SQL-expressible.
+  *
+  * documents.text (UTF-8 bytes) stands in for the media payload.
+  *
+  * Scale notes: payloads stay opaque until the narrow per-row
+  * decode/feature stage — no shuffle ever carries more than the
+  * selected columns; frame sampling is a higher-order transform over
+  * offsets, not an explode of the payload.
+  */
+object Multimodal {
+
+  /** Binary-typed media view: payload + typed metadata columns. */
+  def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("source").as("container"),
+      col("lang").as("track_lang"),
+      col("n_chars").as("declared_len"))
+
+  // ---------------------------------------------------------------- mm1
+
+  /** mm1: payload metadata projection — byte length, content digest,
+    * first-byte value, 16-way payload shard. Pure narrow map over the
+    * binary column. */
+  private def mm1(s: SparkSession, d: String): DataFrame =
+    media(s, d).select(
+      col("media_id"),
+      col("container"),
+      octet_length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("digest"),
+      ascii(substring(col("payload").cast("string"), 1, 1)).as("first_byte"),
+      pmod(expr("cast(conv(substring(md5(payload),1,15),16,10) as bigint)"), lit(16))
+        .as("shard"))
+
+  private val mm1Sql =
+    """SELECT doc_id AS media_id, source AS container,
+      |  strlen(text) AS n_bytes,
+      |  md5(text) AS digest,
+      |  ascii(substr(text, 1, 1)) AS first_byte,
+      |  ('0x' || substr(md5(text), 1, 15))::BIGINT % 16 AS shard
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- mm2
+
+  /** mm2: frame sampling — every 4th 32-byte frame of the payload,
+    * fingerprinted. The reference pattern for video: sample frames by
+    * offset without materializing the rest of the payload. */
+  private def mm2(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .withColumn("txt", col("payload").cast("string"))
+      .select(
+        col("media_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        expr("size(transform(sequence(0, int(floor((octet_length(payload)-1)/128))), i -> i))")
+          .as("n_frames"),
+        concat_ws("|", expr(
+          "transform(sequence(0, int(floor((octet_length(payload)-1)/128))), " +
+            "i -> md5(substring(txt, 1 + i*128, 32)))")).as("frame_digests"))
+
+  private val mm2Sql =
+    """SELECT doc_id AS media_id, strlen(text) AS n_bytes,
+      |  len(range(0, (strlen(text)-1) // 128 + 1)) AS n_frames,
+      |  list_aggr(list_transform(range(0, (strlen(text)-1) // 128 + 1),
+      |    i -> md5(substr(text, 1 + i*128, 32))), 'string_agg', '|') AS frame_digests
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- mm3
+
+  /** mm3: the STUBBED decode + feature-extract stage, as a typed
+    * mapPartitions over the binary payload (the shape a real codec UDF
+    * would take: per-partition batching, one decoder instance per
+    * partition, primitive loops over bytes). Features are deterministic
+    * byte statistics — the stand-in for "decoded embedding". Not
+    * SQL-expressible per-partition → rows-only gate (no oracle). */
+  private def mm3(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    media(s, d)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one "decoder" per partition (the expensive-init pattern)
+        val decoder = new FakeDecoder
+        it.map { case (id, bytes) => decoder.decode(id, bytes) }
+      }
+      .toDF()
+  }
+
+  /** Deterministic stand-in for a media codec: byte-histogram moments.
+    * A real deployment swaps this class for the codec binding; nothing
+    * else in the pipeline changes. */
+  final class FakeDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+      var sum = 0L
+      var sumSq = 0L
+      var mn = 255
+      var mx = 0
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        sum += b; sumSq += b.toLong * b
+        if (b < mn) mn = b
+        if (b > mx) mx = b
+        i += 1
+      }
+      val n = math.max(bytes.length, 1)
+      MediaFeatures(id, bytes.length, sum / n, (sumSq / n) - (sum / n) * (sum / n),
+        mn, mx)
+    }
+  }
+
+  def queries: Seq[GateQuery] = Seq(
+    GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
+      "binary payload metadata projection (octet_length/md5/shard)"),
+    GateQuery("mm2_frame_sample", mm2, Some(mm2Sql),
+      "offset-based frame sampling + per-frame fingerprints"),
+    GateQuery("mm3_decode_features", mm3, None,
+      "stubbed decode via typed mapPartitions (rows-only check)"))
+}
+
+/** Decoded-feature record emitted by the (stubbed) media decoder. */
+case class MediaFeatures(
+    media_id: Long, n_bytes: Int, byte_mean: Long, byte_var: Long,
+    byte_min: Int, byte_max: Int)

@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-format operators — the parse/extract/normalize surface of
+  * SURVEY §2.1-2.2 that is specific to the YouTube-shaped data:
+  *   S6/S7  RSS/Atom XML → rows  (`_parse_rss_feed`/`_parse_rss_video`,
+  *          youtube_api_handler.py:781-838)       → from_xml + regexp
+  *   P3     email extraction (:848-860)           → regexp_extract
+  *   P4     topic-category beautifier (:862-877)  → filter/transform HOFs
+  *   P6     video-id from URL (:805-815)          → regexp_extract
+  *   P7/J2  language-name lookup w/ fallback chain (:336-359)
+  *                                                → broadcast dim join
+  *   P8     handle normalization (:437-441)       → regexp_replace
+  *   P11    md5 cache key (:113)                  → md5(to_json-ish)
+  *
+  * The driver tables carry no XML/emails/URLs, so each query first
+  * SYNTHESIZES the reference-shaped input deterministically from table
+  * columns, then applies the real operator. The DuckDB oracle builds
+  * the same synthetic input and must land on identical output — so the
+  * parse/extract logic itself is what's being verified.
+  *
+  * Scale notes: all of these are narrow per-row maps (no shuffle); the
+  * language lookup joins an 83-row-class dimension → broadcast.
+  */
+object YtFormats {
+
+  // ---------------------------------------------------------------- yf1
+
+  /** yf1 (S6/S7+P5/P6): build an Atom-ish <entry> per event, parse it
+    * back with from_xml, pull the video id out of the link URL with the
+    * reference's regexp, and classify shorts/long from the URL shape.
+    * The oracle computes the same outputs straight from the base
+    * columns — any from_xml/regexp divergence shows up as a mismatch. */
+  private def yf1(s: SparkSession, d: String): DataFrame = {
+    val xmlSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("title", StringType),
+      StructField("link", StructType(Seq(StructField("_href", StringType)))),
+      StructField("views", LongType)))
+    Tables.events(s, d)
+      .withColumn("path",
+        when(col("event_type") === "click", concat(lit("/shorts/v"), col("event_id")))
+          .otherwise(concat(lit("/watch?v=v"), col("event_id"))))
+      .withColumn("xml", concat(
+        lit("<entry><id>yt:video:v"), col("event_id"),
+        lit("</id><title>evt "), col("event_id"),
+        lit("</title><link href=\"https://www.youtube.com"), col("path"),
+        lit("\"/><views>"), col("user_id"), lit("</views></entry>")))
+      .withColumn("e", from_xml(col("xml"), xmlSchema))
+      .select(
+        col("event_id"),
+        col("e.id").as("raw_id"),
+        col("e.title").as("title"),
+        col("e.link._href").as("url"),
+        col("e.views").as("views_from_rss"),
+        regexp_extract(col("e.link._href"),
+          "(?:/watch\\?v=|/shorts/)([^&?]+)", 1).as("video_id"),
+        when(col("e.link._href").contains("/shorts/"), lit("shorts"))
+          .when(col("e.link._href").contains("/watch?v="), lit("long"))
+          .otherwise(lit("unknown")).as("video_type"))
+  }
+
+  private val yf1Sql =
+    """SELECT event_id,
+      |  'yt:video:v' || event_id AS raw_id,
+      |  'evt ' || event_id AS title,
+      |  'https://www.youtube.com' || path AS url,
+      |  user_id AS views_from_rss,
+      |  'v' || event_id AS video_id,
+      |  CASE WHEN event_type = 'click' THEN 'shorts' ELSE 'long' END AS video_type
+      |FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    CASE WHEN event_type = 'click' THEN '/shorts/v' || event_id
+      |         ELSE '/watch?v=v' || event_id END AS path
+      |  FROM events) t""".stripMargin
+
+  // ---------------------------------------------------------------- yf2
+
+  /** yf2 (P3+P10): synthesize a channel description (every third
+    * customer embeds an email), extract the first email with the
+    * reference regexp (null when absent), and emit the P10-style
+    * verification flags. */
+  private def yf2(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("handle", regexp_replace(lower(col("c_name")), "[^a-z0-9]+", ""))
+      .withColumn("description",
+        when(col("c_custkey") % 3 === 0,
+          concat(lit("Business inquiries: "), col("handle"),
+            lit("@example.com (segment "), col("c_mktsegment"), lit(")")))
+          .otherwise(concat(lit("Channel of "), col("c_name"))))
+      .select(
+        col("c_custkey").as("channel_id"),
+        col("description"),
+        nullif(regexp_extract(col("description"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", 0), lit("")).as("email"))
+      .withColumn("has_email", col("email").isNotNull)
+      .withColumn("has_description", length(col("description")) > 0)
+
+  private val yf2Sql =
+    """SELECT channel_id, description,
+      |  NULLIF(regexp_extract(description,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0), '') AS email,
+      |  NULLIF(regexp_extract(description,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0), '') IS NOT NULL AS has_email,
+      |  length(description) > 0 AS has_description
+      |FROM (
+      |  SELECT c_custkey AS channel_id,
+      |    CASE WHEN c_custkey % 3 = 0
+      |      THEN 'Business inquiries: ' ||
+      |        regexp_replace(lower(c_name), '[^a-z0-9]+', '', 'g') ||
+      |        '@example.com (segment ' || c_mktsegment || ')'
+      |      ELSE 'Channel of ' || c_name END AS description
+      |  FROM customer) t""".stripMargin
+
+  // ---------------------------------------------------------------- yf3
+
+  /** yf3 (P4): topic-category beautifier — build a URL array per part
+    * (one wiki URL with underscores and parens, one non-wiki URL that
+    * must be DROPPED), keep '/wiki/' URLs only, take the segment after
+    * /wiki/, '_'→' ', strip '(' and ')'. Higher-order filter+transform,
+    * emitted as a joined string (stable scalar output). */
+  private def yf3(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("urls", array(
+        concat(lit("https://en.wikipedia.org/wiki/"),
+          regexp_replace(col("p_type"), " ", "_"), lit("_(genre)")),
+        concat(lit("https://example.com/c/"), col("p_partkey"))))
+      .select(
+        col("p_partkey"),
+        concat_ws("|", expr(
+          "transform(filter(urls, u -> contains(u, '/wiki/')), " +
+            "u -> replace(replace(replace(substring_index(u, '/wiki/', -1), '_', ' '), '(', ''), ')', ''))"))
+          .as("categories"))
+
+  private val yf3Sql =
+    """SELECT p_partkey,
+      |  list_aggr(list_transform(list_filter(urls, u -> contains(u, '/wiki/')),
+      |    u -> replace(replace(replace(
+      |      regexp_extract(u, '/wiki/(.*)$', 1), '_', ' '), '(', ''), ')', '')),
+      |    'string_agg', '|') AS categories
+      |FROM (
+      |  SELECT p_partkey,
+      |    ['https://en.wikipedia.org/wiki/' || replace(p_type, ' ', '_') || '_(genre)',
+      |     'https://example.com/c/' || p_partkey] AS urls
+      |  FROM part) t""".stripMargin
+
+  // ---------------------------------------------------------------- yf4
+
+  /** yf4 (P7/J2/A5 fallback): language-name lookup against a broadcast
+    * dimension with the reference's fallback chain — exact code →
+    * lowercased → base code before '-' → upper(code) as display
+    * fallback; null → 'Unknown'. Messy codes are synthesized from
+    * documents.lang (upper-cased, region-suffixed, or nulled by
+    * doc_id residue). */
+  private def yf4(s: SparkSession, d: String): DataFrame = {
+    val dim = Seq(
+      ("en", "English"), ("es", "Spanish"), ("de", "German"),
+      ("fr", "French"), ("zh", "Chinese")
+    ).foldLeft(Seq.empty[(String, String)])(_ :+ _)
+    val dimDf = s.createDataFrame(dim).toDF("code", "name")
+    val docs = Tables.documents(s, d)
+      .withColumn("raw_code",
+        when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+          .when(col("doc_id") % 5 === 0, upper(col("lang")))
+          .when(col("doc_id") % 7 === 0, concat(col("lang"), lit("-XX")))
+          .otherwise(col("lang")))
+      .withColumn("norm_code",
+        lower(substring_index(col("raw_code"), "-", 1)))
+    docs.join(broadcast(dimDf), docs("norm_code") === dimDf("code"), "left")
+      .select(
+        col("doc_id"), col("raw_code"),
+        when(col("raw_code").isNull, lit("Unknown"))
+          .otherwise(coalesce(col("name"), upper(col("raw_code")))).as("language_name"))
+  }
+
+  private val yf4Sql =
+    """SELECT doc_id, raw_code,
+      |  CASE WHEN raw_code IS NULL THEN 'Unknown'
+      |       ELSE COALESCE(name, upper(raw_code)) END AS language_name
+      |FROM (
+      |  SELECT doc_id, raw_code,
+      |    lower(CASE WHEN strpos(raw_code, '-') > 0
+      |      THEN substr(raw_code, 1, strpos(raw_code, '-') - 1)
+      |      ELSE raw_code END) AS norm_code
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 11 = 0 THEN NULL
+      |           WHEN doc_id % 5 = 0 THEN upper(lang)
+      |           WHEN doc_id % 7 = 0 THEN lang || '-XX'
+      |           ELSE lang END AS raw_code
+      |    FROM documents) r) n
+      |LEFT JOIN (VALUES ('en','English'),('es','Spanish'),('de','German'),
+      |  ('fr','French'),('zh','Chinese')) dim(code, name)
+      |ON n.norm_code = dim.code""".stripMargin
+
+  // ---------------------------------------------------------------- yf5
+
+  /** yf5 (P8+P11): handle normalization (strip leading '@'s, re-prefix
+    * one) and the md5 cache key over the canonical request string. */
+  private def yf5(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("raw_handle", concat(
+        when(col("c_custkey") % 4 === 0, lit("@@")).otherwise(lit("@")),
+        regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "")))
+      .select(
+        col("c_custkey"),
+        col("raw_handle"),
+        concat(lit("@"), regexp_replace(col("raw_handle"), "^@+", "")).as("handle"),
+        md5(concat(lit("get_channel_by_handle:"),
+          regexp_replace(col("raw_handle"), "^@+", ""))).as("cache_key"))
+
+  private val yf5Sql =
+    """SELECT c_custkey, raw_handle,
+      |  '@' || regexp_replace(raw_handle, '^@+', '') AS handle,
+      |  md5('get_channel_by_handle:' || regexp_replace(raw_handle, '^@+', '')) AS cache_key
+      |FROM (
+      |  SELECT c_custkey,
+      |    (CASE WHEN c_custkey % 4 = 0 THEN '@@' ELSE '@' END) ||
+      |      regexp_replace(lower(c_name), '[^a-z0-9]+', '', 'g') AS raw_handle
+      |  FROM customer) t""".stripMargin
+
+  def queries: Seq[GateQuery] = Seq(
+    GateQuery("yf1_rss_xml_parse", yf1, Some(yf1Sql),
+      "Atom XML round-trip via from_xml + URL id extraction (S6/S7/P5/P6)"),
+    GateQuery("yf2_email_extract", yf2, Some(yf2Sql),
+      "first-email regexp extraction w/ null default + flags (P3/P10)"),
+    GateQuery("yf3_topic_categories", yf3, Some(yf3Sql),
+      "wiki-URL category beautifier via filter/transform HOFs (P4)"),
+    GateQuery("yf4_language_lookup", yf4, Some(yf4Sql),
+      "broadcast language-dim lookup w/ fallback chain (P7/J2)"),
+    GateQuery("yf5_handle_cache_key", yf5, Some(yf5Sql),
+      "handle normalization + md5 cache key (P8/P11)"))
+}
