@@ -39,7 +39,8 @@ object ChannelMetrics {
 
   private val cents = 100L
 
-  /** Shared enrichment: events → video-shaped rows (P5/P6 analogs). */
+  /** Shared enrichment: events → video-shaped rows (P5/P6 analogs).
+    * Public as [[videoView]] for the observability hook. */
   private def vids(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("user_id").as("channel_id"),
@@ -66,6 +67,10 @@ object ChannelMetrics {
       |    (CAST(c_acctbal AS DECIMAL(18,2)) * 100)::BIGINT AS subs_cents
       |  FROM customer)
       |""".stripMargin
+
+  /** Video-shaped view of events, for composition with
+    * [[Observability.observedVids]] and external callers. */
+  def videoView(s: SparkSession, d: String): DataFrame = vids(s, d)
 
   /** Subscriber dimension (channel_id, subs_cents). */
   private def subs(s: SparkSession, d: String): DataFrame =

@@ -184,6 +184,45 @@ object Relational {
       |  WHERE l_returnflag = 'R' GROUP BY l_orderkey) li
       |ON o_orderkey = l_orderkey""".stripMargin
 
+  /** q8: mixed-batch dispatch fan-out (J4,
+    * youtube_api_handler.py:891-924): heterogeneous "request types"
+    * each run their own pipeline; results are unioned with a
+    * `type_<i>`-style key, per-request failure isolation becoming
+    * per-branch null tolerance. The reference's ThreadPoolExecutor(5)
+    * is Spark's job/stage parallelism — the three branches share scans
+    * where possible and execute as one unioned plan. */
+  private def q8(s: SparkSession, d: String): DataFrame = {
+    val byStatus = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("request_key"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("metric"))
+      .select(concat(lit("orders_by_status_"), col("request_key")).as("request_id"),
+        col("n"), col("metric"))
+    val byPriority = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("request_key"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("metric"))
+      .select(concat(lit("orders_by_priority_"), col("request_key")).as("request_id"),
+        col("n"), col("metric"))
+    val byFlag = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("request_key"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("metric"))
+      .select(concat(lit("lineitem_by_flag_"), col("request_key")).as("request_id"),
+        col("n"), col("metric"))
+    byStatus.unionAll(byPriority).unionAll(byFlag)
+  }
+
+  private val q8Sql =
+    """SELECT 'orders_by_status_' || o_orderstatus AS request_id,
+      |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS metric
+      |FROM orders GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'orders_by_priority_' || o_orderpriority,
+      |  count(*), CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM orders GROUP BY o_orderpriority
+      |UNION ALL
+      |SELECT 'lineitem_by_flag_' || l_returnflag,
+      |  count(*), CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -191,5 +230,6 @@ object Relational {
     GateQuery("q4_topn_window", q4, Some(q4Sql), "top-N per group, deterministic (W1)"),
     GateQuery("q5_union", q5, Some(q5Sql), "UNION ALL of slices (§2.7)"),
     GateQuery("q6_semi_anti", q6, Some(q6Sql), "left_semi/left_anti (S3)"),
-    GateQuery("q7_left_join_default", q7, Some(q7Sql), "left join w/ coalesce default (J1)"))
+    GateQuery("q7_left_join_default", q7, Some(q7Sql), "left join w/ coalesce default (J1)"),
+    GateQuery("q8_batch_dispatch", q8, Some(q8Sql), "mixed-type pipeline fan-out, keyed union (J4)"))
 }

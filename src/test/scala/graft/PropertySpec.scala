@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark._
+
+/** Property-based tests (SURVEY §5): the custom expression and the
+  * integer-arithmetic primitives the gate queries rely on, checked
+  * against independent Scala reference implementations over generated
+  * inputs. Cases are batched into one DataFrame per property so each
+  * property costs one Spark job. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+
+  private val vecGen: Gen[Seq[Double]] =
+    Gen.listOfN(16, Gen.chooseNum(-1000.0, 1000.0).map(x => math.rint(x) / 64))
+
+  test("dot_f64 equals the left-fold reference on generated vectors") {
+    val cases = Gen.listOfN(200, Gen.zip(vecGen, vecGen)).sample.get
+    val df = cases.toDF("a", "b")
+      .selectExpr("a", "b", "dot_f64(a, b) AS d")
+    df.collect().foreach { r =>
+      val a = r.getSeq[Double](0)
+      val b = r.getSeq[Double](1)
+      val expect = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      assert(r.getDouble(2) == expect, s"a=$a b=$b") // bit-exact, same op order
+    }
+  }
+
+  test("integer div matches floor semantics for non-negative operands") {
+    val cases = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(1L, 10000L))).sample.get
+    val df = cases.toDF("a", "b").selectExpr("a", "b", "a div b AS q")
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == math.floorDiv(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  test("portable 60-bit hash: range, determinism, shard uniformity-ish") {
+    val strs = Gen.listOfN(500, Gen.alphaNumStr.suchThat(_.nonEmpty)).sample.get
+    val df = strs.toDF("s")
+      .selectExpr("s", "cast(conv(substring(md5(s),1,15),16,10) as bigint) AS h")
+    val hs = df.collect().map(r => r.getString(0) -> r.getLong(1))
+    hs.foreach { case (s, h) =>
+      assert(h >= 0L && h < (1L << 60), s"h60('$s') = $h out of range")
+    }
+    // determinism vs the Scala-side implementation used for LSH planes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    hs.take(50).foreach { case (s, h) =>
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(java.lang.Long.parseLong(hex.substring(0, 15), 16) == h)
+    }
+  }
+
+  test("engagement-rate scaling: er4 = k*10^8 div subs_cents, guard on <= 0") {
+    val cases = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0L, 10000L), Gen.chooseNum(-500000L, 500000L))).sample.get
+    val df = cases.toDF("k", "subs")
+      .selectExpr("k", "subs",
+        "CASE WHEN subs > 0 THEN (k * 100 * 100 * 10000) div subs ELSE 0 END AS er4")
+    df.collect().foreach { r =>
+      val (k, subs, er4) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = if (subs > 0) math.floorDiv(k * 100L * 100 * 10000, subs) else 0L
+      assert(er4 == expect)
+      if (subs <= 0) assert(er4 == 0L)
+    }
+  }
+}
