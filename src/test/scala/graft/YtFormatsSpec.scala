@@ -74,6 +74,23 @@ class YtFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("P12 response envelope: to_json/from_json round trip") {
+    import org.apache.spark.sql.functions._
+    val env = gate("ca6_final_metrics", sf0001)
+      .select(to_json(struct(
+        lit(true).as("success"),
+        struct(col("channel_id"), col("channel_type")).as("data"),
+        struct(lit("fresh").as("cache_status")).as("meta"))).as("body"))
+    val parsed = env.select(
+      get_json_object(col("body"), "$.data.channel_type").as("ct"),
+      get_json_object(col("body"), "$.success").as("ok")).collect()
+    assert(parsed.nonEmpty)
+    parsed.foreach { r =>
+      assert(Set("shorts", "long", "mixed")(r.getString(0)))
+      assert(r.getString(1) == "true")
+    }
+  }
+
   test("mm1/mm2: digests agree with direct text md5") {
     val docs = Tables.documents(spark, sf0001)
       .selectExpr("doc_id", "md5(text) AS m").collect()
