@@ -151,14 +151,21 @@ object Similarity {
     * Recall < 1 vs sim1 by construction; that's the documented ANN
     * trade. */
   private def sim2(s: SparkSession, d: String): DataFrame = {
-    val bands = withBands(withSig(vecs(s, d)))
+    val base = vecs(s, d)
+    // Candidates stay SLIM through the band join + dedup shuffle:
+    // (query_id, vec_id) pairs only. The 64-dim vectors join back
+    // afterwards — query side broadcast, corpus side one hash join on
+    // the (already tiny) candidate set.
+    val bands = withBands(withSig(base)).select("vec_id", "band", "key")
     val qb = bands.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("n2").as("qn2"), col("band"), col("key"))
+      .select(col("vec_id").as("query_id"), col("band"), col("key"))
     bands.join(broadcast(qb),
         Seq("band", "key")).filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "qv", "qn2", "vec_id", "v", "n2")
+      .select("query_id", "vec_id")
       .dropDuplicates("query_id", "vec_id")
+      .join(broadcast(base.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("n2").as("qn2"))), "query_id")
+      .join(base.select(col("vec_id"), col("v"), col("n2")), "vec_id")
       .withColumn("cosine",
         dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
       .withColumn("rank", row_number().over(
@@ -190,14 +197,23 @@ object Similarity {
     * any shared band), kept when cosine ≥ 0.45 (this corpus has no
     * tighter geometric duplicates — max off-diagonal cosine ≈ 0.55). */
   private def sim3(s: SparkSession, d: String): DataFrame = {
-    val bands = withBands(withSig(vecs(s, d)))
+    val base = vecs(s, d)
+    // Slim pair generation: with 4-bit band keys the buckets are big
+    // (N/16 each), so the candidate join fans out to ~N²/32 rows —
+    // carrying the two 64-dim vectors through that join + the dedup
+    // shuffle is ~1 KB/row of dead weight. Generate (id1, id2) pairs
+    // bare, dedup, THEN join the vectors back (broadcast: the vector
+    // table is tiny relative to the pair stream at any SF).
+    val bands = withBands(withSig(base)).select("vec_id", "band", "key")
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("a.v").as("v1"), col("a.n2").as("m1"),
-        col("b.v").as("v2"), col("b.n2").as("m2"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       .dropDuplicates("id1", "id2")
+      .join(broadcast(base.select(col("vec_id").as("id1"),
+        col("v").as("v1"), col("n2").as("m1"))), "id1")
+      .join(broadcast(base.select(col("vec_id").as("id2"),
+        col("v").as("v2"), col("n2").as("m2"))), "id2")
       .withColumn("cosine",
         dotExpr("v1", "v2") / (sqrt(col("m1")) * sqrt(col("m2"))))
       .filter(col("cosine") >= 0.45)

@@ -178,15 +178,17 @@ object TextAnalysis {
 
   /** tx6: top-20 token bigrams corpus-wide (n-gram frequency — the
     * S6/S7 one-row→many-rows generator shape): per-doc bigram arrays
-    * via higher-order `transform`, explode, global count, top-20 with
-    * bigram tie-break. The explode is the only fan-out; the count is
+    * via `zip_with` of two slices (measured 8× faster than a
+    * `transform(sequence(...), i -> element_at ...)` lambda, see
+    * Dedup.shingled), explode, global count, top-20 with bigram
+    * tie-break. The explode is the only fan-out; the count is
     * map-side combined. */
   private def tx6(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(split(trim(col("text")), "\\s+").as("toks")) // split ONCE per doc
       .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1), " +
+          "(x, y) -> concat(x, ' ', y))"))
         .as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
