@@ -22,6 +22,12 @@ object Tables {
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
+    // The default whole-stage-codegen class cache (100 entries) is
+    // smaller than this library's query suite (46 queries × several
+    // codegen stages each) — under it, every suite pass recompiles
+    // evicted stages with janino DURING execution, adding multi-second
+    // sporadic stalls (measured 2-6× wall-clock variance at sf0.1).
+    "spark.sql.codegen.cache.maxEntries" -> "10000",
     // native graft expressions (dot_f64) — see graft.functions
     "spark.sql.extensions" -> "graft.functions.GraftExtensions")
 
