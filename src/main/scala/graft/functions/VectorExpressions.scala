@@ -80,5 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
       (children: Seq[Expression]) => DotF64(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("parse_yt_duration"),
+      new ExpressionInfo(classOf[ParseYtDuration].getName, "parse_yt_duration"),
+      (children: Seq[Expression]) => ParseYtDuration(children.head)))
   }
 }

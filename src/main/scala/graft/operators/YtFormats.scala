@@ -223,6 +223,68 @@ object YtFormats {
       |      regexp_replace(lower(c_name), '[^a-z0-9]+', '', 'g') AS raw_handle
       |  FROM customer) t""".stripMargin
 
+  // ---------------------------------------------------------------- yf6
+
+  /** yf6: ISO-8601 duration parse (`contentDetails.duration`,
+    * youtube_api_handler.py:769 — carried opaque there; SURVEY §7.4.10
+    * names the parse expression as the worthwhile scalar addition).
+    * Synthesizes the reference's duration shapes (PT#M#S, PT#H#M#S,
+    * PT#S, P#DT#H, P#W, malformed, NULL) from orders columns, parses
+    * with the codegen'd `parse_yt_duration`, and derives the
+    * duration-based shorts flag (≤ 60 s). The oracle re-derives seconds
+    * with an anchored regexp — any grammar divergence mismatches. */
+  private def yf6(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("h", col("o_orderkey") % 24)
+      .withColumn("m", col("o_orderkey") % 60)
+      .withColumn("sec", col("o_orderkey") % 61)
+      .withColumn("dur",
+        when(col("o_orderkey") % 7 === 0,
+          concat(lit("PT"), col("h"), lit("H"), col("m"), lit("M"), col("sec"), lit("S")))
+          .when(col("o_orderkey") % 7 === 1,
+            concat(lit("PT"), col("m"), lit("M"), col("sec"), lit("S")))
+          .when(col("o_orderkey") % 7 === 2,
+            concat(lit("PT"), col("sec"), lit("S")))
+          .when(col("o_orderkey") % 7 === 3,
+            concat(lit("P"), col("o_orderkey") % 3, lit("DT"), col("h"), lit("H")))
+          .when(col("o_orderkey") % 7 === 4, lit("P2W"))
+          .when(col("o_orderkey") % 7 === 5, lit("not-a-duration"))
+          .otherwise(lit(null).cast("string")))
+      .select(
+        col("o_orderkey"),
+        col("dur"),
+        expr("parse_yt_duration(dur)").as("dur_seconds"),
+        (expr("parse_yt_duration(dur)") <= 60).as("is_short"))
+
+  private val yf6Sql =
+    """SELECT o_orderkey, dur, dur_seconds, dur_seconds <= 60 AS is_short FROM (
+      |  SELECT o_orderkey, dur,
+      |    CASE WHEN w = '' AND dd = '' AND h = '' AND m = '' AND s = '' THEN NULL
+      |         ELSE CASE WHEN w = '' THEN 0 ELSE w::BIGINT END * 604800
+      |            + CASE WHEN dd = '' THEN 0 ELSE dd::BIGINT END * 86400
+      |            + CASE WHEN h = '' THEN 0 ELSE h::BIGINT END * 3600
+      |            + CASE WHEN m = '' THEN 0 ELSE m::BIGINT END * 60
+      |            + CASE WHEN s = '' THEN 0 ELSE s::BIGINT END
+      |    END AS dur_seconds
+      |  FROM (
+      |    SELECT o_orderkey, dur,
+      |      regexp_extract(dur, '^P(?:(\d+)W)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$', 1) AS w,
+      |      regexp_extract(dur, '^P(?:(\d+)W)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$', 2) AS dd,
+      |      regexp_extract(dur, '^P(?:(\d+)W)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$', 3) AS h,
+      |      regexp_extract(dur, '^P(?:(\d+)W)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$', 4) AS m,
+      |      regexp_extract(dur, '^P(?:(\d+)W)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$', 5) AS s
+      |    FROM (
+      |      SELECT o_orderkey,
+      |        CASE o_orderkey % 7
+      |          WHEN 0 THEN 'PT' || (o_orderkey % 24) || 'H' || (o_orderkey % 60) || 'M' || (o_orderkey % 61) || 'S'
+      |          WHEN 1 THEN 'PT' || (o_orderkey % 60) || 'M' || (o_orderkey % 61) || 'S'
+      |          WHEN 2 THEN 'PT' || (o_orderkey % 61) || 'S'
+      |          WHEN 3 THEN 'P' || (o_orderkey % 3) || 'DT' || (o_orderkey % 24) || 'H'
+      |          WHEN 4 THEN 'P2W'
+      |          WHEN 5 THEN 'not-a-duration'
+      |          ELSE NULL END AS dur
+      |      FROM orders) raw) g) p""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("yf1_rss_xml_parse", yf1, Some(yf1Sql),
       "Atom XML round-trip via from_xml + URL id extraction (S6/S7/P5/P6)"),
@@ -233,5 +295,7 @@ object YtFormats {
     GateQuery("yf4_language_lookup", yf4, Some(yf4Sql),
       "broadcast language-dim lookup w/ fallback chain (P7/J2)"),
     GateQuery("yf5_handle_cache_key", yf5, Some(yf5Sql),
-      "handle normalization + md5 cache key (P8/P11)"))
+      "handle normalization + md5 cache key (P8/P11)"),
+    GateQuery("yf6_duration_parse", yf6, Some(yf6Sql),
+      "codegen'd ISO-8601 duration parse + shorts-by-length flag (§7.3)"))
 }

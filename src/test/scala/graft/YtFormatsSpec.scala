@@ -62,6 +62,65 @@ class YtFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("yf6: parse_yt_duration goldens — grammar, order, null cases") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      "PT1M47S" -> Some(107L), // the reference README's example video
+      "PT3H" -> Some(10800L),
+      "PT0S" -> Some(0L),
+      "P1DT2H3M4S" -> Some(93784L),
+      "P2W" -> Some(1209600L),
+      "P2W3DT4H" -> Some(1483200L),
+      "P" -> None, "PT" -> None, // grammar-valid, zero components
+      "PT47S1M" -> None, // components out of order
+      "PT5X" -> None, "not-a-duration" -> None,
+      " PT1S" -> None, "PT1S " -> None, // no trimming: strict anchored
+      "pt1m" -> None // case-sensitive like the regexp
+    )
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(cases.map(c =>
+        org.apache.spark.sql.Row(c._1)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dur",
+          org.apache.spark.sql.types.StringType))))
+    // fallback=false: a doGenCode bug would throw here instead of
+    // silently degrading to interpreted eval
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val got =
+      try df.select(col("dur"), expr("parse_yt_duration(dur)").as("s"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"parse_yt_duration('$in')")
+    }
+    // null input → null out
+    assert(df.selectExpr("parse_yt_duration(CAST(NULL AS STRING))")
+      .collect()(0).isNullAt(0))
+  }
+
+  test("yf6: gate query seconds match a regexp re-derivation") {
+    import org.apache.spark.sql.functions._
+    val re = "^P(?:(\\d+)W)?(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?$"
+    def part(g: Int, mult: Long) =
+      coalesce(nullif(regexp_extract(col("dur"), re, g), lit("")).cast("long"), lit(0L)) * mult
+    val rows = gate("yf6_duration_parse", sf0001)
+      .withColumn("re_secs",
+        when(col("dur").isNull || regexp_extract(col("dur"), re, 0) === "" ||
+          (col("dur") === "P") || (col("dur") === "PT"), lit(null))
+          .otherwise(part(1, 604800L) + part(2, 86400L) + part(3, 3600L) +
+            part(4, 60L) + part(5, 1L)))
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val a = if (r.isNullAt(r.fieldIndex("dur_seconds"))) None
+        else Some(r.getAs[Long]("dur_seconds"))
+      val b = if (r.isNullAt(r.fieldIndex("re_secs"))) None
+        else Some(r.getAs[Long]("re_secs"))
+      assert(a == b, s"key=${r.getAs[Long]("o_orderkey")} dur=${r.getAs[String]("dur")}")
+    }
+  }
+
   test("mm3: stubbed decoder emits sane byte statistics") {
     val rows = gate("mm3_decode_features", sf0001).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
