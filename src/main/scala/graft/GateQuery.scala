@@ -25,7 +25,8 @@ object GateQueries {
     * SURVEY §2 walk: relational core, yt-analytics analogs, log
     * analytics, time windows, then the LLM-pipeline extensions. */
   def all: Seq[GateQuery] =
-    operators.Relational.queries ++
+    operators.Connector.queries ++
+      operators.Relational.queries ++
       operators.ChannelMetrics.queries ++
       operators.YtFormats.queries ++
       operators.LogAnalytics.queries ++

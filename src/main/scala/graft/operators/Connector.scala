@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.GateQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the DataSource V2 ingest connector
+  * (graft.sources.YtApiSource — SURVEY §2.1 S1-S3). The synthetic
+  * fetcher is pure 64-bit integer arithmetic, so the DuckDB oracle
+  * regenerates the identical channel universe from `range()` — the
+  * connector's planning/pruning/pushdown path is what's being
+  * verified, not the stub data. */
+object Connector {
+
+  private val Src = "graft.sources.YtApiSource"
+
+  /** s1: full scan of the synthetic channel universe (ids 0..4999 in
+    * 100 chunk-partitions of 50 — the reference's
+    * MAX_CHANNEL_BATCH_SIZE chunk loop as partition planning). */
+  private def s1(s: SparkSession, d: String): DataFrame =
+    s.read.format(Src).option("maxId", 4999).load()
+
+  private val s1Sql =
+    """SELECT i AS channel_id, '@ch' || i AS handle, 'Channel ' || i AS title,
+      |  (i*1103515245 + 12345) % 10000000 AS subscriber_count,
+      |  ((i*1103515245 + 12345) % 10000000) * 37 + i % 1000 AS view_count,
+      |  i % 500 AS video_count,
+      |  ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1] AS country
+      |FROM range(0, 5000) t(i)""".stripMargin
+
+  /** s2: the `forHandle` path (S2, youtube_api_handler.py:430-450) —
+    * handle equality is PUSHED into the connector, which resolves it to
+    * one id and plans exactly one single-id chunk (asserted in
+    * DataSourceSpec). */
+  private def s2(s: SparkSession, d: String): DataFrame =
+    s.read.format(Src).option("maxId", 4999).load()
+      .where(col("handle") === "@ch123")
+      .select(col("channel_id"), col("handle"), col("subscriber_count"))
+
+  private val s2Sql =
+    """SELECT i AS channel_id, '@ch' || i AS handle,
+      |  (i*1103515245 + 12345) % 10000000 AS subscriber_count
+      |FROM range(0, 5000) t(i) WHERE i = 123""".stripMargin
+
+  /** s3: ids-batch scan (S3) — 500 pushed ids (every 3rd, so all five
+    * countries appear) → 10 chunk partitions, rolled up by country.
+    * The connector returns only the pushed ids; the agg verifies
+    * values end-to-end. */
+  private def s3(s: SparkSession, d: String): DataFrame =
+    s.read.format(Src).option("maxId", 4999).load()
+      .where(col("channel_id").isin((0L until 500L).map(_ * 3): _*))
+      .groupBy(col("country"))
+      .agg(count(lit(1)).as("n"), sum(col("view_count")).as("views"))
+
+  private val s3Sql =
+    """SELECT ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1] AS country,
+      |  count(*) AS n,
+      |  sum(((i*1103515245 + 12345) % 10000000) * 37 + i % 1000) AS views
+      |FROM range(0, 5000) t(i)
+      |WHERE i % 3 = 0 AND i < 1500
+      |GROUP BY 1""".stripMargin
+
+  def queries: Seq[GateQuery] = Seq(
+    GateQuery("s1_connector_scan", s1, Some(s1Sql),
+      "DSv2 full scan, 50-id chunk partitions (S1)"),
+    GateQuery("s2_connector_handle", s2, Some(s2Sql),
+      "forHandle equality pushed into the connector (S2)"),
+    GateQuery("s3_connector_batch", s3, Some(s3Sql),
+      "pushed id-list batch fetch + rollup (S3)"))
+}

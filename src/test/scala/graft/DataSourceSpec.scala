@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark._
+
+/** Physical-behavior tests for the DSv2 ingest connector
+  * (graft.sources.YtApiSource): chunked partition planning, column
+  * pruning, and filter pushdown — the Spark restatement of the
+  * reference's batch-GET chunking, `parts=` projection, and
+  * forHandle/id-list fetch (SURVEY §2.1 S1-S3). */
+class DataSourceSpec extends AnyFunSuite {
+
+  private def load(maxId: Int = 4999): DataFrame =
+    spark.read.format("graft.sources.YtApiSource")
+      .option("maxId", maxId).load()
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("partition planning: 5000 ids chunk into 100 batches of ≤50") {
+    assert(scanOf(load()).inputRDD.getNumPartitions == 100)
+    // non-divisible: 101 ids → 3 chunks at batchSize 50
+    val odd = spark.read.format("graft.sources.YtApiSource")
+      .option("maxId", 100).load()
+    assert(scanOf(odd).inputRDD.getNumPartitions == 3)
+  }
+
+  test("column pruning reaches the connector (parts= analog)") {
+    val pruned = load().select("handle")
+    assert(scanOf(pruned).scan.readSchema().fieldNames.toSeq == Seq("handle"))
+    assert(pruned.distinct().count() == 5000)
+  }
+
+  test("handle equality pushes down to a single-id chunk (forHandle)") {
+    val one = load().where(col("handle") === "@ch123")
+    assert(scanOf(one).inputRDD.getNumPartitions == 1)
+    val r = one.collect()
+    assert(r.length == 1 && r(0).getAs[Long]("channel_id") == 123L)
+    // unknown handle → no such channel → zero rows
+    assert(load().where(col("handle") === "@nobody").count() == 0)
+  }
+
+  test("IN(channel_id) pushes down; only referenced ids are fetched") {
+    val ids = Seq(1L, 7L, 4242L)
+    val df = load().where(col("channel_id").isin(ids: _*))
+    assert(scanOf(df).inputRDD.getNumPartitions == 1) // 3 ids → 1 chunk
+    assert(df.select("channel_id").collect().map(_.getLong(0)).sorted.toSeq == ids.sorted)
+  }
+
+  test("unsupported predicates stay as residual filters and still apply") {
+    val df = load(99).where(col("subscriber_count") % 2 === 0)
+    val expected = (0L to 99L)
+      .count(i => ((i * 1103515245L + 12345L) % 10000000L) % 2 == 0)
+    assert(df.count() == expected)
+  }
+
+  test("pushed range respects minId/maxId bounds") {
+    val df = load(999).where(col("channel_id").isin(500L, 5000L))
+    // 5000 is outside maxId=999 → only 500 comes back
+    assert(df.select("channel_id").collect().map(_.getLong(0)).toSeq == Seq(500L))
+  }
+}
