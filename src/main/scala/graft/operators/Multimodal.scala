@@ -122,13 +122,55 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------- mm4
+
+  /** mm4: thumbnail-resize plumbing. Synthetic source dimensions come
+    * from media metadata; the resize rule (fit the long side to 320,
+    * preserve aspect, never upscale) is pure integer arithmetic —
+    * `tw = w*320 div max(w,h)` — so target dims are exact in any
+    * engine. The "resized payload" is the proportional byte prefix,
+    * fingerprinted: the real codec swaps in at the same seam as mm3's
+    * decoder, with schema and plumbing unchanged. */
+  private def mm4(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .withColumn("w", (lit(160) + col("media_id") % 1120).cast("long"))
+      .withColumn("h", (lit(90) + col("media_id") % 630).cast("long"))
+      .withColumn("long_side", greatest(col("w"), col("h")))
+      .withColumn("tw",
+        when(col("long_side") <= 320, col("w"))
+          .otherwise(expr("w * 320L div long_side")))
+      .withColumn("th",
+        when(col("long_side") <= 320, col("h"))
+          .otherwise(expr("h * 320L div long_side")))
+      .withColumn("keep_bytes",
+        expr("octet_length(payload) * tw div w"))
+      .select(
+        col("media_id"), col("w"), col("h"), col("tw"), col("th"),
+        col("keep_bytes"),
+        md5(expr("substring(payload, 1, int(keep_bytes))")).as("resized_digest"))
+
+  private val mm4Sql =
+    """SELECT media_id, w, h,
+      |  CASE WHEN long_side <= 320 THEN w ELSE w * 320 // long_side END AS tw,
+      |  CASE WHEN long_side <= 320 THEN h ELSE h * 320 // long_side END AS th,
+      |  strlen(text) * (CASE WHEN long_side <= 320 THEN w ELSE w * 320 // long_side END) // w AS keep_bytes,
+      |  md5(substr(text, 1, CAST(strlen(text) * (CASE WHEN long_side <= 320 THEN w ELSE w * 320 // long_side END) // w AS INT))) AS resized_digest
+      |FROM (
+      |  SELECT doc_id AS media_id, text,
+      |    160 + doc_id % 1120 AS w,
+      |    90 + doc_id % 630 AS h,
+      |    greatest(160 + doc_id % 1120, 90 + doc_id % 630) AS long_side
+      |  FROM documents) t""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
     GateQuery("mm2_frame_sample", mm2, Some(mm2Sql),
       "offset-based frame sampling + per-frame fingerprints"),
     GateQuery("mm3_decode_features", mm3, None,
-      "stubbed decode via typed mapPartitions (rows-only check)"))
+      "stubbed decode via typed mapPartitions (rows-only check)"),
+    GateQuery("mm4_thumb_resize", mm4, Some(mm4Sql),
+      "aspect-preserving integer resize dims + proportional byte prefix"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

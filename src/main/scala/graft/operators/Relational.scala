@@ -223,6 +223,32 @@ object Relational {
       |  count(*), CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q9: salted two-phase aggregation — the skew pattern for keys too
+    * hot for one reducer (l_returnflag has 3 values; at 100 TB a plain
+    * groupBy puts ~33 TB behind one key). Phase 1 groups by
+    * (key, salt16) so each hot key spreads over 16 reducers; phase 2
+    * merges the 16 partials. Result is IDENTICAL to the direct groupBy
+    * (sums are decimal-exact, order-free) — the oracle computes it
+    * unsalted. AQE's skew handling covers joins; explicit salting is
+    * the aggregation-side counterpart. */
+  private def q9(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(dec(col("l_quantity"))).as("pq"),
+        sum(dec(col("l_extendedprice"))).as("pp"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pn")).as("n_rows"),
+        sum(col("pq")).cast("double").as("sum_qty"),
+        sum(col("pp")).cast("double").as("sum_price"))
+
+  private val q9Sql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -231,5 +257,6 @@ object Relational {
     GateQuery("q5_union", q5, Some(q5Sql), "UNION ALL of slices (§2.7)"),
     GateQuery("q6_semi_anti", q6, Some(q6Sql), "left_semi/left_anti (S3)"),
     GateQuery("q7_left_join_default", q7, Some(q7Sql), "left join w/ coalesce default (J1)"),
-    GateQuery("q8_batch_dispatch", q8, Some(q8Sql), "mixed-type pipeline fan-out, keyed union (J4)"))
+    GateQuery("q8_batch_dispatch", q8, Some(q8Sql), "mixed-type pipeline fan-out, keyed union (J4)"),
+    GateQuery("q9_salted_agg", q9, Some(q9Sql), "salt16 two-phase agg for hot keys ≡ direct groupBy"))
 }

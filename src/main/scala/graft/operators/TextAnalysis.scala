@@ -22,25 +22,35 @@ object TextAnalysis {
   /** Portable token array: split on whitespace runs after trim. */
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
-  /** tx1: token statistics (tokenization + counting): tokens,
-    * chars, non-space chars, avg token length (one IEEE division) —
-    * the "token counting" primitive of a data pipeline. */
+  /** BPE-ish pre-tokenizer regex (the GPT-2 pattern family, minus the
+    * apostrophe contractions the synthetic corpus lacks): a token is a
+    * letter run, a digit run, or a symbol run, each with an optional
+    * leading space. Alternatives are disjoint by first char class, so
+    * Java regex (Spark) and RE2 (DuckDB) match identically. */
+  private val BpePat = " ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+"
+
+  /** tx1: token statistics (tokenization + counting): whitespace
+    * tokens, BPE-ish regex tokens, chars, non-space chars, avg token
+    * length (one IEEE division) — the "token counting" primitive of a
+    * data pipeline. */
   private def tx1(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
       col("n_chars"),
       length(col("text")).as("len_chars"),
       size(toks(col("text"))).as("n_tokens"),
+      regexp_count(col("text"), lit(BpePat)).as("n_bpe_tokens"),
       length(regexp_replace(col("text"), "\\s", "")).as("nonspace_chars"))
       .withColumn("avg_token_len",
         col("nonspace_chars").cast("double") / col("n_tokens"))
 
   private val tx1Sql =
-    """SELECT doc_id, n_chars, length(text) AS len_chars,
-      |  length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-      |  length(regexp_replace(text, '\s', '', 'g')) AS nonspace_chars,
-      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-      |    / length(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+    s"""SELECT doc_id, n_chars, length(text) AS len_chars,
+      |  length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+      |  length(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+')) AS n_bpe_tokens,
+      |  length(regexp_replace(text, '\\s', '', 'g')) AS nonspace_chars,
+      |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+      |    / length(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len
       |FROM documents""".stripMargin
 
   /** tx2: quality scoring (length/punct/stopword heuristics — the
@@ -162,17 +172,31 @@ object TextAnalysis {
     * a 100 TB dedup would shuffle on. */
   private def tx5(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp_md5"))
       .withColumn("fp64", conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
       .withColumn("shard", pmod(col("fp64"), lit(256)))
+      // Karp-Rabin-style rolling hash over the word stream: per-word
+      // value from cheap char features, folded left with base 1000003
+      // mod 2^31−1 — an order-SENSITIVE fingerprint (vs the md5 of the
+      // full text): engines replicate it as the identical fold.
+      .withColumn("fp_roll", expr(
+        "aggregate(" +
+          "transform(split(trim(text), '\\\\s+'), w -> length(w) * 96L + ascii(substring(w, 1, 1))), " +
+          "0L, (acc, v) -> (acc * 1000003L + v) % 2147483647L)"))
+      .drop("text")
 
   private val tx5Sql =
     """SELECT doc_id, fp_md5,
       |  ('0x' || substr(fp_md5, 1, 15))::BIGINT AS fp64,
-      |  ('0x' || substr(fp_md5, 1, 15))::BIGINT % 256 AS shard
+      |  ('0x' || substr(fp_md5, 1, 15))::BIGINT % 256 AS shard,
+      |  list_reduce(
+      |    list_concat([CAST(0 AS BIGINT)],
+      |      list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |        w -> length(w) * 96 + ascii(substr(w, 1, 1)))),
+      |    (acc, v) -> (acc * 1000003 + v) % 2147483647) AS fp_roll
       |FROM (
-      |  SELECT doc_id,
+      |  SELECT doc_id, text,
       |    md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_md5
       |  FROM documents) t""".stripMargin
 

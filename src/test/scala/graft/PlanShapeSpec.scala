@@ -61,4 +61,26 @@ class PlanShapeSpec extends AnyFunSuite {
     // codegen stages print as "*(n) Operator" in the executed plan
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
+
+  test("dd2 pair join is shuffle-hash, not broadcast (mirror-image sides)") {
+    val p = plan("dd2_jaccard_blocked")
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected ShuffledHashJoin for the exploded self-join\n$p")
+  }
+
+  test("sim3 payload join-back is broadcast; candidates stay slim") {
+    val p = plan("sim3_embedding_neardup")
+    assert(p.contains("BroadcastHashJoin"),
+      "vector join-back should broadcast the tiny vector table")
+  }
+
+  test("q9 salted agg: partials spread over salt before the final merge") {
+    val p = plan("q9_salted_agg")
+    // two grouping phases → two hashpartitioning exchanges: one on
+    // (l_returnflag, salt), one on l_returnflag
+    assert(p.contains("salt"), "salt column missing from plan")
+    assert(gate("q9_salted_agg", sf0001).collect().map(
+      _.getAs[Long]("n_rows")).sum ==
+      Tables.lineitem(spark, sf0001).count())
+  }
 }
