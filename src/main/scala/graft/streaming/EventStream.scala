@@ -47,6 +47,24 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup — the streaming twin of the dd1 batch
+    * operator (and of the reference's idempotent cache-key lookups):
+    * duplicate `event_id`s arriving within the watermark delay are
+    * dropped, and the state store evicts ids once the watermark passes
+    * them — bounded state, unlike a plain `dropDuplicates` on a
+    * stream, which retains every key forever. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static broadcast enrichment: the J2 dimension-lookup shape
+    * (83-row language dim) on a stream — the static side broadcasts
+    * into every micro-batch, no stream-side shuffle. */
+  def withSeverity(events: DataFrame, severityDim: DataFrame): DataFrame =
+    events.join(broadcast(severityDim), Seq("event_type"), "left")
+      .withColumn("level_no", coalesce(col("level_no"), lit(10)))
+
   /** Per-key TTL cache state (T1): first event for a key inserts an
     * entry; subsequent events within `ttl` refresh hit counts; an
     * event-time timeout expires the entry and emits its tombstone —

@@ -44,6 +44,41 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops watermark-window duplicates, keeps state bounded") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    // event 1 and 2 duplicated in-batch and across batches
+    mem.addData(rows.take(2) ++ rows.take(1): _*)
+    val q = EventStream.dedupEvents(toEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(rows(1) +: rows.drop(2): _*)
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.length == ids.distinct.length, s"duplicates survived: ${ids.toSeq}")
+      assert(ids.toSet == rows.map(_._1).toSet)
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast enrichment matches the batch twin") {
+    val dim = Seq(("click", 20), ("view", 30)).toDF("event_type", "level_no")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    mem.addData(rows: _*)
+    val q = EventStream.withSeverity(toEvents(mem.toDF()), dim)
+      .writeStream.format("memory").queryName("sev")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sev").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("level_no"))).toSet
+      val batch = EventStream.withSeverity(toEvents(rows.toDF()), dim).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("level_no"))).toSet
+      assert(streamed == batch)
+      assert(streamed.forall { case (_, lvl) => Set(20, 30)(lvl) })
+    } finally q.stop()
+  }
+
   test("ttl cache: entries refresh within ttl and expire after it") {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     val q = EventStream.ttlCache(spark, toEvents(mem.toDF()))

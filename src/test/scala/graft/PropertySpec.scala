@@ -52,6 +52,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("parse_yt_duration: constructed durations round-trip to seconds") {
+    // generate components, render the canonical ISO string, expect the
+    // exact weighted sum back; independently generate near-miss
+    // mutations that must return null
+    val compGen = Gen.option(Gen.chooseNum(0L, 9999L))
+    val cases = Gen.listOfN(300,
+      Gen.zip(compGen, compGen, compGen, compGen, compGen)).sample.get
+    val rendered = cases.map { case (w, dd, h, m, sec) =>
+      val date = w.map(v => s"${v}W").getOrElse("") + dd.map(v => s"${v}D").getOrElse("")
+      val time = h.map(v => s"${v}H").getOrElse("") + m.map(v => s"${v}M").getOrElse("") +
+        sec.map(v => s"${v}S").getOrElse("")
+      val str = "P" + date + (if (time.nonEmpty) "T" + time else "")
+      val expect =
+        if (w.isEmpty && dd.isEmpty && h.isEmpty && m.isEmpty && sec.isEmpty) None
+        else Some(w.getOrElse(0L) * 604800 + dd.getOrElse(0L) * 86400 +
+          h.getOrElse(0L) * 3600 + m.getOrElse(0L) * 60 + sec.getOrElse(0L))
+      (str, expect)
+    }
+    val mutated = rendered.map { case (s, _) => (s + "Q", None) } // trailing junk
+    val all = rendered ++ mutated
+    val got = all.map(_._1).toDF("dur")
+      .selectExpr("dur", "parse_yt_duration(dur) AS secs").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    all.foreach { case (s, expect) =>
+      assert(got(s) == expect, s"parse_yt_duration('$s')")
+    }
+  }
+
   test("engagement-rate scaling: er4 = k*10^8 div subs_cents, guard on <= 0") {
     val cases = Gen.listOfN(300,
       Gen.zip(Gen.chooseNum(0L, 10000L), Gen.chooseNum(-500000L, 500000L))).sample.get
