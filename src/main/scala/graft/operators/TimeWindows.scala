@@ -158,6 +158,48 @@ object TimeWindows {
          |GROUP BY user_id, day_us""".stripMargin
   }
 
+  /** tw5: AS-OF join — for every purchase, the latest click by the
+    * same user at-or-before it ("prior" = lexicographically smaller
+    * (ts, event_id), so ties are exact). Spark has no asof-join
+    * operator; the scalable restatement is the union-and-carry
+    * pattern: tag both sides, sort within the user partition, carry
+    * the last click forward with `last(_, ignoreNulls)` over
+    * rows(-∞, -1). ONE shuffle on user_id, no range/cross join — at
+    * 100 TB this is the difference between a sort within partitions
+    * and an exploded interval join. The oracle is DuckDB's native
+    * correlated top-1 (LEFT JOIN LATERAL ... ORDER BY ... LIMIT 1),
+    * i.e. an independent asof implementation. */
+  private def tw5(s: SparkSession, d: String): DataFrame = {
+    val e = evs(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        lit(null).cast("long").as("click_id"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    clicks.unionAll(purchases)
+      .withColumn("asof_click_id",
+        last(col("click_id"), ignoreNulls = true).over(byUser))
+      .filter(col("click_id").isNull) // keep the purchase rows
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"), col("asof_click_id"))
+  }
+
+  private val tw5Sql = evsSql +
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  p.ts_us AS purchase_ts_us, c.click_id AS asof_click_id
+      |FROM (SELECT * FROM evs WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT e.event_id AS click_id
+      |  FROM evs e
+      |  WHERE e.event_type = 'click' AND e.user_id = p.user_id
+      |    AND (e.ts_us < p.ts_us
+      |         OR (e.ts_us = p.ts_us AND e.event_id < p.event_id))
+      |  ORDER BY e.ts_us DESC, e.event_id DESC LIMIT 1) c ON TRUE""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -166,5 +208,7 @@ object TimeWindows {
     GateQuery("tw3_sessionize", tw3, Some(tw3Sql),
       "30-min-gap sessionization via lag + running sum (T1)"),
     GateQuery("tw4_quota_windows", tw4, Some(tw4Sql),
-      "daily/peak-hour quota admission rollup (T2/A10/F10)"))
+      "daily/peak-hour quota admission rollup (T2/A10/F10)"),
+    GateQuery("tw5_asof_join", tw5, Some(tw5Sql),
+      "as-of join via union-and-carry, one shuffle (vs DuckDB lateral top-1)"))
 }

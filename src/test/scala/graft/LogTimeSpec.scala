@@ -69,4 +69,25 @@ class LogTimeSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("admitted") == (daily < 80 && peak < 20))
     }
   }
+
+  test("tw5 asof: latest prior click per purchase, exact tie semantics") {
+    // fixture: user 1 — click(id1,t10), click(id2,t20), purchase(id3,t20)
+    // (same-ts tie: id2 < id3 counts as prior), purchase(id4,t30),
+    // click(id6,t40), purchase(id5,t35) (id6 is LATER → not matched);
+    // user 2 — purchase(id7,t5) with no click ever → null.
+    val m = 60000000L // one minute in µs
+    val dir = fixtureDir("events" -> eventsDf(Seq(
+      (1L, 10 * m, 1L, "click", 0.0, 0),
+      (2L, 20 * m, 1L, "click", 0.0, 0),
+      (3L, 20 * m, 1L, "purchase", 0.0, 0),
+      (4L, 30 * m, 1L, "purchase", 0.0, 0),
+      (6L, 40 * m, 1L, "click", 0.0, 0),
+      (5L, 35 * m, 1L, "purchase", 0.0, 0),
+      (7L, 5 * m, 2L, "purchase", 0.0, 0))))
+    val got = gate("tw5_asof_join", dir).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(r.fieldIndex("asof_click_id"))) None
+         else Some(r.getAs[Long]("asof_click_id")))).toMap
+    assert(got == Map(3L -> Some(2L), 4L -> Some(2L), 5L -> Some(2L), 7L -> None))
+  }
 }
