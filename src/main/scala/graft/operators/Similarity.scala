@@ -46,7 +46,7 @@ object Similarity {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
   private val planes: Seq[Seq[Double]] =
-    (0 until 16).map(j => (0 until Dim).map(i =>
+    (0 until 32).map(j => (0 until Dim).map(i =>
       (h60(s"pl${j}_${i}") % 2001 - 1000) / 1000.0))
 
   /** Left-fold dot product of two array<double> columns (codegen'd
@@ -106,9 +106,22 @@ object Similarity {
 
   // ------------------------------------------------------ LSH signature
 
-  /** 16-bit random-hyperplane signature: bit j = sign(v · plane_j). */
-  private def withSig(df: DataFrame): DataFrame = {
-    val sigExpr = (0 until 16).map { j =>
+  /** Random-hyperplane signature: bit j = sign(v · plane_j).
+    *
+    * SIZING LAW (the one knob that must track corpus size): with b
+    * bits per band the bucket count per band is 2^b, so expected
+    * candidate pairs grow ≈ N²/2^(b+1) per band. b is a CONSTANT in
+    * the gate queries (4 bits → 16 buckets — sized for the 2k-row
+    * bench corpus and for non-trivial gate output on a corpus whose
+    * max off-diagonal cosine is ~0.55). A 20× replica probe (40k
+    * vectors) demonstrates the ceiling: 4-bit bands generate ~200M
+    * candidate pairs and sim3 stops completing; the fix is wider
+    * bands (b ≈ log2(N / targetBucket)), traded against per-band
+    * recall (match probability at angle θ is (1−θ/π)^b). Callers
+    * tune `bits`/`bandBits`; the 32-plane pool keeps wider signatures
+    * available with identical plane formulas. */
+  private def withSig(df: DataFrame, bits: Int = 16): DataFrame = {
+    val sigExpr = (0 until bits).map { j =>
       val lits = planes(j).map(v => s"${v}D").mkString(", ")
       when(expr(s"dot_f64(v, array($lits))") > 0,
         lit(1L << j)).otherwise(lit(0L))
@@ -131,11 +144,14 @@ object Similarity {
        |  GROUP BY vec_id, label, v, n2)
        |""".stripMargin
 
-  /** 4-bit band keys (4 bands) for bucketed candidate generation. */
-  private def withBands(df: DataFrame): DataFrame =
+  /** Band keys for bucketed candidate generation (`bands` bands of
+    * `bandBits` bits each; see the sizing law on [[withSig]]). */
+  private def withBands(df: DataFrame, bands: Int = 4, bandBits: Int = 4): DataFrame = {
+    val mask = (1L << bandBits) - 1
     df.select(col("*"),
-      posexplode(array((0 until 4).map(b =>
-        expr(s"shiftright(sig, ${b * 4}) & 15")): _*)).as(Seq("band", "key")))
+      posexplode(array((0 until bands).map(b =>
+        expr(s"shiftright(sig, ${b * bandBits}) & $mask")): _*)).as(Seq("band", "key")))
+  }
 
   private val bandsSql =
     """bands AS (
