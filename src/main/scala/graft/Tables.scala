@@ -43,11 +43,15 @@ object Tables {
     * logic is plain timestamp algebra. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    import org.apache.spark.sql.functions.expr
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // files written by other engines (e.g. DuckDB) often carry NTZ;
+      // under the pinned UTC session the wall time is identical
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
