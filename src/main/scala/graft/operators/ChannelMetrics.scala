@@ -297,25 +297,37 @@ object ChannelMetrics {
     *     shorts/long has the higher (er6+er15)/2 — STRICT >, long wins
     *     ties (youtube_api_handler.py:1028-1031, gotcha 8).
     * ER compare happens on ×10^4 integers (halving drops out), so the
-    * tie rule is exact. One window exchange on (channel, type), then
-    * two hash-aggs on channel_id; subscriber dim broadcast. */
+    * tie rule is exact.
+    *
+    * Plan shape: ONE scan of events, one window exchange on
+    * (channel, type), ONE hash-agg on channel_id computing both the
+    * ER window sums (conditioned on trk) and the format counts (over
+    * all rows), then a broadcast dim join — the §3.1 "one job, two
+    * shuffles" target. (A previous version derived primary_format
+    * through a second scan + agg and an extra channel_id join.) */
   private def ca6(s: SparkSession, d: String): DataFrame = {
     val t = typeRanked(s, d)
-      .filter(col("trk") <= 15)
       .groupBy(col("channel_id"))
       .agg(
         sum(when(col("video_type") === "shorts" && col("trk") <= 6, col("k_engage"))
           .otherwise(0L)).as("sk6"),
-        sum(when(col("video_type") === "shorts", col("k_engage")).otherwise(0L)).as("sk15"),
+        sum(when(col("video_type") === "shorts" && col("trk") <= 15, col("k_engage"))
+          .otherwise(0L)).as("sk15"),
         sum(when(col("video_type") === "long" && col("trk") <= 6, col("k_engage"))
           .otherwise(0L)).as("lk6"),
-        sum(when(col("video_type") === "long", col("k_engage")).otherwise(0L)).as("lk15"))
-    val fmt = ca4(s, d).select(col("channel_id"), col("primary_format"))
+        sum(when(col("video_type") === "long" && col("trk") <= 15, col("k_engage"))
+          .otherwise(0L)).as("lk15"),
+        sum(when(col("video_type") === "shorts", 1L).otherwise(0L)).as("n_shorts"),
+        sum(when(col("video_type") === "long", 1L).otherwise(0L)).as("n_long"),
+        count(lit(1)).as("n_total"))
+      .withColumn("primary_format",
+        when(col("n_shorts") * 10 >= col("n_total") * 7, lit("shorts"))
+          .when(col("n_long") * 10 >= col("n_total") * 7, lit("long"))
+          .otherwise(lit("mixed")))
     def er(k: String): Column =
       when(col("subs_cents") > 0, expr(s"($k * 100 * 100 * 10000) div subs_cents"))
         .otherwise(lit(0L))
-    t.join(fmt, Seq("channel_id"))
-      .join(broadcast(subs(s, d)), Seq("channel_id"), "left")
+    t.join(broadcast(subs(s, d)), Seq("channel_id"), "left")
       .withColumn("subs_cents", coalesce(col("subs_cents"), lit(0L)))
       .withColumn("ser6", er("sk6")).withColumn("ser15", er("sk15"))
       .withColumn("ler6", er("lk6")).withColumn("ler15", er("lk15"))
@@ -334,30 +346,24 @@ object ChannelMetrics {
     """, agg AS (
       |  SELECT channel_id,
       |    sum(CASE WHEN video_type = 'shorts' AND trk <= 6 THEN k_engage ELSE 0 END) AS sk6,
-      |    sum(CASE WHEN video_type = 'shorts' THEN k_engage ELSE 0 END) AS sk15,
+      |    sum(CASE WHEN video_type = 'shorts' AND trk <= 15 THEN k_engage ELSE 0 END) AS sk15,
       |    sum(CASE WHEN video_type = 'long' AND trk <= 6 THEN k_engage ELSE 0 END) AS lk6,
-      |    sum(CASE WHEN video_type = 'long' THEN k_engage ELSE 0 END) AS lk15
-      |  FROM tranked WHERE trk <= 15 GROUP BY channel_id),
-      |fmt AS (
-      |  SELECT channel_id,
+      |    sum(CASE WHEN video_type = 'long' AND trk <= 15 THEN k_engage ELSE 0 END) AS lk15,
+      |    sum(CASE WHEN video_type = 'shorts' THEN 1 ELSE 0 END) AS n_shorts,
+      |    sum(CASE WHEN video_type = 'long' THEN 1 ELSE 0 END) AS n_long,
+      |    count(*) AS n_total
+      |  FROM tranked GROUP BY channel_id),
+      |ers AS (
+      |  SELECT agg.channel_id,
       |    CASE WHEN n_shorts * 10 >= n_total * 7 THEN 'shorts'
       |         WHEN n_long * 10 >= n_total * 7 THEN 'long'
-      |         ELSE 'mixed' END AS primary_format
-      |  FROM (
-      |    SELECT channel_id,
-      |      sum(CASE WHEN video_type = 'shorts' THEN 1 ELSE 0 END) AS n_shorts,
-      |      sum(CASE WHEN video_type = 'long' THEN 1 ELSE 0 END) AS n_long,
-      |      count(*) AS n_total
-      |    FROM vids GROUP BY channel_id) t),
-      |ers AS (
-      |  SELECT agg.channel_id, primary_format,
+      |         ELSE 'mixed' END AS primary_format,
       |    COALESCE(subs_cents, 0) AS sc,
       |    CASE WHEN COALESCE(subs_cents,0) > 0 THEN (sk6 * 100 * 100 * 10000) // subs_cents ELSE 0 END AS ser6,
       |    CASE WHEN COALESCE(subs_cents,0) > 0 THEN (sk15 * 100 * 100 * 10000) // subs_cents ELSE 0 END AS ser15,
       |    CASE WHEN COALESCE(subs_cents,0) > 0 THEN (lk6 * 100 * 100 * 10000) // subs_cents ELSE 0 END AS ler6,
       |    CASE WHEN COALESCE(subs_cents,0) > 0 THEN (lk15 * 100 * 100 * 10000) // subs_cents ELSE 0 END AS ler15
       |  FROM agg
-      |  JOIN fmt ON agg.channel_id = fmt.channel_id
       |  LEFT JOIN subs ON agg.channel_id = subs.channel_id)
       |SELECT channel_id, primary_format,
       |  CASE WHEN primary_format <> 'mixed' THEN primary_format

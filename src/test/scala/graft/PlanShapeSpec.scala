@@ -62,6 +62,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
 
+  test("ca6 flagship: one scan of events, ≤2 exchanges (window + agg)") {
+    val p = plan("ca6_final_metrics")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans <= 1, s"expected a single events scan, got $scans\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$p")
+  }
+
   test("dd2 pair join is shuffle-hash, not broadcast (mirror-image sides)") {
     val p = plan("dd2_jaccard_blocked")
     assert(p.contains("ShuffledHashJoin"),
