@@ -157,11 +157,12 @@ object ChannelMetrics {
       |  videos_15, views_cents_15,
       |  views_cents_15 // greatest(videos_15, 1) // 100 AS avg_views_15
       |FROM (
+      |  -- CAST AS BIGINT: DuckDB integer sums return HUGEINT; driver hash is dtype-sensitive
       |  SELECT channel_id,
-      |    sum(CASE WHEN rk <= 6 THEN 1 ELSE 0 END) AS videos_6,
-      |    sum(CASE WHEN rk <= 6 THEN views_cents ELSE 0 END) AS views_cents_6,
+      |    CAST(sum(CASE WHEN rk <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS videos_6,
+      |    CAST(sum(CASE WHEN rk <= 6 THEN views_cents ELSE 0 END) AS BIGINT) AS views_cents_6,
       |    count(*) AS videos_15,
-      |    sum(views_cents) AS views_cents_15
+      |    CAST(sum(views_cents) AS BIGINT) AS views_cents_15
       |  FROM ranked WHERE rk <= 15 GROUP BY channel_id) t""".stripMargin
 
   // ---------------------------------------------------------------- ca2
@@ -190,7 +191,7 @@ object ChannelMetrics {
       |    THEN (k_sum * 100 * 100 * 10000) // subs_cents ELSE 0 END AS DOUBLE)
       |    / 10000.0 AS engagement_rate
       |FROM (
-      |  SELECT channel_id, sum(k_engage) AS k_sum, count(*) AS n_videos
+      |  SELECT channel_id, CAST(sum(k_engage) AS BIGINT) AS k_sum, count(*) AS n_videos
       |  FROM ranked WHERE rk <= 15 GROUP BY channel_id) t
       |LEFT JOIN subs ON t.channel_id = subs.channel_id""".stripMargin
 
@@ -219,9 +220,9 @@ object ChannelMetrics {
       |  CAST(n_long AS DOUBLE) * 100 / n_total AS long_pct
       |FROM (
       |  SELECT channel_id,
-      |    sum(CASE WHEN video_type = 'shorts' THEN 1 ELSE 0 END) AS n_shorts,
-      |    sum(CASE WHEN video_type = 'long' THEN 1 ELSE 0 END) AS n_long,
-      |    sum(CASE WHEN video_type = 'unknown' THEN 1 ELSE 0 END) AS n_unknown,
+      |    CAST(sum(CASE WHEN video_type = 'shorts' THEN 1 ELSE 0 END) AS BIGINT) AS n_shorts,
+      |    CAST(sum(CASE WHEN video_type = 'long' THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+      |    CAST(sum(CASE WHEN video_type = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
       |    count(*) AS n_total
       |  FROM vids GROUP BY channel_id) t""".stripMargin
 
@@ -244,8 +245,8 @@ object ChannelMetrics {
       |       ELSE 'mixed' END AS primary_format
       |FROM (
       |  SELECT channel_id,
-      |    sum(CASE WHEN video_type = 'shorts' THEN 1 ELSE 0 END) AS n_shorts,
-      |    sum(CASE WHEN video_type = 'long' THEN 1 ELSE 0 END) AS n_long,
+      |    CAST(sum(CASE WHEN video_type = 'shorts' THEN 1 ELSE 0 END) AS BIGINT) AS n_shorts,
+      |    CAST(sum(CASE WHEN video_type = 'long' THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
       |    count(*) AS n_total
       |  FROM vids GROUP BY channel_id) t""".stripMargin
 
@@ -279,7 +280,7 @@ object ChannelMetrics {
       |  SELECT source, lang, lang_cnt,
       |    row_number() OVER (PARTITION BY source
       |      ORDER BY lang_cnt DESC, lang ASC) AS lrk,
-      |    sum(lang_cnt) OVER (PARTITION BY source) AS total,
+      |    CAST(sum(lang_cnt) OVER (PARTITION BY source) AS BIGINT) AS total,
       |    count(*) OVER (PARTITION BY source) AS n_langs
       |  FROM (
       |    SELECT source, lang, count(*) AS lang_cnt
@@ -345,12 +346,12 @@ object ChannelMetrics {
   private val ca6Sql = vidsSql.dropRight(1) + ", " + typeRankedSql +
     """, agg AS (
       |  SELECT channel_id,
-      |    sum(CASE WHEN video_type = 'shorts' AND trk <= 6 THEN k_engage ELSE 0 END) AS sk6,
-      |    sum(CASE WHEN video_type = 'shorts' AND trk <= 15 THEN k_engage ELSE 0 END) AS sk15,
-      |    sum(CASE WHEN video_type = 'long' AND trk <= 6 THEN k_engage ELSE 0 END) AS lk6,
-      |    sum(CASE WHEN video_type = 'long' AND trk <= 15 THEN k_engage ELSE 0 END) AS lk15,
-      |    sum(CASE WHEN video_type = 'shorts' THEN 1 ELSE 0 END) AS n_shorts,
-      |    sum(CASE WHEN video_type = 'long' THEN 1 ELSE 0 END) AS n_long,
+      |    CAST(sum(CASE WHEN video_type = 'shorts' AND trk <= 6 THEN k_engage ELSE 0 END) AS BIGINT) AS sk6,
+      |    CAST(sum(CASE WHEN video_type = 'shorts' AND trk <= 15 THEN k_engage ELSE 0 END) AS BIGINT) AS sk15,
+      |    CAST(sum(CASE WHEN video_type = 'long' AND trk <= 6 THEN k_engage ELSE 0 END) AS BIGINT) AS lk6,
+      |    CAST(sum(CASE WHEN video_type = 'long' AND trk <= 15 THEN k_engage ELSE 0 END) AS BIGINT) AS lk15,
+      |    CAST(sum(CASE WHEN video_type = 'shorts' THEN 1 ELSE 0 END) AS BIGINT) AS n_shorts,
+      |    CAST(sum(CASE WHEN video_type = 'long' THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
       |    count(*) AS n_total
       |  FROM tranked GROUP BY channel_id),
       |ers AS (

@@ -55,7 +55,8 @@ object Connector {
   private val s3Sql =
     """SELECT ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1] AS country,
       |  count(*) AS n,
-      |  sum(((i*1103515245 + 12345) % 10000000) * 37 + i % 1000) AS views
+      |  -- CAST AS BIGINT: DuckDB integer sums return HUGEINT; driver hash is dtype-sensitive
+      |  CAST(sum(((i*1103515245 + 12345) % 10000000) * 37 + i % 1000) AS BIGINT) AS views
       |FROM range(0, 5000) t(i)
       |WHERE i % 3 = 0 AND i < 1500
       |GROUP BY 1""".stripMargin

@@ -266,7 +266,7 @@ object Dedup {
 
   private val dd4Sql = {
     val bits = (0 until 64).map(i =>
-      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS b$i")
+      s"CAST(sum(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS b$i")
       .mkString(",\n    ")
     val tosim = (0 until 64).map { i =>
       val v = if (i < 63) (1L << i).toString else "-9223372036854775808"

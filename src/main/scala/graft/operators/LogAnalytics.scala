@@ -87,7 +87,7 @@ object LogAnalytics {
   private val la2Sql = logsSql +
     """SELECT level, n, CAST(n AS DOUBLE) * 100 / total AS share_pct FROM (
       |  SELECT level, count(*) AS n,
-      |    sum(count(*)) OVER () AS total
+      |    CAST(sum(count(*)) OVER () AS BIGINT) AS total
       |  FROM logs GROUP BY level) t""".stripMargin
 
   /** la3: top-10 loggers by volume (W4, sqlite_logger.py:283-289) —
@@ -100,7 +100,9 @@ object LogAnalytics {
       .limit(10)
 
   private val la3Sql = logsSql +
-    """SELECT logger_name, count(*) AS n, sum(value_cents) AS value_cents
+    """SELECT logger_name, count(*) AS n,
+      |  -- CAST AS BIGINT: DuckDB integer sums return HUGEINT; driver hash is dtype-sensitive
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents
       |FROM logs GROUP BY logger_name
       |ORDER BY n DESC, logger_name ASC LIMIT 10""".stripMargin
 

@@ -137,7 +137,7 @@ object Similarity {
        |        % 2001) - 1000) / 1000.0 AS val
        |    FROM range(16) j, range($Dim) i) t GROUP BY j),
        |sigs AS (
-       |  SELECT vec_id, label, v, n2, sum(bit)::BIGINT AS sig FROM (
+       |  SELECT vec_id, label, v, n2, CAST(sum(bit) AS BIGINT) AS sig FROM (
        |    SELECT vecs.*, CASE WHEN ${dotSql("v", "p")} > 0
        |      THEN (1::BIGINT << j) ELSE 0 END AS bit
        |    FROM vecs, planes) b
@@ -267,7 +267,7 @@ object Similarity {
        |  CAST(sum_scaled AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE) AS centroid
        |FROM (
        |  SELECT label, i.range AS dim,
-       |    sum(CAST(floor(v[i.range + 1] * 1000000000.0) AS BIGINT)) AS sum_scaled,
+       |    CAST(sum(CAST(floor(v[i.range + 1] * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_scaled,
        |    count(*) AS n
        |  FROM vecs, range($Dim) i GROUP BY 1, 2) t""".stripMargin
 
@@ -301,7 +301,7 @@ object Similarity {
        |    CAST(sum_scaled AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE) AS centroid
        |  FROM (
        |    SELECT label, i.range AS dim,
-       |      sum(CAST(floor(v[i.range + 1] * 1000000000.0) AS BIGINT)) AS sum_scaled,
+       |      CAST(sum(CAST(floor(v[i.range + 1] * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_scaled,
        |      count(*) AS n
        |    FROM vecs, range($Dim) i GROUP BY 1, 2) t)
        |SELECT vec_id, label, assigned_label, dist_scaled, is_home FROM (
@@ -311,8 +311,8 @@ object Similarity {
        |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
        |  FROM (
        |    SELECT e.vec_id, e.label, c.clabel,
-       |      sum(CAST(floor((e.v[c.dim + 1] - c.centroid) * (e.v[c.dim + 1] - c.centroid)
-       |        * 1000000000000.0) AS BIGINT)) AS dist_scaled
+       |      CAST(sum(CAST(floor((e.v[c.dim + 1] - c.centroid) * (e.v[c.dim + 1] - c.centroid)
+       |        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dist_scaled
        |    FROM vecs e, cent c
        |    GROUP BY 1, 2, 3) d) r
        |WHERE rk = 1""".stripMargin

@@ -159,8 +159,8 @@ object TextAnalysis {
 
   private val tx4Sql =
     s"""SELECT lang, guess_lang, n,
-       |  sum(n) OVER (PARTITION BY lang) AS lang_total,
-       |  CAST(n AS DOUBLE) * 100 / sum(n) OVER (PARTITION BY lang) AS share_pct
+       |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+       |  CAST(n AS DOUBLE) * 100 / CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_pct
        |FROM (
        |  SELECT lang, guess_lang, count(*) AS n FROM (${tx3Sql.replace("\n", "\n  ")}) t
        |  GROUP BY lang, guess_lang) c""".stripMargin

@@ -55,7 +55,8 @@ object TimeWindows {
 
   private val tw1Sql = evsSql +
     s"""SELECT (ts_us // $HourUs) * $HourUs AS window_start_us,
-       |  count(*) AS n_events, sum(value_cents) AS value_cents,
+       |  count(*) AS n_events,
+       |  CAST(sum(value_cents) AS BIGINT) AS value_cents,
        |  count(DISTINCT user_id) AS n_users
        |FROM evs GROUP BY 1""".stripMargin
 
@@ -108,12 +109,12 @@ object TimeWindows {
   private val tw3Sql = evsSql +
     s"""SELECT user_id, sess_id, min(ts_us) AS sess_start_us,
        |  max(ts_us) AS sess_end_us, count(*) AS n_events,
-       |  sum(value_cents) AS value_cents,
+       |  CAST(sum(value_cents) AS BIGINT) AS value_cents,
        |  max(ts_us) - min(ts_us) AS duration_us
        |FROM (
-       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+       |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
        |      ORDER BY ts_us ASC, event_id ASC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
        |  FROM (
        |    SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SlideUs
        |        THEN 1 ELSE 0 END AS new_sess
@@ -147,9 +148,9 @@ object TimeWindows {
   private val tw4Sql = {
     val DayUs = 24L * HourUs
     evsSql +
-      s"""SELECT user_id, day_us, sum(hn) AS daily_requests,
+      s"""SELECT user_id, day_us, CAST(sum(hn) AS BIGINT) AS daily_requests,
          |  max(hn) AS peak_hour_requests,
-         |  sum(hn) < 80 AND max(hn) < 20 AS admitted,
+         |  CAST(sum(hn) AS BIGINT) < 80 AND max(hn) < 20 AS admitted,
          |  CAST(sum(hn) AS DOUBLE) * 100 / 80 AS daily_quota_pct
          |FROM (
          |  SELECT user_id, (ts_us // $DayUs) * $DayUs AS day_us,

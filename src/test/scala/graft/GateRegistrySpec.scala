@@ -19,6 +19,24 @@ class GateRegistrySpec extends AnyFunSuite {
       s"unexpected rows-only queries: $noOracle")
   }
 
+  test("no oracle contains an uncast integer sum (DuckDB HUGEINT trap)") {
+    // DuckDB's sum(BIGINT) returns HUGEINT (int128); the driver's hash is
+    // dtype-sensitive, so an uncast sum in oracle SQL hash-mismatches
+    // Spark's int64 even when every value is equal (round-1 verdict: 13
+    // such failures). Rule: every `sum(` must be immediately wrapped in
+    // `CAST(` — value-preserving, and it keeps the dtype BIGINT.
+    val sumRe = "(?i)sum\\s*\\(".r
+    val offenders = for {
+      q <- GateQueries.all
+      sql <- q.oracle.toSeq
+      m <- sumRe.findAllMatchIn(sql)
+      prefix = sql.substring(0, m.start).replaceAll("\\s+$", "")
+      if !prefix.toUpperCase.endsWith("CAST(")
+    } yield s"${q.name}@${m.start}: ...${sql.substring(math.max(0, m.start - 20), math.min(sql.length, m.start + 30)).replace("\n", " ")}..."
+    assert(offenders.isEmpty,
+      s"uncast sum() in oracle SQL (wrap in CAST(... AS BIGINT)):\n${offenders.mkString("\n")}")
+  }
+
   test("every gate query returns rows at sf0.001") {
     // parallel: 53 counts share the session's scheduler (same shape as
     // the Bench harness); wall ~ slowest query, not the sum

@@ -5,9 +5,12 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Loads each <verifyOutDir>/<name> parquet (Spark result), runs the
 matching SQL from oracle_sql.json in DuckDB over the sfDir parquet
-tables, and compares: schema (sorted column names), row count, and
-exact values after sorting columns by name and rows by all columns.
-Reports per-query PASS/FAIL with a diff sample on mismatch.
+tables, and compares: schema (sorted column names), row count,
+per-column DTYPES (the driver's hash is dtype-sensitive — round 1's 13
+"failures" were DuckDB HUGEINT sums vs Spark int64 with equal values,
+invisible to a values-only compare), and exact values after sorting
+columns by name and rows by all columns. Reports per-query PASS/FAIL
+with a diff sample on mismatch.
 """
 import json
 import math
@@ -30,6 +33,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             except (ValueError, TypeError):
                 df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def dtype_family(dt) -> str:
+    k = getattr(dt, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
 
 
 def values_equal(a, b) -> bool:
@@ -67,6 +83,19 @@ def main():
             ok = False
             msgs.append(f"rows spark={len(got)} duckdb={len(exp)}")
         else:
+            # dtype-family gate first: mirrors the driver's dtype-sensitive
+            # hash. Round-1 evidence: int32 vs int64 PASSES the driver
+            # (integers hash via a common uint64 cast) but int64 vs float64
+            # FAILS (DuckDB HUGEINT sums arrive as float64) — so compare
+            # dtype *families*, not exact widths.
+            for c in sorted(got.columns):
+                fg, fe = dtype_family(got[c].dtype), dtype_family(exp[c].dtype)
+                if fg != fe:
+                    ok = False
+                    msgs.append(
+                        f"col {c}: DTYPE-FAMILY spark={got[c].dtype}({fg}) "
+                        f"duckdb={exp[c].dtype}({fe})")
+        if ok:
             g, e = canon(got), canon(exp)
             for c in g.columns:
                 bad = [
