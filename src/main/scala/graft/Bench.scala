@@ -14,9 +14,28 @@ import org.apache.spark.sql.SparkSession
   * SFs) overlaps instead of summing: measured at sf0.1 the suite drops
   * from ~24 s sequential to ~6-8 s wall. `value` is the wall-clock of
   * the whole suite; `queries` are per-query latencies under that
-  * concurrency (so they sum to more than `value`).
+  * concurrency (so they sum to more than `value`, and are noisy
+  * individually — thread contention, not plan cost).
+  *
+  * `queries_seq` is a SEQUENTIAL warm pass: one query at a time, so
+  * per-query numbers are attributable and comparable across rounds
+  * (the concurrent spans are not).
+  *
+  * Failures are NOT swallowed: a crashing query lands in `failed` and
+  * flips the exit code — a broken gate must turn the bench red, not
+  * shave its wall-clock.
   */
 object Bench {
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,18 +49,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val pool = Executors.newFixedThreadPool(qpar)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    def runSuite(): Seq[(String, Double)] = {
-      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-        Future {
-          val q0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - q0) / 1e9
+
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Option[String]) = {
+      val q0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
+      (name, (System.nanoTime() - q0) / 1e9, err)
+    }
+
+    def runSuite(): Seq[(String, Double, Option[String])] = {
+      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        Future(time(name, fn))
       }
       futures.map(Await.result(_, Duration.Inf))
     }
     // Warm-up pass (untimed): JIT + whole-stage-codegen compilation of
-    // all 46 plans and the parquet file-index/footer caches. Without it
+    // all plans and the parquet file-index/footer caches. Without it
     // the measured pass races janino compilation on the same cores and
     // wall-clock varies 2×. Then best-of-2 measured passes — a single
     // pass can still catch a full-GC pause.
@@ -53,10 +80,17 @@ object Bench {
       (results, (System.nanoTime() - t0) / 1e9)
     }
     val (results, wall) = passes.minBy(_._2)
+    // Sequential warm pass: attributable per-query latencies.
+    val seq = SparkEntry.queries.toSeq.map { case (name, fn) => time(name, fn) }
     pool.shutdown()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = (results ++ seq).collect { case (n, _, Some(e)) => s"$n: $e" }.distinct
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qseq = seq.map { case (k, v, _) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val failedJson = failed.map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"queries_seq":$qseq,"failed":$failedJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -40,14 +40,27 @@ object ChannelMetrics {
   private val cents = 100L
 
   /** Shared enrichment: events → video-shaped rows (P5/P6 analogs).
-    * Public as [[videoView]] for the observability hook. */
+    * Public as [[videoView]] for the observability hook.
+    *
+    * Two domain bounds enforced AT the projection (identically in
+    * [[vidsSql]]) because downstream arithmetic is engine-divergent
+    * outside them:
+    *   - views are non-negative (YouTube statistics are; the stand-in
+    *     events.value isn't) — Spark `div` truncates toward zero while
+    *     DuckDB `//` floors, so a negative numerator in the P9/A1
+    *     floor ratios would silently diverge;
+    *   - k_engage is capped at 9 digits, so k_sum × 10^8 in the A2/A6
+    *     engagement scaling stays well inside int64 (DuckDB runs
+    *     overflow-CHECKED arithmetic and would raise; Spark non-ANSI
+    *     would silently wrap). */
   private def vids(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("user_id").as("channel_id"),
       col("event_id").as("video_id"),
       unix_micros(col("ts")).as("pub_us"),
-      (col("value").cast(DecimalType(18, 2)) * cents).cast("long").as("views_cents"),
-      regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("k_engage"),
+      greatest((col("value").cast(DecimalType(18, 2)) * cents).cast("long"), lit(0L))
+        .as("views_cents"),
+      regexp_extract(col("props"), "([0-9]{1,9})", 1).cast("long").as("k_engage"),
       when(col("event_type") === "click", lit("shorts"))
         .when(col("event_type") === "view", lit("long"))
         .otherwise(lit("unknown")).as("video_type"))
@@ -57,8 +70,8 @@ object ChannelMetrics {
     """WITH vids AS (
       |  SELECT user_id AS channel_id, event_id AS video_id,
       |    epoch_us(ts) AS pub_us,
-      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS views_cents,
-      |    CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_engage,
+      |    greatest((CAST(value AS DECIMAL(18,2)) * 100)::BIGINT, 0) AS views_cents,
+      |    CAST(regexp_extract(props, '([0-9]{1,9})', 1) AS BIGINT) AS k_engage,
       |    CASE event_type WHEN 'click' THEN 'shorts' WHEN 'view' THEN 'long'
       |      ELSE 'unknown' END AS video_type
       |  FROM events),

@@ -56,15 +56,30 @@ object LogAnalytics {
       |""".stripMargin
 
   /** la1: filtered pagination (S10+W3): WHERE level_no >= 40 ORDER BY
-    * ts DESC LIMIT 200 OFFSET 100, as row_number over (ts_us DESC,
-    * event_id DESC) — unique tie-break keeps pages stable (the
-    * reference relies on SQLite's stable rowid order). */
+    * ts DESC LIMIT 200 OFFSET 100 — unique tie-break (event_id) keeps
+    * pages stable (the reference relies on SQLite's stable rowid
+    * order, and caps LIMIT at 1000, sqlite_logger.py:1481-1482).
+    *
+    * Scale shape: orderBy+limit(offset+limit) plans as
+    * TakeOrderedAndProject — each partition keeps only its local
+    * top-300, so nothing ever globally sorts (the previous
+    * formulation ranked the whole filtered slice in ONE partition via
+    * an unpartitioned window — the classic pagination scale-killer).
+    * Ranks are then assigned to the ≤300 survivors; a constant
+    * partition key is exactly right there (the survivor set is
+    * bounded by the page cap, not the data). The key is written
+    * `pmod(event_id, 1)` — always 0 but NOT foldable, because
+    * ConstantFolding strips a literal key back out of the window
+    * spec, silently restoring the unpartitioned global-sort plan. */
   private def la1(s: SparkSession, d: String): DataFrame =
     logs(s, d)
       .filter(col("level_no") >= 40)
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .limit(300)
       .withColumn("rn", row_number().over(
-        Window.orderBy(col("ts_us").desc, col("event_id").desc)))
-      .filter(col("rn") > 100 && col("rn") <= 300)
+        Window.partitionBy(pmod(col("event_id"), lit(1)))
+          .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("rn") > 100)
       .select(col("rn"), col("event_id"), col("ts_us"), col("level"),
         col("logger_name"), col("message"))
 
@@ -75,11 +90,15 @@ object LogAnalytics {
       |WHERE rn > 100 AND rn <= 300""".stripMargin
 
   /** la2: level rollup + filtered count (A7+A8): COUNT(*) GROUP BY
-    * level, with each level's share of total (one IEEE division). */
+    * level, with each level's share of total (one IEEE division).
+    * The total is a 1-row broadcast cross-join (the la4 anchor
+    * pattern) — not an empty-partition window, which would drag every
+    * post-agg row into one task; AQE reuses the level-counts exchange
+    * so the events scan still happens once. */
   private def la2(s: SparkSession, d: String): DataFrame = {
     val counts = logs(s, d).groupBy(col("level")).agg(count(lit(1)).as("n"))
-    counts
-      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
       .select(col("level"), col("n"),
         (col("n").cast("double") * 100 / col("total")).as("share_pct"))
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GateQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §7.5): image/audio/video payloads
@@ -57,24 +57,40 @@ object Multimodal {
 
   /** mm2: frame sampling — every 4th 32-byte frame of the payload,
     * fingerprinted. The reference pattern for video: sample frames by
-    * offset without materializing the rest of the payload. */
+    * offset without materializing the rest of the payload.
+    *
+    * The zero-length guard is load-bearing: unguarded, Spark's
+    * `sequence(0, -1)` yields [0, -1] (a descending 2-element range)
+    * where DuckDB's `range(0, 0)` is empty — one empty document away
+    * from a 2-frames-vs-0 divergence. Both engines guard explicitly. */
+  private[graft] def frameCount(payload: Column): Column =
+    when(octet_length(payload) === 0, lit(0))
+      .otherwise((floor((octet_length(payload) - 1) / lit(128)) + 1).cast("int"))
+
+  /** Per-frame md5 digests joined with '|'; "" for an empty payload
+    * (expects `txt` = payload cast to string alongside `payload`). */
+  private[graft] def frameDigests(payload: Column): Column =
+    when(octet_length(payload) === 0, lit(""))
+      .otherwise(concat_ws("|", expr(
+        "transform(sequence(0, int(floor((octet_length(payload)-1)/128))), " +
+          "i -> md5(substring(txt, 1 + i*128, 32)))")))
+
   private def mm2(s: SparkSession, d: String): DataFrame =
     media(s, d)
       .withColumn("txt", col("payload").cast("string"))
       .select(
         col("media_id"),
         octet_length(col("payload")).as("n_bytes"),
-        expr("size(transform(sequence(0, int(floor((octet_length(payload)-1)/128))), i -> i))")
-          .as("n_frames"),
-        concat_ws("|", expr(
-          "transform(sequence(0, int(floor((octet_length(payload)-1)/128))), " +
-            "i -> md5(substring(txt, 1 + i*128, 32)))")).as("frame_digests"))
+        frameCount(col("payload")).as("n_frames"),
+        frameDigests(col("payload")).as("frame_digests"))
 
   private val mm2Sql =
     """SELECT doc_id AS media_id, strlen(text) AS n_bytes,
-      |  len(range(0, (strlen(text)-1) // 128 + 1)) AS n_frames,
-      |  list_aggr(list_transform(range(0, (strlen(text)-1) // 128 + 1),
-      |    i -> md5(substr(text, 1 + i*128, 32))), 'string_agg', '|') AS frame_digests
+      |  CASE WHEN strlen(text) = 0 THEN 0
+      |    ELSE (strlen(text)-1) // 128 + 1 END AS n_frames,
+      |  CASE WHEN strlen(text) = 0 THEN ''
+      |    ELSE list_aggr(list_transform(range(0, (strlen(text)-1) // 128 + 1),
+      |      i -> md5(substr(text, 1 + i*128, 32))), 'string_agg', '|') END AS frame_digests
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- mm3

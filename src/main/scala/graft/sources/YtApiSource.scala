@@ -181,10 +181,18 @@ object SyntheticYtFetcher {
   def videos(id: Long): Long = id % 500L
   private val countries = Array("US", "IN", "BR", "DE", "JP")
   def country(id: Long): String = countries((id % 5L).toInt)
-  /** '@ch<i>' → Some(i); unknown shapes → None (no such channel). */
+  /** '@ch<i>' → Some(i); unknown shapes → None (no such channel).
+    *
+    * Resolution must be CANONICAL: handle EqualTo filters are consumed
+    * as exact by the scan builder (never re-checked as residuals), so
+    * returning Some(id) for any non-canonical spelling would make the
+    * scan emit a row that does not satisfy the user's predicate.
+    * '@ch007' parses to 7, but channel 7's handle is '@ch7' — the
+    * round-trip check rejects it (and any overflow toLong artifacts). */
   def resolveHandle(h: String): Option[Long] =
     if (h != null && h.startsWith("@ch") && h.drop(3).forall(_.isDigit)
         && h.length > 3 && h.length <= 21)
-      try Some(h.drop(3).toLong) catch { case _: NumberFormatException => None }
+      try Some(h.drop(3).toLong).filter(id => handle(id) == h)
+      catch { case _: NumberFormatException => None }
     else None
 }

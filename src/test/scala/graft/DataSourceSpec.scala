@@ -44,6 +44,20 @@ class DataSourceSpec extends AnyFunSuite {
     assert(load().where(col("handle") === "@nobody").count() == 0)
   }
 
+  test("non-canonical handles resolve to zero rows, not a wrong row") {
+    // '@ch007' would parse to id 7, but channel 7's handle is '@ch7';
+    // handle filters are consumed exact (no residual re-check), so the
+    // resolver must reject non-round-tripping spellings outright.
+    assert(load().where(col("handle") === "@ch007").count() == 0)
+    assert(load().where(col("handle") === "@ch0123").count() == 0)
+    // canonical zero is itself round-trippable
+    assert(load().where(col("handle") === "@ch0").count() == 1)
+    import graft.sources.SyntheticYtFetcher
+    assert(SyntheticYtFetcher.resolveHandle("@ch007").isEmpty)
+    assert(SyntheticYtFetcher.resolveHandle("@ch7") == Some(7L))
+    assert(SyntheticYtFetcher.resolveHandle("@ch99999999999999999999").isEmpty)
+  }
+
   test("IN(channel_id) pushes down; only referenced ids are fetched") {
     val ids = Seq(1L, 7L, 4242L)
     val df = load().where(col("channel_id").isin(ids: _*))

@@ -83,6 +83,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "vector join-back should broadcast the tiny vector table")
   }
 
+  test("la1 pagination is TakeOrderedAndProject, not a global-sort window") {
+    val df = gate("la1_filter_paginate", sf0001)
+    df.collect() // finalize AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pagination must plan as per-partition top-k\n$p")
+    // the survivor-ranking window must carry a partition spec (an
+    // empty one — spec string starting at the ORDER BY column — would
+    // log 'No Partition Defined' and single-thread the filtered slice)
+    assert(!p.contains("windowspecdefinition(ts_us"),
+      s"window must partition on the constant survivor key\n$p")
+  }
+
   test("q9 salted agg: partials spread over salt before the final merge") {
     val p = plan("q9_salted_agg")
     // two grouping phases → two hashpartitioning exchanges: one on

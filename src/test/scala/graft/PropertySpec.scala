@@ -81,6 +81,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("clamped floor ratio: greatest(x,0) div b is engine-agnostic on negatives") {
+    // Spark `div` truncates toward zero, DuckDB `//` floors — they
+    // disagree exactly on negative numerators. The vids() projection
+    // clamps views_cents at 0, so every downstream ratio sees the
+    // domain where truncate == floor; this property pins the clamped
+    // formulation (including negative inputs) against floorDiv.
+    val cases = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(-1000000L, 1000000L), Gen.chooseNum(1L, 10000L))).sample.get
+    val df = cases.toDF("x", "b").selectExpr("x", "b", "greatest(x, 0L) div b AS q")
+    df.collect().foreach { r =>
+      val (x, b, q) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(q == math.floorDiv(math.max(x, 0L), b), s"x=$x b=$b")
+    }
+  }
+
+  test("mm2 frame sampling: n_frames = ceil(len/128); empty payload = 0 frames") {
+    // unguarded, sequence(0, floor((0-1)/128)) = sequence(0,-1) =
+    // [0,-1] in Spark where DuckDB's range(0,0) is empty — the guard
+    // must pin empty payloads to (0 frames, "" digests)
+    val strs = "" +: Gen.listOfN(60,
+      Gen.chooseNum(1, 400).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))).sample.get
+    val df = strs.toDF("s")
+      .selectExpr("s", "encode(s, 'UTF-8') AS payload")
+      .withColumn("txt", org.apache.spark.sql.functions.col("payload").cast("string"))
+      .select(org.apache.spark.sql.functions.col("s"),
+        operators.Multimodal.frameCount(
+          org.apache.spark.sql.functions.col("payload")).as("n_frames"),
+        operators.Multimodal.frameDigests(
+          org.apache.spark.sql.functions.col("payload")).as("digests"))
+    df.collect().foreach { r =>
+      val len = r.getString(0).getBytes("UTF-8").length
+      val expect = if (len == 0) 0 else (len - 1) / 128 + 1
+      assert(r.getInt(1) == expect, s"len=$len")
+      val digs = r.getString(2)
+      if (len == 0) assert(digs == "")
+      else assert(digs.split("\\|").length == expect)
+    }
+  }
+
   test("engagement-rate scaling: er4 = k*10^8 div subs_cents, guard on <= 0") {
     val cases = Gen.listOfN(300,
       Gen.zip(Gen.chooseNum(0L, 10000L), Gen.chooseNum(-500000L, 500000L))).sample.get
