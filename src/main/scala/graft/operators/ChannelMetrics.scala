@@ -389,6 +389,96 @@ object ChannelMetrics {
       |  CAST(ler15 AS DOUBLE) / 10000.0 AS long_er_15
       |FROM ers""".stripMargin
 
+  // ---------------------------------------------------------------- ca7
+
+  /** ca7: the FULL per-language distribution (A5's other half — the
+    * reference returns every language's name/count/percentage in the
+    * `language_analysis` block, youtube_api_handler.py:1118-1152; ca5
+    * keeps only the mode row). Same two-level aggregation as ca5
+    * minus the `lrk = 1` filter, plus the display name from the
+    * broadcast language dim with the upper(code) fallback (P7). */
+  private def ca7(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("lang_cnt"))
+      .withColumn("total",
+        sum(col("lang_cnt")).over(Window.partitionBy(col("source"))))
+      .join(broadcast(YtFormats.langDim(s)), col("lang") === col("code"), "left")
+      .select(col("source"), col("lang"),
+        coalesce(col("name"), upper(col("lang"))).as("language_name"),
+        col("lang_cnt"), col("total"),
+        (col("lang_cnt").cast("double") * 100 / col("total")).as("pct"))
+
+  private val ca7Sql =
+    s"""SELECT source, lang, COALESCE(name, upper(lang)) AS language_name,
+       |  lang_cnt, total, CAST(lang_cnt AS DOUBLE) * 100 / total AS pct
+       |FROM (
+       |  SELECT source, lang, count(*) AS lang_cnt,
+       |    CAST(sum(count(*)) OVER (PARTITION BY source) AS BIGINT) AS total
+       |  FROM documents GROUP BY source, lang) c
+       |LEFT JOIN ${YtFormats.langDimSql}
+       |ON c.lang = dim.code""".stripMargin
+
+  // ---------------------------------------------------------------- ca8
+
+  /** ca8: the FORMATTED nested channel document (P1/P2,
+    * youtube_api_handler.py:688-779; README.md:281-324): statistics,
+    * verification_status, and the three-variant thumbnails array as a
+    * real nested StructType, serialized with to_json for the gate
+    * compare (the driver hashes flat columns, so the JSON string IS
+    * the compared value — and DuckDB's to_json emits the identical
+    * compact key-ordered form, verified byte-for-byte). Derivations:
+    * is_verified ≥ 100k subscribers (the reference's verified badge
+    * threshold), engagement avg views/video as a P9 floor ratio. */
+  private def ca8(s: SparkSession, d: String): DataFrame = {
+    def thumb(variant: String, px: Long) = struct(
+      concat(lit("https://thumbs.example.com/ch/"), col("channel_id"),
+        lit(s"/$variant.jpg")).as("url"),
+      lit(px).as("width"), lit(px).as("height"))
+    s.read.format("graft.sources.YtApiSource").option("maxId", 1999).load()
+      .select(col("channel_id"), to_json(struct(
+        col("channel_id").as("id"),
+        col("title"),
+        col("handle").as("custom_url"),
+        col("country"),
+        struct(col("subscriber_count"), col("view_count"), col("video_count"))
+          .as("statistics"),
+        struct(
+          (col("subscriber_count") >= 100000L).as("is_verified"),
+          (col("video_count") > 0L).as("has_videos")).as("verification_status"),
+        struct(
+          expr("view_count div greatest(video_count, 1)").as("avg_views_per_video"))
+          .as("engagement_data"),
+        array(thumb("default", 88L), thumb("medium", 240L), thumb("high", 800L))
+          .as("thumbnails"))).as("doc"))
+  }
+
+  private val ca8Sql =
+    """SELECT i AS channel_id, to_json(struct_pack(
+      |    id := i,
+      |    title := 'Channel ' || i,
+      |    custom_url := '@ch' || i,
+      |    country := ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1],
+      |    statistics := struct_pack(
+      |      subscriber_count := subs,
+      |      view_count := subs * 37 + i % 1000,
+      |      video_count := i % 500),
+      |    verification_status := struct_pack(
+      |      is_verified := subs >= 100000,
+      |      has_videos := i % 500 > 0),
+      |    engagement_data := struct_pack(
+      |      avg_views_per_video := (subs * 37 + i % 1000) // greatest(i % 500, 1)),
+      |    thumbnails := [
+      |      struct_pack(url := 'https://thumbs.example.com/ch/' || i || '/default.jpg',
+      |        width := 88::BIGINT, height := 88::BIGINT),
+      |      struct_pack(url := 'https://thumbs.example.com/ch/' || i || '/medium.jpg',
+      |        width := 240::BIGINT, height := 240::BIGINT),
+      |      struct_pack(url := 'https://thumbs.example.com/ch/' || i || '/high.jpg',
+      |        width := 800::BIGINT, height := 800::BIGINT)]
+      |  ))::VARCHAR AS doc
+      |FROM (SELECT i, (i*1103515245 + 12345) % 10000000 AS subs
+      |      FROM range(0, 2000) t(i)) u""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("ca0_video_projection", ca0, Some(ca0Sql),
       "formatter + classifier + floor ratios (P1/P2/P5/P6/P9/P10)"),
@@ -403,5 +493,9 @@ object ChannelMetrics {
     GateQuery("ca5_language_mode", ca5, Some(ca5Sql),
       "modal language w/ deterministic tie-break + confidence (A5/W5)"),
     GateQuery("ca6_final_metrics", ca6, Some(ca6Sql),
-      "flagship assembly: type-partitioned ER windows + channel_type (A6/W2)"))
+      "flagship assembly: type-partitioned ER windows + channel_type (A6/W2)"),
+    GateQuery("ca7_language_distribution", ca7, Some(ca7Sql),
+      "full per-language rows: name/count/pct via broadcast dim (A5/P7)"),
+    GateQuery("ca8_nested_channel_doc", ca8, Some(ca8Sql),
+      "nested formatted channel document, to_json-compared (P1/P2)"))
 }

@@ -64,14 +64,17 @@ object Dedup {
     * at sf0.1 (the sequence/element_at lambda falls off the fast path;
     * zip_with walks both arrays linearly). Same output order, so
     * array_distinct keeps identical first-occurrence semantics. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def shingleCols(docs: DataFrame): DataFrame =
+    docs
       .withColumn("a", split(trim(col("text")), "\\s+"))
       .withColumn("shingles", expr(
         "array_distinct(zip_with(slice(a, 1, size(a)-1), " +
           "slice(a, 2, size(a)-1), (x, y) -> concat(x, ' ', y)))"))
       .select(col("doc_id"), col("source"), col("shingles"),
         size(col("shingles")).as("sz"))
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingleCols(Tables.documents(s, d))
 
   private val shingledSql =
     """sh AS (
@@ -182,11 +185,27 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
+    // Verify join-back: ONE join against the shingle base instead of
+    // two. Pairs melt to (pair, side, doc_id) rows, pick up their
+    // shingle set in a single equi-join, and fold back to one row per
+    // pair. The previous formulation joined the full-corpus `sh` once
+    // per pair side — each join-back re-evaluating the whole
+    // split+zip_with parse, a spare full-corpus regexp pass at
+    // 100 TB (and exchange reuse across differently-aliased subtrees
+    // proved unreliable under AQE, measured in round 3).
+    // first(ignoreNulls) is deterministic here: exactly one row per
+    // (pair, side). The fold-back shuffle carries shingle arrays only
+    // for candidate rows — bounded by the LSH output, not the corpus.
     cand
-      .join(sh.select(col("doc_id").as("id1"), col("shingles").as("sh1"),
-        col("sz").as("sz1")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("shingles").as("sh2"),
-        col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        posexplode(array(col("id1"), col("id2"))).as(Seq("side", "doc_id")))
+      .join(sh.select(col("doc_id"), col("shingles"), col("sz")), "doc_id")
+      .groupBy(col("id1"), col("id2"))
+      .agg(
+        first(when(col("side") === 0, col("shingles")), ignoreNulls = true).as("sh1"),
+        first(when(col("side") === 1, col("shingles")), ignoreNulls = true).as("sh2"),
+        min(when(col("side") === 0, col("sz"))).as("sz1"),
+        min(when(col("side") === 1, col("sz"))).as("sz2"))
       .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))))
       .select(col("id1"), col("id2"),
         (col("c").cast("double") / (col("sz1") + col("sz2") - col("c"))).as("jaccard"))

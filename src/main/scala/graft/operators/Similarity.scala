@@ -119,7 +119,9 @@ object Similarity {
     * bands (b ≈ log2(N / targetBucket)), traded against per-band
     * recall (match probability at angle θ is (1−θ/π)^b). Callers
     * tune `bits`/`bandBits`; the 32-plane pool keeps wider signatures
-    * available with identical plane formulas. */
+    * available with identical plane formulas — and [[sim3b]] runs the
+    * 8-bit geometry as an oracled gate (SimilaritySpec pins the
+    * candidate-count reduction on a replicated corpus). */
   private def withSig(df: DataFrame, bits: Int = 16): DataFrame = {
     val sigExpr = (0 until bits).map { j =>
       val lits = planes(j).map(v => s"${v}D").mkString(", ")
@@ -129,13 +131,13 @@ object Similarity {
     df.withColumn("sig", sigExpr)
   }
 
-  private val sigSql =
+  private def sigSqlN(bits: Int): String =
     s"""planes AS (
        |  SELECT j, list(val ORDER BY i) AS p FROM (
        |    SELECT j.range AS j, i.range AS i,
        |      ((('0x' || substr(md5('pl' || j.range || '_' || i.range), 1, 15))::BIGINT
        |        % 2001) - 1000) / 1000.0 AS val
-       |    FROM range(16) j, range($Dim) i) t GROUP BY j),
+       |    FROM range($bits) j, range($Dim) i) t GROUP BY j),
        |sigs AS (
        |  SELECT vec_id, label, v, n2, CAST(sum(bit) AS BIGINT) AS sig FROM (
        |    SELECT vecs.*, CASE WHEN ${dotSql("v", "p")} > 0
@@ -143,6 +145,8 @@ object Similarity {
        |    FROM vecs, planes) b
        |  GROUP BY vec_id, label, v, n2)
        |""".stripMargin
+
+  private val sigSql = sigSqlN(16)
 
   /** Band keys for bucketed candidate generation (`bands` bands of
     * `bandBits` bits each; see the sizing law on [[withSig]]). */
@@ -153,11 +157,28 @@ object Similarity {
         expr(s"shiftright(sig, ${b * bandBits}) & $mask")): _*)).as(Seq("band", "key")))
   }
 
-  private val bandsSql =
-    """bands AS (
-      |  SELECT sigs.*, b.band, (sig >> (b.band * 4)) & 15 AS key
-      |  FROM sigs, (SELECT unnest(range(4)) AS band) b)
-      |""".stripMargin
+  private def bandsSqlN(bands: Int, bandBits: Int): String =
+    s"""bands AS (
+       |  SELECT sigs.*, b.band, (sig >> (b.band * $bandBits)) & ${(1L << bandBits) - 1} AS key
+       |  FROM sigs, (SELECT unnest(range($bands)) AS band) b)
+       |""".stripMargin
+
+  private val bandsSql = bandsSqlN(4, 4)
+
+  /** Slim LSH candidate pairs (id1 < id2, any shared band key) at the
+    * given signature/band geometry — the shared core of sim2/sim3 and
+    * the knob-demonstration paths (package-visible for the scale
+    * probe in SimilaritySpec). */
+  private[graft] def candidatePairs(
+      s: SparkSession, d: String, bits: Int, bands: Int, bandBits: Int): DataFrame = {
+    val bnd = withBands(withSig(vecs(s, d), bits), bands, bandBits)
+      .select("vec_id", "band", "key")
+    bnd.as("a").join(bnd.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+  }
 
   // --------------------------------------------------------------- sim2
 
@@ -220,12 +241,7 @@ object Similarity {
     // shuffle is ~1 KB/row of dead weight. Generate (id1, id2) pairs
     // bare, dedup, THEN join the vectors back (broadcast: the vector
     // table is tiny relative to the pair stream at any SF).
-    val bands = withBands(withSig(base)).select("vec_id", "band", "key")
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-      .dropDuplicates("id1", "id2")
+    candidatePairs(s, d, bits = 16, bands = 4, bandBits = 4)
       .join(broadcast(base.select(col("vec_id").as("id1"),
         col("v").as("v1"), col("n2").as("m1"))), "id1")
       .join(broadcast(base.select(col("vec_id").as("id2"),
@@ -244,6 +260,39 @@ object Similarity {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
        |    AND a.vec_id < b.vec_id) p
        |WHERE cosine >= 0.45""".stripMargin
+
+  // -------------------------------------------------------------- sim3b
+
+  /** sim3b: the wide-band geometry EXECUTED — the sizing law on
+    * [[withSig]] (b ≈ log2(N / targetBucket)) as a live, oracled
+    * pipeline instead of a docstring. 8-bit bands over a 32-bit
+    * signature → 256 buckets per band, so expected candidates fall
+    * from sim3's N²·4/2^5 to N²·4/2^9 — the knob a 100 TB corpus
+    * turns (the 4-bit geometry stops completing at ~40k vectors; this
+    * one keeps bucket sizes N/256 per band). Output is the full
+    * verified candidate set with exact cosine, UNthresholded: at
+    * b=8 the bands themselves are the prune, and emitting the scored
+    * pairs keeps the gate's row set deterministic at every SF
+    * (thresholding is the caller's one-line filter). */
+  private def sim3b(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    candidatePairs(s, d, bits = 32, bands = 4, bandBits = 8)
+      .join(broadcast(base.select(col("vec_id").as("id1"),
+        col("v").as("v1"), col("n2").as("m1"))), "id1")
+      .join(broadcast(base.select(col("vec_id").as("id2"),
+        col("v").as("v2"), col("n2").as("m2"))), "id2")
+      .withColumn("cosine",
+        dotExpr("v1", "v2") / (sqrt(col("m1")) * sqrt(col("m2"))))
+      .select("id1", "id2", "cosine")
+  }
+
+  private val sim3bSql = "WITH " + vecsSql.dropRight(1) + ", " +
+    sigSqlN(32).dropRight(1) + ", " + bandsSqlN(4, 8) +
+    s"""SELECT id1, id2, cosine FROM (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+       |    ${dotSql("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |    AND a.vec_id < b.vec_id) p""".stripMargin
 
   // --------------------------------------------------------------- sim4
 
@@ -324,6 +373,8 @@ object Similarity {
       "random-hyperplane LSH candidates + exact re-rank (ANN scale path)"),
     GateQuery("sim3_embedding_neardup", sim3, Some(sim3Sql),
       "LSH-blocked embedding near-dup pairs, cosine >= 0.45"),
+    GateQuery("sim3b_wideband_lsh", sim3b, Some(sim3bSql),
+      "wide-band (8-bit) LSH candidates + exact cosine — the scale knob executed"),
     GateQuery("sim4_ivf_centroids", sim4, Some(sim4Sql),
       "IVF centroids via exact scaled-integer component sums"),
     GateQuery("sim5_ivf_assign", sim5, Some(sim5Sql),

@@ -156,12 +156,21 @@ object YtFormats {
     * fallback; null → 'Unknown'. Messy codes are synthesized from
     * documents.lang (upper-cased, region-suffixed, or nulled by
     * doc_id residue). */
-  private def yf4(s: SparkSession, d: String): DataFrame = {
-    val dim = Seq(
+  /** The language dimension (P7's LANGUAGE_MAP analog,
+    * youtube_api_handler.py:336-359) — shared with ca7's per-language
+    * distribution. Tiny → always broadcast at the join site. */
+  private[operators] def langDim(s: SparkSession): DataFrame =
+    s.createDataFrame(Seq(
       ("en", "English"), ("es", "Spanish"), ("de", "German"),
-      ("fr", "French"), ("zh", "Chinese")
-    ).foldLeft(Seq.empty[(String, String)])(_ :+ _)
-    val dimDf = s.createDataFrame(dim).toDF("code", "name")
+      ("fr", "French"), ("zh", "Chinese"))).toDF("code", "name")
+
+  /** VALUES-list mirror of [[langDim]] for oracle SQL. */
+  private[operators] val langDimSql =
+    """(VALUES ('en','English'),('es','Spanish'),('de','German'),
+      |  ('fr','French'),('zh','Chinese')) dim(code, name)""".stripMargin
+
+  private def yf4(s: SparkSession, d: String): DataFrame = {
+    val dimDf = langDim(s)
     val docs = Tables.documents(s, d)
       .withColumn("raw_code",
         when(col("doc_id") % 11 === 0, lit(null).cast("string"))

@@ -83,6 +83,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "vector join-back should broadcast the tiny vector table")
   }
 
+  test("dd3 scans the corpus at most 3x (band self-join + one verify join-back)") {
+    // The split+zip_with shingle parse runs once per `documents` scan
+    // (within a scan's stage, codegen subexpression elimination shares
+    // the filter/projection copies InferFiltersFromGenerate inlines).
+    // Twice under the band self-join is inherent; the melt verify
+    // join-back adds ONE more. The old per-side join-back made it 4 —
+    // a spare full-corpus regexp pass at 100 TB.
+    val lp = gate("dd3_minhash_lsh", sf0001).queryExecution.optimizedPlan.toString
+    val n = "Relation \\[doc_id".r.findAllIn(lp).length
+    assert(n <= 3, s"expected <=3 documents scans in the optimized plan, got $n")
+  }
+
   test("la1 pagination is TakeOrderedAndProject, not a global-sort window") {
     val df = gate("la1_filter_paginate", sf0001)
     df.collect() // finalize AQE plan
