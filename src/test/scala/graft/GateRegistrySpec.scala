@@ -23,18 +23,58 @@ class GateRegistrySpec extends AnyFunSuite {
     // DuckDB's sum(BIGINT) returns HUGEINT (int128); the driver's hash is
     // dtype-sensitive, so an uncast sum in oracle SQL hash-mismatches
     // Spark's int64 even when every value is equal (round-1 verdict: 13
-    // such failures). Rule: every `sum(` must be immediately wrapped in
-    // `CAST(` — value-preserving, and it keeps the dtype BIGINT.
-    val sumRe = "(?i)sum\\s*\\(".r
+    // such failures). Rule: every `sum(...)` aggregate (word-boundary
+    // match, so `checksum(` never trips it) must sit directly inside a
+    // `CAST(` whose target — found at the CAST's own closing paren via
+    // paren balance, not a dot-star guess — is BIGINT or DOUBLE.
+    val sumRe = "(?i)\\bsum\\s*\\(".r
+    def castTarget(sql: String, castOpen: Int): Option[String] = {
+      // castOpen = index of the '(' after CAST; walk to its match.
+      var depth = 0
+      var i = castOpen
+      while (i < sql.length) {
+        sql(i) match {
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) {
+              val inner = sql.substring(castOpen + 1, i)
+              return "(?is).*\\bAS\\s+(\\w+)\\s*$".r
+                .findFirstMatchIn(inner).map(_.group(1).toUpperCase)
+            }
+          case _ =>
+        }
+        i += 1
+      }
+      None
+    }
     val offenders = for {
       q <- GateQueries.all
       sql <- q.oracle.toSeq
       m <- sumRe.findAllMatchIn(sql)
       prefix = sql.substring(0, m.start).replaceAll("\\s+$", "")
-      if !prefix.toUpperCase.endsWith("CAST(")
-    } yield s"${q.name}@${m.start}: ...${sql.substring(math.max(0, m.start - 20), math.min(sql.length, m.start + 30)).replace("\n", " ")}..."
+      target = if (prefix.toUpperCase.endsWith("CAST("))
+        castTarget(sql, prefix.length - 1) else None
+      if !target.exists(t => t == "BIGINT" || t == "DOUBLE")
+    } yield s"${q.name}@${m.start} (cast target: ${target.getOrElse("none")}): " +
+      s"...${sql.substring(math.max(0, m.start - 20), math.min(sql.length, m.start + 30)).replace("\n", " ")}..."
     assert(offenders.isEmpty,
-      s"uncast sum() in oracle SQL (wrap in CAST(... AS BIGINT)):\n${offenders.mkString("\n")}")
+      s"sum() not wrapped in CAST(... AS BIGINT|DOUBLE) in oracle SQL:\n${offenders.mkString("\n")}")
+  }
+
+  test("documented gate counts match the registry (no doc drift)") {
+    // Round-2 verdict: README/COVERAGE counts were two rounds stale.
+    // Pin the documented numbers to the registry so drift fails CI.
+    val total = GateQueries.all.size
+    val oracled = GateQueries.all.count(_.oracle.isDefined)
+    assert(total == 57 && oracled == 56,
+      s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
+    val coverage = scala.io.Source.fromFile("COVERAGE.md", "UTF-8").mkString
+    assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),
+      s"COVERAGE.md gate-count line must say $total total / $oracled oracle-checked")
+    val readme = scala.io.Source.fromFile("README.md", "UTF-8").mkString
+    assert(readme.contains(s"($total queries, $oracled oracled)"),
+      s"README.md registry line must say ($total queries, $oracled oracled)")
   }
 
   test("every gate query returns rows at sf0.001") {
