@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GateQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -294,6 +294,103 @@ object YtFormats {
       |          ELSE NULL END AS dur
       |      FROM orders) raw) g) p""".stripMargin
 
+  // ---------------------------------------------------------------- yf7
+
+  /** yf7 (S6 multi-entry): ONE Atom feed document per channel → N
+    * video rows, the reference's real feed shape (`_parse_rss_feed`
+    * iterates `atom:entry` elements, youtube_api_handler.py:781-803;
+    * yf1 exercises only the per-entry field extraction). Per channel,
+    * a namespaced feed with `c_custkey % 5` entries (0 = empty feed →
+    * zero rows, the reference's empty-list path) is synthesized, then
+    * parsed back with `from_xml` using an ArrayType entry schema and
+    * `explode`d. Per-entry fidelity mirrors `_parse_rss_video`
+    * (:805-838): video id from the URL (watch split on '&', shorts on
+    * '?'), type from the URL shape, and views from the nested
+    * media:group/media:community/media:statistics views attribute
+    * with the reference's 0 default when the group is absent (every
+    * (k+i) % 7 == 0 entry omits it). Narrow per-row map — no shuffle;
+    * the XML parse cost is one codegen'd expression per feed. */
+  private def yf7(s: SparkSession, d: String): DataFrame = {
+    val statsT = StructType(Seq(StructField("_views", LongType)))
+    val grpT = StructType(Seq(StructField("media:community",
+      StructType(Seq(StructField("media:statistics", statsT))))))
+    val entryT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("yt:videoId", StringType),
+      StructField("title", StringType),
+      StructField("link", StructType(Seq(StructField("_href", StringType)))),
+      StructField("published", StringType),
+      StructField("updated", StringType),
+      StructField("media:group", grpT)))
+    val feedT = StructType(Seq(
+      StructField("title", StringType),
+      StructField("entry", ArrayType(entryT))))
+    val k = col("c_custkey")
+    def vid(i: Column) = concat(lit("v"), k, lit("_"), i)
+    val entryXml = (i: Column) => {
+      val url = when((k + i) % 3 === 0,
+          concat(lit("https://www.youtube.com/shorts/"), vid(i), lit("?feature=share")))
+        .otherwise(concat(lit("https://www.youtube.com/watch?v="), vid(i),
+          lit("&amp;feature=share")))
+      val media = when((k + i) % 7 === 0, lit(""))
+        .otherwise(concat(
+          lit("<media:group><media:community><media:statistics views=\""),
+          k * 31 + i * 7,
+          lit("\"/></media:community></media:group>")))
+      concat(
+        lit("<entry><id>yt:video:"), vid(i),
+        lit("</id><yt:videoId>"), vid(i),
+        lit("</yt:videoId><title>vid "), k, lit(" "), i,
+        lit("</title><link href=\""), url,
+        lit("\"/><published>2025-01-"), lpad((i + 1).cast("string"), 2, "0"),
+        lit("T00:00:00+00:00</published><updated>2025-01-"),
+        lpad((i + 11).cast("string"), 2, "0"),
+        lit("T00:00:00+00:00</updated>"), media, lit("</entry>"))
+    }
+    val n = k % 5
+    val entries = when(n === 0, lit(""))
+      .otherwise(concat_ws("", transform(sequence(lit(0), (n - 1).cast("int")), entryXml)))
+    Tables.customer(s, d)
+      .withColumn("xml", concat(
+        lit("<feed xmlns=\"http://www.w3.org/2005/Atom\"" +
+          " xmlns:yt=\"http://www.youtube.com/xml/schemas/2015\"" +
+          " xmlns:media=\"http://search.yahoo.com/mrss/\"><title>Channel "),
+        k, lit("</title>"), entries, lit("</feed>")))
+      .withColumn("f", from_xml(col("xml"), feedT))
+      // explode (not _outer): an empty feed contributes zero rows,
+      // matching the reference's empty videos list
+      .select(k.as("channel_id"), explode(col("f.entry")).as("e"))
+      .select(
+        col("channel_id"),
+        regexp_extract(col("e.link._href"),
+          "(?:/watch\\?v=|/shorts/)([^&?]+)", 1).as("video_id"),
+        col("e.title").as("title"),
+        col("e.link._href").as("url"),
+        when(col("e.link._href").contains("/shorts/"), lit("shorts"))
+          .when(col("e.link._href").contains("/watch?v="), lit("long"))
+          .otherwise(lit("unknown")).as("video_type"),
+        col("e.published").as("published_at"),
+        col("e.updated").as("updated_at"),
+        coalesce(col("e.media:group.media:community.media:statistics._views"), lit(0L))
+          .as("views_from_rss"))
+  }
+
+  private val yf7Sql =
+    """SELECT c_custkey AS channel_id,
+      |  'v' || c_custkey || '_' || i AS video_id,
+      |  'vid ' || c_custkey || ' ' || i AS title,
+      |  CASE WHEN (c_custkey + i) % 3 = 0
+      |    THEN 'https://www.youtube.com/shorts/v' || c_custkey || '_' || i || '?feature=share'
+      |    ELSE 'https://www.youtube.com/watch?v=v' || c_custkey || '_' || i || '&feature=share'
+      |  END AS url,
+      |  CASE WHEN (c_custkey + i) % 3 = 0 THEN 'shorts' ELSE 'long' END AS video_type,
+      |  '2025-01-' || lpad(CAST(i + 1 AS VARCHAR), 2, '0') || 'T00:00:00+00:00' AS published_at,
+      |  '2025-01-' || lpad(CAST(i + 11 AS VARCHAR), 2, '0') || 'T00:00:00+00:00' AS updated_at,
+      |  CAST(CASE WHEN (c_custkey + i) % 7 = 0 THEN 0
+      |            ELSE c_custkey * 31 + i * 7 END AS BIGINT) AS views_from_rss
+      |FROM customer, range(0, 4) r(i)
+      |WHERE r.i < c_custkey % 5""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("yf1_rss_xml_parse", yf1, Some(yf1Sql),
       "Atom XML round-trip via from_xml + URL id extraction (S6/S7/P5/P6)"),
@@ -306,5 +403,7 @@ object YtFormats {
     GateQuery("yf5_handle_cache_key", yf5, Some(yf5Sql),
       "handle normalization + md5 cache key (P8/P11)"),
     GateQuery("yf6_duration_parse", yf6, Some(yf6Sql),
-      "codegen'd ISO-8601 duration parse + shorts-by-length flag (§7.3)"))
+      "codegen'd ISO-8601 duration parse + shorts-by-length flag (§7.3)"),
+    GateQuery("yf7_rss_feed_explode", yf7, Some(yf7Sql),
+      "multi-entry namespaced Atom feed -> exploded video rows (S6)"))
 }

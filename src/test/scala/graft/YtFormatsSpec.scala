@@ -19,6 +19,25 @@ class YtFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("yf7: multi-entry feeds explode to n rows; empty feeds to zero") {
+    // One feed document per channel with c_custkey % 5 entries — the
+    // reference's _parse_rss_feed loop (all atom:entry elements → one
+    // video dict each; empty feed → empty list).
+    val rows = gate("yf7_rss_feed_explode", sf0001).collect()
+    val byCh = rows.groupBy(_.getAs[Long]("channel_id")).view.mapValues(_.length)
+    byCh.foreach { case (k, n) => assert(n == (k % 5).toInt, s"channel $k: $n rows") }
+    assert(!byCh.keySet.exists(_ % 5 == 0), "empty feeds must contribute zero rows")
+    rows.foreach { r =>
+      val k = r.getAs[Long]("channel_id")
+      val i = r.getAs[String]("video_id").split("_")(1).toLong
+      // views: nested media attribute, reference default 0 when absent
+      val v = r.getAs[Long]("views_from_rss")
+      assert(v == (if ((k + i) % 7 == 0) 0L else k * 31 + i * 7))
+      assert(r.getAs[String]("video_type") ==
+        (if ((k + i) % 3 == 0) "shorts" else "long"))
+    }
+  }
+
   test("yf2: emails extracted only where present, null otherwise") {
     val rows = gate("yf2_email_extract", sf0001).collect()
     rows.foreach { r =>
