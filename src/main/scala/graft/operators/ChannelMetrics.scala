@@ -479,6 +479,73 @@ object ChannelMetrics {
       |FROM (SELECT i, (i*1103515245 + 12345) % 10000000 AS subs
       |      FROM range(0, 2000) t(i)) u""".stripMargin
 
+  // ---------------------------------------------------------------- ca9
+
+  /** ca9: the reference's ROUNDED metrics — `round(er, 4)` and
+    * `round(pct, 1)` with Python's banker's (half-even) semantics
+    * (youtube_api_handler.py:987,1066) — where ca2/ca3 floor-truncate.
+    * Implemented as exact rational half-even in integer arithmetic:
+    * for n/d (both ≥ 0), q = n div d, r = n mod d, and the rounded
+    * quotient is q + (2r > d ? 1 : 2r < d ? 0 : q mod 2) — ties go to
+    * the even quotient, computed on the TRUE value. (Python round()
+    * rounds the closest double instead, and Spark `bround` rounds the
+    * shortest decimal rendering of that double — all three agree
+    * except within one double-ulp of a tie; the rational form is the
+    * only one two engines reproduce bit-for-bit, and ties are real:
+    * 1/16 of 100% = 6.25% rounds DOWN to 6.2, 3/16 = 18.75% rounds UP
+    * to 18.8.) Same plan shape as ca2 + ca3: one ranked pass, one
+    * map-side-combined agg, broadcast subscriber dim. */
+  /** SQL for the half-even (banker's) integer quotient of n/den, n and
+    * den ≥ 0 — `op` is the floor-div operator ("div" Spark, "//"
+    * DuckDB). Shared by ca9 and its oracle; unit-tested on tie cases
+    * in ChannelMetricsSpec. */
+  private[graft] def halfEvenDiv(n: String, den: String, op: String = "div"): String =
+    s"(($n) $op ($den)) + (CASE WHEN 2 * (($n) % ($den)) > ($den) THEN 1 " +
+      s"WHEN 2 * (($n) % ($den)) < ($den) THEN 0 ELSE (($n) $op ($den)) % 2 END)"
+
+  private def ca9(s: SparkSession, d: String): DataFrame = {
+    def halfEven(n: String, den: String) = halfEvenDiv(n, den)
+    ranked(s, d)
+      .filter(col("rk") <= 15)
+      .groupBy(col("channel_id"))
+      .agg(
+        sum(col("k_engage")).as("k_sum"),
+        sum(when(col("video_type") === "shorts", 1L).otherwise(0L)).as("n_shorts"),
+        sum(when(col("video_type") === "long", 1L).otherwise(0L)).as("n_long"),
+        count(lit(1)).as("n_total"))
+      .join(broadcast(subs(s, d)), Seq("channel_id"), "left")
+      .select(
+        col("channel_id"), col("n_shorts"), col("n_long"), col("n_total"),
+        // ER = k_sum/subs*100, half-even at 4 dp (subs_cents = subs*100)
+        (when(coalesce(col("subs_cents"), lit(0L)) > 0,
+          expr(halfEven("k_sum * 100 * 100 * 10000", "subs_cents")))
+          .otherwise(lit(0L)).cast("double") / lit(10000.0)).as("engagement_rate"),
+        (expr(halfEven("n_shorts * 100 * 10", "n_total")).cast("double") / 10.0)
+          .as("short_percent"),
+        (expr(halfEven("n_long * 100 * 10", "n_total")).cast("double") / 10.0)
+          .as("long_percent"))
+  }
+
+  private val ca9Sql = {
+    def halfEven(n: String, den: String) = halfEvenDiv(n, den, op = "//")
+    vidsSql.dropRight(1) + ", " + rankedSql +
+      s"""SELECT t.channel_id, n_shorts, n_long, n_total,
+         |  CAST(CASE WHEN COALESCE(subs_cents, 0) > 0
+         |    THEN ${halfEven("k_sum * 100 * 100 * 10000", "subs_cents")}
+         |    ELSE 0 END AS DOUBLE) / 10000.0 AS engagement_rate,
+         |  CAST(${halfEven("n_shorts * 100 * 10", "n_total")} AS DOUBLE) / 10.0
+         |    AS short_percent,
+         |  CAST(${halfEven("n_long * 100 * 10", "n_total")} AS DOUBLE) / 10.0
+         |    AS long_percent
+         |FROM (
+         |  SELECT channel_id, CAST(sum(k_engage) AS BIGINT) AS k_sum,
+         |    CAST(sum(CASE WHEN video_type = 'shorts' THEN 1 ELSE 0 END) AS BIGINT) AS n_shorts,
+         |    CAST(sum(CASE WHEN video_type = 'long' THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+         |    count(*) AS n_total
+         |  FROM ranked WHERE rk <= 15 GROUP BY channel_id) t
+         |LEFT JOIN subs ON t.channel_id = subs.channel_id""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("ca0_video_projection", ca0, Some(ca0Sql),
       "formatter + classifier + floor ratios (P1/P2/P5/P6/P9/P10)"),
@@ -497,5 +564,7 @@ object ChannelMetrics {
     GateQuery("ca7_language_distribution", ca7, Some(ca7Sql),
       "full per-language rows: name/count/pct via broadcast dim (A5/P7)"),
     GateQuery("ca8_nested_channel_doc", ca8, Some(ca8Sql),
-      "nested formatted channel document, to_json-compared (P1/P2)"))
+      "nested formatted channel document, to_json-compared (P1/P2)"),
+    GateQuery("ca9_banker_rounding", ca9, Some(ca9Sql),
+      "reference round(er,4)/round(pct,1) via exact rational half-even"))
 }

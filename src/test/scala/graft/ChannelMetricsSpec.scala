@@ -86,6 +86,32 @@ class ChannelMetricsSpec extends AnyFunSuite {
     assert(m(3L)("shorts_er_6") == 0.0 && m(3L)("long_er_15") == 0.0)
   }
 
+  test("ca9 half-even rounding: ties go to even, everything else nearest") {
+    // The shared halfEvenDiv formula on literal tie/near-tie cases,
+    // against java.math.BigDecimal HALF_EVEN as the independent model
+    // (the gate data rarely produces exact ties — n_total is usually
+    // the odd 15 — so the tie branch is pinned here explicitly).
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val cases = Seq((1250L, 100L), (1350L, 100L), (1251L, 100L),
+      (1349L, 100L), (625L, 100L), (1875L, 100L), (1L, 3L), (2L, 3L), (0L, 7L))
+    cases.foreach { case (n, d) =>
+      val got = spark.sql(
+        s"SELECT ${operators.ChannelMetrics.halfEvenDiv(n.toString, d.toString)} AS r")
+        .first.getLong(0)
+      val want = new JBD(n).divide(new JBD(d), 0, RoundingMode.HALF_EVEN).longValueExact()
+      assert(got == want, s"halfEvenDiv($n, $d): got $got want $want")
+    }
+    // and the gate's percent columns re-derive from their own counts
+    val rows = gate("ca9_banker_rounding", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ns, nt) = (r.getAs[Long]("n_shorts"), r.getAs[Long]("n_total"))
+      val want = new JBD(ns * 100).divide(new JBD(nt), 1, RoundingMode.HALF_EVEN)
+        .doubleValue()
+      assert(r.getAs[Double]("short_percent") == want, s"row $r")
+    }
+  }
+
   test("invariants on driver data (sf0.001)") {
     val d3 = gate("ca3_type_distribution", sf0001).collect()
     d3.foreach { r =>
