@@ -391,6 +391,111 @@ object YtFormats {
       |FROM customer, range(0, 4) r(i)
       |WHERE r.i < c_custkey % 5""".stripMargin
 
+  // ---------------------------------------------------------------- yf8
+
+  /** The reference's FULL 83-row language dimension
+    * (languagelist.json, loaded at youtube_api_handler.py:313-334) —
+    * 9 ids are mixed-case region/script variants (en-GB, zh-CN,
+    * sr-Latn, …), which is what makes the 4-step fallback order of
+    * `_get_full_language_name` observable. [[langDim]]/yf4 keep the
+    * 5-row broadcast-join demo (S8/J2); this is the fidelity dim. */
+  private[operators] val fullLangDim: Seq[(String, String)] = Seq(
+    "af" -> "Afrikaans", "am" -> "Amharic", "ar" -> "Arabic",
+    "as" -> "Assamese", "az" -> "Azerbaijani", "be" -> "Belarusian",
+    "bg" -> "Bulgarian", "bn" -> "Bangla", "bs" -> "Bosnian",
+    "ca" -> "Catalan", "cs" -> "Czech", "da" -> "Danish",
+    "de" -> "German", "el" -> "Greek", "en-GB" -> "English (United Kingdom)",
+    "en-IN" -> "English (India)", "en" -> "English", "es" -> "Spanish",
+    "es-419" -> "Spanish (Latin America)", "es-US" -> "Spanish (United States)",
+    "et" -> "Estonian", "eu" -> "Basque", "fa" -> "Persian",
+    "fi" -> "Finnish", "fil" -> "Filipino", "fr-CA" -> "French (Canada)",
+    "fr" -> "French", "gl" -> "Galician", "gu" -> "Gujarati",
+    "hi" -> "Hindi", "hr" -> "Croatian", "hu" -> "Hungarian",
+    "hy" -> "Armenian", "id" -> "Indonesian", "is" -> "Icelandic",
+    "it" -> "Italian", "iw" -> "Hebrew", "ja" -> "Japanese",
+    "ka" -> "Georgian", "kk" -> "Kazakh", "km" -> "Khmer",
+    "kn" -> "Kannada", "ko" -> "Korean", "ky" -> "Kyrgyz",
+    "lo" -> "Lao", "lt" -> "Lithuanian", "lv" -> "Latvian",
+    "mk" -> "Macedonian", "ml" -> "Malayalam", "mn" -> "Mongolian",
+    "mr" -> "Marathi", "ms" -> "Malay", "my" -> "Burmese",
+    "no" -> "Norwegian", "ne" -> "Nepali", "nl" -> "Dutch",
+    "or" -> "Odia", "pa" -> "Punjabi", "pl" -> "Polish",
+    "pt" -> "Portuguese", "pt-PT" -> "Portuguese (Portugal)",
+    "ro" -> "Romanian", "ru" -> "Russian", "si" -> "Sinhala",
+    "sk" -> "Slovak", "sl" -> "Slovenian", "sq" -> "Albanian",
+    "sr-Latn" -> "Serbian (Latin)", "sr" -> "Serbian", "sv" -> "Swedish",
+    "sw" -> "Swahili", "ta" -> "Tamil", "te" -> "Telugu",
+    "th" -> "Thai", "tr" -> "Turkish", "uk" -> "Ukrainian",
+    "ur" -> "Urdu", "uz" -> "Uzbek", "vi" -> "Vietnamese",
+    "zh-CN" -> "Chinese (China)", "zh-HK" -> "Chinese (Hong Kong)",
+    "zh-TW" -> "Chinese (Taiwan)", "zu" -> "Zulu")
+
+  /** 16 synthesized codes covering every branch of the fallback
+    * chain: exact hits (incl. mixed-case ids), wrong-case region
+    * variants that must SKIP the lowercase step and hit the base code
+    * (EN-GB → en; the dim key is en-GB, so step 2 misses), variants
+    * whose base is absent (zh-cn → ZH-CN: no plain zh in the dim),
+    * unknown codes, null and '' (both → Unknown). */
+  private val yf8Variants: Seq[String] = Seq(
+    "en", "en-GB", "EN-GB", "zh-CN", "zh-cn", "es-419", "ES", "fr-ca",
+    "sr-Latn", "sr-latn", "pt-PT", "xx", "xx-YY", null, "", "de-AT")
+
+  /** yf8 (P7 full fidelity): `_get_full_language_name`'s exact 4-step
+    * fallback (youtube_api_handler.py:336-359) over the full 83-row
+    * dim — (1) case-SENSITIVE exact lookup, (2) lowercased lookup,
+    * (3) base code before '-', (4) upper(code) display fallback;
+    * null/'' short-circuit to 'Unknown'. `matched_step` exposes which
+    * step fired so the ORDER (not just the final name) is verified.
+    * Spark-first shape: the constant dim becomes a literal map with
+    * three `element_at` probes inside one codegen'd projection — no
+    * join, no shuffle, nothing to broadcast; at 100 TB this is a pure
+    * narrow map over the corpus (yf4 keeps the broadcast-join form
+    * for when the dim is a real table). */
+  private def yf8(s: SparkSession, d: String): DataFrame = {
+    val m = typedLit(fullLangDim.toMap)
+    val raw = col("raw_code")
+    val exact = element_at(m, raw)
+    val lowered = element_at(m, lower(raw))
+    val base = element_at(m, substring_index(lower(raw), "-", 1))
+    Tables.documents(s, d)
+      .withColumn("raw_code",
+        element_at(array(yf8Variants.map(v => lit(v).cast("string")): _*),
+          (col("doc_id") % 16 + 1).cast("int")))
+      .select(
+        col("doc_id"), raw,
+        when(raw.isNull || raw === "", lit("Unknown"))
+          .otherwise(coalesce(exact, lowered, base, upper(raw))).as("language_name"),
+        when(raw.isNull || raw === "", lit(0))
+          .when(exact.isNotNull, lit(1))
+          .when(lowered.isNotNull, lit(2))
+          .when(base.isNotNull, lit(3))
+          .otherwise(lit(4)).as("matched_step"))
+  }
+
+  private val yf8Sql = {
+    val dimValues = fullLangDim.map { case (c, n) => s"('$c','$n')" }.mkString(",")
+    val variants = yf8Variants
+      .map(v => if (v == null) "NULL" else s"'$v'").mkString(",")
+    s"""WITH dim(code, name) AS (VALUES $dimValues),
+       |docs AS (
+       |  SELECT doc_id,
+       |    ([$variants])[CAST(doc_id % 16 + 1 AS INT)] AS raw_code
+       |  FROM documents)
+       |SELECT d.doc_id, d.raw_code,
+       |  CASE WHEN d.raw_code IS NULL OR d.raw_code = '' THEN 'Unknown'
+       |       ELSE COALESCE(d1.name, d2.name, d3.name, upper(d.raw_code)) END
+       |    AS language_name,
+       |  CASE WHEN d.raw_code IS NULL OR d.raw_code = '' THEN 0
+       |       WHEN d1.name IS NOT NULL THEN 1
+       |       WHEN d2.name IS NOT NULL THEN 2
+       |       WHEN d3.name IS NOT NULL THEN 3
+       |       ELSE 4 END AS matched_step
+       |FROM docs d
+       |LEFT JOIN dim d1 ON d.raw_code = d1.code
+       |LEFT JOIN dim d2 ON lower(d.raw_code) = d2.code
+       |LEFT JOIN dim d3 ON split_part(lower(d.raw_code), '-', 1) = d3.code""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("yf1_rss_xml_parse", yf1, Some(yf1Sql),
       "Atom XML round-trip via from_xml + URL id extraction (S6/S7/P5/P6)"),
@@ -405,5 +510,7 @@ object YtFormats {
     GateQuery("yf6_duration_parse", yf6, Some(yf6Sql),
       "codegen'd ISO-8601 duration parse + shorts-by-length flag (§7.3)"),
     GateQuery("yf7_rss_feed_explode", yf7, Some(yf7Sql),
-      "multi-entry namespaced Atom feed -> exploded video rows (S6)"))
+      "multi-entry namespaced Atom feed -> exploded video rows (S6)"),
+    GateQuery("yf8_full_language_fallback", yf8, Some(yf8Sql),
+      "full 83-row language dim + exact 4-step fallback order (P7)"))
 }

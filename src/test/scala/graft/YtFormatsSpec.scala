@@ -73,6 +73,34 @@ class YtFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("yf8: full dim + exact 4-step fallback order, per variant branch") {
+    // Expected (name, step) per variant index — pinned by hand from
+    // languagelist.json semantics: step 1 = exact (case-sensitive),
+    // 2 = lowercased, 3 = base before '-', 4 = upper() fallback,
+    // 0 = null/'' short-circuit. EN-GB must SKIP step 2 (dim key is
+    // en-GB, not en-gb) and land on base 'en'; zh-cn must fall all
+    // the way through (no plain zh in the dim).
+    val want: Map[Int, (String, Int)] = Map(
+      0 -> ("English", 1), 1 -> ("English (United Kingdom)", 1),
+      2 -> ("English", 3), 3 -> ("Chinese (China)", 1),
+      4 -> ("ZH-CN", 4), 5 -> ("Spanish (Latin America)", 1),
+      6 -> ("Spanish", 2), 7 -> ("French", 3),
+      8 -> ("Serbian (Latin)", 1), 9 -> ("Serbian", 3),
+      10 -> ("Portuguese (Portugal)", 1), 11 -> ("XX", 4),
+      12 -> ("XX-YY", 4), 13 -> ("Unknown", 0),
+      14 -> ("Unknown", 0), 15 -> ("German", 3))
+    val rows = gate("yf8_full_language_fallback", sf0001).collect()
+    assert(rows.nonEmpty)
+    val hit = scala.collection.mutable.Set[Int]()
+    rows.foreach { r =>
+      val idx = (r.getAs[Long]("doc_id") % 16).toInt
+      hit += idx
+      val got = (r.getAs[String]("language_name"), r.getAs[Int]("matched_step"))
+      assert(got == want(idx), s"doc ${r.getAs[Long]("doc_id")} variant $idx: $got")
+    }
+    assert(hit == (0 until 16).toSet, s"variants not all exercised: $hit")
+  }
+
   test("yf5: multi-@ handles collapse to one @") {
     gate("yf5_handle_cache_key", sf0001).collect().foreach { r =>
       val h = r.getAs[String]("handle")
