@@ -88,6 +88,13 @@ def main():
             # (integers hash via a common uint64 cast) but int64 vs float64
             # FAILS (DuckDB HUGEINT sums arrive as float64) — so compare
             # dtype *families*, not exact widths.
+            # Note this runs on RAW dtypes, before canon()'s object->float
+            # coercion: an oracle emitting DECIMAL (pandas object) against
+            # Spark float64 fails here even with equal values. That is
+            # intentional — the driver's hash is just as dtype-sensitive,
+            # and the gate-query numeric policy (GateQuery scaladoc) bans
+            # DECIMAL outputs: every oracle wraps numeric aggregates in
+            # CAST(... AS BIGINT/DOUBLE), lint-enforced by GateRegistrySpec.
             for c in sorted(got.columns):
                 fg, fe = dtype_family(got[c].dtype), dtype_family(exp[c].dtype)
                 if fg != fe:
