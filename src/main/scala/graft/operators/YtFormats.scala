@@ -308,8 +308,17 @@ object YtFormats {
     * '?'), type from the URL shape, and views from the nested
     * media:group/media:community/media:statistics views attribute
     * with the reference's 0 default when the group is absent (every
-    * (k+i) % 7 == 0 entry omits it). Narrow per-row map — no shuffle;
-    * the XML parse cost is one codegen'd expression per feed. */
+    * (k+i) % 7 == 0 entry omits it).
+    *
+    * Parallelism: the XML parse is the CPU cost here and the input is
+    * the small channel dim (the feeds are synthesized per channel), so
+    * the rows are spread across cores BEFORE the synth+parse
+    * projection — shuffling the few pre-synthesis columns is ~free,
+    * while without it a compact single-row-group channel file turns
+    * the whole parse into one task (measured 7.3 s → sub-second at
+    * sf0.1). A real at-rest feed corpus arrives as many files/row
+    * groups whose input splits parallelize the parse for free — this
+    * repartition is for the parse-follows-tiny-dim shape only. */
   private def yf7(s: SparkSession, d: String): DataFrame = {
     val statsT = StructType(Seq(StructField("_views", LongType)))
     val grpT = StructType(Seq(StructField("media:community",
@@ -351,15 +360,23 @@ object YtFormats {
     val entries = when(n === 0, lit(""))
       .otherwise(concat_ws("", transform(sequence(lit(0), (n - 1).cast("int")), entryXml)))
     Tables.customer(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("xml", concat(
         lit("<feed xmlns=\"http://www.w3.org/2005/Atom\"" +
           " xmlns:yt=\"http://www.youtube.com/xml/schemas/2015\"" +
           " xmlns:media=\"http://search.yahoo.com/mrss/\"><title>Channel "),
         k, lit("</title>"), entries, lit("</feed>")))
       .withColumn("f", from_xml(col("xml"), feedT))
-      // explode (not _outer): an empty feed contributes zero rows,
-      // matching the reference's empty videos list
-      .select(k.as("channel_id"), explode(col("f.entry")).as("e"))
+      // explode_outer + isNotNull (not plain explode): identical
+      // semantics — an empty feed contributes zero rows, matching the
+      // reference's empty videos list — but plain explode triggers
+      // InferFiltersFromGenerate, whose size(from_xml(..).entry) > 0
+      // filter is pushed below the repartition onto the single-task
+      // scan, serializing a second full XML parse (measured 2.6 s vs
+      // 0.4 s at sf0.1). explode_outer infers no filter, so the parse
+      // runs exactly once, after the fan-out.
+      .select(k.as("channel_id"), explode_outer(col("f.entry")).as("e"))
+      .filter(col("e").isNotNull)
       .select(
         col("channel_id"),
         regexp_extract(col("e.link._href"),
