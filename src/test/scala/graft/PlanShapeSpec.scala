@@ -108,6 +108,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window must partition on the constant survivor key\n$p")
   }
 
+  test("yf8 literal-map language lookup is a pure narrow map") {
+    // The 83-row constant dim must compile to a literal map probed in
+    // the projection — no join, no broadcast, no shuffle. At 100 TB
+    // this keeps the lookup a zero-exchange pass over the corpus.
+    val p = plan("yf8_full_language_fallback")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"yf8 must not join or shuffle\n$p")
+  }
+
+  test("ca9 top-15 prune runs before the shuffle (WindowGroupLimit partial)") {
+    // rk <= 15 must become a partial WindowGroupLimit below the
+    // exchange — at 100 TB the per-channel top-k prunes map-side
+    // instead of shuffling every video.
+    val p = plan("ca9_banker_rounding")
+    val idxLimit = p.indexOf("WindowGroupLimit")
+    val idxEx = p.indexOf("Exchange hashpartitioning")
+    assert(idxLimit >= 0 && idxEx >= 0)
+    assert(p.contains("Partial"), s"expected a partial WindowGroupLimit\n$p")
+  }
+
   test("q9 salted agg: partials spread over salt before the final merge") {
     val p = plan("q9_salted_agg")
     // two grouping phases → two hashpartitioning exchanges: one on
