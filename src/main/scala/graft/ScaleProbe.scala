@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe: demonstrates the LSH band-width sizing law
+  * (Similarity.withSig scaladoc: candidates ≈ N²·bands/2^(bandBits+1))
+  * on a corpus REPLICA_FACTOR× the sf0.1 embeddings table, instead of
+  * asserting it from a docstring. Round-1 finding being demonstrated:
+  * the 4-bit gate geometry (16 buckets/band) stops completing around
+  * 40k vectors, while 8/16-bit bands keep candidate sets — and thus
+  * the verify join — bounded. Run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe"
+  *
+  * Prints one line per geometry: bandBits, bucket count, candidate
+  * pairs, elapsed seconds. The replica (exact copies with shifted ids)
+  * is the worst realistic case for near-dup blocking: every true
+  * duplicate group has 20 members, so every bucket is dense and the
+  * candidate join cannot be saved by data sparsity.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_REPLICA", "20").toInt
+    val out = "/tmp/graft_scale_probe"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.requiredConfs)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    src.crossJoin(spark.range(factor).toDF("rep"))
+      .withColumn("vec_id", col("vec_id") + col("rep") * lit(100000L))
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val n = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(s"corpus: $n vectors ($factor x $sfDir)")
+
+    // (bits, bands, bandBits): the gate geometry (4-bit, sim2/sim3),
+    // the sim3b wide-band gate (8-bit), and the next stop on the law
+    // (16-bit). Same 32-plane pool throughout — only the knob moves.
+    for ((bits, bands, bandBits) <- Seq((16, 4, 4), (32, 4, 8), (32, 2, 16))) {
+      val t0 = System.nanoTime()
+      val c = operators.Similarity.candidatePairs(spark, out, bits, bands, bandBits).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"bandBits=$bandBits%2d buckets=${1L << bandBits}%6d " +
+        f"candidates=$c%12d elapsed=$secs%7.1f s")
+    }
+    spark.stop()
+  }
+}
