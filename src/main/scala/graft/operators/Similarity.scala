@@ -344,7 +344,8 @@ object Similarity {
         col("dist_scaled"), (col("clabel") === col("label")).as("is_home"))
   }
 
-  private val sim5Sql = "WITH " + vecsSql.dropRight(1) + ", " +
+  /** Shared centroid CTE (sim4's result keyed for probing). */
+  private val centSql =
     s"""cent AS (
        |  SELECT label AS clabel, dim,
        |    CAST(sum_scaled AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE) AS centroid
@@ -353,6 +354,19 @@ object Similarity {
        |      CAST(sum(CAST(floor(v[i.range + 1] * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_scaled,
        |      count(*) AS n
        |    FROM vecs, range($Dim) i GROUP BY 1, 2) t)
+       |""".stripMargin
+
+  /** Exact scaled-L2 distance of every `src` row (aliased `e`, with a
+    * vector column `v`) to every centroid — the shared probe step. */
+  private def distSql(src: String, idCol: String): String =
+    s"""SELECT e.$idCol, c.clabel,
+       |      CAST(sum(CAST(floor((e.v[c.dim + 1] - c.centroid) * (e.v[c.dim + 1] - c.centroid)
+       |        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dist_scaled
+       |    FROM $src e, cent c
+       |    GROUP BY 1, 2""".stripMargin
+
+  private val sim5Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) +
+    s"""
        |SELECT vec_id, label, assigned_label, dist_scaled, is_home FROM (
        |  SELECT vec_id, label, clabel AS assigned_label, dist_scaled,
        |    clabel = label AS is_home,
@@ -366,6 +380,84 @@ object Similarity {
        |    GROUP BY 1, 2, 3) d) r
        |WHERE rk = 1""".stripMargin
 
+  // --------------------------------------------------------------- sim6
+
+  /** sim6: the IVF QUERY path — sim4's centroids and sim5's inverted
+    * lists exist to make this search cheap, and this gate executes
+    * it: each query probes its nprobe=2 nearest centroids (exact
+    * scaled-L2, sim5's formula) and scores ONLY the vectors assigned
+    * to those cells with the exact cosine, top-10 per query with
+    * sim1's tie-break. With nlist = 10 label cells, each query scans
+    * ≈ nprobe/nlist = 20% of the corpus — the IVF recall/cost knob
+    * (vs sim1's 100% and sim2's band-collision candidates).
+    *
+    * Scale shape: centroids (nlist × 64 rows) and the per-query probe
+    * set are broadcast; candidates stay SLIM (query_id, vec_id) until
+    * one hash join pulls vectors back for scoring. At 100 TB the
+    * index (centroids + assignments, bucketed by cell) is built once
+    * and reused across queries; a gate is self-contained so it
+    * recomputes both here — exchange reuse dedupes the repeated
+    * centroid subtree. */
+  private def sim6(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val cent = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
+    val probes = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), posexplode(col("v")).as(Seq("dim", "comp")))
+      .join(broadcast(cent), Seq("dim"))
+      .withColumn("term",
+        expr("floor((comp - centroid) * (comp - centroid) * 1000000000000.0D)"))
+      .groupBy(col("query_id"), col("clabel"))
+      .agg(sum(col("term")).as("dist_scaled"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist_scaled").asc, col("clabel").asc)))
+      .filter(col("crk") <= 2)
+      .select(col("query_id"), col("clabel"))
+    val assign = sim5(s, d).select(col("vec_id"), col("assigned_label").as("clabel"))
+    val qv = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    assign.join(broadcast(probes), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id") // slim candidates through the joins
+      .join(base.select("vec_id", "v", "n2"), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine",
+        dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+  }
+
+  private val sim6Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
+    s"""assign AS (
+       |  SELECT vec_id, clabel FROM (
+       |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |    ${distSql("vecs", "vec_id")}) d) r
+       |  WHERE rk = 1),
+       |probes AS (
+       |  SELECT query_id, clabel FROM (
+       |    SELECT vec_id AS query_id, clabel, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS crk
+       |    FROM (
+       |    ${distSql("(SELECT * FROM vecs WHERE vec_id % 100 = 0)", "vec_id")}) d) r
+       |  WHERE crk <= 2)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) AS cosine,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) DESC,
+       |               b.vec_id ASC) AS rank
+       |  FROM probes p
+       |  JOIN assign a ON a.clabel = p.clabel
+       |  JOIN vecs b ON b.vec_id = a.vec_id AND b.vec_id <> p.query_id
+       |  JOIN vecs q ON q.vec_id = p.query_id) t
+       |WHERE rank <= 10""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -378,5 +470,7 @@ object Similarity {
     GateQuery("sim4_ivf_centroids", sim4, Some(sim4Sql),
       "IVF centroids via exact scaled-integer component sums"),
     GateQuery("sim5_ivf_assign", sim5, Some(sim5Sql),
-      "IVF nearest-centroid assignment, exact scaled distances"))
+      "IVF nearest-centroid assignment, exact scaled distances"),
+    GateQuery("sim6_ivf_search", sim6, Some(sim6Sql),
+      "IVF probe search: nprobe=2 cells, exact cosine re-rank (the query path)"))
 }

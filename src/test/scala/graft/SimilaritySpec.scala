@@ -66,6 +66,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gate("sim3b_wideband_lsh", sf001).count() == c8)
   }
 
+  test("sim6 IVF search: probed cells only, cosines agree with sim1") {
+    // The query path over sim4/sim5's index: every neighbor must live
+    // in one of the query's 2 probed cells, ranks are dense from 1,
+    // and any (query, neighbor) pair sim1 also scored carries the
+    // bit-identical cosine (same left-fold dot) — IVF changes WHICH
+    // vectors are scored, never the score.
+    val s6 = gate("sim6_ivf_search", sf0001).collect()
+    assert(s6.nonEmpty)
+    val assign = gate("sim5_ivf_assign", sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("assigned_label")).toMap
+    s6.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rows.length), s"query $q ranks not dense")
+      // ≤ 2 distinct cells probed per query
+      val cells = rows.map(r => assign(r.getAs[Long]("neighbor_id"))).toSet
+      assert(cells.size <= 2, s"query $q scored ${cells.size} cells")
+    }
+    val s1 = gate("sim1_knn_bruteforce", sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    s6.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      s1.get(k).foreach(c => assert(c == r.getAs[Double]("cosine"), s"$k"))
+    }
+  }
+
   test("sim1/sim2 on driver data: ranks dense, ANN ⊆ exact-scored") {
     val s1 = gate("sim1_knn_bruteforce", sf0001).collect()
     val byQ = s1.groupBy(_.getAs[Long]("query_id"))
