@@ -101,14 +101,18 @@ object TextAnalysis {
     "fr" -> "\\b(batch|hash|value)\\b",
     "zh" -> "\\b(big|dup|sort)\\b")
 
-  private def tx3(s: SparkSession, d: String): DataFrame = {
-    val scored = langScores.foldLeft(
-      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))) {
-      case (df, (l, pat)) => df.withColumn(s"score_$l", regexp_count(col("text"), lit(pat)))
+  /** Adds one `score_<lang>` marker-count column per candidate. */
+  private def withLangScores(df: DataFrame): DataFrame =
+    langScores.foldLeft(df) {
+      case (acc, (l, pat)) =>
+        acc.withColumn(s"score_$l", regexp_count(col("text"), lit(pat)))
     }
-    // argmax with precedence: a language wins only if strictly greater
-    // than every earlier (higher-precedence) language's score.
-    val guess = langScores.map(_._1).zipWithIndex.foldRight(lit("en")) {
+
+  /** Argmax with precedence over the `score_*` columns: a language
+    * wins only if strictly greater than every earlier
+    * (higher-precedence) language's score. Shared by tx3 and tx7. */
+  private def guessLangCol: Column =
+    langScores.map(_._1).zipWithIndex.foldRight(lit("en")) {
       case ((l, i), rest) =>
         val earlier = langScores.map(_._1).take(i)
         val beatsEarlier = earlier.foldLeft(lit(true)) { (acc, e) =>
@@ -119,33 +123,42 @@ object TextAnalysis {
         }
         when(beatsEarlier && atLeastLater, lit(l)).otherwise(rest)
     }
-    scored
-      .withColumn("guess_lang", guess)
-      .withColumn("is_match", col("guess_lang") === col("lang"))
-      .drop("text")
-  }
 
-  private val tx3Sql = {
-    val scoreCols = langScores.map { case (l, pat) =>
-      val ducked = pat // RE2 \b works like Java \b for ASCII
-      s"length(regexp_extract_all(text, '$ducked')) AS score_$l"
-    }.mkString(",\n    ")
+  /** SQL mirror of [[guessLangCol]] (nested CASE). */
+  private def guessLangSql: String = {
     val langs = langScores.map(_._1)
-    val guess = langs.zipWithIndex.foldRight("'en'") { case ((l, i), rest) =>
+    langs.zipWithIndex.foldRight("'en'") { case ((l, i), rest) =>
       val earlier = langs.take(i).map(e => s"score_$l > score_$e")
       val later = langs.drop(i + 1).map(e => s"score_$l >= score_$e")
       val cond = (earlier ++ later).mkString(" AND ")
       if (cond.isEmpty) s"'$l'"
       else s"CASE WHEN $cond THEN '$l' ELSE $rest END"
     }
+  }
+
+  private def tx3(s: SparkSession, d: String): DataFrame = {
+    val scored = withLangScores(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")))
+    scored
+      .withColumn("guess_lang", guessLangCol)
+      .withColumn("is_match", col("guess_lang") === col("lang"))
+      .drop("text")
+  }
+
+  /** SQL score columns mirror (RE2 \b works like Java \b for ASCII). */
+  private def scoreColsSql: String =
+    langScores.map { case (l, pat) =>
+      s"length(regexp_extract_all(text, '$pat')) AS score_$l"
+    }.mkString(",\n    ")
+
+  private val tx3Sql =
     s"""SELECT doc_id, lang, score_en, score_es, score_de, score_fr, score_zh,
        |  guess_lang, guess_lang = lang AS is_match
        |FROM (
-       |  SELECT *, $guess AS guess_lang FROM (
+       |  SELECT *, $guessLangSql AS guess_lang FROM (
        |    SELECT doc_id, lang,
-       |    $scoreCols
+       |    $scoreColsSql
        |    FROM documents) s) g""".stripMargin
-  }
 
   /** tx4: language-ID evaluation — confusion-matrix rollup of tx3
     * (labeled lang × guess), with per-cell share of the labeled
@@ -226,6 +239,71 @@ object TextAnalysis {
       |        FROM documents) t) b
       |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- tx7
+
+  /** tx7: the whole training-data prep funnel as ONE pipeline — the
+    * composition a pipeline user actually runs: per document, language
+    * guess (tx3's scorer), quality bucket (tx2's heuristics), exact
+    * content fingerprint (dd1's normalization) and canonical-copy
+    * selection, folded into a final keep/drop decision with the drop
+    * reason (duplicate beats quality, mirroring "dedup before filter"
+    * cost order — a duplicate is dropped as a duplicate regardless of
+    * quality).
+    *
+    * Scale shape: every per-doc column computes in ONE narrow pass
+    * over the corpus (no joins between the tx2/tx3/dd1 derivations —
+    * composing their gate queries would re-scan the corpus three
+    * times); the only shuffle is the fingerprint window for
+    * min-doc_id canonical selection, the same single exchange dd1
+    * pays. Decision rows are what downstream writers consume
+    * (partitionBy(decision) at the sink). */
+  private def tx7(s: SparkSession, d: String): DataFrame = {
+    val base = withLangScores(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .withColumn("n_tokens", size(toks(col("text"))))
+      .withColumn("punct_cnt", regexp_count(col("text"), lit("[^a-z0-9\\s]")))
+      .withColumn("stopword_cnt", regexp_count(col("text"), lit("\\b(the|a)\\b")))
+      .withColumn("fp", md5(regexp_replace(trim(col("text")), "\\s+", " ")))
+    base
+      .withColumn("guess_lang", guessLangCol)
+      .withColumn("quality_bucket",
+        when(col("n_tokens") < 10, lit("drop_short"))
+          .when(col("stopword_cnt") * 5L > col("n_tokens"), lit("flag_stopword_heavy"))
+          .when(col("punct_cnt") * 4L > col("n_tokens"), lit("flag_punct_heavy"))
+          .otherwise(lit("keep")))
+      .withColumn("is_canonical",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .withColumn("decision",
+        when(!col("is_canonical"), lit("duplicate"))
+          .when(col("quality_bucket") =!= "keep", col("quality_bucket"))
+          .otherwise(lit("kept")))
+      .select("doc_id", "guess_lang", "n_tokens", "quality_bucket",
+        "is_canonical", "decision")
+  }
+
+  private val tx7Sql =
+    s"""SELECT doc_id, guess_lang, n_tokens, quality_bucket, is_canonical,
+       |  CASE WHEN NOT is_canonical THEN 'duplicate'
+       |       WHEN quality_bucket <> 'keep' THEN quality_bucket
+       |       ELSE 'kept' END AS decision
+       |FROM (
+       |  SELECT doc_id, guess_lang, n_tokens, quality_bucket,
+       |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+       |  FROM (
+       |    SELECT doc_id, $guessLangSql AS guess_lang, n_tokens,
+       |      CASE WHEN n_tokens < 10 THEN 'drop_short'
+       |           WHEN stopword_cnt * 5 > n_tokens THEN 'flag_stopword_heavy'
+       |           WHEN punct_cnt * 4 > n_tokens THEN 'flag_punct_heavy'
+       |           ELSE 'keep' END AS quality_bucket,
+       |      fp
+       |    FROM (
+       |      SELECT doc_id,
+       |        $scoreColsSql,
+       |        length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |        length(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct_cnt,
+       |        length(regexp_extract_all(text, '\\b(the|a)\\b')) AS stopword_cnt,
+       |        md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+       |      FROM documents) s) q) w""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -238,5 +316,7 @@ object TextAnalysis {
     GateQuery("tx5_fingerprint", tx5, Some(tx5Sql),
       "md5 + 60-bit content fingerprints + shard bucket (P11)"),
     GateQuery("tx6_bigram_topk", tx6, Some(tx6Sql),
-      "corpus top-20 token bigrams via explode (S6/S7 generator shape)"))
+      "corpus top-20 token bigrams via explode (S6/S7 generator shape)"),
+    GateQuery("tx7_corpus_prep", tx7, Some(tx7Sql),
+      "full prep funnel: lang-ID + quality + exact-dedup -> keep/drop decision"))
 }

@@ -128,6 +128,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Partial"), s"expected a partial WindowGroupLimit\n$p")
   }
 
+  test("tx7 prep funnel: one documents scan, one exchange") {
+    // The funnel composes tx2 + tx3 + dd1 semantics in a single
+    // corpus pass — joining their gate outputs instead would re-scan
+    // the corpus three times. Only the fingerprint window may shuffle.
+    val p = plan("tx7_corpus_prep")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected one documents scan, got $scans\n$p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges\n$p")
+  }
+
   test("q9 salted agg: partials spread over salt before the final merge") {
     val p = plan("q9_salted_agg")
     // two grouping phases → two hashpartitioning exchanges: one on

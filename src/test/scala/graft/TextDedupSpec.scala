@@ -57,6 +57,34 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("tx7 prep funnel agrees with its component gates") {
+    // The one-pass composition must reproduce tx3's language guess,
+    // tx2's quality bucket, and dd1's keeper per document — and the
+    // decision column must derive from them with duplicate-priority.
+    val tx7 = gate("tx7_corpus_prep", sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(tx7.nonEmpty)
+    val lang = gate("tx3_langid", sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("guess_lang")).toMap
+    val qual = gate("tx2_quality_score", sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("quality_bucket")).toMap
+    val keepers = gate("dd1_exact_dedup", sf0001).collect()
+      .map(_.getAs[Long]("keep_doc_id")).toSet
+    tx7.foreach { case (id, r) =>
+      assert(r.getAs[String]("guess_lang") == lang(id), s"doc $id lang")
+      assert(r.getAs[String]("quality_bucket") == qual(id), s"doc $id quality")
+      assert(r.getAs[Boolean]("is_canonical") == keepers(id), s"doc $id canonical")
+      val want =
+        if (!r.getAs[Boolean]("is_canonical")) "duplicate"
+        else if (r.getAs[String]("quality_bucket") != "keep")
+          r.getAs[String]("quality_bucket")
+        else "kept"
+      assert(r.getAs[String]("decision") == want, s"doc $id decision")
+    }
+    // funnel sanity: every dd1 group contributed exactly one canonical
+    assert(tx7.values.count(_.getAs[Boolean]("is_canonical")) == keepers.size)
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
