@@ -72,7 +72,7 @@ object Bench {
     // the measured pass races janino compilation on the same cores and
     // wall-clock varies 2×. Then best-of-2 measured passes — a single
     // pass can still catch a full-GC pause.
-    runSuite()
+    val warm = runSuite()
     val passes = (1 to 2).map { _ =>
       System.gc()
       val t0 = System.nanoTime()
@@ -83,7 +83,11 @@ object Bench {
     // Sequential warm pass: attributable per-query latencies.
     val seq = SparkEntry.queries.toSeq.map { case (name, fn) => time(name, fn) }
     pool.shutdown()
-    val failed = (results ++ seq).collect { case (n, _, Some(e)) => s"$n: $e" }.distinct
+    // EVERY pass reports: a query that crashes only cold (warm-up) or
+    // only in the non-selected measured pass must still turn the
+    // bench red, not vanish behind the best-of-2 selection.
+    val failed = (warm ++ passes.flatMap(_._1) ++ seq)
+      .collect { case (n, _, Some(e)) => s"$n: $e" }.distinct
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val qseq = seq.map { case (k, v, _) => jstr(k) + ":" + v }

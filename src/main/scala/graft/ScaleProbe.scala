@@ -33,8 +33,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // id stride derives from the source ids — a hardcoded stride would
+    // silently collide replica ids on larger corpora
+    val stride = src.agg(max(col("vec_id"))).head.getLong(0) + 1L
     src.crossJoin(spark.range(factor).toDF("rep"))
-      .withColumn("vec_id", col("vec_id") + col("rep") * lit(100000L))
+      .withColumn("vec_id", col("vec_id") + col("rep") * lit(stride))
       .drop("rep")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")

@@ -44,15 +44,14 @@ object Dedup {
     * plus copy count. One hash-shuffle on the fingerprint. */
   private def dd1(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp"))
+      .select(col("doc_id"), TextAnalysis.contentFp(col("text")).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   private val dd1Sql =
     """SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
       |FROM (SELECT doc_id,
-      |        md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+      |        """.stripMargin + TextAnalysis.contentFpSql + """ AS fp
       |      FROM documents) t
       |GROUP BY fp""".stripMargin
 

@@ -67,13 +67,14 @@ object Multimodal {
     when(octet_length(payload) === 0, lit(0))
       .otherwise((floor((octet_length(payload) - 1) / lit(128)) + 1).cast("int"))
 
-  /** Per-frame md5 digests joined with '|'; "" for an empty payload
-    * (expects `txt` = payload cast to string alongside `payload`). */
-  private[graft] def frameDigests(payload: Column): Column =
+  /** Per-frame md5 digests joined with '|'; "" for an empty payload.
+    * `txt` is the payload's string view (separate argument so the
+    * cast happens once at the call site, not per frame). */
+  private[graft] def frameDigests(payload: Column, txt: Column): Column =
     when(octet_length(payload) === 0, lit(""))
-      .otherwise(concat_ws("|", expr(
-        "transform(sequence(0, int(floor((octet_length(payload)-1)/128))), " +
-          "i -> md5(substring(txt, 1 + i*128, 32)))")))
+      .otherwise(concat_ws("|", transform(
+        sequence(lit(0), floor((octet_length(payload) - 1) / lit(128)).cast("int")),
+        i => md5(txt.substr(lit(1) + i * lit(128), lit(32))))))
 
   private def mm2(s: SparkSession, d: String): DataFrame =
     media(s, d)
@@ -82,7 +83,7 @@ object Multimodal {
         col("media_id"),
         octet_length(col("payload")).as("n_bytes"),
         frameCount(col("payload")).as("n_frames"),
-        frameDigests(col("payload")).as("frame_digests"))
+        frameDigests(col("payload"), col("txt")).as("frame_digests"))
 
   private val mm2Sql =
     """SELECT doc_id AS media_id, strlen(text) AS n_bytes,

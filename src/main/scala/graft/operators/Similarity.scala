@@ -328,9 +328,11 @@ object Similarity {
     * (n_labels × 64 rows) is broadcast; the probe is one narrow
     * fan-out join — the IVF "which cell does this vector live in"
     * step at any scale. */
-  private def sim5(s: SparkSession, d: String): DataFrame = {
-    val cent = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
-    vecs(s, d)
+  /** Exact scaled-L2 distances of every `base` row to every centroid,
+    * ranked per vector (rk 1 = nearest cell). Shared by sim5 (rk = 1
+    * assignment) and sim6 (assignment + rk ≤ nprobe query probes). */
+  private def assignRanked(base: DataFrame, cent: DataFrame): DataFrame =
+    base
       .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("dim", "comp")))
       .join(broadcast(cent), Seq("dim"))
       .withColumn("term", expr("floor((comp - centroid) * (comp - centroid) * 1000000000000.0D)"))
@@ -339,6 +341,10 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("dist_scaled").asc, col("clabel").asc)))
+
+  private def sim5(s: SparkSession, d: String): DataFrame = {
+    val cent = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
+    assignRanked(vecs(s, d), cent)
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("clabel").as("assigned_label"),
         col("dist_scaled"), (col("clabel") === col("label")).as("is_home"))
@@ -393,27 +399,24 @@ object Similarity {
     *
     * Scale shape: centroids (nlist × 64 rows) and the per-query probe
     * set are broadcast; candidates stay SLIM (query_id, vec_id) until
-    * one hash join pulls vectors back for scoring. At 100 TB the
-    * index (centroids + assignments, bucketed by cell) is built once
-    * and reused across queries; a gate is self-contained so it
-    * recomputes both here — exchange reuse dedupes the repeated
-    * centroid subtree. */
+    * one hash join pulls vectors back for scoring. The centroid table
+    * is MATERIALIZED once (an eager 640-row collect — the IVF "build
+    * the index" step; real deployments persist it) so the corpus-wide
+    * centroid aggregation is not planned twice for assignment and
+    * probes — exchange reuse across aliased subtrees proved
+    * unreliable under AQE (see dd3). Probe distances then cost only
+    * the 1% query subset; assignment distances one full pass. */
   private def sim6(s: SparkSession, d: String): DataFrame = {
     val base = vecs(s, d)
-    val cent = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
-    val probes = base.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), posexplode(col("v")).as(Seq("dim", "comp")))
-      .join(broadcast(cent), Seq("dim"))
-      .withColumn("term",
-        expr("floor((comp - centroid) * (comp - centroid) * 1000000000000.0D)"))
-      .groupBy(col("query_id"), col("clabel"))
-      .agg(sum(col("term")).as("dist_scaled"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("dist_scaled").asc, col("clabel").asc)))
-      .filter(col("crk") <= 2)
-      .select(col("query_id"), col("clabel"))
-    val assign = sim5(s, d).select(col("vec_id"), col("assigned_label").as("clabel"))
+    val centDf = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
+    val cent = s.createDataFrame(
+      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    val probes = assignRanked(base.filter(col("vec_id") % 100 === 0), cent)
+      .filter(col("rk") <= 2)
+      .select(col("vec_id").as("query_id"), col("clabel"))
+    val assign = assignRanked(base, cent)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("clabel"))
     val qv = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
     assign.join(broadcast(probes), Seq("clabel"))

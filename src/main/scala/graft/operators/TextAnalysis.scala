@@ -22,6 +22,32 @@ object TextAnalysis {
   /** Portable token array: split on whitespace runs after trim. */
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Whitespace-normalized exact-content fingerprint — THE dedup key,
+    * shared by dd1 (Dedup), tx5 and tx7 so the normalization can never
+    * drift between the gates that must agree on it. */
+  private[operators] def contentFp(text: Column): Column =
+    md5(regexp_replace(trim(text), "\\s+", " "))
+
+  /** SQL mirror of [[contentFp]] over a column named `text`. */
+  private[operators] val contentFpSql: String =
+    "md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+  /** Quality keep/flag/drop bucket (C4/Gopher-style thresholds),
+    * shared by tx2 and tx7. */
+  private[operators] def qualityBucket(
+      nTokens: Column, stopwordCnt: Column, punctCnt: Column): Column =
+    when(nTokens < 10, lit("drop_short"))
+      .when(stopwordCnt * 5L > nTokens, lit("flag_stopword_heavy"))
+      .when(punctCnt * 4L > nTokens, lit("flag_punct_heavy"))
+      .otherwise(lit("keep"))
+
+  /** SQL mirror of [[qualityBucket]]. */
+  private[operators] def qualityBucketSql(
+      n: String, stop: String, punct: String): String =
+    s"CASE WHEN $n < 10 THEN 'drop_short' " +
+      s"WHEN $stop * 5 > $n THEN 'flag_stopword_heavy' " +
+      s"WHEN $punct * 4 > $n THEN 'flag_punct_heavy' ELSE 'keep' END"
+
   /** BPE-ish pre-tokenizer regex (the GPT-2 pattern family, minus the
     * apostrophe contractions the synthetic corpus lacks): a token is a
     * letter run, a digit run, or a symbol run, each with an optional
@@ -68,18 +94,14 @@ object TextAnalysis {
       .withColumn("stopword_ratio",
         col("stopword_cnt").cast("double") / col("n_tokens"))
       .withColumn("quality_bucket",
-        when(col("n_tokens") < 10, lit("drop_short"))
-          .when(col("stopword_cnt") * 5L > col("n_tokens"), lit("flag_stopword_heavy"))
-          .when(col("punct_cnt") * 4L > col("n_tokens"), lit("flag_punct_heavy"))
-          .otherwise(lit("keep")))
+        qualityBucket(col("n_tokens"), col("stopword_cnt"), col("punct_cnt")))
 
   private val tx2Sql =
     """SELECT doc_id, n_tokens, punct_cnt, digit_cnt, stopword_cnt,
       |  CAST(stopword_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
-      |  CASE WHEN n_tokens < 10 THEN 'drop_short'
-      |       WHEN stopword_cnt * 5 > n_tokens THEN 'flag_stopword_heavy'
-      |       WHEN punct_cnt * 4 > n_tokens THEN 'flag_punct_heavy'
-      |       ELSE 'keep' END AS quality_bucket
+      |  """.stripMargin +
+      qualityBucketSql("n_tokens", "stopword_cnt", "punct_cnt") +
+      """ AS quality_bucket
       |FROM (
       |  SELECT doc_id,
       |    length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -185,8 +207,7 @@ object TextAnalysis {
     * a 100 TB dedup would shuffle on. */
   private def tx5(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("fp_md5"))
+      .select(col("doc_id"), col("text"), contentFp(col("text")).as("fp_md5"))
       .withColumn("fp64", conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
       .withColumn("shard", pmod(col("fp64"), lit(256)))
       // Karp-Rabin-style rolling hash over the word stream: per-word
@@ -210,7 +231,7 @@ object TextAnalysis {
       |    (acc, v) -> (acc * 1000003 + v) % 2147483647) AS fp_roll
       |FROM (
       |  SELECT doc_id, text,
-      |    md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_md5
+      |    """.stripMargin + contentFpSql + """ AS fp_md5
       |  FROM documents) t""".stripMargin
 
   /** tx6: top-20 token bigrams corpus-wide (n-gram frequency — the
@@ -262,14 +283,11 @@ object TextAnalysis {
       .withColumn("n_tokens", size(toks(col("text"))))
       .withColumn("punct_cnt", regexp_count(col("text"), lit("[^a-z0-9\\s]")))
       .withColumn("stopword_cnt", regexp_count(col("text"), lit("\\b(the|a)\\b")))
-      .withColumn("fp", md5(regexp_replace(trim(col("text")), "\\s+", " ")))
+      .withColumn("fp", contentFp(col("text")))
     base
       .withColumn("guess_lang", guessLangCol)
       .withColumn("quality_bucket",
-        when(col("n_tokens") < 10, lit("drop_short"))
-          .when(col("stopword_cnt") * 5L > col("n_tokens"), lit("flag_stopword_heavy"))
-          .when(col("punct_cnt") * 4L > col("n_tokens"), lit("flag_punct_heavy"))
-          .otherwise(lit("keep")))
+        qualityBucket(col("n_tokens"), col("stopword_cnt"), col("punct_cnt")))
       .withColumn("is_canonical",
         col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .withColumn("decision",
@@ -290,10 +308,8 @@ object TextAnalysis {
        |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
        |  FROM (
        |    SELECT doc_id, $guessLangSql AS guess_lang, n_tokens,
-       |      CASE WHEN n_tokens < 10 THEN 'drop_short'
-       |           WHEN stopword_cnt * 5 > n_tokens THEN 'flag_stopword_heavy'
-       |           WHEN punct_cnt * 4 > n_tokens THEN 'flag_punct_heavy'
-       |           ELSE 'keep' END AS quality_bucket,
+       |      ${qualityBucketSql("n_tokens", "stopword_cnt", "punct_cnt")}
+       |        AS quality_bucket,
        |      fp
        |    FROM (
        |      SELECT doc_id,
@@ -301,7 +317,7 @@ object TextAnalysis {
        |        length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
        |        length(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct_cnt,
        |        length(regexp_extract_all(text, '\\b(the|a)\\b')) AS stopword_cnt,
-       |        md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+       |        $contentFpSql AS fp
        |      FROM documents) s) q) w""".stripMargin
 
   def queries: Seq[GateQuery] = Seq(

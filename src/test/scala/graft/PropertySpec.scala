@@ -109,7 +109,8 @@ class PropertySpec extends AnyFunSuite {
         operators.Multimodal.frameCount(
           org.apache.spark.sql.functions.col("payload")).as("n_frames"),
         operators.Multimodal.frameDigests(
-          org.apache.spark.sql.functions.col("payload")).as("digests"))
+          org.apache.spark.sql.functions.col("payload"),
+          org.apache.spark.sql.functions.col("txt")).as("digests"))
     df.collect().foreach { r =>
       val len = r.getString(0).getBytes("UTF-8").length
       val expect = if (len == 0) 0 else (len - 1) / 128 + 1
