@@ -140,6 +140,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges\n$p")
   }
 
+  test("suite-wide: no sort-merge joins; nested-loop only at known anchors") {
+    // Every gate's executed plan, swept: a SortMergeJoin anywhere
+    // means a dimension stopped broadcasting or a candidate set
+    // stopped being slim; a BroadcastNestedLoopJoin is legal ONLY
+    // where the build side is a 1-row anchor (la2/la4/la5 totals,
+    // thresholds) or the deliberately all-pairs brute-force baseline
+    // (sim1's non-equi query join).
+    val nljAllowed = Set("la2_level_rollup", "la4_last_24h",
+      "la5_retention", "sim1_knn_bruteforce")
+    GateQueries.all.foreach { q =>
+      val df = q.run(spark, sf0001)
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), s"${q.name} plans a SortMergeJoin")
+      if (!nljAllowed(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"),
+          s"${q.name} plans a nested-loop/cartesian join")
+    }
+  }
+
   test("q9 salted agg: partials spread over salt before the final merge") {
     val p = plan("q9_salted_agg")
     // two grouping phases → two hashpartitioning exchanges: one on
