@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode}
+
+/** Bucketed-layout helper: the co-located-join primitive for the
+  * 100 TB deployment (SURVEY §4 scale notes). Joins and aggregations
+  * whose key matches the bucket spec read pre-shuffled data — the
+  * exchange disappears from the plan entirely (asserted in
+  * `BucketingSpec`), which at corpus scale is the difference between
+  * a join that moves 100 TB and one that moves nothing.
+  *
+  * Spark's bucketing ties to the session catalog (`saveAsTable`), so
+  * the driver's plain-parquet test tables cannot arrive bucketed —
+  * this is the utility a deployment calls once per fact table at
+  * ingest, trading one write-side shuffle for exchange-free reads on
+  * every downstream join/agg keyed by `keys`.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (and bucket-sorted) external table.
+    * `buckets` should track data volume: partitions of a bucketed
+    * read are buckets, so size them like shuffle partitions
+    * (fit-in-executor-memory at the target SF). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      buckets: Int,
+      keys: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w: DataFrameWriter[Row] = df.write
+      .mode(mode)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+    w.saveAsTable(table)
+  }
+}

@@ -43,7 +43,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("ca1 windows + agg reuse one exchange on channel_id") {
     val p = plan("ca1_window_metrics")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    val exchanges = shuffleCount(p)
     // one shuffle for the window partitioning; the groupBy on the same
     // key must NOT re-shuffle (hashpartitioning(channel_id) reused)
     assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges\n$p")
@@ -67,7 +67,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val scans = p.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("events"))
     assert(scans <= 1, s"expected a single events scan, got $scans\n$p")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    val exchanges = shuffleCount(p)
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$p")
   }
 
@@ -136,7 +136,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val scans = p.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("documents"))
     assert(scans == 1, s"expected one documents scan, got $scans\n$p")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    val exchanges = shuffleCount(p)
     assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges\n$p")
   }
 

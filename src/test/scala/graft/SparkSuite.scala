@@ -31,6 +31,17 @@ object TestSpark {
   def gate(name: String, dir: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
 
+  /** Count SHUFFLE exchanges in a plan string. Plan lines carry tree
+    * prefixes (`+-`, `:`), so `trim.startsWith("Exchange")` silently
+    * matches nothing — match the operator token itself, excluding
+    * BroadcastExchange (broadcasts are the point, not the cost). */
+  def shuffleCount(plan: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)"
+      .r.findAllIn(plan).length
+
+  /** True if any shuffle exchange appears in the plan string. */
+  def hasShuffle(plan: String): Boolean = shuffleCount(plan) > 0
+
   /** Write fixture tables into a fresh temp dir; returns the dir. */
   def fixtureDir(tables: (String, DataFrame)*): String = {
     val dir = Files.createTempDirectory("graft_fixture").toFile.getAbsolutePath
