@@ -121,6 +121,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("halfEvenDiv equals BigDecimal HALF_EVEN on random operands") {
+    // ca9's exact rational banker's rounding, fuzzed well past the
+    // hand-picked tie cases in ChannelMetricsSpec: 300 random (n, d)
+    // pairs across the magnitudes the gate's scaled integers reach
+    // (k_sum*10^8 fits int64 by the 9-digit k_engage cap).
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val cases = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0L, 1000000000000L), Gen.chooseNum(1L, 1000000L)))
+      .sample.get ++ Seq((0L, 1L), (1L, 2L), (3L, 2L), (5L, 2L), (7L, 2L))
+    val exprs = cases.map { case (n, d) =>
+      operators.ChannelMetrics.halfEvenDiv(n.toString, d.toString)
+    }
+    val got = spark.sql(s"SELECT ${exprs.mkString(", ")}").first()
+    cases.zipWithIndex.foreach { case ((n, d), i) =>
+      val want = new JBD(n).divide(new JBD(d), 0, RoundingMode.HALF_EVEN)
+        .longValueExact()
+      assert(got.getLong(i) == want, s"halfEvenDiv($n, $d)")
+    }
+  }
+
   test("engagement-rate scaling: er4 = k*10^8 div subs_cents, guard on <= 0") {
     val cases = Gen.listOfN(300,
       Gen.zip(Gen.chooseNum(0L, 10000L), Gen.chooseNum(-500000L, 500000L))).sample.get
