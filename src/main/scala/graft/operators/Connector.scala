@@ -61,11 +61,45 @@ object Connector {
       |WHERE i % 3 = 0 AND i < 1500
       |GROUP BY 1""".stripMargin
 
+  /** s4: LIMIT pushdown — the reference caps every fetch (`items[0]`
+    * for forHandle, ≤50-id chunks, ≤1000 log lines); here the cap is
+    * pushed INTO the connector, which plans only ids [0, 750) — 15
+    * chunks instead of 100 — and Spark drops its own Limit node
+    * (fully pushed, asserted in DataSourceSpec). Planned ids are
+    * ascending, so the kept rows are exactly ids 0..749. */
+  private def s4(s: SparkSession, d: String): DataFrame =
+    s.read.format(Src).option("maxId", 4999).load()
+      .select(col("channel_id"), col("handle"), col("country"))
+      .limit(750)
+
+  private val s4Sql =
+    """SELECT i AS channel_id, '@ch' || i AS handle,
+      |  ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1] AS country
+      |FROM range(0, 750) t(i)""".stripMargin
+
+  /** s5: COUNT(*) pushdown (A8, sqlite_logger.py:189-190 — the
+    * pagination-meta `SELECT COUNT(*)` with pushed WHERE): the id-list
+    * predicate narrows the planned set, then the ungrouped count is
+    * COMPLETELY pushed — the scan emits one pre-counted row and the
+    * executed plan contains no Aggregate over the source rows. */
+  private def s5(s: SparkSession, d: String): DataFrame =
+    s.read.format(Src).option("maxId", 4999).load()
+      .where(col("channel_id").isin((0L until 500L).map(_ * 7): _*))
+      .agg(count(lit(1)).as("n_channels"))
+
+  private val s5Sql =
+    """SELECT count(*) AS n_channels
+      |FROM range(0, 5000) t(i) WHERE i % 7 = 0 AND i < 3500""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("s1_connector_scan", s1, Some(s1Sql),
       "DSv2 full scan, 50-id chunk partitions (S1)"),
     GateQuery("s2_connector_handle", s2, Some(s2Sql),
       "forHandle equality pushed into the connector (S2)"),
     GateQuery("s3_connector_batch", s3, Some(s3Sql),
-      "pushed id-list batch fetch + rollup (S3)"))
+      "pushed id-list batch fetch + rollup (S3)"),
+    GateQuery("s4_connector_limit", s4, Some(s4Sql),
+      "LIMIT fully pushed into the connector's partition planning"),
+    GateQuery("s5_connector_count", s5, Some(s5Sql),
+      "COUNT(*) completely pushed: one pre-counted row, no Aggregate (A8)"))
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -79,7 +80,9 @@ class YtApiTable extends Table with SupportsRead {
 class YtApiScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private val minId = options.getLong("minId", 0L)
   private val maxId = options.getLong("maxId", 4999L)
@@ -89,6 +92,8 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
   private var pushed: Array[Filter] = Array.empty
   /** None = full requested range; Some(set) = narrowed by pushdown. */
   private var idSet: Option[Set[Long]] = None
+  private var limitN: Option[Int] = None
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -118,25 +123,94 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = {
+  /** LIMIT pushdown — the reference's `limit(1)` on the forHandle
+    * lookup (youtube_api_handler.py:449 returns `items[0]`) and the
+    * explicit fetch caps on every batch endpoint. Planned ids are
+    * ascending, so the pushed limit keeps exactly ids[0, n): the limit
+    * is applied GLOBALLY at planning time, hence fully pushed
+    * (isPartiallyPushed = false lets Spark drop its own Limit node —
+    * no chunk ever fetches a row the query cannot return). */
+  override def pushLimit(limit: Int): Boolean = {
+    limitN = Some(limitN.fold(limit)(math.min(_, limit)))
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
+
+  /** COUNT(*) pushdown — the reference's pagination-meta count, a
+    * `SELECT COUNT(*)` with the same predicate pushed into SQLite
+    * (A8, sqlite_logger.py:189-190). The synthetic universe knows its
+    * cardinality at planning time (|pushed id set ∩ [minId, maxId]|),
+    * so the aggregate is COMPLETELY pushed: the scan emits one row
+    * with the final count and no Aggregate node survives in the plan.
+    * Anything beyond a bare ungrouped COUNT(*) is declined and runs
+    * in Spark. */
+  private def pushableAgg(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    pushableAgg(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (pushableAgg(agg)) { countPushed = true; true } else false
+  }
+
+  private def plannedIds: Seq[Long] = {
     val ids = idSet match {
       case Some(s) => s.filter(i => i >= minId && i <= maxId).toSeq.sorted
       case None => (minId to maxId).toSeq
     }
-    new YtApiScan(ids, required, batchSize)
+    limitN.fold(ids)(ids.take)
+  }
+
+  override def build(): Scan = {
+    val ids = plannedIds
+    if (countPushed) new YtApiCountScan(ids.length.toLong, pushed)
+    else new YtApiScan(ids, required, batchSize, limitN)
   }
 }
 
-class YtApiScan(ids: Seq[Long], required: StructType, batchSize: Int)
+class YtApiScan(ids: Seq[Long], required: StructType, batchSize: Int,
+    pushedLimit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"YtApiScan(ids=${ids.length}, batchSize=$batchSize, cols=${required.fieldNames.mkString(",")})"
+    s"YtApiScan(ids=${ids.length}, batchSize=$batchSize, " +
+      s"cols=${required.fieldNames.mkString(",")}" +
+      pushedLimit.fold("")(n => s", PushedLimit=$n") + ")"
   override def planInputPartitions(): Array[InputPartition] =
     ids.grouped(batchSize).map(chunk => YtApiChunk(chunk.toArray)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new YtApiReaderFactory(required.fieldNames)
+}
+
+/** Completely-pushed COUNT(*): one single-row partition carrying the
+  * cardinality the planner already knows — the upstream analog is the
+  * reference's `SELECT COUNT(*)` with pushed WHERE (A8). */
+class YtApiCountScan(n: Long, filters: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"YtApiCountScan(PushedAggregates=[COUNT(*)], count=$n, " +
+      s"filters=${filters.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(YtApiCountPartition(n))
+  override def createReaderFactory(): PartitionReaderFactory =
+    YtApiCountReaderFactory
+}
+
+case class YtApiCountPartition(n: Long) extends InputPartition
+
+object YtApiCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private val n = p.asInstanceOf[YtApiCountPartition].n
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](n))
+      override def close(): Unit = ()
+    }
 }
 
 case class YtApiChunk(ids: Array[Long]) extends InputPartition

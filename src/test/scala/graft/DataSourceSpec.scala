@@ -72,6 +72,34 @@ class DataSourceSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("LIMIT is fully pushed: fewer chunks planned, no Limit node") {
+    val df = load().limit(750)
+    val scan = scanOf(df)
+    // 750 kept ids → 15 chunks of 50 (vs 100 for the full universe)
+    assert(scan.inputRDD.getNumPartitions == 15)
+    assert(scan.scan.description().contains("PushedLimit=750"))
+    // fully pushed (isPartiallyPushed = false) → Spark drops its own
+    // Limit; the scan alone produces exactly ids [0, 750)
+    assert(!df.queryExecution.executedPlan.toString.contains("CollectLimit"))
+    val ids = df.select("channel_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 750 && ids.head == 0L && ids.last == 749L)
+  }
+
+  test("ungrouped COUNT(*) is completely pushed: pre-counted single row") {
+    val df = load().agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("YtApiCountScan"), s"count scan not planned:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"aggregate survived pushdown:\n$plan")
+    assert(df.collect().head.getLong(0) == 5000L)
+    // composes with filter pushdown: the narrowed id set is what's counted
+    val filtered = load().where(col("channel_id").isin(1L, 7L, 4242L, 9999999L))
+      .agg(count(lit(1)).as("n"))
+    assert(filtered.collect().head.getLong(0) == 3L) // 9999999 outside maxId
+    // grouped aggregates are declined and still run correctly in Spark
+    val grouped = load(99).groupBy(col("country")).agg(count(lit(1)).as("n"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 100L)
+  }
+
   test("pushed range respects minId/maxId bounds") {
     val df = load(999).where(col("channel_id").isin(500L, 5000L))
     // 5000 is outside maxId=999 → only 500 comes back
