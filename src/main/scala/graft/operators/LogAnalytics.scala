@@ -165,6 +165,37 @@ object LogAnalytics {
       |FROM logs, (SELECT max(ts_us) AS max_us FROM logs) m
       |GROUP BY 1, 2""".stripMargin
 
+  /** la6: the log SINK round-trip (S9, `SQLiteHandler.emit`,
+    * sqlite_logger.py:65-110, restated as an append-shaped columnar
+    * write): the warning-and-up slice of the log view is WRITTEN to a
+    * parquet table partitioned by `level` — the SQLite `logs` table
+    * plus its level secondary index (sqlite_logger.py:49-60) as
+    * physical layout — then read BACK with a level predicate, which
+    * partition pruning satisfies without touching the other levels'
+    * files (asserted in LogTimeSpec), and rolled up per day. The
+    * oracle computes the same rollup straight off `events`: data that
+    * went through the sink must be indistinguishable from data that
+    * never left the engine. The sink dir is a per-run temp path (the
+    * write is part of the gate; ~MBs, OS-reaped). */
+  private def la6(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la6_${java.util.UUID.randomUUID()}"
+    logs(s, d).filter(col("level_no") >= 30)
+      .write.mode("overwrite").partitionBy("level").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("level") === "ERROR")
+      .withColumn("day_us",
+        expr("(ts_us div (24L * 3600 * 1000000)) * (24L * 3600 * 1000000)"))
+      .groupBy(col("day_us"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("value_cents"))
+  }
+
+  private val la6Sql = logsSql +
+    """SELECT (ts_us // 86400000000) * 86400000000 AS day_us,
+      |  count(*) AS n,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+      |FROM logs WHERE level_no >= 30 AND level = 'ERROR'
+      |GROUP BY 1""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -175,5 +206,7 @@ object LogAnalytics {
     GateQuery("la4_last_24h", la4, Some(la4Sql),
       "sliding last-24h filter anchored at max ts (F7/T3)"),
     GateQuery("la5_retention", la5, Some(la5Sql),
-      "retention cutoff partition, per-day kept/deleted (S11/F8)"))
+      "retention cutoff partition, per-day kept/deleted (S11/F8)"),
+    GateQuery("la6_sink_roundtrip", la6, Some(la6Sql),
+      "level-partitioned parquet sink + pruned read-back rollup (S9)"))
 }

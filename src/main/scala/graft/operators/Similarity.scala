@@ -461,6 +461,62 @@ object Similarity {
        |  JOIN vecs q ON q.vec_id = p.query_id) t
        |WHERE rank <= 10""".stripMargin
 
+  // --------------------------------------------------------------- sim7
+
+  /** sim7: IVF-cell-blocked near-duplicate pairs — the third blocking
+    * strategy in the dedup family (dd2 blocks by source, dd3/sim3 by
+    * LSH band, this by coarse-quantizer cell): candidates are pairs
+    * ASSIGNED TO THE SAME IVF CELL (sim5's argmin), scored with the
+    * exact cosine, kept at ≥ 0.45. Every vector lives in exactly one
+    * cell, so pairs are unique by construction — no dedup shuffle at
+    * all, unlike the multi-band LSH paths. Cost is Σ cell², the
+    * blocking-key economics again; recall misses only pairs straddling
+    * a cell boundary (the knob is nlist, and probing nprobe > 1 cells
+    * — sim6's machinery — recovers them). Centroids are materialized
+    * eagerly like sim6 (the "index build"). */
+  private def sim7(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val centDf = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
+    val cent = s.createDataFrame(
+      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    val assign = assignRanked(base, cent)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("clabel"))
+    // slim (id1, id2) pairs from the cell self-join; vectors join back
+    // broadcast for scoring only. shuffle_hash like dd2's mirror join:
+    // both sides are the same corpus-sized relation (never
+    // broadcastable at scale), and sorting 2-column rows for an SMJ
+    // on a 10-key blocking join is pure waste — hash both sides,
+    // stream the pairs.
+    assign.as("a").hint("shuffle_hash").join(assign.as("b").hint("shuffle_hash"),
+        col("a.clabel") === col("b.clabel") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .join(broadcast(base.select(col("vec_id").as("id1"),
+        col("v").as("v1"), col("n2").as("m1"))), "id1")
+      .join(broadcast(base.select(col("vec_id").as("id2"),
+        col("v").as("v2"), col("n2").as("m2"))), "id2")
+      .withColumn("cosine",
+        dotExpr("v1", "v2") / (sqrt(col("m1")) * sqrt(col("m2"))))
+      .filter(col("cosine") >= 0.45)
+      .select("id1", "id2", "cosine")
+  }
+
+  private val sim7Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
+    s"""assign AS (
+       |  SELECT vec_id, clabel FROM (
+       |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |    ${distSql("vecs", "vec_id")}) d) r
+       |  WHERE rk = 1)
+       |SELECT id1, id2, cosine FROM (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    ${dotSql("va.v", "vb.v")} / (sqrt(va.n2) * sqrt(vb.n2)) AS cosine
+       |  FROM assign a JOIN assign b ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+       |  JOIN vecs va ON va.vec_id = a.vec_id
+       |  JOIN vecs vb ON vb.vec_id = b.vec_id) p
+       |WHERE cosine >= 0.45""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -475,5 +531,7 @@ object Similarity {
     GateQuery("sim5_ivf_assign", sim5, Some(sim5Sql),
       "IVF nearest-centroid assignment, exact scaled distances"),
     GateQuery("sim6_ivf_search", sim6, Some(sim6Sql),
-      "IVF probe search: nprobe=2 cells, exact cosine re-rank (the query path)"))
+      "IVF probe search: nprobe=2 cells, exact cosine re-rank (the query path)"),
+    GateQuery("sim7_ivf_blocked_neardup", sim7, Some(sim7Sql),
+      "IVF-cell-blocked near-dup pairs, cosine >= 0.45 (third blocking strategy)"))
 }

@@ -201,6 +201,55 @@ object TimeWindows {
       |         OR (e.ts_us = p.ts_us AND e.event_id < p.event_id))
       |  ORDER BY e.ts_us DESC, e.event_id DESC LIMIT 1) c ON TRUE""".stripMargin
 
+  /** tw6: TTL cache-expiry sweep (F9/T1 — `CacheEntry.is_expired`,
+    * youtube_api_handler.py:23-31, with the reference's per-type TTLs,
+    * config.py:27-30: channel 1800 s / video 600 s / RSS 300 s /
+    * default 3600 s). Each (user, event_type) key is a cache entry
+    * whose last write is its `timestamp`; the sweep runs at the
+    * deterministic anchor max(ts) (1-row broadcast, the la4 pattern)
+    * and rolls up live vs expired per entry type — the batch twin of
+    * the streaming TTL state machine in EventStream.ttlCache. */
+  private def tw6(s: SparkSession, d: String): DataFrame = {
+    val e = evs(s, d)
+    val entries = e.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("ts_us")).as("set_us"), count(lit(1)).as("n_sets"))
+      .withColumn("cache_type",
+        when(col("event_type") === "view", "video")
+          .when(col("event_type") === "click", "rss")
+          .when(col("event_type") === "signup", "channel")
+          .otherwise("default"))
+      .withColumn("ttl_us",
+        when(col("cache_type") === "video", 600L * 1000000)
+          .when(col("cache_type") === "rss", 300L * 1000000)
+          .when(col("cache_type") === "channel", 1800L * 1000000)
+          .otherwise(3600L * 1000000))
+    val anchor = e.agg(max(col("ts_us")).as("now_us"))
+    entries.crossJoin(broadcast(anchor))
+      .withColumn("expired", col("now_us") > col("set_us") + col("ttl_us"))
+      .groupBy(col("cache_type"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(when(col("expired"), 1L).otherwise(0L)).as("n_expired"),
+        sum(col("n_sets")).as("n_sets"))
+      .withColumn("n_live", col("n_entries") - col("n_expired"))
+  }
+
+  private val tw6Sql = evsSql +
+    """SELECT cache_type, n_entries, n_expired, n_sets,
+      |  n_entries - n_expired AS n_live
+      |FROM (
+      |  SELECT cache_type, count(*) AS n_entries,
+      |    CAST(sum(CASE WHEN now_us > set_us + ttl_us THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+      |    CAST(sum(n_sets) AS BIGINT) AS n_sets
+      |  FROM (
+      |    SELECT user_id, event_type, max(ts_us) AS set_us, count(*) AS n_sets,
+      |      CASE event_type WHEN 'view' THEN 'video' WHEN 'click' THEN 'rss'
+      |        WHEN 'signup' THEN 'channel' ELSE 'default' END AS cache_type,
+      |      CASE event_type WHEN 'view' THEN 600000000 WHEN 'click' THEN 300000000
+      |        WHEN 'signup' THEN 1800000000 ELSE 3600000000 END AS ttl_us
+      |    FROM evs GROUP BY user_id, event_type) entries,
+      |    (SELECT max(ts_us) AS now_us FROM evs) m
+      |  GROUP BY cache_type) t""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -211,5 +260,7 @@ object TimeWindows {
     GateQuery("tw4_quota_windows", tw4, Some(tw4Sql),
       "daily/peak-hour quota admission rollup (T2/A10/F10)"),
     GateQuery("tw5_asof_join", tw5, Some(tw5Sql),
-      "as-of join via union-and-carry, one shuffle (vs DuckDB lateral top-1)"))
+      "as-of join via union-and-carry, one shuffle (vs DuckDB lateral top-1)"),
+    GateQuery("tw6_ttl_expiry", tw6, Some(tw6Sql),
+      "per-type TTL cache expiry sweep at max-ts anchor (F9/T1, config.py TTLs)"))
 }

@@ -79,6 +79,49 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file source → parquet sink round trip matches the batch twin") {
+    // The S9 sink productionized: a real file stream (not MemoryStream)
+    // through the windowed transform into a parquet sink with a
+    // checkpoint — restart-safe exactly-once, the Spark answer to the
+    // reference's lock-and-drop SQLite emit (sqlite_logger.py:65-110).
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("graft_stream_in").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString + "/ckpt"
+    def addFile(rs: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      toEvents(rs.toDF()).coalesce(1).write.mode("append").parquet(inDir)
+    addFile(rows.take(5))
+    val streamIn = spark.readStream
+      .schema(toEvents(rows.toDF()).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val q = EventStream.hourlyTypeCounts(streamIn)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      addFile(rows.drop(5)) // ts(250) advances the watermark to 240 min
+      q.processAllAvailable()
+      // one more file lets the advanced watermark finalize its windows
+      addFile(Seq((7L, ts(250), 3L, "click", 70.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("value_cents"))).toSet
+    // append mode emits exactly the windows the final watermark (240
+    // min) has finalized; the batch twin over the same rows, restricted
+    // to those windows, must match bit-for-bit
+    val all = rows :+ ((7L, ts(250), 3L, "click", 70.0))
+    val expected = EventStream.hourlyTypeCounts(toEvents(all.toDF())).collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("value_cents")))
+      .filter(_._1.getTime + 3600000 <= ts(240).getTime).toSet
+    assert(expected.nonEmpty && streamed == expected,
+      s"streamed=$streamed expected=$expected")
+  }
+
   test("ttl cache: entries refresh within ttl and expire after it") {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     val q = EventStream.ttlCache(spark, toEvents(mem.toDF()))

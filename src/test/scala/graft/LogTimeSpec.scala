@@ -33,6 +33,38 @@ class LogTimeSpec extends AnyFunSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("la6 sink round-trip: partition pruning serves the level filter") {
+    val df = gate("la6_sink_roundtrip", sf0001)
+    // the read-back side of the sink is a partitioned parquet scan;
+    // the level predicate must be satisfied by PartitionFilters (the
+    // SQLite level index restated as layout), not a row-level filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(level"),
+      s"level filter not pushed to partition pruning:\n$plan")
+    assert(plan.contains("= ERROR"), s"ERROR partition filter missing:\n$plan")
+    // what went through the sink equals what never left the engine
+    val direct = Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .count()
+    assert(df.collect().map(_.getAs[Long]("n")).sum == direct)
+  }
+
+  test("tw6 ttl expiry: flags consistent, entries conserved") {
+    val rows = gate("tw6_ttl_expiry", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_live") ==
+        r.getAs[Long]("n_entries") - r.getAs[Long]("n_expired"))
+      assert(r.getAs[Long]("n_expired") <= r.getAs[Long]("n_entries"))
+      assert(r.getAs[Long]("n_sets") >= r.getAs[Long]("n_entries"))
+    }
+    // every (user, type) pair is exactly one cache entry
+    val entries = rows.map(_.getAs[Long]("n_entries")).sum
+    val distinctKeys = Tables.events(spark, sf0001)
+      .select("user_id", "event_type").distinct().count()
+    assert(entries == distinctKeys)
+  }
+
   test("tw1 tumbling windows: hour-aligned, counts sum to total") {
     val rows = gate("tw1_tumbling_hourly", sf0001).collect()
     rows.foreach(r =>

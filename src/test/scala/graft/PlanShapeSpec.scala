@@ -148,7 +148,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // thresholds) or the deliberately all-pairs brute-force baseline
     // (sim1's non-equi query join).
     val nljAllowed = Set("la2_level_rollup", "la4_last_24h",
-      "la5_retention", "sim1_knn_bruteforce")
+      "la5_retention", "sim1_knn_bruteforce", "tw6_ttl_expiry")
     GateQueries.all.foreach { q =>
       val df = q.run(spark, sf0001)
       df.collect() // finalize AQE
