@@ -84,5 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("parse_yt_duration"),
       new ExpressionInfo(classOf[ParseYtDuration].getName, "parse_yt_duration"),
       (children: Seq[Expression]) => ParseYtDuration(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 }

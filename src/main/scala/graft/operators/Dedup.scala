@@ -29,13 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val P = 2147483647L // 2^31 - 1
-  /** 16 fixed (a, b) permutation constants for MinHash. */
-  private val AB = Seq(
-    (2971L, 1234L), (4111L, 5678L), (5003L, 91011L), (6007L, 1213L),
-    (7001L, 1415L), (8009L, 1617L), (9001L, 1819L), (10007L, 2021L),
-    (11003L, 2223L), (12007L, 2425L), (13001L, 2627L), (14009L, 2829L),
-    (15013L, 3031L), (16033L, 3233L), (17011L, 3435L), (18013L, 3637L))
+  /** MinHash modulus + permutation constants — single source of truth
+    * in [[graft.functions.SketchUtil]], shared by the native
+    * `minhash_sig` expression and the oracle SQL generated below. */
+  private val P = graft.functions.SketchUtil.P
+  private val AB = graft.functions.SketchUtil.AB
 
   // ---------------------------------------------------------------- dd1
 
@@ -161,28 +159,41 @@ object Dedup {
     * array_intersect. At j=0.99 P(candidate) ≈ 1; at j=0.15 ≈ 0.002. */
   private def dd3(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
-    // Signature via explode + 16 min() aggregates: every expression
-    // stays in whole-stage codegen (an `array_min(transform(...))` per
-    // permutation would drop to interpreted lambda eval per element).
-    // One shuffle on doc_id, 16 longs per group.
-    val hs = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"),
-        expr(s"cast(conv(substring(md5(shingle),1,15),16,10) as bigint) % ${P}L").as("h"))
-    val minAggs = AB.zipWithIndex.map { case ((a, b), j) =>
-      min(expr(s"(${a}L*h + ${b}L) % ${P}L")).as(s"m$j")
-    }
-    val sig = hs.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    // Signature via the native one-pass `minhash_sig` expression
+    // (graft.functions.SketchExpressions): the whole 16-perm signature
+    // folds INSIDE the projection, so sketching is a narrow map — the
+    // previous explode + 16 min() aggregates formulation shuffled
+    // every shingle in the corpus (tens of times the signature size)
+    // just to regroup them by doc_id. Values are bit-identical (same
+    // md5-prefix hash, same (a·h+b) mod P perms), so the oracle is
+    // unchanged. Empty shingle sets (sz = 0) have no signature,
+    // exactly as they produced no exploded rows before.
+    val sig = sh.filter(col("sz") > 0)
+      .select(col("doc_id"), expr("minhash_sig(shingles)").as("ms"))
     val keys = (0 until 4).map(bd =>
-      concat_ws("_", (0 until 4).map(r => col(s"m${bd * 4 + r}")): _*))
-    // Candidate pairs are generated SLIM — (band, key, doc_id) only —
-    // so the dedup shuffle moves 3 longs/row, not the shingle arrays;
-    // payloads join back for the (small) verified candidate set.
+      concat_ws("_", (0 until 4).map(r => element_at(col("ms"), bd * 4 + r + 1)): _*))
+    // Candidate pairs via the BUCKET-GROUP pattern, not a band
+    // self-join: group the slim (band, key, doc_id) stream by band
+    // key and emit each bucket's pair combinations. A self-join would
+    // plan the sketch subtree TWICE (AQE exchange reuse across
+    // aliased subtrees is unreliable, measured round 3 — two full
+    // corpus parses) and shuffle the band stream once per side; this
+    // shape evaluates the sketch ONCE and shuffles the 3-longs/row
+    // stream once. Right only because MinHash band keys are
+    // HIGH-cardinality (4 concatenated hash mins — buckets hold only
+    // near-dups, so collect_list stays tiny); the 4-bit sim2/sim3
+    // geometry keeps its self-join, where buckets are N/16 and a
+    // collected bucket would be the memory hazard.
     val bands = sig.select(col("doc_id"),
       posexplode(array(keys: _*)).as(Seq("band", "key")))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val cand = bands.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ids)-1), i -> " +
+          "transform(slice(ids, i+1, size(ids)-i), y -> " +
+          "named_struct('id1', ids[i-1], 'id2', y))))")).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .dropDuplicates("id1", "id2")
     // Verify join-back: ONE join against the shingle base instead of
     // two. Pairs melt to (pair, side, doc_id) rows, pick up their
@@ -252,32 +263,40 @@ object Dedup {
     * sharing a band with hamming ≤ 3 emitted. Each doc collapses to
     * one long — the cheapest near-dup sketch at scale. */
   private def dd4(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", expr("cast(conv(substring(md5(w),1,15),16,10) as bigint)"))
-    val bitAggs = (0 until 64).map(i =>
-      sum(when(expr(s"shiftright(h, $i) & 1") === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$i"))
-    val bitSums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val simExpr = (0 until 64).map { i =>
-      val v = if (i < 63) (1L << i).toString + "L" else "-9223372036854775808L"
-      s"(CASE WHEN b$i > 0 THEN $v ELSE 0L END)"
-    }.mkString(" + ")
-    val sim = bitSums.withColumn("simhash", expr(simExpr)).select("doc_id", "simhash")
+    // Sketch via the native one-pass `simhash64` expression: token
+    // frequencies, per-bit votes and the final 64-bit sketch all fold
+    // inside the projection. The previous formulation paid TWO
+    // corpus-wide shuffles ((doc, token) frequency groupBy, then a
+    // 64-conditional-sum regroup by doc) for a value that is a pure
+    // function of one row; at 100 TB those shuffles dwarf the band
+    // join that follows. Bit-identical votes/sketches (same md5-prefix
+    // hash, same strict `> 0` bit rule) — the oracle is unchanged.
+    val sim = Tables.documents(s, d)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
     val bands = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(bd =>
         expr(s"shiftright(simhash, ${bd * 16}) & 65535")): _*)).as(Seq("band", "key")))
-    // hamming is a pure function of the pair, so the ≤3 filter runs
-    // BEFORE the dedup shuffle: a band-key bucket of n same-sketch
-    // docs emits C(n,2) pairs per band, and filtering first cuts the
+    // Bucket-group pair generation (see dd3): 16-bit band keys are
+    // high-cardinality (65536 buckets/band), so buckets hold only
+    // near-colliding sketches and the collected (doc_id, simhash)
+    // list stays small. One sketch evaluation, ONE shuffle of the
+    // 4-longs/row band stream — the self-join shape paid both twice.
+    // hamming is a pure function of the pair, so the ≤3 filter still
+    // runs BEFORE the dedup shuffle: a bucket of n same-sketch docs
+    // emits C(n,2) pairs per band, and filtering first cuts the
     // dropDuplicates exchange by the duplication factor (measured 91M
     // → 4.4M rows on a 20× replica corpus, 63 s → a few seconds).
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+    bands.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("es"))
+      .filter(size(col("es")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(es)-1), i -> " +
+          "transform(slice(es, i+1, size(es)-i), y -> " +
+          "named_struct('id1', es[i-1].doc_id, 'id2', y.doc_id, " +
+          "'hamming', bit_count(es[i-1].simhash ^ y.simhash)))))")).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.hamming").as("hamming"))
       .filter(col("hamming") <= 3)
       .dropDuplicates("id1", "id2")
   }

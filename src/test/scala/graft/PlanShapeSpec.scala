@@ -83,16 +83,31 @@ class PlanShapeSpec extends AnyFunSuite {
       "vector join-back should broadcast the tiny vector table")
   }
 
-  test("dd3 scans the corpus at most 3x (band self-join + one verify join-back)") {
-    // The split+zip_with shingle parse runs once per `documents` scan
-    // (within a scan's stage, codegen subexpression elimination shares
-    // the filter/projection copies InferFiltersFromGenerate inlines).
-    // Twice under the band self-join is inherent; the melt verify
-    // join-back adds ONE more. The old per-side join-back made it 4 —
-    // a spare full-corpus regexp pass at 100 TB.
+  test("dd3 scans the corpus at most 2x (bucket pair-gen + verify join-back)") {
+    // One-pass minhash_sig + bucket-group pair generation: the
+    // sketch/band stage is a narrow map off ONE corpus scan (no
+    // self-join subtree duplication); the melt verify join-back adds
+    // the second scan. (The explode + min-agg + band-self-join
+    // formulation cost 3 — and 4 before the melt join-back — each a
+    // spare full-corpus regexp pass at 100 TB.)
     val lp = gate("dd3_minhash_lsh", sf0001).queryExecution.optimizedPlan.toString
     val n = "Relation \\[doc_id".r.findAllIn(lp).length
-    assert(n <= 3, s"expected <=3 documents scans in the optimized plan, got $n")
+    assert(n <= 2, s"expected <=2 documents scans in the optimized plan, got $n")
+  }
+
+  test("dd4 sketch is a narrow map; pair-gen needs no join at all") {
+    // simhash64 folds token counts + votes inside the projection (no
+    // aggregation before banding), and bucket-group pair generation
+    // replaces the band self-join — the executed plan of the whole
+    // gate contains NO join operator and exactly two exchanges
+    // (bucket groupBy + pair dedup).
+    val df = gate("dd4_simhash", sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("partial_min") && !p.contains("partial_sum"),
+      s"sketch computation must not aggregate\n$p")
+    assert(p.contains("simhash64"), s"native sketch expression missing\n$p")
+    assert(!p.contains("Join"), s"dd4 must not plan any join\n$p")
   }
 
   test("la1 pagination is TakeOrderedAndProject, not a global-sort window") {
