@@ -47,12 +47,38 @@ object ScaleProbe {
     // (bits, bands, bandBits): the gate geometry (4-bit, sim2/sim3),
     // the sim3b wide-band gate (8-bit), and the next stop on the law
     // (16-bit). Same 32-plane pool throughout — only the knob moves.
-    for ((bits, bands, bandBits) <- Seq((16, 4, 4), (32, 4, 8), (32, 2, 16))) {
-      val t0 = System.nanoTime()
-      val c = operators.Similarity.candidatePairs(spark, out, bits, bands, bandBits).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"bandBits=$bandBits%2d buckets=${1L << bandBits}%6d " +
-        f"candidates=$c%12d elapsed=$secs%7.1f s")
+    // SPARK_GRAFT_PROBE=dedup skips this (slow) section.
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "all") != "dedup") {
+      for ((bits, bands, bandBits) <- Seq((16, 4, 4), (32, 4, 8), (32, 2, 16))) {
+        val t0 = System.nanoTime()
+        val c = operators.Similarity.candidatePairs(spark, out, bits, bands, bandBits).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"bandBits=$bandBits%2d buckets=${1L << bandBits}%6d " +
+          f"candidates=$c%12d elapsed=$secs%7.1f s")
+      }
+    }
+
+    // Dedup sketch probe on a factor× documents replica (every doc in
+    // a 20-dense exact-duplicate group — the worst case for band
+    // buckets): runs the REAL dd3/dd4 gate pipelines (one-pass sketch
+    // expressions + bucket-group pair generation) through the public
+    // registry and reports verified pair counts + wall time.
+    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "all") != "lsh") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dstride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      docs.crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * lit(dstride))
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val nd = spark.read.parquet(s"$out/documents.parquet").count()
+      println(s"corpus: $nd documents ($factor x $sfDir)")
+      for (g <- Seq("dd4_simhash", "dd3_minhash_lsh")) {
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries(g)(spark, out).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"$g%-16s pairs=$c%12d elapsed=$secs%7.1f s")
+      }
     }
     spark.stop()
   }

@@ -179,11 +179,14 @@ object Dedup {
     // aliased subtrees is unreliable, measured round 3 — two full
     // corpus parses) and shuffle the band stream once per side; this
     // shape evaluates the sketch ONCE and shuffles the 3-longs/row
-    // stream once. Right only because MinHash band keys are
-    // HIGH-cardinality (4 concatenated hash mins — buckets hold only
-    // near-dups, so collect_list stays tiny); the 4-bit sim2/sim3
-    // geometry keeps its self-join, where buckets are N/16 and a
-    // collected bucket would be the memory hazard.
+    // stream once. Right ONLY because MinHash band keys are
+    // HIGH-entropy (4 concatenated hash mins — a bucket is exactly
+    // one near-dup group, so collect_list stays tiny even under
+    // dense duplication). Low-entropy band keys must keep the
+    // self-join: the 4-bit sim2/sim3 geometry (buckets are N/16) and
+    // dd4's 16-bit sketch bands (a 20× replica probe hit a
+    // 3 400-entry bucket, where per-bucket interpreted pair lambdas
+    // go quadratic — see dd4).
     val bands = sig.select(col("doc_id"),
       posexplode(array(keys: _*)).as(Seq("band", "key")))
     val cand = bands.groupBy(col("band"), col("key"))
@@ -277,26 +280,25 @@ object Dedup {
     val bands = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(bd =>
         expr(s"shiftright(simhash, ${bd * 16}) & 65535")): _*)).as(Seq("band", "key")))
-    // Bucket-group pair generation (see dd3): 16-bit band keys are
-    // high-cardinality (65536 buckets/band), so buckets hold only
-    // near-colliding sketches and the collected (doc_id, simhash)
-    // list stays small. One sketch evaluation, ONE shuffle of the
-    // 4-longs/row band stream — the self-join shape paid both twice.
-    // hamming is a pure function of the pair, so the ≤3 filter still
-    // runs BEFORE the dedup shuffle: a bucket of n same-sketch docs
-    // emits C(n,2) pairs per band, and filtering first cuts the
+    // Pair generation stays a band SELF-JOIN here — deliberately NOT
+    // dd3's bucket-group pattern. A 16-bit band of a 64-bit sketch is
+    // LOW-entropy under duplication (every member of an exact-dup
+    // group shares all four band values): a 20× replica probe
+    // measured a 3 400-entry bucket, and per-bucket combination
+    // generation runs interpreted lambdas with O(n²) slice copies —
+    // 167 s where the codegen'd hash-join pair stream takes seconds.
+    // The join recomputes the (now cheap, shuffle-free) sketch map
+    // once per side; that trade is right when buckets can be dense.
+    // hamming is a pure function of the pair, so the ≤3 filter runs
+    // BEFORE the dedup shuffle: a band-key bucket of n same-sketch
+    // docs emits C(n,2) pairs per band, and filtering first cuts the
     // dropDuplicates exchange by the duplication factor (measured 91M
     // → 4.4M rows on a 20× replica corpus, 63 s → a few seconds).
-    bands.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("es"))
-      .filter(size(col("es")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(1, size(es)-1), i -> " +
-          "transform(slice(es, i+1, size(es)-i), y -> " +
-          "named_struct('id1', es[i-1].doc_id, 'id2', y.doc_id, " +
-          "'hamming', bit_count(es[i-1].simhash ^ y.simhash)))))")).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        col("p.hamming").as("hamming"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .filter(col("hamming") <= 3)
       .dropDuplicates("id1", "id2")
   }
