@@ -92,5 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md5h60_array"),
+      new ExpressionInfo(classOf[Md5H60Array].getName, "md5h60_array"),
+      (children: Seq[Expression]) => Md5H60Array(children.head)))
   }
 }

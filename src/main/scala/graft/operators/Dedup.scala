@@ -206,28 +206,36 @@ object Dedup {
     // split+zip_with parse, a spare full-corpus regexp pass at
     // 100 TB (and exchange reuse across differently-aliased subtrees
     // proved unreliable under AQE, measured in round 3).
-    // first(ignoreNulls) is deterministic here: exactly one row per
-    // (pair, side). The fold-back shuffle carries shingle arrays only
-    // for candidate rows — bounded by the LSH output, not the corpus.
+    // Shingle sets travel as md5h60_array longs, not strings: ~60%
+    // less verify-shuffle volume and primitive intersects (both
+    // engines hash identically, so the oracle intersects the same
+    // longs). first(ignoreNulls) is deterministic here: exactly one
+    // row per (pair, side). The fold-back shuffle carries hash arrays
+    // only for candidate rows — bounded by the LSH output, not the
+    // corpus.
     cand
       .select(col("id1"), col("id2"),
         posexplode(array(col("id1"), col("id2"))).as(Seq("side", "doc_id")))
-      .join(sh.select(col("doc_id"), col("shingles"), col("sz")), "doc_id")
+      .join(sh.select(col("doc_id"),
+        expr("md5h60_array(shingles)").as("hs"), col("sz")), "doc_id")
       .groupBy(col("id1"), col("id2"))
       .agg(
-        first(when(col("side") === 0, col("shingles")), ignoreNulls = true).as("sh1"),
-        first(when(col("side") === 1, col("shingles")), ignoreNulls = true).as("sh2"),
+        first(when(col("side") === 0, col("hs")), ignoreNulls = true).as("h1"),
+        first(when(col("side") === 1, col("hs")), ignoreNulls = true).as("h2"),
         min(when(col("side") === 0, col("sz"))).as("sz1"),
         min(when(col("side") === 1, col("sz"))).as("sz2"))
-      .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("c", size(array_intersect(col("h1"), col("h2"))))
       .select(col("id1"), col("id2"),
         (col("c").cast("double") / (col("sz1") + col("sz2") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
   }
 
   private val dd3Sql = {
+    // hs carries the RAW 60-bit hashes (shared by the verify
+    // intersect); the perms reduce mod P inline, identical to
+    // minhash_sig's h % P then (a·h+b) % P.
     val mins = AB.zipWithIndex.map { case ((a, b), j) =>
-      s"list_min(list_transform(hs, h -> ($a*h + $b) % $P)) AS m$j"
+      s"list_min(list_transform(hs, h -> ($a*(h % $P) + $b) % $P)) AS m$j"
     }.mkString(",\n    ")
     val bandKeys = (0 until 4).map { bd =>
       val k = (0 until 4).map(r => s"m${bd * 4 + r}").mkString("||'_'||")
@@ -236,7 +244,7 @@ object Dedup {
     "WITH " + shingledSql +
       s""", hsx AS (
          |  SELECT doc_id, shingles, list_transform(shingles,
-         |    s -> ('0x' || substr(md5(s),1,15))::BIGINT % $P) AS hs FROM sh),
+         |    s -> ('0x' || substr(md5(s),1,15))::BIGINT) AS hs FROM sh),
          |sig AS (
          |  SELECT doc_id, shingles,
          |    $mins
@@ -251,10 +259,10 @@ object Dedup {
          |    AND a.doc_id < b.doc_id)
          |SELECT id1, id2, jaccard FROM (
          |  SELECT id1, id2,
-         |    CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
-         |      (len(s1.shingles) + len(s2.shingles)
-         |        - len(list_intersect(s1.shingles, s2.shingles))) AS jaccard
-         |  FROM cand JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id) v
+         |    CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) /
+         |      (len(s1.hs) + len(s2.hs)
+         |        - len(list_intersect(s1.hs, s2.hs))) AS jaccard
+         |  FROM cand JOIN hsx s1 ON id1 = s1.doc_id JOIN hsx s2 ON id2 = s2.doc_id) v
          |WHERE jaccard >= 0.8""".stripMargin
   }
 

@@ -9,6 +9,37 @@ import TestSpark._
   * ingest didn't salt. */
 class AqeSpec extends AnyFunSuite {
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // The 100 TB pattern the SQLite secondary indexes map to beyond
+    // static partition pruning: a selective dimension predicate
+    // injects a runtime bloom filter on the fact side's join key, so
+    // fact row-groups that cannot match are dropped AT THE SCAN
+    // before the shuffle. Thresholds are production-sized (10 GB scan
+    // floor), so the fixture lowers them to demonstrate the rewrite.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // shuffle join path
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sf0001)
+      val dim = Tables.orders(spark, sf0001)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val j = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      val lp = j.queryExecution.optimizedPlan.toString
+      assert(lp.contains("bloom_filter_agg") || lp.contains("might_contain"),
+        s"expected an injected runtime bloom filter\n$lp")
+      assert(j.count() > 0)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     val confs = Seq(
       // force the shuffle-join path (broadcast would hide the skew)
