@@ -85,6 +85,20 @@ class DataSourceSpec extends AnyFunSuite {
     assert(ids.length == 750 && ids.head == 0L && ids.last == 749L)
   }
 
+  test("LIMIT does not push through a residual filter (no truncation)") {
+    // subscriber_count % 2 is NOT a pushable predicate — it stays a
+    // post-scan filter. Pushing the limit into the source there would
+    // truncate the id range BEFORE filtering and silently return too
+    // few rows; Spark must keep the limit above the residual filter.
+    val df = load(999).where(col("subscriber_count") % 2 === 0).limit(5)
+    assert(df.count() == 5)
+    assert(!scanOf(df).scan.description().contains("PushedLimit"),
+      "limit must not reach the scan through a residual filter")
+    // through a PUSHED (exact) filter the limit may and does push
+    val pushed = load().where(col("channel_id").isin(1L, 5L, 9L)).limit(2)
+    assert(pushed.count() == 2)
+  }
+
   test("ungrouped COUNT(*) is completely pushed: pre-counted single row") {
     val df = load().agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString

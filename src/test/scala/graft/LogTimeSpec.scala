@@ -65,6 +65,24 @@ class LogTimeSpec extends AnyFunSuite {
     assert(entries == distinctKeys)
   }
 
+  test("tw6 ttl boundary: strictly-greater expiry, per-type ttls") {
+    // CacheEntry.is_expired is `now > timestamp + ttl` (STRICT,
+    // youtube_api_handler.py:30-31): an entry whose age is exactly its
+    // TTL is still live. Fixture anchors now at the latest event
+    // (user 9); 'view' = video type, TTL 600 s.
+    val s = 1000000L // one second in µs
+    val dir = fixtureDir("events" -> eventsDf(Seq(
+      (1L, 0L, 1L, "view", 0.0, 0),            // age 1000s > 600 → expired
+      (2L, 400L * s, 2L, "view", 0.0, 0),      // age exactly 600 → LIVE
+      (3L, 900L * s, 3L, "view", 0.0, 0),      // age 100 < 600 → live
+      (9L, 1000L * s, 9L, "purchase", 0.0, 0)))) // anchor; default ttl → live
+    val got = gate("tw6_ttl_expiry", dir).collect()
+      .map(r => r.getAs[String]("cache_type") ->
+        (r.getAs[Long]("n_entries"), r.getAs[Long]("n_expired"))).toMap
+    assert(got("video") == ((3L, 1L)), s"strict-> boundary broken: $got")
+    assert(got("default") == ((1L, 0L)))
+  }
+
   test("tw1 tumbling windows: hour-aligned, counts sum to total") {
     val rows = gate("tw1_tumbling_hourly", sf0001).collect()
     rows.foreach(r =>
