@@ -150,6 +150,12 @@ object Multimodal {
     * decoder, with schema and plumbing unchanged. */
   private def mm4(s: SparkSession, d: String): DataFrame =
     media(s, d)
+      // prefix is sliced on the STRING view (chars), matching the
+      // oracle's substr(text, ...) — slicing the binary payload would
+      // silently diverge on the first multibyte document (bytes vs
+      // chars), the same latent-divergence class as mm2's empty-
+      // sequence guard
+      .withColumn("txt", col("payload").cast("string"))
       .withColumn("w", (lit(160) + col("media_id") % 1120).cast("long"))
       .withColumn("h", (lit(90) + col("media_id") % 630).cast("long"))
       .withColumn("long_side", greatest(col("w"), col("h")))
@@ -164,7 +170,7 @@ object Multimodal {
       .select(
         col("media_id"), col("w"), col("h"), col("tw"), col("th"),
         col("keep_bytes"),
-        md5(expr("substring(payload, 1, int(keep_bytes))")).as("resized_digest"))
+        md5(expr("substring(txt, 1, int(keep_bytes))")).as("resized_digest"))
 
   private val mm4Sql =
     """SELECT media_id, w, h,

@@ -517,6 +517,51 @@ object Similarity {
        |  JOIN vecs vb ON vb.vec_id = b.vec_id) p
        |WHERE cosine >= 0.45""".stripMargin
 
+  // --------------------------------------------------------------- sim8
+
+  /** sim8: ANN recall, MEASURED — every approximate index in this
+    * module trades recall for cost, and this gate quantifies the
+    * trade instead of asserting it: the exact top-10 (sim1) is the
+    * ground truth; LSH ANN (sim2) and IVF probe search (sim6) are
+    * scored by how many true pairs they recover. One output row:
+    * pair counts + recall percentages (exact integer counts, one
+    * division each). The joins are tiny (50 ground-truth pairs at
+    * sf0.01) — all broadcast; the cost is re-running the three
+    * pipelines, which is the honest price of a recall audit. */
+  private def sim8(s: SparkSession, d: String): DataFrame = {
+    val exact = sim1(s, d).select(col("query_id"), col("neighbor_id"))
+    val lsh = sim2(s, d).select(col("query_id"), col("neighbor_id"))
+      .withColumn("in_lsh", lit(1L))
+    val ivf = sim6(s, d).select(col("query_id"), col("neighbor_id"))
+      .withColumn("in_ivf", lit(1L))
+    exact
+      .join(broadcast(lsh), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(ivf), Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum(coalesce(col("in_lsh"), lit(0L))).as("lsh_hits"),
+        sum(coalesce(col("in_ivf"), lit(0L))).as("ivf_hits"))
+      .select(col("n_exact_pairs"), col("lsh_hits"), col("ivf_hits"),
+        (col("lsh_hits").cast("double") * 100 / col("n_exact_pairs"))
+          .as("lsh_recall_pct"),
+        (col("ivf_hits").cast("double") * 100 / col("n_exact_pairs"))
+          .as("ivf_recall_pct"))
+  }
+
+  private val sim8Sql =
+    s"""WITH r1 AS (${sim1Sql}),
+       |r2 AS (${sim2Sql}),
+       |r6 AS (${sim6Sql})
+       |SELECT n_exact_pairs, lsh_hits, ivf_hits,
+       |  CAST(lsh_hits AS DOUBLE) * 100 / n_exact_pairs AS lsh_recall_pct,
+       |  CAST(ivf_hits AS DOUBLE) * 100 / n_exact_pairs AS ivf_recall_pct
+       |FROM (
+       |  SELECT count(*) AS n_exact_pairs,
+       |    CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+       |    CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits
+       |  FROM r1 e
+       |  LEFT JOIN r2 l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+       |  LEFT JOIN r6 v ON e.query_id = v.query_id AND e.neighbor_id = v.neighbor_id) t""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -533,5 +578,7 @@ object Similarity {
     GateQuery("sim6_ivf_search", sim6, Some(sim6Sql),
       "IVF probe search: nprobe=2 cells, exact cosine re-rank (the query path)"),
     GateQuery("sim7_ivf_blocked_neardup", sim7, Some(sim7Sql),
-      "IVF-cell-blocked near-dup pairs, cosine >= 0.45 (third blocking strategy)"))
+      "IVF-cell-blocked near-dup pairs, cosine >= 0.45 (third blocking strategy)"),
+    GateQuery("sim8_ann_recall", sim8, Some(sim8Sql),
+      "measured recall of LSH-ANN and IVF search vs the exact baseline"))
 }

@@ -163,7 +163,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // thresholds) or the deliberately all-pairs brute-force baseline
     // (sim1's non-equi query join).
     val nljAllowed = Set("la2_level_rollup", "la4_last_24h",
-      "la5_retention", "sim1_knn_bruteforce", "tw6_ttl_expiry")
+      "la5_retention", "sim1_knn_bruteforce", "tw6_ttl_expiry",
+      "sim8_ann_recall") // embeds sim1's brute-force ground truth
     GateQueries.all.foreach { q =>
       val df = q.run(spark, sf0001)
       df.collect() // finalize AQE
