@@ -65,6 +65,51 @@ object EventStream {
     events.join(broadcast(severityDim), Seq("event_type"), "left")
       .withColumn("level_no", coalesce(col("level_no"), lit(10)))
 
+  /** Per-key quota admission state (T2/F10/A10 — `APIKeyStats`,
+    * reference youtube_api_handler.py:33-79): tracks hourly and daily
+    * request counts per key with boundary resets
+    * (`reset_if_needed`, :47-61) and decides each request BEFORE
+    * counting it (`can_make_request` checks, `record_request`
+    * increments — a denied request is never sent upstream, so it
+    * does not consume quota). The batch twin is tw4's windowed
+    * rollup; this is the per-event decision stream a live gateway
+    * runs. State per key is four longs — bounded regardless of
+    * throughput. */
+  case class QuotaState(hourStartUs: Long, hourCount: Long,
+      dayStartUs: Long, dayCount: Long)
+  case class QuotaDecision(user_id: Long, ts_us: Long, admitted: Boolean,
+      hour_count: Long, day_count: Long)
+
+  def quotaAdmission(spark: SparkSession, events: DataFrame,
+      hourlyLimit: Long = 20, dailyLimit: Long = 80): DataFrame = {
+    import spark.implicits._
+    val HourUs = 3600L * 1000000
+    val DayUs = 24L * HourUs
+    events
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState, QuotaDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[QuotaState]) =>
+          // deterministic event-time order inside the micro-batch
+          val sorted = rows.map(r => r._2.getTime * 1000L).toSeq.sorted
+          var st = state.getOption.getOrElse(QuotaState(-1L, 0L, -1L, 0L))
+          val out = sorted.map { us =>
+            val hour = (us / HourUs) * HourUs
+            val day = (us / DayUs) * DayUs
+            if (hour != st.hourStartUs) st = st.copy(hourStartUs = hour, hourCount = 0L)
+            if (day != st.dayStartUs) st = st.copy(dayStartUs = day, dayCount = 0L)
+            val admitted = st.hourCount < hourlyLimit && st.dayCount < dailyLimit
+            if (admitted)
+              st = st.copy(hourCount = st.hourCount + 1, dayCount = st.dayCount + 1)
+            QuotaDecision(key, us, admitted, st.hourCount, st.dayCount)
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
   /** Per-key TTL cache state (T1): first event for a key inserts an
     * entry; subsequent events within `ttl` refresh hit counts; an
     * event-time timeout expires the entry and emits its tombstone —

@@ -122,6 +122,39 @@ class EventStreamSpec extends AnyFunSuite {
       s"streamed=$streamed expected=$expected")
   }
 
+  test("quota admission: hourly/daily caps with boundary resets") {
+    // limits 2/hour, 3/day: user 1 sends 3 in hour 0 (third denied —
+    // and NOT counted, like the reference's can_make_request gate),
+    // 2 in hour 1 (second denied: day quota 3 reached), 1 the next
+    // day (admitted: both windows reset).
+    val h = 60L // minutes per hour
+    val mkTs = (min: Long) => new Timestamp(min * 60000)
+    val evs = Seq(
+      (1L, mkTs(0), 1L, "click", 0.0), (2L, mkTs(10), 1L, "click", 0.0),
+      (3L, mkTs(20), 1L, "click", 0.0), // hour quota full → denied
+      (4L, mkTs(h + 5), 1L, "click", 0.0), // new hour → admitted (day: 3)
+      (5L, mkTs(h + 10), 1L, "click", 0.0), // day quota full → denied
+      (6L, mkTs(24 * h + 30), 1L, "click", 0.0)) // next day → admitted
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    mem.addData(evs: _*)
+    val q = EventStream.quotaAdmission(spark, toEvents(mem.toDF()),
+        hourlyLimit = 2, dailyLimit = 3)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("quota").collect()
+        .map(r => (r.getAs[Long]("ts_us"), r.getAs[Boolean]("admitted")))
+        .sortBy(_._1).map(_._2).toSeq
+      assert(got == Seq(true, true, false, true, false, true), s"got $got")
+      // denied requests consume no quota: day count after hour-1 denial
+      val dayCounts = spark.table("quota").collect()
+        .map(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("day_count")))
+        .sortBy(_._1).map(_._2).toSeq
+      assert(dayCounts == Seq(1L, 2L, 2L, 3L, 3L, 1L), s"day counts $dayCounts")
+    } finally q.stop()
+  }
+
   test("ttl cache: entries refresh within ttl and expire after it") {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     val q = EventStream.ttlCache(spark, toEvents(mem.toDF()))
