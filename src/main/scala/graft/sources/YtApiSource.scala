@@ -171,9 +171,22 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
 
 class YtApiScan(ids: Seq[Long], required: StructType, batchSize: Int,
     pushedLimit: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Planning-time statistics: the id universe is known exactly, so
+    * Catalyst gets true row counts and a conservative row-width
+    * estimate — a narrowed scan (pushed handle/id-list/limit) falls
+    * under the broadcast threshold and joins against fact tables
+    * BROADCAST with no hint, exactly like the reference fetching a
+    * handful of channels and enriching locally. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rowWidth = 8L * 4 + 48L // 4 longs + 3 short strings
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(ids.length.toLong * rowWidth)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(ids.length.toLong)
+  }
   override def description(): String =
     s"YtApiScan(ids=${ids.length}, batchSize=$batchSize, " +
       s"cols=${required.fieldNames.mkString(",")}" +

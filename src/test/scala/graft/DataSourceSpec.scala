@@ -114,6 +114,21 @@ class DataSourceSpec extends AnyFunSuite {
     assert(grouped.collect().map(_.getLong(1)).sum == 100L)
   }
 
+  test("reported statistics let Catalyst broadcast a narrowed scan unhinted") {
+    // SupportsReportStatistics: a pushed id-list shrinks the reported
+    // size under the broadcast threshold, so the join strategy flips
+    // to broadcast with NO hint — the planner sees connector scans
+    // like any well-statted table.
+    val dim = load().where(col("channel_id").isin((0L until 200L).map(_ * 3): _*))
+    val fact = Tables.events(spark, sf0001)
+      .withColumn("channel_id", col("user_id") % 5000)
+    val j = fact.join(dim, Seq("channel_id"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"narrowed connector scan should broadcast from reported stats\n$p")
+    assert(j.count() > 0)
+  }
+
   test("pushed range respects minId/maxId bounds") {
     val df = load(999).where(col("channel_id").isin(500L, 5000L))
     // 5000 is outside maxId=999 → only 500 comes back

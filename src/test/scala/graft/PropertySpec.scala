@@ -52,6 +52,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sketch invariances: minhash is set-order-free, simhash is bag-order-free") {
+    // MinHash is a function of the shingle SET: permuting the array
+    // must not change the signature. SimHash is a function of the
+    // token BAG: permuting tokens (duplicates preserved) must not
+    // change the sketch. Both are load-bearing for distributed
+    // computation, where input order is whatever the scan produced.
+    val arrGen = Gen.listOfN(30, Gen.alphaNumStr.suchThat(_.nonEmpty))
+    val cases = Gen.listOfN(100, arrGen).sample.get
+      .map(a => (a, scala.util.Random.shuffle(a)))
+    val df = cases.toDF("a", "b").selectExpr(
+      "minhash_sig(array_distinct(a)) AS ma",
+      "minhash_sig(array_distinct(b)) AS mb",
+      "simhash64(a) AS sa", "simhash64(b) AS sb")
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "minhash order-sensitive")
+      assert(r.getLong(2) == r.getLong(3), "simhash order-sensitive")
+    }
+    // signature values live in [0, P): they are (a·h+b) mod P mins
+    val P = graft.functions.SketchUtil.P
+    df.collect().foreach(r =>
+      r.getSeq[Long](0).foreach(v => assert(v >= 0 && v < P)))
+  }
+
   test("parse_yt_duration: constructed durations round-trip to seconds") {
     // generate components, render the canonical ISO string, expect the
     // exact weighted sum back; independently generate near-miss
