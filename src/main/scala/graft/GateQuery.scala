@@ -32,6 +32,7 @@ object GateQueries {
       operators.LogAnalytics.queries ++
       operators.TimeWindows.queries ++
       operators.TextAnalysis.queries ++
+      operators.CorpusOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{GateQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over `documents` — the selection/ordering
+  * half of a training-data pipeline (SURVEY §7.5 north-star; the
+  * cleaning half is TextAnalysis/Dedup): stratified sampling, weighted
+  * source mixture, sequence packing into token-budget bins, and
+  * weighted interleave ordering. These generalize the reference's
+  * ranking machinery (W1 top-N-by-recency `youtube_api_handler.py:536`,
+  * A3 type-distribution quotas `:989-1014`) from "pick the newest" to
+  * "pick a reproducible random subset under a budget".
+  *
+  * Determinism contract: "random" everywhere means rank by
+  * `md5('<salt>|' || doc_id)` — a per-gate salted content-free key both
+  * engines compute identically, so sampling is reproducible across
+  * engines, runs, AND cluster sizes (no rand(), no partition-index
+  * dependence). That is exactly how production pipelines make a 100 TB
+  * shuffle/sample reproducible: the permutation is a pure function of
+  * the record key.
+  *
+  * Scale shape: every gate's only shuffle is one hash exchange on its
+  * stratum key (lang / source / shard); the rank-≤-k filters compile to
+  * WindowGroupLimit (Spark 3.5+), which prunes each map partition to
+  * its local top-k BEFORE the exchange, so the shuffle carries O(k ×
+  * strata) rows, not the corpus. cp4's global head is
+  * TakeOrderedAndProject — per-partition top-k, never a global sort.
+  */
+object CorpusOps {
+
+  /** The reproducible-permutation key: md5 over a salted doc_id. */
+  private def rnd(salt: String): Column =
+    md5(concat(lit(salt + "|"), col("doc_id").cast("string")))
+
+  private def rndSql(salt: String): String = s"md5('$salt|' || doc_id)"
+
+  /** Per-source weight for mixture/interleave gates, derived from the
+    * numeric source suffix so both engines compute the dim without a
+    * side file: weights cycle {2, 5, 8, 11} across src0..srcN. Built
+    * as a distinct+derive dim (broadcast at join time) — the realistic
+    * shape; at 100 TB the weights table is a real curated dim. */
+  private def weightsDim(docs: DataFrame): DataFrame =
+    docs.select("source").distinct()
+      .withColumn("weight",
+        lit(2) + (regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4) * 3)
+
+  private val weightsSql =
+    """w AS (
+      |  SELECT DISTINCT source,
+      |    2 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) * 3 AS weight
+      |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- cp1
+
+  /** cp1: stratified sample — k=20 docs per language, chosen by the
+    * reproducible permutation. The workhorse of corpus curation
+    * (per-language caps, eval-set carving, mixture rebalancing).
+    * Strata with < k docs keep everything (rank ≤ k takes all), so the
+    * gate is total at every SF. */
+  private def cp1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), rnd("cp1").as("rk"))
+      .withColumn("samp_rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("rk"), col("doc_id"))))
+      .filter(col("samp_rank") <= 20)
+      .select("doc_id", "lang", "samp_rank")
+
+  private val cp1Sql =
+    s"""SELECT doc_id, lang, samp_rank FROM (
+       |  SELECT doc_id, lang, row_number() OVER (
+       |    PARTITION BY lang ORDER BY ${rndSql("cp1")}, doc_id) AS samp_rank
+       |  FROM documents) t
+       |WHERE samp_rank <= 20""".stripMargin
+
+  // ---------------------------------------------------------------- cp2
+
+  /** cp2: weighted source mixture — each source contributes its
+    * weighted quota of documents (weight w → w picks), selected by the
+    * reproducible permutation within the source. This is mixture
+    * sampling by rate (the "40% web / 30% code / ..." recipe of every
+    * LLM data mix), expressed as one broadcast dim join + one
+    * stratum-ranked filter. */
+  private def cp2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs
+      .select(col("doc_id"), col("source"), rnd("cp2").as("rk"))
+      .withColumn("pick_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))))
+      .join(broadcast(weightsDim(docs)), "source")
+      .filter(col("pick_rank") <= col("weight"))
+      .select("doc_id", "source", "weight", "pick_rank")
+  }
+
+  private val cp2Sql =
+    s"""WITH $weightsSql
+       |SELECT doc_id, t.source, weight, pick_rank FROM (
+       |  SELECT doc_id, source, row_number() OVER (
+       |    PARTITION BY source ORDER BY ${rndSql("cp2")}, doc_id) AS pick_rank
+       |  FROM documents) t JOIN w ON t.source = w.source
+       |WHERE pick_rank <= weight""".stripMargin
+
+  // ---------------------------------------------------------------- cp3
+
+  /** cp3: sequence packing — the "greedy concat then chunk" packing
+    * every trainer runs before batching: documents are dealt into 8
+    * shards by the permutation key, ordered within their shard by the
+    * same key, and cut into bins of 512 whitespace tokens by the
+    * exclusive running total (a doc starting inside a bin belongs to
+    * it, so bins overflow by at most one document — the standard
+    * approximation that avoids bin-packing's sequential dependency).
+    *
+    * Scale: the shard is the parallelism unit (100 TB runs thousands
+    * of shards); the running total is a per-shard window cumsum — no
+    * global ordering anywhere. */
+  private def cp3(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        rnd("cp3").as("rk"))
+      .withColumn("shard", pmod(conv(substring(col("rk"), 1, 15), 16, 10).cast("long"), lit(8)))
+      .withColumn("pos", row_number().over(ord))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin_id", expr("(cum_tokens - n_tokens) div 512"))
+      .select("doc_id", "shard", "pos", "n_tokens", "cum_tokens", "bin_id")
+  }
+
+  private val cp3Sql =
+    s"""SELECT doc_id, shard, pos, n_tokens, cum_tokens,
+       |  (cum_tokens - n_tokens) // 512 AS bin_id
+       |FROM (
+       |  SELECT doc_id, shard, n_tokens,
+       |    row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS pos,
+       |    CAST(sum(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY rk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM (
+       |    SELECT doc_id,
+       |      length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |      ${rndSql("cp3")} AS rk,
+       |      ('0x' || substr(${rndSql("cp3")}, 1, 15))::BIGINT % 8 AS shard
+       |    FROM documents) b) t""".stripMargin
+
+  // ---------------------------------------------------------------- cp4
+
+  /** cp4: weighted interleave head — the deterministic merge order of
+    * the mixture stream (tf.data-style `sample_from_datasets`): doc i
+    * of a weight-w source surfaces at key i/w, so a weight-11 source
+    * surfaces 5.5× as often as a weight-2 one; the gate emits the
+    * first 100 documents a trainer would consume. The head is a
+    * TakeOrderedAndProject (per-partition top-k) — the full stream is
+    * never globally sorted; a consumer materializing the whole
+    * interleave would instead range-partition on ikey. */
+  private def cp4(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs
+      .select(col("doc_id"), col("source"), rnd("cp4").as("rk"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))))
+      .join(broadcast(weightsDim(docs)), "source")
+      .withColumn("ikey", col("src_rank").cast("double") / col("weight"))
+      .orderBy(col("ikey").asc, col("doc_id").asc)
+      .limit(100)
+      .select("doc_id", "source", "src_rank", "ikey")
+  }
+
+  private val cp4Sql =
+    s"""WITH $weightsSql
+       |SELECT doc_id, t.source, src_rank,
+       |  CAST(src_rank AS DOUBLE) / weight AS ikey
+       |FROM (
+       |  SELECT doc_id, source, row_number() OVER (
+       |    PARTITION BY source ORDER BY ${rndSql("cp4")}, doc_id) AS src_rank
+       |  FROM documents) t JOIN w ON t.source = w.source
+       |ORDER BY ikey ASC, doc_id ASC LIMIT 100""".stripMargin
+
+  def queries: Seq[GateQuery] = Seq(
+    GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
+      "deterministic per-language k-sample via salted-md5 permutation"),
+    GateQuery("cp2_weighted_mixture", cp2, Some(cp2Sql),
+      "weighted source-mixture selection against a broadcast weights dim"),
+    GateQuery("cp3_sequence_pack", cp3, Some(cp3Sql),
+      "shard-local packing into 512-token bins via window cumsum"),
+    GateQuery("cp4_interleave_head", cp4, Some(cp4Sql),
+      "weighted interleave order of the mixture stream, first 100 docs"))
+}

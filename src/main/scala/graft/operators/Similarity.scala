@@ -182,21 +182,26 @@ object Similarity {
 
   // --------------------------------------------------------------- sim2
 
-  /** sim2: LSH ANN top-10 — the 100 TB path. Candidates = vectors
-    * sharing ≥ 1 of 4 band keys with the query (equi-join on the band
-    * key; no all-pairs), then exact cosine re-rank of candidates only.
-    * Recall < 1 vs sim1 by construction; that's the documented ANN
-    * trade. */
-  private def sim2(s: SparkSession, d: String): DataFrame = {
+  /** LSH ANN top-10 at a given signature/band geometry — candidates =
+    * vectors sharing ≥ 1 band key with the query (equi-join on the
+    * band key; no all-pairs), then exact cosine re-rank of candidates
+    * only. Recall < 1 vs sim1 by construction; that's the documented
+    * ANN trade, and the geometry is the knob: per-band match
+    * probability at angle θ is (1−θ/π)^bandBits, OR-amplified across
+    * `bands` independent bands to 1−(1−p^bandBits)^bands. sim2 runs
+    * the 4×4-bit baseline; sim9 the 8×4-bit OR-amplified variant. */
+  private def annLsh(
+      s: SparkSession, d: String, bits: Int, bands: Int, bandBits: Int): DataFrame = {
     val base = vecs(s, d)
     // Candidates stay SLIM through the band join + dedup shuffle:
     // (query_id, vec_id) pairs only. The 64-dim vectors join back
     // afterwards — query side broadcast, corpus side one hash join on
     // the (already tiny) candidate set.
-    val bands = withBands(withSig(base)).select("vec_id", "band", "key")
-    val qb = bands.filter(col("vec_id") % 100 === 0)
+    val bnd = withBands(withSig(base, bits), bands, bandBits)
+      .select("vec_id", "band", "key")
+    val qb = bnd.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("band"), col("key"))
-    bands.join(broadcast(qb),
+    bnd.join(broadcast(qb),
         Seq("band", "key")).filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
       .dropDuplicates("query_id", "vec_id")
@@ -213,19 +218,41 @@ object Similarity {
         col("cosine"))
   }
 
-  private val sim2Sql = "WITH " + vecsSql.dropRight(1) + ", " + sigSql.dropRight(1) +
-    ", " + bandsSql +
-    s"""SELECT query_id, rank, neighbor_id, cosine FROM (
-       |  SELECT query_id, neighbor_id, cosine,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
-       |  FROM (
-       |    SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |      ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) AS cosine
-       |    FROM bands q JOIN bands b ON q.band = b.band AND q.key = b.key
-       |      AND b.vec_id <> q.vec_id
-       |    WHERE q.vec_id % 100 = 0) c) t
-       |WHERE rank <= 10""".stripMargin
+  /** sim2: LSH ANN top-10 at the 4×4-bit baseline geometry — the
+    * 100 TB path. */
+  private def sim2(s: SparkSession, d: String): DataFrame =
+    annLsh(s, d, bits = 16, bands = 4, bandBits = 4)
+
+  private def annSqlN(bits: Int, bands: Int, bandBits: Int): String =
+    "WITH " + vecsSql.dropRight(1) + ", " + sigSqlN(bits).dropRight(1) +
+      ", " + bandsSqlN(bands, bandBits) +
+      s"""SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM (
+         |    SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) AS cosine
+         |    FROM bands q JOIN bands b ON q.band = b.band AND q.key = b.key
+         |      AND b.vec_id <> q.vec_id
+         |    WHERE q.vec_id % 100 = 0) c) t
+         |WHERE rank <= 10""".stripMargin
+
+  private val sim2Sql = annSqlN(16, 4, 4)
+
+  /** sim9: OR-amplified multi-band ANN — the RECALL knob executed.
+    * Same 4-bit band width as sim2 (so per-band cost economics are
+    * identical), but 8 independent bands over the full 32-plane pool:
+    * candidate probability rises from 1−(1−p⁴)⁴ to 1−(1−p⁴)⁸ (e.g. a
+    * p=0.65 neighbor: 53% → 78%), at ≤ 2× the candidate volume — the
+    * standard L-tables trade (Indyk–Motwani). At 100 TB this is THE
+    * production answer to "LSH recall is too low": widen bands to
+    * bound bucket sizes (sim3b's law), then stack bands to buy recall
+    * back. sim8 measures all three geometries side by side. */
+  private def sim9(s: SparkSession, d: String): DataFrame =
+    annLsh(s, d, bits = 32, bands = 8, bandBits = 4)
+
+  private val sim9Sql = annSqlN(32, 8, 4)
 
   // --------------------------------------------------------------- sim3
 
@@ -534,33 +561,44 @@ object Similarity {
       .withColumn("in_lsh", lit(1L))
     val ivf = sim6(s, d).select(col("query_id"), col("neighbor_id"))
       .withColumn("in_ivf", lit(1L))
+    val mb = sim9(s, d).select(col("query_id"), col("neighbor_id"))
+      .withColumn("in_mb", lit(1L))
     exact
       .join(broadcast(lsh), Seq("query_id", "neighbor_id"), "left")
       .join(broadcast(ivf), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(mb), Seq("query_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("n_exact_pairs"),
         sum(coalesce(col("in_lsh"), lit(0L))).as("lsh_hits"),
-        sum(coalesce(col("in_ivf"), lit(0L))).as("ivf_hits"))
+        sum(coalesce(col("in_ivf"), lit(0L))).as("ivf_hits"),
+        sum(coalesce(col("in_mb"), lit(0L))).as("mb_hits"))
       .select(col("n_exact_pairs"), col("lsh_hits"), col("ivf_hits"),
+        col("mb_hits"),
         (col("lsh_hits").cast("double") * 100 / col("n_exact_pairs"))
           .as("lsh_recall_pct"),
         (col("ivf_hits").cast("double") * 100 / col("n_exact_pairs"))
-          .as("ivf_recall_pct"))
+          .as("ivf_recall_pct"),
+        (col("mb_hits").cast("double") * 100 / col("n_exact_pairs"))
+          .as("mb_recall_pct"))
   }
 
   private val sim8Sql =
     s"""WITH r1 AS (${sim1Sql}),
        |r2 AS (${sim2Sql}),
-       |r6 AS (${sim6Sql})
-       |SELECT n_exact_pairs, lsh_hits, ivf_hits,
+       |r6 AS (${sim6Sql}),
+       |r9 AS (${sim9Sql})
+       |SELECT n_exact_pairs, lsh_hits, ivf_hits, mb_hits,
        |  CAST(lsh_hits AS DOUBLE) * 100 / n_exact_pairs AS lsh_recall_pct,
-       |  CAST(ivf_hits AS DOUBLE) * 100 / n_exact_pairs AS ivf_recall_pct
+       |  CAST(ivf_hits AS DOUBLE) * 100 / n_exact_pairs AS ivf_recall_pct,
+       |  CAST(mb_hits AS DOUBLE) * 100 / n_exact_pairs AS mb_recall_pct
        |FROM (
        |  SELECT count(*) AS n_exact_pairs,
        |    CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
-       |    CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits
+       |    CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits,
+       |    CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS mb_hits
        |  FROM r1 e
        |  LEFT JOIN r2 l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
-       |  LEFT JOIN r6 v ON e.query_id = v.query_id AND e.neighbor_id = v.neighbor_id) t""".stripMargin
+       |  LEFT JOIN r6 v ON e.query_id = v.query_id AND e.neighbor_id = v.neighbor_id
+       |  LEFT JOIN r9 m ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id) t""".stripMargin
 
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
@@ -580,5 +618,7 @@ object Similarity {
     GateQuery("sim7_ivf_blocked_neardup", sim7, Some(sim7Sql),
       "IVF-cell-blocked near-dup pairs, cosine >= 0.45 (third blocking strategy)"),
     GateQuery("sim8_ann_recall", sim8, Some(sim8Sql),
-      "measured recall of LSH-ANN and IVF search vs the exact baseline"))
+      "measured recall of LSH-ANN, IVF, and multi-band LSH vs the exact baseline"),
+    GateQuery("sim9_ann_multiband", sim9, Some(sim9Sql),
+      "OR-amplified 8x4-bit LSH ANN — the recall knob executed"))
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark._
+
+/** Semantic invariants of the corpus-curation gates (CorpusOps): the
+  * oracle pins exact values; these pin the PROPERTIES that make the
+  * operators correct curation tools at any corpus size. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  test("cp1: per-language counts are min(k, stratum), picks reproducible") {
+    val rows = gate("cp1_stratified_sample", sf001).collect()
+    val strata = Tables.documents(spark, sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val got = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    strata.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0) == math.min(20L, n),
+        s"lang $lang: expected min(20, $n), got ${got.get(lang)}")
+    }
+    // the permutation is a pure function of doc_id — a second run (a
+    // second cluster, a second day) must pick the identical sample
+    val again = gate("cp1_stratified_sample", sf001).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("cp2: every source contributes exactly its weight (quota filled)") {
+    val rows = gate("cp2_weighted_mixture", sf001).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    // sf0.01 has 25 docs/source — every quota {2,5,8,11} is fillable
+    bySrc.foreach { case (src, picks) =>
+      val w = picks.head.getAs[Int]("weight")
+      assert(Set(2, 5, 8, 11).contains(w), s"$src weight $w not in cycle")
+      assert(picks.length == w, s"$src: ${picks.length} picks for weight $w")
+      assert(picks.map(_.getAs[Int]("pick_rank")).sorted.sameElements(1 to w))
+    }
+    assert(bySrc.size == 20, "all 20 sources must contribute")
+  }
+
+  test("cp3: positions dense, cumsum exact, non-final bins fill their budget") {
+    val rows = gate("cp3_sequence_pack", sf001).collect()
+    assert(rows.length == 500) // packing is total: every doc lands in a bin
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, docs) =>
+      val ordered = docs.sortBy(_.getAs[Int]("pos"))
+      assert(ordered.map(_.getAs[Int]("pos")).sameElements(1 to docs.length))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("bin_id") == cum / 512, s"shard $shard bin drift")
+        cum += r.getAs[Int]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == cum, s"shard $shard cumsum drift")
+      }
+      // every bin except the shard's last must reach its budget
+      // boundary (its successor's exclusive start proves the fill)
+      val maxBin = ordered.map(_.getAs[Long]("bin_id")).max
+      (0L until maxBin).foreach { b =>
+        val end = ordered.filter(_.getAs[Long]("bin_id") <= b)
+          .map(_.getAs[Long]("cum_tokens")).max
+        assert(end >= 512 * (b + 1), s"shard $shard bin $b under-filled: $end")
+      }
+    }
+  }
+
+  test("cp4: head is the true global interleave prefix, sources dense") {
+    val rows = gate("cp4_interleave_head", sf001).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val w = 2 + (r.getAs[String]("source").drop(3).toInt % 4) * 3
+      assert(r.getAs[Double]("ikey") == r.getAs[Int]("src_rank").toDouble / w,
+        s"ikey formula drift on $r")
+    }
+    // within a source, ikey is strictly increasing in rank, so the
+    // head must contain a dense rank prefix 1..m per source
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, picks) =>
+      val ranks = picks.map(_.getAs[Int]("src_rank")).sorted
+      assert(ranks.sameElements(1 to ranks.length), s"$src prefix not dense: ${ranks.toSeq}")
+    }
+    // heavier sources surface more often in the head
+    val bySrcN = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    val w11 = bySrcN.filterKeys(s => Set("src3", "src7", "src11", "src15", "src19")(s))
+    val w2 = bySrcN.filterKeys(s => Set("src0", "src4", "src8", "src12", "src16")(s))
+    assert(w11.values.sum > w2.values.sum,
+      s"weight-11 sources must dominate weight-2: ${bySrcN.toMap}")
+  }
+}

@@ -177,6 +177,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("cp1 sample prunes map-side: partial WindowGroupLimit below the exchange") {
+    // rank ≤ 20 per language must prune each map partition to its
+    // local top-20 BEFORE the lang shuffle — at 100 TB the exchange
+    // then carries O(20 × strata) rows, not the corpus.
+    val p = plan("cp1_stratified_sample")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected a partial WindowGroupLimit\n$p")
+  }
+
+  test("cp2 weights dim joins broadcast; cp4 head is TakeOrderedAndProject") {
+    assert(plan("cp2_weighted_mixture").contains("BroadcastHashJoin"))
+    val df = gate("cp4_interleave_head", sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"interleave head must be per-partition top-k, not a global sort\n$p")
+  }
+
+  test("cp3 packing: one documents scan, one exchange (the shard shuffle)") {
+    val p = plan("cp3_sequence_pack")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected one documents scan, got $scans\n$p")
+    assert(shuffleCount(p) <= 1, s"expected <=1 exchange\n$p")
+  }
+
   test("q9 salted agg: partials spread over salt before the final merge") {
     val p = plan("q9_salted_agg")
     // two grouping phases → two hashpartitioning exchanges: one on

@@ -92,6 +92,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim9 OR-amplification: recall strictly up, candidates bounded") {
+    // The L-tables trade, measured (sim8 is the oracled gate; this
+    // pins the DIRECTION of the trade so a geometry regression can't
+    // pass silently): 8 bands of 4 bits must recover strictly more
+    // exact-top-10 pairs than 4 bands (at sf0.01: 66% vs 38%), its
+    // candidate set must be a superset (bands 0-3 are shared — the
+    // first 16 planes of the pool), and the extra 4 bands can at most
+    // double the candidate volume (each band's bucket economics are
+    // identical, so volume scales sub-linearly in bands under
+    // clustering, linearly under uniformity).
+    val r8 = gate("sim8_ann_recall", sf001).collect().head
+    assert(r8.getAs[Long]("mb_hits") > r8.getAs[Long]("lsh_hits"),
+      s"multi-band recall did not improve: $r8")
+    val c4 = operators.Similarity.candidatePairs(spark, sf001, 16, 4, 4)
+    val c8 = operators.Similarity.candidatePairs(spark, sf001, 32, 8, 4)
+    val n4 = c4.count(); val n8 = c8.count()
+    assert(n8 <= 2 * n4, s"candidate volume blew past 2x: $n4 -> $n8")
+    assert(c4.except(c8).isEmpty, "8-band candidates must contain the 4-band set")
+  }
+
   test("sim1/sim2 on driver data: ranks dense, ANN ⊆ exact-scored") {
     val s1 = gate("sim1_knn_bruteforce", sf0001).collect()
     val byQ = s1.groupBy(_.getAs[Long]("query_id"))
