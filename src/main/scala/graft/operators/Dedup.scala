@@ -338,6 +338,55 @@ object Dedup {
        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin
   }
 
+  // ---------------------------------------------------------------- dd5
+
+  /** dd5: ensemble near-dup verdict — text and embedding signals
+    * composed into one decision table. Production dedup rarely trusts
+    * a single signal: a SimHash hit with no embedding support is
+    * usually boilerplate overlap; an embedding hit with no text
+    * support is a paraphrase. This gate full-outer-joins dd4's
+    * SimHash pairs (hamming ≤ 3) with sim3's embedding-cosine pairs
+    * (cosine ≥ 0.45, vec_id ≡ doc_id in the synthetic corpus) and
+    * labels each pair `both` / `text_only` / `embed_only`. Missing
+    * sides are sentinel-filled (hamming −1, cosine −2) so the output
+    * is null-free and hashes identically in both engines.
+    *
+    * Scale shape: the outer merge is a TAGGED UNION + one hash
+    * aggregation on (id1, id2), not a join — a full-outer join of
+    * sparse single-row-per-key signal tables is exactly a grouped
+    * merge, and the union shape costs one exchange with map-side
+    * combine where Spark's full-outer join would sort-merge both
+    * sides (full outer cannot broadcast). Each input is already tiny
+    * (bounded by its blocking strategy, not the corpus). */
+  private def dd5(s: SparkSession, d: String): DataFrame =
+    dd4(s, d)
+      .select(col("id1"), col("id2"),
+        col("hamming").cast("long").as("h"), lit(null).cast("double").as("c"))
+      .unionByName(Similarity.sim3(s, d)
+        .select(col("id1"), col("id2"),
+          lit(null).cast("long").as("h"), col("cosine").as("c")))
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("h")).as("h"), max(col("c")).as("c"))
+      .select(col("id1"), col("id2"),
+        coalesce(col("h"), lit(-1L)).as("hamming"),
+        coalesce(col("c"), lit(-2.0)).as("cosine"),
+        when(col("h").isNotNull && col("c").isNotNull, lit("both"))
+          .when(col("h").isNotNull, lit("text_only"))
+          .otherwise(lit("embed_only")).as("verdict"))
+
+  private val dd5Sql =
+    s"""WITH t AS (${dd4Sql}),
+       |e AS (${Similarity.sim3Sql})
+       |SELECT
+       |  coalesce(t.id1, e.id1) AS id1,
+       |  coalesce(t.id2, e.id2) AS id2,
+       |  coalesce(t.hamming, -1) AS hamming,
+       |  coalesce(e.cosine, -2.0) AS cosine,
+       |  CASE WHEN t.id1 IS NOT NULL AND e.id1 IS NOT NULL THEN 'both'
+       |       WHEN t.id1 IS NOT NULL THEN 'text_only'
+       |       ELSE 'embed_only' END AS verdict
+       |FROM t FULL OUTER JOIN e ON t.id1 = e.id1 AND t.id2 = e.id2""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -346,5 +395,7 @@ object Dedup {
     GateQuery("dd3_minhash_lsh", dd3, Some(dd3Sql),
       "MinHash 16-perm, 4x4 LSH bands, exact-verified Jaccard >= 0.8"),
     GateQuery("dd4_simhash", dd4, Some(dd4Sql),
-      "weighted 64-bit SimHash, 16-bit bands, hamming <= 3 pairs"))
+      "weighted 64-bit SimHash, 16-bit bands, hamming <= 3 pairs"),
+    GateQuery("dd5_ensemble_verdict", dd5, Some(dd5Sql),
+      "SimHash x embedding-cosine near-dup signals composed into one verdict"))
 }

@@ -260,7 +260,7 @@ object Similarity {
     * member of the dedup suite): LSH-blocked candidates (id1 < id2,
     * any shared band), kept when cosine ≥ 0.45 (this corpus has no
     * tighter geometric duplicates — max off-diagonal cosine ≈ 0.55). */
-  private def sim3(s: SparkSession, d: String): DataFrame = {
+  private[operators] def sim3(s: SparkSession, d: String): DataFrame = {
     val base = vecs(s, d)
     // Slim pair generation: with 4-bit band keys the buckets are big
     // (N/16 each), so the candidate join fans out to ~N²/32 rows —
@@ -279,7 +279,7 @@ object Similarity {
       .select("id1", "id2", "cosine")
   }
 
-  private val sim3Sql = "WITH " + vecsSql.dropRight(1) + ", " + sigSql.dropRight(1) +
+  private[operators] val sim3Sql = "WITH " + vecsSql.dropRight(1) + ", " + sigSql.dropRight(1) +
     ", " + bandsSql +
     s"""SELECT id1, id2, cosine FROM (
        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,

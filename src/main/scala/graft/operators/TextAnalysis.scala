@@ -320,6 +320,101 @@ object TextAnalysis {
        |        $contentFpSql AS fp
        |      FROM documents) s) q) w""".stripMargin
 
+  // ---------------------------------------------------------------- tx8
+
+  /** tx8: KMV (k-minimum-values) cardinality sketch — distinct-count
+    * ESTIMATION with a deterministic estimator, next to the exact
+    * answer it approximates. At 100 TB `count(distinct fp)` is a
+    * corpus-wide exchange; the KMV estimate needs only the k smallest
+    * distinct hash values (k = 32 here): if the k-th smallest of D
+    * uniform 60-bit hashes is h(k), then D ≈ (k−1)·2^60 / h(k)
+    * (Bar-Yossef et al.). Unlike HLL (whose register layout is
+    * engine-private, so approx_count_distinct can never oracle-match),
+    * KMV over the shared md5-prefix hash is bit-deterministic in any
+    * engine. One row: exact vs estimate vs relative error — the gate
+    * proves the estimator, the docstring carries the law. Strata with
+    * fewer than k distinct values degrade gracefully (k_eff = D and
+    * the estimate trends exact-ish).
+    *
+    * Scale shape: the distinct is partially aggregated map-side and
+    * the k-min is a TakeOrdered (per-partition top-k); a production
+    * run would fold both into one bounded-state sketch aggregate, but
+    * the composed plan already carries only distinct hashes into one
+    * exchange. The exact side is the expensive comparator the sketch
+    * exists to replace. */
+  private def tx8(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables.documents(s, d).select(
+      conv(substring(contentFp(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    val sketch = fps.distinct().orderBy(col("h").asc).limit(32)
+      .agg(count(lit(1)).as("k_eff"), max(col("h")).as("kth_min"))
+    val exact = fps.agg(
+      count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+    exact.crossJoin(sketch) // two 1-row anchors
+      .withColumn("est_distinct",
+        (col("k_eff") - 1).cast("double") * lit(1152921504606846976.0) /
+          col("kth_min").cast("double"))
+      .withColumn("err_pct",
+        abs(col("est_distinct") - col("n_distinct")) * 100 /
+          col("n_distinct").cast("double"))
+  }
+
+  private val tx8Sql =
+    s"""WITH f AS (
+       |  SELECT ('0x' || substr($contentFpSql, 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |sk AS (
+       |  SELECT count(*) AS k_eff, max(h) AS kth_min FROM (
+       |    SELECT DISTINCT h FROM f ORDER BY h ASC LIMIT 32) km),
+       |ex AS (SELECT count(*) AS n_docs, count(DISTINCT h) AS n_distinct FROM f)
+       |SELECT n_docs, n_distinct, k_eff, kth_min,
+       |  CAST(k_eff - 1 AS DOUBLE) * 1152921504606846976.0
+       |    / CAST(kth_min AS DOUBLE) AS est_distinct,
+       |  abs(CAST(k_eff - 1 AS DOUBLE) * 1152921504606846976.0
+       |    / CAST(kth_min AS DOUBLE) - n_distinct) * 100
+       |    / CAST(n_distinct AS DOUBLE) AS err_pct
+       |FROM ex, sk""".stripMargin
+
+  // ---------------------------------------------------------------- tx9
+
+  /** tx9: exact per-language length quantiles (p50/p90/p99) by rank
+    * selection — the corpus length profile every curation run reads
+    * before setting truncation budgets. No percentile_* built-ins
+    * (their interpolation rules differ across engines): the selected
+    * value is the one AT rank ⌈q·n⌉ under a total (n_tokens, doc_id)
+    * order, computed with integer arithmetic only — bit-identical
+    * everywhere, and the window rank + count share one exchange on
+    * lang. At 100 TB this is the same single shuffle; a skew-prone
+    * stratum would sub-aggregate into per-bucket counts first. */
+  private def tx9(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    val ranked = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), size(toks(col("text"))).as("n_tokens"))
+      .withColumn("rk", row_number().over(w.orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val quantiles = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+    ranked
+      .select(col("lang"), col("n_tokens"), col("rk"), col("n"),
+        explode(array(quantiles.map { case (l, qn, qd) =>
+          struct(lit(l).as("q"), expr(s"(n * $qn + ${qd - 1}) div $qd").as("target"))
+        }: _*)).as("qt"))
+      .filter(col("rk") === col("qt.target"))
+      .select(col("lang"), col("qt.q").as("quantile"), col("n").as("n_docs"),
+        col("rk").as("sel_rank"), col("n_tokens"))
+  }
+
+  private val tx9Sql =
+    """SELECT lang, q.q AS quantile, n AS n_docs, rk AS sel_rank, n_tokens
+      |FROM (
+      |  SELECT lang, n_tokens,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM (
+      |    SELECT lang, doc_id,
+      |      length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      |    FROM documents) b) t,
+      |  (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) q(q, qn, qd)
+      |WHERE rk = (n * qn + qd - 1) // qd""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -334,5 +429,9 @@ object TextAnalysis {
     GateQuery("tx6_bigram_topk", tx6, Some(tx6Sql),
       "corpus top-20 token bigrams via explode (S6/S7 generator shape)"),
     GateQuery("tx7_corpus_prep", tx7, Some(tx7Sql),
-      "full prep funnel: lang-ID + quality + exact-dedup -> keep/drop decision"))
+      "full prep funnel: lang-ID + quality + exact-dedup -> keep/drop decision"),
+    GateQuery("tx8_kmv_cardinality", tx8, Some(tx8Sql),
+      "KMV distinct-count sketch (k=32) vs the exact count, one row"),
+    GateQuery("tx9_length_quantiles", tx9, Some(tx9Sql),
+      "exact per-language p50/p90/p99 token-length quantiles by rank selection"))
 }

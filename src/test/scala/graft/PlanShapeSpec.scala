@@ -164,7 +164,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // (sim1's non-equi query join).
     val nljAllowed = Set("la2_level_rollup", "la4_last_24h",
       "la5_retention", "sim1_knn_bruteforce", "tw6_ttl_expiry",
-      "sim8_ann_recall") // embeds sim1's brute-force ground truth
+      "sim8_ann_recall", // embeds sim1's brute-force ground truth
+      "tx8_kmv_cardinality") // 1-row sketch x 1-row exact anchor join
     GateQueries.all.foreach { q =>
       val df = q.run(spark, sf0001)
       df.collect() // finalize AQE

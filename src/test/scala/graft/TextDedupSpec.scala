@@ -85,6 +85,60 @@ class TextDedupSpec extends AnyFunSuite {
     assert(tx7.values.count(_.getAs[Boolean]("is_canonical")) == keepers.size)
   }
 
+  test("dd5 ensemble: both/text_only/embed_only verdicts from a joint fixture") {
+    // docs 1,2: same text AND same embedding → 'both';
+    // docs 3,4: same text, orthogonal embeddings → 'text_only';
+    // doc 5: unrelated text, embedding identical to 1/2 → 'embed_only'.
+    val e0 = Seq.fill(32)(Seq(1.0f, 0.0f)).flatten
+    val e1 = Seq.fill(32)(Seq(0.0f, 1.0f)).flatten
+    val eh = (0 until 64).map(i => if (i % 4 == 0) 1.0f else 0.0f)
+    val d5 = fixtureDir(
+      "documents" -> documentsDf(Seq(
+        (1L, "aa bb aa cc", "en", "s1"),
+        (2L, "aa bb aa cc", "en", "s1"),
+        (3L, "mm nn oo pp qq mm", "en", "s1"),
+        (4L, "mm nn oo pp qq mm", "en", "s1"),
+        (5L, "qq rr ss tt uu vv ww xx yy zz", "de", "s2"))),
+      "embeddings" -> embeddingsDf(Seq(
+        (1L, e0, 0), (2L, e0, 0), (3L, e1, 1), (4L, eh, 1), (5L, e0, 0))))
+    val got = gate("dd5_ensemble_verdict", d5).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("hamming"), r.getAs[Double]("cosine")))
+      .toMap
+    assert(got((1L, 2L))._1 == "both")
+    assert(got((1L, 2L))._2 == 0L && math.abs(got((1L, 2L))._3 - 1.0) < 1e-12)
+    assert(got((3L, 4L))._1 == "text_only" && got((3L, 4L))._3 == -2.0)
+    assert(got((1L, 5L))._1 == "embed_only" && got((1L, 5L))._2 == -1L)
+    assert(got((2L, 5L))._1 == "embed_only")
+  }
+
+  test("tx8 KMV estimator: exact side right, estimate inside the k=32 error bar") {
+    val r = gate("tx8_kmv_cardinality", sf001).collect().head
+    assert(r.getAs[Long]("n_docs") == 500 && r.getAs[Long]("n_distinct") == 500)
+    assert(r.getAs[Long]("k_eff") == 32)
+    val kth = r.getAs[Long]("kth_min")
+    assert(kth > 0 && kth < (1L << 60))
+    // KMV stddev ≈ D/√k ≈ 18% at k=32; 2σ bound with slack
+    assert(r.getAs[Double]("err_pct") < 40.0, s"estimator off: $r")
+    // degraded stratum: 4 distinct docs < k → k_eff = D, estimate finite
+    val tiny = gate("tx8_kmv_cardinality", dir).collect().head
+    assert(tiny.getAs[Long]("k_eff") == tiny.getAs[Long]("n_distinct"))
+  }
+
+  test("tx9 quantiles: three monotone cuts per language at the exact ranks") {
+    val rows = gate("tx9_length_quantiles", sf001).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.length == 3, s"$lang must emit p50/p90/p99")
+      val byQ = rs.map(r => r.getAs[String]("quantile") -> r).toMap
+      val n = rs.head.getAs[Long]("n_docs")
+      assert(byQ("p50").getAs[Int]("sel_rank") == ((n + 1) / 2).toInt)
+      assert(byQ("p90").getAs[Int]("sel_rank") == ((n * 9 + 9) / 10).toInt)
+      assert(byQ("p99").getAs[Int]("sel_rank") == ((n * 99 + 99) / 100).toInt)
+      assert(byQ("p50").getAs[Int]("n_tokens") <= byQ("p90").getAs[Int]("n_tokens"))
+      assert(byQ("p90").getAs[Int]("n_tokens") <= byQ("p99").getAs[Int]("n_tokens"))
+    }
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
