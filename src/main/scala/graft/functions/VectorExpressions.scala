@@ -96,5 +96,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5h60_array"),
       new ExpressionInfo(classOf[Md5H60Array].getName, "md5h60_array"),
       (children: Seq[Expression]) => Md5H60Array(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_kmin"),
+      new ExpressionInfo(classOf[KmvKMin].getName, "kmv_kmin"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_kmin k must be an integer literal, got $other")
+        }
+        KmvKMin(children.head, k)
+      }))
   }
 }

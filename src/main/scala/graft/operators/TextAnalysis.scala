@@ -336,17 +336,21 @@ object TextAnalysis {
     * fewer than k distinct values degrade gracefully (k_eff = D and
     * the estimate trends exact-ish).
     *
-    * Scale shape: the distinct is partially aggregated map-side and
-    * the k-min is a TakeOrdered (per-partition top-k); a production
-    * run would fold both into one bounded-state sketch aggregate, but
-    * the composed plan already carries only distinct hashes into one
-    * exchange. The exact side is the expensive comparator the sketch
-    * exists to replace. */
+    * Scale shape: the sketch side is the custom bounded-state
+    * `kmv_kmin` aggregate ([[graft.functions.KmvKMin]], a
+    * TypedImperativeAggregate): O(k) sorted-set state per partition,
+    * k-vs-k merges, one k-long array through a SinglePartition
+    * exchange — where the composed `distinct → orderBy → limit(k)`
+    * would shuffle EVERY distinct hash corpus-wide before discarding
+    * all but k (the output is bit-identical, so the oracle runs the
+    * composed SQL). The exact side is the expensive comparator the
+    * sketch exists to replace. */
   private def tx8(s: SparkSession, d: String): DataFrame = {
     val fps = Tables.documents(s, d).select(
       conv(substring(contentFp(col("text")), 1, 15), 16, 10).cast("long").as("h"))
-    val sketch = fps.distinct().orderBy(col("h").asc).limit(32)
-      .agg(count(lit(1)).as("k_eff"), max(col("h")).as("kth_min"))
+    val sketch = fps.agg(expr("kmv_kmin(h, 32)").as("km"))
+      .select(size(col("km")).cast("long").as("k_eff"),
+        expr("km[size(km) - 1]").as("kth_min"))
     val exact = fps.agg(
       count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
     exact.crossJoin(sketch) // two 1-row anchors

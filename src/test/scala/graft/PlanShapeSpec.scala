@@ -204,6 +204,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffleCount(p) <= 1, s"expected <=1 exchange\n$p")
   }
 
+  test("tx8 sketch side is the bounded-state aggregate, not a distinct shuffle") {
+    // kmv_kmin plans as ObjectHashAggregate (partial per partition,
+    // k-long arrays through one SinglePartition exchange); the old
+    // composed form's TakeOrderedAndProject — and its corpus-wide
+    // distinct exchange feeding it — must be gone. (The exact
+    // count-distinct side keeps its own exchanges; it exists as the
+    // comparator the sketch replaces.)
+    val p = plan("tx8_kmv_cardinality")
+    assert(p.contains("kmv_kmin") && p.contains("ObjectHashAggregate"),
+      s"expected the kmv_kmin ObjectHashAggregate\n$p")
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"composed k-min path should be gone\n$p")
+  }
+
   test("q9 salted agg: partials spread over salt before the final merge") {
     val p = plan("q9_salted_agg")
     // two grouping phases → two hashpartitioning exchanges: one on

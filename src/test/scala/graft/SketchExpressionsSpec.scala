@@ -75,6 +75,32 @@ class SketchExpressionsSpec extends AnyFunSuite {
     assert(again.toSeq == out.map(_.getLong(2)).toSeq)
   }
 
+  test("kmv_kmin equals the composed distinct+sort+limit at any parallelism") {
+    // The bounded-state aggregate must be BIT-IDENTICAL to the
+    // composed form it replaces in tx8, and the k-vs-k partial merges
+    // must be associative: 1-partition and 8-partition runs agree.
+    val hs = Tables.documents(spark, sf001).select(
+      expr("cast(conv(substring(md5(regexp_replace(trim(text), '\\\\s+', ' ')),1,15),16,10) as bigint)")
+        .as("h"))
+    val composed = hs.distinct().orderBy(col("h").asc).limit(32)
+      .collect().map(_.getLong(0)).toSeq
+    val one = hs.coalesce(1).agg(expr("kmv_kmin(h, 32)")).collect()
+      .head.getSeq[Long](0)
+    val eight = hs.repartition(8).agg(expr("kmv_kmin(h, 32)")).collect()
+      .head.getSeq[Long](0)
+    assert(one == composed, "1-partition aggregate diverged from composed form")
+    assert(eight == composed, "8-partition merge diverged from composed form")
+    // duplicates must not double-count: k smallest DISTINCT values
+    val dup = hs.union(hs).agg(expr("kmv_kmin(h, 32)")).collect()
+      .head.getSeq[Long](0)
+    assert(dup == composed, "duplicated input changed the k-min set")
+    // fewer distinct values than k → all of them, ascending
+    import spark.implicits._
+    val tiny = Seq(5L, 3L, 5L, 9L).toDF("h").agg(expr("kmv_kmin(h, 32)"))
+      .collect().head.getSeq[Long](0)
+    assert(tiny == Seq(3L, 5L, 9L))
+  }
+
   test("dd3/dd4 sketch stages plan as narrow maps (no pre-band shuffle)") {
     // the point of the expressions: zero exchanges before the band
     // self-join's own shuffle. Count exchanges in the sketch subplans.
