@@ -178,6 +178,64 @@ object CorpusOps {
        |  FROM documents) t JOIN w ON t.source = w.source
        |ORDER BY ikey ASC, doc_id ASC LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- cp5
+
+  /** cp5: quality-ordered selection under a token budget — "fill
+    * 2000 tokens per language with the best documents": docs are
+    * ordered quality-bucket-first (keep < flagged < drop_short,
+    * tx2's buckets), then by the reproducible permutation, and
+    * selected while the running token total stays within budget (the
+    * first over-budget doc is the cut — the data-selection twin of
+    * cp3's packing rule). Emits every doc with its running total and
+    * kept flag, so the rejected tail is auditable — at 100 TB the
+    * sink partitions on `kept`. One shuffle (the lang window). */
+  private def cp5(s: SparkSession, d: String): DataFrame = {
+    val bucketRank =
+      when(col("quality_bucket") === "keep", lit(0))
+        .when(col("quality_bucket") === "drop_short", lit(3))
+        .otherwise(lit(1)) // the two flag_* buckets tie mid-priority
+    val ord = Window.partitionBy(col("lang"))
+      .orderBy(col("brank"), col("rk"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        regexp_count(col("text"), lit("[^a-z0-9\\s]")).as("punct_cnt"),
+        regexp_count(col("text"), lit("\\b(the|a)\\b")).as("stopword_cnt"),
+        rnd("cp5").as("rk"))
+      .withColumn("quality_bucket", TextAnalysis.qualityBucket(
+        col("n_tokens"), col("stopword_cnt"), col("punct_cnt")))
+      .withColumn("brank", bucketRank)
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("kept", col("cum_tokens") <= 2000)
+      .select("doc_id", "lang", "quality_bucket", "n_tokens", "cum_tokens", "kept")
+  }
+
+  private val cp5Sql = {
+    val bucketSql = TextAnalysis.qualityBucketSql("n_tokens", "stopword_cnt", "punct_cnt")
+    s"""SELECT doc_id, lang, quality_bucket, n_tokens, cum_tokens,
+       |  cum_tokens <= 2000 AS kept
+       |FROM (
+       |  SELECT doc_id, lang, quality_bucket, n_tokens,
+       |    CAST(sum(n_tokens) OVER (
+       |      PARTITION BY lang ORDER BY brank, rk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM (
+       |    SELECT doc_id, lang, n_tokens, quality_bucket,
+       |      CASE quality_bucket WHEN 'keep' THEN 0 WHEN 'drop_short' THEN 3
+       |        ELSE 1 END AS brank,
+       |      ${rndSql("cp5")} AS rk
+       |    FROM (
+       |      SELECT doc_id, lang, n_tokens,
+       |        $bucketSql AS quality_bucket
+       |      FROM (
+       |        SELECT doc_id, lang,
+       |          length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |          length(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct_cnt,
+       |          length(regexp_extract_all(text, '\\b(the|a)\\b')) AS stopword_cnt
+       |        FROM documents) c) q) b) t""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
       "deterministic per-language k-sample via salted-md5 permutation"),
@@ -186,5 +244,7 @@ object CorpusOps {
     GateQuery("cp3_sequence_pack", cp3, Some(cp3Sql),
       "shard-local packing into 512-token bins via window cumsum"),
     GateQuery("cp4_interleave_head", cp4, Some(cp4Sql),
-      "weighted interleave order of the mixture stream, first 100 docs"))
+      "weighted interleave order of the mixture stream, first 100 docs"),
+    GateQuery("cp5_budget_select", cp5, Some(cp5Sql),
+      "quality-ordered per-language selection under a 2000-token budget"))
 }

@@ -387,6 +387,78 @@ object Dedup {
        |       ELSE 'embed_only' END AS verdict
        |FROM t FULL OUTER JOIN e ON t.id1 = e.id1 AND t.id2 = e.id2""".stripMargin
 
+  // ---------------------------------------------------------------- dd6
+
+  /** dd6: duplicate-CLUSTER resolution — the step after pair
+    * detection that every production dedup actually ships: near-dup
+    * pairs are only edges, and keep/drop decisions need the connected
+    * COMPONENT (if 1≈2 and 2≈3, then {1,2,3} is one group even though
+    * (1,3) never surfaced as a pair). Components via iterative
+    * min-label propagation over dd4's pair graph: every vertex starts
+    * as its own label, each round takes the min of its own and its
+    * neighbors' labels, converged when no label moves — the
+    * Pregel/GraphX `connectedComponents` shape. Rounds =
+    * O(graph diameter); duplicate clusters from blocking are
+    * near-cliques, so 2-3 rounds in practice, with a hard cap as a
+    * divergence guard.
+    *
+    * Scale notes: each round is one shuffle of the (vertex, label)
+    * table against the edge list; the per-round convergence check is
+    * a driver-side `isEmpty` — the ONE legitimate driver action shape
+    * in this library (iterative fixpoint, not data movement), and
+    * `localCheckpoint` truncates the growing lineage each round so
+    * round N never replans rounds 1..N−1. At 100 TB one would switch
+    * to the large-star/small-star variant (fewer rounds on
+    * high-diameter graphs); the gate pins the semantics either way.
+    * Output: every vertex of the pair graph with its cluster id
+    * (= min doc_id reachable), canonical flag, and cluster size. */
+  private def dd6(s: SparkSession, d: String): DataFrame = {
+    val pairs = dd4(s, d).select(col("id1"), col("id2"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint() // materialize once; rounds must not re-run dd4
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 20) {
+      val nbrMin = edges.join(labels, edges("id2") === labels("id"))
+        .groupBy(edges("id1").as("id"))
+        .agg(min(col("lbl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+          (col("nbr_min") < col("lbl")).as("moved"))
+        .localCheckpoint()
+      converged = next.filter(col("moved")).isEmpty
+      labels = next.select(col("id"), col("lbl")).localCheckpoint()
+      rounds += 1
+    }
+    require(converged, s"dd6 label propagation did not converge in $rounds rounds")
+    labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+  }
+
+  private val dd6Sql =
+    s"""WITH RECURSIVE t AS (${dd4Sql}),
+       |eb AS (
+       |  SELECT id1 AS a, id2 AS b FROM t
+       |  UNION ALL SELECT id2, id1 FROM t),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM eb
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN eb e ON r.b = e.a)
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a) c""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -397,5 +469,7 @@ object Dedup {
     GateQuery("dd4_simhash", dd4, Some(dd4Sql),
       "weighted 64-bit SimHash, 16-bit bands, hamming <= 3 pairs"),
     GateQuery("dd5_ensemble_verdict", dd5, Some(dd5Sql),
-      "SimHash x embedding-cosine near-dup signals composed into one verdict"))
+      "SimHash x embedding-cosine near-dup signals composed into one verdict"),
+    GateQuery("dd6_dup_clusters", dd6, Some(dd6Sql),
+      "connected-component cluster resolution over the near-dup pair graph"))
 }

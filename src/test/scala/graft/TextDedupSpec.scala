@@ -139,6 +139,75 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dd6 clusters are transitive: a pair CHAIN collapses to one component") {
+    // Texts found by searching the sketch space: hamming(A,B)=2,
+    // hamming(B,C)=3, hamming(A,C)=5 — so dd4 emits (A,B) and (B,C)
+    // but NOT (A,C), and only the transitive closure puts all three
+    // in one cluster. Doc 9 is unrelated (its own singleton is absent
+    // from dd6: no edges → not a vertex of the pair graph).
+    val a = "scan the the table batch scan dup row the agg a table window dup " +
+      "line merge sort the sort batch hash value fast value row the hash big " +
+      "window merge sort hash a row scan big line fast merge slow"
+    val b = a.replace("sort hash a row scan", "sort agg a row scan")
+    val c = b.replace("the hash big window", "the row big window")
+    val d6 = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, a, "en", "s1"), (2L, b, "en", "s1"), (3L, c, "en", "s1"),
+      (9L, "zz yy xx ww vv uu tt ss rr qq pp oo", "de", "s2"))))
+    val pairs = gate("dd4_simhash", d6).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"fixture drifted: $pairs")
+    val rows = gate("dd6_dup_clusters", d6).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") == 1L)
+      assert(r.getAs[Long]("cluster_size") == 3L)
+      assert(r.getAs[Boolean]("is_canonical") == (r.getAs[Long]("doc_id") == 1L))
+    }
+  }
+
+  test("dd6 equals an independent union-find over dd4's pairs (driver data)") {
+    val pairs = gate("dd4_simhash", sf001).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = verts.map(v => v -> find(v)).toMap
+    val got = gate("dd6_dup_clusters", sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == want, "label propagation diverged from union-find")
+  }
+
+  test("cp5 budget selection: kept set is the maximal in-order prefix") {
+    gate("cp5_budget_select", sf001).collect()
+      .groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+        val inOrder = rs.sortBy(_.getAs[Long]("cum_tokens"))
+        var cum = 0L
+        inOrder.foreach { r =>
+          cum += r.getAs[Int]("n_tokens")
+          assert(r.getAs[Long]("cum_tokens") == cum, s"$lang cumsum drift")
+          assert(r.getAs[Boolean]("kept") == (cum <= 2000), s"$lang kept flag")
+        }
+        // budget actually binds at sf0.01 (every lang has > 2000 tokens)
+        assert(inOrder.exists(!_.getAs[Boolean]("kept")), s"$lang budget unbound")
+        // quality ordering: no kept drop_short doc may precede an
+        // unkept keep doc (bucket rank dominates the permutation)
+        val firstDropKept = inOrder.filter(r =>
+          r.getAs[String]("quality_bucket") == "drop_short" && r.getAs[Boolean]("kept"))
+        val keepUnkept = inOrder.filter(r =>
+          r.getAs[String]("quality_bucket") == "keep" && !r.getAs[Boolean]("kept"))
+        assert(firstDropKept.isEmpty || keepUnkept.isEmpty,
+          s"$lang quality ordering violated")
+      }
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
