@@ -244,14 +244,14 @@ object ChannelMetrics {
   /** ca4: channel-format classifier (A4): ≥70% shorts → 'shorts', ≥70%
     * long → 'long', else 'mixed' (youtube_api_handler.py:1073-1092).
     * Pct compare on exact integers (n*10 vs total*7) — no FP at all. */
-  private def ca4(s: SparkSession, d: String): DataFrame =
+  private[operators] def ca4(s: SparkSession, d: String): DataFrame =
     ca3(s, d).select(
       col("channel_id"), col("n_shorts"), col("n_long"), col("n_total"),
       when(col("n_shorts") * 10 >= col("n_total") * 7, lit("shorts"))
         .when(col("n_long") * 10 >= col("n_total") * 7, lit("long"))
         .otherwise(lit("mixed")).as("primary_format"))
 
-  private val ca4Sql = vidsSql +
+  private[operators] val ca4Sql = vidsSql +
     """SELECT channel_id, n_shorts, n_long, n_total,
       |  CASE WHEN n_shorts * 10 >= n_total * 7 THEN 'shorts'
       |       WHEN n_long * 10 >= n_total * 7 THEN 'long'

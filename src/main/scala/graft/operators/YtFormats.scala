@@ -513,6 +513,39 @@ object YtFormats {
        |LEFT JOIN dim d3 ON split_part(lower(d.raw_code), '-', 1) = d3.code""".stripMargin
   }
 
+  // ---------------------------------------------------------------- yf9
+
+  /** yf9: the P12 response envelope as an ORACLED gate (api_server.py
+    * standardize_response, :138-156): every API response wraps in
+    * `{success, data, meta{cache_status, ...}}`, and this emits that
+    * exact JSON per channel over ca4's classifier output —
+    * `to_json(struct(...))` on the Spark side, `to_json(struct_pack)`
+    * in DuckDB, byte-identical because the payload is integers,
+    * strings and booleans only (doubles are deliberately excluded:
+    * JSON float formatting is the one place engines' shortest-repr
+    * printers may disagree). Serialization is a narrow codegen'd
+    * projection — the envelope costs nothing at any scale. */
+  private def yf9(s: SparkSession, d: String): DataFrame =
+    ChannelMetrics.ca4(s, d).select(
+      col("channel_id"),
+      to_json(struct(
+        lit(true).as("success"),
+        struct(col("channel_id"), col("primary_format"),
+          col("n_total").as("count")).as("data"),
+        struct(lit("fresh").as("cache_status"),
+          lit("v1").as("api_version")).as("meta"))).as("body"))
+
+  private val yf9Sql =
+    s"""WITH c AS (${ChannelMetrics.ca4Sql})
+       |SELECT channel_id,
+       |  to_json(struct_pack(
+       |    success := true,
+       |    data := struct_pack(channel_id := channel_id,
+       |      primary_format := primary_format, count := n_total),
+       |    meta := struct_pack(cache_status := 'fresh',
+       |      api_version := 'v1')))::VARCHAR AS body
+       |FROM c""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("yf1_rss_xml_parse", yf1, Some(yf1Sql),
       "Atom XML round-trip via from_xml + URL id extraction (S6/S7/P5/P6)"),
@@ -529,5 +562,7 @@ object YtFormats {
     GateQuery("yf7_rss_feed_explode", yf7, Some(yf7Sql),
       "multi-entry namespaced Atom feed -> exploded video rows (S6)"),
     GateQuery("yf8_full_language_fallback", yf8, Some(yf8Sql),
-      "full 83-row language dim + exact 4-step fallback order (P7)"))
+      "full 83-row language dim + exact 4-step fallback order (P7)"),
+    GateQuery("yf9_response_envelope", yf9, Some(yf9Sql),
+      "P12 standardize_response JSON envelope, byte-identical to_json"))
 }
