@@ -79,6 +79,19 @@ object ScaleProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"$g%-16s pairs=$c%12d elapsed=$secs%7.1f s")
       }
+      // Cluster resolution over the replica's pair graph: every doc
+      // sits in a factor-dense duplicate CLIQUE, so the label
+      // propagation should converge in ~2 rounds regardless of corpus
+      // size (clique diameter is 1) — the scale property that makes
+      // min-label CC viable at 100 TB for dedup graphs specifically.
+      val t0 = System.nanoTime()
+      val cl = SparkEntry.queries("dd6_dup_clusters")(spark, out)
+        .agg(count(lit(1)).as("verts"),
+          countDistinct(col("cluster_id")).as("clusters"),
+          max(col("cluster_size")).as("max_size")).head
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"dd6_dup_clusters verts=${cl.getLong(0)}%9d clusters=${cl.getLong(1)}%7d " +
+        f"max_size=${cl.getLong(2)}%5d elapsed=$secs%7.1f s")
     }
     spark.stop()
   }
