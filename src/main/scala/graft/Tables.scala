@@ -29,7 +29,14 @@ object Tables {
     // sporadic stalls (measured 2-6× wall-clock variance at sf0.1).
     "spark.sql.codegen.cache.maxEntries" -> "10000",
     // native graft expressions (dot_f64) — see graft.functions
-    "spark.sql.extensions" -> "graft.functions.GraftExtensions")
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions",
+    // Honor the per-bucket sort order of bucketed tables (q10 / the
+    // Bucketing helper): off by default because it is only sound when
+    // every bucket is a single file — which writeBucketed guarantees
+    // by pre-repartitioning on the bucket key (same Murmur3-pmod hash
+    // as the bucket-file assignment). With it, a key-matched SMJ over
+    // bucket-sorted tables carries neither Exchange nor Sort.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -20,7 +20,18 @@ object Bucketing {
   /** Write `df` as a bucketed (and bucket-sorted) external table.
     * `buckets` should track data volume: partitions of a bucketed
     * read are buckets, so size them like shuffle partitions
-    * (fit-in-executor-memory at the target SF). */
+    * (fit-in-executor-memory at the target SF).
+    *
+    * The pre-write `repartition(buckets, keys)` matters: Spark's
+    * repartition and its bucket-file assignment use the same
+    * Murmur3-pmod hash, so after it each write task holds exactly one
+    * bucket and every bucket lands in ONE file — the layout invariant
+    * that lets the scan report per-bucket sort order (see
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` in
+    * `Tables.requiredConfs`; with multi-file buckets that claim would
+    * be wrong, which is why Spark defaults it off). This is the
+    * "one write-side shuffle" the layout trades for exchange-free,
+    * sort-free reads on every downstream key-matched join/agg. */
   def writeBucketed(
       df: DataFrame,
       table: String,
@@ -28,7 +39,10 @@ object Bucketing {
       buckets: Int,
       keys: Seq[String],
       mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w: DataFrameWriter[Row] = df.write
+    import org.apache.spark.sql.functions.col
+    val w: DataFrameWriter[Row] = df
+      .repartition(buckets, keys.map(col): _*)
+      .write
       .mode(mode)
       .format("parquet")
       .option("path", path)

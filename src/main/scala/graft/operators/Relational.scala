@@ -249,6 +249,49 @@ object Relational {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q10
+
+  /** q10: co-located (bucketed) fact⋈dim join — the 100 TB join answer
+    * EXECUTED as an oracled gate instead of a test-only helper: both
+    * sides are first written bucketed-and-sorted on the join key
+    * ([[Bucketing.writeBucketed]], the once-per-ingest layout shuffle),
+    * and the join then reads pre-shuffled, pre-sorted buckets — the
+    * executed plan carries NO exchange and NO sort under the join
+    * (asserted in PlanShapeSpec); the only exchange left is the final
+    * 5-group rollup. This is the suite's ONE legitimate sort-merge
+    * join: co-located SMJ over bucket-sorted data is exchange-free
+    * and sort-free, which is precisely why a deployment buys the
+    * layout. The write happens at gate time (la6's sink-gate
+    * honesty); the oracle is layout-independent plain SQL. */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val base = s"/tmp/graft_bucketed/${d.replace('/', '_')}"
+    Bucketing.writeBucketed(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+      "graft_q10_customer", s"$base/customer", 8, Seq("c_custkey"))
+    Bucketing.writeBucketed(
+      Tables.orders(s, d).select(col("o_custkey"),
+        expr("cast(floor(o_totalprice * 100) as bigint)").as("price_cents")),
+      "graft_q10_orders", s"$base/orders", 8, Seq("o_custkey"))
+    // hint("merge"): at bench SFs the customer side fits the broadcast
+    // threshold and Catalyst (correctly) prefers BroadcastHashJoin —
+    // but the shape this gate exists to demonstrate is the 100 TB one,
+    // where NEITHER side broadcasts and the bucketed layout is what
+    // deletes the exchange. The hint pins that plan; the layout (not
+    // the hint) is what makes it exchange- and sort-free.
+    s.table("graft_q10_orders").hint("merge")
+      .join(s.table("graft_q10_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_cents")).as("revenue_cents"))
+  }
+
+  private val q10Sql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -258,5 +301,7 @@ object Relational {
     GateQuery("q6_semi_anti", q6, Some(q6Sql), "left_semi/left_anti (S3)"),
     GateQuery("q7_left_join_default", q7, Some(q7Sql), "left join w/ coalesce default (J1)"),
     GateQuery("q8_batch_dispatch", q8, Some(q8Sql), "mixed-type pipeline fan-out, keyed union (J4)"),
-    GateQuery("q9_salted_agg", q9, Some(q9Sql), "salt16 two-phase agg for hot keys ≡ direct groupBy"))
+    GateQuery("q9_salted_agg", q9, Some(q9Sql), "salt16 two-phase agg for hot keys ≡ direct groupBy"),
+    GateQuery("q10_bucketed_join", q10, Some(q10Sql),
+      "co-located bucketed join: no exchange, no sort under the SMJ"))
 }

@@ -166,11 +166,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "la5_retention", "sim1_knn_bruteforce", "tw6_ttl_expiry",
       "sim8_ann_recall", // embeds sim1's brute-force ground truth
       "tx8_kmv_cardinality") // 1-row sketch x 1-row exact anchor join
+    // The ONE legitimate sort-merge join: q10's co-located bucketed
+    // join — SMJ over bucket-sorted reads carries no exchange and no
+    // sort (its own test asserts both), which is the whole point of
+    // buying the layout. Everywhere else an SMJ means a broadcast or
+    // slim-candidate shape silently regressed.
+    val smjAllowed = Set("q10_bucketed_join")
     GateQueries.all.foreach { q =>
       val df = q.run(spark, sf0001)
       df.collect() // finalize AQE
       val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("SortMergeJoin"), s"${q.name} plans a SortMergeJoin")
+      if (!smjAllowed(q.name))
+        assert(!p.contains("SortMergeJoin"), s"${q.name} plans a SortMergeJoin")
       if (!nljAllowed(q.name))
         assert(!p.contains("BroadcastNestedLoopJoin") &&
           !p.contains("CartesianProduct"),
@@ -202,6 +209,26 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("Scan parquet") && l.contains("documents"))
     assert(scans == 1, s"expected one documents scan, got $scans\n$p")
     assert(shuffleCount(p) <= 1, s"expected <=1 exchange\n$p")
+  }
+
+  test("q10 bucketed join: no exchange and no sort below the join") {
+    // The layout gate's contract: both inputs arrive bucket-sorted on
+    // the join key, so the SMJ consumes them directly — zero shuffle
+    // exchanges and zero Sort nodes anywhere under the join; the only
+    // exchange in the whole plan is the final 5-group rollup.
+    val df = gate("q10_bucketed_join", sf0001)
+    df.collect()
+    // AQE's toString appends the pre-execution "Initial Plan" (which
+    // legitimately shows the agg exchange again) — assert on the
+    // final plan only.
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), s"expected the co-located SMJ\n$p")
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle its inputs\n$p")
+    assert(!below.replaceFirst("SortMergeJoin", "").contains("Sort "),
+      s"bucket-sorted inputs must not re-sort\n$p")
+    assert(shuffleCount(p) <= 1, s"only the rollup may exchange\n$p")
   }
 
   test("tx8 sketch side is the bounded-state aggregate, not a distinct shuffle") {
