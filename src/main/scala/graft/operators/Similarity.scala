@@ -544,6 +544,59 @@ object Similarity {
        |  JOIN vecs vb ON vb.vec_id = b.vec_id) p
        |WHERE cosine >= 0.45""".stripMargin
 
+  // -------------------------------------------------------------- sim10
+
+  /** sim10: product-quantization (PQ) encoding — the compression half
+    * of the IVF-PQ index (sim4-sim7 built the coarse quantizer; this
+    * encodes residual detail): the 64-dim vector splits into M = 8
+    * subspaces of 8 dims, each subvector is assigned to its nearest
+    * codebook entry (per-subspace centroids — here the label means
+    * over that dim range, sim4's exact scaled-integer formula), and
+    * the vector compresses to 8 small codes (~8 bytes vs 256 — the
+    * 32× that lets a 100 TB corpus's index live in RAM; query-time
+    * ADC scans then use per-subspace lookup tables). Emits one row
+    * per (vector, subspace): the code and the exact scaled distance
+    * to the chosen entry (the quantization error an ADC search
+    * accumulates).
+    *
+    * Scale shape: the codebook is broadcast (M × k × 8 values); the
+    * encode is one narrow fan-out join + a map-side-combinable
+    * aggregation keyed (vec_id, subspace) — embarrassingly parallel,
+    * no corpus shuffle beyond the agg's own exchange. */
+  private def sim10(s: SparkSession, d: String): DataFrame = {
+    val centDf = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
+    val cent = s.createDataFrame(
+      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    vecs(s, d)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "comp")))
+      .join(broadcast(cent), Seq("dim"))
+      .withColumn("subspace", expr("dim div 8"))
+      .withColumn("term",
+        expr("floor((comp - centroid) * (comp - centroid) * 1000000000000.0D)"))
+      .groupBy(col("vec_id"), col("subspace"), col("clabel"))
+      .agg(sum(col("term")).as("dist_scaled"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("subspace"))
+          .orderBy(col("dist_scaled").asc, col("clabel").asc)))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("subspace"), col("clabel").as("code"),
+        col("dist_scaled"))
+  }
+
+  private val sim10Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) +
+    s"""
+       |SELECT vec_id, subspace, code, dist_scaled FROM (
+       |  SELECT vec_id, subspace, clabel AS code, dist_scaled,
+       |    row_number() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |  FROM (
+       |    SELECT e.vec_id, c.dim // 8 AS subspace, c.clabel,
+       |      CAST(sum(CAST(floor((e.v[c.dim + 1] - c.centroid) * (e.v[c.dim + 1] - c.centroid)
+       |        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dist_scaled
+       |    FROM vecs e, cent c
+       |    GROUP BY 1, 2, 3) d) r
+       |WHERE rk = 1""".stripMargin
+
   // --------------------------------------------------------------- sim8
 
   /** sim8: ANN recall, MEASURED — every approximate index in this
@@ -620,5 +673,7 @@ object Similarity {
     GateQuery("sim8_ann_recall", sim8, Some(sim8Sql),
       "measured recall of LSH-ANN, IVF, and multi-band LSH vs the exact baseline"),
     GateQuery("sim9_ann_multiband", sim9, Some(sim9Sql),
-      "OR-amplified 8x4-bit LSH ANN — the recall knob executed"))
+      "OR-amplified 8x4-bit LSH ANN — the recall knob executed"),
+    GateQuery("sim10_pq_encode", sim10, Some(sim10Sql),
+      "product-quantization codes: 8 subspaces, nearest codebook entry each"))
 }

@@ -112,6 +112,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c4.except(c8).isEmpty, "8-band candidates must contain the 4-band set")
   }
 
+  test("sim10 PQ: exact members encode to their own codebook entry at zero error") {
+    // Label-0's centroid IS e0 (vecs 0 and 1 are identical copies), so
+    // their every subvector must encode to code 0 with dist_scaled 0;
+    // every vector gets exactly 8 subspace codes.
+    val rows = gate("sim10_pq_encode", dir).collect()
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(byVec.keySet == Set(0L, 1L, 2L, 3L))
+    byVec.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("subspace")).sorted.sameElements(0L until 8L))
+    }
+    Seq(0L, 1L).foreach { v =>
+      byVec(v).foreach { r =>
+        assert(r.getAs[Int]("code") == 0, s"vec $v not coded to its centroid")
+        assert(r.getAs[Long]("dist_scaled") == 0L, s"vec $v nonzero error")
+      }
+    }
+  }
+
   test("sim1/sim2 on driver data: ranks dense, ANN ⊆ exact-scored") {
     val s1 = gate("sim1_knn_bruteforce", sf0001).collect()
     val byQ = s1.groupBy(_.getAs[Long]("query_id"))
