@@ -597,6 +597,84 @@ object Similarity {
        |    GROUP BY 1, 2, 3) d) r
        |WHERE rk = 1""".stripMargin
 
+  // -------------------------------------------------------------- sim11
+
+  /** sim11: ADC search over the PQ codes — the query path sim10's
+    * compression exists for (asymmetric distance computation,
+    * Jégou et al.): each query precomputes one small distance TABLE
+    * per subspace (its exact scaled L2 to every codebook entry over
+    * those 8 dims), and a candidate's approximate distance is just
+    * the SUM of 8 table lookups keyed by its stored codes — the
+    * vector itself is never touched. Top-10 per query by ADC
+    * distance with unique tie-break. Exact integer tables make the
+    * lookups and sums bit-deterministic in both engines.
+    *
+    * Scale shape: the tables (queries × 8 × k rows) broadcast; the
+    * scan side touches only the (vec_id, subspace, code) code table —
+    * 8 small ints per vector instead of 256 bytes — and the per-pair
+    * sum is a map-side-combinable aggregation followed by a top-k
+    * window. This is why PQ wins at 100 TB: the full-corpus scan
+    * reads the 32×-compressed codes, not the vectors. */
+  private def sim11(s: SparkSession, d: String): DataFrame = {
+    val centDf = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
+    val cent = s.createDataFrame(
+      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    val base = vecs(s, d)
+    val codes = sim10(s, d).select(col("vec_id"), col("subspace"),
+      col("code").as("clabel"))
+    val tables = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), posexplode(col("v")).as(Seq("dim", "comp")))
+      .join(broadcast(cent), Seq("dim"))
+      .withColumn("subspace", expr("dim div 8"))
+      .withColumn("term",
+        expr("floor((comp - centroid) * (comp - centroid) * 1000000000000.0D)"))
+      .groupBy(col("query_id"), col("subspace"), col("clabel"))
+      .agg(sum(col("term")).as("tdist"))
+    codes.join(broadcast(tables), Seq("subspace", "clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("tdist")).as("adc_dist_scaled"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist_scaled").asc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist_scaled"))
+  }
+
+  private val sim11Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) +
+    s""",
+       |codes AS (
+       |  SELECT vec_id, subspace, code AS clabel FROM (
+       |    SELECT vec_id, subspace, clabel AS code, dist_scaled,
+       |      row_number() OVER (PARTITION BY vec_id, subspace
+       |        ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |      SELECT e.vec_id, c.dim // 8 AS subspace, c.clabel,
+       |        CAST(sum(CAST(floor((e.v[c.dim + 1] - c.centroid) * (e.v[c.dim + 1] - c.centroid)
+       |          * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dist_scaled
+       |      FROM vecs e, cent c
+       |      GROUP BY 1, 2, 3) d) r
+       |  WHERE rk = 1),
+       |tables AS (
+       |  SELECT q.vec_id AS query_id, c.dim // 8 AS subspace, c.clabel,
+       |    CAST(sum(CAST(floor((q.v[c.dim + 1] - c.centroid) * (q.v[c.dim + 1] - c.centroid)
+       |      * 1000000000000.0) AS BIGINT)) AS BIGINT) AS tdist
+       |  FROM (SELECT * FROM vecs WHERE vec_id % 100 = 0) q, cent c
+       |  GROUP BY 1, 2, 3)
+       |SELECT query_id, rank, neighbor_id, adc_dist_scaled FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_dist_scaled,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist_scaled ASC, vec_id ASC) AS rank
+       |  FROM (
+       |    SELECT t.query_id, codes.vec_id,
+       |      CAST(sum(t.tdist) AS BIGINT) AS adc_dist_scaled
+       |    FROM codes JOIN tables t
+       |      ON codes.subspace = t.subspace AND codes.clabel = t.clabel
+       |    WHERE codes.vec_id <> t.query_id
+       |    GROUP BY 1, 2) a) w
+       |WHERE rank <= 10""".stripMargin
+
   // --------------------------------------------------------------- sim8
 
   /** sim8: ANN recall, MEASURED — every approximate index in this
@@ -675,5 +753,7 @@ object Similarity {
     GateQuery("sim9_ann_multiband", sim9, Some(sim9Sql),
       "OR-amplified 8x4-bit LSH ANN — the recall knob executed"),
     GateQuery("sim10_pq_encode", sim10, Some(sim10Sql),
-      "product-quantization codes: 8 subspaces, nearest codebook entry each"))
+      "product-quantization codes: 8 subspaces, nearest codebook entry each"),
+    GateQuery("sim11_adc_search", sim11, Some(sim11Sql),
+      "ADC top-10 over PQ codes: 8 table lookups per candidate, vectors untouched"))
 }

@@ -130,6 +130,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim11 ADC: identical vector ranks first at zero approximate distance") {
+    // Query 0's ADC distance to vec 1 (identical copy) is the sum of
+    // its own 8 table entries at label-0 codes — all zero, so vec 1
+    // must rank 1 with adc 0; ranks are dense per query.
+    val rows = gate("sim11_adc_search", dir).collect()
+    val q0 = rows.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+    assert(q0.nonEmpty && q0.map(_.getAs[Int]("rank")).sameElements(1 to q0.length))
+    assert(q0.head.getAs[Long]("neighbor_id") == 1L)
+    assert(q0.head.getAs[Long]("adc_dist_scaled") == 0L)
+    // approximate distances are monotone in rank
+    val ds = q0.map(_.getAs[Long]("adc_dist_scaled"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+  }
+
   test("sim1/sim2 on driver data: ranks dense, ANN ⊆ exact-scored") {
     val s1 = gate("sim1_knn_bruteforce", sf0001).collect()
     val byQ = s1.groupBy(_.getAs[Long]("query_id"))
