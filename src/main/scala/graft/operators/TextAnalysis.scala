@@ -25,7 +25,7 @@ object TextAnalysis {
   /** Whitespace-normalized exact-content fingerprint — THE dedup key,
     * shared by dd1 (Dedup), tx5 and tx7 so the normalization can never
     * drift between the gates that must agree on it. */
-  private[operators] def contentFp(text: Column): Column =
+  private[graft] def contentFp(text: Column): Column =
     md5(regexp_replace(trim(text), "\\s+", " "))
 
   /** SQL mirror of [[contentFp]] over a column named `text`. */
@@ -34,7 +34,7 @@ object TextAnalysis {
 
   /** Quality keep/flag/drop bucket (C4/Gopher-style thresholds),
     * shared by tx2 and tx7. */
-  private[operators] def qualityBucket(
+  private[graft] def qualityBucket(
       nTokens: Column, stopwordCnt: Column, punctCnt: Column): Column =
     when(nTokens < 10, lit("drop_short"))
       .when(stopwordCnt * 5L > nTokens, lit("flag_stopword_heavy"))
@@ -42,7 +42,7 @@ object TextAnalysis {
       .otherwise(lit("keep"))
 
   /** SQL mirror of [[qualityBucket]]. */
-  private[operators] def qualityBucketSql(
+  private[graft] def qualityBucketSql(
       n: String, stop: String, punct: String): String =
     s"CASE WHEN $n < 10 THEN 'drop_short' " +
       s"WHEN $stop * 5 > $n THEN 'flag_stopword_heavy' " +

@@ -65,6 +65,32 @@ object EventStream {
     events.join(broadcast(severityDim), Seq("event_type"), "left")
       .withColumn("level_no", coalesce(col("level_no"), lit(10)))
 
+  /** Streaming corpus-prep funnel — the tx7 decision pipeline on a
+    * document stream (live ingest of training data): quality bucket
+    * and content fingerprint compute in the narrow projection;
+    * duplicates arriving within the watermark are DROPPED by
+    * fingerprint (the streaming twin of dd1's min-id grouping — the
+    * first arrival is the keeper, and state evicts once the watermark
+    * passes, so memory is bounded by the in-flight window, not the
+    * corpus); survivors carry the keep/flag/drop decision a sink
+    * partitions on. Expects (doc_id, ts, text). */
+  def docPrepFunnel(docs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .withWatermark("ts", "10 minutes")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("punct_cnt", regexp_count(col("text"), lit("[^a-z0-9\\s]")))
+      .withColumn("stopword_cnt", regexp_count(col("text"), lit("\\b(the|a)\\b")))
+      .withColumn("fp", TextAnalysis.contentFp(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+      .withColumn("quality_bucket", TextAnalysis.qualityBucket(
+        col("n_tokens"), col("stopword_cnt"), col("punct_cnt")))
+      .withColumn("decision",
+        when(col("quality_bucket") =!= "keep", col("quality_bucket"))
+          .otherwise(lit("kept")))
+      .select("doc_id", "ts", "n_tokens", "fp", "decision")
+  }
+
   /** Per-key quota admission state (T2/F10/A10 — `APIKeyStats`,
     * reference youtube_api_handler.py:33-79): tracks hourly and daily
     * request counts per key with boundary resets

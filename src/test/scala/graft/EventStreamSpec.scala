@@ -155,6 +155,27 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("doc prep funnel: first arrival keeps, dups drop, quality labels survive") {
+    val good = "the data query runs fast and the table scan stays warm today ok"
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = EventStream.docPrepFunnel(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("docprep")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), good), (3L, ts(1), "aa bb"))
+      q.processAllAvailable()
+      // doc 2 duplicates doc 1's content within the watermark → dropped;
+      // doc 4 is fresh content
+      mem.addData((2L, ts(2), good), (4L, ts(3), good + " extra tail words"))
+      q.processAllAvailable()
+      val out = spark.table("docprep").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+      assert(out.keySet == Set(1L, 3L, 4L), s"got ${out.keySet}")
+      assert(out(1L) == "kept" && out(4L) == "kept")
+      assert(out(3L) == "drop_short")
+    } finally q.stop()
+  }
+
   test("ttl cache: entries refresh within ttl and expire after it") {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     val q = EventStream.ttlCache(spark, toEvents(mem.toDF()))
