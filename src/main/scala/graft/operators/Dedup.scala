@@ -463,6 +463,59 @@ object Dedup {
        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        |  FROM reach GROUP BY a) c""".stripMargin
 
+  // ---------------------------------------------------------------- dd7
+
+  /** dd7: benchmark DECONTAMINATION — the train/test-overlap check
+    * every serious training run performs: corpus documents sharing ≥ 3
+    * bigram shingles with any held-out benchmark document (here the
+    * synthetic holdout doc_id ≡ 0 mod 50) are flagged, with the shared
+    * count and the fraction of the benchmark doc covered (the
+    * n-gram-overlap contamination metric of the GPT-3/PaLM appendix
+    * methodology). Shingles are already distinct per doc, so the join
+    * counts distinct shared shingles exactly.
+    *
+    * Scale shape: the asymmetry is the design — the benchmark side is
+    * small by construction, so its exploded shingle hashes BROADCAST
+    * and the corpus-side scan never shuffles; the only exchange is
+    * the (doc, bench) pair aggregation, bounded by actual overlap.
+    * Hashes are xxhash64 (only equality is semantic, as in dd2); the
+    * oracle joins the md5-prefix hashes and gets identical pairs. */
+  private def dd7(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("sz").as("bench_sz"),
+        explode(col("shingles")).as("shingle"))
+      .select(col("bench_id"), col("bench_sz"), xxhash64(col("shingle")).as("sh_h"))
+    val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    corpus.join(broadcast(bench), Seq("sh_h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"), max(col("bench_sz")).as("bench_sz"))
+      .filter(col("n_shared") >= 3)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("bench_sz")).as("bench_coverage"))
+  }
+
+  private val dd7Sql = "WITH " + shingledSql +
+    """, bench AS (
+      |  SELECT doc_id AS bench_id, len(shingles) AS bench_sz,
+      |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
+      |  FROM (SELECT doc_id, shingles, unnest(shingles) AS shingle FROM sh
+      |        WHERE doc_id % 50 = 0) b),
+      |corpus AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
+      |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+      |        WHERE doc_id % 50 <> 0) c)
+      |SELECT doc_id, bench_id, n_shared,
+      |  CAST(n_shared AS DOUBLE) / bench_sz AS bench_coverage
+      |FROM (
+      |  SELECT corpus.doc_id, bench.bench_id, count(*) AS n_shared,
+      |    max(bench.bench_sz) AS bench_sz
+      |  FROM corpus JOIN bench ON corpus.sh_h = bench.sh_h
+      |  GROUP BY 1, 2) t
+      |WHERE n_shared >= 3""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -475,5 +528,7 @@ object Dedup {
     GateQuery("dd5_ensemble_verdict", dd5, Some(dd5Sql),
       "SimHash x embedding-cosine near-dup signals composed into one verdict"),
     GateQuery("dd6_dup_clusters", dd6, Some(dd6Sql),
-      "connected-component cluster resolution over the near-dup pair graph"))
+      "connected-component cluster resolution over the near-dup pair graph"),
+    GateQuery("dd7_contamination", dd7, Some(dd7Sql),
+      "benchmark decontamination: >=3 shared shingles vs the broadcast holdout"))
 }

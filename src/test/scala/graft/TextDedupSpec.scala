@@ -208,6 +208,25 @@ class TextDedupSpec extends AnyFunSuite {
       }
   }
 
+  test("dd7 decontamination: overlap >= 3 shingles flags, benchmark side broadcasts") {
+    // doc 0 (id % 50 == 0) is the held-out benchmark: shingles
+    // {aa bb, bb cc, cc dd, dd ee}. doc 1 shares 3 of them → flagged
+    // with coverage 3/4; doc 2 shares none → clean.
+    val d7 = fixtureDir("documents" -> documentsDf(Seq(
+      (0L, "aa bb cc dd ee", "en", "s1"),
+      (1L, "aa bb cc dd zz", "en", "s1"),
+      (2L, "mm nn oo pp qq", "en", "s1"))))
+    val df = gate("dd7_contamination", d7)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") == 1L && r.getAs[Long]("bench_id") == 0L)
+    assert(r.getAs[Long]("n_shared") == 3L)
+    assert(r.getAs[Double]("bench_coverage") == 0.75)
+    // the benchmark shingle set must broadcast — the corpus never shuffles
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
