@@ -87,28 +87,45 @@ object TextAnalysis {
   private def tx2(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(toks(col("text"))).as("n_tokens"),
+      toks(col("text")).as("tk"),
       regexp_count(col("text"), lit("[^a-z0-9\\s]")).as("punct_cnt"),
       regexp_count(col("text"), lit("[0-9]")).as("digit_cnt"),
       regexp_count(col("text"), lit("\\b(the|a)\\b")).as("stopword_cnt"))
+      .withColumn("n_tokens", size(col("tk")))
+      // repetition: the most frequent single token's count (Gopher's
+      // intra-doc repetition family). The distinct×filter fold is
+      // O(tokens²) per doc — fine at ≤100 tokens/doc; a long-document
+      // corpus would sort-and-run-length instead.
+      .withColumn("max_token_cnt", expr(
+        "array_max(transform(array_distinct(tk), t -> size(filter(tk, x -> x = t))))"))
       .withColumn("stopword_ratio",
         col("stopword_cnt").cast("double") / col("n_tokens"))
+      .withColumn("rep_ratio",
+        col("max_token_cnt").cast("double") / col("n_tokens"))
       .withColumn("quality_bucket",
         qualityBucket(col("n_tokens"), col("stopword_cnt"), col("punct_cnt")))
+      .drop("tk")
+      .select("doc_id", "n_tokens", "punct_cnt", "digit_cnt", "stopword_cnt",
+        "max_token_cnt", "stopword_ratio", "rep_ratio", "quality_bucket")
 
   private val tx2Sql =
-    """SELECT doc_id, n_tokens, punct_cnt, digit_cnt, stopword_cnt,
+    """SELECT doc_id, n_tokens, punct_cnt, digit_cnt, stopword_cnt, max_token_cnt,
       |  CAST(stopword_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
+      |  CAST(max_token_cnt AS DOUBLE) / n_tokens AS rep_ratio,
       |  """.stripMargin +
       qualityBucketSql("n_tokens", "stopword_cnt", "punct_cnt") +
       """ AS quality_bucket
       |FROM (
       |  SELECT doc_id,
-      |    length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |    length(a) AS n_tokens,
+      |    list_max(list_transform(list_distinct(a),
+      |      t -> len(list_filter(a, x -> x = t)))) AS max_token_cnt,
       |    length(regexp_extract_all(text, '[^a-z0-9\s]')) AS punct_cnt,
       |    length(regexp_extract_all(text, '[0-9]')) AS digit_cnt,
       |    length(regexp_extract_all(text, '\b(the|a)\b')) AS stopword_cnt
-      |  FROM documents) t""".stripMargin
+      |  FROM (SELECT doc_id, text,
+      |          regexp_split_to_array(trim(text), '\s+') AS a
+      |        FROM documents) s) t""".stripMargin
 
   /** tx3: n-gram-heuristic language ID (P7/A5 machinery as a
     * classifier): marker-token scores per candidate language, argmax

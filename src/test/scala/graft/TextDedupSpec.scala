@@ -233,6 +233,11 @@ class TextDedupSpec extends AnyFunSuite {
       assert(Set("keep", "drop_short", "flag_stopword_heavy", "flag_punct_heavy")
         .contains(r.getAs[String]("quality_bucket")))
       assert(r.getAs[Double]("stopword_ratio") >= 0)
+      // repetition: the top token occurs between once and n_tokens times
+      val rep = r.getAs[Int]("max_token_cnt")
+      assert(rep >= 1 && rep <= r.getAs[Int]("n_tokens"))
+      val rr = r.getAs[Double]("rep_ratio")
+      assert(rr > 0 && rr <= 1.0)
     }
     val tx3 = gate("tx3_langid", sf0001).collect()
     tx3.foreach(r => assert(Set("en", "es", "de", "fr", "zh")
