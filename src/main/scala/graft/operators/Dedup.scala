@@ -417,8 +417,14 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint() // materialize once; rounds must not re-run dd4
-    var labels = edges.select(col("id1").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Initial label = min(self, direct neighbors) — the first
+    // propagation round folded into vertex construction (one groupBy
+    // over the edge list instead of a distinct + a full
+    // join/checkpoint/probe round; near-clique duplicate graphs then
+    // usually converge at the loop's first convergence probe).
+    var labels = edges.groupBy(col("id1").as("id"))
+      .agg(min(col("id2")).as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("lbl"))
       .localCheckpoint()
     var rounds = 0
     var converged = false

@@ -22,6 +22,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     // second cluster, a second day) must pick the identical sample
     val again = gate("cp1_stratified_sample", sf001).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // degraded stratum: a language with FEWER than k docs keeps them
+    // all (rank ≤ k is total), a big one is capped at k
+    val mix = fixtureDir("documents" -> documentsDf(
+      (1L to 25L).map(i => (i, s"doc body number $i", "en", "s1")) ++
+        Seq((100L, "klein", "de", "s1"), (101L, "kurz", "de", "s1"))))
+    val tinyGot = gate("cp1_stratified_sample", mix).collect()
+      .groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    assert(tinyGot("en") == 20 && tinyGot("de") == 2, s"got $tinyGot")
   }
 
   test("cp2: every source contributes exactly its weight (quota filled)") {
