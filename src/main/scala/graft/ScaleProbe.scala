@@ -79,6 +79,16 @@ object ScaleProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"$g%-16s pairs=$c%12d elapsed=$secs%7.1f s")
       }
+      // Decontamination at 20×: the benchmark side (doc_id ≡ 0 mod 50 —
+      // 2% of the corpus) stays broadcastable while the corpus side
+      // scans without shuffling; flagged-pair volume is bounded by
+      // actual overlap, not corpus size.
+      locally {
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries("dd7_contamination")(spark, out).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"dd7_contamination flagged=$c%10d elapsed=$secs%7.1f s")
+      }
       // Cluster resolution over the replica's pair graph: every doc
       // sits in a factor-dense duplicate CLIQUE, so the label
       // propagation should converge in ~2 rounds regardless of corpus

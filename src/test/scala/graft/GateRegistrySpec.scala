@@ -78,7 +78,7 @@ class GateRegistrySpec extends AnyFunSuite {
   }
 
   test("every gate query returns rows at sf0.001") {
-    // parallel: 53 counts share the session's scheduler (same shape as
+    // parallel: the per-gate counts share the session's scheduler (same shape as
     // the Bench harness); wall ~ slowest query, not the sum
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
