@@ -250,6 +250,61 @@ object TimeWindows {
       |    (SELECT max(ts_us) AS now_us FROM evs) m
       |  GROUP BY cache_type) t""".stripMargin
 
+  /** tw7: range (interval-containment) join — campaign attribution.
+    * The 20 busiest hours per event type become 90-minute "campaign
+    * windows" [hour−15 min, hour+75 min), and every event whose
+    * timestamp falls inside a window is attributed to it. No equi key
+    * relates events to campaigns — this is the join family the
+    * reference never needed but any events-at-scale pipeline does, and
+    * Spark's only built-in plan for it is a nested-loop join.
+    * [[RangeJoin.binned]] restates it as a bin-exploded equi-join
+    * (30-min bins ≈ the interval width), so the plan is hash joins all
+    * the way down and survives arbitrarily many intervals; the oracle
+    * is DuckDB's native inequality join — an independent range-join
+    * implementation. Windows of different types overlap, so one event
+    * can legitimately attribute to several campaigns (each exactly
+    * once; the bin algebra guarantees no double-count). */
+  private def tw7(s: SparkSession, d: String): DataFrame = {
+    val e = evs(s, d)
+    val hourly = e
+      .withColumn("hour_us", expr(s"(ts_us div ${HourUs}L) * ${HourUs}L"))
+      .groupBy(col("event_type"), col("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    val campaigns = hourly
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("hour_us").asc)))
+      .filter(col("rk") <= 20)
+      .select(col("event_type").as("campaign_type"),
+        col("hour_us").as("campaign_hour_us"),
+        (col("hour_us") - 900L * 1000000).as("lo_us"),
+        (col("hour_us") + 4500L * 1000000).as("hi_us"))
+    RangeJoin.binned(
+        e.select(col("ts_us"), col("user_id"), col("value_cents")),
+        "ts_us", campaigns, "lo_us", "hi_us", binWidth = SlideUs)
+      .groupBy(col("campaign_type"), col("campaign_hour_us"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value_cents")).as("value_cents"))
+  }
+
+  private val tw7Sql = evsSql +
+    s""", hourly AS (
+       |  SELECT event_type, (ts_us // $HourUs) * $HourUs AS hour_us,
+       |    count(*) AS n
+       |  FROM evs GROUP BY 1, 2),
+       |campaigns AS (
+       |  SELECT event_type AS campaign_type, hour_us AS campaign_hour_us,
+       |    hour_us - 900000000 AS lo_us, hour_us + 4500000000 AS hi_us
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY n DESC, hour_us ASC) AS rk FROM hourly) r
+       |  WHERE rk <= 20)
+       |SELECT t.campaign_type, t.campaign_hour_us, count(*) AS n_events,
+       |  count(DISTINCT e.user_id) AS n_users,
+       |  CAST(sum(e.value_cents) AS BIGINT) AS value_cents
+       |FROM campaigns t JOIN evs e
+       |  ON e.ts_us >= t.lo_us AND e.ts_us < t.hi_us
+       |GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -262,5 +317,7 @@ object TimeWindows {
     GateQuery("tw5_asof_join", tw5, Some(tw5Sql),
       "as-of join via union-and-carry, one shuffle (vs DuckDB lateral top-1)"),
     GateQuery("tw6_ttl_expiry", tw6, Some(tw6Sql),
-      "per-type TTL cache expiry sweep at max-ts anchor (F9/T1, config.py TTLs)"))
+      "per-type TTL cache expiry sweep at max-ts anchor (F9/T1, config.py TTLs)"),
+    GateQuery("tw7_range_join", tw7, Some(tw7Sql),
+      "interval-containment join via bin-exploded equi-join (vs DuckDB inequality join)"))
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.RangeJoin
+
+/** RangeJoin.binned vs the naive non-equi join it replaces: identical
+  * rows on a fixture that exercises bin boundaries, [lo, hi)
+  * half-openness, overlapping intervals, and multi-bin-spanning
+  * intervals — plus the plan-shape point of the whole exercise: the
+  * binned form is an EQUI join (hash strategies), never a
+  * BroadcastNestedLoopJoin.
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val intervalsSchema = StructType(Seq(
+    StructField("iv_id", LongType),
+    StructField("lo_us", LongType), StructField("hi_us", LongType)))
+  private val probeSchema = StructType(Seq(
+    StructField("p_id", LongType), StructField("pt_us", LongType)))
+
+  private def df(schema: StructType, rows: Seq[Row]) =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  // Overlapping, unaligned, knife-edge (3999-4001), bin-aligned, and
+  // multi-bin-spanning intervals; bin width 1000.
+  private val intervals = df(intervalsSchema, Seq(
+    Row(1L, 1000L, 4000L), Row(2L, 2000L, 2500L), Row(3L, 3999L, 4001L),
+    Row(4L, 5000L, 6000L), Row(5L, 0L, 10000L)))
+  // Probes sitting exactly on lo, hi−1, hi, and bin boundaries.
+  private val probes = df(probeSchema,
+    Seq(999L, 1000L, 2499L, 2500L, 3999L, 4000L, 4001L, 5999L, 6000L, 10000L)
+      .zipWithIndex.map { case (pt, i) => Row(i.toLong, pt) })
+
+  private def naive = probes.join(intervals,
+    col("pt_us") >= col("lo_us") && col("pt_us") < col("hi_us"))
+
+  test("binned join matches the naive non-equi join exactly") {
+    val binned = RangeJoin.binned(probes, "pt_us", intervals,
+      "lo_us", "hi_us", binWidth = 1000L)
+    val key = (r: Row) => (r.getAs[Long]("p_id"), r.getAs[Long]("iv_id"))
+    val got = binned.collect().map(key).sorted.toSeq
+    val want = naive.collect().map(key).sorted.toSeq
+    assert(got == want)
+    // Spot-pin the semantics the fixture encodes: lo inclusive, hi
+    // exclusive, one row per (probe, interval) even across bins.
+    assert(got.contains((1L, 1L)))   // pt 1000 == lo → included
+    assert(!got.contains((5L, 1L)))  // pt 4000 == hi → excluded
+    assert(got.count(_._2 == 5L) == 9) // wide interval: all but pt 10000
+    assert(got.distinct == got)      // no double-count from bin explode
+  }
+
+  test("binned range join plans as an equi hash join, not nested-loop") {
+    val binned = RangeJoin.binned(probes, "pt_us", intervals,
+      "lo_us", "hi_us", binWidth = 1000L)
+    binned.collect()
+    val p = binned.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned range join must not plan a nested-loop join\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a hash equi-join on the bin key\n$p")
+  }
+
+  test("bin width does not change results") {
+    val reference = naive.count()
+    Seq(1L, 7L, 500L, 1000L, 4096L, 100000L).foreach { w =>
+      val n = RangeJoin.binned(probes, "pt_us", intervals,
+        "lo_us", "hi_us", binWidth = w).count()
+      assert(n == reference, s"binWidth=$w changed the result")
+    }
+  }
+}
