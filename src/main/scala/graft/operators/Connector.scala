@@ -91,6 +91,29 @@ object Connector {
     """SELECT count(*) AS n_channels
       |FROM range(0, 5000) t(i) WHERE i % 7 = 0 AND i < 3500""".stripMargin
 
+  /** s6: GROUPED aggregate pushdown (A7's `GROUP BY` stats rollups,
+    * sqlite_logger.py:267-304, answered server-side): per-country
+    * count/sum/min/max are computed BY THE CONNECTOR — the scan emits
+    * five pre-aggregated rows and no Aggregate node survives in the
+    * plan (asserted in DataSourceSpec). At cluster scale this is the
+    * difference between shipping 2M channel rows to count them and
+    * shipping 5 answer rows. */
+  private def s6(s: SparkSession, d: String): DataFrame =
+    s.read.format(Src).option("maxId", 4999).load()
+      .groupBy(col("country"))
+      .agg(count(lit(1)).as("n_channels"),
+        sum(col("view_count")).as("views"),
+        min(col("subscriber_count")).as("min_subs"),
+        max(col("subscriber_count")).as("max_subs"))
+
+  private val s6Sql =
+    """SELECT ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1] AS country,
+      |  count(*) AS n_channels,
+      |  CAST(sum(((i*1103515245 + 12345) % 10000000) * 37 + i % 1000) AS BIGINT) AS views,
+      |  min((i*1103515245 + 12345) % 10000000) AS min_subs,
+      |  max((i*1103515245 + 12345) % 10000000) AS max_subs
+      |FROM range(0, 5000) t(i) GROUP BY 1""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("s1_connector_scan", s1, Some(s1Sql),
       "DSv2 full scan, 50-id chunk partitions (S1)"),
@@ -101,5 +124,7 @@ object Connector {
     GateQuery("s4_connector_limit", s4, Some(s4Sql),
       "LIMIT fully pushed into the connector's partition planning"),
     GateQuery("s5_connector_count", s5, Some(s5Sql),
-      "COUNT(*) completely pushed: one pre-counted row, no Aggregate (A8)"))
+      "COUNT(*) completely pushed: one pre-counted row, no Aggregate (A8)"),
+    GateQuery("s6_connector_group_agg", s6, Some(s6Sql),
+      "GROUP BY country count/sum/min/max completely pushed into the connector (A7)"))
 }

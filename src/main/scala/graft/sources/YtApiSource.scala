@@ -5,8 +5,8 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -93,7 +93,6 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
   /** None = full requested range; Some(set) = narrowed by pushdown. */
   private var idSet: Option[Set[Long]] = None
   private var limitN: Option[Int] = None
-  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -136,22 +135,72 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
   }
   override def isPartiallyPushed(): Boolean = false
 
-  /** COUNT(*) pushdown — the reference's pagination-meta count, a
-    * `SELECT COUNT(*)` with the same predicate pushed into SQLite
-    * (A8, sqlite_logger.py:189-190). The synthetic universe knows its
-    * cardinality at planning time (|pushed id set ∩ [minId, maxId]|),
-    * so the aggregate is COMPLETELY pushed: the scan emits one row
-    * with the final count and no Aggregate node survives in the plan.
-    * Anything beyond a bare ungrouped COUNT(*) is declined and runs
-    * in Spark. */
-  private def pushableAgg(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+  /** Aggregate pushdown — two server-side rollup shapes the upstream
+    * can answer without shipping rows:
+    *
+    *   - the reference's pagination-meta count, a `SELECT COUNT(*)`
+    *     with the same predicate pushed into SQLite (A8,
+    *     sqlite_logger.py:189-190) — the ungrouped CountStar path;
+    *   - GROUP BY one source column with COUNT/SUM/MIN/MAX over the
+    *     numeric fields — the "per-country rollup the API could serve"
+    *     analog of SQLite's indexed GROUP BY stats queries (A7).
+    *
+    * The synthetic universe is closed-form over the planned id set, so
+    * both are COMPLETELY pushed: the scan emits pre-aggregated rows
+    * (one per group) and no Aggregate node survives in the plan.
+    * DISTINCT aggregates, expressions over columns, or multi-column
+    * grouping are declined and run in Spark. */
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+  /** Aggregate functions the source can evaluate: returns the
+    * evaluator over a planned id group, or None to decline. */
+  private def aggEval(f: AggregateFunc): Option[Seq[Long] => Any] = {
+    def longField(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long => Long] =
+      refName(e).flatMap(SyntheticYtFetcher.longFields.get)
+    f match {
+      case _: CountStar => Some(ids => ids.length.toLong)
+      case c: Count if !c.isDistinct =>
+        // no column in the universe is null, so COUNT(col) = COUNT(*)
+        longField(c.column).map(_ => (ids: Seq[Long]) => ids.length.toLong)
+      // SQL semantics over an empty (fully-filtered-away) id set:
+      // COUNT = 0 but SUM/MIN/MAX = NULL.
+      case s: Sum if !s.isDistinct =>
+        longField(s.column).map(v =>
+          (ids: Seq[Long]) => if (ids.isEmpty) null else ids.map(v).sum)
+      case m: Min =>
+        longField(m.column).map(v =>
+          (ids: Seq[Long]) => if (ids.isEmpty) null else ids.map(v).min)
+      case m: Max =>
+        longField(m.column).map(v =>
+          (ids: Seq[Long]) => if (ids.isEmpty) null else ids.map(v).max)
+      case _ => None
+    }
+  }
+  private def parseAgg(agg: Aggregation): Option[(Option[String], Seq[Seq[Long] => Any])] = {
+    val groupCol: Option[Option[String]] = agg.groupByExpressions match {
+      case Array() => Some(None)
+      case Array(g) => refName(g).filter(n =>
+        YtApiTable.schema.fieldNames.contains(n)).map(Some(_))
+      case _ => None
+    }
+    val evals = agg.aggregateExpressions.toSeq.map(aggEval)
+    if (groupCol.isDefined && evals.nonEmpty && evals.forall(_.isDefined)
+        && agg.aggregateExpressions.nonEmpty)
+      Some((groupCol.get, evals.map(_.get)))
+    else None
+  }
+  private var pushedAgg: Option[(Option[String], Seq[Seq[Long] => Any])] = None
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    pushableAgg(agg)
+    parseAgg(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (pushableAgg(agg)) { countPushed = true; true } else false
+    parseAgg(agg) match {
+      case some @ Some(_) => pushedAgg = some; true
+      case None => false
+    }
   }
 
   private def plannedIds: Seq[Long] = {
@@ -164,16 +213,41 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan = {
     val ids = plannedIds
-    if (countPushed) new YtApiCountScan(ids.length.toLong, pushed)
-    else new YtApiScan(ids, required, batchSize, limitN)
+    pushedAgg match {
+      case Some((groupCol, evals)) => new YtApiAggScan(ids, groupCol, evals, pushed)
+      case None => new YtApiScan(ids, required, batchSize, limitN)
+    }
   }
 }
 
-class YtApiScan(ids: Seq[Long], required: StructType, batchSize: Int,
+class YtApiScan(initialIds: Seq[Long], required: StructType, batchSize: Int,
     pushedLimit: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+  private var ids: Seq[Long] = initialIds
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Runtime filtering — the DSv2 analog of dynamic partition
+    * pruning: when this scan sits under a join, the join's build-side
+    * keys arrive here AT EXECUTION TIME as an `In` filter, and the
+    * chunk plan shrinks to just the referenced ids. The reference
+    * analog is exactly S3's "fetch only what's referenced": the id
+    * list driving the batch GET comes from another query's output, not
+    * from a static predicate. At cluster scale this is the difference
+    * between 2M planned fetch tasks and the handful the join actually
+    * needs. Statistics are reported from the static plan (runtime
+    * narrowing only ever shrinks them). */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("channel_id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("channel_id", vs) =>
+      val keep = vs.collect {
+        case v: Long => v
+        case v: java.lang.Long => v.longValue
+      }.toSet
+      ids = ids.filter(keep)
+    case _ => () // unexpected runtime-filter shape: keep the full plan
+  }
   /** Planning-time statistics: the id universe is known exactly, so
     * Catalyst gets true row counts and a conservative row-width
     * estimate — a narrowed scan (pushed handle/id-list/limit) falls
@@ -197,31 +271,56 @@ class YtApiScan(ids: Seq[Long], required: StructType, batchSize: Int,
     new YtApiReaderFactory(required.fieldNames)
 }
 
-/** Completely-pushed COUNT(*): one single-row partition carrying the
-  * cardinality the planner already knows — the upstream analog is the
-  * reference's `SELECT COUNT(*)` with pushed WHERE (A8). */
-class YtApiCountScan(n: Long, filters: Array[Filter]) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+/** Completely-pushed aggregate: the scan emits PRE-AGGREGATED rows —
+  * one per group, or the single ungrouped row — computed over the
+  * planned id set, and no Aggregate node survives in Spark's plan.
+  * The upstream analogs are the reference's `SELECT COUNT(*)` with
+  * pushed WHERE (A8, sqlite_logger.py:189-190) and SQLite's GROUP BY
+  * stats rollups (A7, :267-304), answered server-side without
+  * shipping rows. Output schema is positional: group column first
+  * (source type), then one nullable LONG per aggregate — Spark's
+  * complete-pushdown path maps scan output to the aggregate's
+  * attributes by position. */
+class YtApiAggScan(ids: Seq[Long], groupCol: Option[String],
+    evals: Seq[Seq[Long] => Any], filters: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    groupCol.map(c => YtApiTable.schema(c)).toSeq ++
+      evals.indices.map(i => StructField(s"agg_$i", LongType, nullable = true)))
   override def toBatch: Batch = this
   override def description(): String =
-    s"YtApiCountScan(PushedAggregates=[COUNT(*)], count=$n, " +
+    s"YtApiAggScan(PushedAggregates=[${evals.length}], " +
+      s"PushedGroupBy=[${groupCol.getOrElse("")}], ids=${ids.length}, " +
       s"filters=${filters.mkString(",")})"
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(YtApiCountPartition(n))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val groups: Seq[(Seq[Any], Seq[Long])] = groupCol match {
+      case None => Seq((Nil, ids))
+      case Some(c) =>
+        val v = SyntheticYtFetcher.anyField(c)
+        ids.groupBy(v).toSeq.sortBy(_._1.toString)
+          .map { case (k, g) => (Seq(k), g) }
+    }
+    val rows: Array[Array[Any]] = groups.map { case (k, g) =>
+      (k.map {
+        case s: String => UTF8String.fromString(s)
+        case x => x
+      } ++ evals.map(_(g))).toArray[Any]
+    }.toArray
+    Array(YtApiAggPartition(rows))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    YtApiCountReaderFactory
+    YtApiAggReaderFactory
 }
 
-case class YtApiCountPartition(n: Long) extends InputPartition
+case class YtApiAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
-object YtApiCountReaderFactory extends PartitionReaderFactory {
+object YtApiAggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var done = false
-      private val n = p.asInstanceOf[YtApiCountPartition].n
-      override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](n))
+      private val rows = p.asInstanceOf[YtApiAggPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
       override def close(): Unit = ()
     }
 }
@@ -276,6 +375,19 @@ object SyntheticYtFetcher {
     * scan emit a row that does not satisfy the user's predicate.
     * '@ch007' parses to 7, but channel 7's handle is '@ch7' — the
     * round-trip check rejects it (and any overflow toLong artifacts). */
+  /** Long-valued fields, for source-side aggregate evaluation. */
+  val longFields: Map[String, Long => Long] = Map(
+    "channel_id" -> (id => id),
+    "subscriber_count" -> (subscribers _),
+    "view_count" -> (views _),
+    "video_count" -> (videos _))
+  /** Any source field by name (GROUP BY key evaluation). */
+  def anyField(name: String): Long => Any =
+    longFields.getOrElse(name, name match {
+      case "handle" => handle _
+      case "title" => title _
+      case "country" => country _
+    })
   def resolveHandle(h: String): Option[Long] =
     if (h != null && h.startsWith("@ch") && h.drop(3).forall(_.isDigit)
         && h.length > 3 && h.length <= 21)

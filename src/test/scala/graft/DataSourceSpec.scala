@@ -102,16 +102,96 @@ class DataSourceSpec extends AnyFunSuite {
   test("ungrouped COUNT(*) is completely pushed: pre-counted single row") {
     val df = load().agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("YtApiCountScan"), s"count scan not planned:\n$plan")
+    assert(plan.contains("YtApiAggScan"), s"agg scan not planned:\n$plan")
     assert(!plan.contains("HashAggregate"), s"aggregate survived pushdown:\n$plan")
     assert(df.collect().head.getLong(0) == 5000L)
     // composes with filter pushdown: the narrowed id set is what's counted
     val filtered = load().where(col("channel_id").isin(1L, 7L, 4242L, 9999999L))
       .agg(count(lit(1)).as("n"))
     assert(filtered.collect().head.getLong(0) == 3L) // 9999999 outside maxId
-    // grouped aggregates are declined and still run correctly in Spark
-    val grouped = load(99).groupBy(col("country")).agg(count(lit(1)).as("n"))
-    assert(grouped.collect().map(_.getLong(1)).sum == 100L)
+  }
+
+  test("grouped count/sum/min/max push completely: pre-aggregated rows") {
+    val df = load(99).groupBy(col("country"))
+      .agg(count(lit(1)).as("n"), sum(col("view_count")).as("views"),
+        min(col("subscriber_count")).as("lo"),
+        max(col("subscriber_count")).as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("YtApiAggScan"), s"agg scan not planned:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"aggregate survived pushdown:\n$plan")
+    // values match an independent driver-side evaluation of the universe
+    import graft.sources.SyntheticYtFetcher._
+    val want = (0L to 99L).groupBy(country).map { case (c, ids) =>
+      c -> (ids.length.toLong, ids.map(views).sum,
+        ids.map(subscribers).min, ids.map(subscribers).max)
+    }
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+  }
+
+  test("AVG pushes as sum+count; expression/DISTINCT aggs are declined") {
+    // Spark rewrites AVG into Sum/Count before offering it to the
+    // source, so the rollup still pushes completely — the final
+    // division is a Project over two pushed columns.
+    val df = load(99).groupBy(col("country"))
+      .agg(avg(col("subscriber_count")).as("a"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("YtApiAggScan"), s"AVG(sum/count) should push:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"aggregate survived pushdown:\n$plan")
+    import graft.sources.SyntheticYtFetcher._
+    val want = (0L to 99L).groupBy(country).map { case (c, ids) =>
+      c -> ids.map(subscribers).sum.toDouble / ids.length
+    }
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+    // an aggregate over an EXPRESSION is not a source column → declined,
+    // the normal Spark aggregation runs and is still correct
+    val e = load(99).groupBy(col("country"))
+      .agg(sum(col("view_count") * 2).as("s"))
+    val eplan = e.queryExecution.executedPlan.toString
+    assert(!eplan.contains("YtApiAggScan"), s"expression agg must not push:\n$eplan")
+    assert(eplan.contains("HashAggregate"), s"expected Spark-side agg:\n$eplan")
+    assert(e.collect().map(_.getLong(1)).sum ==
+      2L * (0L to 99L).map(views).sum)
+    // DISTINCT aggregates are likewise declined
+    val d = load(99).agg(countDistinct(col("country")).as("n"))
+    assert(!d.queryExecution.executedPlan.toString.contains("YtApiAggScan"))
+    assert(d.collect().head.getLong(0) == 5L)
+    // an empty pushed id set still answers: COUNT = 0, SUM = NULL
+    val empty = load(99).where(col("channel_id").isin(7777L))
+      .agg(count(lit(1)).as("n"), sum(col("view_count")).as("s"))
+    val r = empty.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("runtime filtering: join keys re-plan the scan chunks at execution") {
+    // SupportsRuntimeFiltering — the DSv2 analog of dynamic partition
+    // pruning: the dim side's channel ids arrive at the scan as an In
+    // filter AT EXECUTION time, after planning. 5000 planned ids (100
+    // chunks) shrink to the 4 the join references (1 chunk) — S3's
+    // "fetch only what's referenced" driven by another query's output.
+    val dim = spark.range(10).select((col("id") * 500).as("channel_id"))
+      .where(col("channel_id") < 2000)
+    val df = load().join(dim, Seq("channel_id"))
+    val rows = df.collect()
+    assert(rows.length == 4 && rows.map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 500L, 1000L, 1500L))
+    // the join runs under AQE — dig the scan out of the finalized stages
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def deepScan(p: SparkPlan): Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case a: AdaptiveSparkPlanExec => deepScan(a.executedPlan)
+      case q: QueryStageExec => deepScan(q.plan)
+      case other => other.children.view.flatMap(deepScan(_)).headOption
+    }
+    val scan = deepScan(df.queryExecution.executedPlan)
+      .getOrElse(fail(s"no BatchScanExec:\n${df.queryExecution.executedPlan}"))
+    assert(scan.toString.contains("RuntimeFilters: [dynamicpruning"),
+      s"no runtime filter reached the scan\n${df.queryExecution.executedPlan}")
+    assert(scan.inputRDD.getNumPartitions == 1,
+      "runtime-filtered scan should re-plan to a single chunk")
   }
 
   test("reported statistics let Catalyst broadcast a narrowed scan unhinted") {
