@@ -91,6 +91,37 @@ object EventStream {
       .select("doc_id", "ts", "n_tokens", "fp", "decision")
   }
 
+  /** Stream-stream LEFT OUTER join (J1 live — the RSS × detailed-video
+    * enrichment, reference youtube_api_handler.py:556-564, with BOTH
+    * sides arriving as streams): each detail-fetch event joins the RSS
+    * discovery of the same video seen at-or-before it within 1 hour; a
+    * detail with no RSS sighting emits `video_type='unknown'` (J1's
+    * default, :562) once the watermark passes its join window.
+    *
+    * The time-range condition is what makes this run forever: with it,
+    * each side's join state evicts as the watermark clears the range
+    * bound; without it Spark would (rightly) refuse the outer join and
+    * an inner join's state would grow with the stream. The plan is the
+    * batch q7 shape plus state eviction — the batch twin of this exact
+    * function (watermarks are no-ops on batch frames) is what the test
+    * compares against. */
+  def rssDetailJoin(rss: DataFrame, details: DataFrame): DataFrame = {
+    val r = rss
+      .select(col("video_id").as("rss_video_id"), col("ts").as("rss_ts"),
+        col("video_type"))
+      .withWatermark("rss_ts", "10 minutes")
+    val d = details
+      .select(col("video_id"), col("ts").as("detail_ts"), col("views"))
+      .withWatermark("detail_ts", "10 minutes")
+    d.join(r,
+        col("video_id") === col("rss_video_id") &&
+          col("rss_ts") <= col("detail_ts") &&
+          col("rss_ts") >= col("detail_ts") - expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("video_id"), col("detail_ts"), col("views"),
+        coalesce(col("video_type"), lit("unknown")).as("video_type"))
+  }
+
   /** Per-key quota admission state (T2/F10/A10 — `APIKeyStats`,
     * reference youtube_api_handler.py:33-79): tracks hourly and daily
     * request counts per key with boundary resets

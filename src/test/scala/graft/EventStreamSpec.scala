@@ -61,6 +61,47 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream left-outer join matches the batch twin (J1 live)") {
+    // (video_id, ts, video_type) RSS discoveries / (video_id, ts, views)
+    // detail fetches. Video 100: matched within the hour. Video 200:
+    // detail arrives 65 min after RSS → outside the range → unknown.
+    // Video 300: never discovered → unknown. Ids ≥ 9000 are watermark
+    // advancers, excluded from the comparison.
+    val rssRows = Seq((100L, ts(0), "shorts"), (200L, ts(5), "long"),
+      (9998L, ts(1000), "noise"))
+    val detRows = Seq((100L, ts(10), 5L), (200L, ts(70), 7L),
+      (300L, ts(20), 9L), (9999L, ts(1000), 0L))
+    val rssMem = MemoryStream[(Long, Timestamp, String)](spark)
+    val detMem = MemoryStream[(Long, Timestamp, Long)](spark)
+    val q = EventStream.rssDetailJoin(
+        rssMem.toDF().toDF("video_id", "ts", "video_type"),
+        detMem.toDF().toDF("video_id", "ts", "views"))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      rssMem.addData(rssRows.filter(_._1 < 9000): _*)
+      detMem.addData(detRows.filter(_._1 < 9000): _*)
+      q.processAllAvailable()
+      // advance BOTH watermarks past every fixture window so the
+      // unmatched details emit their null-padded (unknown) rows
+      rssMem.addData(rssRows.filter(_._1 >= 9000): _*)
+      detMem.addData(detRows.filter(_._1 >= 9000): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("video_id"), r.getAs[Long]("views"),
+          r.getAs[String]("video_type"))
+      val streamed = spark.table("ssj").collect()
+        .map(key).filter(_._1 < 9000).toSet
+      val batch = EventStream.rssDetailJoin(
+          rssRows.toDF("video_id", "ts", "video_type"),
+          detRows.toDF("video_id", "ts", "views")).collect()
+        .map(key).filter(_._1 < 9000).toSet
+      assert(streamed == batch)
+      assert(streamed == Set((100L, 5L, "shorts"), (200L, 7L, "unknown"),
+        (300L, 9L, "unknown")))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment matches the batch twin") {
     val dim = Seq(("click", 20), ("view", 30)).toDF("event_type", "level_no")
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)

@@ -64,6 +64,30 @@ class RangeJoinSpec extends AnyFunSuite {
       s"expected a hash equi-join on the bin key\n$p")
   }
 
+  test("fuzz: random intervals and points match the naive join (seeded)") {
+    // Negative coordinates included: binOf must floor (pmod), not
+    // truncate toward zero, or bin −1 and bin 0 merge at the origin.
+    val rnd = new scala.util.Random(42)
+    val ivs = df(intervalsSchema, (0 until 200).map { i =>
+      val lo = rnd.nextLong(100000L) - 20000L
+      Row(i.toLong, lo, lo + 1 + rnd.nextLong(5000L))
+    })
+    val pts = df(probeSchema, (0 until 500).map { i =>
+      Row(i.toLong, rnd.nextLong(130000L) - 30000L)
+    })
+    val want = pts.join(ivs,
+        col("pt_us") >= col("lo_us") && col("pt_us") < col("hi_us"))
+      .select("p_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    Seq(512L, 1777L, 4096L).foreach { w =>
+      val got = RangeJoin.binned(pts, "pt_us", ivs, "lo_us", "hi_us", w)
+        .select("p_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want, s"binWidth=$w diverged from the naive join")
+    }
+    assert(want.nonEmpty) // the fixture actually exercises matches
+  }
+
   test("bin width does not change results") {
     val reference = naive.count()
     Seq(1L, 7L, 500L, 1000L, 4096L, 100000L).foreach { w =>
