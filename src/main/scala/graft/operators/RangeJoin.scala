@@ -65,4 +65,37 @@ object RangeJoin {
       .where(col(point) >= col(lo) && col(point) < col(hi))
       .drop("__bin")
   }
+
+  /** Binned OVERLAP join: rows of `left` matched to every row of
+    * `right` whose [rLo, rHi) intersects [lLo, lHi). Both sides
+    * explode onto their covered bins and equi-join on the bin — but an
+    * overlapping pair shares EVERY bin the overlap region covers, so a
+    * naive residual filter would emit it once per shared bin. The
+    * dedup-free fix: every overlap contains its own start
+    * `greatest(lLo, rLo)` (it is ≥ both los and < both his), so
+    * keeping only the join row in THAT point's bin emits each pair
+    * exactly once — no distinct, no post-join shuffle. Same hash-join
+    * scalability as [[binned]]; column arguments are names, and the
+    * four bound columns must be long-valued. */
+  def overlaps(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binOf(c: String): Column =
+      expr(s"($c - pmod($c, ${binWidth}L)) div ${binWidth}L")
+    val l = left.withColumn(
+      "__bin", explode(sequence(binOf(lLo), binOf(s"($lHi - 1)"))))
+    val r = right.withColumn(
+      "__bin", explode(sequence(binOf(rLo), binOf(s"($rHi - 1)"))))
+    l.join(r, Seq("__bin"))
+      .where(col(lLo) < col(rHi) && col(rLo) < col(lHi))
+      .where(col("__bin") === expr(
+        s"(greatest($lLo, $rLo) - pmod(greatest($lLo, $rLo), ${binWidth}L)) div ${binWidth}L"))
+      .drop("__bin")
+  }
 }

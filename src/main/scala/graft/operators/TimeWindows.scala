@@ -106,7 +106,7 @@ object TimeWindows {
       .withColumn("duration_us", col("sess_end_us") - col("sess_start_us"))
   }
 
-  private val tw3Sql = evsSql +
+  private val tw3Body =
     s"""SELECT user_id, sess_id, min(ts_us) AS sess_start_us,
        |  max(ts_us) AS sess_end_us, count(*) AS n_events,
        |  CAST(sum(value_cents) AS BIGINT) AS value_cents,
@@ -123,6 +123,8 @@ object TimeWindows {
        |          ORDER BY ts_us ASC, event_id ASC) AS prev_us
        |      FROM evs) a) b) c
        |GROUP BY user_id, sess_id""".stripMargin
+
+  private val tw3Sql = evsSql + tw3Body
 
   /** tw4: quota admission windows (T2+A10+F10): per (user "API key",
     * day) — daily volume, peak-hour volume, and the admission flags
@@ -264,13 +266,13 @@ object TimeWindows {
     * implementation. Windows of different types overlap, so one event
     * can legitimately attribute to several campaigns (each exactly
     * once; the bin algebra guarantees no double-count). */
-  private def tw7(s: SparkSession, d: String): DataFrame = {
-    val e = evs(s, d)
-    val hourly = e
-      .withColumn("hour_us", expr(s"(ts_us div ${HourUs}L) * ${HourUs}L"))
+  /** The 20 busiest hours per event type as 90-minute "campaign
+    * windows" [hour−15 min, hour+75 min) — the shared interval side of
+    * tw7/tw8. */
+  private def campaignsOf(e: DataFrame): DataFrame =
+    e.withColumn("hour_us", expr(s"(ts_us div ${HourUs}L) * ${HourUs}L"))
       .groupBy(col("event_type"), col("hour_us"))
       .agg(count(lit(1)).as("n"))
-    val campaigns = hourly
       .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
         .orderBy(col("n").desc, col("hour_us").asc)))
       .filter(col("rk") <= 20)
@@ -278,16 +280,8 @@ object TimeWindows {
         col("hour_us").as("campaign_hour_us"),
         (col("hour_us") - 900L * 1000000).as("lo_us"),
         (col("hour_us") + 4500L * 1000000).as("hi_us"))
-    RangeJoin.binned(
-        e.select(col("ts_us"), col("user_id"), col("value_cents")),
-        "ts_us", campaigns, "lo_us", "hi_us", binWidth = SlideUs)
-      .groupBy(col("campaign_type"), col("campaign_hour_us"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        sum(col("value_cents")).as("value_cents"))
-  }
 
-  private val tw7Sql = evsSql +
+  private val campaignsSqlCtes =
     s""", hourly AS (
        |  SELECT event_type, (ts_us // $HourUs) * $HourUs AS hour_us,
        |    count(*) AS n
@@ -298,11 +292,56 @@ object TimeWindows {
        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
        |      ORDER BY n DESC, hour_us ASC) AS rk FROM hourly) r
        |  WHERE rk <= 20)
-       |SELECT t.campaign_type, t.campaign_hour_us, count(*) AS n_events,
-       |  count(DISTINCT e.user_id) AS n_users,
-       |  CAST(sum(e.value_cents) AS BIGINT) AS value_cents
-       |FROM campaigns t JOIN evs e
-       |  ON e.ts_us >= t.lo_us AND e.ts_us < t.hi_us
+       |""".stripMargin
+
+  private def tw7(s: SparkSession, d: String): DataFrame = {
+    val e = evs(s, d)
+    RangeJoin.binned(
+        e.select(col("ts_us"), col("user_id"), col("value_cents")),
+        "ts_us", campaignsOf(e), "lo_us", "hi_us", binWidth = SlideUs)
+      .groupBy(col("campaign_type"), col("campaign_hour_us"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value_cents")).as("value_cents"))
+  }
+
+  private val tw7Sql = evsSql + campaignsSqlCtes +
+    """SELECT t.campaign_type, t.campaign_hour_us, count(*) AS n_events,
+      |  count(DISTINCT e.user_id) AS n_users,
+      |  CAST(sum(e.value_cents) AS BIGINT) AS value_cents
+      |FROM campaigns t JOIN evs e
+      |  ON e.ts_us >= t.lo_us AND e.ts_us < t.hi_us
+      |GROUP BY 1, 2""".stripMargin
+
+  /** tw8: interval-OVERLAP join — which user sessions (tw3's
+    * envelopes) overlap which campaign windows (tw7's intervals).
+    * Interval × interval is the other non-equi join family a
+    * time-series pipeline needs (attribution, outage blast-radius,
+    * A/B exposure); Spark again has only nested-loop plans for it.
+    * [[RangeJoin.overlaps]] restates it as the same bin-exploded
+    * equi-join, emitting each overlapping pair exactly once via the
+    * overlap-start-bin trick (no distinct, no post-join dedup
+    * shuffle). Oracle: DuckDB's native inequality overlap join over
+    * independently recomputed sessions and campaigns. */
+  private def tw8(s: SparkSession, d: String): DataFrame = {
+    val sess = tw3(s, d).select(col("user_id"),
+      col("sess_start_us").as("s_lo"),
+      (col("sess_end_us") + 1).as("s_hi"), col("n_events"))
+    RangeJoin.overlaps(sess, "s_lo", "s_hi",
+        campaignsOf(evs(s, d)), "lo_us", "hi_us", binWidth = SlideUs)
+      .groupBy(col("campaign_type"), col("campaign_hour_us"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("n_events")).as("sess_events"))
+  }
+
+  private val tw8Sql = evsSql + campaignsSqlCtes +
+    s""", sess AS ($tw3Body)
+       |SELECT c.campaign_type, c.campaign_hour_us,
+       |  count(*) AS n_sessions, count(DISTINCT s.user_id) AS n_users,
+       |  CAST(sum(s.n_events) AS BIGINT) AS sess_events
+       |FROM campaigns c JOIN sess s
+       |  ON s.sess_start_us < c.hi_us AND c.lo_us < s.sess_end_us + 1
        |GROUP BY 1, 2""".stripMargin
 
   def queries: Seq[GateQuery] = Seq(
@@ -319,5 +358,7 @@ object TimeWindows {
     GateQuery("tw6_ttl_expiry", tw6, Some(tw6Sql),
       "per-type TTL cache expiry sweep at max-ts anchor (F9/T1, config.py TTLs)"),
     GateQuery("tw7_range_join", tw7, Some(tw7Sql),
-      "interval-containment join via bin-exploded equi-join (vs DuckDB inequality join)"))
+      "interval-containment join via bin-exploded equi-join (vs DuckDB inequality join)"),
+    GateQuery("tw8_overlap_join", tw8, Some(tw8Sql),
+      "session x campaign interval-overlap join, once-per-pair via overlap-start bin"))
 }

@@ -88,6 +88,59 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(want.nonEmpty) // the fixture actually exercises matches
   }
 
+  test("overlaps: binned interval-overlap join matches the naive join") {
+    // Second interval set with touching (not overlapping), contained,
+    // identical, and multi-bin-spanning cases against `intervals`.
+    val rightSchema = StructType(Seq(
+      StructField("r_id", LongType),
+      StructField("r_lo", LongType), StructField("r_hi", LongType)))
+    val right = df(rightSchema, Seq(
+      Row(10L, 4000L, 5000L),  // touches interval 1 [1000,4000) — no match
+      Row(11L, 2100L, 2200L),  // contained in 1 and 2 and 5
+      Row(12L, 1000L, 4000L),  // identical to interval 1
+      Row(13L, 0L, 20000L),    // spans everything
+      Row(14L, 9999L, 10001L), // clips the end of 5 [0,10000)
+      Row(15L, 20000L, 30000L))) // disjoint from all
+    def naiveOv = intervals.join(right,
+      col("lo_us") < col("r_hi") && col("r_lo") < col("hi_us"))
+    val want = naiveOv.collect()
+      .map(r => (r.getAs[Long]("iv_id"), r.getAs[Long]("r_id"))).sorted.toSeq
+    Seq(64L, 1000L, 4096L).foreach { w =>
+      val got = RangeJoin.overlaps(intervals, "lo_us", "hi_us",
+          right, "r_lo", "r_hi", binWidth = w).collect()
+        .map(r => (r.getAs[Long]("iv_id"), r.getAs[Long]("r_id"))).sorted.toSeq
+      assert(got == want, s"binWidth=$w diverged from the naive overlap join")
+      assert(got.distinct == got, s"binWidth=$w double-counted a pair")
+    }
+    assert(!want.contains((1L, 10L))) // half-open: touching != overlapping
+    assert(want.contains((5L, 14L)))  // partial clip at the boundary
+    assert(want.count(_._2 == 13L) == 5) // the spanning interval hits all 5
+  }
+
+  test("overlaps fuzz: random interval sets match the naive join (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val a = df(intervalsSchema, (0 until 150).map { i =>
+      val lo = rnd.nextLong(80000L) - 15000L
+      Row(i.toLong, lo, lo + 1 + rnd.nextLong(8000L))
+    })
+    val bSchema = StructType(Seq(StructField("r_id", LongType),
+      StructField("r_lo", LongType), StructField("r_hi", LongType)))
+    val b = df(bSchema, (0 until 150).map { i =>
+      val lo = rnd.nextLong(80000L) - 15000L
+      Row(i.toLong, lo, lo + 1 + rnd.nextLong(300L))
+    })
+    val want = a.join(b, col("lo_us") < col("r_hi") && col("r_lo") < col("hi_us"))
+      .select("iv_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    Seq(777L, 4096L).foreach { w =>
+      val got = RangeJoin.overlaps(a, "lo_us", "hi_us", b, "r_lo", "r_hi", w)
+        .select("iv_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want, s"binWidth=$w diverged")
+    }
+    assert(want.nonEmpty)
+  }
+
   test("bin width does not change results") {
     val reference = naive.count()
     Seq(1L, 7L, 500L, 1000L, 4096L, 100000L).foreach { w =>
