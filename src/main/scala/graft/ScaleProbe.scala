@@ -32,6 +32,48 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val probe = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
+
+    // Range-join probe: the binned equi-join (RangeJoin.binned, gate
+    // tw7) on a factor×-extended event timeline against ~6 intervals
+    // per hour of it — an interval count where the nested-loop plan
+    // Spark would otherwise pick is computationally absurd. A small
+    // BroadcastNestedLoopJoin control measures the naive rate and
+    // extrapolates, demonstrating (not asserting) why the bin algebra
+    // is the scale path.
+    if (Set("all", "rangejoin")(probe)) {
+      val evs0 = Tables.events(spark, sfDir)
+        .select(unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val b = evs0.agg(min(col("ts_us")), max(col("ts_us"))).head
+      val (lo, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+      val big = evs0.crossJoin(spark.range(factor).toDF("rep"))
+        .select((col("ts_us") + col("rep") * span).as("ts_us"), col("event_id"))
+        .repartition(32).localCheckpoint()
+      val nEv = big.count()
+      val step = 600L * 1000000 // an interval every 10 min...
+      val width = 900L * 1000000 // ...each 15 min wide (overlapping)
+      val nIv = span * factor / step
+      val ivs = spark.range(nIv).select(col("id").as("iv_id"),
+        (lit(lo) + col("id") * step).as("lo_us"),
+        (lit(lo) + col("id") * step + width).as("hi_us"))
+      val t0 = System.nanoTime()
+      val matches = operators.RangeJoin.binned(
+        big, "ts_us", ivs, "lo_us", "hi_us", binWidth = step).count()
+      val binnedSecs = (System.nanoTime() - t0) / 1e9
+      println(f"rangejoin binned: events=$nEv%9d intervals=$nIv%8d " +
+        f"matches=$matches%10d elapsed=$binnedSecs%7.1f s")
+      val cEv = big.limit(100000).localCheckpoint()
+      val cIv = ivs.limit(2000).localCheckpoint()
+      val t1 = System.nanoTime()
+      val cm = cEv.join(broadcast(cIv),
+        col("ts_us") >= col("lo_us") && col("ts_us") < col("hi_us")).count()
+      val nlSecs = (System.nanoTime() - t1) / 1e9
+      val blowup = nIv.toDouble * nEv / (2000.0 * 100000)
+      println(f"rangejoin BNLJ control: 100000x2000 matches=$cm%8d " +
+        f"elapsed=$nlSecs%6.1f s -> full problem extrapolates to " +
+        f"${nlSecs * blowup}%9.0f s (${blowup}%6.0fx the comparisons)")
+    }
+
     val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // id stride derives from the source ids — a hardcoded stride would
     // silently collide replica ids on larger corpora
@@ -47,8 +89,8 @@ object ScaleProbe {
     // (bits, bands, bandBits): the gate geometry (4-bit, sim2/sim3),
     // the sim3b wide-band gate (8-bit), and the next stop on the law
     // (16-bit). Same 32-plane pool throughout — only the knob moves.
-    // SPARK_GRAFT_PROBE=dedup skips this (slow) section.
-    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "all") != "dedup") {
+    // SPARK_GRAFT_PROBE selects a section: all | lsh | dedup | rangejoin.
+    if (Set("all", "lsh")(probe)) {
       for ((bits, bands, bandBits) <- Seq((16, 4, 4), (32, 4, 8), (32, 2, 16))) {
         val t0 = System.nanoTime()
         val c = operators.Similarity.candidatePairs(spark, out, bits, bands, bandBits).count()
@@ -63,7 +105,7 @@ object ScaleProbe {
     // buckets): runs the REAL dd3/dd4 gate pipelines (one-pass sketch
     // expressions + bucket-group pair generation) through the public
     // registry and reports verified pair counts + wall time.
-    if (sys.env.getOrElse("SPARK_GRAFT_PROBE", "all") != "lsh") {
+    if (Set("all", "dedup")(probe)) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val dstride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
       docs.crossJoin(spark.range(factor).toDF("rep"))
