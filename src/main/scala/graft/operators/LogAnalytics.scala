@@ -196,6 +196,26 @@ object LogAnalytics {
       |FROM logs WHERE level_no >= 30 AND level = 'ERROR'
       |GROUP BY 1""".stripMargin
 
+  /** la7: hierarchical ROLLUP (grouping sets) — the A7 stats rollups
+    * generalized to one pass: per-(level, logger) detail, per-level
+    * subtotal, and grand total from a single scan. The reference runs
+    * these as separate SQLite queries (sqlite_logger.py:267-304); a
+    * log pipeline at scale wants them in one Expand + partial-agg
+    * pass, not three scans. `grouping_id` disambiguates subtotal rows
+    * from genuine NULL keys; both engines use the same (level,
+    * logger_name) bit order. */
+  private def la7(s: SparkSession, d: String): DataFrame =
+    logs(s, d)
+      .rollup(col("level"), col("logger_name"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("value_cents"),
+        grouping_id().cast("long").as("gid"))
+
+  private val la7Sql = logsSql +
+    """SELECT level, logger_name, count(*) AS n,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents,
+      |  CAST(GROUPING(level, logger_name) AS BIGINT) AS gid
+      |FROM logs GROUP BY ROLLUP (level, logger_name)""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -208,5 +228,7 @@ object LogAnalytics {
     GateQuery("la5_retention", la5, Some(la5Sql),
       "retention cutoff partition, per-day kept/deleted (S11/F8)"),
     GateQuery("la6_sink_roundtrip", la6, Some(la6Sql),
-      "level-partitioned parquet sink + pruned read-back rollup (S9)"))
+      "level-partitioned parquet sink + pruned read-back rollup (S9)"),
+    GateQuery("la7_rollup_sets", la7, Some(la7Sql),
+      "ROLLUP grouping sets: detail/subtotal/total in one Expand pass (A7)"))
 }
