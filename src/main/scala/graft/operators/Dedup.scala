@@ -152,6 +152,37 @@ object Dedup {
 
   // ---------------------------------------------------------------- dd3
 
+  /** Candidate pairs from a (doc_id, ms) MinHash-signature frame via
+    * the BUCKET-GROUP pattern, not a band self-join: group the slim
+    * (band, key, doc_id) stream by band key and emit each bucket's
+    * pair combinations. A self-join would plan the sketch subtree
+    * TWICE (AQE exchange reuse across aliased subtrees is unreliable,
+    * measured round 3 — two full corpus parses) and shuffle the band
+    * stream once per side; this shape evaluates the sketch ONCE and
+    * shuffles the 3-longs/row stream once. Right ONLY because MinHash
+    * band keys are HIGH-entropy (4 concatenated hash mins — a bucket
+    * is exactly one near-dup group, so collect_list stays tiny even
+    * under dense duplication). Low-entropy band keys must keep the
+    * self-join: the 4-bit sim2/sim3 geometry (buckets are N/16) and
+    * dd4's 16-bit sketch bands (a 20× replica probe hit a
+    * 3 400-entry bucket, where per-bucket interpreted pair lambdas go
+    * quadratic — see dd4). Shared by dd3 (detection) and dd8
+    * (estimator calibration). */
+  private def minhashCandidates(sig: DataFrame): DataFrame = {
+    val keys = (0 until 4).map(bd =>
+      concat_ws("_", (0 until 4).map(r => element_at(col("ms"), bd * 4 + r + 1)): _*))
+    sig.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ids)-1), i -> " +
+          "transform(slice(ids, i+1, size(ids)-i), y -> " +
+          "named_struct('id1', ids[i-1], 'id2', y))))")).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .dropDuplicates("id1", "id2")
+  }
+
   /** dd3: MinHash-LSH near-dup detection — the 100 TB path. 16-perm
     * signature over shingle hashes; 4 bands × 4 rows; docs sharing any
     * band key become candidates (equi-join on the band key, no all-
@@ -170,34 +201,7 @@ object Dedup {
     // exactly as they produced no exploded rows before.
     val sig = sh.filter(col("sz") > 0)
       .select(col("doc_id"), expr("minhash_sig(shingles)").as("ms"))
-    val keys = (0 until 4).map(bd =>
-      concat_ws("_", (0 until 4).map(r => element_at(col("ms"), bd * 4 + r + 1)): _*))
-    // Candidate pairs via the BUCKET-GROUP pattern, not a band
-    // self-join: group the slim (band, key, doc_id) stream by band
-    // key and emit each bucket's pair combinations. A self-join would
-    // plan the sketch subtree TWICE (AQE exchange reuse across
-    // aliased subtrees is unreliable, measured round 3 — two full
-    // corpus parses) and shuffle the band stream once per side; this
-    // shape evaluates the sketch ONCE and shuffles the 3-longs/row
-    // stream once. Right ONLY because MinHash band keys are
-    // HIGH-entropy (4 concatenated hash mins — a bucket is exactly
-    // one near-dup group, so collect_list stays tiny even under
-    // dense duplication). Low-entropy band keys must keep the
-    // self-join: the 4-bit sim2/sim3 geometry (buckets are N/16) and
-    // dd4's 16-bit sketch bands (a 20× replica probe hit a
-    // 3 400-entry bucket, where per-bucket interpreted pair lambdas
-    // go quadratic — see dd4).
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(keys: _*)).as(Seq("band", "key")))
-    val cand = bands.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(1, size(ids)-1), i -> " +
-          "transform(slice(ids, i+1, size(ids)-i), y -> " +
-          "named_struct('id1', ids[i-1], 'id2', y))))")).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-      .dropDuplicates("id1", "id2")
+    val cand = minhashCandidates(sig)
     // Verify join-back: ONE join against the shingle base instead of
     // two. Pairs melt to (pair, side, doc_id) rows, pick up their
     // shingle set in a single equi-join, and fold back to one row per
@@ -522,6 +526,92 @@ object Dedup {
       |  GROUP BY 1, 2) t
       |WHERE n_shared >= 3""".stripMargin
 
+  // ---------------------------------------------------------------- dd8
+
+  /** dd8: MinHash estimator CALIBRATION — sim8's "measure, don't
+    * guess" discipline applied to the dedup sketch. For every LSH
+    * candidate pair (no verify threshold — calibration needs the full
+    * candidate range), count matching signature components m (the
+    * MinHash Jaccard estimate is m/16) AND compute the exact Jaccard,
+    * then bucket pairs by exact-Jaccard decile and report the average
+    * estimate per bucket. E[m/16] = J is the MinHash guarantee; this
+    * gate shows the measured curve next to it, which is what tells you
+    * whether 16 perms are enough before you trust dd3's threshold at
+    * corpus scale. Aggregates are exact integers (component matches,
+    * intersection/union sums); the single closing division is the only
+    * double. */
+  private def dd8(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val sig = sh.filter(col("sz") > 0)
+      .select(col("doc_id"), expr("minhash_sig(shingles)").as("ms"),
+        expr("md5h60_array(shingles)").as("hs"), col("sz"))
+    minhashCandidates(sig.select(col("doc_id"), col("ms")))
+      .select(col("id1"), col("id2"),
+        posexplode(array(col("id1"), col("id2"))).as(Seq("side", "doc_id")))
+      .join(sig, "doc_id")
+      .groupBy(col("id1"), col("id2"))
+      .agg(
+        first(when(col("side") === 0, col("ms")), ignoreNulls = true).as("ms1"),
+        first(when(col("side") === 1, col("ms")), ignoreNulls = true).as("ms2"),
+        first(when(col("side") === 0, col("hs")), ignoreNulls = true).as("h1"),
+        first(when(col("side") === 1, col("hs")), ignoreNulls = true).as("h2"),
+        min(when(col("side") === 0, col("sz"))).as("sz1"),
+        min(when(col("side") === 1, col("sz"))).as("sz2"))
+      .withColumn("c", size(array_intersect(col("h1"), col("h2"))).cast("long"))
+      .withColumn("u", col("sz1") + col("sz2") - col("c"))
+      .withColumn("m", expr(
+        "size(filter(zip_with(ms1, ms2, (x, y) -> x = y), b -> b))").cast("long"))
+      .withColumn("jacc_decile", expr("(10L * c) div u"))
+      .groupBy(col("jacc_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("m")).as("sig_matches"),
+        sum(col("c")).as("inter_sum"),
+        sum(col("u")).as("union_sum"))
+      .withColumn("est_pct",
+        col("sig_matches").cast("double") * 100 / (col("n_pairs") * 16))
+  }
+
+  private val dd8Sql = {
+    val mins = AB.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(hs, h -> ($a*(h % $P) + $b) % $P)) AS m$j"
+    }.mkString(",\n    ")
+    val bandKeys = (0 until 4).map { bd =>
+      val k = (0 until 4).map(r => s"m${bd * 4 + r}").mkString("||'_'||")
+      s"WHEN $bd THEN $k"
+    }.mkString(" ")
+    val matches = (0 until 16)
+      .map(j => s"(CASE WHEN s1.m$j = s2.m$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    "WITH " + shingledSql +
+      s""", hsx AS (
+         |  SELECT doc_id, list_transform(shingles,
+         |    s -> ('0x' || substr(md5(s),1,15))::BIGINT) AS hs FROM sh),
+         |sig AS (
+         |  SELECT doc_id, hs,
+         |    $mins
+         |  FROM hsx),
+         |bands AS (
+         |  SELECT doc_id, b.band,
+         |    CASE b.band $bandKeys END AS key
+         |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |    AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT id1, id2,
+         |    len(list_intersect(s1.hs, s2.hs)) AS c,
+         |    len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)) AS u,
+         |    $matches AS m
+         |  FROM cand JOIN sig s1 ON id1 = s1.doc_id JOIN sig s2 ON id2 = s2.doc_id)
+         |SELECT (10 * c) // u AS jacc_decile, count(*) AS n_pairs,
+         |  CAST(sum(m) AS BIGINT) AS sig_matches,
+         |  CAST(sum(c) AS BIGINT) AS inter_sum,
+         |  CAST(sum(u) AS BIGINT) AS union_sum,
+         |  CAST(sum(m) AS DOUBLE) * 100 / (count(*) * 16) AS est_pct
+         |FROM pairs GROUP BY 1""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -536,5 +626,7 @@ object Dedup {
     GateQuery("dd6_dup_clusters", dd6, Some(dd6Sql),
       "connected-component cluster resolution over the near-dup pair graph"),
     GateQuery("dd7_contamination", dd7, Some(dd7Sql),
-      "benchmark decontamination: >=3 shared shingles vs the broadcast holdout"))
+      "benchmark decontamination: >=3 shared shingles vs the broadcast holdout"),
+    GateQuery("dd8_minhash_calibration", dd8, Some(dd8Sql),
+      "measured MinHash Jaccard estimate vs exact, per exact-Jaccard decile"))
 }
