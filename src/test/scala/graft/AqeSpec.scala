@@ -40,6 +40,53 @@ class AqeSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning reads only the joined partitions") {
+    // The parquet twin of the connector's SupportsRuntimeFiltering
+    // test: a level-partitioned log table (the la6 sink layout) joined
+    // to a selective 1-row dimension must prune partitions AT RUNTIME
+    // from the dim side's keys — the directory-partitioned analog of
+    // the SQLite level index, and the reason the sink partitions by
+    // level in the first place. Static pruning cannot help (the
+    // predicate is on the dim, not the fact).
+    import org.apache.spark.sql.functions._
+    // the benefit heuristic compares estimated pruned bytes against
+    // the filter's cost — at fixture scale the stats say "not worth
+    // it", so pin the heuristic to the shape (production sizes pass
+    // it on their own)
+    val saved = "spark.sql.optimizer.dynamicPartitionPruning.useStats" ->
+      spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set(saved._1, "false")
+    try {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_${java.util.UUID.randomUUID()}"
+      Tables.events(spark, sf0001)
+        .select(col("event_id"), upper(col("event_type")).as("level"))
+        .write.partitionBy("level").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      // the dim's surviving keys must NOT be plan-time constants (a
+      // literal key constant-folds into a STATIC partition filter and
+      // there is nothing dynamic left to prove) — derive them from
+      // data: the rarest levels by count, known only at execution
+      val levelCounts = Tables.events(spark, sf0001)
+        .groupBy(upper(col("event_type")).as("level"))
+        .agg(count(lit(1)).as("n"))
+      val cutoff = levelCounts.agg(min(col("n"))).head.getLong(0)
+      val dim = levelCounts.filter(col("n") <= cutoff) // selective predicate
+      val j = fact.join(dim, Seq("level"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"expected a dynamic partition pruning filter on the scan\n$p")
+      val expected = Tables.events(spark, sf0001)
+        .groupBy(upper(col("event_type"))).count()
+        .filter(col("count") <= cutoff)
+        .agg(sum(col("count"))).head.getLong(0)
+      assert(j.count() == expected && expected > 0)
+    } finally saved._2 match {
+      case Some(v) => spark.conf.set(saved._1, v)
+      case None => spark.conf.unset(saved._1)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     val confs = Seq(
       // force the shuffle-join path (broadcast would hide the skew)
