@@ -436,6 +436,53 @@ object TextAnalysis {
       |  (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) q(q, qn, qd)
       |WHERE rk = (n * qn + qd - 1) // qd""".stripMargin
 
+  /** tx10: OOV (out-of-vocabulary) rate against an INDUCED corpus
+    * vocabulary — the standard "is this document in-distribution"
+    * quality signal: induce the top-K tokens by corpus frequency
+    * (tie-broken lexically), then per document count tokens outside
+    * it. High OOV = noisy/foreign/garbled text; the signal a tokenizer
+    * or filter run consults before spending budget. K is calibrated to
+    * the corpus (a production vocab is 10³-10⁵; the synthetic corpus
+    * has 31 distinct tokens, so K = 20 keeps the signal non-vacuous —
+    * the 11 rarest tokens are the OOV tail).
+    *
+    * Scale shape: the vocabulary top-k is `orderBy(...).limit(1000)`
+    * → TakeOrderedAndProject (per-partition top-k, never a global
+    * sort — a `row_number` over an unpartitioned window here would be
+    * the la1 scale-killer again), and the induced vocab then
+    * broadcasts into the token stream, so the only corpus-wide
+    * exchange is the per-doc regroup. */
+  private def tx10(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(20)
+      .select(col("w"), lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_pct",
+        col("n_oov").cast("double") * 100 / col("n_tokens"))
+  }
+
+  private val tx10Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT w FROM (
+      |    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rk
+      |    FROM tok GROUP BY w) r
+      |  WHERE rk <= 20)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) * 100
+      |    / count(*) AS oov_pct
+      |FROM tok t LEFT JOIN vocab v ON t.w = v.w
+      |GROUP BY doc_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -454,5 +501,7 @@ object TextAnalysis {
     GateQuery("tx8_kmv_cardinality", tx8, Some(tx8Sql),
       "KMV distinct-count sketch (k=32) vs the exact count, one row"),
     GateQuery("tx9_length_quantiles", tx9, Some(tx9Sql),
-      "exact per-language p50/p90/p99 token-length quantiles by rank selection"))
+      "exact per-language p50/p90/p99 token-length quantiles by rank selection"),
+    GateQuery("tx10_oov_rate", tx10, Some(tx10Sql),
+      "per-doc OOV rate vs the induced top-K corpus vocabulary"))
 }
