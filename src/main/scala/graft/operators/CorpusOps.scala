@@ -236,6 +236,38 @@ object CorpusOps {
        |        FROM documents) c) q) b) t""".stripMargin
   }
 
+  // ---------------------------------------------------------------- cp6
+
+  /** cp6: packed-sequence MANIFEST — the artifact a trainer actually
+    * reads: for every (shard, bin) of cp3's packing, the ordered
+    * doc_id list (the concatenation order inside the training
+    * sequence), document count, and exact token total. Exercises
+    * ordered re-assembly (sort_array over collected (pos, doc_id)
+    * structs — the engine-portable spelling of DuckDB's
+    * `list(... ORDER BY pos)`), which no other gate covers.
+    *
+    * Scale shape: one groupBy on (shard, bin_id) downstream of cp3's
+    * per-shard window — the group state is a bin's own members (≤ a
+    * few docs by construction of the 512-token budget), so collect_
+    * list is bounded; the manifest row count is corpus_tokens/512,
+    * written once and consumed every epoch. */
+  private def cp6(s: SparkSession, d: String): DataFrame =
+    cp3(s, d)
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        concat_ws(",", transform(
+          sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string"))).as("doc_list"))
+
+  private val cp6Sql =
+    s"""SELECT shard, bin_id, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       |  array_to_string(list(doc_id ORDER BY pos), ',') AS doc_list
+       |FROM (${cp3Sql.replace("\n", "\n  ")}) packed
+       |GROUP BY shard, bin_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
       "deterministic per-language k-sample via salted-md5 permutation"),
@@ -246,5 +278,7 @@ object CorpusOps {
     GateQuery("cp4_interleave_head", cp4, Some(cp4Sql),
       "weighted interleave order of the mixture stream, first 100 docs"),
     GateQuery("cp5_budget_select", cp5, Some(cp5Sql),
-      "quality-ordered per-language selection under a 2000-token budget"))
+      "quality-ordered per-language selection under a 2000-token budget"),
+    GateQuery("cp6_pack_manifest", cp6, Some(cp6Sql),
+      "per-bin ordered doc_id manifest of the packed sequences (ordered collect)"))
 }

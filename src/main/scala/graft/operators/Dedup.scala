@@ -612,6 +612,72 @@ object Dedup {
          |FROM pairs GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- dd9
+
+  /** dd9: intra-corpus chunk dedup — the "line-level" boilerplate
+    * removal pass of a web-scale prep pipeline (RefinedWeb/CCNet drop
+    * lines repeated across pages: nav bars, cookie banners, license
+    * headers). The synthetic corpus has no newlines, so the unit is a
+    * fixed 16-token chunk: any chunk whose exact text occurs ≥2 times
+    * across the corpus is dropped from every document, and the doc is
+    * re-assembled from its surviving chunks in order.
+    *
+    * Scale shape: chunking is a narrow per-row map (one transform +
+    * one generator, no shuffle); the repeated-chunk dim is ONE hash
+    * agg on the chunk text, and its output is proportional to
+    * corpus redundancy, not corpus size; membership is a left join on
+    * the chunk key (high-cardinality → even shuffle, AQE-broadcast
+    * when the boilerplate dim is small); reassembly is one
+    * collect_list + sort_array per doc — state bounded by the doc's
+    * own chunk count. Nothing global anywhere.
+    *
+    * Output per doc: chunk counts and the md5 of the re-assembled
+    * kept text (fp, portable across engines). */
+  private def dd9(s: SparkSession, d: String): DataFrame = {
+    val chunked = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), ceil(size(col("t")) / 16.0).cast("int") - 1),
+        i => struct(i.as("ci"),
+          array_join(slice(col("t"), i * 16 + 1, lit(16)), " ").as("c")))).as("u"))
+      .select(col("doc_id"), col("u.ci").as("ci"), col("u.c").as("c"))
+    val repeated = chunked.groupBy(col("c"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+    chunked.join(repeated, Seq("c"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_copies").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("n_copies").isNull,
+            struct(col("ci"), col("c"))))),
+          x => x.getField("c")), " ")).as("kept_fp"))
+  }
+
+  private val dd9Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |flat AS (
+      |  SELECT doc_id, u.ci AS ci, u.c AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(CAST(ceil(len(t) / 16.0) AS BIGINT)),
+      |      x -> struct_pack(ci := x,
+      |             c := array_to_string(t[x*16+1 : x*16+16], ' ')))) AS u
+      |    FROM toks) e),
+      |repeated AS (
+      |  SELECT c, count(*) AS n_copies FROM flat
+      |  GROUP BY c HAVING count(*) >= 2)
+      |SELECT f.doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN r.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  md5(coalesce(array_to_string(
+      |    list(f.c ORDER BY f.ci) FILTER (WHERE r.c IS NULL), ' '), ''))
+      |    AS kept_fp
+      |FROM flat f LEFT JOIN repeated r ON f.c = r.c
+      |GROUP BY f.doc_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -628,5 +694,7 @@ object Dedup {
     GateQuery("dd7_contamination", dd7, Some(dd7Sql),
       "benchmark decontamination: >=3 shared shingles vs the broadcast holdout"),
     GateQuery("dd8_minhash_calibration", dd8, Some(dd8Sql),
-      "measured MinHash Jaccard estimate vs exact, per exact-Jaccard decile"))
+      "measured MinHash Jaccard estimate vs exact, per exact-Jaccard decile"),
+    GateQuery("dd9_chunk_dedup", dd9, Some(dd9Sql),
+      "corpus-repeated 16-token-chunk removal + doc reassembly (line-level dedup)"))
 }

@@ -216,6 +216,43 @@ object LogAnalytics {
       |  CAST(GROUPING(level, logger_name) AS BIGINT) AS gid
       |FROM logs GROUP BY ROLLUP (level, logger_name)""".stripMargin
 
+  /** la8: per-logger level matrix via PIVOT — the wide/cross-tab
+    * restatement of la7's long rollup (the dashboard "levels as
+    * columns" view every log UI renders). Spark's `pivot` with an
+    * EXPLICIT value list stays one hash aggregate (no extra pass to
+    * discover pivot keys, no Expand); at scale the logger key is
+    * high-cardinality so the single shuffle partitions evenly. The
+    * daily-hours column proves pivot composes with ordinary aggs in
+    * the same pass. Oracle: conditional aggregation — the portable
+    * spelling of the same plan. Top-100 by total keeps output bounded
+    * (TakeOrderedAndProject). */
+  private def la8(s: SparkSession, d: String): DataFrame =
+    logs(s, d)
+      .groupBy(col("logger_name"))
+      .pivot("level", Seq("ERROR", "SIGNUP", "PURCHASE", "CLICK", "VIEW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("logger_name"),
+        col("ERROR").as("n_error"), col("SIGNUP").as("n_signup"),
+        col("PURCHASE").as("n_purchase"), col("CLICK").as("n_click"),
+        col("VIEW").as("n_view"))
+      .withColumn("n_total",
+        col("n_error") + col("n_signup") + col("n_purchase") +
+          col("n_click") + col("n_view"))
+      .orderBy(col("n_total").desc, col("logger_name").asc)
+      .limit(100)
+
+  private val la8Sql = logsSql +
+    """SELECT logger_name,
+      |  CAST(sum(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN level = 'SIGNUP' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN level = 'PURCHASE' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN level = 'CLICK' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN level = 'VIEW' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  count(*) AS n_total
+      |FROM logs GROUP BY logger_name
+      |ORDER BY n_total DESC, logger_name ASC LIMIT 100""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -230,5 +267,7 @@ object LogAnalytics {
     GateQuery("la6_sink_roundtrip", la6, Some(la6Sql),
       "level-partitioned parquet sink + pruned read-back rollup (S9)"),
     GateQuery("la7_rollup_sets", la7, Some(la7Sql),
-      "ROLLUP grouping sets: detail/subtotal/total in one Expand pass (A7)"))
+      "ROLLUP grouping sets: detail/subtotal/total in one Expand pass (A7)"),
+    GateQuery("la8_level_pivot", la8, Some(la8Sql),
+      "explicit-values PIVOT cross-tab, one hash agg (vs conditional-agg oracle)"))
 }

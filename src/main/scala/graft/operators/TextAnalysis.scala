@@ -483,6 +483,73 @@ object TextAnalysis {
       |FROM tok t LEFT JOIN vocab v ON t.w = v.w
       |GROUP BY doc_id""".stripMargin
 
+  /** tx11: bigram language-model surprisal scoring — the CCNet-style
+    * "score each document against an LM induced from the corpus"
+    * quality signal, done with EXACT integer arithmetic so both
+    * engines hash-match (no log-prob float summation, whose partial-agg
+    * order is nondeterministic): the MLE conditional probability
+    * p(w2|w1) = c(w1 w2)/c(w1·) is a ratio of corpus counts, so
+    * "rare bigram" (p < 1/64 ⇔ 64·c2 < c1) and the per-doc min/max
+    * probability in permille (1000·c2 div c1) are order-independent
+    * integers. High rare-bigram share = incoherent/garbled text — the
+    * perplexity filter's decision, without its FP hazard.
+    *
+    * Scale shape: the bigram and left-context count dims are two hash
+    * aggs over the exploded stream whose sizes are bounded by vocab²
+    * and vocab (not corpus size) — broadcast-able at any corpus scale;
+    * the per-doc regroup is the only corpus-wide exchange. The bigram
+    * generator guards n<2 docs with an empty array (the `sequence(0,
+    * n-2)` descending-range trap, same guard family as mm2). */
+  private def tx11(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val flat = base
+      .select(col("doc_id"), explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            concat_ws(" ", element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)).as("b"))))
+        .otherwise(array().cast("array<struct<w1:string,b:string>>"))).as("u"))
+      .select(col("doc_id"), col("u.w1").as("w1"), col("u.b").as("b"))
+    val c2 = flat.groupBy(col("b")).agg(count(lit(1)).as("n2"))
+    val c1 = flat.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val scored = flat
+      .join(broadcast(c2), Seq("b")).join(broadcast(c1), Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n2") * 64 < col("n1"), 1L).otherwise(0L)).as("n_rare"),
+        min(expr("(n2 * 1000) div n1")).as("min_p_permille"),
+        max(expr("(n2 * 1000) div n1")).as("max_p_permille"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        col("min_p_permille"), col("max_p_permille"))
+  }
+
+  private val tx11Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |flat AS (
+      |  SELECT doc_id, u.w1 AS w1, u.b AS b FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+      |      x -> struct_pack(w1 := t[x+1], b := t[x+1] || ' ' || t[x+2]))) AS u
+      |    FROM toks) e),
+      |c2 AS (SELECT b, count(*) AS n2 FROM flat GROUP BY b),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM flat GROUP BY w1),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CASE WHEN n2 * 64 < n1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_rare,
+      |    min((n2 * 1000) // n1) AS min_p_permille,
+      |    max((n2 * 1000) // n1) AS max_p_permille
+      |  FROM flat f JOIN c2 USING (b) JOIN c1 USING (w1)
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(n_rare, 0) AS n_rare, min_p_permille, max_p_permille
+      |FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -503,5 +570,7 @@ object TextAnalysis {
     GateQuery("tx9_length_quantiles", tx9, Some(tx9Sql),
       "exact per-language p50/p90/p99 token-length quantiles by rank selection"),
     GateQuery("tx10_oov_rate", tx10, Some(tx10Sql),
-      "per-doc OOV rate vs the induced top-K corpus vocabulary"))
+      "per-doc OOV rate vs the induced top-K corpus vocabulary"),
+    GateQuery("tx11_bigram_surprisal", tx11, Some(tx11Sql),
+      "bigram-LM rarity scoring with exact integer probabilities (no FP log-sums)"))
 }

@@ -344,6 +344,47 @@ object TimeWindows {
        |  ON s.sess_start_us < c.hi_us AND c.lo_us < s.sess_end_us + 1
        |GROUP BY 1, 2""".stripMargin
 
+  /** tw9: inter-event gap analysis (lag/lead family, the W-surface
+    * member the suite didn't yet exercise): per user, the gap to the
+    * previous event (lag over a user-partitioned, uniquely tie-broken
+    * order), rolled up to per-user arrival statistics — event count,
+    * max gap, floor-div mean gap, and how many gaps exceed the tw3
+    * session threshold (30 min), i.e. the user's session count minus
+    * one. The user-partitioned window is the scale-safe shape (key
+    * cardinality grows with the data; no global sort anywhere), and
+    * the rollup is a map-side-combined hash agg on the same key, so
+    * the window's shuffle is reused by the groupBy (one Exchange
+    * total). Top-200 heaviest users keeps the gate output bounded —
+    * TakeOrderedAndProject, never a ranking window. */
+  private def tw9(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    evs(s, d)
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        expr(s"sum(gap_us) div greatest(count(gap_us), 1)").as("avg_gap_us"),
+        sum(when(col("gap_us") > SlideUs, 1L).otherwise(0L)).as("n_session_breaks"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(200)
+  }
+
+  private val tw9Sql = evsSql +
+    s""", gaps AS (
+       |  SELECT user_id, ts_us - lag(ts_us, 1) OVER (
+       |      PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS gap_us
+       |  FROM evs)
+       |SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps,
+       |  max(gap_us) AS max_gap_us,
+       |  CAST(sum(gap_us) AS BIGINT) // greatest(count(gap_us), 1) AS avg_gap_us,
+       |  CAST(sum(CASE WHEN gap_us > $SlideUs THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_session_breaks
+       |FROM gaps GROUP BY user_id
+       |ORDER BY n_events DESC, user_id ASC LIMIT 200""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -360,5 +401,7 @@ object TimeWindows {
     GateQuery("tw7_range_join", tw7, Some(tw7Sql),
       "interval-containment join via bin-exploded equi-join (vs DuckDB inequality join)"),
     GateQuery("tw8_overlap_join", tw8, Some(tw8Sql),
-      "session x campaign interval-overlap join, once-per-pair via overlap-start bin"))
+      "session x campaign interval-overlap join, once-per-pair via overlap-start bin"),
+    GateQuery("tw9_event_gaps", tw9, Some(tw9Sql),
+      "per-user inter-event gap stats via lag window, one Exchange shared with the rollup"))
 }
