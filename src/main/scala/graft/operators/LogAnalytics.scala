@@ -219,13 +219,14 @@ object LogAnalytics {
   /** la8: per-logger level matrix via PIVOT — the wide/cross-tab
     * restatement of la7's long rollup (the dashboard "levels as
     * columns" view every log UI renders). Spark's `pivot` with an
-    * EXPLICIT value list stays one hash aggregate (no extra pass to
-    * discover pivot keys, no Expand); at scale the logger key is
-    * high-cardinality so the single shuffle partitions evenly. The
-    * daily-hours column proves pivot composes with ordinary aggs in
-    * the same pass. Oracle: conditional aggregation — the portable
-    * spelling of the same plan. Top-100 by total keeps output bounded
-    * (TakeOrderedAndProject). */
+    * EXPLICIT value list skips the extra distinct-values job and
+    * plans as pre-agg on (logger, level) → `pivotfirst` on logger:
+    * two exchanges, but BOTH carry aggregated rows (≤ |loggers| ×
+    * |levels|, map-side combined before each), so the shape survives
+    * any corpus scale — the thing that must never appear is an
+    * Expand or a per-value re-scan. Oracle: conditional aggregation —
+    * the portable one-exchange spelling of the same matrix. Top-100
+    * by total keeps output bounded (TakeOrderedAndProject). */
   private def la8(s: SparkSession, d: String): DataFrame =
     logs(s, d)
       .groupBy(col("logger_name"))

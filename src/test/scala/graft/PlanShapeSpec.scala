@@ -13,6 +13,11 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(name: String): String =
     gate(name, sf0001).queryExecution.executedPlan.toString
 
+  /** AQE's toString appends the pre-execution "Initial Plan", which
+    * duplicates every operator — assert on the final plan only. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+
   test("q2 dimension chain joins are broadcast, not shuffled") {
     val p = plan("q2_dim_join")
     assert(p.contains("BroadcastHashJoin"))
@@ -243,6 +248,75 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the kmv_kmin ObjectHashAggregate\n$p")
     assert(!p.contains("TakeOrderedAndProject"),
       s"composed k-min path should be gone\n$p")
+  }
+
+  test("tw9 gap window and rollup share one user_id exchange; head is top-k") {
+    // lag window partitions on user_id and the groupBy keys the same
+    // column, so the rollup must reuse the window's exchange; the
+    // 200-row head must be per-partition top-k, never a global sort.
+    val df = gate("tw9_event_gaps", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"tw9 head must be TakeOrderedAndProject\n$p")
+    assert(shuffleCount(p) <= 1,
+      s"window + rollup must share the user_id exchange\n$p")
+  }
+
+  test("la8 explicit-values pivot: aggregated exchanges only, no Expand") {
+    // pivot with an explicit value list plans as pre-agg on (logger,
+    // level) -> pivotfirst on logger: both exchanges carry aggregated
+    // rows (map-side combined), never raw events. An Expand, a
+    // per-value re-scan, or a missing partial agg means the explicit
+    // value list stopped doing its job.
+    val df = gate("la8_level_pivot", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Expand"), s"explicit-values pivot must not Expand\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_pivotfirst"),
+      s"both pivot phases must map-side combine\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 head must be per-partition top-k\n$p")
+    assert(shuffleCount(p) <= 2, s"pre-agg + pivotfirst exchanges only\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"pivot must not re-scan per value, got $scans scans\n$p")
+  }
+
+  test("dd9 chunk dedup: bounded scans, no global sort") {
+    // chunking is a narrow generator; the repeated-chunk dim and the
+    // membership join may each re-read the chunk stream (2 documents
+    // scans), but nothing may globally sort and the reassembly agg
+    // must map-side combine its struct collection.
+    val df = gate("dd9_chunk_dedup", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 2, s"expected <=2 documents scans, got $scans\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"dd9 must not globally sort\n$p")
+  }
+
+  test("tx11 count dims broadcast into the bigram stream") {
+    // c(w1 w2) and c(w1) are vocab-bounded aggregates — they must
+    // join back as broadcasts so the only corpus-wide exchange is the
+    // per-doc regroup.
+    val df = gate("tx11_bigram_surprisal", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both count dims must broadcast\n$p")
+  }
+
+  test("cp6 manifest agg reuses cp3's shard exchange") {
+    // groupBy(shard, bin_id) sits on data already hash-partitioned by
+    // shard (a subset of the grouping key), so the manifest adds ZERO
+    // exchanges beyond cp3's one shard shuffle.
+    val df = gate("cp6_pack_manifest", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(shuffleCount(p) <= 1,
+      s"manifest must reuse the shard exchange, not add one\n$p")
   }
 
   test("q9 salted agg: partials spread over salt before the final merge") {

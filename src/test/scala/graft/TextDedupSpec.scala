@@ -227,6 +227,47 @@ class TextDedupSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("dd9 chunk dedup: corpus-repeated chunk drops everywhere, unique tails survive") {
+    // rep = exactly one 16-token chunk shared by docs 1, 2 and 4.
+    val rep = "a b c d e f g h i j k l m n o p"
+    val d9 = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, s"$rep q r s", "en", "s1"),
+      (2L, s"$rep t u v", "en", "s1"),
+      (3L, "x y z", "en", "s1"),
+      (4L, rep, "en", "s1"))))
+    val m = gate("dd9_chunk_dedup", d9).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(m(1L).getAs[Long]("n_chunks") == 2 && m(1L).getAs[Long]("n_dropped") == 1)
+    assert(m(1L).getAs[String]("kept_fp") == md5("q r s"))
+    assert(m(2L).getAs[String]("kept_fp") == md5("t u v"))
+    assert(m(3L).getAs[Long]("n_dropped") == 0)
+    assert(m(3L).getAs[String]("kept_fp") == md5("x y z"))
+    // fully-boilerplate doc: everything dropped, md5 of the empty string
+    assert(m(4L).getAs[Long]("n_dropped") == 1)
+    assert(m(4L).getAs[String]("kept_fp") == md5(""))
+  }
+
+  test("tx11 surprisal: exact integer conditional probabilities") {
+    // c(a·)=5, c(a b)=4, c(b·)=3, c(b a)=3, c(a c)=1:
+    // p(b|a)=800‰, p(a|b)=1000‰, p(c|a)=200‰ — all exact.
+    val d11 = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, "a b a b a b a b", "en", "s1"),
+      (2L, "a c", "en", "s1"),
+      (3L, "solo", "en", "s1"))))
+    val m = gate("tx11_bigram_surprisal", d11).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_bigrams") == 7)
+    assert(m(1L).getAs[Long]("min_p_permille") == 800)
+    assert(m(1L).getAs[Long]("max_p_permille") == 1000)
+    assert(m(2L).getAs[Long]("n_bigrams") == 1)
+    assert(m(2L).getAs[Long]("min_p_permille") == 200)
+    // a 1-token doc emits no bigrams and NULL probabilities (not [0,-1])
+    assert(m(3L).getAs[Long]("n_bigrams") == 0)
+    assert(m(3L).isNullAt(m(3L).fieldIndex("min_p_permille")))
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
