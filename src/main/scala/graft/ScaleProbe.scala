@@ -144,6 +144,20 @@ object ScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"dd6_dup_clusters verts=${cl.getLong(0)}%9d clusters=${cl.getLong(1)}%7d " +
         f"max_size=${cl.getLong(2)}%5d elapsed=$secs%7.1f s")
+      // Chunk dedup at factor×: the repeated-chunk dim is bounded by
+      // corpus REDUNDANCY — on the replica every chunk is repeated, the
+      // worst case, yet the dim still holds only one row per DISTINCT
+      // chunk (= the sf0.1 chunk count, not factor× it), and the
+      // dropped-chunk volume confirms complete boilerplate removal.
+      locally {
+        val t1 = System.nanoTime()
+        val r = SparkEntry.queries("dd9_chunk_dedup")(spark, out)
+          .agg(count(lit(1)).as("docs"), sum(col("n_chunks")).as("chunks"),
+            sum(col("n_dropped")).as("dropped")).head
+        val s1 = (System.nanoTime() - t1) / 1e9
+        println(f"dd9_chunk_dedup docs=${r.getLong(0)}%9d chunks=${r.getLong(1)}%9d " +
+          f"dropped=${r.getLong(2)}%9d elapsed=$s1%7.1f s")
+      }
     }
     spark.stop()
   }

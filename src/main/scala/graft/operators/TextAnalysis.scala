@@ -395,6 +395,55 @@ object TextAnalysis {
        |    / CAST(n_distinct AS DOUBLE) AS err_pct
        |FROM ex, sk""".stripMargin
 
+  /** tx12: GROUPED KMV — tx8's cardinality sketch per language, the
+    * shape a curation dashboard actually runs ("distinct docs per
+    * stratum" across thousands of strata). The payoff over tx8's
+    * single row is structural: `kmv_kmin` as a grouped aggregate
+    * keeps O(k) state PER GROUP inside one ordinary hash-agg pass
+    * (map-side partials, k-vs-k merges), while the exact
+    * count(distinct) comparator must carry every distinct (lang, fp)
+    * pair through its exchange — at 100 TB the sketch column costs
+    * |strata|·k longs and the exact column is the corpus. Estimator
+    * math and the <k degradation are tx8's (shared docstring law). */
+  private def tx12(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables.documents(s, d).select(col("lang"),
+      conv(substring(contentFp(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    val sketch = fps.groupBy(col("lang")).agg(expr("kmv_kmin(h, 32)").as("km"))
+      .select(col("lang"), size(col("km")).cast("long").as("k_eff"),
+        expr("km[size(km) - 1]").as("kth_min"))
+    val exact = fps.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+    exact.join(broadcast(sketch), Seq("lang"))
+      .withColumn("est_distinct",
+        (col("k_eff") - 1).cast("double") * lit(1152921504606846976.0) /
+          col("kth_min").cast("double"))
+      .withColumn("err_pct",
+        abs(col("est_distinct") - col("n_distinct")) * 100 /
+          col("n_distinct").cast("double"))
+  }
+
+  private val tx12Sql =
+    s"""WITH f AS (
+       |  SELECT lang, ('0x' || substr($contentFpSql, 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |rk AS (
+       |  SELECT lang, h, row_number() OVER (
+       |      PARTITION BY lang ORDER BY h ASC) AS rn
+       |  FROM (SELECT DISTINCT lang, h FROM f) d),
+       |sk AS (
+       |  SELECT lang, count(*) AS k_eff, max(h) AS kth_min
+       |  FROM rk WHERE rn <= 32 GROUP BY lang),
+       |ex AS (
+       |  SELECT lang, count(*) AS n_docs, count(DISTINCT h) AS n_distinct
+       |  FROM f GROUP BY lang)
+       |SELECT ex.lang, n_docs, n_distinct, k_eff, kth_min,
+       |  CAST(k_eff - 1 AS DOUBLE) * 1152921504606846976.0
+       |    / CAST(kth_min AS DOUBLE) AS est_distinct,
+       |  abs(CAST(k_eff - 1 AS DOUBLE) * 1152921504606846976.0
+       |    / CAST(kth_min AS DOUBLE) - n_distinct) * 100
+       |    / CAST(n_distinct AS DOUBLE) AS err_pct
+       |FROM ex JOIN sk ON ex.lang = sk.lang""".stripMargin
+
   // ---------------------------------------------------------------- tx9
 
   /** tx9: exact per-language length quantiles (p50/p90/p99) by rank
@@ -572,5 +621,7 @@ object TextAnalysis {
     GateQuery("tx10_oov_rate", tx10, Some(tx10Sql),
       "per-doc OOV rate vs the induced top-K corpus vocabulary"),
     GateQuery("tx11_bigram_surprisal", tx11, Some(tx11Sql),
-      "bigram-LM rarity scoring with exact integer probabilities (no FP log-sums)"))
+      "bigram-LM rarity scoring with exact integer probabilities (no FP log-sums)"),
+    GateQuery("tx12_grouped_kmv", tx12, Some(tx12Sql),
+      "per-language KMV sketch: O(k) state per stratum vs the exact distinct comparator"))
 }
