@@ -292,6 +292,31 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** q11: INTERSECT / EXCEPT — the §2.7 set-op family beyond q5's
+    * UNION ALL: big-purchase users who also errored, minus users with
+    * a high-value signup (the "affected paying cohort, excluding the
+    * premium-onboarded" pull of an incident review; value thresholds
+    * discriminate because the synthetic corpus gives every user every
+    * event type). Spark compiles INTERSECT to a distinct left-semi
+    * join and EXCEPT to a distinct left-anti — hash joins on the user
+    * key, no sort anywhere; the distinct collapses map-side first, so
+    * each exchange carries unique ids, not events. Both engines bind
+    * INTERSECT tighter than EXCEPT: (A ∩ B) − C. */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def ids(t: String, minValue: Double = Double.NegativeInfinity) =
+      ev.filter(col("event_type") === t && col("value") > minValue)
+        .select(col("user_id"))
+    ids("purchase", 150).intersect(ids("error")).except(ids("signup", 180))
+  }
+
+  private val q11Sql =
+    """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 180""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -303,5 +328,7 @@ object Relational {
     GateQuery("q8_batch_dispatch", q8, Some(q8Sql), "mixed-type pipeline fan-out, keyed union (J4)"),
     GateQuery("q9_salted_agg", q9, Some(q9Sql), "salt16 two-phase agg for hot keys ≡ direct groupBy"),
     GateQuery("q10_bucketed_join", q10, Some(q10Sql),
-      "co-located bucketed join: no exchange, no sort under the SMJ"))
+      "co-located bucketed join: no exchange, no sort under the SMJ"),
+    GateQuery("q11_intersect_except", q11, Some(q11Sql),
+      "INTERSECT/EXCEPT as distinct semi/anti hash joins (§2.7)"))
 }
