@@ -731,6 +731,117 @@ object Similarity {
        |  LEFT JOIN r6 v ON e.query_id = v.query_id AND e.neighbor_id = v.neighbor_id
        |  LEFT JOIN r9 m ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id) t""".stripMargin
 
+  // -------------------------------------------------------------- sim12
+
+  /** sim12: the COMBINED IVF-PQ serving path — what a production
+    * vector index actually executes per query (Jégou et al.'s
+    * IVFADC): the coarse quantizer prunes the corpus to the nprobe=2
+    * probed cells (sim6's machinery), and ONLY those candidates are
+    * ranked by ADC table lookups over their stored PQ codes (sim11's
+    * machinery) — the vector data is never read at query time, and
+    * neither is most of the code table. Top-10 per query by ADC
+    * distance, unique tie-break, exact integer tables throughout.
+    *
+    * Scale shape: the two pruning structures COMPOSE — the cell join
+    * cuts candidates to ≈ nprobe/nlist of the corpus before any
+    * distance work, then each survivor costs 8 integer lookups
+    * against a broadcast table. At 100 TB that is the difference
+    * between scanning a 3 TB code table and scanning ~20% of it with
+    * nothing but slim (query_id, vec_id) pairs in flight. Candidate
+    * sets stay (query_id, vec_id) until the final agg; every dim
+    * table (centroids, probes, ADC tables) broadcasts. */
+  private def sim12(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val centDf = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
+    val cent = s.createDataFrame(
+      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    val queries = base.filter(col("vec_id") % 100 === 0)
+    val probes = assignRanked(queries, cent)
+      .filter(col("rk") <= 2)
+      .select(col("vec_id").as("query_id"), col("clabel"))
+    val assign = assignRanked(base, cent)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("clabel"))
+    val candidates = assign.join(broadcast(probes), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val codes = sim10(s, d).select(col("vec_id"), col("subspace"),
+      col("code").as("clabel"))
+    val tables = queries
+      .select(col("vec_id").as("query_id"), posexplode(col("v")).as(Seq("dim", "comp")))
+      .join(broadcast(cent), Seq("dim"))
+      .withColumn("subspace", expr("dim div 8"))
+      .withColumn("term",
+        expr("floor((comp - centroid) * (comp - centroid) * 1000000000000.0D)"))
+      .groupBy(col("query_id"), col("subspace"), col("clabel"))
+      .agg(sum(col("term")).as("tdist"))
+    candidates
+      // corpus-proportional × corpus-proportional: hash join on the
+      // shuffle (codes build 8 small ints/vector); never sort-merge
+      .join(codes.hint("shuffle_hash"), Seq("vec_id"))
+      .join(broadcast(tables), Seq("query_id", "subspace", "clabel"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("tdist")).as("adc_dist_scaled"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist_scaled").asc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist_scaled"))
+  }
+
+  private val sim12Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) +
+    s""",
+       |assign AS (
+       |  SELECT vec_id, clabel FROM (
+       |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |    ${distSql("vecs", "vec_id")}) d) r
+       |  WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, clabel FROM (
+       |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |    ${distSql("(SELECT * FROM vecs WHERE vec_id % 100 = 0)", "vec_id")}) d) r
+       |  WHERE rk <= 2),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM assign a JOIN probes p ON a.clabel = p.clabel
+       |  WHERE a.vec_id <> p.query_id),
+       |codes AS (
+       |  SELECT vec_id, subspace, code AS clabel FROM (
+       |    SELECT vec_id, subspace, clabel AS code, dist_scaled,
+       |      row_number() OVER (PARTITION BY vec_id, subspace
+       |        ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |      SELECT e.vec_id, c.dim // 8 AS subspace, c.clabel,
+       |        CAST(sum(CAST(floor((e.v[c.dim + 1] - c.centroid) * (e.v[c.dim + 1] - c.centroid)
+       |          * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dist_scaled
+       |      FROM vecs e, cent c
+       |      GROUP BY 1, 2, 3) d) r
+       |  WHERE rk = 1),
+       |tables AS (
+       |  SELECT q.vec_id AS query_id, c.dim // 8 AS subspace, c.clabel,
+       |    CAST(sum(CAST(floor((q.v[c.dim + 1] - c.centroid) * (q.v[c.dim + 1] - c.centroid)
+       |      * 1000000000000.0) AS BIGINT)) AS BIGINT) AS tdist
+       |  FROM (SELECT * FROM vecs WHERE vec_id % 100 = 0) q, cent c
+       |  GROUP BY 1, 2, 3)
+       |SELECT query_id, rank, neighbor_id, adc_dist_scaled FROM (
+       |  SELECT n.query_id, n.vec_id AS neighbor_id, n.adc_dist_scaled,
+       |    row_number() OVER (PARTITION BY n.query_id
+       |      ORDER BY n.adc_dist_scaled ASC, n.vec_id ASC) AS rank
+       |  FROM (
+       |    SELECT cand.query_id, cand.vec_id,
+       |      CAST(sum(t.tdist) AS BIGINT) AS adc_dist_scaled
+       |    FROM cand
+       |    JOIN codes ON cand.vec_id = codes.vec_id
+       |    JOIN tables t ON t.query_id = cand.query_id
+       |      AND t.subspace = codes.subspace AND t.clabel = codes.clabel
+       |    GROUP BY 1, 2) n) w
+       |WHERE rank <= 10""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -755,5 +866,7 @@ object Similarity {
     GateQuery("sim10_pq_encode", sim10, Some(sim10Sql),
       "product-quantization codes: 8 subspaces, nearest codebook entry each"),
     GateQuery("sim11_adc_search", sim11, Some(sim11Sql),
-      "ADC top-10 over PQ codes: 8 table lookups per candidate, vectors untouched"))
+      "ADC top-10 over PQ codes: 8 table lookups per candidate, vectors untouched"),
+    GateQuery("sim12_ivfpq_search", sim12, Some(sim12Sql),
+      "combined IVF-PQ serving path: nprobe cell pruning, then ADC over codes"))
 }
