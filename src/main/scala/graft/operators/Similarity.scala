@@ -681,11 +681,13 @@ object Similarity {
     * module trades recall for cost, and this gate quantifies the
     * trade instead of asserting it: the exact top-10 (sim1) is the
     * ground truth; LSH ANN (sim2) and IVF probe search (sim6) are
-    * scored by how many true pairs they recover. One output row:
-    * pair counts + recall percentages (exact integer counts, one
-    * division each). The joins are tiny (50 ground-truth pairs at
-    * sf0.01) — all broadcast; the cost is re-running the three
-    * pipelines, which is the honest price of a recall audit. */
+    * scored by how many true pairs they recover, and the IVF-PQ
+    * serving path (sim12) quantifies what the 32× compression costs
+    * on top of cell pruning. One output row: pair counts + recall
+    * percentages (exact integer counts, one division each). The joins
+    * are tiny (50 ground-truth pairs at sf0.01) — all broadcast; the
+    * cost is re-running the component pipelines, which is the honest
+    * price of a recall audit. */
   private def sim8(s: SparkSession, d: String): DataFrame = {
     val exact = sim1(s, d).select(col("query_id"), col("neighbor_id"))
     val lsh = sim2(s, d).select(col("query_id"), col("neighbor_id"))
@@ -694,42 +696,54 @@ object Similarity {
       .withColumn("in_ivf", lit(1L))
     val mb = sim9(s, d).select(col("query_id"), col("neighbor_id"))
       .withColumn("in_mb", lit(1L))
+    val pq = sim12(s, d).select(col("query_id"), col("neighbor_id"))
+      .withColumn("in_pq", lit(1L))
     exact
       .join(broadcast(lsh), Seq("query_id", "neighbor_id"), "left")
       .join(broadcast(ivf), Seq("query_id", "neighbor_id"), "left")
       .join(broadcast(mb), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(pq), Seq("query_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("n_exact_pairs"),
         sum(coalesce(col("in_lsh"), lit(0L))).as("lsh_hits"),
         sum(coalesce(col("in_ivf"), lit(0L))).as("ivf_hits"),
-        sum(coalesce(col("in_mb"), lit(0L))).as("mb_hits"))
+        sum(coalesce(col("in_mb"), lit(0L))).as("mb_hits"),
+        sum(coalesce(col("in_pq"), lit(0L))).as("pq_hits"))
       .select(col("n_exact_pairs"), col("lsh_hits"), col("ivf_hits"),
-        col("mb_hits"),
+        col("mb_hits"), col("pq_hits"),
         (col("lsh_hits").cast("double") * 100 / col("n_exact_pairs"))
           .as("lsh_recall_pct"),
         (col("ivf_hits").cast("double") * 100 / col("n_exact_pairs"))
           .as("ivf_recall_pct"),
         (col("mb_hits").cast("double") * 100 / col("n_exact_pairs"))
-          .as("mb_recall_pct"))
+          .as("mb_recall_pct"),
+        (col("pq_hits").cast("double") * 100 / col("n_exact_pairs"))
+          .as("pq_recall_pct"))
   }
 
-  private val sim8Sql =
+  // lazy: interpolates sim12Sql, whose val initializes later in this
+  // object — a strict val would bake the string "null" into the SQL
+  private lazy val sim8Sql =
     s"""WITH r1 AS (${sim1Sql}),
        |r2 AS (${sim2Sql}),
        |r6 AS (${sim6Sql}),
-       |r9 AS (${sim9Sql})
-       |SELECT n_exact_pairs, lsh_hits, ivf_hits, mb_hits,
+       |r9 AS (${sim9Sql}),
+       |r12 AS (${sim12Sql})
+       |SELECT n_exact_pairs, lsh_hits, ivf_hits, mb_hits, pq_hits,
        |  CAST(lsh_hits AS DOUBLE) * 100 / n_exact_pairs AS lsh_recall_pct,
        |  CAST(ivf_hits AS DOUBLE) * 100 / n_exact_pairs AS ivf_recall_pct,
-       |  CAST(mb_hits AS DOUBLE) * 100 / n_exact_pairs AS mb_recall_pct
+       |  CAST(mb_hits AS DOUBLE) * 100 / n_exact_pairs AS mb_recall_pct,
+       |  CAST(pq_hits AS DOUBLE) * 100 / n_exact_pairs AS pq_recall_pct
        |FROM (
        |  SELECT count(*) AS n_exact_pairs,
        |    CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
        |    CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits,
-       |    CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS mb_hits
+       |    CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS mb_hits,
+       |    CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits
        |  FROM r1 e
        |  LEFT JOIN r2 l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
        |  LEFT JOIN r6 v ON e.query_id = v.query_id AND e.neighbor_id = v.neighbor_id
-       |  LEFT JOIN r9 m ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id) t""".stripMargin
+       |  LEFT JOIN r9 m ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+       |  LEFT JOIN r12 p ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id) t""".stripMargin
 
   // -------------------------------------------------------------- sim12
 

@@ -62,6 +62,22 @@ class GateRegistrySpec extends AnyFunSuite {
       s"sum() not wrapped in CAST(... AS BIGINT|DOUBLE) in oracle SQL:\n${offenders.mkString("\n")}")
   }
 
+  test("no oracle contains an interpolated Scala null") {
+    // Composite oracles interpolate other gates' SQL vals; a strict
+    // val referencing one defined LATER in its object bakes the
+    // string "null" into the SQL (sim8Sql did exactly this when sim12
+    // landed below it — DuckDB: syntax error at or near "null").
+    // Repo convention writes SQL NULL uppercase, so a lowercase
+    // standalone null token is always a failed interpolation.
+    val offenders = for {
+      q <- GateQueries.all
+      sql <- q.oracle.toSeq
+      m <- "\\bnull\\b".r.findAllMatchIn(sql)
+    } yield s"${q.name}@${m.start}"
+    assert(offenders.isEmpty,
+      s"lowercase null token (failed Scala interpolation?) in: $offenders")
+  }
+
   test("documented gate counts match the registry (no doc drift)") {
     // Round-2 verdict: README/COVERAGE counts were two rounds stale.
     // Pin the documented numbers to the registry so drift fails CI.
