@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 import java.sql.Timestamp
 
@@ -204,5 +204,71 @@ object EventStream {
             Iterator(CacheEvent(key, "cached", st.hits))
           }
       }.toDF()
+  }
+
+  /** The TTL cache on Spark 4's `transformWithState` (the arbitrary-
+    * state API v2): identical semantics to [[ttlCache]], restated with
+    * a [[StatefulProcessor]] — typed `ValueState` instead of the
+    * single `GroupState` blob, and an explicit per-key EVENT-TIME
+    * timer (registered at lastSeen + ttl, re-armed on refresh) in
+    * place of `setTimeoutTimestamp`. The v2 API is where streaming
+    * state is headed (multiple typed state variables, native state
+    * TTL, RocksDB-backed stores with changelog checkpointing — the
+    * bounded-state story at 100 TB), so the engine carries both
+    * spellings; `EventStreamSpec` drives them over the same stream
+    * and asserts identical outcomes. Requires the RocksDB state store
+    * provider (the v2 API declines the default HDFS-backed store). */
+  def ttlCacheTws(spark: SparkSession, events: DataFrame,
+      ttl: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    val ttlMs = ttl.trim.split("\\s+")(0).toLong * 60 * 1000
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type").as("key"), col("ts"))
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new TtlCacheProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())(
+        Encoders.product[CacheEvent])
+      .toDF()
+  }
+}
+
+/** StatefulProcessor spelling of the TTL cache state machine (see
+  * [[EventStream.ttlCacheTws]]). One ValueState[CacheState] per key;
+  * one event-time timer armed at lastSeen + ttl and re-armed on every
+  * refresh (the previous timer is deleted — v2 timers don't overwrite
+  * by key, they accumulate). */
+private[streaming] class TtlCacheProcessor(ttlMs: Long)
+    extends StatefulProcessor[String, (String, Timestamp),
+      EventStream.CacheEvent] {
+  import EventStream.{CacheEvent, CacheState}
+  @transient private var st: ValueState[CacheState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CacheState](
+      "cache", Encoders.product[CacheState], TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Timestamp)],
+      tv: TimerValues): Iterator[CacheEvent] = {
+    val times = rows.map(_._2.getTime).toSeq
+    val st0 =
+      if (st.exists()) {
+        getHandle.deleteTimer(st.get().lastUs + ttlMs)
+        st.get()
+      } else CacheState(key, times.min, times.min, 0L)
+    val next = st0.copy(lastUs = math.max(st0.lastUs, times.max),
+      hits = st0.hits + times.size)
+    st.update(next)
+    getHandle.registerTimer(next.lastUs + ttlMs)
+    Iterator(CacheEvent(key, "cached", next.hits))
+  }
+
+  override def handleExpiredTimer(key: String, tv: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[CacheEvent] = {
+    val hits = if (st.exists()) st.get().hits else 0L
+    st.clear()
+    Iterator(CacheEvent(key, "expired", hits))
   }
 }

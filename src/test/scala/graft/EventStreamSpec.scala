@@ -238,4 +238,41 @@ class EventStreamSpec extends AnyFunSuite {
       assert(!out.exists(o => o._1 == "click" && o._2 == "expired"))
     } finally q.stop()
   }
+
+  test("ttl cache via transformWithState matches the v1 state machine") {
+    // Same stream, same TTL, the StatefulProcessor spelling (Spark 4
+    // arbitrary-state v2: typed ValueState + explicit event-time
+    // timers). v2 requires the RocksDB state store provider.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val q = EventStream.ttlCacheTws(spark, toEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("ttl_tws")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      mem.addData() // empty batch lets the expiry timer fire
+      q.processAllAvailable()
+      val out = spark.table("ttl_tws").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("status"), r.getAs[Long]("hits")))
+      // identical outcome contract to the v1 test: view expires (last
+      // event t=125, timer 155 < final watermark 240), click survives
+      assert(out.exists(o => o._1 == "click" && o._2 == "cached"))
+      assert(out.exists(o => o._1 == "view" && o._2 == "expired"))
+      assert(!out.exists(o => o._1 == "click" && o._2 == "expired"))
+      // the expired record carries the hit count the key accumulated
+      assert(out.find(o => o._1 == "view" && o._2 == "expired").get._3 == 2L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
