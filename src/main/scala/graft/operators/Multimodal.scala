@@ -185,6 +185,41 @@ object Multimodal {
       |    greatest(160 + doc_id % 1120, 90 + doc_id % 630) AS long_side
       |  FROM documents) t""".stripMargin
 
+  /** mm5: paired multimodal dataset assembly — the join that builds a
+    * (text, embedding) training pair table from separately-landed
+    * modality tables, rolled up per (container, label) with exact
+    * audit stats: pair count, total payload bytes, and the
+    * floor-scaled sum of vector self-dots (`dot_f64`, the codegen'd
+    * left-fold both engines reproduce bit-for-bit). At 100 TB each
+    * modality lands from its own pipeline and THIS join is where
+    * misalignment surfaces — the audit row is what a dataset card
+    * reports per stratum.
+    *
+    * Scale shape: a hash join on the id key (both sides
+    * corpus-proportional — never broadcast), then one map-side
+    * combined agg on the low-cardinality stratum key. */
+  private def mm5(s: SparkSession, d: String): DataFrame =
+    media(s, d).join(
+        Tables.embeddings(s, d)
+          .withColumn("v", col("embedding").cast("array<double>"))
+          .select(col("vec_id").as("media_id"), col("label"),
+            expr("dot_f64(v, v)").as("n2")),
+        Seq("media_id"))
+      .groupBy(col("container"), col("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(octet_length(col("payload"))).as("total_bytes"),
+        sum(expr("cast(floor(n2 * 1000000000.0D) as bigint)"))
+          .as("norm2_scaled"))
+
+  private val mm5Sql =
+    """SELECT source AS container, label, count(*) AS n_pairs,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+      |  CAST(sum(CAST(floor(list_reduce(list_transform(range(1, 65),
+      |    i -> (embedding::DOUBLE[])[i] * (embedding::DOUBLE[])[i]),
+      |    (x, y) -> x + y) * 1000000000.0) AS BIGINT)) AS BIGINT) AS norm2_scaled
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
@@ -193,7 +228,9 @@ object Multimodal {
     GateQuery("mm3_decode_features", mm3, None,
       "stubbed decode via typed mapPartitions (rows-only check)"),
     GateQuery("mm4_thumb_resize", mm4, Some(mm4Sql),
-      "aspect-preserving integer resize dims + proportional byte prefix"))
+      "aspect-preserving integer resize dims + proportional byte prefix"),
+    GateQuery("mm5_paired_modalities", mm5, Some(mm5Sql),
+      "text x embedding pair assembly + per-stratum audit rollup (dot_f64 norms)"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

@@ -385,6 +385,43 @@ object TimeWindows {
        |FROM gaps GROUP BY user_id
        |ORDER BY n_events DESC, user_id ASC LIMIT 200""".stripMargin
 
+  /** tw10: week-over-week retention cohorts — the classic activity
+    * analysis every events pipeline ships: per week, how many users
+    * were active, and how many of them returned the following week
+    * (floor-div permille, exact). The active set is a distinct hash
+    * agg on (user, week); "returned" is a self left-join of that set
+    * against itself shifted one week — hash join on the
+    * high-cardinality (user, week) key, no window over users, no
+    * global sort. At 100 TB the distinct set is the only state and
+    * it's bounded by users × weeks, not events. */
+  private def tw10(s: SparkSession, d: String): DataFrame = {
+    val WeekUs = 7L * 24 * 3600 * 1000000
+    val wk = evs(s, d)
+      .select(col("user_id"), expr(s"ts_us div ${WeekUs}L").as("wk"))
+      .distinct()
+    val nxt = wk.select(col("user_id"), (col("wk") - 1).as("wk"),
+      lit(1L).as("returned"))
+    wk.join(nxt, Seq("user_id", "wk"), "left")
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("returned"), lit(0L))).as("n_retained"))
+      .withColumn("retention_permille",
+        expr("(n_retained * 1000) div n_active"))
+  }
+
+  private val tw10Sql = evsSql +
+    s""", wk AS (
+       |  SELECT DISTINCT user_id, ts_us // ${7L * 24 * 3600 * 1000000}
+       |    AS wk FROM evs)
+       |SELECT w.wk, count(*) AS n_active,
+       |  CAST(sum(CASE WHEN n.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_retained,
+       |  CAST(sum(CASE WHEN n.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000 // count(*) AS retention_permille
+       |FROM wk w LEFT JOIN wk n
+       |  ON w.user_id = n.user_id AND n.wk = w.wk + 1
+       |GROUP BY w.wk""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -403,5 +440,7 @@ object TimeWindows {
     GateQuery("tw8_overlap_join", tw8, Some(tw8Sql),
       "session x campaign interval-overlap join, once-per-pair via overlap-start bin"),
     GateQuery("tw9_event_gaps", tw9, Some(tw9Sql),
-      "per-user inter-event gap stats via lag window, one Exchange shared with the rollup"))
+      "per-user inter-event gap stats via lag window, one Exchange shared with the rollup"),
+    GateQuery("tw10_retention_cohort", tw10, Some(tw10Sql),
+      "week-over-week retention via distinct activity set self-joined shifted"))
 }
