@@ -678,6 +678,69 @@ object Dedup {
       |FROM flat f LEFT JOIN repeated r ON f.c = r.c
       |GROUP BY f.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd10
+
+  /** dd10: QUALITY-canonical selection — the step after cluster
+    * resolution in a real prep pipeline: dd6 groups near-duplicates,
+    * and the pipeline must then pick WHICH copy survives. Min-id
+    * (dd6's `is_canonical`) is arbitrary; production pipelines keep
+    * the best-quality member. Keeper per cluster = argmax by (quality
+    * bucket priority keep < flag < drop, then token count desc, then
+    * doc_id asc — fully deterministic), emitted with the discarded
+    * count the dedup report needs.
+    *
+    * Scale shape: the quality signals are a narrow map over the
+    * corpus joined to the cluster table on doc_id (hash join, both
+    * sides proportional to the CLUSTERED subset, not the corpus);
+    * the per-cluster argmax is a WindowGroupLimit-prunable rank on
+    * the cluster key. Cost is honestly dominated by re-running dd6's
+    * propagation — a pipeline materializes the cluster table once. */
+  private def dd10(s: SparkSession, d: String): DataFrame = {
+    val clusters = dd6(s, d)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val quality = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+      TextAnalysis.qualityBucket(
+        size(split(trim(col("text")), "\\s+")),
+        regexp_count(col("text"), lit("\\b(the|a)\\b")),
+        regexp_count(col("text"), lit("[^a-z0-9\\s]"))).as("bucket"))
+      .withColumn("prio",
+        when(col("bucket") === "keep", 0)
+          .when(col("bucket").startsWith("flag"), 1).otherwise(2))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+          .orderBy(col("prio").asc, col("n_tokens").desc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("keep_doc_id"), col("bucket").as("keep_bucket"),
+        col("n_tokens").as("keep_n_tokens"),
+        (col("cluster_size") - 1).as("n_discarded"))
+  }
+
+  private val dd10Sql =
+    s"""WITH c AS ($dd6Sql),
+       |q AS (
+       |  SELECT doc_id,
+       |    length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    ${TextAnalysis.qualityBucketSql(
+           "length(regexp_split_to_array(trim(text), '\\s+'))",
+           "length(regexp_extract_all(text, '\\b(the|a)\\b'))",
+           "length(regexp_extract_all(text, '[^a-z0-9\\s]'))")} AS bucket
+       |  FROM documents)
+       |SELECT cluster_id, cluster_size, doc_id AS keep_doc_id,
+       |  bucket AS keep_bucket, n_tokens AS keep_n_tokens,
+       |  cluster_size - 1 AS n_discarded
+       |FROM (
+       |  SELECT c.cluster_id, c.cluster_size, c.doc_id, q.bucket, q.n_tokens,
+       |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY
+       |      CASE WHEN q.bucket = 'keep' THEN 0
+       |           WHEN q.bucket LIKE 'flag%' THEN 1 ELSE 2 END ASC,
+       |      q.n_tokens DESC, c.doc_id ASC) AS rk
+       |  FROM c JOIN q ON c.doc_id = q.doc_id) r
+       |WHERE rk = 1""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -696,5 +759,7 @@ object Dedup {
     GateQuery("dd8_minhash_calibration", dd8, Some(dd8Sql),
       "measured MinHash Jaccard estimate vs exact, per exact-Jaccard decile"),
     GateQuery("dd9_chunk_dedup", dd9, Some(dd9Sql),
-      "corpus-repeated 16-token-chunk removal + doc reassembly (line-level dedup)"))
+      "corpus-repeated 16-token-chunk removal + doc reassembly (line-level dedup)"),
+    GateQuery("dd10_canonical_select", dd10, Some(dd10Sql),
+      "quality-canonical keeper per duplicate cluster (keep<flag<drop, tokens, id)"))
 }
