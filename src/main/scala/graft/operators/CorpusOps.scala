@@ -268,6 +268,82 @@ object CorpusOps {
        |FROM (${cp3Sql.replace("\n", "\n  ")}) packed
        |GROUP BY shard, bin_id""".stripMargin
 
+  // ---------------------------------------------------------------- cp7
+
+  /** cp7: the END-TO-END corpus pipeline as ONE lazy plan — what "a
+    * user of the reference switches to this library" actually runs:
+    * quality + language-ID + exact-dedup decisions (tx7), benchmark
+    * decontamination flags (dd7, applied AFTER dedup — the ordering
+    * the dd7 probe proved matters: duplicated corpora inflate
+    * contamination quadratically), and the survivors packed into
+    * 512-token training bins (cp3's shard-local window). Every doc
+    * gets a final_decision; kept docs also get (shard, pos, bin_id).
+    * No intermediate materialization — Catalyst sees the whole
+    * pipeline and schedules it as one job graph.
+    *
+    * Scale shape: inherits its stages' shapes — narrow quality maps,
+    * one fingerprint window, broadcast benchmark shingles, shard-local
+    * packing windows; the final assembly is a left join on doc_id
+    * (hash, corpus-proportional both sides). */
+  private def cp7(s: SparkSession, d: String): DataFrame = {
+    val dec = TextAnalysis.tx7(s, d).select(col("doc_id"), col("decision"))
+    val contaminated = Dedup.dd7(s, d).select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    // cont is overlap-bounded but not provably broadcastable at 100 TB
+    // — pin the hash join statically (AQE upgrades it to broadcast at
+    // small SF; the Initial Plan must never carry an SMJ either way)
+    val labeled = dec.join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("final_decision",
+        when(col("decision") === "kept" && col("contaminated"),
+          lit("contaminated")).otherwise(col("decision")))
+      .select(col("doc_id"), col("final_decision"))
+    val ord = Window.partitionBy(col("shard")).orderBy(col("rkk"), col("doc_id"))
+    // corpus-proportional × corpus-proportional joins: hash on the
+    // shuffle, never sort-merge (same rule as dd2/sim12)
+    val packed = labeled.filter(col("final_decision") === "kept")
+      .join(Tables.documents(s, d).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .hint("shuffle_hash"), Seq("doc_id"))
+      .withColumn("rkk", rnd("cp7"))
+      .withColumn("shard",
+        pmod(conv(substring(col("rkk"), 1, 15), 16, 10).cast("long"), lit(8)))
+      .withColumn("pos", row_number().over(ord))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin_id", expr("(cum_tokens - n_tokens) div 512"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("bin_id"))
+    labeled.join(packed.hint("shuffle_hash"), Seq("doc_id"), "left")
+  }
+
+  private val cp7Sql =
+    s"""WITH dec AS (${TextAnalysis.tx7Sql}),
+       |cont AS (SELECT DISTINCT doc_id FROM (${Dedup.dd7Sql}) x),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.decision = 'kept' AND c.doc_id IS NOT NULL
+       |      THEN 'contaminated' ELSE d.decision END AS final_decision
+       |  FROM dec d LEFT JOIN cont c ON d.doc_id = c.doc_id),
+       |kept AS (
+       |  SELECT l.doc_id, t.n_tokens, md5('cp7|' || l.doc_id) AS rkk,
+       |    ('0x' || substr(md5('cp7|' || l.doc_id), 1, 15))::BIGINT % 8 AS shard
+       |  FROM lab l JOIN (
+       |    SELECT doc_id,
+       |      length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+       |    FROM documents) t ON l.doc_id = t.doc_id
+       |  WHERE l.final_decision = 'kept'),
+       |packed AS (
+       |  SELECT doc_id, shard, pos, (cum_tokens - n_tokens) // 512 AS bin_id
+       |  FROM (
+       |    SELECT doc_id, shard, n_tokens,
+       |      row_number() OVER (PARTITION BY shard ORDER BY rkk, doc_id) AS pos,
+       |      CAST(sum(n_tokens) OVER (
+       |        PARTITION BY shard ORDER BY rkk, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        AS cum_tokens
+       |    FROM kept) w)
+       |SELECT l.doc_id, l.final_decision, p.shard, p.pos, p.bin_id
+       |FROM lab l LEFT JOIN packed p ON l.doc_id = p.doc_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
       "deterministic per-language k-sample via salted-md5 permutation"),
@@ -280,5 +356,7 @@ object CorpusOps {
     GateQuery("cp5_budget_select", cp5, Some(cp5Sql),
       "quality-ordered per-language selection under a 2000-token budget"),
     GateQuery("cp6_pack_manifest", cp6, Some(cp6Sql),
-      "per-bin ordered doc_id manifest of the packed sequences (ordered collect)"))
+      "per-bin ordered doc_id manifest of the packed sequences (ordered collect)"),
+    GateQuery("cp7_full_pipeline", cp7, Some(cp7Sql),
+      "end-to-end prep: quality+dedup decisions, decontamination, survivor packing"))
 }

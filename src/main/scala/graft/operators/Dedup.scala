@@ -490,7 +490,7 @@ object Dedup {
     * the (doc, bench) pair aggregation, bounded by actual overlap.
     * Hashes are xxhash64 (only equality is semantic, as in dd2); the
     * oracle joins the md5-prefix hashes and gets identical pairs. */
-  private def dd7(s: SparkSession, d: String): DataFrame = {
+  private[operators] def dd7(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
     val bench = sh.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("bench_id"), col("sz").as("bench_sz"),
@@ -507,7 +507,7 @@ object Dedup {
         (col("n_shared").cast("double") / col("bench_sz")).as("bench_coverage"))
   }
 
-  private val dd7Sql = "WITH " + shingledSql +
+  private[operators] val dd7Sql = "WITH " + shingledSql +
     """, bench AS (
       |  SELECT doc_id AS bench_id, len(shingles) AS bench_sz,
       |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h

@@ -295,7 +295,7 @@ object TextAnalysis {
     * min-doc_id canonical selection, the same single exchange dd1
     * pays. Decision rows are what downstream writers consume
     * (partitionBy(decision) at the sink). */
-  private def tx7(s: SparkSession, d: String): DataFrame = {
+  private[operators] def tx7(s: SparkSession, d: String): DataFrame = {
     val base = withLangScores(Tables.documents(s, d).select(col("doc_id"), col("text")))
       .withColumn("n_tokens", size(toks(col("text"))))
       .withColumn("punct_cnt", regexp_count(col("text"), lit("[^a-z0-9\\s]")))
@@ -315,7 +315,7 @@ object TextAnalysis {
         "is_canonical", "decision")
   }
 
-  private val tx7Sql =
+  private[operators] val tx7Sql =
     s"""SELECT doc_id, guess_lang, n_tokens, quality_bucket, is_canonical,
        |  CASE WHEN NOT is_canonical THEN 'duplicate'
        |       WHEN quality_bucket <> 'keep' THEN quality_bucket
