@@ -144,6 +144,19 @@ object ScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"dd6_dup_clusters verts=${cl.getLong(0)}%9d clusters=${cl.getLong(1)}%7d " +
         f"max_size=${cl.getLong(2)}%5d elapsed=$secs%7.1f s")
+      // End-to-end pipeline at factor×: quality + dedup decisions,
+      // decontamination, survivor packing — one lazy plan over the
+      // replica corpus; the number that matters is one wall-clock for
+      // the WHOLE prep pass (not a sum of stage gates).
+      locally {
+        val t1 = System.nanoTime()
+        val r = SparkEntry.queries("cp7_full_pipeline")(spark, out)
+          .groupBy(col("final_decision")).agg(count(lit(1)).as("n"))
+          .collect().map(x => s"${x.getString(0)}=${x.getLong(1)}")
+          .sorted.mkString(" ")
+        val s1 = (System.nanoTime() - t1) / 1e9
+        println(f"cp7_full_pipeline $r elapsed=$s1%7.1f s")
+      }
       // Chunk dedup at factor×: the repeated-chunk dim is bounded by
       // corpus REDUNDANCY — on the replica every chunk is repeated, the
       // worst case, yet the dim still holds only one row per DISTINCT

@@ -287,7 +287,13 @@ object CorpusOps {
     * (hash, corpus-proportional both sides). */
   private def cp7(s: SparkSession, d: String): DataFrame = {
     val dec = TextAnalysis.tx7(s, d).select(col("doc_id"), col("decision"))
-    val contaminated = Dedup.dd7(s, d).select(col("doc_id")).distinct()
+    // decontaminate AFTER dedup+quality: only survivors reach the
+    // shingle join (flags on dropped docs would be discarded below
+    // anyway — same labels, ~dedup-ratio× less contamination work)
+    val contaminated = Dedup.contamination(s, d,
+        corpusKeep = Some(dec.filter(col("decision") === "kept")
+          .select(col("doc_id"))))
+      .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
     // cont is overlap-bounded but not provably broadcastable at 100 TB
     // — pin the hash join statically (AQE upgrades it to broadcast at
@@ -317,7 +323,9 @@ object CorpusOps {
 
   private val cp7Sql =
     s"""WITH dec AS (${TextAnalysis.tx7Sql}),
-       |cont AS (SELECT DISTINCT doc_id FROM (${Dedup.dd7Sql}) x),
+       |cont AS (
+       |  SELECT DISTINCT doc_id FROM (${Dedup.dd7Sql}) x
+       |  WHERE doc_id IN (SELECT doc_id FROM dec WHERE decision = 'kept')),
        |lab AS (
        |  SELECT d.doc_id,
        |    CASE WHEN d.decision = 'kept' AND c.doc_id IS NOT NULL

@@ -70,10 +70,10 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("shingles"),
         size(col("shingles")).as("sz"))
 
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[operators] def shingled(s: SparkSession, d: String): DataFrame =
     shingleCols(Tables.documents(s, d))
 
-  private val shingledSql =
+  private[operators] val shingledSql =
     """sh AS (
       |  SELECT doc_id, source,
       |    list_distinct(list_transform(range(1, length(a)),
@@ -490,13 +490,27 @@ object Dedup {
     * the (doc, bench) pair aggregation, bounded by actual overlap.
     * Hashes are xxhash64 (only equality is semantic, as in dd2); the
     * oracle joins the md5-prefix hashes and gets identical pairs. */
-  private[operators] def dd7(s: SparkSession, d: String): DataFrame = {
+  private[operators] def dd7(s: SparkSession, d: String): DataFrame =
+    contamination(s, d, corpusKeep = None)
+
+  /** dd7's contamination check with an optional corpus-side restriction
+    * — cp7 passes its dedup-survivor ids so the expensive shingle join
+    * scans only canonical kept docs (the "dedup BEFORE decontamination"
+    * ordering the 20× probe proved: duplicated corpora inflate
+    * contamination pair volume quadratically; on the probe replica the
+    * restriction cuts the corpus side ~20× with identical labels,
+    * since flags on non-kept docs are discarded anyway). */
+  private[operators] def contamination(s: SparkSession, d: String,
+      corpusKeep: Option[DataFrame]): DataFrame = {
     val sh = shingled(s, d)
     val bench = sh.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("bench_id"), col("sz").as("bench_sz"),
         explode(col("shingles")).as("shingle"))
       .select(col("bench_id"), col("bench_sz"), xxhash64(col("shingle")).as("sh_h"))
-    val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+    val corpusAll = sh.filter(col("doc_id") % 50 =!= 0)
+    val corpusKept = corpusKeep.fold(corpusAll)(k =>
+      corpusAll.join(k.hint("shuffle_hash"), Seq("doc_id"), "left_semi"))
+    val corpus = corpusKept
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
     corpus.join(broadcast(bench), Seq("sh_h"))

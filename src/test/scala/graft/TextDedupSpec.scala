@@ -268,6 +268,60 @@ class TextDedupSpec extends AnyFunSuite {
     assert(m(3L).isNullAt(m(3L).fieldIndex("min_p_permille")))
   }
 
+  test("dd10 keeper is a best-quality member of its dd6 cluster") {
+    // Cross-gate invariants on driver data: every dd10 row maps to a
+    // dd6 cluster, the keeper belongs to it, n_discarded = size - 1,
+    // and no member of the cluster has a strictly better (prio,
+    // n_tokens, -doc_id) key than the keeper.
+    val clusters = gate("dd6_dup_clusters", sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    val quality = gate("tx2_quality_score", sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("quality_bucket"), r.getAs[Int]("n_tokens"))).toMap
+    def prio(b: String) =
+      if (b == "keep") 0 else if (b.startsWith("flag")) 1 else 2
+    def key(id: Long) = {
+      val (b, n) = quality(id); (prio(b), -n, id)
+    }
+    val rows = gate("dd10_canonical_select", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cid, keep) = (r.getAs[Long]("cluster_id"), r.getAs[Long]("keep_doc_id"))
+      assert(clusters(keep)._1 == cid, s"keeper $keep not in cluster $cid")
+      assert(r.getAs[Long]("n_discarded") == r.getAs[Long]("cluster_size") - 1)
+      val members = clusters.collect { case (id, (c, _)) if c == cid => id }
+      val best = members.minBy(key)
+      assert(keep == best, s"cluster $cid kept $keep but $best ranks higher")
+    }
+  }
+
+  test("cp7 decisions compose tx7 + dd7; packing covers exactly the kept set") {
+    val tx7d = gate("tx7_corpus_prep", sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    val contaminated = gate("dd7_contamination", sf0001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val rows = gate("cp7_full_pipeline", sf0001).collect()
+    assert(rows.length == tx7d.size) // every doc labeled
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expected =
+        if (tx7d(id) == "kept" && contaminated(id)) "contaminated" else tx7d(id)
+      assert(r.getAs[String]("final_decision") == expected,
+        s"doc $id: ${r.getAs[String]("final_decision")} != $expected")
+      val kept = r.getAs[String]("final_decision") == "kept"
+      assert(kept == !r.isNullAt(r.fieldIndex("shard")),
+        s"doc $id: packing columns must exist iff kept")
+    }
+    // per (shard, bin) the packed positions are a contiguous 1..n prefix
+    // per shard and bins are the cp3 cumsum partition of that order
+    rows.filter(_.getAs[String]("final_decision") == "kept")
+      .groupBy(_.getAs[Long]("shard")).foreach { case (_, g) =>
+        val pos = g.map(_.getAs[Int]("pos")).sorted
+        assert(pos.toSeq == (1 to g.length).toSeq)
+      }
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
