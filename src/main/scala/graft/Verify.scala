@@ -15,12 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Dump queries CONCURRENTLY (each to its own directory): the
+    // registry is ~100 gates whose per-query cost at sf0.01 is mostly
+    // fixed planning overhead, so 8 query threads cut the driver's
+    // verify wall ~4× (same scheduler-sharing shape as Bench).
+    // Failures still print per-gate and never abort the dump.
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        Future {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
       }
+      futures.foreach(Await.result(_, Duration.Inf))
+      pool.shutdown()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

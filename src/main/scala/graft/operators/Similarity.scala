@@ -764,7 +764,10 @@ object Similarity {
     * nothing but slim (query_id, vec_id) pairs in flight. Candidate
     * sets stay (query_id, vec_id) until the final agg; every dim
     * table (centroids, probes, ADC tables) broadcasts. */
-  private def sim12(s: SparkSession, d: String): DataFrame = {
+  /** Cell-pruned ADC scores (query_id, vec_id, adc_dist_scaled) — the
+    * shared stage of sim12 (top-10 directly) and sim13 (top-50 then
+    * exact refine). */
+  private def sim12Adc(s: SparkSession, d: String): DataFrame = {
     val base = vecs(s, d)
     val centDf = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
     val cent = s.createDataFrame(
@@ -796,17 +799,21 @@ object Similarity {
       .join(broadcast(tables), Seq("query_id", "subspace", "clabel"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("tdist")).as("adc_dist_scaled"))
+  }
+
+  private def sim12(s: SparkSession, d: String): DataFrame =
+    sim12Adc(s, d)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adc_dist_scaled").asc, col("vec_id").asc)))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("adc_dist_scaled"))
-  }
 
-  private val sim12Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) +
-    s""",
-       |assign AS (
+  /** The assign/probes/cand/codes/tables CTE block shared by the
+    * sim12 and sim13 oracles (expects `vecs` and `cent` in scope). */
+  private val sim12CtesSql =
+    s"""assign AS (
        |  SELECT vec_id, clabel FROM (
        |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
@@ -841,7 +848,15 @@ object Similarity {
        |    CAST(sum(CAST(floor((q.v[c.dim + 1] - c.centroid) * (q.v[c.dim + 1] - c.centroid)
        |      * 1000000000000.0) AS BIGINT)) AS BIGINT) AS tdist
        |  FROM (SELECT * FROM vecs WHERE vec_id % 100 = 0) q, cent c
-       |  GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2, 3),
+       |""".stripMargin
+
+  // sim12CtesSql ends with a trailing comma (so sim13 can append its
+  // own CTE); the 1-row _one CTE absorbs it here.
+  private val sim12Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) +
+    s""",
+       |${sim12CtesSql}
+       |_one AS (SELECT 1)
        |SELECT query_id, rank, neighbor_id, adc_dist_scaled FROM (
        |  SELECT n.query_id, n.vec_id AS neighbor_id, n.adc_dist_scaled,
        |    row_number() OVER (PARTITION BY n.query_id
@@ -854,6 +869,73 @@ object Similarity {
        |    JOIN tables t ON t.query_id = cand.query_id
        |      AND t.subspace = codes.subspace AND t.clabel = codes.clabel
        |    GROUP BY 1, 2) n) w
+       |WHERE rank <= 10""".stripMargin
+
+  // -------------------------------------------------------------- sim13
+
+  /** sim13: IVFADC + REFINE — the final stage of the production
+    * serving stack (Jégou et al. §VI): the compressed index nominates
+    * a generous candidate list (sim12's cell-pruned ADC, top-50 per
+    * query — ranked by lossy 8-byte codes), and only those ~50 rows
+    * per query pay an exact-vector re-rank to produce the top-10.
+    * This is how a 100 TB index keeps recall: the full-precision
+    * vectors are read for 50 candidates per query instead of the
+    * corpus, and the refine ratio (50 → 10) absorbs most of the
+    * quantization error sim8 measures on raw ADC.
+    *
+    * Scale shape: the ADC stage is sim12's (slim pairs, broadcast
+    * tables); the refine join pulls vectors for ≤ 50·queries rows
+    * (query-proportional, never corpus-proportional), then one
+    * per-query window ranks them. */
+  private def sim13(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val qv = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    sim12Adc(s, d)
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist_scaled").asc, col("vec_id").asc)))
+      .filter(col("adc_rank") <= 50)
+      .select(col("query_id"), col("vec_id"))
+      .join(base.select(col("vec_id"), col("v"), col("n2")).hint("shuffle_hash"),
+        Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine",
+        dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+  }
+
+  private val sim13Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) +
+    s""",
+       |${sim12CtesSql}
+       |adc AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT n.query_id, n.vec_id,
+       |      row_number() OVER (PARTITION BY n.query_id
+       |        ORDER BY n.adc_dist_scaled ASC, n.vec_id ASC) AS adc_rank
+       |    FROM (
+       |      SELECT cand.query_id, cand.vec_id,
+       |        CAST(sum(t.tdist) AS BIGINT) AS adc_dist_scaled
+       |      FROM cand
+       |      JOIN codes ON cand.vec_id = codes.vec_id
+       |      JOIN tables t ON t.query_id = cand.query_id
+       |        AND t.subspace = codes.subspace AND t.clabel = codes.clabel
+       |      GROUP BY 1, 2) n) w
+       |  WHERE adc_rank <= 50)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT a.query_id, e.vec_id AS neighbor_id,
+       |    ${dotSql("q.v", "e.v")} / (sqrt(q.n2) * sqrt(e.n2)) AS cosine,
+       |    row_number() OVER (PARTITION BY a.query_id ORDER BY
+       |      ${dotSql("q.v", "e.v")} / (sqrt(q.n2) * sqrt(e.n2)) DESC,
+       |      e.vec_id ASC) AS rank
+       |  FROM adc a
+       |  JOIN vecs e ON a.vec_id = e.vec_id
+       |  JOIN vecs q ON a.query_id = q.vec_id) r
        |WHERE rank <= 10""".stripMargin
 
   def queries: Seq[GateQuery] = Seq(
@@ -882,5 +964,7 @@ object Similarity {
     GateQuery("sim11_adc_search", sim11, Some(sim11Sql),
       "ADC top-10 over PQ codes: 8 table lookups per candidate, vectors untouched"),
     GateQuery("sim12_ivfpq_search", sim12, Some(sim12Sql),
-      "combined IVF-PQ serving path: nprobe cell pruning, then ADC over codes"))
+      "combined IVF-PQ serving path: nprobe cell pruning, then ADC over codes"),
+    GateQuery("sim13_adc_refine", sim13, Some(sim13Sql),
+      "IVFADC + refine: ADC top-50 nominates, exact vectors re-rank the top-10"))
 }
