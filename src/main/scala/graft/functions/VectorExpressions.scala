@@ -96,6 +96,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5h60_array"),
       new ExpressionInfo(classOf[Md5H60Array].getName, "md5h60_array"),
       (children: Seq[Expression]) => Md5H60Array(children.head)))
+    def litInt(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) =>
+        PqEncode(children.head, children(1), litInt(children(2), "pq_encode sub_dim"))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_dist_table"),
+      new ExpressionInfo(classOf[PqDistTable].getName, "pq_dist_table"),
+      (children: Seq[Expression]) =>
+        PqDistTable(children.head, children(1), litInt(children(2), "pq_dist_table sub_dim"))))
     ext.injectFunction((
       FunctionIdentifier("kmv_kmin"),
       new ExpressionInfo(classOf[KmvKMin].getName, "kmv_kmin"),

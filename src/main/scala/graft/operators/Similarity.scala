@@ -351,31 +351,75 @@ object Similarity {
 
   /** sim5: IVF assignment — each vector to its nearest centroid by
     * squared L2, distances floor-scaled (×10^12) per term and summed
-    * exactly, argmin with label tie-break. The centroid table
-    * (n_labels × 64 rows) is broadcast; the probe is one narrow
-    * fan-out join — the IVF "which cell does this vector live in"
-    * step at any scale. */
-  /** Exact scaled-L2 distances of every `base` row to every centroid,
-    * ranked per vector (rk 1 = nearest cell). Shared by sim5 (rk = 1
-    * assignment) and sim6 (assignment + rk ≤ nprobe query probes). */
-  private def assignRanked(base: DataFrame, cent: DataFrame): DataFrame =
-    base
-      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("dim", "comp")))
-      .join(broadcast(cent), Seq("dim"))
-      .withColumn("term", expr("floor((comp - centroid) * (comp - centroid) * 1000000000000.0D)"))
-      .groupBy(col("vec_id"), col("label"), col("clabel"))
-      .agg(sum(col("term")).as("dist_scaled"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist_scaled").asc, col("clabel").asc)))
-
+    * exactly, argmin with label tie-break.
+    *
+    * Executed as ONE narrow map: the collected codebook folds into the
+    * codegen'd `pq_encode` expression (graft.functions.PqEncode, at
+    * sub_dim = 64 one "subspace" = the whole vector = the IVF cell),
+    * so assignment carries ZERO exchanges — the composed alternative
+    * (posexplode × 64 → ×nlist centroid join → corpus-wide groupBy →
+    * window) shuffles 64·nlist bookkeeping rows per vector, which at
+    * 100 TB is the dominant cost of the whole index build. Values are
+    * bit-identical (PqExpressions' exactness contract), so the oracle
+    * is unchanged. */
   private def sim5(s: SparkSession, d: String): DataFrame = {
-    val cent = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
-    assignRanked(vecs(s, d), cent)
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("clabel").as("assigned_label"),
-        col("dist_scaled"), (col("clabel") === col("label")).as("is_home"))
+    val cb = typedLit(codebookArr(s, d))
+    vecs(s, d)
+      .filter(col("v").isNotNull)
+      .withColumn("e", element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1))
+      .select(col("vec_id"), col("label"),
+        col("e.code").as("assigned_label"), col("e.dist_scaled"),
+        (col("e.code") === col("label")).as("is_home"))
   }
+
+  /** The coarse-quantizer codebook, COLLECTED — the IVF "build the
+    * index" step (real deployments persist this artifact): sim4's
+    * exact scaled-integer centroids as [label][dim]. Labels are
+    * contiguous from 0 (asserted), so codebook index IS cell label;
+    * nlist = outer length. A few KB — it rides into every executor
+    * inside the folded pq_encode/pq_dist_table expressions. */
+  private def codebookArr(s: SparkSession, d: String): Seq[Seq[Double]] = {
+    val rows = sim4(s, d).select("label", "dim", "centroid").collect()
+    val nlist = rows.iterator.map(_.getInt(0)).max + 1
+    val cb = Array.fill(nlist, Dim)(Double.NaN)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    require(cb.forall(_.forall(!_.isNaN)),
+      "IVF labels must be contiguous from 0 with all dims populated")
+    cb.map(_.toSeq).toSeq
+  }
+
+  /** Per-query nprobe nearest cells by exact scaled distance: the
+    * distance VECTOR to all nlist cells is one narrow `pq_dist_table`
+    * map over the (1%) query subset; the rank window touches only
+    * queries × nlist rows. */
+  private def probeCells(base: DataFrame, cb: Column, nprobe: Int): DataFrame =
+    base.filter(col("vec_id") % 100 === 0 && col("v").isNotNull)
+      .select(col("vec_id").as("query_id"),
+        posexplode(call_function("pq_dist_table", col("v"), cb, lit(Dim)))
+          .as(Seq("clabel", "dist")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("clabel").asc)))
+      .filter(col("crk") <= nprobe)
+      .select("query_id", "clabel")
+
+  /** Narrow-map IVF cell assignment (vec_id, clabel) — sim5's
+    * zero-exchange encode, slimmed for candidate joins. */
+  private def assignCells(base: DataFrame, cb: Column): DataFrame =
+    base.filter(col("v").isNotNull)
+      .select(col("vec_id"),
+        element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
+          .getField("code").as("clabel"))
+
+  /** ADC distance of a code row against a query's lookup table: 8
+    * integer `element_at` lookups summed — all codegen'd built-ins
+    * over `pe` (pq_encode structs) and `tbl` (pq_dist_table, flattened
+    * [subspace · nlist + code]). Exact BIGINT adds in any order. */
+  private def adcExpr(nlist: Int): Column =
+    (0 until Dim / 8).map(m =>
+      element_at(col("tbl"),
+        col("pe").getItem(m).getField("code") + lit(m * nlist + 1)))
+      .reduce(_ + _)
 
   /** Shared centroid CTE (sim4's result keyed for probing). */
   private val centSql =
@@ -424,26 +468,18 @@ object Similarity {
     * ≈ nprobe/nlist = 20% of the corpus — the IVF recall/cost knob
     * (vs sim1's 100% and sim2's band-collision candidates).
     *
-    * Scale shape: centroids (nlist × 64 rows) and the per-query probe
-    * set are broadcast; candidates stay SLIM (query_id, vec_id) until
-    * one hash join pulls vectors back for scoring. The centroid table
-    * is MATERIALIZED once (an eager 640-row collect — the IVF "build
-    * the index" step; real deployments persist it) so the corpus-wide
-    * centroid aggregation is not planned twice for assignment and
-    * probes — exchange reuse across aliased subtrees proved
-    * unreliable under AQE (see dd3). Probe distances then cost only
-    * the 1% query subset; assignment distances one full pass. */
+    * Scale shape: the codebook is COLLECTED once (the IVF "build the
+    * index" step; real deployments persist it) and folds into the
+    * codegen'd pq_encode/pq_dist_table expressions, so both the
+    * corpus-wide cell assignment and the per-query probe ranking are
+    * narrow maps — no centroid fan-out join, no assignment shuffle
+    * (see sim5). Candidates stay SLIM (query_id, vec_id) until one
+    * hash join pulls vectors back for scoring. */
   private def sim6(s: SparkSession, d: String): DataFrame = {
     val base = vecs(s, d)
-    val centDf = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
-    val cent = s.createDataFrame(
-      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
-    val probes = assignRanked(base.filter(col("vec_id") % 100 === 0), cent)
-      .filter(col("rk") <= 2)
-      .select(col("vec_id").as("query_id"), col("clabel"))
-    val assign = assignRanked(base, cent)
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("clabel"))
+    val cb = typedLit(codebookArr(s, d))
+    val probes = probeCells(base, cb, nprobe = 2)
+    val assign = assignCells(base, cb)
     val qv = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
     assign.join(broadcast(probes), Seq("clabel"))
@@ -499,16 +535,11 @@ object Similarity {
     * all, unlike the multi-band LSH paths. Cost is Σ cell², the
     * blocking-key economics again; recall misses only pairs straddling
     * a cell boundary (the knob is nlist, and probing nprobe > 1 cells
-    * — sim6's machinery — recovers them). Centroids are materialized
-    * eagerly like sim6 (the "index build"). */
+    * — sim6's machinery — recovers them). Cell assignment is sim5's
+    * zero-exchange narrow map over the collected codebook. */
   private def sim7(s: SparkSession, d: String): DataFrame = {
     val base = vecs(s, d)
-    val centDf = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
-    val cent = s.createDataFrame(
-      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
-    val assign = assignRanked(base, cent)
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("clabel"))
+    val assign = assignCells(base, typedLit(codebookArr(s, d)))
     // slim (id1, id2) pairs from the cell self-join; vectors join back
     // broadcast for scoring only. shuffle_hash like dd2's mirror join:
     // both sides are the same corpus-sized relation (never
@@ -559,28 +590,22 @@ object Similarity {
     * to the chosen entry (the quantization error an ADC search
     * accumulates).
     *
-    * Scale shape: the codebook is broadcast (M × k × 8 values); the
-    * encode is one narrow fan-out join + a map-side-combinable
-    * aggregation keyed (vec_id, subspace) — embarrassingly parallel,
-    * no corpus shuffle beyond the agg's own exchange. */
+    * Scale shape: encode is ONE zero-exchange projection — the
+    * collected codebook folds into the codegen'd `pq_encode`
+    * expression and the whole argmin runs inside the row's stage
+    * (graft.functions.PqEncode; the composed spelling shuffled
+    * 64 × nlist bookkeeping rows per vector through a corpus-wide
+    * aggregation). This is what makes the index BUILD viable at
+    * 100 TB: encoding cost is exactly one corpus scan. */
   private def sim10(s: SparkSession, d: String): DataFrame = {
-    val centDf = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
-    val cent = s.createDataFrame(
-      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    val cb = typedLit(codebookArr(s, d))
     vecs(s, d)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "comp")))
-      .join(broadcast(cent), Seq("dim"))
-      .withColumn("subspace", expr("dim div 8"))
-      .withColumn("term",
-        expr("floor((comp - centroid) * (comp - centroid) * 1000000000000.0D)"))
-      .groupBy(col("vec_id"), col("subspace"), col("clabel"))
-      .agg(sum(col("term")).as("dist_scaled"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("subspace"))
-          .orderBy(col("dist_scaled").asc, col("clabel").asc)))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("subspace"), col("clabel").as("code"),
-        col("dist_scaled"))
+      .filter(col("v").isNotNull)
+      .select(col("vec_id"),
+        posexplode(call_function("pq_encode", col("v"), cb, lit(8)))
+          .as(Seq("subspace", "e")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("e.code").as("code"), col("e.dist_scaled").as("dist_scaled"))
   }
 
   private val sim10Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) +
@@ -609,31 +634,29 @@ object Similarity {
     * distance with unique tie-break. Exact integer tables make the
     * lookups and sums bit-deterministic in both engines.
     *
-    * Scale shape: the tables (queries × 8 × k rows) broadcast; the
-    * scan side touches only the (vec_id, subspace, code) code table —
-    * 8 small ints per vector instead of 256 bytes — and the per-pair
-    * sum is a map-side-combinable aggregation followed by a top-k
-    * window. This is why PQ wins at 100 TB: the full-corpus scan
-    * reads the 32×-compressed codes, not the vectors. */
+    * Scale shape: queries carry their whole lookup table as ONE row
+    * (`pq_dist_table`, 8 × nlist BIGINTs) and broadcast against the
+    * corpus's packed code rows (`pq_encode` — 8 codes/vector, the
+    * 32×-compressed representation, exactly how a real IVFADC index
+    * stores code words contiguously). The per-pair ADC distance is 8
+    * codegen'd `element_at` lookups summed in the projection — no
+    * (vec_id, subspace, code) fan-out, no corpus-wide aggregation
+    * exchange; the only wide op left is the top-k window, whose
+    * rank ≤ 10 prunes map-side (WindowGroupLimit). This is why PQ
+    * wins at 100 TB: the full-corpus scan reads the compressed codes,
+    * not the vectors, and shuffles only ~10 survivors per query per
+    * partition. */
   private def sim11(s: SparkSession, d: String): DataFrame = {
-    val centDf = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
-    val cent = s.createDataFrame(
-      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
+    val cbA = codebookArr(s, d)
+    val cb = typedLit(cbA)
     val base = vecs(s, d)
-    val codes = sim10(s, d).select(col("vec_id"), col("subspace"),
-      col("code").as("clabel"))
-    val tables = base.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), posexplode(col("v")).as(Seq("dim", "comp")))
-      .join(broadcast(cent), Seq("dim"))
-      .withColumn("subspace", expr("dim div 8"))
-      .withColumn("term",
-        expr("floor((comp - centroid) * (comp - centroid) * 1000000000000.0D)"))
-      .groupBy(col("query_id"), col("subspace"), col("clabel"))
-      .agg(sum(col("term")).as("tdist"))
-    codes.join(broadcast(tables), Seq("subspace", "clabel"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("tdist")).as("adc_dist_scaled"))
+    val codes = base.filter(col("v").isNotNull)
+      .select(col("vec_id"), call_function("pq_encode", col("v"), cb, lit(8)).as("pe"))
+    val tables = base.filter(col("vec_id") % 100 === 0 && col("v").isNotNull)
+      .select(col("vec_id").as("query_id"),
+        call_function("pq_dist_table", col("v"), cb, lit(8)).as("tbl"))
+    codes.join(broadcast(tables), col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist_scaled", adcExpr(cbA.length))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adc_dist_scaled").asc, col("vec_id").asc)))
@@ -769,36 +792,27 @@ object Similarity {
     * exact refine). */
   private def sim12Adc(s: SparkSession, d: String): DataFrame = {
     val base = vecs(s, d)
-    val centDf = sim4(s, d).select(col("label").as("clabel"), col("dim"), col("centroid"))
-    val cent = s.createDataFrame(
-      java.util.Arrays.asList(centDf.collect(): _*), centDf.schema)
-    val queries = base.filter(col("vec_id") % 100 === 0)
-    val probes = assignRanked(queries, cent)
-      .filter(col("rk") <= 2)
-      .select(col("vec_id").as("query_id"), col("clabel"))
-    val assign = assignRanked(base, cent)
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("clabel"))
-    val candidates = assign.join(broadcast(probes), Seq("clabel"))
+    val cbA = codebookArr(s, d)
+    val cb = typedLit(cbA)
+    val probes = probeCells(base, cb, nprobe = 2)
+    val candidates = assignCells(base, cb).join(broadcast(probes), Seq("clabel"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
-    val codes = sim10(s, d).select(col("vec_id"), col("subspace"),
-      col("code").as("clabel"))
-    val tables = queries
-      .select(col("vec_id").as("query_id"), posexplode(col("v")).as(Seq("dim", "comp")))
-      .join(broadcast(cent), Seq("dim"))
-      .withColumn("subspace", expr("dim div 8"))
-      .withColumn("term",
-        expr("floor((comp - centroid) * (comp - centroid) * 1000000000000.0D)"))
-      .groupBy(col("query_id"), col("subspace"), col("clabel"))
-      .agg(sum(col("term")).as("tdist"))
+    val codes = base.filter(col("v").isNotNull)
+      .select(col("vec_id"), call_function("pq_encode", col("v"), cb, lit(8)).as("pe"))
+    val tables = base.filter(col("vec_id") % 100 === 0 && col("v").isNotNull)
+      .select(col("vec_id").as("query_id"),
+        call_function("pq_dist_table", col("v"), cb, lit(8)).as("tbl"))
     candidates
       // corpus-proportional × corpus-proportional: hash join on the
-      // shuffle (codes build 8 small ints/vector); never sort-merge
+      // shuffle (the packed code row is 8 small ints); never
+      // sort-merge. ADC itself is a narrow 8-lookup projection
+      // against the query's broadcast table row — no per-subspace
+      // fan-out, no aggregation exchange (see sim11).
       .join(codes.hint("shuffle_hash"), Seq("vec_id"))
-      .join(broadcast(tables), Seq("query_id", "subspace", "clabel"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("tdist")).as("adc_dist_scaled"))
+      .join(broadcast(tables), Seq("query_id"))
+      .withColumn("adc_dist_scaled", adcExpr(cbA.length))
+      .select("query_id", "vec_id", "adc_dist_scaled")
   }
 
   private def sim12(s: SparkSession, d: String): DataFrame =

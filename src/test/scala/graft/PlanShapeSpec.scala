@@ -170,6 +170,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val nljAllowed = Set("la2_level_rollup", "la4_last_24h",
       "la5_retention", "sim1_knn_bruteforce", "tw6_ttl_expiry",
       "sim8_ann_recall", // embeds sim1's brute-force ground truth
+      "sim11_adc_search", // raw ADC IS a per-query scan of the packed
+      // code table (queries broadcast WITH their lookup tables); the
+      // cell-pruned production path is sim12, which stays equi-join
       "tx8_kmv_cardinality") // 1-row sketch x 1-row exact anchor join
     // The ONE legitimate sort-merge join: q10's co-located bucketed
     // join — SMJ over bucket-sorted reads carries no exchange and no
@@ -188,6 +191,29 @@ class PlanShapeSpec extends AnyFunSuite {
           !p.contains("CartesianProduct"),
           s"${q.name} plans a nested-loop/cartesian join")
     }
+  }
+
+  test("sim5/sim10 IVF assign + PQ encode are zero-exchange narrow maps") {
+    // the folded-codebook pq_encode expression must keep the whole
+    // index build inside one stage: scan → project, no Exchange at
+    // all (the composed spelling shuffled 64·nlist rows per vector)
+    val p5 = finalPlan(gate("sim5_ivf_assign", sf0001))
+    val p10 = finalPlan(gate("sim10_pq_encode", sf0001))
+    assert(shuffleCount(p5) == 0, s"sim5 encode shuffles\n$p5")
+    assert(shuffleCount(p10) == 0, s"sim10 encode shuffles\n$p10")
+  }
+
+  test("sim11 ADC search: no aggregation exchange; top-k prunes map-side") {
+    // ADC = 8 element_at lookups in the projection; the per-pair
+    // (query, vec) aggregation the composed form shuffled is gone,
+    // and the only exchange left is the top-10 window, pre-pruned by
+    // a partial WindowGroupLimit
+    val df = gate("sim11_adc_search", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("HashAggregate"), s"sim11 still aggregates\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no map-side top-k prune\n$p")
+    assert(shuffleCount(p) == 1, s"expected 1 exchange (top-k window)\n$p")
   }
 
   test("cp1 sample prunes map-side: partial WindowGroupLimit below the exchange") {
