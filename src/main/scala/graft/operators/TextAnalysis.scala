@@ -599,6 +599,112 @@ object TextAnalysis {
       |  coalesce(n_rare, 0) AS n_rare, min_p_permille, max_p_permille
       |FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- tx13
+
+  /** tx13: inverted-index build — the retrieval-side artifact a
+    * training-data pipeline keeps next to the corpus (search,
+    * decontamination lookups, keyword audits): per term, the document
+    * frequency, total term frequency, and the posting list (doc_ids
+    * ascending). The list is capped at 128 entries (`postings_head`)
+    * while df/total_tf stay exact over ALL postings — at 100 TB a
+    * full posting list for a stopword is corpus-sized and belongs in
+    * term-sharded storage, not one array cell; the cap bounds row
+    * size by construction (dd9's bounded-dim discipline).
+    *
+    * Scale shape: two map-side-combinable hash aggs — (term, doc_id)
+    * tf, then per-term assembly; `collect_list` runs over the ≤128
+    * survivors of a rank window whose rank ≤ k prunes map-side
+    * (WindowGroupLimit), so no unbounded per-group state ever crosses
+    * the exchange. `array_sort` pins order against DuckDB's
+    * `list(... ORDER BY)`. */
+  private def tx13(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val full = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    val head = tf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id").asc)))
+      .filter(col("rk") <= 128)
+      .groupBy(col("term"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("postings_head"))
+    full.join(head, Seq("term"))
+      .select("term", "df", "total_tf", "postings_head")
+  }
+
+  private val tx13Sql =
+    """WITH tf AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |    FROM documents) t
+      |  GROUP BY 1, 2)
+      |SELECT term, count(*) AS df,
+      |  CAST(sum(tf) AS BIGINT) AS total_tf,
+      |  (list(doc_id ORDER BY doc_id))[1:128] AS postings_head
+      |FROM tf GROUP BY term""".stripMargin
+
+  // --------------------------------------------------------------- tx14
+
+  /** tx14: scored keyword retrieval over the inverted index — the
+    * query path tx13's artifact exists for (benchmark-leak audits,
+    * "which documents carry this marker" sweeps): the 5 rarest terms
+    * (df ascending, term ascending — the deterministic stand-in for a
+    * user query set) each retrieve their top-10 documents by
+    * tf·idf. The idf is EXACT integer arithmetic — idf_milli =
+    * (N·1000) div df — so both engines rank identical BIGINT scores
+    * (the FP-log idf would hash-mismatch on partial-agg order; same
+    * discipline as tx11's permille probabilities).
+    *
+    * Scale shape: the query-term dim is a TakeOrderedAndProject
+    * (never a global-sort window) and broadcasts into the tf stream —
+    * posting-list traversal is one broadcast-hash semi-join over the
+    * (term, doc_id) aggregate; the corpus total is a 1-row broadcast
+    * anchor (la4's pattern); the per-term top-10 prunes map-side
+    * (WindowGroupLimit). */
+  private def tx14(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val queryTerms = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").asc, col("term").asc)
+      .limit(5)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_milli", expr("(n_docs * 1000) div df"))
+      .select("term", "df", "idf_milli")
+    tf.join(broadcast(queryTerms), Seq("term"))
+      .withColumn("score", col("tf") * col("idf_milli"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 10)
+      .select("term", "rank", "doc_id", "tf", "df", "idf_milli", "score")
+  }
+
+  private val tx14Sql =
+    """WITH tf AS (
+      |  SELECT term, doc_id, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |    FROM documents) t
+      |  GROUP BY 1, 2),
+      |q AS (
+      |  SELECT term, df, (n_docs * 1000) // df AS idf_milli FROM (
+      |    SELECT term, count(*) AS df FROM tf GROUP BY term
+      |    ORDER BY df ASC, term ASC LIMIT 5) d,
+      |    (SELECT count(*) AS n_docs FROM documents) n)
+      |SELECT term, rank, doc_id, tf, df, idf_milli, score FROM (
+      |  SELECT q.term, t.doc_id, t.tf, q.df, q.idf_milli,
+      |    t.tf * q.idf_milli AS score,
+      |    row_number() OVER (PARTITION BY q.term
+      |      ORDER BY t.tf * q.idf_milli DESC, t.doc_id ASC) AS rank
+      |  FROM tf t JOIN q USING (term)) r
+      |WHERE rank <= 10""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -623,5 +729,9 @@ object TextAnalysis {
     GateQuery("tx11_bigram_surprisal", tx11, Some(tx11Sql),
       "bigram-LM rarity scoring with exact integer probabilities (no FP log-sums)"),
     GateQuery("tx12_grouped_kmv", tx12, Some(tx12Sql),
-      "per-language KMV sketch: O(k) state per stratum vs the exact distinct comparator"))
+      "per-language KMV sketch: O(k) state per stratum vs the exact distinct comparator"),
+    GateQuery("tx13_inverted_index", tx13, Some(tx13Sql),
+      "inverted-index build: per-term df, total tf, bounded posting-list head"),
+    GateQuery("tx14_scored_retrieval", tx14, Some(tx14Sql),
+      "tf-idf keyword retrieval with exact integer idf (rarest-term query set)"))
 }

@@ -173,7 +173,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim11_adc_search", // raw ADC IS a per-query scan of the packed
       // code table (queries broadcast WITH their lookup tables); the
       // cell-pruned production path is sim12, which stays equi-join
-      "tx8_kmv_cardinality") // 1-row sketch x 1-row exact anchor join
+      "tx8_kmv_cardinality", // 1-row sketch x 1-row exact anchor join
+      "tx14_scored_retrieval") // 1-row corpus-total anchor (idf numerator)
     // The ONE legitimate sort-merge join: q10's co-located bucketed
     // join — SMJ over bucket-sorted reads carries no exchange and no
     // sort (its own test asserts both), which is the whole point of
