@@ -100,6 +100,25 @@ object ScaleProbe {
       }
     }
 
+    // IVF-PQ at factor×: the index BUILD (sim10 PQ encode) is a
+    // zero-exchange narrow map — the collected codebook folds into
+    // the codegen'd pq_encode expression, so encode wall tracks the
+    // scan, not a shuffle (the composed spelling moved 64 × nlist
+    // bookkeeping rows per vector through an exchange). The serving
+    // paths then run against factor× the corpus AND factor× the query
+    // set (vec_id ≡ 0 mod 100 keeps 1%): raw ADC (sim11) scans codes
+    // per query, IVFADC (sim12) prunes to ~nprobe/nlist of the corpus
+    // first, refine (sim13) re-ranks ≤50 exact vectors per query.
+    if (Set("all", "ivfpq")(probe)) {
+      for (g <- Seq("sim10_pq_encode", "sim11_adc_search",
+          "sim12_ivfpq_search", "sim13_adc_refine")) {
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries(g)(spark, out).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"$g%-18s rows=$c%10d elapsed=$secs%7.1f s")
+      }
+    }
+
     // Dedup sketch probe on a factor× documents replica (every doc in
     // a 20-dense exact-duplicate group — the worst case for band
     // buckets): runs the REAL dd3/dd4 gate pipelines (one-pass sketch
