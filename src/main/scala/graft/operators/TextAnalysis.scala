@@ -705,6 +705,69 @@ object TextAnalysis {
       |  FROM tf t JOIN q USING (term)) r
       |WHERE rank <= 10""".stripMargin
 
+  // --------------------------------------------------------------- tx15
+
+  /** tx15: PII span scrub — the privacy pass a corpus runs before
+    * training (emails / URLs / long ID runs → typed placeholders,
+    * with per-doc counts for the audit log). Generalizes the
+    * reference's email regexp (P3, youtube_api_handler.py:848-860)
+    * from "extract the first" to "count and redact them all". The
+    * synthetic corpus carries no such spans, so the gate embeds them
+    * deterministically first (yf2's discipline: every 5th doc an
+    * email, every 7th a URL, every 3rd a numeric ID) — the operator
+    * under test is the count + redact stage.
+    *
+    * Replacement order is pinned (emails → URLs → ≥7-digit runs) and
+    * identical in the oracle: URLs carry digits, so the ID pass must
+    * run after URLs collapse to '<URL>'. Pure narrow projection —
+    * regex work scales with the scan, nothing shuffles. */
+  private def tx15(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val idrun = "[0-9]{7,}"
+    Tables.documents(s, d)
+      .withColumn("raw", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example.org")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://docs.example.org/item/"), col("doc_id"),
+            lit("?ref=corpus"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" ticket "), col("doc_id") * 1000003 + 1000000))
+          .otherwise(lit(""))))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(email)).as("n_emails"),
+        regexp_count(col("raw"), lit(url)).as("n_urls"),
+        regexp_count(regexp_replace(col("raw"), url, "<URL>"), lit(idrun)).as("n_ids"),
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          email, "<EMAIL>"), url, "<URL>"), idrun, "<ID>").as("redacted"))
+  }
+
+  private val tx15Sql = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    s"""WITH raw AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 5 = 0
+      |         THEN ' contact user' || doc_id || '@mail.example.org' ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' see https://docs.example.org/item/' || doc_id || '?ref=corpus'
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN ' ticket ' || (doc_id * 1000003 + 1000000) ELSE '' END AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  length(regexp_extract_all(raw, '$email')) AS n_emails,
+      |  length(regexp_extract_all(raw, '$url')) AS n_urls,
+      |  length(regexp_extract_all(regexp_replace(raw, '$url', '<URL>', 'g'),
+      |    '[0-9]{7,}')) AS n_ids,
+      |  regexp_replace(regexp_replace(regexp_replace(raw,
+      |    '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
+      |    '[0-9]{7,}', '<ID>', 'g') AS redacted
+      |FROM raw""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -733,5 +796,7 @@ object TextAnalysis {
     GateQuery("tx13_inverted_index", tx13, Some(tx13Sql),
       "inverted-index build: per-term df, total tf, bounded posting-list head"),
     GateQuery("tx14_scored_retrieval", tx14, Some(tx14Sql),
-      "tf-idf keyword retrieval with exact integer idf (rarest-term query set)"))
+      "tf-idf keyword retrieval with exact integer idf (rarest-term query set)"),
+    GateQuery("tx15_pii_redact", tx15, Some(tx15Sql),
+      "PII scrub: count + redact emails/URLs/ID runs with pinned pass order (P3 generalized)"))
 }
