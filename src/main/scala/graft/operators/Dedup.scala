@@ -755,6 +755,98 @@ object Dedup {
        |  FROM c JOIN q ON c.doc_id = q.doc_id) r
        |WHERE rk = 1""".stripMargin
 
+  // ---------------------------------------------------------------- dd11
+
+  /** dd11: SEMANTIC dedup decision (SemDeDup-shaped): the per-document
+    * keep/drop verdict from EMBEDDING-space neighbors, the policy that
+    * catches paraphrases and re-encodings no shingle sketch sees.
+    * Candidates are sim7's IVF-cell-blocked pairs (cosine ≥ 0.45
+    * inside one coarse-quantizer cell — the paper's "within k-means
+    * cluster" blocking); the verdict is GREEDY domination rather than
+    * full component resolution: a document drops iff some semantic
+    * partner beats it under dd10's exact keeper triple (quality bucket
+    * keep < flag < drop, then tokens desc, then id asc). Greedy is the
+    * production trade — one pass, no iteration — and within a
+    * duplicate pair exactly one side is dominated, so every group
+    * keeps ≥ 1 member; vs dd6+dd10 it may keep one extra member of a
+    * long chain (the recall/cost knob, documented not hidden).
+    *
+    * Scale shape: sim7's pair set is overlap-bounded (slim ids);
+    * quality signals are a narrow corpus map joined pair-side (the
+    * tiny relation broadcasts, the corpus never shuffles); the final
+    * verdict is a left join of per-doc pair stats back onto
+    * embeddings. */
+  private def dd11(s: SparkSession, d: String): DataFrame = {
+    val pairs = Similarity.sim7(s, d)
+    val sym = pairs
+      .select(col("id1").as("vec_id"), col("id2").as("partner"), col("cosine"))
+      .unionByName(pairs
+        .select(col("id2").as("vec_id"), col("id1").as("partner"), col("cosine")))
+    val quality = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      TextAnalysis.qualityBucket(
+        size(split(trim(col("text")), "\\s+")),
+        regexp_count(col("text"), lit("\\b(the|a)\\b")),
+        regexp_count(col("text"), lit("[^a-z0-9\\s]"))).as("bucket"))
+      .withColumn("prio",
+        when(col("bucket") === "keep", 0)
+          .when(col("bucket").startsWith("flag"), 1).otherwise(2))
+      .select("doc_id", "n_tokens", "prio")
+    val stats = sym
+      .join(quality.select(col("doc_id").as("vec_id"),
+        col("n_tokens").as("my_tokens"), col("prio").as("my_prio")), "vec_id")
+      .join(quality.select(col("doc_id").as("partner"),
+        col("n_tokens").as("p_tokens"), col("prio").as("p_prio")), "partner")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_partners"),
+        max(col("cosine")).as("max_cosine"),
+        max(when(col("p_prio") < col("my_prio") ||
+          (col("p_prio") === col("my_prio") && col("p_tokens") > col("my_tokens")) ||
+          (col("p_prio") === col("my_prio") && col("p_tokens") === col("my_tokens")
+            && col("partner") < col("vec_id")), 1L).otherwise(0L)).as("dominated"))
+    Tables.embeddings(s, d).select("vec_id", "label")
+      .join(broadcast(stats), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+        col("max_cosine"),
+        when(col("dominated") === 1, lit("drop_semantic"))
+          .otherwise(lit("keep")).as("decision"))
+  }
+
+  private val dd11Sql =
+    s"""WITH p AS (${Similarity.sim7Sql}),
+       |sym AS (
+       |  SELECT id1 AS vec_id, id2 AS partner, cosine FROM p
+       |  UNION ALL SELECT id2, id1, cosine FROM p),
+       |q AS (
+       |  SELECT doc_id,
+       |    length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    CASE WHEN ${TextAnalysis.qualityBucketSql(
+           "length(regexp_split_to_array(trim(text), '\\s+'))",
+           "length(regexp_extract_all(text, '\\b(the|a)\\b'))",
+           "length(regexp_extract_all(text, '[^a-z0-9\\s]'))")} = 'keep' THEN 0
+      |      WHEN ${TextAnalysis.qualityBucketSql(
+           "length(regexp_split_to_array(trim(text), '\\s+'))",
+           "length(regexp_extract_all(text, '\\b(the|a)\\b'))",
+           "length(regexp_extract_all(text, '[^a-z0-9\\s]'))")} LIKE 'flag%' THEN 1
+      |      ELSE 2 END AS prio
+      |  FROM documents),
+      |st AS (
+      |  SELECT s.vec_id, count(*) AS n_partners, max(s.cosine) AS max_cosine,
+      |    max(CASE WHEN pq.prio < mq.prio
+      |          OR (pq.prio = mq.prio AND pq.n_tokens > mq.n_tokens)
+      |          OR (pq.prio = mq.prio AND pq.n_tokens = mq.n_tokens
+      |              AND s.partner < s.vec_id) THEN 1 ELSE 0 END) AS dominated
+      |  FROM sym s
+      |  JOIN q mq ON mq.doc_id = s.vec_id
+      |  JOIN q pq ON pq.doc_id = s.partner
+      |  GROUP BY s.vec_id)
+      |SELECT e.vec_id, e.label,
+      |  coalesce(st.n_partners, 0) AS n_partners, st.max_cosine,
+      |  CASE WHEN st.dominated = 1 THEN 'drop_semantic' ELSE 'keep' END AS decision
+      |FROM embeddings e LEFT JOIN st ON st.vec_id = e.vec_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -775,5 +867,7 @@ object Dedup {
     GateQuery("dd9_chunk_dedup", dd9, Some(dd9Sql),
       "corpus-repeated 16-token-chunk removal + doc reassembly (line-level dedup)"),
     GateQuery("dd10_canonical_select", dd10, Some(dd10Sql),
-      "quality-canonical keeper per duplicate cluster (keep<flag<drop, tokens, id)"))
+      "quality-canonical keeper per duplicate cluster (keep<flag<drop, tokens, id)"),
+    GateQuery("dd11_semantic_dedup", dd11, Some(dd11Sql),
+      "SemDeDup decision: IVF-cell-blocked embedding neighbors, greedy quality domination"))
 }

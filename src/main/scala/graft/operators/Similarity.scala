@@ -537,7 +537,7 @@ object Similarity {
     * a cell boundary (the knob is nlist, and probing nprobe > 1 cells
     * — sim6's machinery — recovers them). Cell assignment is sim5's
     * zero-exchange narrow map over the collected codebook. */
-  private def sim7(s: SparkSession, d: String): DataFrame = {
+  private[operators] def sim7(s: SparkSession, d: String): DataFrame = {
     val base = vecs(s, d)
     val assign = assignCells(base, typedLit(codebookArr(s, d)))
     // slim (id1, id2) pairs from the cell self-join; vectors join back
@@ -559,7 +559,7 @@ object Similarity {
       .select("id1", "id2", "cosine")
   }
 
-  private val sim7Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
+  private[operators] val sim7Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
     s"""assign AS (
        |  SELECT vec_id, clabel FROM (
        |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
