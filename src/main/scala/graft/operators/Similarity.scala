@@ -704,9 +704,12 @@ object Similarity {
     * module trades recall for cost, and this gate quantifies the
     * trade instead of asserting it: the exact top-10 (sim1) is the
     * ground truth; LSH ANN (sim2) and IVF probe search (sim6) are
-    * scored by how many true pairs they recover, and the IVF-PQ
+    * scored by how many true pairs they recover, the IVF-PQ
     * serving path (sim12) quantifies what the 32× compression costs
-    * on top of cell pruning. One output row: pair counts + recall
+    * on top of cell pruning, and the refine re-rank (sim13) shows
+    * how much of that loss the exact top-50 re-rank buys back — the
+    * claim the serving stack rests on, measured every round. One
+    * output row: pair counts + recall
     * percentages (exact integer counts, one division each). The joins
     * are tiny (50 ground-truth pairs at sf0.01) — all broadcast; the
     * cost is re-running the component pipelines, which is the honest
@@ -721,18 +724,22 @@ object Similarity {
       .withColumn("in_mb", lit(1L))
     val pq = sim12(s, d).select(col("query_id"), col("neighbor_id"))
       .withColumn("in_pq", lit(1L))
+    val rf = sim13(s, d).select(col("query_id"), col("neighbor_id"))
+      .withColumn("in_rf", lit(1L))
     exact
       .join(broadcast(lsh), Seq("query_id", "neighbor_id"), "left")
       .join(broadcast(ivf), Seq("query_id", "neighbor_id"), "left")
       .join(broadcast(mb), Seq("query_id", "neighbor_id"), "left")
       .join(broadcast(pq), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(rf), Seq("query_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("n_exact_pairs"),
         sum(coalesce(col("in_lsh"), lit(0L))).as("lsh_hits"),
         sum(coalesce(col("in_ivf"), lit(0L))).as("ivf_hits"),
         sum(coalesce(col("in_mb"), lit(0L))).as("mb_hits"),
-        sum(coalesce(col("in_pq"), lit(0L))).as("pq_hits"))
+        sum(coalesce(col("in_pq"), lit(0L))).as("pq_hits"),
+        sum(coalesce(col("in_rf"), lit(0L))).as("rf_hits"))
       .select(col("n_exact_pairs"), col("lsh_hits"), col("ivf_hits"),
-        col("mb_hits"), col("pq_hits"),
+        col("mb_hits"), col("pq_hits"), col("rf_hits"),
         (col("lsh_hits").cast("double") * 100 / col("n_exact_pairs"))
           .as("lsh_recall_pct"),
         (col("ivf_hits").cast("double") * 100 / col("n_exact_pairs"))
@@ -740,7 +747,9 @@ object Similarity {
         (col("mb_hits").cast("double") * 100 / col("n_exact_pairs"))
           .as("mb_recall_pct"),
         (col("pq_hits").cast("double") * 100 / col("n_exact_pairs"))
-          .as("pq_recall_pct"))
+          .as("pq_recall_pct"),
+        (col("rf_hits").cast("double") * 100 / col("n_exact_pairs"))
+          .as("rf_recall_pct"))
   }
 
   // lazy: interpolates sim12Sql, whose val initializes later in this
@@ -750,23 +759,27 @@ object Similarity {
        |r2 AS (${sim2Sql}),
        |r6 AS (${sim6Sql}),
        |r9 AS (${sim9Sql}),
-       |r12 AS (${sim12Sql})
-       |SELECT n_exact_pairs, lsh_hits, ivf_hits, mb_hits, pq_hits,
+       |r12 AS (${sim12Sql}),
+       |r13 AS (${sim13Sql})
+       |SELECT n_exact_pairs, lsh_hits, ivf_hits, mb_hits, pq_hits, rf_hits,
        |  CAST(lsh_hits AS DOUBLE) * 100 / n_exact_pairs AS lsh_recall_pct,
        |  CAST(ivf_hits AS DOUBLE) * 100 / n_exact_pairs AS ivf_recall_pct,
        |  CAST(mb_hits AS DOUBLE) * 100 / n_exact_pairs AS mb_recall_pct,
-       |  CAST(pq_hits AS DOUBLE) * 100 / n_exact_pairs AS pq_recall_pct
+       |  CAST(pq_hits AS DOUBLE) * 100 / n_exact_pairs AS pq_recall_pct,
+       |  CAST(rf_hits AS DOUBLE) * 100 / n_exact_pairs AS rf_recall_pct
        |FROM (
        |  SELECT count(*) AS n_exact_pairs,
        |    CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
        |    CAST(sum(CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits,
        |    CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS mb_hits,
-       |    CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits
+       |    CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits,
+       |    CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rf_hits
        |  FROM r1 e
        |  LEFT JOIN r2 l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
        |  LEFT JOIN r6 v ON e.query_id = v.query_id AND e.neighbor_id = v.neighbor_id
        |  LEFT JOIN r9 m ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
-       |  LEFT JOIN r12 p ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id) t""".stripMargin
+       |  LEFT JOIN r12 p ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+       |  LEFT JOIN r13 f ON e.query_id = f.query_id AND e.neighbor_id = f.neighbor_id) t""".stripMargin
 
   // -------------------------------------------------------------- sim12
 
@@ -970,7 +983,7 @@ object Similarity {
     GateQuery("sim7_ivf_blocked_neardup", sim7, Some(sim7Sql),
       "IVF-cell-blocked near-dup pairs, cosine >= 0.45 (third blocking strategy)"),
     GateQuery("sim8_ann_recall", sim8, Some(sim8Sql),
-      "measured recall of LSH-ANN, IVF, and multi-band LSH vs the exact baseline"),
+      "measured recall of LSH-ANN, IVF, multi-band, IVF-PQ, and refine vs exact"),
     GateQuery("sim9_ann_multiband", sim9, Some(sim9Sql),
       "OR-amplified 8x4-bit LSH ANN — the recall knob executed"),
     GateQuery("sim10_pq_encode", sim10, Some(sim10Sql),
