@@ -91,6 +91,27 @@ object EventStream {
       .select("doc_id", "ts", "n_tokens", "fp", "decision")
   }
 
+  /** Streaming IVF cell assignment — the ONLINE half of the vector
+    * index: the codebook is built offline (sim4's exact centroid
+    * means, collected — graft.operators.Similarity's "build the
+    * index" step) and folds into the codegen'd `pq_encode`
+    * expression, so assigning live embeddings to their coarse cells
+    * is a STATELESS narrow map: no state store, no shuffle, no
+    * watermark required, and the batch twin of the same function is
+    * bit-identical (the property the spec pins). This is what makes
+    * the quantizer family streamable for free — an ingest pipeline
+    * tags vectors with their cell at arrival time and appends to the
+    * cell-partitioned index layout. */
+  def cellAssign(vecs: DataFrame, codebook: Seq[Seq[Double]]): DataFrame =
+    vecs
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .filter(col("v").isNotNull)
+      .withColumn("e",
+        element_at(call_function("pq_encode", col("v"),
+          typedLit(codebook), lit(codebook.head.length)), 1))
+      .select(col("vec_id"),
+        col("e.code").as("cell"), col("e.dist_scaled"))
+
   /** Stream-stream LEFT OUTER join (J1 live — the RSS × detailed-video
     * enrichment, reference youtube_api_handler.py:556-564, with BOTH
     * sides arriving as streams): each detail-fetch event joins the RSS

@@ -217,6 +217,35 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF cell assignment matches the batch twin (stateless map)") {
+    // offline-built codebook (3 cells, 4 dims); the folded pq_encode
+    // expression is shuffle-free, so it streams with no state at all
+    val cb = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0, 1.0),
+      Seq(-1.0, 2.0, 0.5, -0.5))
+    val rows = Seq(
+      (1L, Seq(0.1f, -0.1f, 0.0f, 0.05f)),
+      (2L, Seq(0.9f, 1.1f, 1.0f, 0.8f)),
+      (3L, Seq(-0.8f, 1.9f, 0.4f, -0.6f)),
+      (4L, Seq(0.5f, 0.5f, 0.5f, 0.5f))) // equidistant-ish: tie goes low
+    val mem = MemoryStream[(Long, Seq[Float])](spark)
+    val q = EventStream.cellAssign(
+      mem.toDF().toDF("vec_id", "embedding"), cb)
+      .writeStream.format("memory").queryName("cells")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cells").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = EventStream.cellAssign(
+        spark.createDataFrame(rows).toDF("vec_id", "embedding"), cb)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed == batch && streamed.size == rows.size)
+      val cells = streamed.map(t => t._1 -> t._2).toMap
+      assert(cells(1L) == 0 && cells(2L) == 1 && cells(3L) == 2)
+    } finally q.stop()
+  }
+
   test("ttl cache: entries refresh within ttl and expire after it") {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     val q = EventStream.ttlCache(spark, toEvents(mem.toDF()))

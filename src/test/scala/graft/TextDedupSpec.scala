@@ -322,6 +322,76 @@ class TextDedupSpec extends AnyFunSuite {
       }
   }
 
+  test("tx14 retrieval is consistent with the tx13 index it queries") {
+    import org.apache.spark.sql.functions._
+    // rename the index's df before joining: both frames descend from
+    // the same tf lineage, so same-name column refs are ambiguous
+    val idx = gate("tx13_inverted_index", sf0001)
+      .withColumnRenamed("df", "idx_df")
+    val ret = gate("tx14_scored_retrieval", sf0001)
+    // query terms' df must be the index's df; containment in the
+    // posting head is only checkable where the head is COMPLETE
+    // (df ≤ 128 — bigger terms keep the 128 smallest doc_ids, which
+    // need not include the top-scored ones)
+    val joined = ret.join(idx, Seq("term"))
+    assert(joined.filter(col("df") =!= col("idx_df")).count() == 0)
+    assert(joined.filter(col("df") <= 128 &&
+      !array_contains(col("postings_head"), col("doc_id"))).count() == 0)
+    assert(joined.filter(col("df") <= 128).count() > 0,
+      "no complete posting list exercised — shrink the cap or the corpus")
+    // scores rank correctly: rank 1 carries the max score per term
+    val r = ret.collect().groupBy(_.getAs[String]("term"))
+    r.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Long]("score")).sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      })
+    }
+    // the index itself: df bounds, sorted bounded postings
+    idx.collect().foreach { row =>
+      val posts = row.getSeq[Long](row.fieldIndex("postings_head"))
+      assert(posts.length <= 128 && posts == posts.sorted)
+      assert(row.getAs[Long]("idx_df") >= posts.length.toLong)
+      assert(row.getAs[Long]("total_tf") >= row.getAs[Long]("idx_df"))
+    }
+  }
+
+  test("dd11 semantic dedup: keepers dominate, isolated docs always keep") {
+    import org.apache.spark.sql.functions._
+    val dd11 = gate("dd11_semantic_dedup", sf0001)
+    // no semantic partners -> never dropped
+    assert(dd11.filter(col("n_partners") === 0 && col("decision") =!= "keep")
+      .count() == 0)
+    // drops only happen among docs with partners, and something survives
+    val withPartners = dd11.filter(col("n_partners") > 0)
+    val kept = dd11.filter(col("decision") === "keep").count()
+    assert(kept >= dd11.count() - withPartners.count())
+    // every sim7 pair keeps at least one endpoint: the pair's dominant
+    // member is never dominated BY ITS PARTNER, and domination is a
+    // strict total order restricted to the pair — both endpoints
+    // dropping requires third parties, impossible in a 2-clique; check
+    // directly on the data
+    val pairs = gate("sim7_ivf_blocked_neardup", sf0001)
+      .select(col("id1"), col("id2")).collect()
+    val decision = dd11.select(col("vec_id"), col("decision")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val isolatedPairs = pairs.filter { p =>
+      decision(p.getLong(0)) == "drop_semantic" &&
+        decision(p.getLong(1)) == "drop_semantic"
+    }
+    // both endpoints may drop only if each is dominated by a THIRD doc
+    // — at sf0.001 the pair graph is tiny, so just demand some keeper
+    // exists overall and flag full-pair drops for manual inspection
+    assert(kept > 0)
+    isolatedPairs.foreach { p =>
+      val others = pairs.filter(q => q != p &&
+        (Set(q.getLong(0), q.getLong(1)) & Set(p.getLong(0), p.getLong(1))).nonEmpty)
+      assert(others.nonEmpty,
+        s"pair (${p.getLong(0)}, ${p.getLong(1)}) fully dropped with no third party")
+    }
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
