@@ -268,6 +268,42 @@ object CorpusOps {
        |FROM (${cp3Sql.replace("\n", "\n  ")}) packed
        |GROUP BY shard, bin_id""".stripMargin
 
+  // ---------------------------------------------------------------- cp8
+
+  /** cp8: EPOCH training order — the last artifact between the
+    * manifest and the GPUs: every epoch re-shuffles cp6's bins
+    * deterministically (order key = md5(epoch|shard|bin), cp4's
+    * salted-hash discipline, so the "random" order reproduces across
+    * engines, runs, and restarts) and hands each shard reader its own
+    * sequence. The sequence is per (epoch, shard) — how distributed
+    * loaders actually consume data (shard-parallel readers, one
+    * stream each) — NEVER a global row_number: a total order over all
+    * bins would be la1's single-partition sort at corpus scale, and
+    * no trainer needs it. Two epochs are materialized; the epoch
+    * count is a constant fan-out, not a parameter of the plan shape.
+    *
+    * Scale shape: manifest × epochs is a narrow explode;
+    * the only exchange is the (epoch, shard) window partition —
+    * thousands of independent partitions at 100 TB. */
+  private def cp8(s: SparkSession, d: String): DataFrame =
+    cp6(s, d)
+      .select(col("shard"), col("bin_id"), col("n_docs"), col("bin_tokens"),
+        explode(array(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("ekey",
+        md5(concat_ws("|", col("epoch"), col("shard"), col("bin_id"))))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("ekey"), col("bin_id"))))
+      .select("epoch", "shard", "seq", "bin_id", "n_docs", "bin_tokens")
+
+  private val cp8Sql =
+    s"""SELECT epoch, shard,
+       |  row_number() OVER (PARTITION BY epoch, shard
+       |    ORDER BY md5(epoch || '|' || shard || '|' || bin_id), bin_id) AS seq,
+       |  bin_id, n_docs, bin_tokens
+       |FROM (${cp6Sql.replace("\n", "\n  ")}) m,
+       |  (SELECT unnest(range(2)) AS epoch) e""".stripMargin
+
   // ---------------------------------------------------------------- cp7
 
   /** cp7: the END-TO-END corpus pipeline as ONE lazy plan — what "a
@@ -366,5 +402,7 @@ object CorpusOps {
     GateQuery("cp6_pack_manifest", cp6, Some(cp6Sql),
       "per-bin ordered doc_id manifest of the packed sequences (ordered collect)"),
     GateQuery("cp7_full_pipeline", cp7, Some(cp7Sql),
-      "end-to-end prep: quality+dedup decisions, decontamination, survivor packing"))
+      "end-to-end prep: quality+dedup decisions, decontamination, survivor packing"),
+    GateQuery("cp8_epoch_order", cp8, Some(cp8Sql),
+      "per-epoch deterministic bin reshuffle, sequenced per (epoch, shard) reader"))
 }
