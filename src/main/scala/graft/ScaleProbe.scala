@@ -176,6 +176,17 @@ object ScaleProbe {
         val s1 = (System.nanoTime() - t1) / 1e9
         println(f"cp7_full_pipeline $r elapsed=$s1%7.1f s")
       }
+      // Retrieval at factor×: the inverted index's posting heads stay
+      // bounded (128 doc_ids) while df/total_tf grow with the
+      // replica; tx14's rarest-term query set and broadcast idf dim
+      // are vocabulary-sized, so retrieval cost rides the tf
+      // aggregation, not the corpus.
+      for (g <- Seq("tx13_inverted_index", "tx14_scored_retrieval")) {
+        val t1 = System.nanoTime()
+        val c = SparkEntry.queries(g)(spark, out).count()
+        val s1 = (System.nanoTime() - t1) / 1e9
+        println(f"$g%-20s rows=$c%10d elapsed=$s1%7.1f s")
+      }
       // Chunk dedup at factor×: the repeated-chunk dim is bounded by
       // corpus REDUNDANCY — on the replica every chunk is repeated, the
       // worst case, yet the dim still holds only one row per DISTINCT

@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   * Scale design: brute-force is queries × corpus — fine for a small
   * query set, and the broadcast side is the query set, so the corpus
   * never shuffles. The LSH signature collapses each vector to 16 bits;
-  * candidate generation is an equi-join on 4-bit band keys. IVF
-  * assignment joins a broadcast centroid table (n_labels × 64 rows).
-  * At 100 TB: same plans, plus bucketing the corpus by band key.
+  * candidate generation is an equi-join on 4-bit band keys. IVF cell
+  * assignment and PQ encoding fold the collected codebook into the
+  * codegen'd pq_encode/pq_dist_table expressions
+  * (graft.functions.PqExpressions) — zero-exchange narrow maps, so
+  * the index build costs exactly one corpus scan. At 100 TB: same
+  * plans, plus bucketing the corpus by band key / cell.
   */
 object Similarity {
 
