@@ -755,6 +755,86 @@ object Dedup {
        |  FROM c JOIN q ON c.doc_id = q.doc_id) r
        |WHERE rk = 1""".stripMargin
 
+  // ---------------------------------------------------------------- dd12
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * scale path dd6's scaladoc names: min-label propagation needs
+    * O(diameter) rounds, which is fine for blocking-derived
+    * near-cliques but pathological on CHAIN-shaped duplicate graphs
+    * (A≈B≈C≈… from drifting shingles — a 64-link chain exceeds dd6's
+    * round cap); the star alternation contracts ANY graph in
+    * O(log n) rounds. Each round: LARGE-STAR points every
+    * greater-than-self neighbor at the neighborhood minimum
+    * (including self), SMALL-STAR re-points the ≤-self neighborhood
+    * at its minimum — both preserve connectivity, and at the fixpoint
+    * every vertex's least(self, min neighbor) IS its component
+    * minimum.
+    *
+    * Convergence probe (one driver isEmpty per round, dd6's
+    * discipline): labels are final exactly when every ORIGINAL edge
+    * sees equal labels — sound because labels are always members of
+    * the vertex's current neighborhood ∪ self, so edge-consistency
+    * forces one label per component, and the component minimum
+    * self-labels, pinning that label to the minimum.
+    *
+    * Returns (labels (id, lbl), rounds) — package-private so the spec
+    * can pin the logarithmic round count on a long chain. */
+  private[graft] def ccBigStar(pairs: DataFrame): (DataFrame, Int) = {
+    val orig = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .localCheckpoint()
+    var edges = orig
+      .unionByName(orig.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    def labelsOf(e: DataFrame): DataFrame = e
+      .groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("lbl"))
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 20) {
+      // large-star: (v, m) for every neighbor v > u, m = min(Γ(u) ∪ u)
+      val m1 = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = edges.join(m1, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+      val e1 = ls.unionByName(ls.select(col("b").as("a"), col("a").as("b")))
+        .distinct().select(col("a").as("u"), col("b").as("v"))
+      // small-star over the ≤-self neighborhood: (v, m) ∪ (u, m)
+      val small = e1.filter(col("v") < col("u"))
+      val m2 = small.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = small.join(m2, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(m2.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+      edges = ss.unionByName(ss.select(col("b").as("a"), col("a").as("b")))
+        .distinct().select(col("a").as("u"), col("b").as("v"))
+        .localCheckpoint()
+      rounds += 1
+      val lbl = labelsOf(edges)
+      done = orig
+        .join(lbl.select(col("id").as("u"), col("lbl").as("lu")), Seq("u"))
+        .join(lbl.select(col("id").as("v"), col("lbl").as("lv")), Seq("v"))
+        .filter(col("lu") =!= col("lv")).isEmpty
+    }
+    require(done, s"star contraction did not converge in $rounds rounds")
+    (labelsOf(edges), rounds)
+  }
+
+  /** dd12: dd6's clusters via the star contraction — identical output
+    * (and oracle) over dd4's pair graph, different round complexity.
+    * The gate proves the two agree on real data; the spec proves the
+    * round-count separation on the chain dd6 cannot finish. */
+  private def dd12(s: SparkSession, d: String): DataFrame = {
+    val (labels, _) = ccBigStar(dd4(s, d).select(col("id1"), col("id2")))
+    labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+  }
+
   // ---------------------------------------------------------------- dd11
 
   /** dd11: SEMANTIC dedup decision (SemDeDup-shaped): the per-document
@@ -869,5 +949,7 @@ object Dedup {
     GateQuery("dd10_canonical_select", dd10, Some(dd10Sql),
       "quality-canonical keeper per duplicate cluster (keep<flag<drop, tokens, id)"),
     GateQuery("dd11_semantic_dedup", dd11, Some(dd11Sql),
-      "SemDeDup decision: IVF-cell-blocked embedding neighbors, greedy quality domination"))
+      "SemDeDup decision: IVF-cell-blocked embedding neighbors, greedy quality domination"),
+    GateQuery("dd12_cc_bigstar", dd12, Some(dd6Sql),
+      "connected components via large-star/small-star: O(log n) rounds on any diameter"))
 }

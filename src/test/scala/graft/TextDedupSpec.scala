@@ -392,6 +392,29 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dd12 star contraction equals dd6 min-label clusters on driver data") {
+    val viaStar = gate("dd12_cc_bigstar", sf0001)
+      .select("doc_id", "cluster_id", "is_canonical", "cluster_size")
+      .collect().map(_.toSeq).toSet
+    val viaProp = gate("dd6_dup_clusters", sf0001)
+      .select("doc_id", "cluster_id", "is_canonical", "cluster_size")
+      .collect().map(_.toSeq).toSet
+    assert(viaStar == viaProp && viaStar.nonEmpty)
+  }
+
+  test("dd12 contracts a 64-link chain in O(log n) rounds (dd6 cannot)") {
+    import spark.implicits._
+    // path graph 0-1-2-…-64: diameter 64, so min-label propagation
+    // needs ~64 rounds (dd6's cap is 20 — it would abort); the star
+    // alternation must land well inside a logarithmic budget
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds) = graft.operators.Dedup.ccBigStar(chain)
+    assert(rounds <= 10, s"expected O(log n) rounds, took $rounds")
+    val lbls = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbls.size == 65 && lbls.values.forall(_ == 0L),
+      s"all 65 chain vertices must label to 0, got ${lbls.values.toSet}")
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
