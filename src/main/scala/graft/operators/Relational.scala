@@ -317,6 +317,36 @@ object Relational {
       |EXCEPT
       |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 180""".stripMargin
 
+  // ---------------------------------------------------------------- q12
+
+  /** q12: the SQL entry surface — the same engine addressed as ANSI
+    * SQL text (`spark.sql` over temp views), the way a reference user
+    * with existing SQL assets would drive it. One dialect-shared
+    * string runs unmodified in BOTH engines: a correlated EXISTS
+    * (TPC-H Q4's shape — "orders with a line item shipped >30 days
+    * after ordering") that Catalyst decorrelates into a left-semi
+    * hash join, plus exact cents aggregation (doubles floored to
+    * BIGINT before SUM — the GateQuery numeric policy in its SQL
+    * spelling). Nothing else in the registry exercises the SQL
+    * parser/analyzer path or subquery decorrelation. */
+  private val q12Sql =
+    """SELECT o_orderpriority,
+      |  count(*) AS late_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS late_cents
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(q12Sql)
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -330,5 +360,7 @@ object Relational {
     GateQuery("q10_bucketed_join", q10, Some(q10Sql),
       "co-located bucketed join: no exchange, no sort under the SMJ"),
     GateQuery("q11_intersect_except", q11, Some(q11Sql),
-      "INTERSECT/EXCEPT as distinct semi/anti hash joins (§2.7)"))
+      "INTERSECT/EXCEPT as distinct semi/anti hash joins (§2.7)"),
+    GateQuery("q12_sql_exists", q12, Some(q12Sql),
+      "spark.sql surface: correlated EXISTS decorrelated to a semi join (one dialect-shared string)"))
 }
