@@ -304,6 +304,44 @@ object CorpusOps {
        |FROM (${cp6Sql.replace("\n", "\n  ")}) m,
        |  (SELECT unnest(range(2)) AS epoch) e""".stripMargin
 
+  // ---------------------------------------------------------------- cp9
+
+  /** cp9: span-corruption sample generation — the denoising-objective
+    * transform (T5/BART family) that turns curated text into (input,
+    * target) training pairs: deterministically mask every token at
+    * position (pos + doc_id) ≡ 0 (mod 7) — the salt-by-doc_id keeps
+    * the mask pattern "random" across docs yet exactly reproducible
+    * in any engine, cp4's discipline applied to the objective — emit
+    * the masked text as `input`, the masked-out tokens in order as
+    * `target`, and the mask count. Pure narrow projection: the
+    * index-aware `transform`/`filter` lambdas run per row; nothing
+    * shuffles, so the op composes with cp3's packing at any scale. */
+  private def cp9(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tk", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        array_join(expr(
+          "transform(tk, (x, i) -> CASE WHEN (i + doc_id) % 7 = 0 THEN '<X>' ELSE x END)"),
+          " ").as("input"),
+        array_join(expr(
+          "filter(transform(tk, (x, i) -> CASE WHEN (i + doc_id) % 7 = 0 THEN x END), " +
+            "x -> x IS NOT NULL)"), " ").as("target"),
+        size(expr("filter(tk, (x, i) -> (i + doc_id) % 7 = 0)")).as("n_masked"),
+        size(col("tk")).as("n_tokens"))
+
+  private val cp9Sql =
+    """SELECT doc_id,
+      |  array_to_string(list_transform(range(len(tk)),
+      |    i -> CASE WHEN (i + doc_id) % 7 = 0 THEN '<X>' ELSE tk[i+1] END),
+      |    ' ') AS input,
+      |  array_to_string(list_filter(list_transform(range(len(tk)),
+      |    i -> CASE WHEN (i + doc_id) % 7 = 0 THEN tk[i+1] ELSE NULL END),
+      |    x -> x IS NOT NULL), ' ') AS target,
+      |  len(list_filter(range(len(tk)), i -> (i + doc_id) % 7 = 0)) AS n_masked,
+      |  len(tk) AS n_tokens
+      |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |      FROM documents) t""".stripMargin
+
   // ---------------------------------------------------------------- cp7
 
   /** cp7: the END-TO-END corpus pipeline as ONE lazy plan — what "a
@@ -404,5 +442,7 @@ object CorpusOps {
     GateQuery("cp7_full_pipeline", cp7, Some(cp7Sql),
       "end-to-end prep: quality+dedup decisions, decontamination, survivor packing"),
     GateQuery("cp8_epoch_order", cp8, Some(cp8Sql),
-      "per-epoch deterministic bin reshuffle, sequenced per (epoch, shard) reader"))
+      "per-epoch deterministic bin reshuffle, sequenced per (epoch, shard) reader"),
+    GateQuery("cp9_span_corrupt", cp9, Some(cp9Sql),
+      "denoising-objective sample generation: salted deterministic masking -> (input, target)"))
 }
