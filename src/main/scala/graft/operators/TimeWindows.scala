@@ -85,8 +85,9 @@ object TimeWindows {
     * detection + running sum → session ids → per-session envelope.
     * Two window passes over one (user_id, ts) exchange, then a hash
     * agg — the classic scalable sessionize; identical SQL on both
-    * engines (Spark session_window would also work but is kept out of
-    * the oracle path). */
+    * engines (Spark's native session_window produces the same
+    * envelopes — equivalence pinned in LogTimeSpec — but stays out of
+    * the oracle path, which wants one portable SQL spelling). */
   private def tw3(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)

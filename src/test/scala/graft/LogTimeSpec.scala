@@ -140,4 +140,28 @@ class LogTimeSpec extends AnyFunSuite {
          else Some(r.getAs[Long]("asof_click_id")))).toMap
     assert(got == Map(3L -> Some(2L), 4L -> Some(2L), 5L -> Some(2L), 7L -> None))
   }
+
+  test("tw3's manual sessionize equals Spark's native session_window") {
+    import org.apache.spark.sql.functions._
+    // tw3 builds sessions with lag-gap + running sum (the oracle-able
+    // spelling); Spark's built-in session_window must produce the
+    // same envelopes — pinning that the two 30-min-gap semantics
+    // agree on real data (no exact-gap ties occur in the corpus)
+    val manual = gate("tw3_sessionize", sf0001)
+      .select("user_id", "sess_start_us", "sess_end_us", "n_events", "value_cents")
+      .collect().map(_.toSeq).toSet
+    val native = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("value_cents"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(col("ts_us")).as("sess_start_us"),
+        max(col("ts_us")).as("sess_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("value_cents"))
+      .select("user_id", "sess_start_us", "sess_end_us", "n_events", "value_cents")
+      .collect().map(_.toSeq).toSet
+    assert(manual == native && manual.nonEmpty,
+      s"manual ${manual.size} sessions vs native ${native.size}")
+  }
 }
