@@ -164,4 +164,62 @@ class SimilaritySpec extends AnyFunSuite {
       exact.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
     }
   }
+
+  test("persisted cell-partitioned IVF-PQ index serves via partition pruning") {
+    import org.apache.spark.sql.functions._
+    // Build once: codes + cell written partitionBy(cell) — the layout
+    // a 100 TB deployment keeps. Serve many: a query reads ONLY its
+    // nprobe probed-cell partitions (verified via input_file_name, not
+    // just the plan string) and its ADC top-10 from the PERSISTED
+    // codes matches the in-memory sim12 gate exactly.
+    val cent = gate("sim4_ivf_centroids", sf0001)
+      .select(col("label"), col("dim"), col("centroid")).collect()
+    val nlist = cent.iterator.map(_.getInt(0)).max + 1
+    val cbArr = Array.fill(nlist, 64)(0.0)
+    cent.foreach(r => cbArr(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val cb = typedLit(cbArr.map(_.toSeq).toSeq)
+    val base = Tables.embeddings(spark, sf0001)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/index"
+    base.select(col("vec_id"),
+        element_at(call_function("pq_encode", col("v"), cb, lit(64)), 1)
+          .getField("code").as("cell"),
+        call_function("pq_encode", col("v"), cb, lit(8)).as("pe"))
+      .write.partitionBy("cell").parquet(dir)
+    // query 0's nprobe=2 cells + its ADC lookup table
+    val q0 = base.filter(col("vec_id") === 0)
+    val probeCells = q0
+      .select(posexplode(call_function("pq_dist_table", col("v"), cb, lit(64)))
+        .as(Seq("cell", "dist")))
+      .orderBy(col("dist").asc, col("cell").asc).limit(2)
+      .collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(dir)
+      .filter(col("cell").isin(probeCells.map(Int.box): _*) &&
+        col("vec_id") =!= 0L)
+    // pruning is behavioral: every file actually read sits under a
+    // probed cell=... directory
+    val filesRead = idx.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(filesRead.nonEmpty && filesRead.forall(f =>
+      probeCells.exists(c => f.contains(s"cell=$c/"))),
+      s"unpruned files read: ${filesRead.filterNot(f =>
+        probeCells.exists(c => f.contains(s"cell=$c/"))).mkString(",")}")
+    // serve from the persisted codes: 8 ADC lookups vs the broadcast
+    // query table, top-10 — must equal the in-memory sim12 gate
+    val tbl = q0.select(
+      call_function("pq_dist_table", col("v"), cb, lit(8)).as("tbl"))
+    val served = idx.crossJoin(broadcast(tbl))
+      .withColumn("adc", (0 until 8).map(m =>
+        element_at(col("tbl"),
+          col("pe").getItem(m).getField("code") + lit(m * nlist + 1)))
+        .reduce(_ + _))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adc")))
+    val viaGate = gate("sim12_ivfpq_search", sf0001).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist_scaled")))
+    assert(served.toSeq == viaGate.toSeq,
+      s"persisted-index serve diverges: ${served.toSeq} vs ${viaGate.toSeq}")
+  }
 }
