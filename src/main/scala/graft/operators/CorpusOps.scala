@@ -342,6 +342,37 @@ object CorpusOps {
       |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
       |      FROM documents) t""".stripMargin
 
+  // --------------------------------------------------------------- cp10
+
+  /** cp10: train/validation/test split — the assignment every dataset
+    * release ships: each document hashes into one of 100 buckets
+    * (salted md5, cp4's reproducible-permutation key, so membership
+    * is a pure function of doc_id — stable under corpus growth,
+    * re-sharding, and engine choice) and buckets map 98/1/1 to
+    * train/validation/test. Emitted per document (the auditable
+    * artifact; the 3-row summary is a trivial rollup). Narrow map —
+    * at 100 TB the split costs nothing and never needs a shuffle or
+    * a registry of past assignments. */
+  private def cp10(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        pmod(conv(substring(rnd("split"), 1, 15), 16, 10).cast("long"),
+          lit(100)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 98, lit("train"))
+          .when(col("bucket") === 98, lit("validation"))
+          .otherwise(lit("test")))
+
+  private val cp10Sql =
+    s"""SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 98 THEN 'train'
+       |       WHEN bucket = 98 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id,
+       |    ('0x' || substr(${rndSql("split")}, 1, 15))::BIGINT % 100 AS bucket
+       |  FROM documents) t""".stripMargin
+
   // ---------------------------------------------------------------- cp7
 
   /** cp7: the END-TO-END corpus pipeline as ONE lazy plan — what "a
@@ -444,5 +475,7 @@ object CorpusOps {
     GateQuery("cp8_epoch_order", cp8, Some(cp8Sql),
       "per-epoch deterministic bin reshuffle, sequenced per (epoch, shard) reader"),
     GateQuery("cp9_span_corrupt", cp9, Some(cp9Sql),
-      "denoising-objective sample generation: salted deterministic masking -> (input, target)"))
+      "denoising-objective sample generation: salted deterministic masking -> (input, target)"),
+    GateQuery("cp10_dataset_split", cp10, Some(cp10Sql),
+      "hash-stable 98/1/1 train/validation/test assignment per document"))
 }
