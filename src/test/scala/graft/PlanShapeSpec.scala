@@ -217,6 +217,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffleCount(p) == 1, s"expected 1 exchange (top-k window)\n$p")
   }
 
+  test("retrieval plans: tx13 head prunes map-side, tx14 query dim is top-k") {
+    val df13 = gate("tx13_inverted_index", sf0001)
+    df13.collect()
+    assert(finalPlan(df13).contains("WindowGroupLimit"),
+      "tx13's 128-entry posting head must prune before the term exchange")
+    val df14 = gate("tx14_scored_retrieval", sf0001)
+    df14.collect()
+    val p14 = finalPlan(df14)
+    assert(p14.contains("TakeOrderedAndProject"),
+      "tx14's rarest-term query dim must be per-partition top-k, not a global sort")
+    assert(p14.contains("WindowGroupLimit"),
+      "tx14's per-term top-10 must prune map-side")
+  }
+
+  test("cp8 epoch order rides a single exchange end-to-end") {
+    // cp3's shard window, cp6's (shard, bin) agg, and cp8's
+    // (epoch, shard) rank all align on the shard partitioning — the
+    // whole manifest→epoch-order chain costs ONE shuffle
+    val df = gate("cp8_epoch_order", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(shuffleCount(p) == 1, s"expected 1 exchange, got ${shuffleCount(p)}\n$p")
+  }
+
   test("cp1 sample prunes map-side: partial WindowGroupLimit below the exchange") {
     // rank ≤ 20 per language must prune each map partition to its
     // local top-20 BEFORE the lang shuffle — at 100 TB the exchange
