@@ -103,6 +103,49 @@ class PqExpressionsSpec extends AnyFunSuite {
     assert(short.isNullAt(0) && short.isNullAt(1))
   }
 
+  test("randomized: PqUtil matches an independent reference on 200 instances") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // independent oracle: straightforward nested loops written
+    // differently from PqUtil's (per-label full-slice accumulate)
+    def refEncode(v: Array[Double], cb: Array[Array[Double]], subDim: Int)
+        : Seq[(Int, Long)] =
+      (0 until cb(0).length / subDim).map { m =>
+        val dists = cb.indices.map { l =>
+          (m * subDim until (m + 1) * subDim).map { d =>
+            val diff = v(d) - cb(l)(d)
+            math.floor(diff * diff * 1e12).toLong
+          }.sum
+        }
+        val best = dists.min
+        (dists.indexOf(best), best) // indexOf = first = lowest label
+      }
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val subDim = Seq(1, 2, 4)(rng.nextInt(3))
+      val m = 1 + rng.nextInt(4)
+      val dim = subDim * m
+      val nlist = 1 + rng.nextInt(6)
+      def vec() = Array.fill(dim)(rng.nextDouble() * 4 - 2)
+      val cb = Array.fill(nlist)(vec())
+      val v = if (rng.nextInt(8) == 0) cb(rng.nextInt(nlist)).clone else vec()
+      val got = graft.functions.PqUtil
+        .encode(new GenericArrayData(v), cb, subDim)
+      val want = refEncode(v, cb, subDim)
+      val gotSeq = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getInt(0), r.getLong(1))
+      }
+      assert(gotSeq == want)
+      val tbl = graft.functions.PqUtil
+        .distTable(new GenericArrayData(v), cb, subDim).toLongArray()
+      // table consistency: slice min at the chosen code, first-min tie
+      want.zipWithIndex.foreach { case ((code, dist), mm) =>
+        val slice = tbl.slice(mm * nlist, (mm + 1) * nlist)
+        assert(slice(code) == dist && slice.min == dist)
+        assert(slice.indexOf(dist) == code)
+      }
+    }
+  }
+
   test("pq_dist_table on a generic geometry (3 labels x 4 dims, subDim 2)") {
     import spark.implicits._
     val cb = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0, 1.0), Seq(0.5, -0.5, 2.0, -2.0))
