@@ -315,7 +315,10 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
-  private val dd4Sql = {
+  /** tok → th → bitsums → sim CTE chain: the per-doc weighted 64-bit
+    * SimHash in portable SQL (ends at `sim(doc_id, simhash)`, no
+    * trailing comma) — shared by the dd4 and dd13 oracles. */
+  private val simhashCteSql = {
     val bits = (0 until 64).map(i =>
       s"CAST(sum(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS b$i")
       .mkString(",\n    ")
@@ -323,13 +326,17 @@ object Dedup {
       val v = if (i < 63) (1L << i).toString else "-9223372036854775808"
       s"(CASE WHEN b$i > 0 THEN $v ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, w, count(*) AS cnt FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |    FROM documents) t GROUP BY doc_id, w),
        |th AS (SELECT doc_id, cnt, ('0x' || substr(md5(w),1,15))::BIGINT AS h FROM tok),
        |bitsums AS (SELECT doc_id, $bits FROM th GROUP BY doc_id),
-       |sim AS (SELECT doc_id, $tosim AS simhash FROM bitsums),
+       |sim AS (SELECT doc_id, $tosim AS simhash FROM bitsums)""".stripMargin
+  }
+
+  private val dd4Sql = {
+    s"""WITH $simhashCteSql,
        |bands AS (
        |  SELECT doc_id, simhash, b.band, (simhash >> (b.band*16)) & 65535 AS key
        |  FROM sim, (SELECT unnest(range(4)) AS band) b),
@@ -755,6 +762,94 @@ object Dedup {
        |  FROM c JOIN q ON c.doc_id = q.doc_id) r
        |WHERE rk = 1""".stripMargin
 
+  // ---------------------------------------------------------------- dd13
+
+  /** dd13: INCREMENTAL ingest dedup — the shape a production pipeline
+    * actually runs daily: a small incoming batch (doc_id ≡ 0 mod 10
+    * stands in for today's crawl) checked against the HISTORICAL
+    * corpus index, not against itself. Exact duplicates via
+    * fingerprint membership, near-duplicates via SimHash band
+    * collision + hamming ≤ 3 (dd4's sketch against history's), each
+    * incoming doc labeled `dup_exact` / `dup_near` / `new` with its
+    * near-match count.
+    *
+    * Scale shape — the ASYMMETRY is the point: history is
+    * corpus-sized but the index columns are tiny (16-byte fp, 8-byte
+    * sketch — the persisted artifact, not the text), and the incoming
+    * side is batch-sized, so the fp membership probe and the band
+    * join both broadcast the INCOMING side and stream history once;
+    * nothing corpus-sized ever shuffles, and unlike the self-join
+    * gates the candidate volume is |batch| × collision rate, not
+    * corpus². */
+  private def dd13(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.contentFp(col("text")).as("fp"),
+      expr("simhash64(split(trim(text), '\\\\s+'))").as("simhash"))
+    val inc = base.filter(col("doc_id") % 10 === 0)
+    val hist = base.filter(col("doc_id") % 10 =!= 0)
+    def bandsOf(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(bd =>
+          expr(s"shiftright(simhash, ${bd * 16}) & 65535")): _*)).as(Seq("band", "key")))
+    val exact = inc
+      .join(broadcast(hist.select(col("fp")).distinct().withColumn("hit", lit(1L))),
+        Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(coalesce(col("hit"), lit(0L))).as("is_exact"))
+    val near = bandsOf(inc).as("i")
+      // incoming is the small side by construction — broadcast it into
+      // one pass over history's band stream
+      .hint("broadcast")
+      .join(bandsOf(hist).as("h"),
+        col("i.band") === col("h.band") && col("i.key") === col("h.key"))
+      .filter(expr("bit_count(i.simhash ^ h.simhash)") <= 3)
+      .select(col("i.doc_id").as("doc_id"), col("h.doc_id").as("hid"))
+      .dropDuplicates("doc_id", "hid")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    // assembly joins are batch-proportional on doc_id — hash on the
+    // shuffle, never sort-merge (cp7's rule; a "daily batch" is not
+    // provably broadcastable at 100 TB)
+    inc.select(col("doc_id"))
+      .join(exact.hint("shuffle_hash"), Seq("doc_id"))
+      .join(near.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("is_exact") === 1L).as("is_exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(col("is_exact") === 1L, lit("dup_exact"))
+          .when(coalesce(col("n_near"), lit(0L)) > 0, lit("dup_near"))
+          .otherwise(lit("new")).as("decision"))
+  }
+
+  private val dd13Sql =
+    s"""WITH $simhashCteSql,
+       |fp AS (SELECT doc_id, ${TextAnalysis.contentFpSql} AS fp FROM documents),
+       |base AS (SELECT f.doc_id, f.fp, s.simhash FROM fp f JOIN sim s USING (doc_id)),
+       |inc AS (SELECT * FROM base WHERE doc_id % 10 = 0),
+       |hist AS (SELECT * FROM base WHERE doc_id % 10 <> 0),
+       |exact AS (
+       |  SELECT i.doc_id,
+       |    CAST(max(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS is_exact
+       |  FROM inc i LEFT JOIN (SELECT DISTINCT fp FROM hist) h ON i.fp = h.fp
+       |  GROUP BY 1),
+       |ib AS (SELECT doc_id, simhash, b.band, (simhash >> (b.band*16)) & 65535 AS key
+       |       FROM inc, (SELECT unnest(range(4)) AS band) b),
+       |hb AS (SELECT doc_id, simhash, b.band, (simhash >> (b.band*16)) & 65535 AS key
+       |       FROM hist, (SELECT unnest(range(4)) AS band) b),
+       |np AS (
+       |  SELECT DISTINCT i.doc_id, h.doc_id AS hid
+       |  FROM ib i JOIN hb h ON i.band = h.band AND i.key = h.key
+       |  WHERE bit_count(xor(i.simhash, h.simhash)) <= 3),
+       |near AS (SELECT doc_id, count(*) AS n_near FROM np GROUP BY 1)
+       |SELECT i.doc_id, e.is_exact = 1 AS is_exact_dup,
+       |  coalesce(n.n_near, 0) AS n_near,
+       |  CASE WHEN e.is_exact = 1 THEN 'dup_exact'
+       |       WHEN coalesce(n.n_near, 0) > 0 THEN 'dup_near'
+       |       ELSE 'new' END AS decision
+       |FROM inc i JOIN exact e ON i.doc_id = e.doc_id
+       |LEFT JOIN near n ON i.doc_id = n.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- dd12
 
   /** Alternating large-star/small-star connected components (Kiveris
@@ -951,5 +1046,7 @@ object Dedup {
     GateQuery("dd11_semantic_dedup", dd11, Some(dd11Sql),
       "SemDeDup decision: IVF-cell-blocked embedding neighbors, greedy quality domination"),
     GateQuery("dd12_cc_bigstar", dd12, Some(dd6Sql),
-      "connected components via large-star/small-star: O(log n) rounds on any diameter"))
+      "connected components via large-star/small-star: O(log n) rounds on any diameter"),
+    GateQuery("dd13_incremental_dedup", dd13, Some(dd13Sql),
+      "incremental ingest dedup: batch vs historical index, exact fp + SimHash bands"))
 }
