@@ -176,6 +176,23 @@ object ScaleProbe {
         val s1 = (System.nanoTime() - t1) / 1e9
         println(f"cp7_full_pipeline $r elapsed=$s1%7.1f s")
       }
+      // Incremental ingest at factor×: the 10% "daily batch" (10k
+      // docs) checks against the 90k-doc history — the batch side
+      // broadcasts, history streams once; candidate volume stays
+      // batch-proportional even though every doc sits in a 20-dense
+      // duplicate group. (The replica stride is a multiple of 10, so
+      // a doc's EXACT copies ride on its own side — the probe
+      // exercises the near-dup band path; exact membership is what
+      // the gate oracles at the base SFs.)
+      locally {
+        val t1 = System.nanoTime()
+        val r = SparkEntry.queries("dd13_incremental_dedup")(spark, out)
+          .groupBy(col("decision")).agg(count(lit(1)).as("n"))
+          .collect().map(x => s"${x.getString(0)}=${x.getLong(1)}")
+          .sorted.mkString(" ")
+        val s1 = (System.nanoTime() - t1) / 1e9
+        println(f"dd13_incremental_dedup $r elapsed=$s1%7.1f s")
+      }
       // Retrieval at factor×: the inverted index's posting heads stay
       // bounded (128 doc_ids) while df/total_tf grow with the
       // replica; tx14's rarest-term query set and broadcast idf dim
