@@ -112,6 +112,41 @@ object EventStream {
       .select(col("vec_id"),
         col("e.code").as("cell"), col("e.dist_scaled"))
 
+  /** Streaming incremental dedup — dd13's decision on a LIVE ingest
+    * stream against a STATIC history index, with ZERO state: the
+    * history publishes (a) its distinct fingerprints and (b) one row
+    * per SimHash (band, key) carrying that bucket's sketch list, so
+    * the per-document check is 1 + 4 broadcast left joins (≤ 1 match
+    * each — the bucket row, not the bucket members) and the hamming
+    * verify runs as an `exists` over the joined sketch array.
+    * Stateless ⇒ no watermark, no state store, exactly-once trivially;
+    * the recall/size knob is the per-bucket sketch list (cap it and
+    * document the miss rate if buckets go hot). Batch twin identical
+    * by construction (no streaming-only operators). */
+  def incrementalDedup(docs: DataFrame, history: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis
+    def indexed(df: DataFrame): DataFrame = df
+      .withColumn("fp", TextAnalysis.contentFp(col("text")))
+      .withColumn("simhash", expr("simhash64(split(trim(text), '\\\\s+'))"))
+    val h = indexed(history)
+    val hFps = h.select(col("fp")).distinct().withColumn("exact_hit", lit(true))
+    val hBands = (0 until 4).map { b =>
+      h.groupBy(expr(s"shiftright(simhash, ${b * 16}) & 65535").as(s"key$b"))
+        .agg(collect_list(col("simhash")).as(s"sk$b"))
+    }
+    var s = indexed(docs).join(broadcast(hFps), Seq("fp"), "left")
+    for (b <- 0 until 4)
+      s = s.withColumn(s"key$b", expr(s"shiftright(simhash, ${b * 16}) & 65535"))
+        .join(broadcast(hBands(b)), Seq(s"key$b"), "left")
+    val near = (0 until 4).map(b =>
+      coalesce(expr(s"exists(sk$b, s -> bit_count(s ^ simhash) <= 3)"), lit(false)))
+      .reduce(_ || _)
+    s.select(col("doc_id"),
+      when(coalesce(col("exact_hit"), lit(false)), lit("dup_exact"))
+        .when(near, lit("dup_near"))
+        .otherwise(lit("new")).as("decision"))
+  }
+
   /** Stream-stream LEFT OUTER join (J1 live — the RSS × detailed-video
     * enrichment, reference youtube_api_handler.py:556-564, with BOTH
     * sides arriving as streams): each detail-fetch event joins the RSS

@@ -246,6 +246,43 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup matches its batch twin, statelessly") {
+    val histText = "the data query runs fast and the table scan stays warm " +
+      "while the merge join sorts rows into the big batch window today"
+    val history = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(100L, histText),
+      org.apache.spark.sql.Row(101L, "an unrelated tiny doc about streams")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val incoming = Seq(
+      (1L, histText), // exact copy (same normalized fingerprint)
+      (2L, histText + " extra"), // near: one appended token
+      (3L, "completely different content about graphs and colors and maps"))
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = EventStream.incrementalDedup(
+      mem.toDF().toDF("doc_id", "text"), history)
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("incdedup").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = EventStream.incrementalDedup(
+        spark.createDataFrame(incoming).toDF("doc_id", "text"), history)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed(1L) == "dup_exact")
+      assert(streamed(3L) == "new")
+      // doc 2's verdict comes from the hamming verify; whatever it is,
+      // it must NOT be exact, and the twin above already pinned it
+      assert(streamed(2L) != "dup_exact")
+    } finally q.stop()
+  }
+
   test("ttl cache: entries refresh within ttl and expire after it") {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     val q = EventStream.ttlCache(spark, toEvents(mem.toDF()))
