@@ -76,8 +76,11 @@ object ScaleProbe {
 
     val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // id stride derives from the source ids — a hardcoded stride would
-    // silently collide replica ids on larger corpora
-    val stride = src.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    // silently collide replica ids on larger corpora. Rounded UP to a
+    // multiple of 100 so replica ids keep their originals' residues
+    // mod 100 (the query-set selector) and mod 10 (dd13's batch
+    // selector) on ANY corpus size, not just round-number ones.
+    val stride = (src.agg(max(col("vec_id"))).head.getLong(0) / 100L + 1L) * 100L
     src.crossJoin(spark.range(factor).toDF("rep"))
       .withColumn("vec_id", col("vec_id") + col("rep") * lit(stride))
       .drop("rep")
@@ -89,7 +92,8 @@ object ScaleProbe {
     // (bits, bands, bandBits): the gate geometry (4-bit, sim2/sim3),
     // the sim3b wide-band gate (8-bit), and the next stop on the law
     // (16-bit). Same 32-plane pool throughout — only the knob moves.
-    // SPARK_GRAFT_PROBE selects a section: all | lsh | dedup | rangejoin.
+    // SPARK_GRAFT_PROBE selects a section:
+    //   all | lsh | ivfpq | dedup | rangejoin.
     if (Set("all", "lsh")(probe)) {
       for ((bits, bands, bandBits) <- Seq((16, 4, 4), (32, 4, 8), (32, 2, 16))) {
         val t0 = System.nanoTime()
@@ -126,7 +130,10 @@ object ScaleProbe {
     // registry and reports verified pair counts + wall time.
     if (Set("all", "dedup")(probe)) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val dstride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      // rounded up to a multiple of 100 for the same residue
+      // preservation as the embeddings stride (dd13 selects its batch
+      // by doc_id % 10; mod-50 selectors ride mod 100 too)
+      val dstride = (docs.agg(max(col("doc_id"))).head.getLong(0) / 100L + 1L) * 100L
       docs.crossJoin(spark.range(factor).toDF("rep"))
         .withColumn("doc_id", col("doc_id") + col("rep") * lit(dstride))
         .drop("rep")
@@ -180,10 +187,10 @@ object ScaleProbe {
       // docs) checks against the 90k-doc history — the batch side
       // broadcasts, history streams once; candidate volume stays
       // batch-proportional even though every doc sits in a 20-dense
-      // duplicate group. (The replica stride is a multiple of 10, so
-      // a doc's EXACT copies ride on its own side — the probe
-      // exercises the near-dup band path; exact membership is what
-      // the gate oracles at the base SFs.)
+      // duplicate group. (The stride is rounded to a multiple of 100,
+      // so a doc's EXACT copies keep its doc_id residue and ride on
+      // its own side — the probe exercises the near-dup band path;
+      // exact membership is what the gate oracles at the base SFs.)
       locally {
         val t1 = System.nanoTime()
         val r = SparkEntry.queries("dd13_incremental_dedup")(spark, out)

@@ -77,8 +77,12 @@ object PqUtil {
 
   /** Per-subspace nearest codebook entry: array of (code, dist_scaled)
     * structs, one per subspace. Null when the vector is shorter than
-    * the codebook dimensionality (degenerate input has no encoding —
-    * the exploded formulation simply dropped such rows). */
+    * the codebook dimensionality — NOTE this differs from the
+    * composed posexplode/join/agg spelling, which would emit a
+    * partial-dimension assignment for a short-but-nonempty vector;
+    * callers must pin the width contract at the base relation
+    * (Similarity.vecs filters `size(embedding) >= Dim` in BOTH
+    * engines) so degenerate rows never reach either formulation. */
   def encode(v: ArrayData, cb: Array[Array[Double]], subDim: Int): ArrayData = {
     val dim = cb(0).length
     if (v.numElements() < dim) return null

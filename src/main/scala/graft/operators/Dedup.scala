@@ -792,9 +792,18 @@ object Dedup {
       df.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(bd =>
           expr(s"shiftright(simhash, ${bd * 16}) & 65535")): _*)).as(Seq("band", "key")))
+    // exact membership with the ASYMMETRY intact: history's fp column
+    // streams once through a semi-join against the broadcast BATCH
+    // fps; only the matched set (≤ |batch| by construction) is ever
+    // collected for the final probe. broadcast(hist.fps) would drag a
+    // corpus-sized relation to the driver — the opposite of the shape
+    // this gate exists to demonstrate.
+    val matchedFps = hist.select(col("fp"))
+      .join(broadcast(inc.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+      .distinct()
+      .withColumn("hit", lit(1L))
     val exact = inc
-      .join(broadcast(hist.select(col("fp")).distinct().withColumn("hit", lit(1L))),
-        Seq("fp"), "left")
+      .join(broadcast(matchedFps), Seq("fp"), "left")
       .groupBy(col("doc_id"))
       .agg(max(coalesce(col("hit"), lit(0L))).as("is_exact"))
     val near = bandsOf(inc).as("i")
@@ -946,11 +955,11 @@ object Dedup {
     * keeps ≥ 1 member; vs dd6+dd10 it may keep one extra member of a
     * long chain (the recall/cost knob, documented not hidden).
     *
-    * Scale shape: sim7's pair set is overlap-bounded (slim ids);
-    * quality signals are a narrow corpus map joined pair-side (the
-    * tiny relation broadcasts, the corpus never shuffles); the final
-    * verdict is a left join of per-doc pair stats back onto
-    * embeddings. */
+    * Scale shape: sim7's pair set is overlap-bounded (slim ids) and
+    * AQE broadcasts it into the quality joins when small; the per-doc
+    * pair stats are corpus-PROPORTIONAL in a duplicate-heavy corpus
+    * (the premise of this gate), so the final left join back onto
+    * embeddings is pinned shuffle-hash, never a forced broadcast. */
   private def dd11(s: SparkSession, d: String): DataFrame = {
     val pairs = Similarity.sim7(s, d)
     val sym = pairs
@@ -980,8 +989,12 @@ object Dedup {
           (col("p_prio") === col("my_prio") && col("p_tokens") > col("my_tokens")) ||
           (col("p_prio") === col("my_prio") && col("p_tokens") === col("my_tokens")
             && col("partner") < col("vec_id")), 1L).otherwise(0L)).as("dominated"))
+    // stats is one row per doc with ANY semantic partner — in the
+    // duplicate-heavy corpora this gate targets that is
+    // corpus-proportional, so hash it on the shuffle (cp7's rule),
+    // never force a broadcast
     Tables.embeddings(s, d).select("vec_id", "label")
-      .join(broadcast(stats), Seq("vec_id"), "left")
+      .join(stats.hint("shuffle_hash"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"),
         coalesce(col("n_partners"), lit(0L)).as("n_partners"),
         col("max_cosine"),

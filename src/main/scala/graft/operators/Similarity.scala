@@ -61,9 +61,17 @@ object Similarity {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
-  /** Base relation: vec_id, label, v (array<double>), n2 (self-dot). */
+  /** Base relation: vec_id, label, v (array<double>), n2 (self-dot).
+    * The width contract is pinned HERE, identically in both engines:
+    * vectors shorter than [[Dim]] are excluded up front (null or
+    * truncated embeddings are ingest defects, and letting them reach
+    * the quantizers would diverge — `pq_encode` returns null on a
+    * short vector while the composed SQL spelling would emit a
+    * partial-dimension assignment). The driver corpora are all
+    * exactly 64-wide, so the filter is free. */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      .filter(size(col("embedding")) >= Dim)
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("n2", dotExpr("v", "v"))
       .select("vec_id", "label", "v", "n2")
@@ -72,7 +80,7 @@ object Similarity {
     s"""vecs AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
        |    ${dotSql("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")} AS n2
-       |  FROM embeddings)
+       |  FROM embeddings WHERE len(embedding) >= $Dim)
        |""".stripMargin
 
   // --------------------------------------------------------------- sim1

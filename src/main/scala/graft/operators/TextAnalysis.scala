@@ -718,9 +718,12 @@ object TextAnalysis {
     * under test is the count + redact stage.
     *
     * Replacement order is pinned (emails → URLs → ≥7-digit runs) and
-    * identical in the oracle: URLs carry digits, so the ID pass must
-    * run after URLs collapse to '<URL>'. Pure narrow projection —
-    * regex work scales with the scan, nothing shuffles. */
+    * identical in the oracle: both emails and URLs can carry digit
+    * runs, so the ID pass — and the n_ids AUDIT COUNT, which must
+    * agree with the number of '<ID>' tokens actually emitted — runs
+    * on text where both earlier passes have already collapsed their
+    * spans. Pure narrow projection — regex work scales with the
+    * scan, nothing shuffles. */
   private def tx15(s: SparkSession, d: String): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val url = "https?://[^\\s]+"
@@ -739,7 +742,8 @@ object TextAnalysis {
       .select(col("doc_id"),
         regexp_count(col("raw"), lit(email)).as("n_emails"),
         regexp_count(col("raw"), lit(url)).as("n_urls"),
-        regexp_count(regexp_replace(col("raw"), url, "<URL>"), lit(idrun)).as("n_ids"),
+        regexp_count(regexp_replace(regexp_replace(col("raw"),
+          email, "<EMAIL>"), url, "<URL>"), lit(idrun)).as("n_ids"),
         regexp_replace(regexp_replace(regexp_replace(col("raw"),
           email, "<EMAIL>"), url, "<URL>"), idrun, "<ID>").as("redacted"))
   }
@@ -760,7 +764,8 @@ object TextAnalysis {
       |SELECT doc_id,
       |  length(regexp_extract_all(raw, '$email')) AS n_emails,
       |  length(regexp_extract_all(raw, '$url')) AS n_urls,
-      |  length(regexp_extract_all(regexp_replace(raw, '$url', '<URL>', 'g'),
+      |  length(regexp_extract_all(regexp_replace(regexp_replace(raw,
+      |    '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
       |    '[0-9]{7,}')) AS n_ids,
       |  regexp_replace(regexp_replace(regexp_replace(raw,
       |    '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
