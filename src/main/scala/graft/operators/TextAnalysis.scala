@@ -615,8 +615,11 @@ object TextAnalysis {
     * tf, then per-term assembly; `collect_list` runs over the ≤128
     * survivors of a rank window whose rank ≤ k prunes map-side
     * (WindowGroupLimit), so no unbounded per-group state ever crosses
-    * the exchange. `array_sort` pins order against DuckDB's
-    * `list(... ORDER BY)`. */
+    * the exchange. `array_sort` (numeric, BEFORE the string cast) pins
+    * order against DuckDB's `list(... ORDER BY)`; the head is emitted
+    * as a comma-joined STRING — the gate contract hashes scalars only,
+    * so no Array/Map/Struct column may reach a gate output (cp6's
+    * manifest discipline, enforced by GateRegistrySpec's schema lint). */
   private def tx13(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
@@ -629,7 +632,9 @@ object TextAnalysis {
         Window.partitionBy(col("term")).orderBy(col("doc_id").asc)))
       .filter(col("rk") <= 128)
       .groupBy(col("term"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("postings_head"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(doc_id))," +
+          " x -> cast(x AS string)), ',')").as("postings_head"))
     full.join(head, Seq("term"))
       .select("term", "df", "total_tf", "postings_head")
   }
@@ -642,7 +647,8 @@ object TextAnalysis {
       |  GROUP BY 1, 2)
       |SELECT term, count(*) AS df,
       |  CAST(sum(tf) AS BIGINT) AS total_tf,
-      |  (list(doc_id ORDER BY doc_id))[1:128] AS postings_head
+      |  array_to_string((list(doc_id ORDER BY doc_id))[1:128], ',')
+      |    AS postings_head
       |FROM tf GROUP BY term""".stripMargin
 
   // --------------------------------------------------------------- tx14

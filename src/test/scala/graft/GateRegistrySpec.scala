@@ -62,6 +62,25 @@ class GateRegistrySpec extends AnyFunSuite {
       s"sum() not wrapped in CAST(... AS BIGINT|DOUBLE) in oracle SQL:\n${offenders.mkString("\n")}")
   }
 
+  test("no gate output schema contains Array/Map/Struct columns") {
+    // The driver's harness sorts result rows by every column in pandas
+    // before hashing; a non-scalar cell (numpy.ndarray from ArrayType,
+    // dict from Struct/Map) makes `sort_values` -> `factorize` throw
+    // `unhashable type` — round 4's only red row (tx13's postings_head
+    // array). Gate outputs must be scalars only; serialize lists as
+    // joined strings (cp6/tx13 pattern: array_join / array_to_string).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = for {
+      q <- GateQueries.all
+      f <- q.run(spark, sf0001).schema.fields
+      if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType]
+    } yield s"${q.name}.${f.name}: ${f.dataType.simpleString}"
+    assert(offenders.isEmpty,
+      s"non-scalar gate output columns (driver cannot hash them):\n${offenders.mkString("\n")}")
+  }
+
   test("no oracle contains an interpolated Scala null") {
     // Composite oracles interpolate other gates' SQL vals; a strict
     // val referencing one defined LATER in its object bakes the

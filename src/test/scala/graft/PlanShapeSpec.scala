@@ -370,6 +370,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"manifest must reuse the shard exchange, not add one\n$p")
   }
 
+  test("dd10 reads dd6's memoized cluster table, not a second propagation") {
+    // dd6's converged label propagation is checkpointed once per data
+    // dir and shared (the codebook pattern); dd10's plan must scan the
+    // checkpoint blocks — never re-derive clusters from the simhash
+    // band self-join (pre-memo, the whole dd4→dd6 pipeline appeared
+    // inside dd10's plan and the propagation ran twice per process).
+    gate("dd6_dup_clusters", sf0001) // warm the memo
+    val p = plan("dd10_canonical_select")
+    assert(p.contains("ExistingRDD"),
+      s"cluster table must come from the checkpointed memo\n$p")
+    assert(!p.contains("simhash"),
+      s"dd4's sketch join must not reappear inside dd10\n$p")
+  }
+
   test("q9 salted agg: partials spread over salt before the final merge") {
     val p = plan("q9_salted_agg")
     // two grouping phases → two hashpartitioning exchanges: one on

@@ -177,4 +177,30 @@ class PropertySpec extends AnyFunSuite {
       if (subs <= 0) assert(er4 == 0L)
     }
   }
+
+  test("k_engage extraction caps at 9 digits: 12-digit payloads stay in int64") {
+    // The ca2/ca6/ca9 engagement scaling multiplies k_sum by 10^8; an
+    // unbounded digit run would overflow DuckDB's checked int64 multiply
+    // while Spark (non-ANSI) silently wraps — a cross-engine divergence
+    // only a hostile payload triggers. Both engines use the same greedy
+    // `([0-9]{1,9})` pattern, which takes the FIRST NINE digits of a
+    // longer run (verified against DuckDB: regexp_extract('…123456789012…')
+    // = '123456789'), bounding k_engage ≤ 999,999,999 by construction.
+    val digitRun = Gen.chooseNum(10, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.numChar).map(_.mkString))
+    val cases = Gen.listOfN(200, digitRun).sample.get
+      .map(run => s"payload k=$run end") :+ "k=999999999999 end"
+    val df = cases.toDF("props")
+      .selectExpr("props",
+        "CAST(regexp_extract(props, '([0-9]{1,9})', 1) AS LONG) AS k_engage")
+    df.collect().foreach { r =>
+      val run = "[0-9]+".r.findFirstIn(r.getString(0)).get
+      val expect = run.take(9).toLong // greedy prefix, both engines
+      assert(r.getLong(1) == expect, s"props=${r.getString(0)}")
+      assert(r.getLong(1) <= 999999999L)
+      // the downstream ×10^8 scaling must stay inside int64 even for a
+      // 15-video window of max-valued k_engage
+      assert(r.getLong(1) * 15L <= Long.MaxValue / (100L * 100 * 10000))
+    }
+  }
 }

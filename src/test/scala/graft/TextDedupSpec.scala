@@ -335,8 +335,12 @@ class TextDedupSpec extends AnyFunSuite {
     // need not include the top-scored ones)
     val joined = ret.join(idx, Seq("term"))
     assert(joined.filter(col("df") =!= col("idx_df")).count() == 0)
+    // postings_head is a comma-joined string (the gate scalar-output
+    // contract) — split it back to longs for the containment check
     assert(joined.filter(col("df") <= 128 &&
-      !array_contains(col("postings_head"), col("doc_id"))).count() == 0)
+      !array_contains(
+        expr("transform(split(postings_head, ','), x -> cast(x AS bigint))"),
+        col("doc_id"))).count() == 0)
     assert(joined.filter(col("df") <= 128).count() > 0,
       "no complete posting list exercised — shrink the cap or the corpus")
     // scores rank correctly: rank 1 carries the max score per term
@@ -350,7 +354,8 @@ class TextDedupSpec extends AnyFunSuite {
     }
     // the index itself: df bounds, sorted bounded postings
     idx.collect().foreach { row =>
-      val posts = row.getSeq[Long](row.fieldIndex("postings_head"))
+      val posts = row.getString(row.fieldIndex("postings_head"))
+        .split(',').toSeq.map(_.toLong)
       assert(posts.length <= 128 && posts == posts.sorted)
       assert(row.getAs[Long]("idx_df") >= posts.length.toLong)
       assert(row.getAs[Long]("total_tf") >= row.getAs[Long]("idx_df"))

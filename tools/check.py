@@ -23,6 +23,23 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def nonscalar_cols(df: pd.DataFrame):
+    """Columns holding non-scalar cells (ndarray/list/dict — i.e. Spark
+    Array/Map/Struct outputs). The driver's harness sorts rows by every
+    column before hashing and pandas factorize throws `unhashable type`
+    on these (round 4: tx13's postings_head) — so the mirror must FAIL
+    them the way the driver fails, never silently stringify."""
+    import numpy as np
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            vals = df[c].dropna()
+            if len(vals) and isinstance(
+                    vals.iloc[0], (np.ndarray, list, tuple, dict, set)):
+                bad.append(c)
+    return bad
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes: decimals -> float, categoricals -> str
@@ -76,7 +93,13 @@ def main():
         exp = con.execute(oracles[name]).df()
         ok = True
         msgs = []
-        if sorted(got.columns) != sorted(exp.columns):
+        ns = nonscalar_cols(got) + [
+            c for c in nonscalar_cols(exp) if c not in nonscalar_cols(got)]
+        if ns:
+            ok = False
+            msgs.append(f"NON-SCALAR columns {ns} (driver harness cannot hash "
+                        "arrays/structs — emit joined strings instead)")
+        elif sorted(got.columns) != sorted(exp.columns):
             ok = False
             msgs.append(f"schema spark={sorted(got.columns)} duckdb={sorted(exp.columns)}")
         elif len(got) != len(exp):
