@@ -100,8 +100,12 @@ object Multimodal {
     * mapPartitions over the binary payload (the shape a real codec UDF
     * would take: per-partition batching, one decoder instance per
     * partition, primitive loops over bytes). Features are deterministic
-    * byte statistics — the stand-in for "decoded embedding". Not
-    * SQL-expressible per-partition → rows-only gate (no oracle). */
+    * byte statistics — the stand-in for "decoded embedding" — chosen
+    * to be REPRODUCIBLE IN SQL: the oracle re-derives every byte of
+    * the UTF-8 payload via hex(encode(text)) and recomputes the same
+    * truncating integer moments, so even the mapPartitions seam gets a
+    * full value-level gate (the per-partition execution shape is what
+    * the oracle can't see; the VALUES it must). */
   private def mm3(s: SparkSession, d: String): DataFrame = {
     val sp = s
     import sp.implicits._
@@ -115,6 +119,29 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Byte list b[i] = i-th UTF-8 byte of text, via the hex view (two
+    * hex chars per byte). Sums stay BIGINT-exact: 255² × max payload
+    * length is far inside int64; `//` floors like the decoder's
+    * non-negative Long division. Empty payload ⇒ min 255 / max 0,
+    * matching FakeDecoder's loop identities. */
+  private val mm3Sql =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, strlen(text) AS n_bytes,
+      |    list_transform(range(strlen(text)),
+      |      i -> ('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2))::BIGINT) AS bs
+      |  FROM documents),
+      |m AS (
+      |  SELECT media_id, n_bytes,
+      |    CAST(coalesce(list_sum(bs), 0) AS BIGINT) AS s,
+      |    CAST(coalesce(list_sum(list_transform(bs, x -> x*x)), 0) AS BIGINT) AS sq,
+      |    coalesce(list_min(bs), 255) AS byte_min,
+      |    coalesce(list_max(bs), 0) AS byte_max,
+      |    greatest(n_bytes, 1) AS n
+      |  FROM b)
+      |SELECT media_id, n_bytes, s // n AS byte_mean,
+      |  sq // n - (s // n) * (s // n) AS byte_var, byte_min, byte_max
+      |FROM m""".stripMargin
 
   /** Deterministic stand-in for a media codec: byte-histogram moments.
     * A real deployment swaps this class for the codec binding; nothing
@@ -225,8 +252,8 @@ object Multimodal {
       "binary payload metadata projection (octet_length/md5/shard)"),
     GateQuery("mm2_frame_sample", mm2, Some(mm2Sql),
       "offset-based frame sampling + per-frame fingerprints"),
-    GateQuery("mm3_decode_features", mm3, None,
-      "stubbed decode via typed mapPartitions (rows-only check)"),
+    GateQuery("mm3_decode_features", mm3, Some(mm3Sql),
+      "stubbed decode via typed mapPartitions; oracle re-derives the byte moments from hex(encode(text))"),
     GateQuery("mm4_thumb_resize", mm4, Some(mm4Sql),
       "aspect-preserving integer resize dims + proportional byte prefix"),
     GateQuery("mm5_paired_modalities", mm5, Some(mm5Sql),

@@ -26,13 +26,13 @@ object TimeWindows {
   private val HourUs  = 3600L * 1000000
   private val SlideUs = 1800L * 1000000
 
-  private def evs(s: SparkSession, d: String): DataFrame =
+  private[operators] def evs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("event_id"), col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("ts_us"),
       (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("value_cents"))
 
-  private val evsSql =
+  private[operators] val evsSql =
     """WITH evs AS (
       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
       |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS value_cents
@@ -423,6 +423,73 @@ object TimeWindows {
        |  ON w.user_id = n.user_id AND n.wk = w.wk + 1
        |GROUP BY w.wk""".stripMargin
 
+  /** tw11: API-key ROTATION selection — the last reference behavior
+    * with real query semantics (`_get_next_api_key`,
+    * youtube_api_handler.py:222-275): availability filtering (a key
+    * under its daily/hourly quota — tw4's `admitted` flag), then the
+    * two deterministic strategies as data, per day window:
+    * `least_used` = the admitted key with the fewest daily requests
+    * (key-asc tie-break standing in for the reference's
+    * first-in-list-wins scan), and `round_robin` = the admitted key
+    * at slot (day-index mod admitted-count) in key order (the
+    * stateful rotating index restated as a pure function of the
+    * window). NULL selections when every key is over quota — the
+    * reference returns None there. (`random` is inherently
+    * non-relational; documented in COVERAGE.)
+    *
+    * Scale shape: builds on tw4's per-(key, day) rollup — the usage
+    * table is |keys| × |days| rows regardless of corpus size, so the
+    * day-partitioned rank windows and the final per-day fold touch a
+    * dimension table, never the event stream; the event-scale work is
+    * exactly tw4's one map-side-combinable two-level agg. */
+  private def tw11(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * HourUs
+    val w = Window.partitionBy(col("day_us"))
+    // admitted DESC leads both rank orders, so rank 1 is always an
+    // admitted key whenever one exists — no nested min-over-window
+    tw4(s, d)
+      .withColumn("lu_rk", row_number().over(w.orderBy(
+        col("admitted").desc, col("daily_requests").asc, col("user_id").asc)))
+      .withColumn("adm_rk", row_number().over(w.orderBy(
+        col("admitted").desc, col("user_id").asc)))
+      .withColumn("n_keys", count(lit(1)).over(w))
+      .withColumn("n_admitted",
+        sum(when(col("admitted"), 1L).otherwise(0L)).over(w))
+      .groupBy(col("day_us"), col("n_keys"), col("n_admitted"))
+      .agg(
+        max(when(col("admitted") && col("lu_rk") === 1, col("user_id")))
+          .as("least_used_key"),
+        min(when(col("admitted"), col("daily_requests")))
+          .as("least_used_requests"),
+        max(when(col("admitted") && col("adm_rk") ===
+            lit(1) + expr(s"(day_us div ${DayUs}L) % greatest(n_admitted, 1)"),
+          col("user_id"))).as("round_robin_key"))
+  }
+
+  private val tw11Sql = {
+    val DayUs = 24L * HourUs
+    s"""WITH usage AS ($tw4Sql),
+       |sel AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY day_us ORDER BY
+       |      admitted DESC, daily_requests ASC, user_id ASC) AS lu_rk,
+       |    row_number() OVER (PARTITION BY day_us ORDER BY
+       |      admitted DESC, user_id ASC) AS adm_rk,
+       |    count(*) OVER (PARTITION BY day_us) AS n_keys,
+       |    CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY day_us) AS BIGINT) AS n_admitted
+       |  FROM usage)
+       |SELECT day_us, n_keys, n_admitted,
+       |  max(CASE WHEN admitted AND lu_rk = 1 THEN user_id END)
+       |    AS least_used_key,
+       |  min(CASE WHEN admitted THEN daily_requests END)
+       |    AS least_used_requests,
+       |  max(CASE WHEN admitted AND adm_rk =
+       |      1 + (day_us // $DayUs) % greatest(n_admitted, 1)
+       |    THEN user_id END) AS round_robin_key
+       |FROM sel GROUP BY day_us, n_keys, n_admitted""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -443,5 +510,7 @@ object TimeWindows {
     GateQuery("tw9_event_gaps", tw9, Some(tw9Sql),
       "per-user inter-event gap stats via lag window, one Exchange shared with the rollup"),
     GateQuery("tw10_retention_cohort", tw10, Some(tw10Sql),
-      "week-over-week retention via distinct activity set self-joined shifted"))
+      "week-over-week retention via distinct activity set self-joined shifted"),
+    GateQuery("tw11_key_rotation", tw11, Some(tw11Sql),
+      "quota-admitted API-key selection: least_used + round_robin strategies as data"))
 }

@@ -120,6 +120,36 @@ class LogTimeSpec extends AnyFunSuite {
     }
   }
 
+  test("tw11 rotation: selections are admitted keys, least-used is minimal") {
+    import org.apache.spark.sql.functions._
+    val usage = gate("tw4_quota_windows", sf0001).collect()
+      .groupBy(_.getAs[Long]("day_us"))
+    val rows = gate("tw11_key_rotation", sf0001).collect()
+    assert(rows.nonEmpty && rows.length == usage.size) // one row per day
+    rows.foreach { r =>
+      val day = usage(r.getAs[Long]("day_us"))
+      val admitted = day.filter(_.getAs[Boolean]("admitted"))
+      assert(r.getAs[Long]("n_keys") == day.length)
+      assert(r.getAs[Long]("n_admitted") == admitted.length)
+      if (admitted.isEmpty) {
+        // reference returns None when every key is over quota
+        assert(r.isNullAt(r.fieldIndex("least_used_key")))
+        assert(r.isNullAt(r.fieldIndex("round_robin_key")))
+      } else {
+        val admittedKeys = admitted.map(_.getAs[Long]("user_id")).toSet
+        val lu = r.getAs[Long]("least_used_key")
+        assert(admittedKeys.contains(lu), s"least_used not admitted: $r")
+        assert(admittedKeys.contains(r.getAs[Long]("round_robin_key")))
+        // minimality + the deterministic key-asc tie-break
+        val minReq = admitted.map(_.getAs[Long]("daily_requests")).min
+        assert(r.getAs[Long]("least_used_requests") == minReq)
+        val expectLu = admitted.filter(_.getAs[Long]("daily_requests") == minReq)
+          .map(_.getAs[Long]("user_id")).min
+        assert(lu == expectLu)
+      }
+    }
+  }
+
   test("tw5 asof: latest prior click per purchase, exact tie semantics") {
     // fixture: user 1 — click(id1,t10), click(id2,t20), purchase(id3,t20)
     // (same-ts tie: id2 < id3 counts as prior), purchase(id4,t30),

@@ -21,4 +21,23 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(m("zero_engagement_rows") == direct.getLong(1))
     assert(m("channels_approx").asInstanceOf[Long] > 0)
   }
+
+  test("ob1 cache counters: conservation, cold-start misses, rate bounds") {
+    import org.apache.spark.sql.functions._
+    val rows = gate("ob1_cache_counters", sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 4) // ≤ 4 cache types
+    rows.foreach { r =>
+      val (n, h, m2) = (r.getAs[Long]("n_lookups"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("n_misses"))
+      assert(h + m2 == n, s"hits+misses must equal lookups: $r")
+      val permille = r.getAs[Long]("hit_rate_permille")
+      assert(permille >= 0 && permille <= 1000)
+      assert(permille == h * 1000 / n)
+    }
+    // every (user, type) cache key's FIRST lookup is a cold miss, so
+    // total misses ≥ distinct keys (more when entries expire mid-stream)
+    val nKeys = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_misses")).sum >= nKeys)
+  }
 }
