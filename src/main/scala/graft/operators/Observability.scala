@@ -52,7 +52,10 @@ object Observability {
     * then a map-side-combinable agg onto ≤4 rows. The hit flag is
     * integer microsecond arithmetic; the permille rate is floor-div
     * (the repo-wide FP-determinism policy). */
-  private def ob1(s: SparkSession, d: String): DataFrame =
+  /** Per-lookup hit/miss stream shared by ob1/ob2: every event is a
+    * cache lookup on its (user, type) key, hit iff the previous
+    * lookup on the key is within the type's TTL. */
+  private def lookups(s: SparkSession, d: String): DataFrame =
     TimeWindows.evs(s, d)
       .withColumn("cache_type",
         when(col("event_type") === "view", "video")
@@ -69,22 +72,11 @@ object Observability {
           .orderBy(col("ts_us").asc, col("event_id").asc)))
       .withColumn("hit",
         col("prev_us").isNotNull && col("ts_us") - col("prev_us") <= col("ttl_us"))
-      .groupBy(col("cache_type"))
-      .agg(
-        count(lit(1)).as("n_lookups"),
-        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
-        sum(when(col("hit"), 0L).otherwise(1L)).as("n_misses"))
-      .withColumn("hit_rate_permille",
-        expr("(n_hits * 1000) div n_lookups"))
 
-  private val ob1Sql = TimeWindows.evsSql +
-    """SELECT cache_type, count(*) AS n_lookups,
-      |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-      |  CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_misses,
-      |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) * 1000
-      |    // count(*) AS hit_rate_permille
-      |FROM (
-      |  SELECT cache_type,
+  /** Shared lookup CTE (`looks`): the SQL twin of [[lookups]]. */
+  private val looksSql = TimeWindows.evsSql +
+    """, looks AS (
+      |  SELECT user_id, event_type, cache_type, ts_us,
       |    prev_us IS NOT NULL AND ts_us - prev_us <= ttl_us AS hit
       |  FROM (
       |    SELECT *,
@@ -94,10 +86,84 @@ object Observability {
       |        WHEN 'signup' THEN 1800000000 ELSE 3600000000 END AS ttl_us,
       |      lag(ts_us, 1) OVER (PARTITION BY user_id, event_type
       |        ORDER BY ts_us ASC, event_id ASC) AS prev_us
-      |    FROM evs) keyed) looks
+      |    FROM evs) keyed)
+      |""".stripMargin
+
+  private def ob1(s: SparkSession, d: String): DataFrame =
+    lookups(s, d)
+      .groupBy(col("cache_type"))
+      .agg(
+        count(lit(1)).as("n_lookups"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("hit"), 0L).otherwise(1L)).as("n_misses"))
+      .withColumn("hit_rate_permille",
+        expr("(n_hits * 1000) div n_lookups"))
+
+  private val ob1Sql = looksSql +
+    """SELECT cache_type, count(*) AS n_lookups,
+      |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_misses,
+      |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) * 1000
+      |    // count(*) AS hit_rate_permille
+      |FROM looks
       |GROUP BY cache_type""".stripMargin
+
+  /** ob2: per-request and per-batch cache-status REDUCTION — the last
+    * reference endpoint field with no analog (SURVEY §7.4 gotcha 10,
+    * now modeled): a channel-analytics request aggregates several
+    * sub-resource lookups and reports 'hit' when ALL were cached,
+    * 'miss' when NONE were, else 'partial'
+    * (youtube_api_handler.py:655-666); a batch endpoint then reduces
+    * its requests' statuses to 'mixed' when they disagree, else the
+    * common status (api_server.py:456-470). Here a request is a
+    * (user, hour) group of lookups and a batch is the hour across
+    * users — per hour: request count, hit/miss/partial breakdown, and
+    * the batch status.
+    *
+    * Scale shape: two map-side-combinable hash aggs; the second
+    * groups the REQUEST table (bounded by users × hours, not events).
+    * 'mixed' is min(status) <> max(status) — no DISTINCT aggregate,
+    * so both levels stay partial-aggregable. */
+  private def ob2(s: SparkSession, d: String): DataFrame =
+    lookups(s, d)
+      .withColumn("hour_us", expr("(ts_us div 3600000000L) * 3600000000L"))
+      .groupBy(col("user_id"), col("hour_us"))
+      .agg(count(lit(1)).as("n_looks"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("status",
+        when(col("n_hits") === col("n_looks"), "hit")
+          .when(col("n_hits") === 0, "miss")
+          .otherwise("partial"))
+      .groupBy(col("hour_us"))
+      .agg(
+        count(lit(1)).as("n_requests"),
+        sum(when(col("status") === "hit", 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("status") === "miss", 1L).otherwise(0L)).as("n_miss"),
+        sum(when(col("status") === "partial", 1L).otherwise(0L)).as("n_partial"),
+        when(min(col("status")) =!= max(col("status")), "mixed")
+          .otherwise(min(col("status"))).as("batch_status"))
+
+  private val ob2Sql = looksSql +
+    """, req AS (
+      |  SELECT user_id, hour_us, n_looks, n_hits,
+      |    CASE WHEN n_hits = n_looks THEN 'hit'
+      |      WHEN n_hits = 0 THEN 'miss' ELSE 'partial' END AS status
+      |  FROM (
+      |    SELECT user_id, (ts_us // 3600000000) * 3600000000 AS hour_us,
+      |      count(*) AS n_looks,
+      |      CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |    FROM looks GROUP BY 1, 2) g)
+      |SELECT hour_us, count(*) AS n_requests,
+      |  CAST(sum(CASE WHEN status = 'hit' THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  CAST(sum(CASE WHEN status = 'miss' THEN 1 ELSE 0 END) AS BIGINT) AS n_miss,
+      |  CAST(sum(CASE WHEN status = 'partial' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+      |  CASE WHEN min(status) <> max(status) THEN 'mixed'
+      |    ELSE min(status) END AS batch_status
+      |FROM req GROUP BY hour_us""".stripMargin
 
   def queries: Seq[GateQuery] = Seq(
     GateQuery("ob1_cache_counters", ob1, Some(ob1Sql),
-      "TTL-cache hit/miss counters as data (A9's oracled twin; SimpleCache.get semantics)"))
+      "TTL-cache hit/miss counters as data (A9's oracled twin; SimpleCache.get semantics)"),
+    GateQuery("ob2_batch_cache_status", ob2, Some(ob2Sql),
+      "per-request hit/miss/partial + per-batch 'mixed' cache-status reduction"))
 }

@@ -40,4 +40,24 @@ class ObservabilitySpec extends AnyFunSuite {
       .select(col("user_id"), col("event_type")).distinct().count()
     assert(rows.map(_.getAs[Long]("n_misses")).sum >= nKeys)
   }
+
+  test("ob2 batch status: conservation, mixed iff statuses disagree") {
+    val rows = gate("ob2_batch_cache_status", sf0001).collect()
+    assert(rows.nonEmpty)
+    var sawMixed = false
+    rows.foreach { r =>
+      val (n, h, m, p) = (r.getAs[Long]("n_requests"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("n_miss"), r.getAs[Long]("n_partial"))
+      assert(h + m + p == n, s"request statuses must partition the batch: $r")
+      val distinct = Seq(h, m, p).count(_ > 0)
+      val status = r.getAs[String]("batch_status")
+      if (distinct > 1) { assert(status == "mixed"); sawMixed = true }
+      else {
+        // the single present status names the batch
+        val expect = if (h > 0) "hit" else if (m > 0) "miss" else "partial"
+        assert(status == expect, s"batch of one status kind: $r")
+      }
+    }
+    assert(sawMixed, "fixture too uniform: no mixed batch exercised")
+  }
 }
