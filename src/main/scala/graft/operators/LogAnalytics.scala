@@ -254,6 +254,56 @@ object LogAnalytics {
       |FROM logs GROUP BY logger_name
       |ORDER BY n_total DESC, logger_name ASC LIMIT 100""".stripMargin
 
+  /** la9: MUTATING retention — the `DELETE` + `VACUUM` pair
+    * (sqlite_logger.py:317-350) actually executed against storage,
+    * not just computed declaratively (that's la5): the log view is
+    * written DAY-PARTITIONED to a parquet table, every whole-day
+    * partition older than the 7-day cutoff is DROPPED at the
+    * metadata/filesystem level, and the surviving table is read back
+    * and rolled up. Partition-granularity drop is the 100 TB
+    * retention shape — `ALTER TABLE DROP PARTITION` / Delta
+    * `replaceWhere`: no row rewrite, no scan of surviving data, cost
+    * proportional to the PARTITION COUNT (days), not rows. (The
+    * sandbox has no Delta; the Hadoop-FS directory drop is the same
+    * metadata operation a table format would journal.)
+    *
+    * Driver-side work is bounded by construction: one 1-row max(ts)
+    * action for the cutoff, one directory listing of ≤ |days|
+    * partitions — the dd6-fixpoint class of justified driver actions,
+    * never row data. The read-back proves the drop: its rollup must
+    * equal the oracle's kept-days filter over rows that never left
+    * the engine. */
+  private def la9(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * 3600 * 1000000
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la9_${java.util.UUID.randomUUID()}"
+    val l = logs(s, d)
+      .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
+    l.write.mode("overwrite").partitionBy("day_us").parquet(dir)
+    val maxUs = l.agg(max(col("ts_us"))).head().getLong(0)
+    val cutoffDay = ((maxUs - 7L * DayUs) / DayUs) * DayUs
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("day_us=") &&
+        name.stripPrefix("day_us=").toLong < cutoffDay)
+        fs.delete(st.getPath, true) // the partition DROP (VACUUM unit)
+    }
+    s.read.parquet(dir)
+      .groupBy(col("day_us"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("value_cents"))
+  }
+
+  private val la9Sql = logsSql +
+    """SELECT day_us, count(*) AS n,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+      |FROM (
+      |  SELECT (ts_us // 86400000000) * 86400000000 AS day_us, value_cents
+      |  FROM logs, (SELECT max(ts_us) AS max_us FROM logs) m
+      |  WHERE (ts_us // 86400000000) * 86400000000 >=
+      |    ((max_us - 604800000000) // 86400000000) * 86400000000) t
+      |GROUP BY day_us""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -270,5 +320,7 @@ object LogAnalytics {
     GateQuery("la7_rollup_sets", la7, Some(la7Sql),
       "ROLLUP grouping sets: detail/subtotal/total in one Expand pass (A7)"),
     GateQuery("la8_level_pivot", la8, Some(la8Sql),
-      "explicit-values PIVOT cross-tab, one hash agg (vs conditional-agg oracle)"))
+      "explicit-values PIVOT cross-tab, one hash agg (vs conditional-agg oracle)"),
+    GateQuery("la9_retention_vacuum", la9, Some(la9Sql),
+      "MUTATING retention: day-partition drop on a parquet table + read-back proof (S11)"))
 }
