@@ -490,6 +490,64 @@ object TimeWindows {
        |FROM sel GROUP BY day_us, n_keys, n_admitted""".stripMargin
   }
 
+  /** tw12: RATE-LIMIT dispatch schedule — `_rate_limit`
+    * (youtube_api_handler.py:361-367): each request sleeps until
+    * `min_request_interval` past the previous dispatch, i.e. the
+    * sequential recurrence D_i = max(a_i, D_{i-1} + I). That loop
+    * looks un-parallelizable; its closed form is not:
+    * D_i = i·I + max_{j≤i}(a_j − j·I) — a PREFIX MAX. So the rate
+    * limiter becomes one rank window plus one running-max window over
+    * the same (key, arrival-order) sort, and the per-key throttle
+    * report (requests, throttled count, total/max induced delay)
+    * falls out of integer arithmetic both engines reproduce exactly.
+    *
+    * I = 600 s here: the reference's 100 ms guards a per-HTTP-request
+    * cadence; the synthetic feed's per-key arrivals are minutes
+    * apart, so the gate scales the constant (env-tunable in the
+    * reference too, config.py:33) to actually exercise queueing —
+    * the operator is identical for any I.
+    *
+    * Scale shape: row_number and the running max share ONE exchange +
+    * sort on user_id (ca1's reuse pattern, plan-asserted), and the
+    * final rollup groups on the same key — no second shuffle of event
+    * data; per-key state during the scan is a single running value. */
+  private def tw12(s: SparkSession, d: String): DataFrame = {
+    val I = 600L * 1000000
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    evs(s, d)
+      .withColumn("i", row_number().over(order).cast("long"))
+      .withColumn("cm", max(col("ts_us") - col("i") * I).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("delay_us", col("i") * I + col("cm") - col("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_requests"),
+        sum(when(col("delay_us") > 0, 1L).otherwise(0L)).as("n_throttled"),
+        sum(col("delay_us")).as("total_delay_us"),
+        max(col("delay_us")).as("max_delay_us"))
+  }
+
+  private val tw12Sql = {
+    val I = 600L * 1000000
+    evsSql +
+      s"""SELECT user_id, count(*) AS n_requests,
+         |  CAST(sum(CASE WHEN delay_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_throttled,
+         |  CAST(sum(delay_us) AS BIGINT) AS total_delay_us,
+         |  max(delay_us) AS max_delay_us
+         |FROM (
+         |  SELECT user_id, i * $I + max(ts_us - i * $I) OVER (
+         |      PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+         |      ROWS UNBOUNDED PRECEDING) - ts_us AS delay_us
+         |  FROM (
+         |    SELECT user_id, event_id, ts_us,
+         |      CAST(row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts_us ASC, event_id ASC) AS BIGINT) AS i
+         |    FROM evs) r) t
+         |GROUP BY user_id""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -512,5 +570,7 @@ object TimeWindows {
     GateQuery("tw10_retention_cohort", tw10, Some(tw10Sql),
       "week-over-week retention via distinct activity set self-joined shifted"),
     GateQuery("tw11_key_rotation", tw11, Some(tw11Sql),
-      "quota-admitted API-key selection: least_used + round_robin strategies as data"))
+      "quota-admitted API-key selection: least_used + round_robin strategies as data"),
+    GateQuery("tw12_rate_limit", tw12, Some(tw12Sql),
+      "rate-limit dispatch schedule via prefix-max closed form of the throttle recurrence"))
 }

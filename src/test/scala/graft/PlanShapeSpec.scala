@@ -370,6 +370,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"manifest must reuse the shard exchange, not add one\n$p")
   }
 
+  test("tw12 rate-limit windows + rollup share one user_id exchange") {
+    // rank window, running-max window, and the final groupBy all key on
+    // user_id — the whole throttle schedule must cost ONE shuffle
+    val df = gate("tw12_rate_limit", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(shuffleCount(p) <= 1,
+      s"rate limiter must reuse the user_id exchange\n$p")
+  }
+
   test("dd10 reads dd6's memoized cluster table, not a second propagation") {
     // dd6's converged label propagation is checkpointed once per data
     // dir and shared (the codebook pattern); dd10's plan must scan the

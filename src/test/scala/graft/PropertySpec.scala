@@ -178,6 +178,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rate-limit prefix-max closed form equals the sequential throttle loop") {
+    // tw12 rests on D_i = max(a_i, D_{i-1} + I) having the closed form
+    // D_i = i*I + cummax(a_j - j*I). Verify the window restatement
+    // against the imperative recurrence on dense random arrivals
+    // (gaps straddling I so both branches of the max are exercised).
+    val I = 1000L
+    val gaps = Gen.listOfN(400, Gen.chooseNum(0L, 3000L)).sample.get
+    val arrivals = gaps.scanLeft(0L)(_ + _).tail
+    val df = arrivals.zipWithIndex.map { case (a, k) => (a, k.toLong) }
+      .toDF("ts_us", "event_id")
+      .selectExpr("ts_us", "event_id",
+        s"""cast(row_number() OVER (ORDER BY ts_us ASC, event_id ASC) AS long) * $I +
+            max(ts_us - cast(row_number() OVER (ORDER BY ts_us ASC, event_id ASC) AS long) * $I)
+              OVER (ORDER BY ts_us ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dispatch_us""")
+    val got = df.orderBy("ts_us", "event_id").collect().map(_.getAs[Long]("dispatch_us"))
+    val sorted = arrivals.sorted
+    val expect = sorted.tail.scanLeft(sorted.head) {
+      case (prev, a) => math.max(a, prev + I)
+    }
+    assert(got.toSeq == expect, "window closed form diverges from the loop")
+    // throttling must actually occur in this fixture
+    assert(got.toSeq.zip(sorted).exists { case (d2, a) => d2 > a })
+  }
+
   test("k_engage extraction caps at 9 digits: 12-digit payloads stay in int64") {
     // The ca2/ca6/ca9 engagement scaling multiplies k_sum by 10^8; an
     // unbounded digit run would overflow DuckDB's checked int64 multiply
