@@ -223,6 +223,39 @@ object EventStream {
       }.toDF()
   }
 
+  /** Per-key rate-limit dispatch state (T4): the streaming twin of
+    * tw12's prefix-max closed form. Where the batch restatement
+    * carries the whole per-key prefix through a running-max window,
+    * the stream needs exactly ONE long per key — the last dispatch
+    * time — because the recurrence D_i = max(a_i, D_{i-1} + I) is
+    * Markovian: bounded state by construction, no timeout needed. */
+  case class DispatchState(lastDispatchUs: Long)
+  case class Dispatch(user_id: Long, ts_us: Long, dispatch_us: Long,
+      delay_us: Long)
+
+  def rateLimitSchedule(spark: SparkSession, events: DataFrame,
+      intervalUs: Long = 600L * 1000000): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DispatchState, Dispatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[DispatchState]) =>
+          val sorted = rows.map(r => r._2.getTime * 1000L).toSeq.sorted
+          var last = state.getOption.map(_.lastDispatchUs)
+            .getOrElse(Long.MinValue / 4) // "never dispatched": a_1 wins the max
+          val out = sorted.map { us =>
+            val d = math.max(us, last + intervalUs)
+            last = d
+            Dispatch(key, us, d, d - us)
+          }
+          state.update(DispatchState(last))
+          out.iterator
+      }.toDF()
+  }
+
   /** Per-key TTL cache state (T1): first event for a key inserts an
     * entry; subsequent events within `ttl` refresh hit counts; an
     * event-time timeout expires the entry and emits its tombstone —

@@ -196,6 +196,47 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate-limit schedule: streaming recurrence equals batch closed form across batches") {
+    // interval 10 min; user 1 sends a burst (0, 2, 4 min) in batch 1 —
+    // dispatches 0, 10, 20 — then batch 2 arrives at 25 and 90 min:
+    // 25 queues behind the carried state (dispatch 30), 90 is free.
+    // State must survive the micro-batch boundary; user 2's lone event
+    // must never queue.
+    val mkTs = (min: Long) => new Timestamp(min * 60000)
+    val I = 10L * 60 * 1000000
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val q = EventStream.rateLimitSchedule(spark, toEvents(mem.toDF()), I)
+      .writeStream.format("memory").queryName("ratelimit")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, mkTs(0), 1L, "c", 0.0), (2L, mkTs(2), 1L, "c", 0.0),
+        (3L, mkTs(4), 1L, "c", 0.0), (4L, mkTs(7), 2L, "c", 0.0))
+      q.processAllAvailable()
+      mem.addData((5L, mkTs(25), 1L, "c", 0.0), (6L, mkTs(90), 1L, "c", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ratelimit").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+          r.getAs[Long]("dispatch_us")))
+        .sortBy(t => (t._1, t._2))
+      val minUs = 60L * 1000000
+      val expect = Seq(
+        (1L, 0L, 0L), (1L, 2 * minUs, 10 * minUs), (1L, 4 * minUs, 20 * minUs),
+        (1L, 25 * minUs, 30 * minUs), (1L, 90 * minUs, 90 * minUs),
+        (2L, 7 * minUs, 7 * minUs))
+      assert(got.toSeq == expect, s"got ${got.toSeq}")
+      // parity with the batch closed form on the full replay
+      val all = spark.table("ratelimit")
+        .selectExpr("user_id", "ts_us")
+      val batch = all.selectExpr("user_id", "ts_us",
+        s"""cast(row_number() OVER (PARTITION BY user_id ORDER BY ts_us ASC) AS long) * $I +
+            max(ts_us - cast(row_number() OVER (PARTITION BY user_id ORDER BY ts_us ASC) AS long) * $I)
+              OVER (PARTITION BY user_id ORDER BY ts_us ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dispatch_us""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+      assert(batch.toSeq == got.toSeq, "streaming state diverges from the batch window")
+    } finally q.stop()
+  }
+
   test("doc prep funnel: first arrival keeps, dups drop, quality labels survive") {
     val good = "the data query runs fast and the table scan stays warm today ok"
     val mem = MemoryStream[(Long, Timestamp, String)](spark)
