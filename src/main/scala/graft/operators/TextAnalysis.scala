@@ -779,6 +779,105 @@ object TextAnalysis {
       |FROM raw""".stripMargin
   }
 
+  // --------------------------------------------------------------- tx16
+
+  /** tx16: intra-document REPETITION filter — the Gopher/MassiveText
+    * rule family (Rae et al. 2021, app. A1.1: documents whose mass
+    * concentrates in duplicate n-grams or one dominant token are
+    * boilerplate/spam, not prose): per doc, the duplicate-bigram
+    * share, the top-bigram share, and the top-token share — exact
+    * permille floor-divs — plus the composite `repetitive` flag
+    * (thresholds are config constants, pinned identically in both
+    * engines). Complements tx2 (surface ratios) and tx11
+    * (corpus-level LM surprisal): this one is purely intra-document,
+    * so it catches the looped paragraph tx11's corpus counts reward.
+    *
+    * Scale shape: two explode → (doc, gram) → doc agg chains, all
+    * map-side combinable (dd9's bounded-dim discipline is unnecessary
+    * — counts regroup per doc, never corpus-wide); the assembly joins
+    * are doc-keyed hash joins over doc-proportional frames sharing
+    * the doc_id partitioning. The bigram generator carries tx11's
+    * empty-array guard (the `sequence(0, n-2)` descending-range
+    * trap). */
+  private def tx16(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val tokStat = base.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_token"))
+    val bgStat = base.select(col("doc_id"), explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"), max(col("c")).as("top_bigram"))
+    base.select(col("doc_id"))
+      .join(tokStat, Seq("doc_id"), "left")
+      .join(bgStat, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        expr("CASE WHEN coalesce(n_bigrams, 0) > 0 THEN " +
+          "((n_bigrams - n_distinct_bigrams) * 1000) div n_bigrams ELSE 0 END")
+          .as("dup_bigram_permille"),
+        expr("CASE WHEN coalesce(n_bigrams, 0) > 0 THEN " +
+          "(top_bigram * 1000) div n_bigrams ELSE 0 END")
+          .as("top_bigram_permille"),
+        expr("CASE WHEN coalesce(n_tokens, 0) > 0 THEN " +
+          "(top_token * 1000) div n_tokens ELSE 0 END")
+          .as("top_token_permille"))
+      .withColumn("repetitive",
+        col("dup_bigram_permille") > 200 ||
+          col("top_bigram_permille") > 180 || col("top_token_permille") > 300)
+  }
+
+  private val tx16Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |ts AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_token
+      |  FROM (
+      |    SELECT doc_id, w, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(t) AS w FROM toks) x GROUP BY 1, 2) tokc
+      |  GROUP BY doc_id),
+      |bs AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    count(*) AS n_distinct_bigrams, max(c) AS top_bigram
+      |  FROM (
+      |    SELECT doc_id, b, count(*) AS c
+      |    FROM (
+      |      SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+      |        x -> t[x+1] || ' ' || t[x+2])) AS b
+      |      FROM toks) y GROUP BY 1, 2) bgc
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  coalesce(n_tokens, 0) AS n_tokens,
+      |  coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+      |  CASE WHEN coalesce(n_bigrams, 0) > 0
+      |    THEN ((n_bigrams - n_distinct_bigrams) * 1000) // n_bigrams
+      |    ELSE 0 END AS dup_bigram_permille,
+      |  CASE WHEN coalesce(n_bigrams, 0) > 0
+      |    THEN (top_bigram * 1000) // n_bigrams ELSE 0 END AS top_bigram_permille,
+      |  CASE WHEN coalesce(n_tokens, 0) > 0
+      |    THEN (top_token * 1000) // n_tokens ELSE 0 END AS top_token_permille,
+      |  CASE WHEN coalesce(n_bigrams, 0) > 0
+      |      THEN ((n_bigrams - n_distinct_bigrams) * 1000) // n_bigrams
+      |      ELSE 0 END > 200
+      |    OR CASE WHEN coalesce(n_bigrams, 0) > 0
+      |      THEN (top_bigram * 1000) // n_bigrams ELSE 0 END > 180
+      |    OR CASE WHEN coalesce(n_tokens, 0) > 0
+      |      THEN (top_token * 1000) // n_tokens ELSE 0 END > 300 AS repetitive
+      |FROM toks t
+      |LEFT JOIN ts ON t.doc_id = ts.doc_id
+      |LEFT JOIN bs ON t.doc_id = bs.doc_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -809,5 +908,7 @@ object TextAnalysis {
     GateQuery("tx14_scored_retrieval", tx14, Some(tx14Sql),
       "tf-idf keyword retrieval with exact integer idf (rarest-term query set)"),
     GateQuery("tx15_pii_redact", tx15, Some(tx15Sql),
-      "PII scrub: count + redact emails/URLs/ID runs with pinned pass order (P3 generalized)"))
+      "PII scrub: count + redact emails/URLs/ID runs with pinned pass order (P3 generalized)"),
+    GateQuery("tx16_repetition", tx16, Some(tx16Sql),
+      "Gopher-style intra-doc repetition filter: dup-bigram / top-gram permille shares"))
 }

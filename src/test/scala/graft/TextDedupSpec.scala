@@ -362,6 +362,31 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("tx16 repetition flag fires on looped text and spares prose") {
+    // doc 1: one bigram looped — dup/top-bigram shares near 1000.
+    // doc 2: one token dominates mixed text (> 300‰ of tokens).
+    // doc 3: all-distinct prose — every share at its floor, not flagged.
+    // doc 4: single token — no bigrams, top_token = 1000‰, flagged.
+    val looped = Seq.fill(20)("buy now").mkString(" ")
+    val spam = ("spam " * 7 + "one two three four five six").trim
+    val prose = "each word appears exactly once in this clean sentence"
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, looped, "en", "s1"), (2L, spam, "en", "s1"),
+      (3L, prose, "en", "s1"), (4L, "solo", "en", "s1"))))
+    val rows = gate("tx16_repetition", d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("repetitive"))
+    assert(rows(1L).getAs[Long]("top_bigram_permille") >= 500)
+    assert(rows(1L).getAs[Long]("dup_bigram_permille") >= 900)
+    assert(rows(2L).getAs[Boolean]("repetitive"))
+    assert(rows(2L).getAs[Long]("top_token_permille") > 300)
+    assert(!rows(3L).getAs[Boolean]("repetitive"))
+    assert(rows(3L).getAs[Long]("dup_bigram_permille") == 0)
+    assert(rows(4L).getAs[Boolean]("repetitive"))
+    assert(rows(4L).getAs[Long]("n_bigrams") == 0)
+    assert(rows(4L).getAs[Long]("top_token_permille") == 1000)
+  }
+
   test("dd11 semantic dedup: keepers dominate, isolated docs always keep") {
     import org.apache.spark.sql.functions._
     val dd11 = gate("dd11_semantic_dedup", sf0001)
