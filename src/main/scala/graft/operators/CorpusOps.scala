@@ -457,6 +457,57 @@ object CorpusOps {
        |SELECT l.doc_id, l.final_decision, p.shard, p.pos, p.bin_id
        |FROM lab l LEFT JOIN packed p ON l.doc_id = p.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- cp11
+
+  /** cp11: TEMPERATURE-sampled mixture allocation — the multilingual
+    * sampling law (p_l ∝ n_l^α) every large multilingual run uses to
+    * keep head languages from drowning the tail (XLM's α≈0.5, mT5's
+    * α=0.3 family). Per language: doc/token counts, the α=0.5 weight
+    * `isqrt(n_docs)`, its permille share, the flattened allocation of
+    * a 100 000-token budget, and the raw (α=1) share for contrast —
+    * the artifact a loader broadcasts to drive sampling.
+    *
+    * α is fixed at 0.5 deliberately: IEEE-754 `sqrt` is CORRECTLY
+    * ROUNDED (the one transcendental-ish op with that guarantee), so
+    * `floor(sqrt(bigint))` is bit-identical across engines, where
+    * `pow(n, 0.3)` is libm-dependent and would break cross-engine
+    * hashing. Shares/allocations are integer `div` — exact.
+    *
+    * Scale shape: one map-side-combined groupBy to ≈|languages| rows,
+    * then a 1-row total anchor broadcast back over the tiny dim —
+    * corpus scanned once, nothing corpus-sized ever shuffles. */
+  private def cp11(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+    val tot = counts.agg(sum(col("weight")).as("w_sum"),
+      sum(col("n_docs")).as("doc_sum"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("weight"),
+        expr("(weight * 1000) div w_sum").as("share_permille"),
+        expr("(weight * 100000) div w_sum").as("alloc_tokens"),
+        expr("(n_docs * 1000) div doc_sum").as("raw_share_permille"))
+  }
+
+  private val cp11Sql =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT CAST(sum(weight) AS BIGINT) AS w_sum,
+      |    CAST(sum(n_docs) AS BIGINT) AS doc_sum FROM counts)
+      |SELECT lang, n_docs, n_tokens, weight,
+      |  (weight * 1000) // w_sum AS share_permille,
+      |  (weight * 100000) // w_sum AS alloc_tokens,
+      |  (n_docs * 1000) // doc_sum AS raw_share_permille
+      |FROM counts, tot""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
       "deterministic per-language k-sample via salted-md5 permutation"),
@@ -477,5 +528,7 @@ object CorpusOps {
     GateQuery("cp9_span_corrupt", cp9, Some(cp9Sql),
       "denoising-objective sample generation: salted deterministic masking -> (input, target)"),
     GateQuery("cp10_dataset_split", cp10, Some(cp10Sql),
-      "hash-stable 98/1/1 train/validation/test assignment per document"))
+      "hash-stable 98/1/1 train/validation/test assignment per document"),
+    GateQuery("cp11_temperature_mixture", cp11, Some(cp11Sql),
+      "alpha=0.5 temperature-sampled language mixture via IEEE-exact isqrt weights"))
 }

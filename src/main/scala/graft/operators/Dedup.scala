@@ -1059,6 +1059,106 @@ object Dedup {
       |  CASE WHEN st.dominated = 1 THEN 'drop_semantic' ELSE 'keep' END AS decision
       |FROM embeddings e LEFT JOIN st ON st.vec_id = e.vec_id""".stripMargin
 
+  // --------------------------------------------------------------- dd14
+
+  /** dd14: SOFT dedup — instead of dropping duplicates, every doc is
+    * kept and DOWNWEIGHTED by its duplicate multiplicity (the
+    * SoftDeDup idea: a training run re-weights repeated content to
+    * `1/n` so the loss sees each distinct text once in expectation,
+    * preserving data the hard-drop path would discard). Per doc:
+    * its exact-fingerprint group size, the integer permille weight
+    * `1000 div n_copies`, and whether it is the group's min-id
+    * canonical (the doc a hard dedup would have kept — dd1's rule).
+    *
+    * Scale shape: ONE hash shuffle on the md5 fingerprint (dd1's
+    * exchange) with a count window over it — group state is a
+    * duplicate group (bounded by multiplicity, not corpus size), and
+    * the output is corpus-sized but narrow. At 100 TB this is the
+    * cheapest dedup treatment that loses nothing: same cost as dd1,
+    * no second pass, and the weight column rides into cp-style
+    * sampling as a multiplier. */
+  private def dd14(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.contentFp(col("text")).as("fp"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("weight_permille", expr("1000 div n_copies"))
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+      .select("doc_id", "fp", "n_copies", "weight_permille", "is_canonical")
+  }
+
+  private val dd14Sql =
+    """SELECT doc_id, fp,
+      |  count(*) OVER (PARTITION BY fp) AS n_copies,
+      |  1000 // count(*) OVER (PARTITION BY fp) AS weight_permille,
+      |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+      |FROM (SELECT doc_id,
+      |        """.stripMargin + TextAnalysis.contentFpSql + """ AS fp
+      |      FROM documents) t""".stripMargin
+
+  // --------------------------------------------------------------- dd15
+
+  /** dd15: benchmark CONTAMINATION SCORE — the per-document
+    * containment metric of the GPT-3/PaLM decontamination appendices:
+    * the fraction (permille) of a corpus doc's shingles that appear
+    * ANYWHERE in the held-out benchmark set, and the ≥ 700 ‰ flag
+    * ("a document is dirty when ≥ 70 % of its n-grams occur in the
+    * benchmark"). Complements dd7, which counts per-(doc, bench-doc)
+    * shared shingles ≥ 3: dd7 finds which benchmark doc leaked; dd15
+    * scores how much of the training doc is leaked — the drop
+    * decision a pipeline actually applies is on THIS number.
+    *
+    * Scale shape: dd7's asymmetry, sharpened — the benchmark shingle
+    * UNIVERSE is collapsed to distinct hashes (smaller still than
+    * dd7's per-doc exploded side) and broadcast; the corpus explodes
+    * once, the inner join hits only matching shingles, and the only
+    * exchange is the per-doc hit regroup (corpus-proportional, slim).
+    * Zero-hit docs re-enter via a left join of the doc spine — at
+    * 100 TB the spine join is doc-keyed and the hits side is tiny. */
+  private def dd15(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val benchU = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("shingles")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("sh_h")).distinct()
+    val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+    val hits = corpus
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+      .join(broadcast(benchU), Seq("sh_h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), col("sz").cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("CASE WHEN n_shingles > 0 THEN " +
+          "(coalesce(n_hit, 0) * 1000) div n_shingles ELSE 0 END")
+          .as("containment_permille"))
+      .withColumn("contaminated", col("containment_permille") >= 700)
+  }
+
+  private val dd15Sql = "WITH " + shingledSql +
+    """, benchu AS (
+      |  SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
+      |  FROM (SELECT unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 = 0) b),
+      |hits AS (
+      |  SELECT doc_id, count(*) AS n_hit
+      |  FROM (
+      |    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
+      |    FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+      |          WHERE doc_id % 50 <> 0) c) x
+      |  JOIN benchu USING (sh_h)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_shingles, n_hit, containment_permille,
+      |  containment_permille >= 700 AS contaminated
+      |FROM (
+      |  SELECT s.doc_id, len(s.shingles) AS n_shingles,
+      |    coalesce(h.n_hit, 0) AS n_hit,
+      |    CASE WHEN len(s.shingles) > 0
+      |      THEN (coalesce(h.n_hit, 0) * 1000) // len(s.shingles) ELSE 0 END
+      |      AS containment_permille
+      |  FROM sh s LEFT JOIN hits h ON h.doc_id = s.doc_id
+      |  WHERE s.doc_id % 50 <> 0) t""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -1085,5 +1185,9 @@ object Dedup {
     GateQuery("dd12_cc_bigstar", dd12, Some(dd6Sql),
       "connected components via large-star/small-star: O(log n) rounds on any diameter"),
     GateQuery("dd13_incremental_dedup", dd13, Some(dd13Sql),
-      "incremental ingest dedup: batch vs historical index, exact fp + SimHash bands"))
+      "incremental ingest dedup: batch vs historical index, exact fp + SimHash bands"),
+    GateQuery("dd14_soft_dedup", dd14, Some(dd14Sql),
+      "soft dedup: keep all, weight 1000 div n_copies, dd1's canonical flagged"),
+    GateQuery("dd15_containment_score", dd15, Some(dd15Sql),
+      "per-doc benchmark containment permille + the >=70% contamination flag"))
 }

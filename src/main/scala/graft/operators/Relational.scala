@@ -341,6 +341,35 @@ object Relational {
       |    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
       |GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q13
+
+  /** q13: the NEGATED correlated subquery — q12's missing half. One
+    * dialect-shared NOT EXISTS string ("market segments by customers
+    * with no large order", TPC-H Q22's shape) that Catalyst
+    * decorrelates into a left-ANTI hash join (q12 covers the semi
+    * side); the anti join runs BEFORE the segment rollup, so the
+    * exchange after it carries only surviving customers. Same exact
+    * cents policy as q12. At 100 TB: customer × orders is the
+    * classic big-anti-big — a hash join on o_custkey, no sort, and
+    * the probe side prunes to the subquery's filter first. */
+  private val q13Sql =
+    """SELECT c_mktsegment,
+      |  count(*) AS n_inactive,
+      |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS acctbal_cents
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_totalprice > 400000)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(q13Sql)
+  }
+
   private def q12(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
@@ -362,5 +391,7 @@ object Relational {
     GateQuery("q11_intersect_except", q11, Some(q11Sql),
       "INTERSECT/EXCEPT as distinct semi/anti hash joins (§2.7)"),
     GateQuery("q12_sql_exists", q12, Some(q12Sql),
-      "spark.sql surface: correlated EXISTS decorrelated to a semi join (one dialect-shared string)"))
+      "spark.sql surface: correlated EXISTS decorrelated to a semi join (one dialect-shared string)"),
+    GateQuery("q13_sql_not_exists", q13, Some(q13Sql),
+      "NOT EXISTS decorrelated to an anti join before the rollup (q12's negated half)"))
 }

@@ -991,6 +991,79 @@ object Similarity {
        |  JOIN vecs q ON a.query_id = q.vec_id) r
        |WHERE rank <= 10""".stripMargin
 
+  // -------------------------------------------------------------- sim14
+
+  /** sim14: one LLOYD REFINEMENT step of the IVF codebook — the
+    * missing half of the index-build loop (sim4 seeds centroids from
+    * labels, sim5 assigns; a real k-means build then RE-estimates
+    * each centroid as the mean of its assigned members and repeats
+    * until drift is small). Per (cell, dim): the member count, the
+    * re-estimated centroid, the seed centroid, and the drift — the
+    * number an index builder watches to decide convergence.
+    *
+    * Numeric policy: components floor-scale to ×10⁹ BIGINTs (sim4's
+    * rule), sums are exact integers in any partial-agg order, and the
+    * final centroid/drift doubles come from single IEEE divisions of
+    * those exact integers — deterministic cross-engine.
+    *
+    * Scale shape: the assignment is sim5's folded-codebook narrow map
+    * (zero exchange), so one corpus scan feeds a posexplode into slim
+    * (cell, dim, comp) rows that map-side-combine down to
+    * nlist × 64 groups; the seed-centroid dim is nlist × 64 rows and
+    * broadcasts. At 100 TB each Lloyd round costs exactly one scan +
+    * one bounded agg — the loop is round-per-scan, never resident. */
+  private def sim14(s: SparkSession, d: String): DataFrame = {
+    val cb = typedLit(codebookArr(s, d))
+    val assigned = vecs(s, d)
+      .filter(col("v").isNotNull)
+      .withColumn("cell",
+        element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
+          .getField("code"))
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "comp")))
+      .withColumn("comp_scaled", expr("CAST(floor(comp * 1000000000.0D) AS BIGINT)"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("comp_scaled")).as("sum_scaled"),
+        count(lit(1)).as("n_members"))
+      .withColumn("new_centroid", col("sum_scaled").cast("double") /
+        (col("n_members") * 1000000000L).cast("double"))
+    val seed = sim4(s, d)
+      .select(col("label").as("cell"), col("dim"),
+        col("centroid").as("seed_centroid"))
+    assigned.join(broadcast(seed), Seq("cell", "dim"))
+      .select(col("cell"), col("dim"), col("n_members"), col("new_centroid"),
+        col("seed_centroid"),
+        (col("new_centroid") - col("seed_centroid")).as("drift"))
+  }
+
+  private val sim14Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) +
+    s""",
+       |assign AS (
+       |  SELECT vec_id, clabel AS cell FROM (
+       |    SELECT vec_id, clabel,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |      SELECT e.vec_id, c.clabel,
+       |        CAST(sum(CAST(floor((e.v[c.dim + 1] - c.centroid) * (e.v[c.dim + 1] - c.centroid)
+       |          * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dist_scaled
+       |      FROM vecs e, cent c
+       |      GROUP BY 1, 2) d) r
+       |  WHERE rk = 1),
+       |newc AS (
+       |  SELECT a.cell, i.range AS dim,
+       |    CAST(sum(CAST(floor(e.v[i.range + 1] * 1000000000.0) AS BIGINT)) AS BIGINT)
+       |      AS sum_scaled,
+       |    count(*) AS n_members
+       |  FROM vecs e JOIN assign a ON a.vec_id = e.vec_id, range($Dim) i
+       |  GROUP BY 1, 2)
+       |SELECT n.cell, n.dim, n.n_members,
+       |  CAST(sum_scaled AS DOUBLE) / CAST(n_members * 1000000000 AS DOUBLE)
+       |    AS new_centroid,
+       |  c.centroid AS seed_centroid,
+       |  CAST(sum_scaled AS DOUBLE) / CAST(n_members * 1000000000 AS DOUBLE)
+       |    - c.centroid AS drift
+       |FROM newc n JOIN cent c ON c.clabel = n.cell AND c.dim = n.dim""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -1019,5 +1092,7 @@ object Similarity {
     GateQuery("sim12_ivfpq_search", sim12, Some(sim12Sql),
       "combined IVF-PQ serving path: nprobe cell pruning, then ADC over codes"),
     GateQuery("sim13_adc_refine", sim13, Some(sim13Sql),
-      "IVFADC + refine: ADC top-50 nominates, exact vectors re-rank the top-10"))
+      "IVFADC + refine: ADC top-50 nominates, exact vectors re-rank the top-10"),
+    GateQuery("sim14_lloyd_refine", sim14, Some(sim14Sql),
+      "one Lloyd step of the IVF codebook: exact scaled re-estimation + drift"))
 }

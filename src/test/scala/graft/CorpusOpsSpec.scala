@@ -89,4 +89,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(w11.values.sum > w2.values.sum,
       s"weight-11 sources must dominate weight-2: ${bySrcN.toMap}")
   }
+
+  test("cp11: sqrt weights flatten the head language, shares exact") {
+    // 4 en docs vs 1 de doc: raw shares 800/200; isqrt weights 2/1
+    // flatten to 666/333 — the tail language more than doubles.
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, "one two three", "en", "s1"), (2L, "four five", "en", "s1"),
+      (3L, "six seven eight", "en", "s1"), (4L, "nine ten", "en", "s1"),
+      (5L, "elf zwolf", "de", "s1"))))
+    val rows = gate("cp11_temperature_mixture", d).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(rows("en").getAs[Long]("weight") == 2 &&
+      rows("de").getAs[Long]("weight") == 1)
+    assert(rows("en").getAs[Long]("share_permille") == 666 &&
+      rows("de").getAs[Long]("share_permille") == 333)
+    assert(rows("en").getAs[Long]("alloc_tokens") == 66666 &&
+      rows("de").getAs[Long]("alloc_tokens") == 33333)
+    assert(rows("en").getAs[Long]("raw_share_permille") == 800 &&
+      rows("de").getAs[Long]("raw_share_permille") == 200)
+    assert(rows("en").getAs[Long]("n_tokens") == 10 &&
+      rows("de").getAs[Long]("n_tokens") == 2)
+    // flattening property at the suite corpus too: the max-share lang's
+    // tempered share never exceeds its raw share, the min's never drops
+    val real = gate("cp11_temperature_mixture", sf001).collect()
+    val top = real.maxBy(_.getAs[Long]("n_docs"))
+    val bot = real.minBy(_.getAs[Long]("n_docs"))
+    assert(top.getAs[Long]("share_permille") <= top.getAs[Long]("raw_share_permille"))
+    assert(bot.getAs[Long]("share_permille") >= bot.getAs[Long]("raw_share_permille"))
+  }
 }

@@ -174,7 +174,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // code table (queries broadcast WITH their lookup tables); the
       // cell-pruned production path is sim12, which stays equi-join
       "tx8_kmv_cardinality", // 1-row sketch x 1-row exact anchor join
-      "tx14_scored_retrieval") // 1-row corpus-total anchor (idf numerator)
+      "tx14_scored_retrieval", // 1-row corpus-total anchor (idf numerator)
+      "cp11_temperature_mixture") // 1-row weight-total anchor over a ~|langs| dim
     // The ONE legitimate sort-merge join: q10's co-located bucketed
     // join — SMJ over bucket-sorted reads carries no exchange and no
     // sort (its own test asserts both), which is the whole point of
@@ -192,6 +193,38 @@ class PlanShapeSpec extends AnyFunSuite {
           !p.contains("CartesianProduct"),
           s"${q.name} plans a nested-loop/cartesian join")
     }
+  }
+
+  test("q13 NOT EXISTS decorrelates to a hash anti join, no sort") {
+    val df = gate("q13_sql_not_exists", sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("dd15 benchmark universe broadcasts; corpus side never shuffles pre-join") {
+    val df = gate("dd15_containment_score", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"bench universe not broadcast:\n$p")
+    // exchanges: the per-doc hit regroup + the doc-spine join side(s) —
+    // corpus-proportional slim rows only; the shingle match itself is
+    // exchange-free (broadcast). A SMJ anywhere means that broke.
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sim14 assignment stays a narrow map: one agg exchange, seed dim broadcast") {
+    val df = gate("sim14_lloyd_refine", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"seed centroids not broadcast:\n$p")
+    // the (cell, dim) regroup is the only corpus-fed exchange; the
+    // folded-codebook assignment itself must not shuffle (sim5's
+    // zero-exchange contract riding under the posexplode)
+    val corpusExchanges = shuffleCount(p)
+    assert(corpusExchanges <= 2,
+      s"expected <=2 exchanges (agg + seed-build), got $corpusExchanges\n$p")
   }
 
   test("sim5/sim10 IVF assign + PQ encode are zero-exchange narrow maps") {

@@ -222,4 +222,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(served.toSeq == viaGate.toSeq,
       s"persisted-index serve diverges: ${served.toSeq} vs ${viaGate.toSeq}")
   }
+
+  test("sim14 Lloyd step agrees with sim5's assignment and sim4's seeds") {
+    val rows = gate("sim14_lloyd_refine", sf0001).collect()
+    val assign = gate("sim5_ivf_assign", sf0001).collect()
+      .groupBy(_.getAs[Int]("assigned_label")).view.mapValues(_.length.toLong).toMap
+    val nVecs = assign.values.sum
+    // every populated cell appears with all 64 dims; member counts per
+    // (cell, dim) match sim5's assignment histogram exactly
+    val byCell = rows.groupBy(_.getAs[Int]("cell"))
+    assert(byCell.keySet == assign.keySet)
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.length == 64, s"cell $cell has ${rs.length} dims")
+      rs.foreach(r => assert(r.getAs[Long]("n_members") == assign(cell)))
+    }
+    // each dim's membership partitions the corpus
+    assert(rows.filter(_.getAs[Int]("dim") == 0)
+      .map(_.getAs[Long]("n_members")).sum == nVecs)
+    // drift is exactly new - seed, and a cell with members close to its
+    // seed moves less than the corpus-wide max drift (sanity on sign/scale)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("drift") ==
+        r.getAs[Double]("new_centroid") - r.getAs[Double]("seed_centroid"))
+    }
+  }
 }

@@ -387,6 +387,42 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows(4L).getAs[Long]("top_token_permille") == 1000)
   }
 
+  test("dd14 soft dedup: weights are 1000 div multiplicity, dd1's keeper flagged") {
+    // dir: docs 1,2 identical (group of 2), docs 3,4 unique.
+    val rows = gate("dd14_soft_dedup", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 4, "soft dedup must keep every doc")
+    assert(rows(1L).getAs[Long]("n_copies") == 2 &&
+      rows(1L).getAs[Long]("weight_permille") == 500)
+    assert(rows(1L).getAs[Boolean]("is_canonical"))
+    assert(!rows(2L).getAs[Boolean]("is_canonical"))
+    assert(rows(3L).getAs[Long]("weight_permille") == 1000 &&
+      rows(3L).getAs[Boolean]("is_canonical"))
+    // the downweighted corpus sums to one unit per distinct text
+    val unitSum = rows.values.map(_.getAs[Long]("weight_permille")).sum
+    assert(unitSum == 500 + 500 + 1000 + 1000)
+  }
+
+  test("dd15 containment: fully-leaked doc at 1000 permille, disjoint at 0") {
+    // doc 50 is the benchmark (id % 50 == 0). Corpus: doc 1 is an exact
+    // copy (all 3 shingles leak -> 1000 permille, contaminated), doc 2
+    // shares 1 of 3 shingles (333, clean), doc 3 is disjoint (0).
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (50L, "aa bb aa cc", "en", "s1"),
+      (1L, "aa bb aa cc", "en", "s1"),
+      (2L, "aa bb zz ww", "en", "s1"),
+      (3L, "qq rr ss tt", "en", "s1"))))
+    val rows = gate("dd15_containment_score", d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!rows.contains(50L), "benchmark docs are not scored")
+    assert(rows(1L).getAs[Long]("containment_permille") == 1000 &&
+      rows(1L).getAs[Boolean]("contaminated"))
+    assert(rows(2L).getAs[Long]("containment_permille") == 333 &&
+      !rows(2L).getAs[Boolean]("contaminated"))
+    assert(rows(3L).getAs[Long]("n_hit") == 0 &&
+      rows(3L).getAs[Long]("containment_permille") == 0)
+  }
+
   test("dd11 semantic dedup: keepers dominate, isolated docs always keep") {
     import org.apache.spark.sql.functions._
     val dd11 = gate("dd11_semantic_dedup", sf0001)
