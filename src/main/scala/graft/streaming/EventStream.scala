@@ -112,6 +112,41 @@ object EventStream {
       .select(col("vec_id"),
         col("e.code").as("cell"), col("e.dist_scaled"))
 
+  /** Streaming DECONTAMINATION — dd15's benchmark-containment score on
+    * a LIVE ingest stream, with ZERO state: the static benchmark set
+    * collapses to ONE row holding its distinct shingle-hash array
+    * (small by construction — it's a held-out eval set), which
+    * broadcasts under a stream-static cross join; each document's hit
+    * count is then a pure `array_intersect` of in-row distinct arrays,
+    * so the permille score and the ≥ 700 ‰ drop flag are a narrow map
+    * over the stream. No watermark, no state store, and the batch
+    * twin is identical by construction — the ingest-time answer to
+    * "is this incoming doc leaking the benchmark?" that dd15 answers
+    * in batch. At 100 TB of STREAM the per-row cost is |doc shingles|
+    * × lookup in the broadcast array — independent of stream length.
+    */
+  def streamDecontaminate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    def shingled(df: DataFrame): DataFrame = df
+      .withColumn("a", split(trim(col("text")), "\\s+"))
+      .withColumn("shs", expr(
+        "array_distinct(zip_with(slice(a, 1, size(a)-1), " +
+          "slice(a, 2, size(a)-1), (x, y) -> concat(x, ' ', y)))"))
+    val benchDim = shingled(benchmark)
+      .select(explode(col("shs")).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+      .agg(collect_set(col("h")).as("bench_hs"))
+    shingled(docs)
+      .withColumn("hs", transform(col("shs"), x => xxhash64(x)))
+      .crossJoin(broadcast(benchDim))
+      .select(col("doc_id"),
+        size(col("shs")).cast("long").as("n_shingles"),
+        size(array_intersect(col("hs"), col("bench_hs"))).cast("long").as("n_hit"),
+        expr("CASE WHEN size(shs) > 0 THEN " +
+          "(size(array_intersect(hs, bench_hs)) * 1000L) div size(shs) " +
+          "ELSE 0L END").as("containment_permille"))
+      .withColumn("contaminated", col("containment_permille") >= 700)
+  }
+
   /** Streaming incremental dedup — dd13's decision on a LIVE ingest
     * stream against a STATIC history index, with ZERO state: the
     * history publishes (a) its distinct fingerprints and (b) one row

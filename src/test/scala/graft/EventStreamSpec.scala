@@ -287,6 +287,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination matches dd15's scoring, statelessly") {
+    val bench = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(50L, "aa bb aa cc")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    // shingle universe {aa bb, bb aa, aa cc}: doc 1 fully leaked,
+    // doc 2 shares 1 of its 3 shingles, doc 3 disjoint, doc 4 empty
+    val incoming = Seq(
+      (1L, "aa bb aa cc"), (2L, "aa bb zz ww"),
+      (3L, "qq rr ss tt"), (4L, "solo"))
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = EventStream.streamDecontaminate(
+      mem.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decontam").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("containment_permille"), r.getAs[Boolean]("contaminated"))).toMap
+      val batch = EventStream.streamDecontaminate(
+        spark.createDataFrame(incoming).toDF("doc_id", "text"), bench)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("containment_permille"), r.getAs[Boolean]("contaminated"))).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed(1L) == (1000L, true))
+      assert(streamed(2L) == (333L, false))
+      assert(streamed(3L) == (0L, false))
+      assert(streamed(4L) == (0L, false))
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup matches its batch twin, statelessly") {
     val histText = "the data query runs fast and the table scan stays warm " +
       "while the merge join sorts rows into the big batch window today"
