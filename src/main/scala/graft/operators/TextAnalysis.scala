@@ -878,6 +878,73 @@ object TextAnalysis {
       |LEFT JOIN ts ON t.doc_id = ts.doc_id
       |LEFT JOIN bs ON t.doc_id = bs.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- tx17
+
+  /** tx17: SOURCE-reputation rollup — curation at the DOMAIN grain
+    * (the C4/RefinedWeb move of dropping or down-ranking whole hosts,
+    * not documents: a source whose docs are mostly junk is junk).
+    * Per source: doc count, floor-div mean tokens, the share (‰) of
+    * docs in tx2's `keep` bucket and in any `drop_*` bucket, and the
+    * three-way verdict — `keep` when ≥ 600 ‰ of docs are clean,
+    * `drop` below 300 ‰, `review` between (thresholds are config
+    * constants, pinned identically in both engines). The output is a
+    * |sources|-row dim a pipeline broadcasts to gate ingest.
+    *
+    * Scale shape: one narrow scan computes the per-doc signals (tx2's
+    * exact counters), then ONE map-side-combined groupBy collapses to
+    * the source dim — no joins, no windows, nothing corpus-sized past
+    * the exchange. At 100 TB with ~10⁷ hosts the rollup is still a
+    * bounded hash agg. */
+  private def tx17(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        regexp_count(col("text"), lit("[^a-z0-9\\s]")).as("punct_cnt"),
+        regexp_count(col("text"), lit("\\b(the|a)\\b")).as("stopword_cnt"))
+      .withColumn("bucket", qualityBucket(
+        col("n_tokens"), col("stopword_cnt"), col("punct_cnt")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("tok_sum"),
+        sum(when(col("bucket") === "keep", 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("bucket").startsWith("drop"), 1L).otherwise(0L)).as("n_drop"))
+      .select(col("source"), col("n_docs"),
+        expr("tok_sum div n_docs").as("avg_tokens"),
+        col("n_keep"), col("n_drop"),
+        expr("(n_keep * 1000) div n_docs").as("keep_permille"),
+        expr("(n_drop * 1000) div n_docs").as("drop_permille"))
+      .withColumn("source_decision",
+        when(col("keep_permille") >= 600, lit("keep"))
+          .when(col("keep_permille") >= 300, lit("review"))
+          .otherwise(lit("drop")))
+
+  private val tx17Sql = {
+    val bucketSql = qualityBucketSql("n_tokens", "stopword_cnt", "punct_cnt")
+    s"""SELECT source, n_docs, tok_sum // n_docs AS avg_tokens,
+       |  n_keep, n_drop,
+       |  (n_keep * 1000) // n_docs AS keep_permille,
+       |  (n_drop * 1000) // n_docs AS drop_permille,
+       |  CASE WHEN (n_keep * 1000) // n_docs >= 600 THEN 'keep'
+       |    WHEN (n_keep * 1000) // n_docs >= 300 THEN 'review'
+       |    ELSE 'drop' END AS source_decision
+       |FROM (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+       |    CAST(sum(CASE WHEN bucket = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_keep,
+       |    CAST(sum(CASE WHEN bucket LIKE 'drop%' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_drop
+       |  FROM (
+       |    SELECT source, n_tokens, $bucketSql AS bucket
+       |    FROM (
+       |      SELECT source,
+       |        length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |        length(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct_cnt,
+       |        length(regexp_extract_all(text, '\\b(the|a)\\b')) AS stopword_cnt
+       |      FROM documents) c) q
+       |  GROUP BY source) t""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -910,5 +977,7 @@ object TextAnalysis {
     GateQuery("tx15_pii_redact", tx15, Some(tx15Sql),
       "PII scrub: count + redact emails/URLs/ID runs with pinned pass order (P3 generalized)"),
     GateQuery("tx16_repetition", tx16, Some(tx16Sql),
-      "Gopher-style intra-doc repetition filter: dup-bigram / top-gram permille shares"))
+      "Gopher-style intra-doc repetition filter: dup-bigram / top-gram permille shares"),
+    GateQuery("tx17_source_reputation", tx17, Some(tx17Sql),
+      "domain-grain curation: per-source quality shares + keep/review/drop verdict"))
 }

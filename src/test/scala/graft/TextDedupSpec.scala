@@ -423,6 +423,25 @@ class TextDedupSpec extends AnyFunSuite {
       rows(3L).getAs[Long]("containment_permille") == 0)
   }
 
+  test("tx17 source reputation: every verdict branch pinned") {
+    val good = "one two three four five six seven eight nine ten eleven"
+    val short = "tiny doc"
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, good, "en", "s_keep"), (2L, good + " twelve", "en", "s_keep"),
+      (3L, good, "en", "s_mix"), (4L, short, "en", "s_mix"),
+      (5L, short, "en", "s_bad"), (6L, short + " too", "en", "s_bad"))))
+    val rows = gate("tx17_source_reputation", d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("s_keep").getAs[String]("source_decision") == "keep" &&
+      rows("s_keep").getAs[Long]("keep_permille") == 1000)
+    assert(rows("s_mix").getAs[String]("source_decision") == "review" &&
+      rows("s_mix").getAs[Long]("keep_permille") == 500 &&
+      rows("s_mix").getAs[Long]("drop_permille") == 500)
+    assert(rows("s_bad").getAs[String]("source_decision") == "drop" &&
+      rows("s_bad").getAs[Long]("n_drop") == 2)
+    assert(rows("s_keep").getAs[Long]("avg_tokens") == 11) // (11+12) div 2
+  }
+
   test("dd11 semantic dedup: keepers dominate, isolated docs always keep") {
     import org.apache.spark.sql.functions._
     val dd11 = gate("dd11_semantic_dedup", sf0001)
