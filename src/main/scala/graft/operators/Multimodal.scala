@@ -247,6 +247,43 @@ object Multimodal {
       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- mm6
+
+  /** mm6: ASSET-STORE dedup accounting — exact payload dedup at the
+    * digest grain, the way image/video stores actually dedup (hash
+    * the bytes, store once, reference everywhere): per content
+    * digest, the copy count, how many distinct containers reference
+    * it, the canonical (min-id) copy a store would keep, and the
+    * bytes reclaimed by keeping one copy. dd1's semantics lifted to
+    * BINARY payloads plus the dedup-ratio arithmetic a storage audit
+    * reports.
+    *
+    * Scale shape: one narrow scan computes (digest, container, bytes),
+    * then ONE hash shuffle on the digest; per-group state is a copy
+    * group. The distinct-container count regroups inside the same
+    * exchange (partial distinct map-side). Payload bytes never move —
+    * only the 16-byte digest and the int length do. */
+  private def mm6(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .select(md5(col("payload")).as("digest"), col("media_id"),
+        col("container"), octet_length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("container")).as("n_containers"),
+        min(col("media_id")).as("keep_media_id"),
+        max(col("n_bytes")).as("bytes_each"))
+      .withColumn("bytes_saved", (col("n_copies") - 1) * col("bytes_each"))
+
+  private val mm6Sql =
+    """SELECT md5(text) AS digest,
+      |  count(*) AS n_copies,
+      |  count(DISTINCT source) AS n_containers,
+      |  min(doc_id) AS keep_media_id,
+      |  CAST(max(strlen(text)) AS BIGINT) AS bytes_each,
+      |  (count(*) - 1) * CAST(max(strlen(text)) AS BIGINT) AS bytes_saved
+      |FROM documents
+      |GROUP BY md5(text)""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
@@ -257,7 +294,9 @@ object Multimodal {
     GateQuery("mm4_thumb_resize", mm4, Some(mm4Sql),
       "aspect-preserving integer resize dims + proportional byte prefix"),
     GateQuery("mm5_paired_modalities", mm5, Some(mm5Sql),
-      "text x embedding pair assembly + per-stratum audit rollup (dot_f64 norms)"))
+      "text x embedding pair assembly + per-stratum audit rollup (dot_f64 norms)"),
+    GateQuery("mm6_payload_dedup", mm6, Some(mm6Sql),
+      "asset-store exact payload dedup: digest groups, canonical copy, bytes saved"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

@@ -180,6 +180,23 @@ class YtFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm6: duplicate payloads collapse to one kept copy with exact savings") {
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, "same payload bytes", "en", "srcA"),
+      (2L, "same payload bytes", "en", "srcB"), // same bytes, other store
+      (3L, "same payload bytes", "en", "srcA"), // third reference
+      (4L, "unique payload", "en", "srcA"))))
+    val rows = gate("mm6_payload_dedup", d).collect()
+    assert(rows.length == 2)
+    val dup = rows.find(_.getAs[Long]("n_copies") == 3L).get
+    assert(dup.getAs[Long]("keep_media_id") == 1L)
+    assert(dup.getAs[Long]("n_containers") == 2L)
+    assert(dup.getAs[Long]("bytes_each") == "same payload bytes".length.toLong)
+    assert(dup.getAs[Long]("bytes_saved") == 2L * "same payload bytes".length)
+    val uniq = rows.find(_.getAs[Long]("n_copies") == 1L).get
+    assert(uniq.getAs[Long]("bytes_saved") == 0L)
+  }
+
   test("P12 response envelope: to_json/from_json round trip") {
     import org.apache.spark.sql.functions._
     val env = gate("ca6_final_metrics", sf0001)
