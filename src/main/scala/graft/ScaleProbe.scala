@@ -157,6 +157,35 @@ object ScaleProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"dd7_contamination flagged=$c%10d elapsed=$secs%7.1f s")
       }
+      // Containment scoring at 20×: dd7's asymmetry sharpened — the
+      // benchmark side is its distinct shingle UNIVERSE (smaller than
+      // dd7's per-doc exploded side and replica-invariant: exact
+      // copies add no new shingles), the corpus side explodes once
+      // and regroups per doc. Output rows = corpus size by design;
+      // the number to watch is wall time scaling ~linearly with the
+      // replica factor while the broadcast stays constant.
+      locally {
+        val t0 = System.nanoTime()
+        val r = SparkEntry.queries("dd15_containment_score")(spark, out)
+          .agg(count(lit(1)).as("docs"),
+            sum(when(col("contaminated"), 1L).otherwise(0L)).as("dirty")).head
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"dd15_containment docs=${r.getLong(0)}%10d dirty=${r.getLong(1)}%8d " +
+          f"elapsed=$secs%7.1f s")
+      }
+      // Source-reputation rollup at 20×: the rollup output is
+      // |sources|-sized (replica-invariant), so the whole cost is the
+      // narrow signal scan + one map-side-combined agg — the domain
+      // verdict dim stays broadcastable at any corpus size.
+      locally {
+        val t0 = System.nanoTime()
+        val r = SparkEntry.queries("tx17_source_reputation")(spark, out)
+          .groupBy(col("source_decision")).agg(count(lit(1)).as("n"))
+          .collect().map(x => s"${x.getString(0)}=${x.getLong(1)}")
+          .sorted.mkString(" ")
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"tx17_source_reputation $r elapsed=$secs%7.1f s")
+      }
       // Cluster resolution over the replica's pair graph: every doc
       // sits in a factor-dense duplicate CLIQUE, so the label
       // propagation should converge in ~2 rounds regardless of corpus

@@ -195,6 +195,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dd14 soft dedup rides ONE fingerprint exchange (dd1's cost, kept rows)") {
+    val df = gate("dd14_soft_dedup", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(shuffleCount(p) <= 1, s"expected <=1 exchange, got ${shuffleCount(p)}\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"soft dedup must be windowed, never joined:\n$p")
+  }
+
+  test("tx17/mm6 source and digest rollups combine map-side") {
+    for (name <- Seq("tx17_source_reputation", "mm6_payload_dedup")) {
+      val df = gate(name, sf0001)
+      df.collect()
+      val p = finalPlan(df)
+      assert(p.contains("partial_"), s"$name: no partial aggregation\n$p")
+      assert(!p.contains("Join"), s"$name must be a pure rollup, no joins\n$p")
+      assert(shuffleCount(p) <= 2,
+        s"$name: expected <=2 exchanges (group + distinct), got ${shuffleCount(p)}")
+    }
+  }
+
   test("q13 NOT EXISTS decorrelates to a hash anti join, no sort") {
     val df = gate("q13_sql_not_exists", sf0001)
     df.collect()
