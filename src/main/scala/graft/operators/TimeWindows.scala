@@ -548,6 +548,67 @@ object TimeWindows {
          |GROUP BY user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- tw13
+
+  /** tw13: RATE-SPIKE detection — the ops-side anomaly question every
+    * event pipeline answers ("is this user/key suddenly 3× its own
+    * baseline?"): per (user, active hour), the hour's event count vs
+    * the user's TRAILING-24-hour baseline, computed with a RANGE
+    * window frame over the hour INDEX (value-based `RANGE BETWEEN 24
+    * PRECEDING AND 1 PRECEDING`, so calendar gaps are skipped
+    * correctly — a ROWS frame would silently reach back days when a
+    * user goes quiet; no other gate exercises RANGE frames). Spike =
+    * count ≥ 3× the floor-div baseline AND ≥ 5 events (the absolute
+    * floor kills cold-start false positives). Exact integer
+    * arithmetic throughout.
+    *
+    * Scale shape: the hourly pre-aggregation collapses events to
+    * (user, hour) BEFORE the window — the frame walks at most 24
+    * bounded rows per output row, and the window partitioning reuses
+    * the same user_id exchange the pre-agg just created (one shuffle
+    * total, asserted). At 100 TB the window state is (users × active
+    * hours), never events. */
+  private def tw13(s: SparkSession, d: String): DataFrame = {
+    val hourly = evs(s, d)
+      .select(col("user_id"), expr(s"ts_us div $HourUs").as("hour_idx"))
+      .groupBy(col("user_id"), col("hour_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val trail = Window.partitionBy(col("user_id")).orderBy(col("hour_idx"))
+      .rangeBetween(-24, -1)
+    hourly
+      .withColumn("trail_sum",
+        coalesce(sum(col("n_events")).over(trail), lit(0L)))
+      .withColumn("trail_hours", count(col("n_events")).over(trail))
+      .withColumn("baseline",
+        expr("CASE WHEN trail_hours > 0 THEN trail_sum div trail_hours ELSE 0 END"))
+      .withColumn("spike",
+        col("trail_hours") > 0 && col("n_events") >= col("baseline") * 3 &&
+          col("n_events") >= 5)
+      .select("user_id", "hour_idx", "n_events", "trail_sum", "trail_hours",
+        "baseline", "spike")
+  }
+
+  private val tw13Sql = evsSql +
+    s""", hourly AS (
+       |  SELECT user_id, ts_us // $HourUs AS hour_idx, count(*) AS n_events
+       |  FROM evs GROUP BY 1, 2)
+       |SELECT user_id, hour_idx, n_events,
+       |  coalesce(CAST(sum(n_events) OVER trail AS BIGINT), 0) AS trail_sum,
+       |  count(n_events) OVER trail AS trail_hours,
+       |  CASE WHEN count(n_events) OVER trail > 0
+       |    THEN coalesce(CAST(sum(n_events) OVER trail AS BIGINT), 0)
+       |      // count(n_events) OVER trail
+       |    ELSE 0 END AS baseline,
+       |  count(n_events) OVER trail > 0
+       |    AND n_events >= CASE WHEN count(n_events) OVER trail > 0
+       |      THEN coalesce(CAST(sum(n_events) OVER trail AS BIGINT), 0)
+       |        // count(n_events) OVER trail
+       |      ELSE 0 END * 3
+       |    AND n_events >= 5 AS spike
+       |FROM hourly
+       |WINDOW trail AS (PARTITION BY user_id ORDER BY hour_idx
+       |  RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -572,5 +633,7 @@ object TimeWindows {
     GateQuery("tw11_key_rotation", tw11, Some(tw11Sql),
       "quota-admitted API-key selection: least_used + round_robin strategies as data"),
     GateQuery("tw12_rate_limit", tw12, Some(tw12Sql),
-      "rate-limit dispatch schedule via prefix-max closed form of the throttle recurrence"))
+      "rate-limit dispatch schedule via prefix-max closed form of the throttle recurrence"),
+    GateQuery("tw13_rate_spike", tw13, Some(tw13Sql),
+      "per-user hourly spike vs trailing-24h baseline via a RANGE window frame"))
 }

@@ -194,4 +194,39 @@ class LogTimeSpec extends AnyFunSuite {
     assert(manual == native && manual.nonEmpty,
       s"manual ${manual.size} sessions vs native ${native.size}")
   }
+
+  test("tw13 spikes: 3x baseline fires, floors and calendar gaps do not") {
+    val h = 3600L * 1000000 // one hour in µs
+    // user 1: hours 0..23 at 1 event each, hour 24 at 10 → baseline 1, spike
+    val steady = (0 until 24).map(i =>
+      (100L + i, i * h, 1L, "view", 0.0, 0))
+    val burst = (0 until 10).map(j =>
+      (200L + j, 24 * h + j * 60000000L, 1L, "view", 0.0, 0))
+    // user 2: 10 events in its FIRST hour → no trail, never a spike
+    val cold = (0 until 10).map(j => (300L + j, j * 60000000L, 2L, "view", 0.0, 0))
+    // user 3: 1 event at hour 0, then 6 events at hour 100 — a ROWS
+    // frame would see hour 0; the RANGE frame must not (gap > 24h)
+    val gap = Seq((400L, 0L, 3L, "view", 0.0, 0)) ++
+      (0 until 6).map(j => (410L + j, 100 * h + j * 60000000L, 3L, "view", 0.0, 0))
+    // user 4: baseline 1, then 4 events — 4x baseline but under the
+    // absolute floor of 5 → not a spike
+    val under = (0 until 24).map(i => (500L + i, i * h, 4L, "view", 0.0, 0)) ++
+      (0 until 4).map(j => (600L + j, 24 * h + j * 60000000L, 4L, "view", 0.0, 0))
+    val dir = fixtureDir("events" ->
+      eventsDf(steady ++ burst ++ cold ++ gap ++ under))
+    val rows = gate("tw13_rate_spike", dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("hour_idx")) -> r).toMap
+    val u1 = rows((1L, 24L))
+    assert(u1.getAs[Boolean]("spike") && u1.getAs[Long]("baseline") == 1L &&
+      u1.getAs[Long]("trail_hours") == 24L)
+    assert(!rows((2L, 0L)).getAs[Boolean]("spike") &&
+      rows((2L, 0L)).getAs[Long]("trail_hours") == 0L)
+    val u3 = rows((3L, 100L))
+    assert(!u3.getAs[Boolean]("spike") && u3.getAs[Long]("trail_hours") == 0L,
+      s"RANGE frame leaked across the calendar gap: $u3")
+    assert(!rows((4L, 24L)).getAs[Boolean]("spike") &&
+      rows((4L, 24L)).getAs[Long]("n_events") == 4L)
+    // no spike anywhere else
+    assert(rows.values.count(_.getAs[Boolean]("spike")) == 1)
+  }
 }
