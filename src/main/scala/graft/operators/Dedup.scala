@@ -914,15 +914,20 @@ object Dedup {
     var edges = orig
       .unionByName(orig.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
-    def labelsOf(e: DataFrame): DataFrame = e
+    // Per-vertex m = min(Γ(u) ∪ u): the large-star input AND, renamed,
+    // the round's label table — computed ONCE per round (checkpointed:
+    // vertex-count rows) and reused for the convergence check, instead
+    // of running the identical aggregation twice on the same edges.
+    def minOf(e: DataFrame): DataFrame = e
       .groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u").as("id"), least(col("u"), col("mn")).as("lbl"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+      .localCheckpoint()
+    var m1 = minOf(edges)
+    def labels: DataFrame = m1.select(col("u").as("id"), col("m").as("lbl"))
     var rounds = 0
     var done = false
     while (!done && rounds < 20) {
       // large-star: (v, m) for every neighbor v > u, m = min(Γ(u) ∪ u)
-      val m1 = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
       val ls = edges.join(m1, Seq("u")).filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
@@ -939,14 +944,14 @@ object Dedup {
         .distinct().select(col("a").as("u"), col("b").as("v"))
         .localCheckpoint()
       rounds += 1
-      val lbl = labelsOf(edges)
+      m1 = minOf(edges)
       done = orig
-        .join(lbl.select(col("id").as("u"), col("lbl").as("lu")), Seq("u"))
-        .join(lbl.select(col("id").as("v"), col("lbl").as("lv")), Seq("v"))
+        .join(labels.select(col("id").as("u"), col("lbl").as("lu")), Seq("u"))
+        .join(labels.select(col("id").as("v"), col("lbl").as("lv")), Seq("v"))
         .filter(col("lu") =!= col("lv")).isEmpty
     }
     require(done, s"star contraction did not converge in $rounds rounds")
-    (labelsOf(edges), rounds)
+    (labels, rounds)
   }
 
   /** dd12: dd6's clusters via the star contraction — identical output

@@ -563,11 +563,14 @@ object TimeWindows {
     * arithmetic throughout.
     *
     * Scale shape: the hourly pre-aggregation collapses events to
-    * (user, hour) BEFORE the window — the frame walks at most 24
-    * bounded rows per output row, and the window partitioning reuses
-    * the same user_id exchange the pre-agg just created (one shuffle
-    * total, asserted). At 100 TB the window state is (users × active
-    * hours), never events. */
+    * (user, hour) grain BEFORE the window, map-side-combined — so
+    * BOTH exchanges (the agg's and the window's) carry only
+    * (users × active hours) rows, never events, and the frame walks
+    * at most 24 bounded rows per output row. (Collapsing to one
+    * user_id exchange is possible via a pre-agg repartition, but that
+    * exchange would carry raw EVENTS — strictly more bytes than two
+    * hour-grain exchanges at any realistic events-per-hour density.)
+    * Asserted: ≤2 exchanges, partial aggregation present. */
   private def tw13(s: SparkSession, d: String): DataFrame = {
     val hourly = evs(s, d)
       .select(col("user_id"), expr(s"ts_us div $HourUs").as("hour_idx"))

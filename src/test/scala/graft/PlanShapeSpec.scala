@@ -216,6 +216,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("tw13 spike windows ride hour-grain exchanges, never event-grain") {
+    val df = gate("tw13_rate_spike", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("partial_"), s"hourly pre-agg must combine map-side:\n$p")
+    assert(shuffleCount(p) <= 2,
+      s"expected <=2 exchanges (hour agg + user window), got ${shuffleCount(p)}\n$p")
+    assert(!p.contains("Join"), s"tw13 must be windowed, never joined:\n$p")
+  }
+
   test("q13 NOT EXISTS decorrelates to a hash anti join, no sort") {
     val df = gate("q13_sql_not_exists", sf0001)
     df.collect()
