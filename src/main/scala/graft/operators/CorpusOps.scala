@@ -508,6 +508,59 @@ object CorpusOps {
       |  (n_docs * 1000) // doc_sum AS raw_share_permille
       |FROM counts, tot""".stripMargin
 
+  // ---------------------------------------------------------------- cp12
+
+  /** cp12: BALANCED deterministic resampling — cp11 computes the
+    * mixture law; this gate EXECUTES a resample: every language is
+    * thinned to (approximately) the smallest language's size by
+    * deterministic Bernoulli acceptance — a doc is kept iff its
+    * salted-md5 permille falls below its language's acceptance
+    * threshold `n_min·1000 div n_l`. The per-doc coin is a pure
+    * function of doc_id (cp1/cp10's reproducibility discipline), so
+    * the SAME docs are accepted on any engine, any cluster size, any
+    * re-run — importance-style downsampling without an assignment
+    * registry. Every doc is emitted with its coin, threshold, and
+    * verdict so the rejected tail is auditable (cp5's pattern).
+    *
+    * Scale shape: the language-count dim (≈|langs| rows, with the
+    * 1-row min folded in) broadcasts back over the corpus; the
+    * verdict is then a pure narrow map — the only exchange is the
+    * map-side-combined count agg. At 100 TB: one scan + one bounded
+    * agg + one broadcast, nothing corpus-sized shuffles. */
+  private def cp12(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    val dim = counts.crossJoin(broadcast(nMin))
+      .select(col("lang"), col("n_lang"),
+        expr("(n_min * 1000) div n_lang").as("accept_permille"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(dim), Seq("lang"))
+      .withColumn("coin_permille",
+        pmod(conv(substring(rnd("cp12"), 1, 15), 16, 10).cast("long"),
+          lit(1000)))
+      .withColumn("accepted", col("coin_permille") < col("accept_permille"))
+      .select("doc_id", "lang", "n_lang", "accept_permille", "coin_permille",
+        "accepted")
+  }
+
+  private val cp12Sql =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      |dim AS (
+      |  SELECT lang, n_lang,
+      |    ((SELECT min(n_lang) FROM counts) * 1000) // n_lang AS accept_permille
+      |  FROM counts)
+      |SELECT doc_id, d.lang, n_lang, accept_permille,
+      |  coin_permille, coin_permille < accept_permille AS accepted
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(""".stripMargin + rndSql("cp12") +
+    """, 1, 15))::BIGINT % 1000 AS coin_permille
+      |  FROM documents) d
+      |JOIN dim ON dim.lang = d.lang""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
       "deterministic per-language k-sample via salted-md5 permutation"),
@@ -530,5 +583,7 @@ object CorpusOps {
     GateQuery("cp10_dataset_split", cp10, Some(cp10Sql),
       "hash-stable 98/1/1 train/validation/test assignment per document"),
     GateQuery("cp11_temperature_mixture", cp11, Some(cp11Sql),
-      "alpha=0.5 temperature-sampled language mixture via IEEE-exact isqrt weights"))
+      "alpha=0.5 temperature-sampled language mixture via IEEE-exact isqrt weights"),
+    GateQuery("cp12_balanced_resample", cp12, Some(cp12Sql),
+      "deterministic Bernoulli thinning to the smallest language's size (auditable)"))
 }

@@ -612,6 +612,71 @@ object TimeWindows {
        |WINDOW trail AS (PARTITION BY user_id ORDER BY hour_idx
        |  RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)""".stripMargin
 
+  // ---------------------------------------------------------------- tw14
+
+  /** tw14: ORDERED conversion funnel — signup → first click AT OR
+    * AFTER it → first purchase AT OR AFTER that, the classic
+    * product-analytics question ("how far did each user get, in
+    * order?") that a bag-of-events count can't answer: a purchase
+    * BEFORE the signup must not convert the funnel. Per user: the
+    * three stage timestamps (null once the chain breaks) and the
+    * furthest stage reached. Same-microsecond ties count as ordered
+    * (≥ — the reference-free choice, pinned identically in both
+    * engines).
+    *
+    * Scale shape: three min-reductions chained by user-keyed hash
+    * joins — every frame past the first agg is USER-grain, all
+    * exchanges hash on user_id (no windows over event rows, no
+    * sorts); the chain is the map-side-combinable restatement of the
+    * per-user event-sequence scan. At 100 TB the working set after
+    * stage 1 is |users|, not |events|. */
+  private def tw14(s: SparkSession, d: String): DataFrame = {
+    val e = evs(s, d)
+    def firstAtOrAfter(etype: String, prev: DataFrame, prevCol: String,
+        out: String): DataFrame =
+      e.filter(col("event_type") === etype)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts_us") >= col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as(out))
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+    val t2 = firstAtOrAfter("click", t1, "signup_us", "click_us")
+    val t3 = firstAtOrAfter("purchase", t2, "click_us", "purchase_us")
+    // user-grain × user-grain assembly: pinned shuffle-hash (cp7's
+    // rule) so not even the AQE initial plan carries a sort-merge join
+    e.select(col("user_id")).distinct()
+      .join(t1.hint("shuffle_hash"), Seq("user_id"), "left")
+      .join(t2.hint("shuffle_hash"), Seq("user_id"), "left")
+      .join(t3.hint("shuffle_hash"), Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("purchase_us").isNotNull, 3)
+          .when(col("click_us").isNotNull, 2)
+          .when(col("signup_us").isNotNull, 1).otherwise(0))
+  }
+
+  private val tw14Sql = evsSql +
+    """, t1 AS (
+      |  SELECT user_id, min(ts_us) AS signup_us FROM evs
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, min(e.ts_us) AS click_us
+      |  FROM evs e JOIN t1 ON t1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts_us >= t1.signup_us
+      |  GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, min(e.ts_us) AS purchase_us
+      |  FROM evs e JOIN t2 ON t2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts_us >= t2.click_us
+      |  GROUP BY e.user_id)
+      |SELECT u.user_id, signup_us, click_us, purchase_us,
+      |  CASE WHEN purchase_us IS NOT NULL THEN 3
+      |       WHEN click_us IS NOT NULL THEN 2
+      |       WHEN signup_us IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM (SELECT DISTINCT user_id FROM evs) u
+      |LEFT JOIN t1 ON t1.user_id = u.user_id
+      |LEFT JOIN t2 ON t2.user_id = u.user_id
+      |LEFT JOIN t3 ON t3.user_id = u.user_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -638,5 +703,7 @@ object TimeWindows {
     GateQuery("tw12_rate_limit", tw12, Some(tw12Sql),
       "rate-limit dispatch schedule via prefix-max closed form of the throttle recurrence"),
     GateQuery("tw13_rate_spike", tw13, Some(tw13Sql),
-      "per-user hourly spike vs trailing-24h baseline via a RANGE window frame"))
+      "per-user hourly spike vs trailing-24h baseline via a RANGE window frame"),
+    GateQuery("tw14_conversion_funnel", tw14, Some(tw14Sql),
+      "ordered signup->click->purchase funnel via chained user-grain min-reductions"))
 }

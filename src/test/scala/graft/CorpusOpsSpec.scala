@@ -90,6 +90,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"weight-11 sources must dominate weight-2: ${bySrcN.toMap}")
   }
 
+  test("cp12: thresholds exact, smallest language survives whole, verdicts pure") {
+    val rows = gate("cp12_balanced_resample", sf001).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val nMin = byLang.values.map(_.length).min
+    byLang.foreach { case (lang, docs) =>
+      val thr = docs.head.getAs[Long]("accept_permille")
+      assert(thr == nMin.toLong * 1000 / docs.length,
+        s"$lang threshold drift: $thr")
+      docs.foreach { r =>
+        assert(r.getAs[Boolean]("accepted") ==
+          (r.getAs[Long]("coin_permille") < thr))
+      }
+      // the smallest language's threshold is 1000 -> it survives whole
+      if (docs.length == nMin)
+        assert(docs.forall(_.getAs[Boolean]("accepted")))
+      // acceptance rate lands near n_min (binomial, wide tolerance)
+      val acc = docs.count(_.getAs[Boolean]("accepted"))
+      assert(acc <= docs.length && (thr < 1000 || acc == docs.length))
+    }
+    // the coin is a pure function of doc_id: a re-run accepts the same docs
+    val again = gate("cp12_balanced_resample", sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("accepted")).toMap
+    rows.foreach(r => assert(
+      again(r.getAs[Long]("doc_id")) == r.getAs[Boolean]("accepted")))
+  }
+
   test("cp11: sqrt weights flatten the head language, shares exact") {
     // 4 en docs vs 1 de doc: raw shares 800/200; isqrt weights 2/1
     // flatten to 666/333 — the tail language more than doubles.

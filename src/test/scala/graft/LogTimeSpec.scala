@@ -195,6 +195,40 @@ class LogTimeSpec extends AnyFunSuite {
       s"manual ${manual.size} sessions vs native ${native.size}")
   }
 
+  test("tw14 funnel: order matters, ties count, chain breaks stick") {
+    val m = 60000000L
+    val dir = fixtureDir("events" -> eventsDf(Seq(
+      // user 1: full ordered funnel
+      (1L, 10 * m, 1L, "signup", 0.0, 0),
+      (2L, 20 * m, 1L, "click", 0.0, 0),
+      (3L, 30 * m, 1L, "purchase", 0.0, 0),
+      // user 2: purchase BEFORE the click → stage stops at 2
+      (4L, 10 * m, 2L, "signup", 0.0, 0),
+      (5L, 30 * m, 2L, "click", 0.0, 0),
+      (6L, 20 * m, 2L, "purchase", 0.0, 0),
+      // user 3: everything at the same instant → ties are ordered
+      (7L, 10 * m, 3L, "signup", 0.0, 0),
+      (8L, 10 * m, 3L, "click", 0.0, 0),
+      (9L, 10 * m, 3L, "purchase", 0.0, 0),
+      // user 4: click+purchase but never signed up → stage 0
+      (10L, 10 * m, 4L, "click", 0.0, 0),
+      (11L, 20 * m, 4L, "purchase", 0.0, 0),
+      // user 5: early purchase, then the real one after the click
+      (12L, 5 * m, 5L, "purchase", 0.0, 0),
+      (13L, 10 * m, 5L, "signup", 0.0, 0),
+      (14L, 20 * m, 5L, "click", 0.0, 0),
+      (15L, 40 * m, 5L, "purchase", 0.0, 0))))
+    val rows = gate("tw14_conversion_funnel", dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("stage") == 3)
+    assert(rows(2L).getAs[Int]("stage") == 2 && rows(2L).isNullAt(rows(2L).fieldIndex("purchase_us")))
+    assert(rows(3L).getAs[Int]("stage") == 3, s"same-instant chain must convert: ${rows(3L)}")
+    assert(rows(4L).getAs[Int]("stage") == 0)
+    assert(rows(5L).getAs[Int]("stage") == 3 &&
+      rows(5L).getAs[Long]("purchase_us") == 40 * m,
+      s"pre-signup purchase must not shortcut the funnel: ${rows(5L)}")
+  }
+
   test("tw13 spikes: 3x baseline fires, floors and calendar gaps do not") {
     val h = 3600L * 1000000 // one hour in µs
     // user 1: hours 0..23 at 1 event each, hour 24 at 10 → baseline 1, spike
