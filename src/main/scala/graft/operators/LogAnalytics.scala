@@ -304,6 +304,100 @@ object LogAnalytics {
       |    ((max_us - 604800000000) // 86400000000) * 86400000000) t
       |GROUP BY day_us""".stripMargin
 
+  // ---------------------------------------------------------------- la10
+
+  /** la10: HISTOGRAM p95 with its own error certificate — the quantile
+    * you actually compute at 100 TB: exact rank selection (tx9's
+    * shape) needs a per-group sort of every row, while a fixed
+    * 100-bin histogram needs one map-side-combinable count pass;
+    * the price is bin-width resolution. This gate computes BOTH per
+    * level — the histogram p95 bin (min bin where 20·cum ≥ 19·total)
+    * with its floor bound, AND the exact rank-selected p95 — so the
+    * certificate `p95_floor_cents ≤ exact_p95_cents < next bin` is
+    * in the output, sim8's measured-accuracy discipline applied to
+    * quantile sketching. All arithmetic integer-exact; bins span the
+    * global [min, max] from a 1-row anchor.
+    *
+    * Scale shape: the histogram path is one narrow binning map + a
+    * (level, bin)-grain agg (≤ levels × 100 rows) + bounded windows
+    * over that tiny frame. The exact path (the audit) is the only
+    * per-row window; drop it and the gate IS the sketch. */
+  private def la10(s: SparkSession, d: String): DataFrame = {
+    val base = logs(s, d).select(col("level"), col("value_cents"), col("event_id"))
+    val bounds = base.agg(min(col("value_cents")).as("lo"),
+      max(col("value_cents")).as("hi"))
+    val hist = base.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(
+        "CASE WHEN hi > lo THEN ((value_cents - lo) * 100) div (hi - lo + 1) " +
+          "ELSE 0 END"))
+      .groupBy(col("level"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+    val wCum = Window.partitionBy(col("level")).orderBy(col("bin"))
+    val wTot = Window.partitionBy(col("level"))
+    val sketch = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("tot", sum(col("n")).over(wTot))
+      .filter(col("cum") * 20 >= col("tot") * 19)
+      .groupBy(col("level"))
+      .agg(min(col("bin")).as("p95_bin"), min(col("tot")).as("n_rows"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+      .select(col("level"), col("n_rows"), col("p95_bin"),
+        expr("lo + (p95_bin * (hi - lo + 1)) div 100").as("p95_floor_cents"),
+        expr("lo + ((p95_bin + 1) * (hi - lo + 1)) div 100").as("p95_ceil_cents"))
+    val wRank = Window.partitionBy(col("level"))
+      .orderBy(col("value_cents").asc, col("event_id").asc)
+    val exact = base
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("tot", count(lit(1)).over(wTot))
+      .filter(col("rk") * 20 >= col("tot") * 19)
+      .groupBy(col("level")).agg(min(col("value_cents")).as("exact_p95_cents"))
+    sketch.join(exact.hint("shuffle_hash"), Seq("level"))
+      .withColumn("certified",
+        col("p95_floor_cents") <= col("exact_p95_cents") &&
+          col("exact_p95_cents") <= col("p95_ceil_cents"))
+  }
+
+  private val la10Sql = logsSql +
+    """, bounds AS (
+      |  SELECT min(value_cents) AS lo, max(value_cents) AS hi FROM logs),
+      |hist AS (
+      |  SELECT level, bin, count(*) AS n, min(lo) AS lo, min(hi) AS hi
+      |  FROM (
+      |    SELECT level,
+      |      CASE WHEN hi > lo THEN ((value_cents - lo) * 100) // (hi - lo + 1)
+      |        ELSE 0 END AS bin, lo, hi
+      |    FROM logs, bounds) b
+      |  GROUP BY level, bin),
+      |sketch AS (
+      |  SELECT level, min(tot) AS n_rows, min(bin) AS p95_bin,
+      |    min(lo) AS lo, min(hi) AS hi
+      |  FROM (
+      |    SELECT level, bin, lo, hi,
+      |      CAST(sum(n) OVER (PARTITION BY level ORDER BY bin
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |      CAST(sum(n) OVER (PARTITION BY level) AS BIGINT) AS tot
+      |    FROM hist) c
+      |  WHERE cum * 20 >= tot * 19
+      |  GROUP BY level),
+      |exact AS (
+      |  SELECT level, min(value_cents) AS exact_p95_cents
+      |  FROM (
+      |    SELECT level, value_cents,
+      |      row_number() OVER (PARTITION BY level
+      |        ORDER BY value_cents ASC, event_id ASC) AS rk,
+      |      count(*) OVER (PARTITION BY level) AS tot
+      |    FROM logs) r
+      |  WHERE rk * 20 >= tot * 19
+      |  GROUP BY level)
+      |SELECT s.level, n_rows, p95_bin,
+      |  lo + (p95_bin * (hi - lo + 1)) // 100 AS p95_floor_cents,
+      |  lo + ((p95_bin + 1) * (hi - lo + 1)) // 100 AS p95_ceil_cents,
+      |  exact_p95_cents,
+      |  lo + (p95_bin * (hi - lo + 1)) // 100 <= exact_p95_cents
+      |    AND exact_p95_cents <= lo + ((p95_bin + 1) * (hi - lo + 1)) // 100
+      |    AS certified
+      |FROM sketch s JOIN exact e ON e.level = s.level""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -322,5 +416,7 @@ object LogAnalytics {
     GateQuery("la8_level_pivot", la8, Some(la8Sql),
       "explicit-values PIVOT cross-tab, one hash agg (vs conditional-agg oracle)"),
     GateQuery("la9_retention_vacuum", la9, Some(la9Sql),
-      "MUTATING retention: day-partition drop on a parquet table + read-back proof (S11)"))
+      "MUTATING retention: day-partition drop on a parquet table + read-back proof (S11)"),
+    GateQuery("la10_histogram_p95", la10, Some(la10Sql),
+      "100-bin histogram p95 with the exact rank-selected p95 as an in-row certificate"))
 }

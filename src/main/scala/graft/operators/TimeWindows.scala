@@ -677,6 +677,55 @@ object TimeWindows {
       |LEFT JOIN t2 ON t2.user_id = u.user_id
       |LEFT JOIN t3 ON t3.user_id = u.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- tw15
+
+  /** tw15: SCD-TYPE-2 interval build — an append-only event log turned
+    * into the versioned dimension a warehouse serves ("what state was
+    * this user in at time T?"): consecutive same-state events collapse,
+    * each state CHANGE opens a validity interval `[valid_from,
+    * valid_to)` closed by the next change (`lead`), the open interval
+    * flagged current. The as-of lookup this table exists for is tw5's
+    * join; this gate builds the artifact. Deterministic under
+    * same-microsecond ties via the event_id tie-break.
+    *
+    * Scale shape: one user_id exchange feeds BOTH windows (the
+    * change-detection lag and the interval-closing lead share
+    * partitioning and ordering — Spark plans one Window operator
+    * pair over one sort, no second shuffle), and the output is
+    * change-grain, ≤ event-grain. At 100 TB: the dimension build is
+    * one shuffle of slim (user, state, ts) rows. */
+  private def tw15(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    evs(s, d)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_us"), col("event_id"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .withColumn("version", row_number().over(w))
+      .select("user_id", "version", "state", "valid_from_us", "valid_to_us",
+        "is_current")
+  }
+
+  private val tw15Sql = evsSql +
+    """SELECT user_id, version, state, valid_from_us, valid_to_us,
+      |  valid_to_us IS NULL AS is_current
+      |FROM (
+      |  SELECT user_id, state, ts_us AS valid_from_us,
+      |    lead(ts_us, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC) AS valid_to_us,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC) AS version
+      |  FROM (
+      |    SELECT user_id, event_type AS state, ts_us, event_id,
+      |      lag(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY ts_us ASC, event_id ASC) AS prev_state
+      |    FROM evs) c
+      |  WHERE prev_state IS NULL OR prev_state <> state) t""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -705,5 +754,7 @@ object TimeWindows {
     GateQuery("tw13_rate_spike", tw13, Some(tw13Sql),
       "per-user hourly spike vs trailing-24h baseline via a RANGE window frame"),
     GateQuery("tw14_conversion_funnel", tw14, Some(tw14Sql),
-      "ordered signup->click->purchase funnel via chained user-grain min-reductions"))
+      "ordered signup->click->purchase funnel via chained user-grain min-reductions"),
+    GateQuery("tw15_scd2_intervals", tw15, Some(tw15Sql),
+      "SCD2 dimension build: change-grain validity intervals via lag/lead, one shuffle"))
 }

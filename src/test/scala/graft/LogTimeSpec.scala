@@ -195,6 +195,60 @@ class LogTimeSpec extends AnyFunSuite {
       s"manual ${manual.size} sessions vs native ${native.size}")
   }
 
+  test("la10 histogram p95: certificate holds, exact value pinned") {
+    val m = 60000000L
+    // 20 'view' events, value 1..20 → cents 100..2000; exact p95 is the
+    // 19th-ranked value (rank·20 ≥ tot·19) = 1900 cents.
+    val dir = fixtureDir("events" -> eventsDf(
+      (1 to 20).map(i => (i.toLong, i * m, i.toLong, "view", i.toDouble, 0))))
+    val rows = gate("la10_histogram_p95", dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("exact_p95_cents") == 1900L)
+    assert(r.getAs[Boolean]("certified"), s"certificate broken: $r")
+    assert(r.getAs[Long]("p95_floor_cents") <= 1900L &&
+      1900L <= r.getAs[Long]("p95_ceil_cents"))
+    // the real corpus: every level's certificate must hold too
+    gate("la10_histogram_p95", sf0001).collect().foreach(row =>
+      assert(row.getAs[Boolean]("certified"), s"uncertified sketch row: $row"))
+  }
+
+  test("tw15 SCD2: same-state runs collapse, intervals chain, last is open") {
+    val m = 60000000L
+    val dir = fixtureDir("events" -> eventsDf(Seq(
+      (1L, 10 * m, 1L, "view", 0.0, 0),
+      (2L, 20 * m, 1L, "view", 0.0, 0),     // same state → collapses
+      (3L, 30 * m, 1L, "purchase", 0.0, 0), // change
+      (4L, 40 * m, 1L, "view", 0.0, 0),     // change back
+      (5L, 10 * m, 2L, "click", 0.0, 0))))  // single-event user
+    val rows = gate("tw15_scd2_intervals", dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version")) -> r).toMap
+    assert(rows.size == 4)
+    val v1 = rows((1L, 1))
+    assert(v1.getAs[String]("state") == "view" &&
+      v1.getAs[Long]("valid_from_us") == 10 * m &&
+      v1.getAs[Long]("valid_to_us") == 30 * m && !v1.getAs[Boolean]("is_current"))
+    val v2 = rows((1L, 2))
+    assert(v2.getAs[String]("state") == "purchase" &&
+      v2.getAs[Long]("valid_to_us") == 40 * m)
+    val v3 = rows((1L, 3))
+    assert(v3.getAs[String]("state") == "view" && v3.getAs[Boolean]("is_current") &&
+      v3.isNullAt(v3.fieldIndex("valid_to_us")))
+    assert(rows((2L, 1)).getAs[Boolean]("is_current"))
+    // intervals tile: on the real corpus every non-current interval's
+    // valid_to equals the next version's valid_from
+    val real = gate("tw15_scd2_intervals", sf0001).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    real.values.foreach { segs =>
+      val byV = segs.sortBy(_.getAs[Int]("version"))
+      byV.zip(byV.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"))
+        assert(a.getAs[String]("state") != b.getAs[String]("state"))
+      }
+      assert(byV.last.getAs[Boolean]("is_current"))
+    }
+  }
+
   test("tw14 funnel: order matters, ties count, chain breaks stick") {
     val m = 60000000L
     val dir = fixtureDir("events" -> eventsDf(Seq(

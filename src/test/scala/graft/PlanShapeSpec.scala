@@ -176,7 +176,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "tx8_kmv_cardinality", // 1-row sketch x 1-row exact anchor join
       "tx14_scored_retrieval", // 1-row corpus-total anchor (idf numerator)
       "cp11_temperature_mixture", // 1-row weight-total anchor over a ~|langs| dim
-      "cp12_balanced_resample") // 1-row n_min anchor folded into the ~|langs| dim
+      "cp12_balanced_resample", // 1-row n_min anchor folded into the ~|langs| dim
+      "la10_histogram_p95") // 1-row global [lo, hi] anchor for the bin map
     // The ONE legitimate sort-merge join: q10's co-located bucketed
     // join — SMJ over bucket-sorted reads carries no exchange and no
     // sort (its own test asserts both), which is the whole point of
