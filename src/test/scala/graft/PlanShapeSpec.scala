@@ -218,6 +218,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("tw15 SCD2 build: both window passes share one user exchange") {
+    val df = gate("tw15_scd2_intervals", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(shuffleCount(p) <= 1,
+      s"lag + lead/version windows must share one exchange, got ${shuffleCount(p)}\n$p")
+    assert(!p.contains("Join"), s"SCD2 build must be windowed, never joined:\n$p")
+  }
+
   test("tw13 spike windows ride hour-grain exchanges, never event-grain") {
     val df = gate("tw13_rate_spike", sf0001)
     df.collect()
