@@ -370,6 +370,41 @@ object Relational {
     s.sql(q13Sql)
   }
 
+  // ---------------------------------------------------------------- q14
+
+  /** q14: BAG-semantics set ops — §2.7's other half: `INTERSECT ALL` /
+    * `EXCEPT ALL` keep MULTIPLICITY (min / truncated difference of
+    * per-row counts), the semantics dedup accounting actually needs
+    * ("how many duplicate purchase events does the error cohort
+    * share?") where q11's DISTINCT variants collapse to membership.
+    * Spark compiles BOTH to tagged-union count-aggregates + `Generate
+    * replicaterows` — no join anywhere (verified in the executed
+    * plan) — which the oracle mirrors with DuckDB's native bag
+    * operators.
+    *
+    * Scale shape: one hash agg per side on the value key (map-side
+    * combined), then the replicate generator — exchanges carry
+    * (key, count) rows, never the raw bags. */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def vals(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"))
+    vals("purchase").intersectAll(vals("error"))
+      .unionAll(vals("purchase").exceptAll(vals("signup")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+  }
+
+  private val q14Sql =
+    """SELECT user_id, count(*) AS n FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'error'
+      |  UNION ALL
+      |  (SELECT user_id FROM events WHERE event_type = 'purchase'
+      |   EXCEPT ALL
+      |   SELECT user_id FROM events WHERE event_type = 'signup')) t
+      |GROUP BY user_id""".stripMargin
+
   private def q12(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
@@ -393,5 +428,7 @@ object Relational {
     GateQuery("q12_sql_exists", q12, Some(q12Sql),
       "spark.sql surface: correlated EXISTS decorrelated to a semi join (one dialect-shared string)"),
     GateQuery("q13_sql_not_exists", q13, Some(q13Sql),
-      "NOT EXISTS decorrelated to an anti join before the rollup (q12's negated half)"))
+      "NOT EXISTS decorrelated to an anti join before the rollup (q12's negated half)"),
+    GateQuery("q14_bag_setops", q14, Some(q14Sql),
+      "INTERSECT ALL / EXCEPT ALL: multiplicity-preserving set ops (§2.7's bag half)"))
 }
