@@ -61,7 +61,7 @@ object Dedup {
     * at sf0.1 (the sequence/element_at lambda falls off the fast path;
     * zip_with walks both arrays linearly). Same output order, so
     * array_distinct keeps identical first-occurrence semantics. */
-  private def shingleCols(docs: DataFrame): DataFrame =
+  private[graft] def shingleCols(docs: DataFrame): DataFrame =
     docs
       .withColumn("a", split(trim(col("text")), "\\s+"))
       .withColumn("shingles", expr(

@@ -1015,7 +1015,6 @@ object Similarity {
   private def sim14(s: SparkSession, d: String): DataFrame = {
     val cb = typedLit(codebookArr(s, d))
     val assigned = vecs(s, d)
-      .filter(col("v").isNotNull)
       .withColumn("cell",
         element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
           .getField("code"))

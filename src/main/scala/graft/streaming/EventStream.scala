@@ -126,11 +126,12 @@ object EventStream {
     * × lookup in the broadcast array — independent of stream length.
     */
   def streamDecontaminate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
-    def shingled(df: DataFrame): DataFrame = df
-      .withColumn("a", split(trim(col("text")), "\\s+"))
-      .withColumn("shs", expr(
-        "array_distinct(zip_with(slice(a, 1, size(a)-1), " +
-          "slice(a, 2, size(a)-1), (x, y) -> concat(x, ' ', y)))"))
+    // dd15's shingle unit, by construction: both sides go through
+    // Dedup.shingleCols (the one bigram-shingle definition in the
+    // repo), so a tokenizer change there changes this stream too.
+    def shingled(df: DataFrame): DataFrame =
+      graft.operators.Dedup.shingleCols(df.withColumn("source", lit("")))
+        .withColumnRenamed("shingles", "shs")
     val benchDim = shingled(benchmark)
       .select(explode(col("shs")).as("s"))
       .select(xxhash64(col("s")).as("h"))

@@ -320,6 +320,16 @@ class EventStreamSpec extends AnyFunSuite {
       assert(streamed(2L) == (333L, false))
       assert(streamed(3L) == (0L, false))
       assert(streamed(4L) == (0L, false))
+      // and the scores equal the dd15 GATE's on the same corpus split
+      // (doc 50 is the gate's benchmark residue: doc_id % 50 == 0)
+      val gateDir = fixtureDir("documents" -> documentsDf(
+        Seq((50L, "aa bb aa cc", "en", "s1")) ++
+          incoming.map { case (id, t) => (id, t, "en", "s1") }))
+      val viaGate = gate("dd15_containment_score", gateDir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("containment_permille"), r.getAs[Boolean]("contaminated"))).toMap
+      assert(viaGate == streamed,
+        s"stream diverges from the dd15 gate: $viaGate vs $streamed")
     } finally q.stop()
   }
 
