@@ -60,7 +60,13 @@ object PlanDump {
     "sim14_lloyd_refine" ->
       "Lloyd step: folded-codebook assignment rides shuffle-free under the posexplode; (cell, dim) partials combine map-side; the seed-centroid dim joins broadcast.",
     "q13_sql_not_exists" ->
-      "SQL NOT EXISTS: decorrelates to a left-anti hash join BEFORE the segment rollup — only surviving customers reach the exchange.")
+      "SQL NOT EXISTS: decorrelates to a left-anti hash join BEFORE the segment rollup — only surviving customers reach the exchange.",
+    "q14_bag_setops" ->
+      "Bag set ops: INTERSECT ALL / EXCEPT ALL compile to tagged-union count-aggregates + Generate replicaterows — JOIN-FREE; exchanges carry (key, count) rows.",
+    "la10_histogram_p95" ->
+      "Histogram p95: the sketch path is a narrow bin map + a (level, bin)-grain agg; the exact rank path rides alongside as the certificate.",
+    "tw15_scd2_intervals" ->
+      "SCD2 build: the change-detection lag and the interval-closing lead/version windows share ONE user exchange and one sort.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -546,6 +546,71 @@ object YtFormats {
        |      api_version := 'v1')))::VARCHAR AS body
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- yf10
+
+  /** yf10: URL CANONICALIZATION — P6's video-id extraction generalized
+    * to the curation primitive URL-grain dedup runs on: the five ways
+    * the same video arrives (`watch?v=` with `si=`/`t=` tracking,
+    * `youtu.be/` short links, `/shorts/`, mobile host, `/embed/`) all
+    * normalize to ONE canonical `www.youtube.com/watch?v=` form, with
+    * the tracking-params and non-canonical-host flags kept for audit.
+    * Five URL variants are synthesized deterministically from the
+    * event columns (yf1's discipline — both engines build identical
+    * raw inputs, so the gate checks the NORMALIZER, not a fixture).
+    *
+    * Scale shape: a pure narrow projection — regexp extract + string
+    * rebuild, no exchange at all; at 100 TB this runs inside the scan
+    * stage of whatever pipeline consumes it (URL dedup = dd1 on the
+    * canonical column downstream). */
+  private def yf10(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("raw_url", expr(
+        """CASE event_id % 5
+          |  WHEN 0 THEN concat('https://www.youtube.com/watch?v=v', event_id,
+          |    '&si=trk', user_id, '&t=42s')
+          |  WHEN 1 THEN concat('https://youtu.be/v', event_id, '?si=trk', user_id)
+          |  WHEN 2 THEN concat('https://www.youtube.com/shorts/v', event_id)
+          |  WHEN 3 THEN concat('https://m.youtube.com/watch?v=v', event_id,
+          |    '&feature=share')
+          |  ELSE concat('https://www.youtube.com/embed/v', event_id)
+          |END""".stripMargin))
+      .withColumn("video_id", regexp_extract(col("raw_url"),
+        "(?:watch\\?v=|youtu\\.be/|shorts/|embed/)([A-Za-z0-9_-]+)", 1))
+      .withColumn("canonical_url",
+        concat(lit("https://www.youtube.com/watch?v="), col("video_id")))
+      .withColumn("had_tracking",
+        col("raw_url").contains("si=") || col("raw_url").contains("feature="))
+      .withColumn("noncanonical_host",
+        !col("raw_url").startsWith("https://www.youtube.com/"))
+      .select("event_id", "raw_url", "video_id", "canonical_url",
+        "had_tracking", "noncanonical_host")
+
+  private val yf10Sql =
+    """SELECT event_id, raw_url,
+      |  regexp_extract(raw_url,
+      |    '(?:watch\?v=|youtu\.be/|shorts/|embed/)([A-Za-z0-9_-]+)', 1)
+      |    AS video_id,
+      |  'https://www.youtube.com/watch?v=' || regexp_extract(raw_url,
+      |    '(?:watch\?v=|youtu\.be/|shorts/|embed/)([A-Za-z0-9_-]+)', 1)
+      |    AS canonical_url,
+      |  contains(raw_url, 'si=') OR contains(raw_url, 'feature=')
+      |    AS had_tracking,
+      |  NOT starts_with(raw_url, 'https://www.youtube.com/')
+      |    AS noncanonical_host
+      |FROM (
+      |  SELECT event_id,
+      |    CASE event_id % 5
+      |      WHEN 0 THEN 'https://www.youtube.com/watch?v=v' || event_id
+      |        || '&si=trk' || user_id || '&t=42s'
+      |      WHEN 1 THEN 'https://youtu.be/v' || event_id || '?si=trk' || user_id
+      |      WHEN 2 THEN 'https://www.youtube.com/shorts/v' || event_id
+      |      WHEN 3 THEN 'https://m.youtube.com/watch?v=v' || event_id
+      |        || '&feature=share'
+      |      ELSE 'https://www.youtube.com/embed/v' || event_id
+      |    END AS raw_url
+      |  FROM events) t""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("yf1_rss_xml_parse", yf1, Some(yf1Sql),
       "Atom XML round-trip via from_xml + URL id extraction (S6/S7/P5/P6)"),
@@ -564,5 +629,7 @@ object YtFormats {
     GateQuery("yf8_full_language_fallback", yf8, Some(yf8Sql),
       "full 83-row language dim + exact 4-step fallback order (P7)"),
     GateQuery("yf9_response_envelope", yf9, Some(yf9Sql),
-      "P12 standardize_response JSON envelope, byte-identical to_json"))
+      "P12 standardize_response JSON envelope, byte-identical to_json"),
+    GateQuery("yf10_url_canonicalize", yf10, Some(yf10Sql),
+      "URL canonicalization: 5 link forms -> one watch?v= form + audit flags (P6 grown)"))
 }

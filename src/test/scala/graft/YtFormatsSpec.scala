@@ -197,6 +197,24 @@ class YtFormatsSpec extends AnyFunSuite {
     assert(uniq.getAs[Long]("bytes_saved") == 0L)
   }
 
+  test("yf10: every link form canonicalizes to one watch?v= URL") {
+    val rows = gate("yf10_url_canonicalize", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      assert(r.getAs[String]("video_id") == s"v$id", s"id extraction drift: $r")
+      assert(r.getAs[String]("canonical_url") ==
+        s"https://www.youtube.com/watch?v=v$id")
+      val form = id % 5
+      assert(r.getAs[Boolean]("had_tracking") == (form == 0 || form == 1 || form == 3))
+      assert(r.getAs[Boolean]("noncanonical_host") == (form == 1 || form == 3))
+    }
+    // the downstream property the op exists for: URL-grain dedup on the
+    // canonical column collapses all five forms of one video
+    val distinctCanon = rows.map(_.getAs[String]("canonical_url")).distinct.length
+    assert(distinctCanon == rows.length) // synthetic ids are unique here
+  }
+
   test("P12 response envelope: to_json/from_json round trip") {
     import org.apache.spark.sql.functions._
     val env = gate("ca6_final_metrics", sf0001)
