@@ -398,6 +398,41 @@ object LogAnalytics {
       |    AS certified
       |FROM sketch s JOIN exact e ON e.level = s.level""".stripMargin
 
+  // ---------------------------------------------------------------- la11
+
+  /** la11: the DSv2 WRITE protocol end-to-end — S9's sink driven
+    * through a custom connector instead of parquet: the log stream
+    * writes through [[graft.sources.LogSink]] (per-task staged
+    * commits, driver-side atomic publish — the reference's SQLite
+    * transaction boundary as Spark's `BatchWrite` contract), reads
+    * back through the same table, and rolls up per level. The oracle
+    * computes the identical rollup straight from events — equality
+    * proves no row was lost, duplicated, or mangled crossing the
+    * commit protocol. A fresh table per invocation keeps concurrent
+    * bench/verify runs independent.
+    *
+    * Scale shape: the write is one narrow projection fanned over the
+    * input partitions (each task stages + commits independently); the
+    * read-back serves one InputPartition per committed batch; the
+    * rollup is a map-side-combined hash agg on ≤ |levels| keys. */
+  private def la11(s: SparkSession, d: String): DataFrame = {
+    val table = graft.sources.LogSink.freshTable(s"la11|$d")
+    logs(s, d).select(col("ts_us"), col("level"), col("logger_name"),
+        col("value_cents"))
+      .write.format("graft.sources.LogSink")
+      .option("table", table).mode("append").save()
+    s.read.format("graft.sources.LogSink").option("table", table).load()
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"),
+        min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+  }
+
+  private val la11Sql = logsSql +
+    """SELECT level, count(*) AS n,
+      |  CAST(sum(value_cents) AS BIGINT) AS cents,
+      |  min(ts_us) AS first_us, max(ts_us) AS last_us
+      |FROM logs GROUP BY level""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -418,5 +453,7 @@ object LogAnalytics {
     GateQuery("la9_retention_vacuum", la9, Some(la9Sql),
       "MUTATING retention: day-partition drop on a parquet table + read-back proof (S11)"),
     GateQuery("la10_histogram_p95", la10, Some(la10Sql),
-      "100-bin histogram p95 with the exact rank-selected p95 as an in-row certificate"))
+      "100-bin histogram p95 with the exact rank-selected p95 as an in-row certificate"),
+    GateQuery("la11_dsv2_sink", la11, Some(la11Sql),
+      "DSv2 write protocol round-trip: staged task commits -> atomic publish -> rollup"))
 }

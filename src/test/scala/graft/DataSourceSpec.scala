@@ -214,4 +214,38 @@ class DataSourceSpec extends AnyFunSuite {
     // 5000 is outside maxId=999 → only 500 comes back
     assert(df.select("channel_id").collect().map(_.getLong(0)).toSeq == Seq(500L))
   }
+
+  test("LogSink write protocol: commit publishes atomically, abort publishes nothing") {
+    import graft.sources.{LogSink, LogStore}
+    def mkRows(n: Int): DataFrame = spark.range(n)
+      .select(col("id").as("ts_us"), lit("INFO").as("level"),
+        concat(lit("u"), col("id") % 7).as("logger_name"),
+        (col("id") * 100).as("value_cents"))
+      .repartition(8) // several independent task commits
+    // committed write: every row visible exactly once, across batches
+    val t1 = LogSink.freshTable("spec-ok")
+    mkRows(1000).write.format("graft.sources.LogSink")
+      .option("table", t1).mode("append").save()
+    mkRows(500).write.format("graft.sources.LogSink")
+      .option("table", t1).mode("append").save()
+    assert(LogStore.rowCount(t1) == 1500)
+    val back = spark.read.format("graft.sources.LogSink")
+      .option("table", t1).load()
+    assert(back.count() == 1500)
+    assert(back.agg(sum(col("value_cents"))).head.getLong(0) ==
+      (0L until 1000).map(_ * 100).sum + (0L until 500).map(_ * 100).sum)
+    // aborted write: one poisoned task fails the job AFTER other tasks
+    // staged their rows — nothing may become visible
+    val t2 = LogSink.freshTable("spec-abort")
+    val poisoned = mkRows(1000)
+      .withColumn("ts_us", expr(
+        "CASE WHEN ts_us = 777 THEN assert_true(false) ELSE ts_us END")
+        .cast("long"))
+    intercept[Exception] {
+      poisoned.write.format("graft.sources.LogSink")
+        .option("table", t2).mode("append").save()
+    }
+    assert(LogStore.rowCount(t2) == 0,
+      s"aborted job leaked ${LogStore.rowCount(t2)} rows into $t2")
+  }
 }
