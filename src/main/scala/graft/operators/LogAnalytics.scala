@@ -421,10 +421,17 @@ object LogAnalytics {
         col("value_cents"))
       .write.format("graft.sources.LogSink")
       .option("table", table).mode("append").save()
-    s.read.format("graft.sources.LogSink").option("table", table).load()
+    val rolled = s.read.format("graft.sources.LogSink")
+      .option("table", table).load()
       .groupBy(col("level"))
       .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("cents"),
         min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+    // materialize the |levels|-row rollup, then release the staged
+    // copy — the store is process-wide and la11 runs repeatedly per
+    // bench JVM (see LogStore.drop)
+    val out = rolled.collect()
+    graft.sources.LogStore.drop(table)
+    s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
   }
 
   private val la11Sql = logsSql +

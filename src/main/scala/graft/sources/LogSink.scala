@@ -94,6 +94,14 @@ object LogStore {
 
   def rowCount(table: String): Long =
     batches(table).iterator.map(_.length.toLong).sum
+
+  /** Release a table's committed rows. Callers drop a round-trip
+    * table once its downstream result is materialized — the store is
+    * process-wide and otherwise retains every published batch for
+    * the JVM lifetime (la11 runs 4× per bench process). A still-lazy
+    * scan over a dropped table reads zero partitions, so drop ONLY
+    * after the consuming action. */
+  def drop(table: String): Unit = tables.remove(table)
 }
 
 class LogSinkTable(tableName: String) extends Table
