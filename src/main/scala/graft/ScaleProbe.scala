@@ -255,6 +255,35 @@ object ScaleProbe {
           f"dropped=${r.getLong(2)}%9d elapsed=$s1%7.1f s")
       }
     }
+
+    // Events-family probe: the sf0.1 event log replicated factor× in
+    // TIME (each replica shifted by the span, so user/hour density
+    // stays realistic instead of stacking 20 copies into one hour) and
+    // run through the windowed analytics gates. The properties under
+    // test: tw13/tw15 exchanges carry (user × hour)- / change-grain
+    // rows so wall grows ~linearly; la10's sketch dim stays
+    // levels×100 regardless of row count; tw14 collapses to user
+    // grain after the first reduction.
+    if (Set("all", "events")(probe)) {
+      val ev = Tables.events(spark, sfDir)
+      val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+      val span = b.getLong(1) - b.getLong(0) + 1
+      val estride = (ev.agg(max(col("event_id"))).head.getLong(0) / 100L + 1L) * 100L
+      ev.crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("event_id", col("event_id") + col("rep") * lit(estride))
+        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + col("rep") * span))
+        .drop("rep").repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      val ne = spark.read.parquet(s"$out/events.parquet").count()
+      println(s"events: $ne rows ($factor x $sfDir, time-shifted replicas)")
+      for (g <- Seq("tw13_rate_spike", "tw15_scd2_intervals",
+          "tw14_conversion_funnel", "la10_histogram_p95", "la11_dsv2_sink")) {
+        val t1 = System.nanoTime()
+        val c = SparkEntry.queries(g)(spark, out).count()
+        val s1 = (System.nanoTime() - t1) / 1e9
+        println(f"$g%-24s rows=$c%10d elapsed=$s1%7.1f s")
+      }
+    }
     spark.stop()
   }
 }
