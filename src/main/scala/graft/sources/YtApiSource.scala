@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,7 +73,8 @@ class YtApiTable extends Table with SupportsRead {
   override def name(): String = "ytapi"
   override def schema(): StructType = YtApiTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new YtApiScanBuilder(options)
 }
@@ -215,18 +217,30 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
     val ids = plannedIds
     pushedAgg match {
       case Some((groupCol, evals)) => new YtApiAggScan(ids, groupCol, evals, pushed)
-      case None => new YtApiScan(ids, required, batchSize, limitN)
+      case None => new YtApiScan(ids, required, batchSize, limitN,
+        options.getInt("pollBatch", 100))
     }
   }
 }
 
 class YtApiScan(initialIds: Seq[Long], required: StructType, batchSize: Int,
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None, pollBatch: Int = 100)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   private var ids: Seq[Long] = initialIds
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** STREAMING read — the reference's scheduled poll loop (the RSS /
+    * quota-budgeted API sweep that discovers `pollBatch` new channels
+    * per tick) as a DSv2 `MicroBatchStream`: each trigger advances
+    * the offset by ≤ `pollBatch` ids over the SAME planned id set,
+    * chunk partitions, and pruned-projection readers the batch scan
+    * uses — one code path, two execution modes. Offsets are positions
+    * into the planned id list, so a checkpoint restart resumes
+    * exactly where the poller stopped. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new YtApiMicroBatchStream(ids.toArray, required.fieldNames, batchSize,
+      pollBatch)
   /** Runtime filtering — the DSv2 analog of dynamic partition
     * pruning: when this scan sits under a join, the join's build-side
     * keys arrive here AT EXECUTION TIME as an `In` filter, and the
@@ -323,6 +337,35 @@ object YtApiAggReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow = new GenericInternalRow(rows(i))
       override def close(): Unit = ()
     }
+}
+
+/** Streaming offset = how many of the planned ids have been ingested. */
+case class YtOffset(pos: Long) extends Offset {
+  override def json: String = pos.toString
+}
+
+/** The poll loop: `latestOffset` advances by ≤ pollBatch per trigger
+  * (the per-tick quota budget); `planInputPartitions` re-chunks the
+  * newly discovered slice exactly like the batch scan. Stateless
+  * beyond the monotone cursor — Spark's checkpoint owns progress. */
+class YtApiMicroBatchStream(ids: Array[Long], fieldNames: Array[String],
+    batchSize: Int, pollBatch: Int) extends MicroBatchStream {
+  private var cur = 0L
+  override def initialOffset(): Offset = YtOffset(0L)
+  override def latestOffset(): Offset = synchronized {
+    cur = math.min(cur + pollBatch, ids.length.toLong)
+    YtOffset(cur)
+  }
+  override def deserializeOffset(json: String): Offset = YtOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[YtOffset].pos.toInt
+    val e = end.asInstanceOf[YtOffset].pos.toInt
+    ids.slice(s, e).grouped(batchSize).map(YtApiChunk.apply).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new YtApiReaderFactory(fieldNames)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class YtApiChunk(ids: Array[Long]) extends InputPartition

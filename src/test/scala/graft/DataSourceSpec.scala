@@ -215,6 +215,24 @@ class DataSourceSpec extends AnyFunSuite {
     assert(df.select("channel_id").collect().map(_.getLong(0)).toSeq == Seq(500L))
   }
 
+  test("streaming poll: micro-batches drain the planned ids, equal the batch scan") {
+    val q = spark.readStream.format("graft.sources.YtApiSource")
+      .option("maxId", 299).option("pollBatch", 100).load()
+      .writeStream.format("memory").queryName("ytpoll")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ytpoll")
+      assert(streamed.count() == 300)
+      // multiple polls happened (300 ids at <=100/trigger => >= 3 batches)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"expected >=3 non-empty polls, got ${q.recentProgress.map(_.numInputRows).toSeq}")
+      // the poller and the batch scan see the identical universe
+      val batch = load(299).collect().map(_.toString).sorted
+      assert(streamed.collect().map(_.toString).sorted.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("LogSink write protocol: commit publishes atomically, abort publishes nothing") {
     import graft.sources.{LogSink, LogStore}
     def mkRows(n: Int): DataFrame = spark.range(n)
