@@ -259,6 +259,46 @@ object EventStream {
       }.toDF()
   }
 
+  case class ScdState(state: String, sinceUs: Long, version: Int)
+  case class ScdInterval(user_id: Long, version: Int, state: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming SCD2 — tw15's dimension build as CDC: per user the
+    * state carries exactly the OPEN interval (current state, its
+    * start, its version); a state-changing event CLOSES it, emitting
+    * the finished `[valid_from, valid_to)` row downstream — the
+    * change-data-capture feed a warehouse merges into its dimension.
+    * Same-state events touch nothing; the batch twin's non-current
+    * rows and this stream's emissions are identical by construction
+    * (the open interval lives in state, published on the next
+    * change). One small case class per user — bounded state, no
+    * timeout; events inside a micro-batch are sorted by
+    * (ts, event_id) so cross-batch and single-batch runs agree. */
+  def scd2Stream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[ScdState, ScdInterval](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, gs: GroupState[ScdState]) =>
+          val sorted = rows.map(r => (r._2.getTime * 1000L, r._1, r._4))
+            .toSeq.sorted
+          var st = gs.getOption
+          val out = Seq.newBuilder[ScdInterval]
+          for ((ts, _, s) <- sorted) st match {
+            case None => st = Some(ScdState(s, ts, 1))
+            case Some(cur) if cur.state != s =>
+              out += ScdInterval(user, cur.version, cur.state, cur.sinceUs, ts)
+              st = Some(ScdState(s, ts, cur.version + 1))
+            case _ => ()
+          }
+          st.foreach(gs.update)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Per-key rate-limit dispatch state (T4): the streaming twin of
     * tw12's prefix-max closed form. Where the batch restatement
     * carries the whole per-key prefix through a running-max window,

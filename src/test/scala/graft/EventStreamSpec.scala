@@ -287,6 +287,46 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 emits exactly the batch twin's closed intervals") {
+    val m = 60000000L
+    def ts(us: Long) = new Timestamp(us / 1000L)
+    // user 1: view(10,20) -> purchase(30) -> view(40); user 2: click(10)
+    val batch1 = Seq(
+      (1L, ts(10 * m), 1L, "view", 0.0),
+      (2L, ts(20 * m), 1L, "view", 0.0),
+      (5L, ts(10 * m), 2L, "click", 0.0))
+    val batch2 = Seq( // the state change arrives in a LATER micro-batch
+      (3L, ts(30 * m), 1L, "purchase", 0.0),
+      (4L, ts(40 * m), 1L, "view", 0.0))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val q = EventStream.scd2Stream(spark, toEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("scd2").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+          r.getAs[String]("state"), r.getAs[Long]("valid_from_us"),
+          r.getAs[Long]("valid_to_us"))).toSet
+      // exactly the CLOSED intervals: v1 view[10,30), v2 purchase[30,40);
+      // the open v3 (and user 2's only interval) live in state, unemitted
+      assert(streamed == Set(
+        (1L, 1, "view", 10 * m, 30 * m),
+        (1L, 2, "purchase", 30 * m, 40 * m)), s"got $streamed")
+      // parity with the batch gate's non-current rows on the same events
+      val dir = fixtureDir("events" -> eventsDf((batch1 ++ batch2).map {
+        case (id, t, u, et, v) => (id, t.getTime * 1000L, u, et, v, 0) }))
+      val batchClosed = gate("tw15_scd2_intervals", dir).collect()
+        .filter(!_.getAs[Boolean]("is_current"))
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+          r.getAs[String]("state"), r.getAs[Long]("valid_from_us"),
+          r.getAs[Long]("valid_to_us"))).toSet
+      assert(batchClosed == streamed,
+        s"stream diverges from tw15: $batchClosed vs $streamed")
+    } finally q.stop()
+  }
+
   test("streaming decontamination matches dd15's scoring, statelessly") {
     val bench = spark.createDataFrame(java.util.Arrays.asList(
       org.apache.spark.sql.Row(50L, "aa bb aa cc")),
