@@ -74,20 +74,26 @@ object ScaleProbe {
         f"${nlSecs * blowup}%9.0f s (${blowup}%6.0fx the comparisons)")
     }
 
-    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    // id stride derives from the source ids — a hardcoded stride would
-    // silently collide replica ids on larger corpora. Rounded UP to a
-    // multiple of 100 so replica ids keep their originals' residues
-    // mod 100 (the query-set selector) and mod 10 (dd13's batch
-    // selector) on ANY corpus size, not just round-number ones.
-    val stride = (src.agg(max(col("vec_id"))).head.getLong(0) / 100L + 1L) * 100L
-    src.crossJoin(spark.range(factor).toDF("rep"))
-      .withColumn("vec_id", col("vec_id") + col("rep") * lit(stride))
-      .drop("rep")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    val n = spark.read.parquet(s"$out/embeddings.parquet").count()
-    println(s"corpus: $n vectors ($factor x $sfDir)")
+    // The embeddings replica feeds only the lsh/ivfpq/dedup sections
+    // (dedup gates like dd11/dd13 join embeddings) — the rangejoin and
+    // events sections never read it, so they skip the minutes-long
+    // 20× build.
+    if (Set("all", "lsh", "ivfpq", "dedup")(probe)) {
+      val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // id stride derives from the source ids — a hardcoded stride would
+      // silently collide replica ids on larger corpora. Rounded UP to a
+      // multiple of 100 so replica ids keep their originals' residues
+      // mod 100 (the query-set selector) and mod 10 (dd13's batch
+      // selector) on ANY corpus size, not just round-number ones.
+      val stride = (src.agg(max(col("vec_id"))).head.getLong(0) / 100L + 1L) * 100L
+      src.crossJoin(spark.range(factor).toDF("rep"))
+        .withColumn("vec_id", col("vec_id") + col("rep") * lit(stride))
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      val n = spark.read.parquet(s"$out/embeddings.parquet").count()
+      println(s"corpus: $n vectors ($factor x $sfDir)")
+    }
 
     // (bits, bands, bandBits): the gate geometry (4-bit, sim2/sim3),
     // the sim3b wide-band gate (8-bit), and the next stop on the law

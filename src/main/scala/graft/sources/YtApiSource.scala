@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -344,18 +344,36 @@ case class YtOffset(pos: Long) extends Offset {
   override def json: String = pos.toString
 }
 
-/** The poll loop: `latestOffset` advances by ≤ pollBatch per trigger
-  * (the per-tick quota budget); `planInputPartitions` re-chunks the
-  * newly discovered slice exactly like the batch scan. Stateless
-  * beyond the monotone cursor — Spark's checkpoint owns progress. */
+/** The poll loop via ADMISSION CONTROL — the DSv2 hook for per-trigger
+  * rate limits: the stream advertises `ReadLimit.maxRows(pollBatch)`
+  * (the per-tick quota budget) and computes each trigger's end offset
+  * FROM the start offset Spark hands it, so the stream itself is
+  * STATELESS — a checkpoint restart resumes from the committed offset
+  * by construction, and `Trigger.AvailableNow` (whose wrapper passes
+  * `ReadLimit.allAvailable`) correctly drains the whole universe
+  * instead of stopping after one budgeted poll. The no-arg
+  * `latestOffset` throws, per the contract (Kafka's stream does the
+  * same): with admission control present Spark always calls the
+  * 2-arg form. `planInputPartitions` re-chunks the newly discovered
+  * slice exactly like the batch scan. */
 class YtApiMicroBatchStream(ids: Array[Long], fieldNames: Array[String],
-    batchSize: Int, pollBatch: Int) extends MicroBatchStream {
-  private var cur = 0L
+    batchSize: Int, pollBatch: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+  require(pollBatch > 0, s"pollBatch must be positive, got $pollBatch")
   override def initialOffset(): Offset = YtOffset(0L)
-  override def latestOffset(): Offset = synchronized {
-    cur = math.min(cur + pollBatch, ids.length.toLong)
-    YtOffset(cur)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(pollBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[YtOffset].pos
+    val cap = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => ids.length.toLong // allAvailable (Trigger.AvailableNow)
+    }
+    YtOffset(math.min(s + cap, ids.length.toLong))
   }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def reportLatestOffset(): Offset = YtOffset(ids.length.toLong)
   override def deserializeOffset(json: String): Offset = YtOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[YtOffset].pos.toInt

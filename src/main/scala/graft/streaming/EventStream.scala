@@ -273,22 +273,31 @@ object EventStream {
     * (the open interval lives in state, published on the next
     * change). One small case class per user — bounded state, no
     * timeout; events inside a micro-batch are sorted by
-    * (ts, event_id) so cross-batch and single-batch runs agree. */
+    * (ts_us, event_id) — true µs, `unix_micros`, the batch twin's
+    * clock — so cross-batch and single-batch runs agree.
+    *
+    * In-order assumption: CDC consumes an ORDERED per-key log (a WAL,
+    * a compacted topic) — an event older than the open interval's
+    * start would otherwise close it backwards in time, so such late
+    * arrivals are DROPPED (the guard below), keeping every emitted
+    * interval well-formed; a deployment with genuinely late data puts
+    * a watermarked sort in front. */
   def scd2Stream(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      .as[(Long, Timestamp, Long, String)]
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
       .groupByKey(_._3)
       .flatMapGroupsWithState[ScdState, ScdInterval](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user, rows, gs: GroupState[ScdState]) =>
-          val sorted = rows.map(r => (r._2.getTime * 1000L, r._1, r._4))
-            .toSeq.sorted
+          val sorted = rows.map(r => (r._2, r._1, r._4)).toSeq.sorted
           var st = gs.getOption
           val out = Seq.newBuilder[ScdInterval]
           for ((ts, _, s) <- sorted) st match {
             case None => st = Some(ScdState(s, ts, 1))
+            case Some(cur) if ts < cur.sinceUs => () // late arrival: drop
             case Some(cur) if cur.state != s =>
               out += ScdInterval(user, cur.version, cur.state, cur.sinceUs, ts)
               st = Some(ScdState(s, ts, cur.version + 1))

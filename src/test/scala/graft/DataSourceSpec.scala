@@ -231,6 +231,22 @@ class DataSourceSpec extends AnyFunSuite {
       val batch = load(299).collect().map(_.toString).sorted
       assert(streamed.collect().map(_.toString).sorted.sameElements(batch))
     } finally q.stop()
+    // Trigger.AvailableNow ("drain everything, then stop"): the
+    // admission-control contract means the wrapper's allAvailable
+    // limit overrides the per-trigger budget — ALL 300 ids land, not
+    // just the first poll's 100 (the failure mode of throttling in a
+    // bare no-arg latestOffset)
+    val qa = spark.readStream.format("graft.sources.YtApiSource")
+      .option("maxId", 299).option("pollBatch", 100).load()
+      .writeStream.format("memory").queryName("ytdrain")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      qa.awaitTermination(60000L)
+      assert(spark.table("ytdrain").count() == 300,
+        s"AvailableNow must drain the universe, got ${spark.table("ytdrain").count()}")
+    } finally qa.stop()
   }
 
   test("LogSink write protocol: commit publishes atomically, abort publishes nothing") {

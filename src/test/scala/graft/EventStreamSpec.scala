@@ -297,7 +297,10 @@ class EventStreamSpec extends AnyFunSuite {
       (5L, ts(10 * m), 2L, "click", 0.0))
     val batch2 = Seq( // the state change arrives in a LATER micro-batch
       (3L, ts(30 * m), 1L, "purchase", 0.0),
-      (4L, ts(40 * m), 1L, "view", 0.0))
+      (4L, ts(40 * m), 1L, "view", 0.0),
+      // late arrival: older than user 2's open interval → dropped by
+      // the in-order guard, must not emit an inverted interval
+      (6L, ts(5 * m), 2L, "error", 0.0))
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     val q = EventStream.scd2Stream(spark, toEvents(mem.toDF()))
       .writeStream.format("memory").queryName("scd2")
@@ -314,9 +317,12 @@ class EventStreamSpec extends AnyFunSuite {
       assert(streamed == Set(
         (1L, 1, "view", 10 * m, 30 * m),
         (1L, 2, "purchase", 30 * m, 40 * m)), s"got $streamed")
-      // parity with the batch gate's non-current rows on the same events
-      val dir = fixtureDir("events" -> eventsDf((batch1 ++ batch2).map {
-        case (id, t, u, et, v) => (id, t.getTime * 1000L, u, et, v, 0) }))
+      // parity with the batch gate's non-current rows on the IN-ORDER
+      // events (the dropped late arrival is exactly where stream and
+      // batch legitimately differ — batch re-sorts history, CDC can't)
+      val dir = fixtureDir("events" -> eventsDf(
+        (batch1 ++ batch2).filter(_._1 != 6L).map {
+          case (id, t, u, et, v) => (id, t.getTime * 1000L, u, et, v, 0) }))
       val batchClosed = gate("tw15_scd2_intervals", dir).collect()
         .filter(!_.getAs[Boolean]("is_current"))
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
