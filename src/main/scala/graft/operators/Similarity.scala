@@ -1063,6 +1063,70 @@ object Similarity {
        |    - c.centroid AS drift
        |FROM newc n JOIN cent c ON c.clabel = n.cell AND c.dim = n.dim""".stripMargin
 
+  // -------------------------------------------------------------- sim15
+
+  /** sim15: FILTERED vector search — the serving feature every vector
+    * store ships ("nearest neighbors WHERE language = X"): sim6's IVF
+    * probe path under a metadata predicate (label odd ≈ ½
+    * selectivity). The two decisions that make filtered search work
+    * at scale, both executed: (a) the filter column rides WITH the
+    * index postings — the slim (vec_id, label, cell) side is
+    * PRE-filtered before any vector is touched, never post-filtering
+    * a scored top-k (which silently returns < k); (b) probe width
+    * doubles (nprobe 2 → 4) to offset the halved candidate density —
+    * the adaptive-probe rule, pinned as the selectivity reciprocal.
+    *
+    * Scale shape: identical to sim6 — folded-codebook narrow maps for
+    * assignment and probing, slim candidates through the broadcast
+    * probe join, vectors joined back only for filter survivors. */
+  private def sim15(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val cb = typedLit(codebookArr(s, d))
+    val probes = probeCells(base, cb, nprobe = 4)
+    val assignF = base
+      .select(col("vec_id"), col("label"),
+        element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
+          .getField("code").as("clabel"))
+      .filter(col("label") % 2 === 1)
+    val qv = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    assignF.join(broadcast(probes), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "label")
+      .join(base.select("vec_id", "v", "n2"), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine",
+        dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label"), col("cosine"))
+  }
+
+  private val sim15Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
+    s"""${assignCteSql},
+       |probes4 AS (
+       |  SELECT vec_id AS query_id, clabel FROM (
+       |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |    ${distSql("(SELECT * FROM vecs WHERE vec_id % 100 = 0)", "vec_id")}) d) r
+       |  WHERE rk <= 4)
+       |SELECT query_id, rank, neighbor_id, label, cosine FROM (
+       |  SELECT p.query_id, b.vec_id AS neighbor_id, b.label,
+       |    ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) AS cosine,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) DESC,
+       |               b.vec_id ASC) AS rank
+       |  FROM probes4 p
+       |  JOIN assign a ON a.clabel = p.clabel
+       |  JOIN vecs b ON b.vec_id = a.vec_id AND b.vec_id <> p.query_id
+       |    AND b.label % 2 = 1
+       |  JOIN vecs q ON q.vec_id = p.query_id) t
+       |WHERE rank <= 10""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -1093,5 +1157,7 @@ object Similarity {
     GateQuery("sim13_adc_refine", sim13, Some(sim13Sql),
       "IVFADC + refine: ADC top-50 nominates, exact vectors re-rank the top-10"),
     GateQuery("sim14_lloyd_refine", sim14, Some(sim14Sql),
-      "one Lloyd step of the IVF codebook: exact scaled re-estimation + drift"))
+      "one Lloyd step of the IVF codebook: exact scaled re-estimation + drift"),
+    GateQuery("sim15_filtered_search", sim15, Some(sim15Sql),
+      "filtered ANN: metadata pre-filter on the index side, probe width doubled"))
 }

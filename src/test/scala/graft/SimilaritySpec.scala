@@ -223,6 +223,29 @@ class SimilaritySpec extends AnyFunSuite {
       s"persisted-index serve diverges: ${served.toSeq} vs ${viaGate.toSeq}")
   }
 
+  test("sim15 filtered search: predicate holds, probes widened, exact agreement") {
+    val rows = gate("sim15_filtered_search", sf0001).collect()
+    assert(rows.nonEmpty)
+    // the contract: every neighbor satisfies the predicate (index-side
+    // pre-filter — post-filtering a scored top-k could not guarantee it)
+    rows.foreach(r => assert(r.getAs[Int]("label") % 2 == 1,
+      s"even-label neighbor leaked through the filter: $r"))
+    // ranks dense from 1, <= 10 per query
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to ranks.length) && ranks.length <= 10)
+    }
+    // any (query, neighbor) sim1 also scored must carry the same cosine
+    // (one exact scoring function across the serving paths)
+    val s1 = gate("sim1_knn_bruteforce", sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    rows.foreach { r =>
+      s1.get((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
   test("sim14 Lloyd step agrees with sim5's assignment and sim4's seeds") {
     val rows = gate("sim14_lloyd_refine", sf0001).collect()
     val assign = gate("sim5_ivf_assign", sf0001).collect()
