@@ -1164,6 +1164,35 @@ object Dedup {
       |  FROM sh s LEFT JOIN hits h ON h.doc_id = s.doc_id
       |  WHERE s.doc_id % 50 <> 0) t""".stripMargin
 
+  // --------------------------------------------------------------- dd16
+
+  /** dd16: the DEDUP RUN REPORT — the artifact every dedup pass ships
+    * to its operators ("how much mass sat in what multiplicities?"):
+    * per cluster size, how many clusters, how many documents, and how
+    * many a canonical-keeper pass removes (`n_docs − n_clusters`).
+    * Size-1 rows are the untouched singletons; the heavy tail up top
+    * is what justifies the pass. This is the number a curation team
+    * reads before approving the drop.
+    *
+    * Scale shape: a ≤|distinct sizes|-row rollup over the per-process
+    * MEMOIZED cluster table (dd6's checkpoint — no second
+    * propagation), with map-side combine; effectively free next to
+    * the resolution it reports on. */
+  private def dd16(s: SparkSession, d: String): DataFrame =
+    dd6(s, d)
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("n_dropped", col("n_docs") - col("n_clusters"))
+
+  private val dd16Sql =
+    """SELECT cluster_size, count(DISTINCT cluster_id) AS n_clusters,
+      |  count(*) AS n_docs,
+      |  count(*) - count(DISTINCT cluster_id) AS n_dropped
+      |FROM (
+      |""".stripMargin + dd6Sql + """
+      |) base GROUP BY cluster_size""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -1194,5 +1223,7 @@ object Dedup {
     GateQuery("dd14_soft_dedup", dd14, Some(dd14Sql),
       "soft dedup: keep all, weight 1000 div n_copies, dd1's canonical flagged"),
     GateQuery("dd15_containment_score", dd15, Some(dd15Sql),
-      "per-doc benchmark containment permille + the >=70% contamination flag"))
+      "per-doc benchmark containment permille + the >=70% contamination flag"),
+    GateQuery("dd16_dedup_report", dd16, Some(dd16Sql),
+      "the run report: clusters/docs/removed per cluster size, off the memoized table"))
 }

@@ -442,6 +442,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows("s_keep").getAs[Long]("avg_tokens") == 11) // (11+12) div 2
   }
 
+  test("dd16 report: masses reconcile with dd6's cluster table") {
+    val report = gate("dd16_dedup_report", sf0001).collect()
+    val clusters = gate("dd6_dup_clusters", sf0001).collect()
+    assert(report.map(_.getAs[Long]("n_docs")).sum == clusters.length)
+    assert(report.map(_.getAs[Long]("n_clusters")).sum ==
+      clusters.map(_.getAs[Long]("cluster_id")).distinct.length)
+    report.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      assert(r.getAs[Long]("n_docs") == size * r.getAs[Long]("n_clusters"),
+        s"size-$size mass mismatch: $r")
+      assert(r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("dd11 semantic dedup: keepers dominate, isolated docs always keep") {
     import org.apache.spark.sql.functions._
     val dd11 = gate("dd11_semantic_dedup", sf0001)
