@@ -1,11 +1,14 @@
 package graft.sources
 
-import java.util.{Map => JMap}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.util.{Map => JMap, UUID}
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -17,28 +20,42 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 WRITE path — the reference's log-sink boundary
-  * (`sqlite_logger.py`'s `insert` + transaction commit) restated as
-  * Spark's batch write protocol, completing the connector story:
+  * (`sqlite_logger.py:65-110`'s `insert` + transaction commit) restated
+  * as Spark's batch write protocol, completing the connector story:
   * [[YtApiSource]] is the custom READER (scan planning, pushdown,
   * statistics); this is the custom WRITER (staged task commits,
   * driver-side publish, abort = no visible effect).
   *
   * Protocol fidelity — the part Spark owns is fully exercised:
-  *   - each task's [[DataWriter]] STAGES rows locally and seals them
-  *     into its [[WriterCommitMessage]] on task commit;
+  *   - each task's [[DataWriter]] STREAMS its rows to a per-task
+  *     staging file as they arrive (bounded task memory, no buffered
+  *     copy) and seals only the file's PATH + row count into its
+  *     [[WriterCommitMessage]] on task commit;
   *   - rows become visible ONLY in [[BatchWrite.commit]] on the
   *     driver, after every task committed — a failed/aborted job
-  *     publishes NOTHING (exactly-once visible effects under task
-  *     retries, the same contract a JDBC/Delta sink honors);
-  *   - the read side serves committed batches as one
-  *     [[InputPartition]] each (rows ride IN the partition, so the
-  *     scan is cluster-correct the same way [[YtApiAggPartition]] is).
+  *     publishes NOTHING and its staging dir is deleted (exactly-once
+  *     visible effects under task retries, the same contract a
+  *     JDBC/Delta sink honors);
+  *   - the read side serves one file-backed [[InputPartition]] per
+  *     committed staging file, so read parallelism matches write
+  *     parallelism and NO row payload ever rides through the driver:
+  *     commit messages and partitions are constant-size handles.
   *
-  * The committed store is in-JVM ([[LogStore]]) — the local[*]
-  * stand-in for the external system (SQLite/JDBC/object store) that
-  * lives at this seam, exactly like [[SyntheticYtFetcher]] stands in
-  * for HTTP on the read side. The table schema is FIXED
-  * ([[LogSink.LogSchema]]), as the reference's `api_logs` table is.
+  * This is the 100 TB-correct shape: at sf0.1 the previous design
+  * shipped ~5 MB of rows per task through `TaskSetManager` closures
+  * and `BatchWrite.commit`; at 100× that is a driver OOM. Handles
+  * are O(1) regardless of data volume. Staging files live on whatever
+  * `org.apache.hadoop.fs.FileSystem` the staging dir resolves to —
+  * local disk under local[*], HDFS/S3 on a cluster (set
+  * `.option("stagingDir", ...)` to a shared path there).
+  *
+  * The committed catalog is in-JVM ([[LogStore]]) — the local[*]
+  * stand-in for the external system's METADATA transaction
+  * (SQLite/JDBC/object-store manifest) that lives at this seam,
+  * exactly like [[SyntheticYtFetcher]] stands in for HTTP on the read
+  * side; the row PAYLOAD is genuinely external (on the FileSystem).
+  * The table schema is FIXED ([[LogSink.LogSchema]]), as the
+  * reference's `api_logs` table is.
   *
   * Usage:
   * {{{
@@ -55,7 +72,8 @@ class LogSink extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new LogSinkTable(properties.get("table"))
+    new LogSinkTable(properties.get("table"),
+      Option(properties.get("stagingDir")))
 }
 
 object LogSink {
@@ -73,38 +91,73 @@ object LogSink {
     * tables so concurrent bench threads never interleave appends. */
   def freshTable(prefix: String): String =
     s"$prefix-${nextId.incrementAndGet()}"
-}
 
-/** Committed rows per table — the stand-in external system. Batches
-  * are append-ordered; a batch appears atomically (see
-  * [[LogBatchWrite.commit]]). */
-object LogStore {
-  private val tables =
-    new ConcurrentHashMap[String, ArrayBuffer[Array[Array[Any]]]]()
-
-  def publish(table: String, batches: Seq[Array[Array[Any]]]): Unit = {
-    val buf = tables.computeIfAbsent(table, _ => ArrayBuffer.empty)
-    buf.synchronized { buf ++= batches }
+  /** Process-wide staging root; per-write dirs live under it. Deleted
+    * on JVM exit so repeated bench/test processes never accumulate
+    * (the same discipline la9 applies to its retention dir). */
+  lazy val defaultStagingRoot: String = {
+    val root = new Path(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-logsink-${UUID.randomUUID()}").toString
+    sys.addShutdownHook {
+      try deleteDir(root) catch { case _: Throwable => () }
+    }
+    root
   }
 
-  def batches(table: String): Seq[Array[Array[Any]]] = {
+  private[sources] def deleteDir(dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    fs.delete(p, true)
+    ()
+  }
+}
+
+/** Constant-size handle to one task's staged rows: the ONLY thing
+  * that crosses the executor→driver commit boundary. */
+case class StagedFile(path: String, rows: Long) extends WriterCommitMessage
+
+/** One committed write = the staging dir plus its tasks' file
+  * handles. Dropping the batch deletes the dir recursively. */
+case class StagedBatch(dir: String, files: Seq[StagedFile])
+
+/** Committed batch CATALOG per table — the stand-in external system's
+  * metadata transaction. Holds only handles; payloads stay on the
+  * FileSystem. Batches are append-ordered; a batch appears atomically
+  * (see [[LogBatchWrite.commit]]). */
+object LogStore {
+  private val tables =
+    new ConcurrentHashMap[String, ArrayBuffer[StagedBatch]]()
+
+  def publish(table: String, batch: StagedBatch): Unit = {
+    val buf = tables.computeIfAbsent(table, _ => ArrayBuffer.empty)
+    buf.synchronized { buf += batch }
+  }
+
+  def batches(table: String): Seq[StagedBatch] = {
     val buf = tables.get(table)
     if (buf == null) Seq.empty else buf.synchronized { buf.toSeq }
   }
 
+  /** O(#tasks) metadata sum — no file is read. */
   def rowCount(table: String): Long =
-    batches(table).iterator.map(_.length.toLong).sum
+    batches(table).iterator.flatMap(_.files).map(_.rows).sum
 
-  /** Release a table's committed rows. Callers drop a round-trip
-    * table once its downstream result is materialized — the store is
-    * process-wide and otherwise retains every published batch for
-    * the JVM lifetime (la11 runs 4× per bench process). A still-lazy
-    * scan over a dropped table reads zero partitions, so drop ONLY
-    * after the consuming action. */
-  def drop(table: String): Unit = tables.remove(table)
+  /** Release a table: unregister its batches AND delete their staging
+    * dirs. Callers drop a round-trip table once its downstream result
+    * is materialized — the store is process-wide and otherwise retains
+    * every published batch for the JVM lifetime (la11 runs 4× per
+    * bench process). A still-lazy scan over a dropped table reads zero
+    * partitions, so drop ONLY after the consuming action. */
+  def drop(table: String): Unit = {
+    val removed = tables.remove(table)
+    if (removed != null) removed.synchronized {
+      removed.foreach(b => LogSink.deleteDir(b.dir))
+    }
+  }
 }
 
-class LogSinkTable(tableName: String) extends Table
+class LogSinkTable(tableName: String, stagingDirOpt: Option[String]) extends Table
     with SupportsWrite with SupportsRead {
   require(tableName != null, "LogSink requires .option(\"table\", <name>)")
   override def name(): String = s"logsink:$tableName"
@@ -115,7 +168,10 @@ class LogSinkTable(tableName: String) extends Table
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new LogBatchWrite(tableName)
+        override def toBatch: BatchWrite =
+          new LogBatchWrite(tableName,
+            new Path(stagingDirOpt.getOrElse(LogSink.defaultStagingRoot),
+              s"w-${UUID.randomUUID()}").toString)
       }
     }
 
@@ -125,64 +181,117 @@ class LogSinkTable(tableName: String) extends Table
         override def readSchema(): StructType = LogSink.LogSchema
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
-            LogStore.batches(tableName).map(LogBatchPartition.apply).toArray
+            LogStore.batches(tableName)
+              .flatMap(_.files).map(f => LogFilePartition(f.path, f.rows))
+              .toArray
           override def createReaderFactory(): PartitionReaderFactory =
-            LogBatchReaderFactory
+            LogFileReaderFactory
         }
       }
     }
 }
 
-/** Driver-side publish: every task staged its rows in its commit
-  * message; only here do they reach the store — all at once. `abort`
-  * publishes nothing (staged rows die with the messages). */
-class LogBatchWrite(tableName: String) extends BatchWrite {
+/** Driver-side publish: every task staged its rows to a file and
+  * committed only the handle; only here does the batch reach the
+  * catalog — all at once. `abort` publishes nothing and deletes the
+  * write's staging dir (committed tasks' files included; aborted
+  * tasks already self-deleted). */
+class LogBatchWrite(tableName: String, stagingDir: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    LogWriterFactory
+    LogWriterFactory(stagingDir)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    LogStore.publish(tableName,
-      messages.toSeq.map(_.asInstanceOf[StagedRows].rows))
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    LogStore.publish(tableName, StagedBatch(stagingDir,
+      messages.toSeq.map(_.asInstanceOf[StagedFile]).filter(_.rows > 0L)))
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    LogSink.deleteDir(stagingDir)
 }
 
-case class StagedRows(rows: Array[Array[Any]]) extends WriterCommitMessage
-
-object LogWriterFactory extends DataWriterFactory {
+case class LogWriterFactory(stagingDir: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LogDataWriter
+    new LogDataWriter(stagingDir, partitionId, taskId)
 }
 
-/** Per-task staging buffer: `write` converts and holds; `commit`
-  * seals the buffer into the message; `abort` drops it. */
-class LogDataWriter extends DataWriter[InternalRow] {
-  private val buf = ArrayBuffer.empty[Array[Any]]
-  override def write(row: InternalRow): Unit =
-    buf += Array[Any](
-      if (row.isNullAt(0)) null else row.getLong(0),
-      if (row.isNullAt(1)) null else row.getUTF8String(1).toString,
-      if (row.isNullAt(2)) null else row.getUTF8String(2).toString,
-      if (row.isNullAt(3)) null else row.getLong(3))
-  override def commit(): WriterCommitMessage = StagedRows(buf.toArray)
-  override def abort(): Unit = buf.clear()
-  override def close(): Unit = ()
+/** Per-task streaming stage: `write` appends each row to the task's
+  * staging file as it arrives (no in-memory copy — task memory is
+  * O(1) in row count); `commit` seals the handle into the message;
+  * `abort` deletes the file. File names carry (partitionId, taskId)
+  * so speculative/retried attempts never collide, and only the
+  * attempt the commit coordinator picks gets published.
+  *
+  * Record format (the stand-in external system's wire format): one
+  * null-mask byte, then for each non-null field in schema order:
+  * i64 ts_us, UTF level, UTF logger_name, i64 value_cents. */
+class LogDataWriter(stagingDir: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private var out: DataOutputStream = null
+  private var path: Path = null
+  private var n = 0L
+
+  private def ensureOpen(): Unit = if (out == null) {
+    path = new Path(stagingDir, s"task-$partitionId-$taskId.bin")
+    val fs = path.getFileSystem(new Configuration())
+    out = new DataOutputStream(new BufferedOutputStream(fs.create(path, true)))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    var mask = 0
+    if (row.isNullAt(0)) mask |= 1
+    if (row.isNullAt(1)) mask |= 2
+    if (row.isNullAt(2)) mask |= 4
+    if (row.isNullAt(3)) mask |= 8
+    out.writeByte(mask)
+    if ((mask & 1) == 0) out.writeLong(row.getLong(0))
+    if ((mask & 2) == 0) out.writeUTF(row.getUTF8String(1).toString)
+    if ((mask & 4) == 0) out.writeUTF(row.getUTF8String(2).toString)
+    if ((mask & 8) == 0) out.writeLong(row.getLong(3))
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) { out.close(); out = null }
+    StagedFile(if (path == null) "" else path.toString, n)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); out = null }
+    if (path != null) {
+      path.getFileSystem(new Configuration()).delete(path, false)
+      path = null
+    }
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
 }
 
-case class LogBatchPartition(rows: Array[Array[Any]]) extends InputPartition
+/** Constant-size read handle: one committed staging file. */
+case class LogFilePartition(path: String, rows: Long) extends InputPartition
 
-object LogBatchReaderFactory extends PartitionReaderFactory {
+object LogFileReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val rows = p.asInstanceOf[LogBatchPartition].rows
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = {
-        val r = rows(i)
-        new GenericInternalRow(Array[Any](
-          r(0),
-          if (r(1) == null) null else UTF8String.fromString(r(1).asInstanceOf[String]),
-          if (r(2) == null) null else UTF8String.fromString(r(2).asInstanceOf[String]),
-          r(3)))
+      private val fp = p.asInstanceOf[LogFilePartition]
+      private var in: DataInputStream = null
+      private var i = 0L
+      private var current: InternalRow = null
+      override def next(): Boolean = {
+        if (i >= fp.rows) return false
+        if (in == null) {
+          val path = new Path(fp.path)
+          in = new DataInputStream(new BufferedInputStream(
+            path.getFileSystem(new Configuration()).open(path)))
+        }
+        val mask = in.readByte()
+        val vals = new Array[Any](4)
+        if ((mask & 1) == 0) vals(0) = in.readLong()
+        if ((mask & 2) == 0) vals(1) = UTF8String.fromString(in.readUTF())
+        if ((mask & 4) == 0) vals(2) = UTF8String.fromString(in.readUTF())
+        if ((mask & 8) == 0) vals(3) = in.readLong()
+        current = new GenericInternalRow(vals)
+        i += 1
+        true
       }
-      override def close(): Unit = ()
+      override def get(): InternalRow = current
+      override def close(): Unit = if (in != null) { in.close(); in = null }
     }
 }

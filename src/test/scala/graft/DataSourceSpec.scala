@@ -281,5 +281,53 @@ class DataSourceSpec extends AnyFunSuite {
     }
     assert(LogStore.rowCount(t2) == 0,
       s"aborted job leaked ${LogStore.rowCount(t2)} rows into $t2")
+    LogStore.drop(t1)
+  }
+
+  test("LogSink scale contract: handles through the driver, payload on the FileSystem") {
+    import graft.sources.{LogSink, LogStore}
+    val t = LogSink.freshTable("spec-handles")
+    spark.range(20000)
+      .select(col("id").as("ts_us"), lit("WARN").as("level"),
+        concat(lit("logger.with.a.long.dotted.name."), col("id") % 13)
+          .as("logger_name"),
+        (col("id") * 3).as("value_cents"))
+      .repartition(8)
+      .write.format("graft.sources.LogSink")
+      .option("table", t).mode("append").save()
+    val files = LogStore.batches(t).flatMap(_.files)
+    assert(files.nonEmpty && files.forall(_.rows > 0))
+    assert(files.map(_.rows).sum == 20000L)
+    // the catalog entry (what crossed BatchWrite.commit) is a handle:
+    // java-serialized size must be O(path length), not O(rows)
+    files.foreach { f =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(f); oos.close()
+      assert(bos.size() < 1024,
+        s"commit message for ${f.rows} rows serialized to ${bos.size()} B — payload is riding through the driver")
+    }
+    // the payload genuinely lives on the FileSystem (non-trivial bytes)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f.path)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      assert(st.getLen > f.rows, // >1 byte/row: mask + fields
+        s"staged file ${f.path} too small (${st.getLen} B for ${f.rows} rows)")
+    }
+    // read-back round-trips through file-backed partitions
+    val back = spark.read.format("graft.sources.LogSink")
+      .option("table", t).load()
+    assert(back.count() == 20000L)
+    assert(back.agg(sum(col("value_cents"))).head.getLong(0) ==
+      (0L until 20000L).map(_ * 3).sum)
+    // drop releases the staged dirs from disk
+    val dirs = LogStore.batches(t).map(_.dir)
+    LogStore.drop(t)
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      assert(!p.getFileSystem(conf).exists(p),
+        s"drop($t) left staging dir $d on disk")
+    }
   }
 }
