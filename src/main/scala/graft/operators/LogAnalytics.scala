@@ -289,9 +289,15 @@ object LogAnalytics {
         name.stripPrefix("day_us=").toLong < cutoffDay)
         fs.delete(st.getPath, true) // the partition DROP (VACUUM unit)
     }
-    s.read.parquet(dir)
+    // materialize the ≤|days|-row rollup, then release the staged
+    // table — the dir is per-invocation and la9 runs repeatedly per
+    // bench/verify process (same discipline as la11's LogStore.drop)
+    val rolled = s.read.parquet(dir)
       .groupBy(col("day_us"))
       .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("value_cents"))
+    val out = rolled.collect()
+    fs.delete(path, true)
+    s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
   }
 
   private val la9Sql = logsSql +

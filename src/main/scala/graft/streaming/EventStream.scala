@@ -322,13 +322,15 @@ object EventStream {
       intervalUs: Long = 600L * 1000000): DataFrame = {
     import spark.implicits._
     events
-      .select(col("user_id"), col("ts"))
-      .as[(Long, Timestamp)]
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[DispatchState, Dispatch](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[DispatchState]) =>
-          val sorted = rows.map(r => r._2.getTime * 1000L).toSeq.sorted
+          // true µs (`unix_micros`) — tw12's clock, so sub-ms events
+          // agree with the batch prefix-max closed form
+          val sorted = rows.map(_._2).toSeq.sorted
           var last = state.getOption.map(_.lastDispatchUs)
             .getOrElse(Long.MinValue / 4) // "never dispatched": a_1 wins the max
           val out = sorted.map { us =>

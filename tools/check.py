@@ -93,8 +93,8 @@ def main():
         exp = con.execute(oracles[name]).df()
         ok = True
         msgs = []
-        ns = nonscalar_cols(got) + [
-            c for c in nonscalar_cols(exp) if c not in nonscalar_cols(got)]
+        ns_got = nonscalar_cols(got)
+        ns = ns_got + [c for c in nonscalar_cols(exp) if c not in ns_got]
         if ns:
             ok = False
             msgs.append(f"NON-SCALAR columns {ns} (driver harness cannot hash "
