@@ -10,6 +10,52 @@ import TestSpark._
   * drop. Every gate query must run and return rows at sf0.001. */
 class GateRegistrySpec extends AnyFunSuite {
 
+  /** One cached run per gate, shared by the schema and rows lints
+    * below: building a gate's DataFrame executes its side effects for
+    * the MUTATING gates (la9 writes + drops partitions + deletes its
+    * dir, la11 publishes + drops a sink table, dd6/dd12 checkpoint),
+    * so each gate must be constructed exactly once per suite run —
+    * the earlier shape built every gate twice. Parallel: the runs
+    * share the session's scheduler, wall ~ slowest gate. */
+  private lazy val gateRuns: Map[String, Either[String, (org.apache.spark.sql.types.StructType, Long)]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    GateQueries.all.map(q => Future(q.name -> {
+      try {
+        val df = q.run(spark, sf0001)
+        Right((df.schema, df.count()))
+      } catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+    })).map(Await.result(_, Duration.Inf)).toMap
+  }
+
+  test("every gate method in operators/ is registered, and vice versa") {
+    // Registry-completeness lint: a `private def la12(s: SparkSession,
+    // d: String)` added without a GateQuery entry — or a GateQuery
+    // line deleted while its method remains — turns the suite red.
+    // Without this, an unregistered gate silently vanishes from the
+    // driver's correctness run (it checks only what's in `queries`).
+    val defRe =
+      """private(?:\[\w+\])? def ([a-z]+[0-9]+[a-z]?)\(s: SparkSession, d: String\)""".r
+    val dir = new java.io.File("src/main/scala/graft/operators")
+    val defTokens = dir.listFiles().filter(_.getName.endsWith(".scala"))
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8").mkString
+        defRe.findAllMatchIn(src).map(_.group(1)).toSeq
+      }.toSeq.sorted
+    assert(defTokens.distinct.size == defTokens.size,
+      s"duplicate gate methods: ${defTokens.diff(defTokens.distinct)}")
+    val gateTokens = GateQueries.all.map(_.name.takeWhile(_ != '_')).sorted
+    val unregistered = defTokens.diff(gateTokens)
+    assert(unregistered.isEmpty,
+      s"gate methods with no GateQuery entry (driver will never check them): $unregistered")
+    val orphaned = gateTokens.diff(defTokens)
+    assert(orphaned.isEmpty,
+      s"GateQuery entries with no matching gate method in operators/: $orphaned")
+  }
+
   test("gate names are unique; every gate carries an oracle") {
     val names = GateQueries.all.map(_.name)
     assert(names.distinct.length == names.length,
@@ -72,12 +118,12 @@ class GateRegistrySpec extends AnyFunSuite {
     // joined strings (cp6/tx13 pattern: array_join / array_to_string).
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val offenders = for {
-      q <- GateQueries.all
-      f <- q.run(spark, sf0001).schema.fields
+      (name, Right((schema, _))) <- gateRuns.toSeq.sortBy(_._1)
+      f <- schema.fields
       if f.dataType.isInstanceOf[ArrayType] ||
         f.dataType.isInstanceOf[MapType] ||
         f.dataType.isInstanceOf[StructType]
-    } yield s"${q.name}.${f.name}: ${f.dataType.simpleString}"
+    } yield s"$name.${f.name}: ${f.dataType.simpleString}"
     assert(offenders.isEmpty,
       s"non-scalar gate output columns (driver cannot hash them):\n${offenders.mkString("\n")}")
   }
@@ -114,15 +160,10 @@ class GateRegistrySpec extends AnyFunSuite {
   }
 
   test("every gate query returns rows at sf0.001") {
-    // parallel: the per-gate counts share the session's scheduler (same shape as
-    // the Bench harness); wall ~ slowest query, not the sum
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val counts = GateQueries.all.map(q => Future(
-      q.name -> (try q.run(spark, sf0001).count() catch { case _: Throwable => -1L })))
-      .map(Await.result(_, Duration.Inf))
-    val bad = counts.filter(_._2 <= 0)
+    val bad = gateRuns.toSeq.sortBy(_._1).collect {
+      case (name, Left(err)) => s"$name FAILED: $err"
+      case (name, Right((_, n))) if n <= 0 => s"$name EMPTY"
+    }
     assert(bad.isEmpty, s"empty or failing gate queries: $bad")
   }
 
