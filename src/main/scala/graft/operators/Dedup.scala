@@ -899,36 +899,47 @@ object Dedup {
     * every vertex's least(self, min neighbor) IS its component
     * minimum.
     *
-    * Convergence probe (one driver isEmpty per round, dd6's
-    * discipline): labels are final exactly when every ORIGINAL edge
-    * sees equal labels — sound because labels are always members of
-    * the vertex's current neighborhood ∪ self, so edge-consistency
-    * forces one label per component, and the component minimum
-    * self-labels, pinning that label to the minimum.
+    * Convergence probe — FREE, folded into the round's single action:
+    * each round checkpoints ONE labeled-edge table (u, v, m) where
+    * m = min(Γ(u) ∪ u), with an [[org.apache.spark.sql.Observation]]
+    * counting edges whose endpoints disagree on labels riding the
+    * same job. Zero disagreements on CURRENT edges is sound: labels
+    * are then constant per current-graph component, the star steps
+    * preserve connectivity (the paper's invariant), and the constant
+    * label L satisfies label(L) = L, so any smaller member w would
+    * label ≤ w < L — contradiction; hence L is the component minimum.
+    * (Equivalent to probing the original edges, which cost a second
+    * join job per round.)
     *
     * Returns (labels (id, lbl), rounds) — package-private so the spec
     * can pin the logarithmic round count on a long chain. */
   private[graft] def ccBigStar(pairs: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.sql.Observation
     val orig = pairs.select(col("id1").as("u"), col("id2").as("v"))
-      .localCheckpoint()
-    var edges = orig
-      .unionByName(orig.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
-    // Per-vertex m = min(Γ(u) ∪ u): the large-star input AND, renamed,
-    // the round's label table — computed ONCE per round (checkpointed:
-    // vertex-count rows) and reused for the convergence check, instead
-    // of running the identical aggregation twice on the same edges.
-    def minOf(e: DataFrame): DataFrame = e
-      .groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("m"))
-      .localCheckpoint()
-    var m1 = minOf(edges)
-    def labels: DataFrame = m1.select(col("u").as("id"), col("m").as("lbl"))
+    // Label a symmetrized edge set: ONE job (the eager checkpoint)
+    // materializes (u, v, m) — the large-star input edges ⋈ labels —
+    // and its Observation delivers the violation count as a side
+    // effect of that same job.
+    def label(e: DataFrame): (DataFrame, Long) = {
+      val m1 = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val obs = Observation()
+      val labeled = e
+        .join(m1, Seq("u"))
+        .join(m1.select(col("u").as("v"), col("m").as("mv")), Seq("v"))
+        .observe(obs, count(when(col("m") =!= col("mv"), 1)).as("viol"))
+        .select(col("u"), col("v"), col("m"))
+        .localCheckpoint()
+      (labeled, obs.get("viol").asInstanceOf[Long])
+    }
+    var (cur, viol) = label(
+      orig.unionByName(orig.select(col("v").as("u"), col("u").as("v")))
+        .distinct())
     var rounds = 0
-    var done = false
-    while (!done && rounds < 20) {
+    while (viol > 0 && rounds < 20) {
       // large-star: (v, m) for every neighbor v > u, m = min(Γ(u) ∪ u)
-      val ls = edges.join(m1, Seq("u")).filter(col("v") > col("u"))
+      // — cur IS edges ⋈ labels, no join needed
+      val ls = cur.filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
       val e1 = ls.unionByName(ls.select(col("b").as("a"), col("a").as("b")))
@@ -940,18 +951,15 @@ object Dedup {
         .select(col("v").as("a"), col("m").as("b"))
         .unionByName(m2.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
-      edges = ss.unionByName(ss.select(col("b").as("a"), col("a").as("b")))
+      val e2 = ss.unionByName(ss.select(col("b").as("a"), col("a").as("b")))
         .distinct().select(col("a").as("u"), col("b").as("v"))
-        .localCheckpoint()
       rounds += 1
-      m1 = minOf(edges)
-      done = orig
-        .join(labels.select(col("id").as("u"), col("lbl").as("lu")), Seq("u"))
-        .join(labels.select(col("id").as("v"), col("lbl").as("lv")), Seq("v"))
-        .filter(col("lu") =!= col("lv")).isEmpty
+      val next = label(e2)
+      cur = next._1
+      viol = next._2
     }
-    require(done, s"star contraction did not converge in $rounds rounds")
-    (labels, rounds)
+    require(viol == 0L, s"star contraction did not converge in $rounds rounds")
+    (cur.select(col("u").as("id"), col("m").as("lbl")).distinct(), rounds)
   }
 
   /** dd12: dd6's clusters via the star contraction — identical output
