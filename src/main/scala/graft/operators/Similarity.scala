@@ -500,6 +500,18 @@ object Similarity {
        |    ${distSql("(SELECT * FROM vecs WHERE vec_id % 100 = 0)", "vec_id")}) d) r
        |  WHERE rk <= 2)""".stripMargin
 
+  /** Per-query nprobe=4 nearest cells — the WIDENED probe set the
+    * filtered paths (sim15/sim16) use: an index-side predicate thins
+    * each cell's survivors, so probe width doubles to hold recall. */
+  private val probes4CteSql =
+    s"""probes4 AS (
+       |  SELECT vec_id AS query_id, clabel FROM (
+       |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |    ${distSql("(SELECT * FROM vecs WHERE vec_id % 100 = 0)", "vec_id")}) d) r
+       |  WHERE rk <= 4)""".stripMargin
+
   /** Per-(vector, subspace) PQ code (nearest codebook entry). */
   private val codesCteSql =
     s"""codes AS (
@@ -1107,13 +1119,7 @@ object Similarity {
 
   private val sim15Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
     s"""${assignCteSql},
-       |probes4 AS (
-       |  SELECT vec_id AS query_id, clabel FROM (
-       |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
-       |    FROM (
-       |    ${distSql("(SELECT * FROM vecs WHERE vec_id % 100 = 0)", "vec_id")}) d) r
-       |  WHERE rk <= 4)
+       |${probes4CteSql}
        |SELECT query_id, rank, neighbor_id, label, cosine FROM (
        |  SELECT p.query_id, b.vec_id AS neighbor_id, b.label,
        |    ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) AS cosine,
@@ -1125,6 +1131,113 @@ object Similarity {
        |  JOIN vecs b ON b.vec_id = a.vec_id AND b.vec_id <> p.query_id
        |    AND b.label % 2 = 1
        |  JOIN vecs q ON q.vec_id = p.query_id) t
+       |WHERE rank <= 10""".stripMargin
+
+  // -------------------------------------------------------------- sim16
+
+  /** sim16: FILTERED IVFADC + refine — the production vector-store
+    * serving combo (a metadata predicate composed with the compressed
+    * index, e.g. "nearest documents WHERE language = X"): sim15's
+    * index-side predicate now composes with sim12/sim13's ADC path
+    * instead of the exact-distance IVF path. Stages: (1) the
+    * predicate prunes the slim (vec_id, clabel, label) postings
+    * BEFORE any distance work; (2) probes are WIDENED (nprobe=4 vs
+    * sim12's 2) because the filter thins each probed cell's
+    * survivors; (3) survivors are ranked by ADC table lookups over
+    * their stored PQ codes — top-50 nominated per query; (4) only
+    * those ≤50 rows per query pay the exact-vector re-rank to the
+    * top-10.
+    *
+    * Scale shape: candidates stay (query_id, vec_id, label) until the
+    * refine join; the code join is shuffle-hash on corpus-proportional
+    * slim rows; ADC tables and the query vectors broadcast. NO vector
+    * is read before the refine stage — the spec asserts the pre-refine
+    * plan never touches the embedding column — and refine reads
+    * vectors for ≤ 50·queries rows, query-proportional. */
+  private[graft] def sim16Adc(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val cbA = codebookArr(s, d)
+    val cb = typedLit(cbA)
+    val probes = probeCells(base, cb, nprobe = 4)
+    // index-side predicate on the postings: filtered-out docs never
+    // reach the candidate set, their codes are never joined
+    val postings = base
+      .select(col("vec_id"), col("label"),
+        element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
+          .getField("code").as("clabel"))
+      .filter(col("label") % 2 === 1)
+    val candidates = postings.join(broadcast(probes), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "label")
+    val codes = base.filter(col("v").isNotNull)
+      .select(col("vec_id"), call_function("pq_encode", col("v"), cb, lit(8)).as("pe"))
+    val tables = base.filter(col("vec_id") % 100 === 0 && col("v").isNotNull)
+      .select(col("vec_id").as("query_id"),
+        call_function("pq_dist_table", col("v"), cb, lit(8)).as("tbl"))
+    candidates
+      .join(codes.hint("shuffle_hash"), Seq("vec_id"))
+      .join(broadcast(tables), Seq("query_id"))
+      .withColumn("adc_dist_scaled", adcExpr(cbA.length))
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist_scaled").asc, col("vec_id").asc)))
+      .filter(col("adc_rank") <= 50)
+      .select("query_id", "vec_id", "label")
+  }
+
+  private def sim16(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val qv = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    sim16Adc(s, d)
+      .join(base.select(col("vec_id"), col("v"), col("n2")).hint("shuffle_hash"),
+        Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine",
+        dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label"), col("cosine"))
+  }
+
+  private val sim16Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) +
+    s""",
+       |${assignCteSql},
+       |${probes4CteSql},
+       |candf AS (
+       |  SELECT p.query_id, a.vec_id, b.label
+       |  FROM assign a
+       |  JOIN vecs b ON b.vec_id = a.vec_id AND b.label % 2 = 1
+       |  JOIN probes4 p ON a.clabel = p.clabel
+       |  WHERE a.vec_id <> p.query_id),
+       |${codesCteSql},
+       |${tablesCteSql},
+       |adcf AS (
+       |  SELECT query_id, vec_id, label FROM (
+       |    SELECT n.query_id, n.vec_id, n.label,
+       |      row_number() OVER (PARTITION BY n.query_id
+       |        ORDER BY n.adc_dist_scaled ASC, n.vec_id ASC) AS adc_rank
+       |    FROM (
+       |      SELECT candf.query_id, candf.vec_id, candf.label,
+       |        CAST(sum(t.tdist) AS BIGINT) AS adc_dist_scaled
+       |      FROM candf
+       |      JOIN codes ON candf.vec_id = codes.vec_id
+       |      JOIN tables t ON t.query_id = candf.query_id
+       |        AND t.subspace = codes.subspace AND t.clabel = codes.clabel
+       |      GROUP BY 1, 2, 3) n) w
+       |  WHERE adc_rank <= 50)
+       |SELECT query_id, rank, neighbor_id, label, cosine FROM (
+       |  SELECT a.query_id, e.vec_id AS neighbor_id, a.label,
+       |    ${dotSql("q.v", "e.v")} / (sqrt(q.n2) * sqrt(e.n2)) AS cosine,
+       |    row_number() OVER (PARTITION BY a.query_id ORDER BY
+       |      ${dotSql("q.v", "e.v")} / (sqrt(q.n2) * sqrt(e.n2)) DESC,
+       |      e.vec_id ASC) AS rank
+       |  FROM adcf a
+       |  JOIN vecs e ON a.vec_id = e.vec_id
+       |  JOIN vecs q ON a.query_id = q.vec_id) r
        |WHERE rank <= 10""".stripMargin
 
   def queries: Seq[GateQuery] = Seq(
@@ -1159,5 +1272,7 @@ object Similarity {
     GateQuery("sim14_lloyd_refine", sim14, Some(sim14Sql),
       "one Lloyd step of the IVF codebook: exact scaled re-estimation + drift"),
     GateQuery("sim15_filtered_search", sim15, Some(sim15Sql),
-      "filtered ANN: metadata pre-filter on the index side, probe width doubled"))
+      "filtered ANN: metadata pre-filter on the index side, probe width doubled"),
+    GateQuery("sim16_filtered_ivfpq", sim16, Some(sim16Sql),
+      "filtered IVFADC + refine: predicate-pruned postings, widened probes, ADC top-50, exact top-10"))
 }

@@ -246,6 +246,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim16 filtered IVFADC: predicate holds, refine is nomination-bounded, ADC stage is lookup-only") {
+    val rows = gate("sim16_filtered_ivfpq", sf0001).collect()
+    assert(rows.nonEmpty)
+    // index-side pre-filter: every served neighbor satisfies the
+    // predicate (a post-filtered top-k could not guarantee this)
+    rows.foreach(r => assert(r.getAs[Int]("label") % 2 == 1,
+      s"even-label neighbor leaked through the filter: $r"))
+    // ranks dense from 1, <= 10 per query
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to ranks.length) && ranks.length <= 10)
+    }
+    // one exact scoring function across serving paths: any (query,
+    // neighbor) sim1 also scored must carry the identical cosine
+    val s1 = gate("sim1_knn_bruteforce", sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    rows.foreach { r =>
+      s1.get((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+    // the refine stage's vector reads are nomination-bounded:
+    // <= 50 ADC-nominated candidates per query reach it
+    val adc = graft.operators.Similarity.sim16Adc(spark, sf0001)
+    val perQuery = adc.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getAs[Long]("count") <= 50L),
+      s"ADC nomination exceeded 50/query: ${perQuery.mkString(",")}")
+    // and the ADC stage itself ranks by table lookups only — the
+    // exact-distance expression must not appear before refine
+    val adcPlan = adc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!adcPlan.contains("dot_f64"),
+      s"exact distance computed in the pre-refine ADC stage:\n$adcPlan")
+  }
+
   test("sim14 Lloyd step agrees with sim5's assignment and sim4's seeds") {
     val rows = gate("sim14_lloyd_refine", sf0001).collect()
     val assign = gate("sim5_ivf_assign", sf0001).collect()
