@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -128,10 +129,33 @@ case class StagedBatch(dir: String, files: Seq[StagedFile])
 object LogStore {
   private val tables =
     new ConcurrentHashMap[String, ArrayBuffer[StagedBatch]]()
+  private val epochs =
+    new ConcurrentHashMap[String, java.util.Set[java.lang.Long]]()
 
   def publish(table: String, batch: StagedBatch): Unit = {
     val buf = tables.computeIfAbsent(table, _ => ArrayBuffer.empty)
     buf.synchronized { buf += batch }
+  }
+
+  /** Epoch-idempotent publish for the streaming path: the FIRST
+    * commit of an epoch wins; a replayed epoch (driver restart
+    * re-running a committed micro-batch) publishes nothing and its
+    * re-staged files are deleted — exactly-once visible effects per
+    * epoch, the streaming analog of the batch protocol's
+    * commit-coordinator guarantee. */
+  def publishEpoch(table: String, epochId: Long, batch: StagedBatch): Unit = {
+    val seen = epochs.computeIfAbsent(table,
+      _ => ConcurrentHashMap.newKeySet[java.lang.Long]())
+    if (seen.add(epochId)) publish(table, batch)
+    else deleteFiles(batch.files.map(_.path))
+  }
+
+  private[sources] def deleteFiles(paths: Seq[String]): Unit = {
+    val conf = new Configuration()
+    paths.foreach { s =>
+      val p = new Path(s)
+      p.getFileSystem(conf).delete(p, false)
+    }
   }
 
   def batches(table: String): Seq[StagedBatch] = {
@@ -150,6 +174,7 @@ object LogStore {
     * bench process). A still-lazy scan over a dropped table reads zero
     * partitions, so drop ONLY after the consuming action. */
   def drop(table: String): Unit = {
+    epochs.remove(table)
     val removed = tables.remove(table)
     if (removed != null) removed.synchronized {
       removed.foreach(b => LogSink.deleteDir(b.dir))
@@ -163,7 +188,8 @@ class LogSinkTable(tableName: String, stagingDirOpt: Option[String]) extends Tab
   override def name(): String = s"logsink:$tableName"
   override def schema(): StructType = LogSink.LogSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -172,6 +198,10 @@ class LogSinkTable(tableName: String, stagingDirOpt: Option[String]) extends Tab
           new LogBatchWrite(tableName,
             new Path(stagingDirOpt.getOrElse(LogSink.defaultStagingRoot),
               s"w-${UUID.randomUUID()}").toString)
+        override def toStreaming: StreamingWrite =
+          new LogStreamingWrite(tableName,
+            new Path(stagingDirOpt.getOrElse(LogSink.defaultStagingRoot),
+              s"q-${UUID.randomUUID()}").toString)
       }
     }
 
@@ -208,7 +238,34 @@ class LogBatchWrite(tableName: String, stagingDir: String) extends BatchWrite {
 
 case class LogWriterFactory(stagingDir: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LogDataWriter(stagingDir, partitionId, taskId)
+    new LogDataWriter(stagingDir, s"task-$partitionId-$taskId.bin")
+}
+
+/** Streaming (epoch-keyed) side of the write protocol — the
+  * reference's continuous `emit` path (`sqlite_logger.py:65-110`, one
+  * transaction per flush) as Spark's `StreamingWrite` contract: each
+  * micro-batch epoch stages per-task files exactly like the batch
+  * path, `commit(epochId, …)` publishes the epoch atomically, and a
+  * RETRIED epoch (driver restart replaying a committed epoch) is a
+  * no-op — [[LogStore.publishEpoch]] keeps the first commit and
+  * deletes the replay's re-staged files, so visible effects are
+  * exactly-once per epoch. `abort(epochId, …)` deletes only that
+  * epoch's staged files: earlier committed epochs stay visible. */
+class LogStreamingWrite(tableName: String, stagingDir: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    LogStreamingWriterFactory(stagingDir)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    LogStore.publishEpoch(tableName, epochId, StagedBatch(stagingDir,
+      messages.toSeq.map(_.asInstanceOf[StagedFile]).filter(_.rows > 0L)))
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    LogStore.deleteFiles(messages.toSeq.collect {
+      case StagedFile(path, _) if path.nonEmpty => path
+    })
+}
+
+case class LogStreamingWriterFactory(stagingDir: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new LogDataWriter(stagingDir, s"epoch-$epochId-task-$partitionId-$taskId.bin")
 }
 
 /** Per-task streaming stage: `write` appends each row to the task's
@@ -221,14 +278,14 @@ case class LogWriterFactory(stagingDir: String) extends DataWriterFactory {
   * Record format (the stand-in external system's wire format): one
   * null-mask byte, then for each non-null field in schema order:
   * i64 ts_us, UTF level, UTF logger_name, i64 value_cents. */
-class LogDataWriter(stagingDir: String, partitionId: Int, taskId: Long)
+class LogDataWriter(stagingDir: String, fileName: String)
     extends DataWriter[InternalRow] {
   private var out: DataOutputStream = null
   private var path: Path = null
   private var n = 0L
 
   private def ensureOpen(): Unit = if (out == null) {
-    path = new Path(stagingDir, s"task-$partitionId-$taskId.bin")
+    path = new Path(stagingDir, fileName)
     val fs = path.getFileSystem(new Configuration())
     out = new DataOutputStream(new BufferedOutputStream(fs.create(path, true)))
   }

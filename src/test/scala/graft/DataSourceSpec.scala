@@ -330,4 +330,58 @@ class DataSourceSpec extends AnyFunSuite {
         s"drop($t) left staging dir $d on disk")
     }
   }
+
+  test("LogSink streaming write: epoch commits are atomic, replays idempotent, aborts invisible") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.{LogSink, LogStore, StagedBatch, StagedFile}
+    import spark.implicits._
+    def startWrite(src: DataFrame, table: String) = {
+      val ckpt = java.nio.file.Files.createTempDirectory("logsink-ckpt").toString
+      src.writeStream.format("graft.sources.LogSink")
+        .option("table", table).option("checkpointLocation", ckpt).start()
+    }
+    // two micro-batches -> two committed epochs, every row visible once
+    val mem = MemoryStream[(Long, String, String, Long)](spark)
+    val t1 = LogSink.freshTable("stream-ok")
+    val q = startWrite(mem.toDF()
+      .toDF("ts_us", "level", "logger_name", "value_cents"), t1)
+    try {
+      mem.addData((1L to 300L).map(i => (i, "INFO", s"lg${i % 5}", i * 2)): _*)
+      q.processAllAvailable()
+      mem.addData((301L to 500L).map(i => (i, "WARN", s"lg${i % 5}", i * 2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(LogStore.rowCount(t1) == 500L)
+    assert(LogStore.batches(t1).size == 2, "expected one StagedBatch per epoch")
+    val back = spark.read.format("graft.sources.LogSink").option("table", t1).load()
+    assert(back.count() == 500L)
+    assert(back.agg(sum(col("value_cents"))).head.getLong(0) ==
+      (1L to 500L).map(_ * 2).sum)
+    // a replayed epoch publishes nothing: re-commit epoch 0 with a fake
+    // staged file — row count must not change and the file is cleaned up
+    val fakeDir = java.nio.file.Files.createTempDirectory("logsink-replay")
+    val fake = fakeDir.resolve("epoch-0-task-9-9.bin")
+    java.nio.file.Files.write(fake, Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0))
+    LogStore.publishEpoch(t1, 0L,
+      StagedBatch(fakeDir.toString, Seq(StagedFile(fake.toString, 1L))))
+    assert(LogStore.rowCount(t1) == 500L, "replayed epoch changed visible rows")
+    assert(!java.nio.file.Files.exists(fake), "replayed epoch's staged file not cleaned up")
+    LogStore.drop(t1)
+    // epoch atomicity: a poisoned task fails the micro-batch AFTER
+    // other tasks staged — the epoch must publish nothing
+    val mem2 = MemoryStream[(Long, String, String, Long)](spark)
+    val t2 = LogSink.freshTable("stream-abort")
+    val poisoned = mem2.toDF()
+      .toDF("ts_us", "level", "logger_name", "value_cents")
+      .repartition(8)
+      .withColumn("ts_us", expr(
+        "CASE WHEN ts_us = 77 THEN assert_true(false) ELSE ts_us END").cast("long"))
+    val q2 = startWrite(poisoned, t2)
+    try {
+      mem2.addData((1L to 200L).map(i => (i, "INFO", "lg", i)): _*)
+      intercept[Exception] { q2.processAllAvailable() }
+    } finally q2.stop()
+    assert(LogStore.rowCount(t2) == 0L,
+      s"aborted epoch leaked ${LogStore.rowCount(t2)} rows into $t2")
+  }
 }
