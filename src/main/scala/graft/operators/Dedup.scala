@@ -315,10 +315,11 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
-  /** tok → th → bitsums → sim CTE chain: the per-doc weighted 64-bit
-    * SimHash in portable SQL (ends at `sim(doc_id, simhash)`, no
-    * trailing comma) — shared by the dd4 and dd13 oracles. */
-  private val simhashCteSql = {
+  /** th → bitsums → sim chain to append after a `tok(doc_id, w, cnt)`
+    * CTE: the per-item weighted 64-bit SimHash in portable SQL (ends
+    * at `sim(doc_id, simhash)`, no trailing comma) — shared by the
+    * dd4/dd13 oracles (token grain) and mm7 (frame grain). */
+  private[operators] val simhashChainSql: String = {
     val bits = (0 until 64).map(i =>
       s"CAST(sum(CASE WHEN (h >> $i) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS b$i")
       .mkString(",\n    ")
@@ -326,25 +327,34 @@ object Dedup {
       val v = if (i < 63) (1L << i).toString else "-9223372036854775808"
       s"(CASE WHEN b$i > 0 THEN $v ELSE 0 END)"
     }.mkString(" + ")
-    s"""tok AS (
-       |  SELECT doc_id, w, count(*) AS cnt FROM (
-       |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-       |    FROM documents) t GROUP BY doc_id, w),
-       |th AS (SELECT doc_id, cnt, ('0x' || substr(md5(w),1,15))::BIGINT AS h FROM tok),
+    s"""th AS (SELECT doc_id, cnt, ('0x' || substr(md5(w),1,15))::BIGINT AS h FROM tok),
        |bitsums AS (SELECT doc_id, $bits FROM th GROUP BY doc_id),
        |sim AS (SELECT doc_id, $tosim AS simhash FROM bitsums)""".stripMargin
   }
 
-  private val dd4Sql = {
-    s"""WITH $simhashCteSql,
-       |bands AS (
+  /** Band explode + band-equality candidates over `sim`, closing the
+    * SimHash SQL chain — dd4's blocking, shared with mm7. */
+  private[operators] val simhashBandsSql: String =
+    s"""bands AS (
        |  SELECT doc_id, simhash, b.band, (simhash >> (b.band*16)) & 65535 AS key
        |  FROM sim, (SELECT unnest(range(4)) AS band) b),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
        |    a.simhash AS s1, b.simhash AS s2
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-       |    AND a.doc_id < b.doc_id)
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** tok → … → sim at the TOKEN grain (dd4/dd13's sketch input). */
+  private val simhashCteSql =
+    s"""tok AS (
+       |  SELECT doc_id, w, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) t GROUP BY doc_id, w),
+       |$simhashChainSql""".stripMargin
+
+  private val dd4Sql = {
+    s"""WITH $simhashCteSql,
+       |$simhashBandsSql
        |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming
        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin
   }

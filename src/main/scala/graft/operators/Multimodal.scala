@@ -284,6 +284,68 @@ object Multimodal {
       |FROM documents
       |GROUP BY md5(text)""".stripMargin
 
+  // ---------------------------------------------------------------- mm7
+
+  /** mm7: PERCEPTUAL near-dup pairs — the companion mm6 (exact digest
+    * dedup) needs in a real multimodal pipeline: media whose payloads
+    * share MOST frames (a re-encoded video with a trimmed intro, an
+    * image with edited EXIF bytes) hash to different digests but must
+    * still pair. The perceptual sketch is a weighted 64-bit SimHash
+    * over mm2's per-frame fingerprints (frame grain standing in for
+    * decoded-block features, same stub seam as mm3) via the native
+    * one-pass `simhash64` expression; blocking is dd4's 4 × 16-bit
+    * hamming bands (pigeonhole: hamming ≤ 3 ⟹ some band identical),
+    * pairs carry their hamming distance plus an `is_exact` flag tying
+    * the near-dup verdict back to mm6's digest grain.
+    *
+    * Empty payloads are excluded (their frame set is empty; Spark
+    * would sketch them all to 0 and pair them, while SQL's unnest of
+    * an empty list drops the row — the same engine-divergence class
+    * as mm2's sequence guard, resolved the same way: guard both).
+    *
+    * Scale shape: each payload collapses to one long BEFORE any
+    * shuffle (sketching is a narrow map; only (media_id, phash) moves);
+    * the band self-join is candidate-bounded exactly like dd4, and the
+    * digest flag joins touch only the emitted pairs. */
+  private def mm7(s: SparkSession, d: String): DataFrame = {
+    val sketch = media(s, d)
+      .filter(octet_length(col("payload")) > 0)
+      .withColumn("txt", col("payload").cast("string"))
+      .select(col("media_id"),
+        expr("simhash64(transform(sequence(0, int(floor((octet_length(payload)-1)/128))), " +
+          "i -> md5(substring(txt, 1 + i*128, 32))))").as("phash"))
+    val bands = sketch.select(col("media_id"), col("phash"),
+      posexplode(array((0 until 4).map(bd =>
+        expr(s"shiftright(phash, ${bd * 16}) & 65535")): _*)).as(Seq("band", "key")))
+    val digests = media(s, d).select(col("media_id"), md5(col("payload")).as("dg"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("id1", "id2")
+      .join(digests.select(col("media_id").as("id1"), col("dg").as("dg1")), Seq("id1"))
+      .join(digests.select(col("media_id").as("id2"), col("dg").as("dg2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("hamming"),
+        (col("dg1") === col("dg2")).as("is_exact"))
+  }
+
+  private val mm7Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, w, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0, (strlen(text)-1) // 128 + 1),
+       |      i -> md5(substr(text, CAST(1 + i*128 AS INT), 32)))) AS w
+       |    FROM documents WHERE strlen(text) > 0) t GROUP BY doc_id, w),
+       |${Dedup.simhashChainSql},
+       |${Dedup.simhashBandsSql}
+       |SELECT c.id1, c.id2, bit_count(xor(s1, s2)) AS hamming,
+       |  (d1.dg = d2.dg) AS is_exact
+       |FROM cand c
+       |JOIN (SELECT doc_id, md5(text) AS dg FROM documents) d1 ON c.id1 = d1.doc_id
+       |JOIN (SELECT doc_id, md5(text) AS dg FROM documents) d2 ON c.id2 = d2.doc_id
+       |WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
@@ -296,7 +358,9 @@ object Multimodal {
     GateQuery("mm5_paired_modalities", mm5, Some(mm5Sql),
       "text x embedding pair assembly + per-stratum audit rollup (dot_f64 norms)"),
     GateQuery("mm6_payload_dedup", mm6, Some(mm6Sql),
-      "asset-store exact payload dedup: digest groups, canonical copy, bytes saved"))
+      "asset-store exact payload dedup: digest groups, canonical copy, bytes saved"),
+    GateQuery("mm7_perceptual_neardup", mm7, Some(mm7Sql),
+      "perceptual near-dup: frame-grain SimHash, hamming-banded blocking, exact-digest flag"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

@@ -515,6 +515,31 @@ class TextDedupSpec extends AnyFunSuite {
       s"all 65 chain vertices must label to 0, got ${lbls.values.toSet}")
   }
 
+  test("mm7 pairs perceptually-near payloads that exact digest dedup misses") {
+    // two 64-frame payloads sharing 60 identical frames (the dominant
+    // frame out-votes the 4 changed ones on every sketch bit) must
+    // pair with a small hamming and is_exact=false — the capability
+    // mm6's digest grain cannot provide; a fully distinct payload
+    // must not pair with either
+    def frame(tag: String): String = (tag + "_") * 64 take 128
+    def doc(tail: Seq[String]): String =
+      (Seq.fill(60)(frame("AA")) ++ tail).mkString
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, doc((0 until 4).map(i => frame(s"X$i"))), "en", "web"),
+      (2L, doc((0 until 4).map(i => frame(s"Y$i"))), "en", "web"),
+      (3L, (0 until 64).map(i => frame(s"Z$i")).mkString, "en", "web"))))
+    val pairs = gate("mm7_perceptual_neardup", d).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        (r.getAs[Int]("hamming"), r.getAs[Boolean]("is_exact"))).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"near-identical payloads did not pair: $pairs")
+    val (ham, exact) = pairs((1L, 2L))
+    assert(ham <= 3 && !exact,
+      s"expected small-hamming non-exact pair, got hamming=$ham is_exact=$exact")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"unrelated payload paired: $pairs")
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
