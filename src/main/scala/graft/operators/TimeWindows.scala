@@ -434,8 +434,13 @@ object TimeWindows {
     * at slot (day-index mod admitted-count) in key order (the
     * stateful rotating index restated as a pure function of the
     * window). NULL selections when every key is over quota — the
-    * reference returns None there. (`random` is inherently
-    * non-relational; documented in COVERAGE.)
+    * reference returns None there. The third strategy, `random`, is
+    * modeled as SEEDED pseudo-random selection: the admitted key at
+    * slot (salted-md5(day window) mod admitted-count) — the repo's
+    * salted-md5 convention for every "random" choice, so the pick is
+    * uniform-ish across windows yet reproducible in any engine (the
+    * reference's true `random.choice` is irreproducible by design;
+    * a seeded hash is what a distributed replay needs anyway).
     *
     * Scale shape: builds on tw4's per-(key, day) rollup — the usage
     * table is |keys| × |days| rows regardless of corpus size, so the
@@ -463,7 +468,10 @@ object TimeWindows {
           .as("least_used_requests"),
         max(when(col("admitted") && col("adm_rk") ===
             lit(1) + expr(s"(day_us div ${DayUs}L) % greatest(n_admitted, 1)"),
-          col("user_id"))).as("round_robin_key"))
+          col("user_id"))).as("round_robin_key"),
+        max(when(col("admitted") && col("adm_rk") ===
+            expr("1 + cast(conv(substring(md5(concat('rot', cast(day_us as string))),1,15),16,10) as bigint) % greatest(n_admitted, 1)"),
+          col("user_id"))).as("seeded_random_key"))
   }
 
   private val tw11Sql = {
@@ -486,7 +494,11 @@ object TimeWindows {
        |    AS least_used_requests,
        |  max(CASE WHEN admitted AND adm_rk =
        |      1 + (day_us // $DayUs) % greatest(n_admitted, 1)
-       |    THEN user_id END) AS round_robin_key
+       |    THEN user_id END) AS round_robin_key,
+       |  max(CASE WHEN admitted AND adm_rk =
+       |      1 + ('0x' || substr(md5('rot' || day_us::VARCHAR), 1, 15))::BIGINT
+       |        % greatest(n_admitted, 1)
+       |    THEN user_id END) AS seeded_random_key
        |FROM sel GROUP BY day_us, n_keys, n_admitted""".stripMargin
   }
 
