@@ -119,9 +119,15 @@ object ScaleProbe {
     // set (vec_id ≡ 0 mod 100 keeps 1%): raw ADC (sim11) scans codes
     // per query, IVFADC (sim12) prunes to ~nprobe/nlist of the corpus
     // first, refine (sim13) re-ranks ≤50 exact vectors per query.
+    // sim14: the Lloyd step's cost is one corpus scan + one agg to
+    // nlist×64 groups — replica-invariant output. sim15/sim16: the
+    // filtered serving paths — candidate volume rides the probed
+    // cells' predicate survivors, refine stays ≤50/query (sim16).
     if (Set("all", "ivfpq")(probe)) {
       for (g <- Seq("sim10_pq_encode", "sim11_adc_search",
-          "sim12_ivfpq_search", "sim13_adc_refine")) {
+          "sim12_ivfpq_search", "sim13_adc_refine",
+          "sim14_lloyd_refine", "sim15_filtered_search",
+          "sim16_filtered_ivfpq")) {
         val t0 = System.nanoTime()
         val c = SparkEntry.queries(g)(spark, out).count()
         val secs = (System.nanoTime() - t0) / 1e9
@@ -246,6 +252,23 @@ object ScaleProbe {
         val s1 = (System.nanoTime() - t1) / 1e9
         println(f"$g%-20s rows=$c%10d elapsed=$s1%7.1f s")
       }
+      // Soft dedup at factor×: dd14's per-doc downweight verdict —
+      // output is corpus-sized by design; the cost to watch is the
+      // cluster-size dim (replica-invariant distinct count) staying
+      // broadcastable while every doc carries a 20-dense cluster.
+      // dd16's run report rolls the same memoized tables to
+      // |cluster-size|-bounded rows. mm6 lifts dd1 to the payload
+      // digest grain (only 16-byte digests shuffle); mm7's perceptual
+      // bands are dd4's blocking at the frame grain — on the replica
+      // every payload sits in a 20-dense identical-sketch group, the
+      // dense-bucket worst case the codegen'd self-join absorbs.
+      for (g <- Seq("dd14_soft_dedup", "dd16_dedup_report",
+          "mm6_payload_dedup", "mm7_perceptual_neardup")) {
+        val t1 = System.nanoTime()
+        val c = SparkEntry.queries(g)(spark, out).count()
+        val s1 = (System.nanoTime() - t1) / 1e9
+        println(f"$g%-22s rows=$c%12d elapsed=$s1%7.1f s")
+      }
       // Chunk dedup at factor×: the repeated-chunk dim is bounded by
       // corpus REDUNDANCY — on the replica every chunk is repeated, the
       // worst case, yet the dim still holds only one row per DISTINCT
@@ -282,8 +305,13 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/events.parquet")
       val ne = spark.read.parquet(s"$out/events.parquet").count()
       println(s"events: $ne rows ($factor x $sfDir, time-shifted replicas)")
+      // la9 rides the same replica: its partition-drop cost is
+      // proportional to the DAY COUNT (20× the days here — the time-
+      // shifted replica is exactly the la9 stressor: 20× more
+      // partitions to list and drop, not 20× bigger ones).
       for (g <- Seq("tw13_rate_spike", "tw15_scd2_intervals",
-          "tw14_conversion_funnel", "la10_histogram_p95", "la11_dsv2_sink")) {
+          "tw14_conversion_funnel", "la10_histogram_p95", "la11_dsv2_sink",
+          "la9_retention_vacuum")) {
         val t1 = System.nanoTime()
         val c = SparkEntry.queries(g)(spark, out).count()
         val s1 = (System.nanoTime() - t1) / 1e9

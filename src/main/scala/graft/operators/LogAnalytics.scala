@@ -278,7 +278,13 @@ object LogAnalytics {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la9_${java.util.UUID.randomUUID()}"
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
-    l.write.mode("overwrite").partitionBy("day_us").parquet(dir)
+    // cluster by the partition key before the partitioned write: an
+    // unclustered write fans out |days| × |tasks| small files (the 20×
+    // probe measured 5 120 files / 39 s; clustered: |days| files /
+    // ~8 s) — at 100 TB, unclustered dynamic-partition writes are the
+    // classic small-file factory
+    l.repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(dir)
     val maxUs = l.agg(max(col("ts_us"))).head().getLong(0)
     val cutoffDay = ((maxUs - 7L * DayUs) / DayUs) * DayUs
     val path = new org.apache.hadoop.fs.Path(dir)
