@@ -66,7 +66,11 @@ object PlanDump {
     "la10_histogram_p95" ->
       "Histogram p95: the sketch path is a narrow bin map + a (level, bin)-grain agg; the exact rank path rides alongside as the certificate.",
     "tw15_scd2_intervals" ->
-      "SCD2 build: the change-detection lag and the interval-closing lead/version windows share ONE user exchange and one sort.")
+      "SCD2 build: the change-detection lag and the interval-closing lead/version windows share ONE user exchange and one sort.",
+    "sim16_filtered_ivfpq" ->
+      "Filtered IVFADC + refine: predicate prunes the slim postings before any distance work; ADC ranks survivors via shuffle-hash code join + broadcast tables; exact vectors join back only for the ≤50/query nominees.",
+    "mm7_perceptual_neardup" ->
+      "Perceptual near-dup: payload collapses to one simhash long in the projection (no payload bytes past the scan); codegen'd band self-join; hamming filter before the dedup exchange; digest flags join the pair set only.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
