@@ -1240,6 +1240,78 @@ object Similarity {
        |  JOIN vecs q ON a.query_id = q.vec_id) r
        |WHERE rank <= 10""".stripMargin
 
+  // -------------------------------------------------------------- sim17
+
+  /** sim17: measured recall of the FILTERED serving paths — sim8's
+    * "measure, don't guess" discipline applied to sim15/sim16: the
+    * ground truth is the filtered brute force (exact top-10 among
+    * predicate-satisfying neighbors only — recall against UNfiltered
+    * truth would conflate predicate selectivity with index quality),
+    * and each filtered path's hit count against it quantifies whether
+    * the widened probes (nprobe 2→4 at ½ selectivity) actually hold
+    * recall, and what the PQ compression costs on top (sim16 vs
+    * sim15's exact-distance path).
+    *
+    * Scale shape: ground truth is query-proportional (top-10 per
+    * query); the serving-path result sets broadcast into the
+    * left-join scoring, and the final agg is one row. */
+  private def sim17(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val exactF = base.filter(col("label") % 2 === 1)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val f15 = sim15(s, d).select(col("query_id"), col("neighbor_id"))
+      .withColumn("in_f15", lit(1L))
+    val f16 = sim16(s, d).select(col("query_id"), col("neighbor_id"))
+      .withColumn("in_f16", lit(1L))
+    exactF
+      .join(broadcast(f15), Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(f16), Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum(coalesce(col("in_f15"), lit(0L))).as("f15_hits"),
+        sum(coalesce(col("in_f16"), lit(0L))).as("f16_hits"))
+      .select(col("n_exact_pairs"), col("f15_hits"), col("f16_hits"),
+        (col("f15_hits").cast("double") * 100 / col("n_exact_pairs"))
+          .as("f15_recall_pct"),
+        (col("f16_hits").cast("double") * 100 / col("n_exact_pairs"))
+          .as("f16_recall_pct"))
+  }
+
+  // lazy: interpolates sim15Sql/sim16Sql, which initialize later in
+  // this object — a strict val would bake the string "null" in
+  private lazy val sim17Sql =
+    s"""WITH rex AS (
+       |  WITH ${vecsSql.dropRight(1)}
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) DESC,
+       |                 b.vec_id ASC) AS rank
+       |    FROM vecs q JOIN vecs b
+       |      ON b.vec_id <> q.vec_id AND b.label % 2 = 1
+       |    WHERE q.vec_id % 100 = 0) t
+       |  WHERE rank <= 10),
+       |r15 AS (${sim15Sql}),
+       |r16 AS (${sim16Sql})
+       |SELECT n_exact_pairs, f15_hits, f16_hits,
+       |  CAST(f15_hits AS DOUBLE) * 100 / n_exact_pairs AS f15_recall_pct,
+       |  CAST(f16_hits AS DOUBLE) * 100 / n_exact_pairs AS f16_recall_pct
+       |FROM (
+       |  SELECT count(*) AS n_exact_pairs,
+       |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS f15_hits,
+       |    CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS f16_hits
+       |  FROM rex e
+       |  LEFT JOIN r15 a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |  LEFT JOIN r16 c ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id) t""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -1274,5 +1346,7 @@ object Similarity {
     GateQuery("sim15_filtered_search", sim15, Some(sim15Sql),
       "filtered ANN: metadata pre-filter on the index side, probe width doubled"),
     GateQuery("sim16_filtered_ivfpq", sim16, Some(sim16Sql),
-      "filtered IVFADC + refine: predicate-pruned postings, widened probes, ADC top-50, exact top-10"))
+      "filtered IVFADC + refine: predicate-pruned postings, widened probes, ADC top-50, exact top-10"),
+    GateQuery("sim17_filtered_recall", sim17, Some(sim17Sql),
+      "measured recall of the filtered paths vs the filtered exact baseline"))
 }
