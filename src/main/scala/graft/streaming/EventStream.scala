@@ -159,6 +159,43 @@ object EventStream {
     * the recall/size knob is the per-bucket sketch list (cap it and
     * document the miss rate if buckets go hot). Batch twin identical
     * by construction (no streaming-only operators). */
+  /** Perceptual ingest dedup (mm6+mm7 live): each arriving media
+    * payload (media_id, payload binary) sketches to its digest AND its
+    * frame-grain simhash in the projection, then checks the PUBLISHED
+    * asset index: exact-digest postings (mm6's grain) and per-band
+    * sketch postings (mm7's hamming bands), all broadcast.
+    * `incrementalDedup`'s shape at the payload grain — stateless, no
+    * watermark, batch twin identical by construction. Empty payloads
+    * have no frames, so they can only match exactly (mm7's guard),
+    * never perceptually. */
+  def perceptualIngest(media: DataFrame, index: DataFrame): DataFrame = {
+    def sketched(df: DataFrame): DataFrame = df
+      .withColumn("digest", md5(col("payload")))
+      .withColumn("txt", col("payload").cast("string"))
+      .withColumn("phash", expr(
+        "simhash64(transform(sequence(0, int(floor((octet_length(payload)-1)/128))), " +
+          "i -> md5(substring(txt, 1 + i*128, 32))))"))
+    val idx = sketched(index)
+    val dg = idx.select(col("digest")).distinct()
+      .withColumn("exact_hit", lit(true))
+    val bands = (0 until 4).map { b =>
+      idx.filter(octet_length(col("payload")) > 0)
+        .groupBy(expr(s"shiftright(phash, ${b * 16}) & 65535").as(s"pkey$b"))
+        .agg(collect_list(col("phash")).as(s"psk$b"))
+    }
+    var s = sketched(media).join(broadcast(dg), Seq("digest"), "left")
+    for (b <- 0 until 4)
+      s = s.withColumn(s"pkey$b", expr(s"shiftright(phash, ${b * 16}) & 65535"))
+        .join(broadcast(bands(b)), Seq(s"pkey$b"), "left")
+    val near = (0 until 4).map(b =>
+      coalesce(expr(s"exists(psk$b, x -> bit_count(x ^ phash) <= 3)"), lit(false)))
+      .reduce(_ || _)
+    s.select(col("media_id"),
+      when(coalesce(col("exact_hit"), lit(false)), lit("dup_exact"))
+        .when(octet_length(col("payload")) > 0 && near, lit("dup_near"))
+        .otherwise(lit("new")).as("decision"))
+  }
+
   def incrementalDedup(docs: DataFrame, history: DataFrame): DataFrame = {
     import graft.operators.TextAnalysis
     def indexed(df: DataFrame): DataFrame = df

@@ -379,6 +379,47 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming perceptual ingest dedup matches its batch twin") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    def frame(tag: String): String = (tag + "_") * 64 take 128
+    def payload(frames: Seq[String]): Array[Byte] = frames.mkString.getBytes("UTF-8")
+    // the dominant frame out-votes the 4 changed ones on every sketch
+    // bit (same construction as the mm7 batch spec)
+    val base = Seq.fill(60)(frame("AA"))
+    val mediaSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    def mediaDf(rows: Seq[(Long, Array[Byte])]) =
+      spark.createDataFrame(java.util.Arrays.asList(
+        rows.map { case (id, p) => org.apache.spark.sql.Row(id, p) }: _*), mediaSchema)
+    val index = mediaDf(Seq(
+      (100L, payload(base ++ (0 until 4).map(i => frame(s"X$i")))),
+      (101L, Array.empty[Byte])))
+    val incoming = Seq(
+      (1L, payload(base ++ (0 until 4).map(i => frame(s"X$i")))), // exact copy
+      (2L, payload(base ++ (0 until 4).map(i => frame(s"Y$i")))), // 60/64 frames shared
+      (3L, payload((0 until 64).map(i => frame(s"Z$i")))), // distinct
+      (4L, Array.empty[Byte])) // empty: exact vs indexed empty, never near
+    val mem = MemoryStream[(Long, Array[Byte])](spark)
+    val q = EventStream.perceptualIngest(
+      mem.toDF().toDF("media_id", "payload"), index)
+      .writeStream.format("memory").queryName("percingest")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("percingest").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = EventStream.perceptualIngest(mediaDf(incoming), index)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed(1L) == "dup_exact")
+      assert(streamed(2L) == "dup_near", // 60-frame vote dominates
+        s"perceptual twin missed the 60/64-frame near-dup: $streamed")
+      assert(streamed(3L) == "new")
+      assert(streamed(4L) == "dup_exact") // empty matched the indexed empty
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup matches its batch twin, statelessly") {
     val histText = "the data query runs fast and the table scan stays warm " +
       "while the merge join sorts rows into the big batch window today"
