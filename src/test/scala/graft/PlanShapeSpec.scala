@@ -170,6 +170,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val nljAllowed = Set("la2_level_rollup", "la4_last_24h",
       "la5_retention", "sim1_knn_bruteforce", "tw6_ttl_expiry",
       "sim8_ann_recall", // embeds sim1's brute-force ground truth
+      "sim17_filtered_recall", // embeds the FILTERED brute-force ground truth
       "sim11_adc_search", // raw ADC IS a per-query scan of the packed
       // code table (queries broadcast WITH their lookup tables); the
       // cell-pruned production path is sim12, which stays equi-join
