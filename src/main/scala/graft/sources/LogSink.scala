@@ -277,7 +277,9 @@ case class LogStreamingWriterFactory(stagingDir: String) extends StreamingDataWr
   *
   * Record format (the stand-in external system's wire format): one
   * null-mask byte, then for each non-null field in schema order:
-  * i64 ts_us, UTF level, UTF logger_name, i64 value_cents. */
+  * i64 ts_us, str level, str logger_name, i64 value_cents — strings
+  * as i32 byte-length + UTF-8 bytes (NOT `writeUTF`, whose 64 KiB
+  * cap would truncate-fail on large log payloads). */
 class LogDataWriter(stagingDir: String, fileName: String)
     extends DataWriter[InternalRow] {
   private var out: DataOutputStream = null
@@ -299,10 +301,16 @@ class LogDataWriter(stagingDir: String, fileName: String)
     if (row.isNullAt(3)) mask |= 8
     out.writeByte(mask)
     if ((mask & 1) == 0) out.writeLong(row.getLong(0))
-    if ((mask & 2) == 0) out.writeUTF(row.getUTF8String(1).toString)
-    if ((mask & 4) == 0) out.writeUTF(row.getUTF8String(2).toString)
+    if ((mask & 2) == 0) writeStr(row.getUTF8String(1))
+    if ((mask & 4) == 0) writeStr(row.getUTF8String(2))
     if ((mask & 8) == 0) out.writeLong(row.getLong(3))
     n += 1
+  }
+
+  private def writeStr(s: UTF8String): Unit = {
+    val b = s.getBytes
+    out.writeInt(b.length)
+    out.write(b)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -341,12 +349,17 @@ object LogFileReaderFactory extends PartitionReaderFactory {
         val mask = in.readByte()
         val vals = new Array[Any](4)
         if ((mask & 1) == 0) vals(0) = in.readLong()
-        if ((mask & 2) == 0) vals(1) = UTF8String.fromString(in.readUTF())
-        if ((mask & 4) == 0) vals(2) = UTF8String.fromString(in.readUTF())
+        if ((mask & 2) == 0) vals(1) = readStr()
+        if ((mask & 4) == 0) vals(2) = readStr()
         if ((mask & 8) == 0) vals(3) = in.readLong()
         current = new GenericInternalRow(vals)
         i += 1
         true
+      }
+      private def readStr(): UTF8String = {
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        UTF8String.fromBytes(b)
       }
       override def get(): InternalRow = current
       override def close(): Unit = if (in != null) { in.close(); in = null }

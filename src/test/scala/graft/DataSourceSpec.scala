@@ -331,6 +331,33 @@ class DataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("LogSink record format round-trips nulls, unicode, and >64KiB strings") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.sources.{LogSink, LogStore}
+    val big = "x" * 70000 + "✓" // past writeUTF's 64 KiB cap
+    val rows: Seq[Row] = Seq(
+      Row(1L, "INFO", "plain", 10L),
+      Row(2L, "über-größe 🚀 日本語", "ünïcödé.λögger", -5L),
+      Row(3L, "", big, Long.MaxValue),
+      Row(null, null, null, null),
+      Row(4L, null, "half-null", Long.MinValue))
+    val schema = StructType(Seq(
+      StructField("ts_us", LongType), StructField("level", StringType),
+      StructField("logger_name", StringType), StructField("value_cents", LongType)))
+    val t = LogSink.freshTable("spec-roundtrip")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .repartition(3)
+      .write.format("graft.sources.LogSink")
+      .option("table", t).mode("append").save()
+    val back = spark.read.format("graft.sources.LogSink")
+      .option("table", t).load().collect()
+    def key(r: Row) = (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+    assert(back.map(key).toSet == rows.map(key).toSet && back.length == rows.length,
+      s"round-trip mangled rows: got ${back.map(key).toSet}")
+    LogStore.drop(t)
+  }
+
   test("LogSink streaming write: epoch commits are atomic, replays idempotent, aborts invisible") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.{LogSink, LogStore, StagedBatch, StagedFile}
