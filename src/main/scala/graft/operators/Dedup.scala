@@ -424,9 +424,10 @@ object Dedup {
     * divergence guard.
     *
     * Scale notes: each round is one shuffle of the (vertex, label)
-    * table against the edge list; the per-round convergence check is
-    * a driver-side `isEmpty` — the ONE legitimate driver action shape
-    * in this library (iterative fixpoint, not data movement), and
+    * table against the edge list; the convergence check is FREE — the
+    * moved-vertex count rides the round's checkpoint action as an
+    * `Observation` (the one driver-coordination point per round is
+    * the iterative fixpoint itself, never data movement), and
     * `localCheckpoint` truncates the growing lineage each round so
     * round N never replans rounds 1..N−1. At 100 TB one would switch
     * to the large-star/small-star variant (fewer rounds on
