@@ -249,6 +249,45 @@ class DataSourceSpec extends AnyFunSuite {
     } finally qa.stop()
   }
 
+  test("end-to-end DSv2: poll-stream read -> transform -> streaming sink -> batch read-back") {
+    // the connector story composed live: the custom READER's
+    // MicroBatchStream feeds the custom WRITER's epoch-keyed commits
+    // in one continuous pipeline, and the published table must equal
+    // the same transform over the reader's batch scan
+    import graft.sources.{LogSink, LogStore}
+    val t = LogSink.freshTable("e2e-dsv2")
+    val ckpt = java.nio.file.Files.createTempDirectory("e2e-ckpt").toString
+    def shape(df: DataFrame): DataFrame = df.select(
+      col("channel_id").as("ts_us"),
+      col("country").as("level"),
+      col("handle").as("logger_name"),
+      col("subscriber_count").as("value_cents"))
+    val q = shape(spark.readStream.format("graft.sources.YtApiSource")
+        .option("maxId", 299).option("pollBatch", 100).load())
+      .writeStream.format("graft.sources.LogSink")
+      .option("table", t).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(LogStore.rowCount(t) == 300L)
+    assert(LogStore.batches(t).size >= 3, // one epoch per <=100-id poll
+      s"expected >=3 epochs, got ${LogStore.batches(t).size}")
+    val back = spark.read.format("graft.sources.LogSink")
+      .option("table", t).load()
+      .groupBy(col("level")).agg(count(lit(1)).as("n"),
+        sum(col("value_cents")).as("subs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = shape(spark.read.format("graft.sources.YtApiSource")
+        .option("maxId", 299).load())
+      .groupBy(col("level")).agg(count(lit(1)).as("n"),
+        sum(col("value_cents")).as("subs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(back == direct,
+      s"streamed round-trip diverges from the batch scan: $back vs $direct")
+    LogStore.drop(t)
+  }
+
   test("LogSink write protocol: commit publishes atomically, abort publishes nothing") {
     import graft.sources.{LogSink, LogStore}
     def mkRows(n: Int): DataFrame = spark.range(n)
