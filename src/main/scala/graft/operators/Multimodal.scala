@@ -307,13 +307,24 @@ object Multimodal {
     * shuffle (sketching is a narrow map; only (media_id, phash) moves);
     * the band self-join is candidate-bounded exactly like dd4, and the
     * digest flag joins touch only the emitted pairs. */
+  /** Frame-grain perceptual sketch: weighted 64-bit simhash over the
+    * per-frame fingerprints (mm2's frame geometry); NULL for an empty
+    * payload — no frames means no perceptual identity. ONE definition
+    * shared by the mm7 gate and the streaming ingest twin
+    * ([[graft.streaming.EventStream.perceptualIngest]]) so the live
+    * sketch can never drift from the published index grain. */
+  private[graft] def frameSimhash(payload: Column, txt: Column): Column =
+    when(octet_length(payload) > 0,
+      call_function("simhash64", transform(
+        sequence(lit(0), floor((octet_length(payload) - 1) / lit(128)).cast("int")),
+        i => md5(txt.substr(lit(1) + i * lit(128), lit(32))))))
+
   private def mm7(s: SparkSession, d: String): DataFrame = {
     val sketch = media(s, d)
       .filter(octet_length(col("payload")) > 0)
       .withColumn("txt", col("payload").cast("string"))
       .select(col("media_id"),
-        expr("simhash64(transform(sequence(0, int(floor((octet_length(payload)-1)/128))), " +
-          "i -> md5(substring(txt, 1 + i*128, 32))))").as("phash"))
+        frameSimhash(col("payload"), col("txt")).as("phash"))
     val bands = sketch.select(col("media_id"), col("phash"),
       posexplode(array((0 until 4).map(bd =>
         expr(s"shiftright(phash, ${bd * 16}) & 65535")): _*)).as(Seq("band", "key")))

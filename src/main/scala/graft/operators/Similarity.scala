@@ -1091,15 +1091,23 @@ object Similarity {
     * Scale shape: identical to sim6 — folded-codebook narrow maps for
     * assignment and probing, slim candidates through the broadcast
     * probe join, vectors joined back only for filter survivors. */
+  /** Predicate-filtered slim postings (vec_id, label, clabel) — the
+    * index side of BOTH filtered serving paths (sim15 exact-distance,
+    * sim16 ADC): coarse cell from the folded-codebook encode, the
+    * metadata predicate applied BEFORE any distance work. ONE
+    * definition (the inlined-copy lesson this file's oracle CTEs
+    * already learned): a fix here reaches both paths. */
+  private def filteredPostings(base: DataFrame, cb: Column): DataFrame =
+    base.select(col("vec_id"), col("label"),
+      element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
+        .getField("code").as("clabel"))
+      .filter(col("label") % 2 === 1)
+
   private def sim15(s: SparkSession, d: String): DataFrame = {
     val base = vecs(s, d)
     val cb = typedLit(codebookArr(s, d))
     val probes = probeCells(base, cb, nprobe = 4)
-    val assignF = base
-      .select(col("vec_id"), col("label"),
-        element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
-          .getField("code").as("clabel"))
-      .filter(col("label") % 2 === 1)
+    val assignF = filteredPostings(base, cb)
     val qv = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
     assignF.join(broadcast(probes), Seq("clabel"))
@@ -1161,12 +1169,7 @@ object Similarity {
     val probes = probeCells(base, cb, nprobe = 4)
     // index-side predicate on the postings: filtered-out docs never
     // reach the candidate set, their codes are never joined
-    val postings = base
-      .select(col("vec_id"), col("label"),
-        element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
-          .getField("code").as("clabel"))
-      .filter(col("label") % 2 === 1)
-    val candidates = postings.join(broadcast(probes), Seq("clabel"))
+    val candidates = filteredPostings(base, cb).join(broadcast(probes), Seq("clabel"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id", "label")
     val codes = base.filter(col("v").isNotNull)

@@ -130,7 +130,7 @@ object LogStore {
   private val tables =
     new ConcurrentHashMap[String, ArrayBuffer[StagedBatch]]()
   private val epochs =
-    new ConcurrentHashMap[String, java.util.Set[java.lang.Long]]()
+    new ConcurrentHashMap[String, java.util.Set[String]]()
 
   def publish(table: String, batch: StagedBatch): Unit = {
     val buf = tables.computeIfAbsent(table, _ => ArrayBuffer.empty)
@@ -138,15 +138,19 @@ object LogStore {
   }
 
   /** Epoch-idempotent publish for the streaming path: the FIRST
-    * commit of an epoch wins; a replayed epoch (driver restart
-    * re-running a committed micro-batch) publishes nothing and its
-    * re-staged files are deleted — exactly-once visible effects per
-    * epoch, the streaming analog of the batch protocol's
-    * commit-coordinator guarantee. */
-  def publishEpoch(table: String, epochId: Long, batch: StagedBatch): Unit = {
+    * commit of a (query, epoch) wins; a replayed epoch (driver
+    * restart from the SAME checkpoint re-running a committed
+    * micro-batch — same queryId, resumed epochIds) publishes nothing
+    * and its re-staged files are deleted — exactly-once visible
+    * effects per epoch, the streaming analog of the batch protocol's
+    * commit-coordinator guarantee. Keyed by queryId AND epochId: a
+    * DIFFERENT query appending to the same table (fresh checkpoint,
+    * epochIds restarting at 0) is new data, not a replay. */
+  def publishEpoch(table: String, queryId: String, epochId: Long,
+      batch: StagedBatch): Unit = {
     val seen = epochs.computeIfAbsent(table,
-      _ => ConcurrentHashMap.newKeySet[java.lang.Long]())
-    if (seen.add(epochId)) publish(table, batch)
+      _ => ConcurrentHashMap.newKeySet[String]())
+    if (seen.add(s"$queryId#$epochId")) publish(table, batch)
     else deleteFiles(batch.files.map(_.path))
   }
 
@@ -199,7 +203,7 @@ class LogSinkTable(tableName: String, stagingDirOpt: Option[String]) extends Tab
             new Path(stagingDirOpt.getOrElse(LogSink.defaultStagingRoot),
               s"w-${UUID.randomUUID()}").toString)
         override def toStreaming: StreamingWrite =
-          new LogStreamingWrite(tableName,
+          new LogStreamingWrite(tableName, info.queryId(),
             new Path(stagingDirOpt.getOrElse(LogSink.defaultStagingRoot),
               s"q-${UUID.randomUUID()}").toString)
       }
@@ -246,16 +250,19 @@ case class LogWriterFactory(stagingDir: String) extends DataWriterFactory {
   * transaction per flush) as Spark's `StreamingWrite` contract: each
   * micro-batch epoch stages per-task files exactly like the batch
   * path, `commit(epochId, …)` publishes the epoch atomically, and a
-  * RETRIED epoch (driver restart replaying a committed epoch) is a
-  * no-op — [[LogStore.publishEpoch]] keeps the first commit and
-  * deletes the replay's re-staged files, so visible effects are
-  * exactly-once per epoch. `abort(epochId, …)` deletes only that
-  * epoch's staged files: earlier committed epochs stay visible. */
-class LogStreamingWrite(tableName: String, stagingDir: String) extends StreamingWrite {
+  * RETRIED epoch (driver restart from the same checkpoint replaying
+  * a committed epoch — same queryId) is a no-op —
+  * [[LogStore.publishEpoch]] keeps the first commit and deletes the
+  * replay's re-staged files, so visible effects are exactly-once per
+  * (query, epoch); a different query appending to the same table is
+  * new data. `abort(epochId, …)` deletes only that epoch's staged
+  * files: earlier committed epochs stay visible. */
+class LogStreamingWrite(tableName: String, queryId: String, stagingDir: String)
+    extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     LogStreamingWriterFactory(stagingDir)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    LogStore.publishEpoch(tableName, epochId, StagedBatch(stagingDir,
+    LogStore.publishEpoch(tableName, queryId, epochId, StagedBatch(stagingDir,
       messages.toSeq.map(_.asInstanceOf[StagedFile]).filter(_.rows > 0L)))
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     LogStore.deleteFiles(messages.toSeq.collect {

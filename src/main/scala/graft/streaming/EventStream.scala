@@ -166,15 +166,16 @@ object EventStream {
     * sketch postings (mm7's hamming bands), all broadcast.
     * `incrementalDedup`'s shape at the payload grain — stateless, no
     * watermark, batch twin identical by construction. Empty payloads
-    * have no frames, so they can only match exactly (mm7's guard),
-    * never perceptually. */
+    * have no frames — their sketch is NULL (the shared
+    * [[graft.operators.Multimodal.frameSimhash]] definition, so the
+    * live sketch can never drift from the published index grain) and
+    * they can only match exactly, never perceptually. */
   def perceptualIngest(media: DataFrame, index: DataFrame): DataFrame = {
     def sketched(df: DataFrame): DataFrame = df
       .withColumn("digest", md5(col("payload")))
       .withColumn("txt", col("payload").cast("string"))
-      .withColumn("phash", expr(
-        "simhash64(transform(sequence(0, int(floor((octet_length(payload)-1)/128))), " +
-          "i -> md5(substring(txt, 1 + i*128, 32))))"))
+      .withColumn("phash",
+        graft.operators.Multimodal.frameSimhash(col("payload"), col("txt")))
     val idx = sketched(index)
     val dg = idx.select(col("digest")).distinct()
       .withColumn("exact_hit", lit(true))

@@ -423,15 +423,26 @@ class DataSourceSpec extends AnyFunSuite {
     assert(back.count() == 500L)
     assert(back.agg(sum(col("value_cents"))).head.getLong(0) ==
       (1L to 500L).map(_ * 2).sum)
-    // a replayed epoch publishes nothing: re-commit epoch 0 with a fake
-    // staged file — row count must not change and the file is cleaned up
+    // a replayed epoch of the SAME query publishes nothing: re-commit
+    // epoch 0 under the query's id with a fake staged file — row count
+    // must not change and the file is cleaned up. (Also pins that
+    // Spark handed the sink the stable query id, not the per-run id —
+    // replay dedup must survive restarts from the same checkpoint.)
     val fakeDir = java.nio.file.Files.createTempDirectory("logsink-replay")
     val fake = fakeDir.resolve("epoch-0-task-9-9.bin")
     java.nio.file.Files.write(fake, Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0))
-    LogStore.publishEpoch(t1, 0L,
+    LogStore.publishEpoch(t1, q.id.toString, 0L,
       StagedBatch(fakeDir.toString, Seq(StagedFile(fake.toString, 1L))))
     assert(LogStore.rowCount(t1) == 500L, "replayed epoch changed visible rows")
     assert(!java.nio.file.Files.exists(fake), "replayed epoch's staged file not cleaned up")
+    // but epoch 0 of a DIFFERENT query appending to the same table is
+    // NEW data, not a replay — it must publish
+    val fake2 = fakeDir.resolve("epoch-0-task-8-8.bin")
+    java.nio.file.Files.write(fake2, Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0))
+    LogStore.publishEpoch(t1, "another-query", 0L,
+      StagedBatch(fakeDir.toString, Seq(StagedFile(fake2.toString, 1L))))
+    assert(LogStore.rowCount(t1) == 501L,
+      "a different query's epoch 0 was misclassified as a replay and discarded")
     LogStore.drop(t1)
     // epoch atomicity: a poisoned task fails the micro-batch AFTER
     // other tasks staged — the epoch must publish nothing
