@@ -196,6 +196,43 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate-limit schedule keeps microsecond precision (sub-ms events stay distinct)") {
+    // timestamps 0 µs, 500 µs, 900 µs: under millisecond truncation
+    // (the old getTime*1000 conversion) all three collapse to 0 and
+    // the recurrence mis-schedules; with unix_micros they queue at
+    // exact I spacings from their true µs arrivals
+    def usTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val I = 200L // 200 µs interval
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val q = EventStream.rateLimitSchedule(spark, toEvents(mem.toDF()), I)
+      .writeStream.format("memory").queryName("ratelimit_us")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, usTs(0), 1L, "c", 0.0), (2L, usTs(500), 1L, "c", 0.0),
+        (3L, usTs(900), 1L, "c", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ratelimit_us").collect()
+        .map(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("dispatch_us"))).sorted.toSeq
+      // arrivals 0/500/900; D = max(a_i, D_prev + 200) = 0, 500, 900
+      // (each arrival clears the 200 µs spacing exactly)
+      assert(got == Seq((0L, 0L), (500L, 500L), (900L, 900L)),
+        s"sub-ms arrivals mangled (ms truncation would give ts_us all 0): $got")
+      // and a genuinely queueing sub-ms burst: 0, 50, 120 µs
+      mem.addData((4L, usTs(1000000), 2L, "c", 0.0),
+        (5L, usTs(1000050), 2L, "c", 0.0), (6L, usTs(1000120), 2L, "c", 0.0))
+      q.processAllAvailable()
+      val u2 = spark.table("ratelimit_us").collect()
+        .filter(_.getAs[Long]("user_id") == 2L)
+        .map(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("dispatch_us"))).sorted.toSeq
+      assert(u2 == Seq((1000000L, 1000000L), (1000050L, 1000200L), (1000120L, 1000400L)),
+        s"sub-ms queueing diverges from the closed form: $u2")
+    } finally q.stop()
+  }
+
   test("rate-limit schedule: streaming recurrence equals batch closed form across batches") {
     // interval 10 min; user 1 sends a burst (0, 2, 4 min) in batch 1 —
     // dispatches 0, 10, 20 — then batch 2 arrives at 25 and 90 min:
