@@ -370,6 +370,33 @@ class DataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("LogSink concurrent appends to one table lose nothing") {
+    // the bench harness runs gates on 8 query threads; same-table
+    // appends from parallel queries must serialize at the catalog,
+    // not corrupt or drop batches
+    import graft.sources.{LogSink, LogStore}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val t = LogSink.freshTable("spec-concurrent")
+    val writes = (0 until 6).map(w => Future {
+      spark.range(w * 1000, w * 1000 + 1000)
+        .select(col("id").as("ts_us"), lit("INFO").as("level"),
+          lit(s"w$w").as("logger_name"), col("id").as("value_cents"))
+        .repartition(4)
+        .write.format("graft.sources.LogSink")
+        .option("table", t).mode("append").save()
+    })
+    writes.foreach(Await.result(_, Duration.Inf))
+    assert(LogStore.rowCount(t) == 6000L)
+    val back = spark.read.format("graft.sources.LogSink")
+      .option("table", t).load()
+    assert(back.count() == 6000L)
+    assert(back.select("ts_us").distinct().count() == 6000L,
+      "concurrent appends duplicated or dropped rows")
+    LogStore.drop(t)
+  }
+
   test("LogSink record format round-trips nulls, unicode, and >64KiB strings") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
