@@ -561,6 +561,51 @@ object CorpusOps {
       |  FROM documents) d
       |JOIN dim ON dim.lang = d.lang""".stripMargin
 
+  // ---------------------------------------------------------------- cp13
+
+  /** cp13: JSONL INTERCHANGE round-trip — JSON-lines is the wire
+    * format LLM corpora actually move in (every public dataset ships
+    * as .jsonl shards), so the engine must prove LOSSLESS passage
+    * through it: the documents table is written as JSONL, read back
+    * under the explicit schema, and rolled up per source with exact
+    * integer text/lang fingerprint sums (md5-prefix mod a prime —
+    * order-free, overflow-safe) plus row and char totals. The oracle
+    * computes the identical rollup straight from the parquet —
+    * equality proves no document was lost, duplicated, or mangled
+    * (encoding, escaping, null handling) crossing the format.
+    *
+    * MUTATING gate (la9's discipline): writes a fresh tmp dir,
+    * materializes the ≤|sources|-row rollup, deletes the dir.
+    *
+    * Scale shape: the write is a narrow scan fanned over input
+    * partitions; the read-back is schema-pinned (no sampling
+    * inference pass — at 100 TB, inference is a full extra scan);
+    * the rollup is one map-side-combined agg to |sources| rows. */
+  private def cp13(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cp13_${java.util.UUID.randomUUID()}"
+    val docs = Tables.documents(s, d)
+    docs.write.mode("overwrite").json(dir)
+    val back = s.read.schema(docs.schema).json(dir)
+    val rolled = back.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("chars"),
+      sum(expr("cast(conv(substring(md5(text),1,8),16,10) as bigint) % 1000003")
+        .cast("long")).as("text_fp_sum"),
+      sum(expr("cast(conv(substring(md5(lang),1,8),16,10) as bigint) % 1000003")
+        .cast("long")).as("lang_fp_sum"))
+    val out = rolled.collect()
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).delete(path, true)
+    s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
+  }
+
+  private val cp13Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000003) AS BIGINT) AS text_fp_sum,
+      |  CAST(sum(('0x' || substr(md5(lang), 1, 8))::BIGINT % 1000003) AS BIGINT) AS lang_fp_sum
+      |FROM documents GROUP BY source""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
       "deterministic per-language k-sample via salted-md5 permutation"),
@@ -585,5 +630,7 @@ object CorpusOps {
     GateQuery("cp11_temperature_mixture", cp11, Some(cp11Sql),
       "alpha=0.5 temperature-sampled language mixture via IEEE-exact isqrt weights"),
     GateQuery("cp12_balanced_resample", cp12, Some(cp12Sql),
-      "deterministic Bernoulli thinning to the smallest language's size (auditable)"))
+      "deterministic Bernoulli thinning to the smallest language's size (auditable)"),
+    GateQuery("cp13_jsonl_interchange", cp13, Some(cp13Sql),
+      "MUTATING lossless JSONL round-trip: write + schema-pinned read-back vs the parquet truth"))
 }

@@ -149,7 +149,7 @@ class GateRegistrySpec extends AnyFunSuite {
     // Pin the documented numbers to the registry so drift fails CI.
     val total = GateQueries.all.size
     val oracled = GateQueries.all.count(_.oracle.isDefined)
-    assert(total == 138 && oracled == 138,
+    assert(total == 139 && oracled == 139,
       s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
     val coverage = scala.io.Source.fromFile("COVERAGE.md", "UTF-8").mkString
     assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),
