@@ -273,14 +273,16 @@ object EventStream {
     val HourUs = 3600L * 1000000
     val DayUs = 24L * HourUs
     events
-      .select(col("user_id"), col("ts"))
-      .as[(Long, Timestamp)]
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[QuotaState, QuotaDecision](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[QuotaState]) =>
-          // deterministic event-time order inside the micro-batch
-          val sorted = rows.map(r => r._2.getTime * 1000L).toSeq.sorted
+          // deterministic event-time order inside the micro-batch —
+          // true µs (`unix_micros`, the tw4 batch twin's clock), so a
+          // sub-ms burst admits in arrival order, not ms-tie order
+          val sorted = rows.map(_._2).toSeq.sorted
           var st = state.getOption.getOrElse(QuotaState(-1L, 0L, -1L, 0L))
           val out = sorted.map { us =>
             val hour = (us / HourUs) * HourUs
@@ -391,14 +393,15 @@ object EventStream {
 
   def ttlCache(spark: SparkSession, events: DataFrame, ttl: String = "30 minutes"): DataFrame = {
     import spark.implicits._
-    val ttlMs = ttl match {
-      case "30 minutes" => 30L * 60 * 1000
-      case other => other.trim.split("\\s+")(0).toLong * 60 * 1000
-    }
+    val ttlUs = ttl.trim.split("\\s+")(0).toLong * 60 * 1000000L
     events
       .withWatermark("ts", "10 minutes") // event-time timeout needs one
-      .select(col("event_type").as("key"), col("ts"))
-      .as[(String, Timestamp)]
+      // keep the watermarked `ts` attribute alongside the true-µs clock
+      // the state machine runs on (`unix_micros` — the tw6 batch twin's
+      // clock; `.getTime` would truncate sub-ms writes)
+      .select(col("event_type").as("key"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(String, Timestamp, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[CacheState, CacheEvent](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -408,13 +411,16 @@ object EventStream {
             state.remove()
             Iterator(CacheEvent(key, "expired", st.hits))
           } else {
-            val times = rows.map(_._2.getTime).toSeq
+            val times = rows.map(_._3).toSeq
             val st0 = state.getOption.getOrElse(
               CacheState(key, times.min, times.min, 0L))
             val st = st0.copy(lastUs = math.max(st0.lastUs, times.max),
               hits = st0.hits + times.size)
             state.update(st)
-            state.setTimeoutTimestamp(st.lastUs + ttlMs)
+            // the timer API is ms-grained; floor-convert at the boundary
+            // (expiry can only fire ≤1 ms early relative to the µs TTL,
+            // and the watermark gate is minutes-grained anyway)
+            state.setTimeoutTimestamp((st.lastUs + ttlUs) / 1000L)
             Iterator(CacheEvent(key, "cached", st.hits))
           }
       }.toDF()
@@ -435,13 +441,14 @@ object EventStream {
   def ttlCacheTws(spark: SparkSession, events: DataFrame,
       ttl: String = "30 minutes"): DataFrame = {
     import spark.implicits._
-    val ttlMs = ttl.trim.split("\\s+")(0).toLong * 60 * 1000
+    val ttlUs = ttl.trim.split("\\s+")(0).toLong * 60 * 1000000L
     events
       .withWatermark("ts", "10 minutes")
-      .select(col("event_type").as("key"), col("ts"))
-      .as[(String, Timestamp)]
+      .select(col("event_type").as("key"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(String, Timestamp, Long)]
       .groupByKey(_._1)
-      .transformWithState(new TtlCacheProcessor(ttlMs),
+      .transformWithState(new TtlCacheProcessor(ttlUs),
         TimeMode.EventTime(), OutputMode.Append())(
         Encoders.product[CacheEvent])
       .toDF()
@@ -453,29 +460,33 @@ object EventStream {
   * one event-time timer armed at lastSeen + ttl and re-armed on every
   * refresh (the previous timer is deleted — v2 timers don't overwrite
   * by key, they accumulate). */
-private[streaming] class TtlCacheProcessor(ttlMs: Long)
-    extends StatefulProcessor[String, (String, Timestamp),
+private[streaming] class TtlCacheProcessor(ttlUs: Long)
+    extends StatefulProcessor[String, (String, Timestamp, Long),
       EventStream.CacheEvent] {
   import EventStream.{CacheEvent, CacheState}
   @transient private var st: ValueState[CacheState] = _
+
+  // v2 timers are ms-grained; the state itself stays at true µs (the
+  // same boundary floor-conversion ttlCache's setTimeoutTimestamp does)
+  private def timerMs(lastUs: Long): Long = (lastUs + ttlUs) / 1000L
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     st = getHandle.getValueState[CacheState](
       "cache", Encoders.product[CacheState], TTLConfig.NONE)
 
   override def handleInputRows(key: String,
-      rows: Iterator[(String, Timestamp)],
+      rows: Iterator[(String, Timestamp, Long)],
       tv: TimerValues): Iterator[CacheEvent] = {
-    val times = rows.map(_._2.getTime).toSeq
+    val times = rows.map(_._3).toSeq
     val st0 =
       if (st.exists()) {
-        getHandle.deleteTimer(st.get().lastUs + ttlMs)
+        getHandle.deleteTimer(timerMs(st.get().lastUs))
         st.get()
       } else CacheState(key, times.min, times.min, 0L)
     val next = st0.copy(lastUs = math.max(st0.lastUs, times.max),
       hits = st0.hits + times.size)
     st.update(next)
-    getHandle.registerTimer(next.lastUs + ttlMs)
+    getHandle.registerTimer(timerMs(next.lastUs))
     Iterator(CacheEvent(key, "cached", next.hits))
   }
 

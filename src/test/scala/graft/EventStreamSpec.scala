@@ -196,6 +196,82 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quota admission keeps microsecond precision (sub-ms burst admits in true arrival order)") {
+    // Two events inside the SAME millisecond (µs 1_000_200 and
+    // 1_000_800, both ms 1000) with hourlyLimit=1: under the old
+    // getTime*1000 conversion both collapse to ts_us=1_000_000 — the
+    // admitted/denied flags land on an arbitrary member of the ms-tie
+    // and the output rows are indistinguishable. With unix_micros the
+    // earlier true-µs arrival is admitted, matching the batch closed
+    // form (row_number over ts_us ≤ limit).
+    def usTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val evs = Seq(
+      (1L, usTs(1000200L), 1L, "c", 0.0),
+      (2L, usTs(1000800L), 1L, "c", 0.0),
+      // a second sub-ms pair later the same hour: both denied (hour
+      // quota already consumed), still distinct in the output
+      (3L, usTs(2000100L), 1L, "c", 0.0),
+      (4L, usTs(2000900L), 1L, "c", 0.0))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    mem.addData(evs: _*)
+    val q = EventStream.quotaAdmission(spark, toEvents(mem.toDF()),
+        hourlyLimit = 1, dailyLimit = 10)
+      .writeStream.format("memory").queryName("quota_us")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("quota_us").collect()
+        .map(r => (r.getAs[Long]("ts_us"), r.getAs[Boolean]("admitted")))
+        .sortBy(_._1).toSeq
+      assert(got == Seq((1000200L, true), (1000800L, false),
+        (2000100L, false), (2000900L, false)),
+        s"sub-ms burst mangled (ms truncation collapses ts_us and " +
+          s"scrambles the admission order): $got")
+      // batch closed form on the same rows: admitted ⇔ first-by-µs in
+      // its hour (day quota ample) — the tw4-clock equivalence
+      val batch = toEvents(evs.toDF())
+        .selectExpr("user_id", "unix_micros(ts) AS ts_us")
+        .selectExpr("ts_us",
+          """row_number() OVER (
+             PARTITION BY user_id, ts_us div 3600000000
+             ORDER BY ts_us ASC) <= 1 AS admitted""")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+      assert(batch == got, s"streaming admission diverges from batch: $batch vs $got")
+    } finally q.stop()
+  }
+
+  test("ttl cache watermark survives the µs projection; sub-ms writes both count") {
+    // the µs alignment threads ts_us alongside the watermarked `ts`
+    // attribute — this pins that EventTimeTimeout still finds the
+    // watermark after the 3-column projection (it would throw at
+    // start() otherwise) and that two writes 600 µs apart inside one
+    // millisecond both register as hits on the true-µs clock.
+    def usTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val evs = Seq(
+      (1L, usTs(1000200L), 1L, "k", 0.0),
+      (2L, usTs(1000800L), 1L, "k", 0.0))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    mem.addData(evs: _*)
+    val q = EventStream.ttlCache(spark, toEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("ttl_us")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("ttl_us").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("status"),
+          r.getAs[Long]("hits"))).toSeq
+      assert(out == Seq(("k", "cached", 2L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("rate-limit schedule keeps microsecond precision (sub-ms events stay distinct)") {
     // timestamps 0 µs, 500 µs, 900 µs: under millisecond truncation
     // (the old getTime*1000 conversion) all three collapse to 0 and
