@@ -9,6 +9,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -101,16 +102,46 @@ object LogSink {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-logsink-${UUID.randomUUID()}").toString
     sys.addShutdownHook {
-      try deleteDir(root) catch { case _: Throwable => () }
+      try deleteDir(root, activeHadoopConf) catch { case _: Throwable => () }
     }
     root
   }
 
-  private[sources] def deleteDir(dir: String): Unit = {
+  private[sources] def deleteDir(dir: String, conf: Configuration): Unit = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     fs.delete(p, true)
     ()
+  }
+
+  /** The session's Hadoop config (spark.hadoop.*, fs credentials/impl
+    * overrides) when a session is active — captured DRIVER-side at
+    * write/scan build time and shipped to tasks via
+    * [[SerializableHadoopConf]]; a bare `new Configuration()` would
+    * silently drop the session's fs auth on a real cluster, which is
+    * exactly the staging-on-HDFS/S3 mode the scaladoc advertises. The
+    * fallback covers the JVM-exit cleanup hook, where the session may
+    * already be gone. */
+  private[sources] def activeHadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+}
+
+/** Java-serializable Hadoop `Configuration` carrier (the `Writable`
+  * round-trip) — Spark's own wrapper is `private[spark]`, so the
+  * connector ships its copy. One instance per write/scan build, not
+  * per task. */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -141,21 +172,28 @@ object LogStore {
     * commit of a (query, epoch) wins; a replayed epoch (driver
     * restart from the SAME checkpoint re-running a committed
     * micro-batch — same queryId, resumed epochIds) publishes nothing
-    * and its re-staged files are deleted — exactly-once visible
+    * and its whole re-staging DIR is deleted — exactly-once visible
     * effects per epoch, the streaming analog of the batch protocol's
     * commit-coordinator guarantee. Keyed by queryId AND epochId: a
     * DIFFERENT query appending to the same table (fresh checkpoint,
-    * epochIds restarting at 0) is new data, not a replay. */
+    * epochIds restarting at 0) is new data, not a replay.
+    *
+    * The replay branch removes `batch.dir` RECURSIVELY, not just the
+    * listed files: a deduped replay is never registered in `tables`,
+    * so `drop` could never reclaim its per-write dir — with a
+    * user-supplied stagingDir, restart replays would otherwise
+    * accumulate orphan dirs forever. A replayed write's dir holds
+    * nothing publishable by construction (the replay is its first and
+    * only commit attempt in that dir). */
   def publishEpoch(table: String, queryId: String, epochId: Long,
-      batch: StagedBatch): Unit = {
+      batch: StagedBatch, conf: Configuration): Unit = {
     val seen = epochs.computeIfAbsent(table,
       _ => ConcurrentHashMap.newKeySet[String]())
     if (seen.add(s"$queryId#$epochId")) publish(table, batch)
-    else deleteFiles(batch.files.map(_.path))
+    else LogSink.deleteDir(batch.dir, conf)
   }
 
-  private[sources] def deleteFiles(paths: Seq[String]): Unit = {
-    val conf = new Configuration()
+  private[sources] def deleteFiles(paths: Seq[String], conf: Configuration): Unit = {
     paths.foreach { s =>
       val p = new Path(s)
       p.getFileSystem(conf).delete(p, false)
@@ -181,7 +219,8 @@ object LogStore {
     epochs.remove(table)
     val removed = tables.remove(table)
     if (removed != null) removed.synchronized {
-      removed.foreach(b => LogSink.deleteDir(b.dir))
+      val conf = LogSink.activeHadoopConf
+      removed.foreach(b => LogSink.deleteDir(b.dir, conf))
     }
   }
 }
@@ -198,14 +237,18 @@ class LogSinkTable(tableName: String, stagingDirOpt: Option[String]) extends Tab
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
+        // driver-side: capture the SESSION's Hadoop config here so
+        // executor tasks resolve the staging FileSystem with the same
+        // auth/impl settings the user configured (spark.hadoop.*)
+        private val conf = new SerializableHadoopConf(LogSink.activeHadoopConf)
         override def toBatch: BatchWrite =
           new LogBatchWrite(tableName,
             new Path(stagingDirOpt.getOrElse(LogSink.defaultStagingRoot),
-              s"w-${UUID.randomUUID()}").toString)
+              s"w-${UUID.randomUUID()}").toString, conf)
         override def toStreaming: StreamingWrite =
           new LogStreamingWrite(tableName, info.queryId(),
             new Path(stagingDirOpt.getOrElse(LogSink.defaultStagingRoot),
-              s"q-${UUID.randomUUID()}").toString)
+              s"q-${UUID.randomUUID()}").toString, conf)
       }
     }
 
@@ -219,7 +262,8 @@ class LogSinkTable(tableName: String, stagingDirOpt: Option[String]) extends Tab
               .flatMap(_.files).map(f => LogFilePartition(f.path, f.rows))
               .toArray
           override def createReaderFactory(): PartitionReaderFactory =
-            LogFileReaderFactory
+            LogFileReaderFactory(
+              new SerializableHadoopConf(LogSink.activeHadoopConf))
         }
       }
     }
@@ -230,19 +274,21 @@ class LogSinkTable(tableName: String, stagingDirOpt: Option[String]) extends Tab
   * catalog — all at once. `abort` publishes nothing and deletes the
   * write's staging dir (committed tasks' files included; aborted
   * tasks already self-deleted). */
-class LogBatchWrite(tableName: String, stagingDir: String) extends BatchWrite {
+class LogBatchWrite(tableName: String, stagingDir: String,
+    conf: SerializableHadoopConf) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    LogWriterFactory(stagingDir)
+    LogWriterFactory(stagingDir, conf)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     LogStore.publish(tableName, StagedBatch(stagingDir,
       messages.toSeq.map(_.asInstanceOf[StagedFile]).filter(_.rows > 0L)))
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    LogSink.deleteDir(stagingDir)
+    LogSink.deleteDir(stagingDir, conf.value)
 }
 
-case class LogWriterFactory(stagingDir: String) extends DataWriterFactory {
+case class LogWriterFactory(stagingDir: String, conf: SerializableHadoopConf)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LogDataWriter(stagingDir, s"task-$partitionId-$taskId.bin")
+    new LogDataWriter(stagingDir, s"task-$partitionId-$taskId.bin", conf)
 }
 
 /** Streaming (epoch-keyed) side of the write protocol — the
@@ -257,22 +303,24 @@ case class LogWriterFactory(stagingDir: String) extends DataWriterFactory {
   * (query, epoch); a different query appending to the same table is
   * new data. `abort(epochId, …)` deletes only that epoch's staged
   * files: earlier committed epochs stay visible. */
-class LogStreamingWrite(tableName: String, queryId: String, stagingDir: String)
-    extends StreamingWrite {
+class LogStreamingWrite(tableName: String, queryId: String, stagingDir: String,
+    conf: SerializableHadoopConf) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    LogStreamingWriterFactory(stagingDir)
+    LogStreamingWriterFactory(stagingDir, conf)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     LogStore.publishEpoch(tableName, queryId, epochId, StagedBatch(stagingDir,
-      messages.toSeq.map(_.asInstanceOf[StagedFile]).filter(_.rows > 0L)))
+      messages.toSeq.map(_.asInstanceOf[StagedFile]).filter(_.rows > 0L)),
+      conf.value)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     LogStore.deleteFiles(messages.toSeq.collect {
       case StagedFile(path, _) if path.nonEmpty => path
-    })
+    }, conf.value)
 }
 
-case class LogStreamingWriterFactory(stagingDir: String) extends StreamingDataWriterFactory {
+case class LogStreamingWriterFactory(stagingDir: String,
+    conf: SerializableHadoopConf) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new LogDataWriter(stagingDir, s"epoch-$epochId-task-$partitionId-$taskId.bin")
+    new LogDataWriter(stagingDir, s"epoch-$epochId-task-$partitionId-$taskId.bin", conf)
 }
 
 /** Per-task streaming stage: `write` appends each row to the task's
@@ -287,15 +335,15 @@ case class LogStreamingWriterFactory(stagingDir: String) extends StreamingDataWr
   * i64 ts_us, str level, str logger_name, i64 value_cents — strings
   * as i32 byte-length + UTF-8 bytes (NOT `writeUTF`, whose 64 KiB
   * cap would truncate-fail on large log payloads). */
-class LogDataWriter(stagingDir: String, fileName: String)
-    extends DataWriter[InternalRow] {
+class LogDataWriter(stagingDir: String, fileName: String,
+    conf: SerializableHadoopConf) extends DataWriter[InternalRow] {
   private var out: DataOutputStream = null
   private var path: Path = null
   private var n = 0L
 
   private def ensureOpen(): Unit = if (out == null) {
     path = new Path(stagingDir, fileName)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(conf.value)
     out = new DataOutputStream(new BufferedOutputStream(fs.create(path, true)))
   }
 
@@ -328,7 +376,7 @@ class LogDataWriter(stagingDir: String, fileName: String)
   override def abort(): Unit = {
     if (out != null) { out.close(); out = null }
     if (path != null) {
-      path.getFileSystem(new Configuration()).delete(path, false)
+      path.getFileSystem(conf.value).delete(path, false)
       path = null
     }
   }
@@ -339,7 +387,8 @@ class LogDataWriter(stagingDir: String, fileName: String)
 /** Constant-size read handle: one committed staging file. */
 case class LogFilePartition(path: String, rows: Long) extends InputPartition
 
-object LogFileReaderFactory extends PartitionReaderFactory {
+case class LogFileReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val fp = p.asInstanceOf[LogFilePartition]
@@ -351,7 +400,7 @@ object LogFileReaderFactory extends PartitionReaderFactory {
         if (in == null) {
           val path = new Path(fp.path)
           in = new DataInputStream(new BufferedInputStream(
-            path.getFileSystem(new Configuration()).open(path)))
+            path.getFileSystem(conf.value).open(path)))
         }
         val mask = in.readByte()
         val vals = new Array[Any](4)

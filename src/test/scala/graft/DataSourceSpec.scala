@@ -424,6 +424,24 @@ class DataSourceSpec extends AnyFunSuite {
     LogStore.drop(t)
   }
 
+  test("SerializableHadoopConf ships session fs overrides to tasks intact") {
+    // the write/scan builders capture the SESSION's Hadoop config and
+    // serialize it into task factories — a bare `new Configuration()`
+    // on the executor would drop spark.hadoop.* fs auth/impl settings
+    // (the documented cluster stagingDir mode). Pin the Writable
+    // round-trip carries a custom key through Java serialization.
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    c.set("graft.test.fs.key", "session-credential")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new graft.sources.SerializableHadoopConf(c))
+    oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.sources.SerializableHadoopConf]
+    assert(back.value.get("graft.test.fs.key") == "session-credential")
+  }
+
   test("LogSink streaming write: epoch commits are atomic, replays idempotent, aborts invisible") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.{LogSink, LogStore, StagedBatch, StagedFile}
@@ -452,22 +470,28 @@ class DataSourceSpec extends AnyFunSuite {
       (1L to 500L).map(_ * 2).sum)
     // a replayed epoch of the SAME query publishes nothing: re-commit
     // epoch 0 under the query's id with a fake staged file — row count
-    // must not change and the file is cleaned up. (Also pins that
-    // Spark handed the sink the stable query id, not the per-run id —
-    // replay dedup must survive restarts from the same checkpoint.)
+    // must not change and the replay's WHOLE staging dir is reclaimed
+    // (a deduped replay never registers in the catalog, so drop could
+    // never get to it — with a user stagingDir it would orphan).
+    // (Also pins that Spark handed the sink the stable query id, not
+    // the per-run id — replay dedup must survive restarts from the
+    // same checkpoint.)
+    val hconf = spark.sessionState.newHadoopConf()
     val fakeDir = java.nio.file.Files.createTempDirectory("logsink-replay")
     val fake = fakeDir.resolve("epoch-0-task-9-9.bin")
     java.nio.file.Files.write(fake, Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0))
     LogStore.publishEpoch(t1, q.id.toString, 0L,
-      StagedBatch(fakeDir.toString, Seq(StagedFile(fake.toString, 1L))))
+      StagedBatch(fakeDir.toString, Seq(StagedFile(fake.toString, 1L))), hconf)
     assert(LogStore.rowCount(t1) == 500L, "replayed epoch changed visible rows")
-    assert(!java.nio.file.Files.exists(fake), "replayed epoch's staged file not cleaned up")
+    assert(!java.nio.file.Files.exists(fakeDir),
+      "replayed epoch's staging dir not reclaimed")
     // but epoch 0 of a DIFFERENT query appending to the same table is
     // NEW data, not a replay — it must publish
-    val fake2 = fakeDir.resolve("epoch-0-task-8-8.bin")
+    val fakeDir2 = java.nio.file.Files.createTempDirectory("logsink-replay2")
+    val fake2 = fakeDir2.resolve("epoch-0-task-8-8.bin")
     java.nio.file.Files.write(fake2, Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0))
     LogStore.publishEpoch(t1, "another-query", 0L,
-      StagedBatch(fakeDir.toString, Seq(StagedFile(fake2.toString, 1L))))
+      StagedBatch(fakeDir2.toString, Seq(StagedFile(fake2.toString, 1L))), hconf)
     assert(LogStore.rowCount(t1) == 501L,
       "a different query's epoch 0 was misclassified as a replay and discarded")
     LogStore.drop(t1)
