@@ -68,22 +68,27 @@ object Multimodal {
       .otherwise((floor((octet_length(payload) - 1) / lit(128)) + 1).cast("int"))
 
   /** Per-frame md5 digests joined with '|'; "" for an empty payload.
-    * `txt` is the payload's string view (separate argument so the
-    * cast happens once at the call site, not per frame). */
-  private[graft] def frameDigests(payload: Column, txt: Column): Column =
+    * Frames are BYTE slices of the binary payload (`substr` on a
+    * BinaryType column slices bytes) — a genuinely binary payload
+    * never round-trips through a UTF-8 decode, so invalid sequences
+    * can't collapse to U+FFFD and alias distinct payloads. The DuckDB
+    * oracle slices CHARACTERS of the text stand-in (1.0 has no
+    * substring/md5 over BLOB) — identical on this corpus, which is
+    * ASCII by construction (spec-pinned); the engine side is the
+    * byte-grained definition a real media store needs. */
+  private[graft] def frameDigests(payload: Column): Column =
     when(octet_length(payload) === 0, lit(""))
       .otherwise(concat_ws("|", transform(
         sequence(lit(0), floor((octet_length(payload) - 1) / lit(128)).cast("int")),
-        i => md5(txt.substr(lit(1) + i * lit(128), lit(32))))))
+        i => md5(payload.substr(lit(1) + i * lit(128), lit(32))))))
 
   private def mm2(s: SparkSession, d: String): DataFrame =
     media(s, d)
-      .withColumn("txt", col("payload").cast("string"))
       .select(
         col("media_id"),
         octet_length(col("payload")).as("n_bytes"),
         frameCount(col("payload")).as("n_frames"),
-        frameDigests(col("payload"), col("txt")).as("frame_digests"))
+        frameDigests(col("payload")).as("frame_digests"))
 
   private val mm2Sql =
     """SELECT doc_id AS media_id, strlen(text) AS n_bytes,
@@ -308,23 +313,23 @@ object Multimodal {
     * the band self-join is candidate-bounded exactly like dd4, and the
     * digest flag joins touch only the emitted pairs. */
   /** Frame-grain perceptual sketch: weighted 64-bit simhash over the
-    * per-frame fingerprints (mm2's frame geometry); NULL for an empty
-    * payload — no frames means no perceptual identity. ONE definition
-    * shared by the mm7 gate and the streaming ingest twin
-    * ([[graft.streaming.EventStream.perceptualIngest]]) so the live
-    * sketch can never drift from the published index grain. */
-  private[graft] def frameSimhash(payload: Column, txt: Column): Column =
+    * per-frame fingerprints (mm2's frame geometry, BYTE slices of the
+    * binary payload — see [[frameDigests]] for the byte-vs-char oracle
+    * seam); NULL for an empty payload — no frames means no perceptual
+    * identity. ONE definition shared by the mm7 gate and the streaming
+    * ingest twin ([[graft.streaming.EventStream.perceptualIngest]]) so
+    * the live sketch can never drift from the published index grain. */
+  private[graft] def frameSimhash(payload: Column): Column =
     when(octet_length(payload) > 0,
       call_function("simhash64", transform(
         sequence(lit(0), floor((octet_length(payload) - 1) / lit(128)).cast("int")),
-        i => md5(txt.substr(lit(1) + i * lit(128), lit(32))))))
+        i => md5(payload.substr(lit(1) + i * lit(128), lit(32))))))
 
   private def mm7(s: SparkSession, d: String): DataFrame = {
     val sketch = media(s, d)
       .filter(octet_length(col("payload")) > 0)
-      .withColumn("txt", col("payload").cast("string"))
       .select(col("media_id"),
-        frameSimhash(col("payload"), col("txt")).as("phash"))
+        frameSimhash(col("payload")).as("phash"))
     val bands = sketch.select(col("media_id"), col("phash"),
       posexplode(array((0 until 4).map(bd =>
         expr(s"shiftright(phash, ${bd * 16}) & 65535")): _*)).as(Seq("band", "key")))

@@ -173,9 +173,8 @@ object EventStream {
   def perceptualIngest(media: DataFrame, index: DataFrame): DataFrame = {
     def sketched(df: DataFrame): DataFrame = df
       .withColumn("digest", md5(col("payload")))
-      .withColumn("txt", col("payload").cast("string"))
       .withColumn("phash",
-        graft.operators.Multimodal.frameSimhash(col("payload"), col("txt")))
+        graft.operators.Multimodal.frameSimhash(col("payload")))
     val idx = sketched(index)
     val dg = idx.select(col("digest")).distinct()
       .withColumn("exact_hit", lit(true))

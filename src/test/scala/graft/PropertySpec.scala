@@ -127,13 +127,11 @@ class PropertySpec extends AnyFunSuite {
       Gen.chooseNum(1, 400).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))).sample.get
     val df = strs.toDF("s")
       .selectExpr("s", "encode(s, 'UTF-8') AS payload")
-      .withColumn("txt", org.apache.spark.sql.functions.col("payload").cast("string"))
       .select(org.apache.spark.sql.functions.col("s"),
         operators.Multimodal.frameCount(
           org.apache.spark.sql.functions.col("payload")).as("n_frames"),
         operators.Multimodal.frameDigests(
-          org.apache.spark.sql.functions.col("payload"),
-          org.apache.spark.sql.functions.col("txt")).as("digests"))
+          org.apache.spark.sql.functions.col("payload")).as("digests"))
     df.collect().foreach { r =>
       val len = r.getString(0).getBytes("UTF-8").length
       val expect = if (len == 0) 0 else (len - 1) / 128 + 1

@@ -540,6 +540,33 @@ class TextDedupSpec extends AnyFunSuite {
       s"unrelated payload paired: $pairs")
   }
 
+  test("frame sketches are byte-grained: distinct binaries can't alias via U+FFFD") {
+    // genuinely binary payloads (invalid UTF-8) used to round-trip
+    // through cast-to-string, where every invalid byte collapses to
+    // U+FFFD — two DIFFERENT payloads decoded to the SAME string and
+    // falsely paired as perceptual dups. The sketches now hash byte
+    // slices of the binary column directly.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val a = Array.fill(256)(0xFF.toByte)
+    val b = Array.fill(256)(0xFE.toByte)
+    assert(new String(a, "UTF-8") == new String(b, "UTF-8"),
+      "fixture must alias under UTF-8 decode for the test to bite")
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, a), Row(2L, b)),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    val out = df.select(col("media_id"),
+        graft.operators.Multimodal.frameDigests(col("payload")).as("digs"),
+        graft.operators.Multimodal.frameSimhash(col("payload")).as("phash"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getString(1) != out(1).getString(1),
+      "distinct binary payloads produced identical frame digests")
+    assert(out(0).getLong(2) != out(1).getLong(2),
+      "distinct binary payloads produced identical perceptual sketches")
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
