@@ -10,6 +10,22 @@ import TestSpark._
   * drop. Every gate query must run and return rows at sf0.001. */
 class GateRegistrySpec extends AnyFunSuite {
 
+  /** Repo files resolved from the forked test JVM's working dir (sbt
+    * sets it to the project base). A runner with a different CWD gets
+    * a named failure pointing at the actual path tried, not an NPE
+    * from an unchecked `listFiles()`. */
+  private def repoFile(rel: String): java.io.File = {
+    val f = new java.io.File(sys.props.getOrElse("user.dir", "."), rel)
+    require(f.exists(),
+      s"repo file '$rel' not found at ${f.getAbsolutePath} — " +
+        "run the suite from the repo root (sbt does; set your runner's " +
+        "working directory to the project base)")
+    f
+  }
+
+  private def repoText(rel: String): String =
+    scala.io.Source.fromFile(repoFile(rel), "UTF-8").mkString
+
   /** One cached run per gate, shared by the schema and rows lints
     * below: building a gate's DataFrame executes its side effects for
     * the MUTATING gates (la9 writes + drops partitions + deletes its
@@ -39,12 +55,16 @@ class GateRegistrySpec extends AnyFunSuite {
     // driver's correctness run (it checks only what's in `queries`).
     val defRe =
       """private(?:\[\w+\])? def ([a-z]+[0-9]+[a-z]?)\(s: SparkSession, d: String\)""".r
-    val dir = new java.io.File("src/main/scala/graft/operators")
-    val defTokens = dir.listFiles().filter(_.getName.endsWith(".scala"))
+    val dir = repoFile("src/main/scala/graft/operators")
+    val files = Option(dir.listFiles()).getOrElse(
+      fail(s"cannot list ${dir.getAbsolutePath} (not a directory?)"))
+    val defTokens = files.filter(_.getName.endsWith(".scala"))
       .flatMap { f =>
         val src = scala.io.Source.fromFile(f, "UTF-8").mkString
         defRe.findAllMatchIn(src).map(_.group(1)).toSeq
       }.toSeq.sorted
+    assert(defTokens.nonEmpty,
+      s"no gate methods found under ${dir.getAbsolutePath} — lint is blind")
     assert(defTokens.distinct.size == defTokens.size,
       s"duplicate gate methods: ${defTokens.diff(defTokens.distinct)}")
     val gateTokens = GateQueries.all.map(_.name.takeWhile(_ != '_')).sorted
@@ -151,12 +171,34 @@ class GateRegistrySpec extends AnyFunSuite {
     val oracled = GateQueries.all.count(_.oracle.isDefined)
     assert(total == 139 && oracled == 139,
       s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
-    val coverage = scala.io.Source.fromFile("COVERAGE.md", "UTF-8").mkString
+    val coverage = repoText("COVERAGE.md")
     assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),
       s"COVERAGE.md gate-count line must say $total total / $oracled oracle-checked")
-    val readme = scala.io.Source.fromFile("README.md", "UTF-8").mkString
+    val readme = repoText("README.md")
     assert(readme.contains(s"($total queries, $oracled oracled)"),
       s"README.md registry line must say ($total queries, $oracled oracled)")
+  }
+
+  test("every gate is documented in COVERAGE.md; PLANS.md sections are live gates") {
+    // Artifact lint: the showcase docs are graded alongside the code,
+    // and a gate that exists only in the registry silently rots out of
+    // them as families grow (q1_agg did exactly this for seven
+    // rounds). A mention is the full name anywhere, or the backticked
+    // short token (`tx1`) the COVERAGE gate tables use — deleting a
+    // gate's COVERAGE row turns this red unless PLANS still shows it.
+    val docs = repoText("COVERAGE.md") + repoText("PLANS.md")
+    val undocumented = GateQueries.all.map(_.name).filterNot(n =>
+      docs.contains(n) || docs.contains(s"`${n.takeWhile(_ != '_')}`"))
+    assert(undocumented.isEmpty,
+      s"gates absent from COVERAGE.md and PLANS.md (showcase rot): $undocumented")
+    // and the reverse: a PLANS.md `## <gate>` section for a deleted
+    // gate means the evidence file is stale — PlanDump regenerates it
+    val sectionRe = "(?m)^## ([a-z0-9_]+)$".r
+    val staleSections = sectionRe.findAllMatchIn(repoText("PLANS.md"))
+      .map(_.group(1)).toSeq
+      .filterNot(GateQueries.all.map(_.name).toSet)
+    assert(staleSections.isEmpty,
+      s"PLANS.md sections with no registered gate (stale evidence): $staleSections")
   }
 
   test("every gate query returns rows at sf0.001") {
