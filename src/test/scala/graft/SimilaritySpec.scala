@@ -223,6 +223,78 @@ class SimilaritySpec extends AnyFunSuite {
       s"persisted-index serve diverges: ${served.toSeq} vs ${viaGate.toSeq}")
   }
 
+  test("persisted index serves the FILTERED IVFADC path with partition pruning (sim16 on disk)") {
+    import org.apache.spark.sql.functions._
+    // The sim12 disk proof above covers the unfiltered path; this is
+    // sim16's production shape served from the same partitionBy(cell)
+    // layout: the metadata predicate (label % 2 = 1) composes with
+    // TRUE partition pruning (only the widened nprobe=4 probed-cell
+    // dirs are read — input_file_name-verified), ADC nominates top-50
+    // from the persisted codes without touching any vector, and the
+    // ≤50-row exact refine reproduces the in-memory
+    // sim16_filtered_ivfpq gate bit-for-bit.
+    val cent = gate("sim4_ivf_centroids", sf0001)
+      .select(col("label"), col("dim"), col("centroid")).collect()
+    val nlist = cent.iterator.map(_.getInt(0)).max + 1
+    val cbArr = Array.fill(nlist, 64)(0.0)
+    cent.foreach(r => cbArr(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val cb = typedLit(cbArr.map(_.toSeq).toSeq)
+    val base = Tables.embeddings(spark, sf0001)
+      .withColumn("v", col("embedding").cast("array<double>"))
+    // the persisted postings carry the filter column — an index that
+    // drops metadata cannot serve a filtered query without a join
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_f").toString + "/index"
+    base.select(col("vec_id"), col("label"),
+        element_at(call_function("pq_encode", col("v"), cb, lit(64)), 1)
+          .getField("code").as("cell"),
+        call_function("pq_encode", col("v"), cb, lit(8)).as("pe"))
+      .write.partitionBy("cell").parquet(dir)
+    val q0 = base.filter(col("vec_id") === 0)
+    val probed = q0
+      .select(posexplode(call_function("pq_dist_table", col("v"), cb, lit(64)))
+        .as(Seq("cell", "dist")))
+      .orderBy(col("dist").asc, col("cell").asc).limit(4)
+      .collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(dir)
+      .filter(col("cell").isin(probed.map(Int.box): _*) &&
+        col("label") % 2 === 1 && col("vec_id") =!= 0L)
+    val filesRead = idx.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(filesRead.nonEmpty && filesRead.forall(f =>
+      probed.exists(c => f.contains(s"cell=$c/"))),
+      s"filtered serve read unpruned files: ${filesRead.filterNot(f =>
+        probed.exists(c => f.contains(s"cell=$c/"))).mkString(",")}")
+    // ADC nomination (top-50) purely from persisted codes
+    val tbl = q0.select(
+      call_function("pq_dist_table", col("v"), cb, lit(8)).as("tbl"))
+    val nominated = idx.crossJoin(broadcast(tbl))
+      .withColumn("adc", (0 until 8).map(m =>
+        element_at(col("tbl"),
+          col("pe").getItem(m).getField("code") + lit(m * nlist + 1)))
+        .reduce(_ + _))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(50)
+      .select("vec_id", "label")
+    // exact refine over the ≤50 nominees only
+    val served = nominated
+      .join(base.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .crossJoin(broadcast(q0.select(col("v").as("qv"))))
+      .withColumn("cosine", expr(
+        "dot_f64(qv, v) / (sqrt(dot_f64(qv, qv)) * sqrt(dot_f64(v, v)))"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Double]("cosine")))
+    val viaGate = gate("sim16_filtered_ivfpq", sf0001).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("label"),
+        r.getAs[Double]("cosine")))
+    assert(served.toSeq == viaGate.toSeq,
+      s"filtered persisted-index serve diverges from the sim16 gate: " +
+        s"${served.toSeq} vs ${viaGate.toSeq}")
+    // and the predicate held on every served row
+    assert(served.forall(_._2 % 2 == 1))
+  }
+
   test("sim15 filtered search: predicate holds, probes widened, exact agreement") {
     val rows = gate("sim15_filtered_search", sf0001).collect()
     assert(rows.nonEmpty)
