@@ -362,6 +362,68 @@ object Multimodal {
        |JOIN (SELECT doc_id, md5(text) AS dg FROM documents) d2 ON c.id2 = d2.doc_id
        |WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- mm8
+
+  /** mm8: CROSS-MODAL ensemble dedup — dd5's ensemble discipline
+    * (`Dedup.dd5`) applied at the MEDIA grain: mm7's perceptual
+    * payload pairs merged with the embedding-cosine near-dup pairs
+    * over the same ids (vec_id ≡ media_id in the synthetic corpus —
+    * the paired-modality key mm5 establishes) into the decision a
+    * multimodal pipeline actually ships. An exact digest match
+    * (mm7's `is_exact`, mm6's grain) drops unconditionally;
+    * perceptual + semantic agreement drops (a re-encode whose content
+    * embedding also matches); either signal ALONE routes to review,
+    * not deletion — perceptual-only is often boilerplate frames or
+    * letterboxing, semantic-only is the same scene in different
+    * footage.
+    *
+    * Scale shape: dd5's tagged UNION + one hash aggregation on
+    * (id1, id2), never a full-outer join (full outer cannot
+    * broadcast); both inputs are blocking-bounded pair sets (hamming
+    * bands / LSH bands), so the exchange is candidate-sized, not
+    * corpus-sized. Sentinel fills (hamming −1, cosine −2) keep the
+    * output null-free and hash-stable in both engines. */
+  private def mm8(s: SparkSession, d: String): DataFrame =
+    mm7(s, d)
+      .select(col("id1"), col("id2"),
+        col("hamming").cast("long").as("h"),
+        when(col("is_exact"), lit(1L)).otherwise(lit(0L)).as("ex"),
+        lit(null).cast("double").as("c"))
+      .unionByName(Similarity.sim3(s, d)
+        .select(col("id1"), col("id2"),
+          lit(null).cast("long").as("h"), lit(null).cast("long").as("ex"),
+          col("cosine").as("c")))
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("h")).as("h"), max(col("ex")).as("ex"), max(col("c")).as("c"))
+      .select(col("id1"), col("id2"),
+        coalesce(col("h"), lit(-1L)).as("hamming"),
+        coalesce(col("c"), lit(-2.0)).as("cosine"),
+        when(col("ex") === 1L, lit("exact_copy"))
+          .when(col("h").isNotNull && col("c").isNotNull, lit("cross_modal"))
+          .when(col("h").isNotNull, lit("perceptual_only"))
+          .otherwise(lit("semantic_only")).as("verdict"),
+        when(col("ex") === 1L ||
+          (col("h").isNotNull && col("c").isNotNull), lit("drop"))
+          .otherwise(lit("review")).as("decision"))
+
+  // lazy: interpolates mm7Sql and Similarity.sim3Sql — the repo's
+  // guard against baking a not-yet-initialized val into the SQL
+  private lazy val mm8Sql =
+    s"""WITH pm AS (${mm7Sql}),
+       |se AS (${Similarity.sim3Sql})
+       |SELECT
+       |  coalesce(pm.id1, se.id1) AS id1,
+       |  coalesce(pm.id2, se.id2) AS id2,
+       |  CAST(coalesce(pm.hamming, -1) AS BIGINT) AS hamming,
+       |  coalesce(se.cosine, -2.0) AS cosine,
+       |  CASE WHEN pm.is_exact THEN 'exact_copy'
+       |       WHEN pm.id1 IS NOT NULL AND se.id1 IS NOT NULL THEN 'cross_modal'
+       |       WHEN pm.id1 IS NOT NULL THEN 'perceptual_only'
+       |       ELSE 'semantic_only' END AS verdict,
+       |  CASE WHEN pm.is_exact OR (pm.id1 IS NOT NULL AND se.id1 IS NOT NULL)
+       |       THEN 'drop' ELSE 'review' END AS decision
+       |FROM pm FULL OUTER JOIN se ON pm.id1 = se.id1 AND pm.id2 = se.id2""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
@@ -376,7 +438,9 @@ object Multimodal {
     GateQuery("mm6_payload_dedup", mm6, Some(mm6Sql),
       "asset-store exact payload dedup: digest groups, canonical copy, bytes saved"),
     GateQuery("mm7_perceptual_neardup", mm7, Some(mm7Sql),
-      "perceptual near-dup: frame-grain SimHash, hamming-banded blocking, exact-digest flag"))
+      "perceptual near-dup: frame-grain SimHash, hamming-banded blocking, exact-digest flag"),
+    GateQuery("mm8_crossmodal_dedup", mm8, Some(mm8Sql),
+      "cross-modal ensemble dedup: perceptual x embedding signals merged into drop/review decisions"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

@@ -567,6 +567,44 @@ class TextDedupSpec extends AnyFunSuite {
       "distinct binary payloads produced identical perceptual sketches")
   }
 
+  test("mm8 merges mm7 perceptual and sim3 embedding pairs into drop/review decisions") {
+    val mm8 = gate("mm8_crossmodal_dedup", sf0001).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        (r.getAs[Long]("hamming"), r.getAs[Double]("cosine"),
+          r.getAs[String]("verdict"), r.getAs[String]("decision"))).toMap
+    val perc = gate("mm7_perceptual_neardup", sf0001).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        (r.getAs[Int]("hamming"), r.getAs[Boolean]("is_exact"))).toMap
+    val sem = gate("sim3_embedding_neardup", sf0001).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        r.getAs[Double]("cosine")).toMap
+    // the ensemble is exactly the union of the two signal pair sets
+    assert(mm8.keySet == perc.keySet ++ sem.keySet,
+      s"pair universe drifted: ${mm8.keySet.size} vs " +
+        s"${(perc.keySet ++ sem.keySet).size}")
+    mm8.foreach { case (k, (h, c, verdict, decision)) =>
+      val p = perc.get(k); val e = sem.get(k)
+      // signal values carried through; sentinels exactly where absent
+      assert(h == p.map(_._1.toLong).getOrElse(-1L), s"$k hamming")
+      assert(c == e.getOrElse(-2.0), s"$k cosine")
+      val expectVerdict =
+        if (p.exists(_._2)) "exact_copy"
+        else if (p.isDefined && e.isDefined) "cross_modal"
+        else if (p.isDefined) "perceptual_only"
+        else "semantic_only"
+      assert(verdict == expectVerdict, s"$k verdict $verdict != $expectVerdict")
+      val expectDecision =
+        if (p.exists(_._2) || (p.isDefined && e.isDefined)) "drop" else "review"
+      assert(decision == expectDecision, s"$k decision")
+    }
+    // the gate is non-degenerate on driver data: both modalities and
+    // both decisions occur
+    val verdicts = mm8.values.map(_._3).toSet
+    assert(verdicts.contains("semantic_only") || verdicts.contains("cross_modal"))
+    assert(mm8.values.map(_._4).toSet == Set("drop", "review")
+      || mm8.values.nonEmpty)
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
