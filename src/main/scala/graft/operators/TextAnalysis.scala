@@ -611,33 +611,34 @@ object TextAnalysis {
     * term-sharded storage, not one array cell; the cap bounds row
     * size by construction (dd9's bounded-dim discipline).
     *
-    * Scale shape: two map-side-combinable hash aggs — (term, doc_id)
-    * tf, then per-term assembly; `collect_list` runs over the ≤128
-    * survivors of a rank window whose rank ≤ k prunes map-side
-    * (WindowGroupLimit), so no unbounded per-group state ever crosses
-    * the exchange. `array_sort` (numeric, BEFORE the string cast) pins
-    * order against DuckDB's `list(... ORDER BY)`; the head is emitted
-    * as a comma-joined STRING — the gate contract hashes scalars only,
-    * so no Array/Map/Struct column may reach a gate output (cp6's
-    * manifest discipline, enforced by GateRegistrySpec's schema lint). */
-  private def tx13(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
+    * Scale shape: ONE pass after the (term, doc_id) tf aggregation —
+    * the rank window and the per-term assembly share a single
+    * hash(term) exchange (df/total_tf/postings all aggregate in the
+    * same HashAggregate; the earlier two-branch spelling paid the
+    * term exchange twice plus a join to glue the halves back). The
+    * posting head stays BOUNDED by construction: `collect_list`
+    * ignores nulls, so collecting `CASE WHEN rk <= 128 THEN doc_id
+    * END` holds at most 128 elements of per-group state while
+    * df/total_tf stay exact over ALL postings. `array_sort` (numeric,
+    * BEFORE the string cast) pins order against DuckDB's
+    * `list(... ORDER BY)`; the head is emitted as a comma-joined
+    * STRING — the gate contract hashes scalars only, so no
+    * Array/Map/Struct column may reach a gate output (cp6's manifest
+    * discipline, enforced by GateRegistrySpec's schema lint). */
+  private def tx13(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    val full = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
-    val head = tf
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("term")).orderBy(col("doc_id").asc)))
-      .filter(col("rk") <= 128)
       .groupBy(col("term"))
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(doc_id))," +
-          " x -> cast(x AS string)), ',')").as("postings_head"))
-    full.join(head, Seq("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        expr(
+          "array_join(transform(array_sort(" +
+            "collect_list(CASE WHEN rk <= 128 THEN doc_id END))," +
+            " x -> cast(x AS string)), ',')").as("postings_head"))
       .select("term", "df", "total_tf", "postings_head")
-  }
 
   private val tx13Sql =
     """WITH tf AS (

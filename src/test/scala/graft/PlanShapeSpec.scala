@@ -293,11 +293,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffleCount(p) == 1, s"expected 1 exchange (top-k window)\n$p")
   }
 
-  test("retrieval plans: tx13 head prunes map-side, tx14 query dim is top-k") {
+  test("retrieval plans: tx13 is one-pass after tf, tx14 query dim is top-k") {
+    // tx13's df/total_tf/postings_head all aggregate in ONE pass over
+    // a single hash(term) exchange (the rank window's partitioning is
+    // reused by the final agg): exactly 2 exchanges — tf on
+    // (term, doc_id), then term — and no join gluing branches back.
+    // The 128-entry head stays bounded inside the agg (collect_list of
+    // a CASE that nulls past rank 128), not via a pre-prune.
     val df13 = gate("tx13_inverted_index", sf0001)
     df13.collect()
-    assert(finalPlan(df13).contains("WindowGroupLimit"),
-      "tx13's 128-entry posting head must prune before the term exchange")
+    val p13 = finalPlan(df13)
+    assert(!p13.contains("Join"),
+      s"tx13 must not join its aggregate branches:\n$p13")
+    assert(shuffleCount(p13) <= 2,
+      s"expected <=2 exchanges (tf + term), got ${shuffleCount(p13)}\n$p13")
+    assert(p13.contains("Window"), s"tx13 lost its rank window:\n$p13")
     val df14 = gate("tx14_scored_retrieval", sf0001)
     df14.collect()
     val p14 = finalPlan(df14)
