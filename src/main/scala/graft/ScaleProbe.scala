@@ -133,6 +133,20 @@ object ScaleProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"$g%-18s rows=$c%10d elapsed=$secs%7.1f s")
       }
+      // sim17 runs the filtered EXACT brute force as its ground truth
+      // (queries × corpus cosine pairs at ½ selectivity) — the
+      // deliberately quadratic yardstick the serving paths beat; its
+      // probe row is the measured recall HOLDING at replica scale
+      // (probe width is a per-query constant, so recall should not
+      // decay with N), with the quadratic truth cost called out.
+      locally {
+        val t0 = System.nanoTime()
+        val r = SparkEntry.queries("sim17_filtered_recall")(spark, out).head
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"sim17_filtered_recall pairs=${r.getAs[Long]("n_exact_pairs")}%9d " +
+          f"f15=${r.getAs[Double]("f15_recall_pct")}%5.1f%% " +
+          f"f16=${r.getAs[Double]("f16_recall_pct")}%5.1f%% elapsed=$secs%7.1f s")
+      }
     }
 
     // Dedup sketch probe on a factor× documents replica (every doc in
@@ -262,8 +276,12 @@ object ScaleProbe {
       // bands are dd4's blocking at the frame grain — on the replica
       // every payload sits in a 20-dense identical-sketch group, the
       // dense-bucket worst case the codegen'd self-join absorbs.
+      // mm8 merges mm7's pair set with the embedding near-dup pairs —
+      // on the replica both inputs are dense-dup worst cases; the
+      // number to watch is the union+agg staying candidate-sized.
       for (g <- Seq("dd14_soft_dedup", "dd16_dedup_report",
-          "mm6_payload_dedup", "mm7_perceptual_neardup")) {
+          "mm6_payload_dedup", "mm7_perceptual_neardup",
+          "mm8_crossmodal_dedup")) {
         val t1 = System.nanoTime()
         val c = SparkEntry.queries(g)(spark, out).count()
         val s1 = (System.nanoTime() - t1) / 1e9
