@@ -142,6 +142,110 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stateful streams equal their batch twins under random micro-batch splits") {
+    // EventStreamSpec pins the stateful twins at FIXED trigger
+    // boundaries; this property replays the same event set under
+    // GENERATED split points — state must carry across any micro-batch
+    // boundary, or a split that lands mid-burst diverges from the
+    // batch closed form. Covers the two Markovian state machines
+    // (rate-limit dispatch, quota admission) whose batch twins are the
+    // same functions run over the full frame in one pass.
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def usTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    // ~60 events, 4 users, gaps skewed sub-ms so splits land inside
+    // bursts; timestamps strictly increasing
+    val gaps = Gen.listOfN(60, Gen.chooseNum(1L, 1500L)).sample.get
+    val users = Gen.listOfN(60, Gen.chooseNum(1L, 4L)).sample.get
+    val ts = gaps.scanLeft(0L)(_ + _).tail
+    val events: Seq[(Long, Timestamp, Long, String, Double)] =
+      ts.zip(users).zipWithIndex.map { case ((us, u), i) =>
+        (i.toLong, usTs(us), u, "c", 0.0) }
+    def toEvents(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val I = 400L // µs dispatch interval — several events queue per user
+    def viaStream(splits: Seq[Int],
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): Seq[Seq[Any]] = {
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+      val q = f(mem.toDF().toDF("event_id", "ts", "user_id",
+          "event_type", "value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val bounds = (0 +: splits.sorted :+ events.size).distinct.sorted
+        bounds.sliding(2).foreach { case Seq(a, b) =>
+          if (b > a) { mem.addData(events.slice(a, b): _*); q.processAllAvailable() }
+        }
+        spark.table(name).collect().map(_.toSeq.toIndexedSeq).toSeq
+      } finally q.stop()
+    }
+    def sortRows(rs: Seq[Seq[Any]]): Seq[Seq[Any]] =
+      rs.sortBy(_.mkString("|"))
+    for (trial <- 1 to 3) {
+      val splits = Gen.listOfN(3, Gen.chooseNum(1, events.size - 1)).sample.get
+      val rl = sortRows(viaStream(splits,
+        df => EventStream.rateLimitSchedule(spark, df, I), s"prop_rl_$trial"))
+      val rlBatch = sortRows(EventStream.rateLimitSchedule(
+        spark, toEvents(events), I).collect().map(_.toSeq.toIndexedSeq).toSeq)
+      assert(rl == rlBatch,
+        s"rate-limit stream diverged from batch at splits=$splits:\n$rl\nvs\n$rlBatch")
+      val qa = sortRows(viaStream(splits,
+        df => EventStream.quotaAdmission(spark, df, hourlyLimit = 3,
+          dailyLimit = 8), s"prop_qa_$trial"))
+      val qaBatch = sortRows(EventStream.quotaAdmission(spark,
+        toEvents(events), hourlyLimit = 3, dailyLimit = 8)
+        .collect().map(_.toSeq.toIndexedSeq).toSeq)
+      assert(qa == qaBatch,
+        s"quota stream diverged from batch at splits=$splits:\n$qa\nvs\n$qaBatch")
+    }
+  }
+
+  test("LogSink epoch publish is split-invariant and replay-idempotent (random splits)") {
+    // the DSv2 streaming sink must publish every row exactly once for
+    // ANY micro-batch partitioning of the input, and a replayed epoch
+    // must change nothing — generated split points, then a replay of a
+    // random epoch id via the store's public protocol entry.
+    import graft.sources.{LogSink, LogStore, StagedBatch, StagedFile}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows: Seq[(Long, String, String, Long)] =
+      (1L to 120L).map(i => (i, "INFO", s"lg${i % 7}", i * 3))
+    val splits = Gen.listOfN(4, Gen.chooseNum(1, rows.size - 1)).sample.get
+    val mem = MemoryStream[(Long, String, String, Long)](spark)
+    val t = LogSink.freshTable("prop-split")
+    val ckpt = java.nio.file.Files.createTempDirectory("prop-split-ckpt").toString
+    val q = mem.toDF().toDF("ts_us", "level", "logger_name", "value_cents")
+      .writeStream.format("graft.sources.LogSink")
+      .option("table", t).option("checkpointLocation", ckpt).start()
+    val queryId = try {
+      val bounds = (0 +: splits.sorted :+ rows.size).distinct.sorted
+      bounds.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) { mem.addData(rows.slice(a, b): _*); q.processAllAvailable() }
+      }
+      q.id.toString
+    } finally q.stop()
+    assert(LogStore.rowCount(t) == rows.size.toLong,
+      s"split-dependent row loss: ${LogStore.rowCount(t)} of ${rows.size}")
+    // replay a random already-committed epoch: publishes nothing
+    val epoch = Gen.chooseNum(0, LogStore.batches(t).size - 1).sample.get
+    val fakeDir = java.nio.file.Files.createTempDirectory("prop-replay")
+    val fake = fakeDir.resolve("epoch-r.bin")
+    java.nio.file.Files.write(fake, Array[Byte](1, 2, 3))
+    LogStore.publishEpoch(t, queryId, epoch.toLong,
+      StagedBatch(fakeDir.toString, Seq(StagedFile(fake.toString, 1L))),
+      spark.sessionState.newHadoopConf())
+    assert(LogStore.rowCount(t) == rows.size.toLong,
+      s"replayed epoch $epoch changed the visible row count")
+    assert(!java.nio.file.Files.exists(fakeDir),
+      "replayed epoch's staging dir not reclaimed")
+    LogStore.drop(t)
+  }
+
   test("halfEvenDiv equals BigDecimal HALF_EVEN on random operands") {
     // ca9's exact rational banker's rounding, fuzzed well past the
     // hand-picked tie cases in ChannelMetricsSpec: 300 random (n, d)
