@@ -70,7 +70,11 @@ object PlanDump {
     "sim16_filtered_ivfpq" ->
       "Filtered IVFADC + refine: predicate prunes the slim postings before any distance work; ADC ranks survivors via shuffle-hash code join + broadcast tables; exact vectors join back only for the ≤50/query nominees.",
     "mm7_perceptual_neardup" ->
-      "Perceptual near-dup: payload collapses to one simhash long in the projection (no payload bytes past the scan); codegen'd band self-join; hamming filter before the dedup exchange; digest flags join the pair set only.")
+      "Perceptual near-dup: payload collapses to one simhash long in the projection (no payload bytes past the scan); codegen'd band self-join; hamming filter before the dedup exchange; digest flags join the pair set only.",
+    "tx13_inverted_index" ->
+      "Inverted index: ONE pass after the tf aggregate — rank window and final agg share a single hash(term) exchange, no branch join; the 128-entry posting head stays bounded inside collect_list (CASE nulls past rank 128).",
+    "mm8_crossmodal_dedup" ->
+      "Cross-modal ensemble: tagged UNION of the two blocking-bounded pair sets + one hash agg on (id1, id2) — never a full-outer join; sentinel fills keep the decision projection null-free.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
