@@ -452,6 +452,84 @@ object LogAnalytics {
       |  min(ts_us) AS first_us, max(ts_us) AS last_us
       |FROM logs GROUP BY level""".stripMargin
 
+  // ---------------------------------------------------------------- la12
+
+  /** la12: small-file COMPACTION — the maintenance operation la9's
+    * probe pathology points at (an unclustered dynamic-partition
+    * write fans out |days| × |tasks| files; at 100 TB that
+    * small-file factory throttles every subsequent scan on file-open
+    * overhead and NameNode/liststatus pressure). The gate stages the
+    * pathology deliberately (an unclustered day-partitioned write —
+    * many files per day dir), then runs the compactor: read back,
+    * cluster by the partition key, rewrite — one file per day
+    * partition — and PROVES losslessness by rolling up the compacted
+    * table per day with exact row counts, cent sums, and an
+    * order-insensitive row-fingerprint sum (cp13's interchange
+    * discipline) that the oracle recomputes from rows that never left
+    * the engine. The file-count collapse itself is asserted in-gate
+    * (`require`) and spec-pinned; it is an engine fact the SQL oracle
+    * cannot see.
+    *
+    * Scale shape: compaction cost is one scan + one exchange on the
+    * partition key (exactly la9's clustered-write lesson applied as a
+    * REPAIR); the file listing is ≤ |days| × small driver-side
+    * metadata, the dd6-fixpoint class of justified driver work —
+    * never row data. Both staging dirs are per-invocation and deleted
+    * after the rollup materializes (la9's tmpdir discipline). */
+  private def la12(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * 3600 * 1000000
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_la12_${java.util.UUID.randomUUID()}"
+    val (raw, compacted) = (s"$root/raw", s"$root/compacted")
+    val l = logs(s, d)
+      .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
+    // stage the pathology: unclustered write — every task holds rows
+    // of every day, so each day dir collects one file per task
+    l.repartition(8, col("event_id"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(raw)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def parquetFiles(dir: String): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = parquetFiles(raw)
+    // the compactor: cluster by the partition key, one file per day
+    s.read.parquet(raw)
+      .repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(compacted)
+    val after = parquetFiles(compacted)
+    require(after < before,
+      s"compaction did not reduce file count ($before -> $after)")
+    // losslessness proof from the compacted table only: exact counts,
+    // cent sums, and an order-insensitive row-fingerprint sum
+    val rolled = s.read.parquet(compacted)
+      // 32-bit fp prefix: an order-insensitive BIGINT sum of 60-bit
+      // values overflows int64 within ~8 rows under ANSI; 2^32-max
+      // values keep the sum exact to ~2^31 rows
+      .withColumn("row_fp", expr(
+        "cast(conv(substring(md5(concat_ws('|', event_id, ts_us, level, " +
+          "logger_name, value_cents)), 1, 8), 16, 10) AS BIGINT)"))
+      .groupBy(col("day_us"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("value_cents"),
+        sum(col("row_fp")).as("fp_sum"))
+    val out = rolled.collect()
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
+  }
+
+  private val la12Sql = logsSql +
+    """SELECT day_us, count(*) AS n,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents,
+      |  CAST(sum(fp) AS BIGINT) AS fp_sum
+      |FROM (
+      |  SELECT (ts_us // 86400000000) * 86400000000 AS day_us, value_cents,
+      |    ('0x' || substr(md5(event_id || '|' || ts_us || '|' || level || '|'
+      |      || logger_name || '|' || value_cents), 1, 8))::BIGINT AS fp
+      |  FROM logs) t
+      |GROUP BY day_us""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -474,5 +552,7 @@ object LogAnalytics {
     GateQuery("la10_histogram_p95", la10, Some(la10Sql),
       "100-bin histogram p95 with the exact rank-selected p95 as an in-row certificate"),
     GateQuery("la11_dsv2_sink", la11, Some(la11Sql),
-      "DSv2 write protocol round-trip: staged task commits -> atomic publish -> rollup"))
+      "DSv2 write protocol round-trip: staged task commits -> atomic publish -> rollup"),
+    GateQuery("la12_compaction", la12, Some(la12Sql),
+      "small-file compaction: stage the many-files pathology, rewrite clustered, prove losslessness"))
 }

@@ -444,6 +444,72 @@ object TextAnalysis {
        |    / CAST(n_distinct AS DOUBLE) AS err_pct
        |FROM ex JOIN sk ON ex.lang = sk.lang""".stripMargin
 
+  // --------------------------------------------------------------- tx18
+
+  /** tx18: KMV sketch MERGE — the property that makes the sketch a
+    * DISTRIBUTED primitive, executed as data: per-source sketches
+    * (each O(k), buildable shard-local) merge by re-sketching the
+    * union of their k-min sets, and the merged estimate is EXACTLY
+    * the direct whole-corpus sketch's. That's the KMV mergeability
+    * theorem (any global k-min value is also a k-min within its own
+    * source, so no information is lost at the shard boundary) — the
+    * reason a 1000-executor cluster can sketch 100 TB with one
+    * k-long array per shard and a driver-side k-vs-k merge, where
+    * count(distinct) must shuffle every distinct value. The gate
+    * emits both spellings' (k_eff, kth_min) plus a `merge_lossless`
+    * equality flag the oracle re-derives — a false would be a
+    * mergeability violation, failing both engines loudly.
+    *
+    * Scale shape: the per-source leg is tx12's grouped bounded-state
+    * agg (O(k) per source); the merge leg explodes |sources|·k longs
+    * — sketch-sized, never corpus-sized — through one more kmv_kmin;
+    * the direct leg and exact comparator are tx8's. */
+  private def tx18(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables.documents(s, d).select(col("source"),
+      conv(substring(contentFp(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    val perSource = fps.groupBy(col("source"))
+      .agg(expr("kmv_kmin(h, 32)").as("km"))
+    val merged = perSource
+      .select(explode(col("km")).as("h"))
+      .agg(expr("kmv_kmin(h, 32)").as("km"))
+      .select(size(col("km")).cast("long").as("m_k_eff"),
+        expr("km[size(km) - 1]").as("m_kth_min"))
+    val direct = fps.agg(expr("kmv_kmin(h, 32)").as("km"))
+      .select(size(col("km")).cast("long").as("d_k_eff"),
+        expr("km[size(km) - 1]").as("d_kth_min"))
+    val nSources = perSource.agg(count(lit(1)).as("n_sources"))
+    val exact = fps.agg(countDistinct(col("h")).as("n_distinct"))
+    exact.crossJoin(nSources).crossJoin(merged).crossJoin(direct) // 1-row anchors
+      .withColumn("est_distinct",
+        (col("m_k_eff") - 1).cast("double") * lit(1152921504606846976.0) /
+          col("m_kth_min").cast("double"))
+      .withColumn("merge_lossless",
+        col("m_k_eff") === col("d_k_eff") && col("m_kth_min") === col("d_kth_min"))
+  }
+
+  private val tx18Sql =
+    s"""WITH f AS (
+       |  SELECT source, ('0x' || substr($contentFpSql, 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |rk AS (
+       |  SELECT source, h, row_number() OVER (
+       |      PARTITION BY source ORDER BY h ASC) AS rn
+       |  FROM (SELECT DISTINCT source, h FROM f) d),
+       |mg AS (
+       |  SELECT count(*) AS m_k_eff, max(h) AS m_kth_min FROM (
+       |    SELECT DISTINCT h FROM rk WHERE rn <= 32
+       |    ORDER BY h ASC LIMIT 32) u),
+       |dr AS (
+       |  SELECT count(*) AS d_k_eff, max(h) AS d_kth_min FROM (
+       |    SELECT DISTINCT h FROM f ORDER BY h ASC LIMIT 32) km),
+       |ns AS (SELECT count(DISTINCT source) AS n_sources FROM f),
+       |ex AS (SELECT count(DISTINCT h) AS n_distinct FROM f)
+       |SELECT n_distinct, n_sources, m_k_eff, m_kth_min, d_k_eff, d_kth_min,
+       |  CAST(m_k_eff - 1 AS DOUBLE) * 1152921504606846976.0
+       |    / CAST(m_kth_min AS DOUBLE) AS est_distinct,
+       |  m_k_eff = d_k_eff AND m_kth_min = d_kth_min AS merge_lossless
+       |FROM ex, ns, mg, dr""".stripMargin
+
   // ---------------------------------------------------------------- tx9
 
   /** tx9: exact per-language length quantiles (p50/p90/p99) by rank
@@ -980,5 +1046,7 @@ object TextAnalysis {
     GateQuery("tx16_repetition", tx16, Some(tx16Sql),
       "Gopher-style intra-doc repetition filter: dup-bigram / top-gram permille shares"),
     GateQuery("tx17_source_reputation", tx17, Some(tx17Sql),
-      "domain-grain curation: per-source quality shares + keep/review/drop verdict"))
+      "domain-grain curation: per-source quality shares + keep/review/drop verdict"),
+    GateQuery("tx18_kmv_merge", tx18, Some(tx18Sql),
+      "KMV mergeability as data: per-source sketches re-sketched equal the direct global sketch"))
 }

@@ -8,6 +8,21 @@ import TestSpark._
   * oracle; here we pin structural semantics). */
 class LogTimeSpec extends AnyFunSuite {
 
+  test("la12 compaction is lossless, covers every event, and is stable across runs") {
+    val a = gate("la12_compaction", sf0001).collect()
+      .map(_.toSeq.toIndexedSeq).toSet
+    assert(a.nonEmpty)
+    // every event survives compaction: per-day counts sum to the corpus
+    val totalRows = a.toSeq.map(_(1).asInstanceOf[Long]).sum
+    assert(totalRows == Tables.events(spark, sf0001).count(),
+      s"compaction lost rows: $totalRows")
+    // mutating gate determinism: a second invocation (fresh staging
+    // dirs, fresh pathology, fresh rewrite) produces identical content
+    val b = gate("la12_compaction", sf0001).collect()
+      .map(_.toSeq.toIndexedSeq).toSet
+    assert(a == b, "la12 output varies across invocations")
+  }
+
   test("la1 pagination: dense rank range, descending timestamps") {
     val rows = gate("la1_filter_paginate", sf0001).collect()
       .sortBy(_.getAs[Int]("rn"))

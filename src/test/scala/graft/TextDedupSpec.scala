@@ -540,6 +540,22 @@ class TextDedupSpec extends AnyFunSuite {
       s"unrelated payload paired: $pairs")
   }
 
+  test("tx18: per-source KMV sketches merge losslessly to the global sketch") {
+    val r = gate("tx18_kmv_merge", sf0001).head
+    assert(r.getAs[Boolean]("merge_lossless"),
+      s"mergeability violated on driver data: $r")
+    assert(r.getAs[Long]("m_k_eff") == r.getAs[Long]("d_k_eff"))
+    // skewed fixture: a 60-doc source and a 2-doc source (< k distinct
+    // on one shard) — the merge must still equal the direct sketch
+    val d = fixtureDir("documents" -> documentsDf(
+      (1L to 60L).map(i => (i, s"unique doc number $i has words", "en", "big")) ++
+        Seq((61L, "tiny one", "en", "small"), (62L, "tiny two", "en", "small"))))
+    val f = gate("tx18_kmv_merge", d).head
+    assert(f.getAs[Boolean]("merge_lossless"), s"skewed-shard merge diverged: $f")
+    assert(f.getAs[Long]("n_sources") == 2L)
+    assert(f.getAs[Long]("n_distinct") == 62L)
+  }
+
   test("frame sketches are byte-grained: distinct binaries can't alias via U+FFFD") {
     // genuinely binary payloads (invalid UTF-8) used to round-trip
     // through cast-to-string, where every invalid byte collapses to
