@@ -606,6 +606,90 @@ object CorpusOps {
       |  CAST(sum(('0x' || substr(md5(lang), 1, 8))::BIGINT % 1000003) AS BIGINT) AS lang_fp_sum
       |FROM documents GROUP BY source""".stripMargin
 
+  // --------------------------------------------------------------- cp14
+
+  /** cp14: SPLIT-LEAKAGE audit — the check every dataset release runs
+    * after cutting cp10's train/validation/test split: how much of
+    * each held-out document's shingle set also occurs ANYWHERE in the
+    * train split? Hash-stable splits prevent ASSIGNMENT drift, but
+    * near-duplicate documents that straddle the cut still leak
+    * content from train into the eval sets (the reason dedup runs
+    * before splitting); this gate measures that leakage at dd15's
+    * containment grain, per held-out doc, with the ≥ 700 ‰ flag.
+    *
+    * Scale shape: deliberately DIFFERENT from dd15's broadcast
+    * asymmetry — the train side is ~98 % of the corpus, so its
+    * distinct shingle universe is corpus-sized and can never
+    * broadcast. The membership check is a slim BIG-BIG hash join on
+    * the shingle hash (two longs per row through the exchange),
+    * pinned shuffle-hash; the held-out side is ~2 % of the corpus so
+    * the per-doc regroup is small. One shingle definition repo-wide
+    * ([[Dedup.shingleCols]]) — a tokenizer change moves this audit
+    * with the dedup pass. */
+  private def cp14(s: SparkSession, d: String): DataFrame = {
+    val tagged = Dedup.shingled(s, d)
+      .join(
+        Tables.documents(s, d).select(col("doc_id"),
+          pmod(conv(substring(rnd("split"), 1, 15), 16, 10).cast("long"),
+            lit(100)).as("bucket")),
+        Seq("doc_id"))
+      .withColumn("split",
+        when(col("bucket") < 98, lit("train"))
+          .when(col("bucket") === 98, lit("validation"))
+          .otherwise(lit("test")))
+    val trainU = tagged.filter(col("split") === "train")
+      .select(explode(col("shingles")).as("sh"))
+      .select(xxhash64(col("sh")).as("sh_h")).distinct()
+    val holdout = tagged.filter(col("split") =!= "train")
+    val hits = holdout
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
+      .join(trainU.hint("shuffle_hash"), Seq("sh_h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    holdout
+      .select(col("doc_id"), col("split"), col("sz").cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("CASE WHEN n_shingles > 0 THEN " +
+          "(coalesce(n_hit, 0) * 1000) div n_shingles ELSE 0 END")
+          .as("leakage_permille"))
+      .withColumn("leaked", col("leakage_permille") >= 700)
+  }
+
+  private val cp14Sql = "WITH " + Dedup.shingledSql +
+    s""", sp AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(${rndSql("split")}, 1, 15))::BIGINT % 100 AS bucket
+       |  FROM documents),
+       |tagged AS (
+       |  SELECT sh.doc_id, sh.shingles,
+       |    CASE WHEN bucket < 98 THEN 'train'
+       |         WHEN bucket = 98 THEN 'validation' ELSE 'test' END AS split
+       |  FROM sh JOIN sp ON sh.doc_id = sp.doc_id),
+       |trainu AS (
+       |  SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
+       |  FROM (SELECT unnest(shingles) AS shingle FROM tagged
+       |        WHERE split = 'train') t),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_hit
+       |  FROM (
+       |    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
+       |    FROM (SELECT doc_id, unnest(shingles) AS shingle FROM tagged
+       |          WHERE split <> 'train') u) x
+       |  JOIN trainu USING (sh_h)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, split, n_shingles, n_hit, leakage_permille,
+       |  leakage_permille >= 700 AS leaked
+       |FROM (
+       |  SELECT t.doc_id, t.split, len(t.shingles) AS n_shingles,
+       |    coalesce(h.n_hit, 0) AS n_hit,
+       |    CASE WHEN len(t.shingles) > 0
+       |      THEN (coalesce(h.n_hit, 0) * 1000) // len(t.shingles) ELSE 0 END
+       |      AS leakage_permille
+       |  FROM tagged t LEFT JOIN hits h ON h.doc_id = t.doc_id
+       |  WHERE t.split <> 'train') z""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
       "deterministic per-language k-sample via salted-md5 permutation"),
@@ -631,6 +715,8 @@ object CorpusOps {
       "alpha=0.5 temperature-sampled language mixture via IEEE-exact isqrt weights"),
     GateQuery("cp12_balanced_resample", cp12, Some(cp12Sql),
       "deterministic Bernoulli thinning to the smallest language's size (auditable)"),
+    GateQuery("cp14_split_leakage", cp14, Some(cp14Sql),
+      "train->holdout shingle-leakage audit over cp10's split: big-big slim hash join, per-doc permille"),
     GateQuery("cp13_jsonl_interchange", cp13, Some(cp13Sql),
       "MUTATING lossless JSONL round-trip: write + schema-pinned read-back vs the parquet truth"))
 }

@@ -161,9 +161,56 @@ object Observability {
       |    ELSE min(status) END AS batch_status
       |FROM req GROUP BY hour_us""".stripMargin
 
+  /** ob3: SLO error-budget BURN — the alerting arithmetic an
+    * operations team runs on exactly the counters ob1/ob2 model
+    * (reference /metrics endpoint, api_server.py:177-208, grown to
+    * the decision the counters exist for): per 1-hour window, request
+    * and error counts, the exact error permille, the BURN RATE
+    * against a 99% availability SLO (burn = err_rate / error_budget;
+    * emitted ×100 as `burn_centi`, so 100 = "burning exactly at
+    * budget"), the fast-burn page flag at burn ≥ 14.4× (the classic
+    * 1-hour paging threshold — a rate that exhausts a 30-day budget
+    * in ~2 days), and the RUNNING share of the period's budget
+    * consumed so far. All integer floor-div — no FP rates to diverge
+    * across engines.
+    *
+    * Scale shape: one map-side-combinable hash agg from events to the
+    * ≤|hours| hourly grain; the cumulative window runs over that tiny
+    * frame (bounded by hours, never events), so the unpartitioned
+    * ORDER BY window is safe by construction. */
+  private def ob3(s: SparkSession, d: String): DataFrame =
+    TimeWindows.evs(s, d)
+      .withColumn("hour_us", expr("(ts_us div 3600000000L) * 3600000000L"))
+      .groupBy(col("hour_us"))
+      .agg(count(lit(1)).as("n_requests"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("err_permille", expr("(n_errors * 1000) div n_requests"))
+      .withColumn("burn_centi", expr("(n_errors * 10000) div n_requests"))
+      .withColumn("paging", col("burn_centi") >= 1440)
+      .withColumn("budget_used_permille",
+        expr("(sum(n_errors) OVER (ORDER BY hour_us) * 100000) div " +
+          "sum(n_requests) OVER (ORDER BY hour_us)"))
+
+  private val ob3Sql = TimeWindows.evsSql +
+    """SELECT hour_us, n_requests, n_errors,
+      |  (n_errors * 1000) // n_requests AS err_permille,
+      |  (n_errors * 10000) // n_requests AS burn_centi,
+      |  (n_errors * 10000) // n_requests >= 1440 AS paging,
+      |  (CAST(sum(n_errors) OVER (ORDER BY hour_us) AS BIGINT) * 100000)
+      |    // CAST(sum(n_requests) OVER (ORDER BY hour_us) AS BIGINT)
+      |    AS budget_used_permille
+      |FROM (
+      |  SELECT (ts_us // 3600000000) * 3600000000 AS hour_us,
+      |    count(*) AS n_requests,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_errors
+      |  FROM evs GROUP BY 1) h""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("ob1_cache_counters", ob1, Some(ob1Sql),
       "TTL-cache hit/miss counters as data (A9's oracled twin; SimpleCache.get semantics)"),
     GateQuery("ob2_batch_cache_status", ob2, Some(ob2Sql),
-      "per-request hit/miss/partial + per-batch 'mixed' cache-status reduction"))
+      "per-request hit/miss/partial + per-batch 'mixed' cache-status reduction"),
+    GateQuery("ob3_slo_burn", ob3, Some(ob3Sql),
+      "SLO error-budget burn per hour + fast-burn page flag + running budget share"))
 }

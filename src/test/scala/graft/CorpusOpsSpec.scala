@@ -8,6 +8,37 @@ import TestSpark._
   * operators correct curation tools at any corpus size. */
 class CorpusOpsSpec extends AnyFunSuite {
 
+  test("cp14: a duplicate straddling the split leaks at 1000 permille") {
+    // find a train-bucket id and a holdout-bucket id under cp10's own
+    // assignment, give them identical text: the holdout copy must
+    // score full containment; an unrelated holdout doc must score 0
+    import org.apache.spark.sql.functions._
+    val buckets = spark.range(1, 300)
+      .select(col("id"), expr(
+        "pmod(cast(conv(substring(md5('split|' || cast(id AS string)), 1, 15)," +
+          " 16, 10) AS long), 100) AS bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = buckets.collectFirst { case (id, b) if b < 98 => id }.get
+    val holdIds = buckets.collect { case (id, b) if b >= 98 => id }.toSeq.sorted
+    assert(holdIds.size >= 2, "fixture needs two holdout ids below 300")
+    val dup = "the quick brown fox jumps over the lazy dog again"
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (trainId, dup, "en", "s1"),
+      (holdIds(0), dup, "en", "s1"), // exact duplicate across the cut
+      (holdIds(1), "completely different words about mountains and rivers", "en", "s2"))))
+    val rows = gate("cp14_split_leakage", d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("split"), r.getAs[Long]("leakage_permille"),
+          r.getAs[Boolean]("leaked"))).toMap
+    assert(rows.keySet == Set(holdIds(0), holdIds(1)),
+      s"holdout spine wrong: ${rows.keySet}")
+    assert(rows(holdIds(0)) == (("validation", 1000L, true)) ||
+      rows(holdIds(0))._2 == 1000L && rows(holdIds(0))._3,
+      s"straddling duplicate not fully leaked: ${rows(holdIds(0))}")
+    assert(rows(holdIds(1))._2 == 0L && !rows(holdIds(1))._3,
+      s"unrelated holdout doc scored leakage: ${rows(holdIds(1))}")
+  }
+
   test("cp1: per-language counts are min(k, stratum), picks reproducible") {
     val rows = gate("cp1_stratified_sample", sf001).collect()
     val strata = Tables.documents(spark, sf001)
