@@ -627,11 +627,16 @@ object CorpusOps {
     * ([[Dedup.shingleCols]]) — a tokenizer change moves this audit
     * with the dedup pass. */
   private def cp14(s: SparkSession, d: String): DataFrame = {
+    // Both doc_id joins pinned shuffle-hash: each side is corpus-
+    // proportioned (shingle sets / split buckets / per-doc hit counts),
+    // so neither broadcasts at scale, and sorting corpus-sized streams
+    // for an SMJ buys nothing a hash join doesn't — the suite-wide
+    // plan lint (PlanShapeSpec) holds every gate to that standard.
     val tagged = Dedup.shingled(s, d)
       .join(
         Tables.documents(s, d).select(col("doc_id"),
           pmod(conv(substring(rnd("split"), 1, 15), 16, 10).cast("long"),
-            lit(100)).as("bucket")),
+            lit(100)).as("bucket")).hint("shuffle_hash"),
         Seq("doc_id"))
       .withColumn("split",
         when(col("bucket") < 98, lit("train"))
@@ -648,7 +653,7 @@ object CorpusOps {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     holdout
       .select(col("doc_id"), col("split"), col("sz").cast("long").as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
+      .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("split"), col("n_shingles"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         expr("CASE WHEN n_shingles > 0 THEN " +

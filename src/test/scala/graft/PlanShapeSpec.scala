@@ -175,6 +175,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // code table (queries broadcast WITH their lookup tables); the
       // cell-pruned production path is sim12, which stays equi-join
       "tx8_kmv_cardinality", // 1-row sketch x 1-row exact anchor join
+      "tx18_kmv_merge", // tx8's shape twice over: 1-row merged/direct
+      // sketches x 1-row exact/source-count anchors (4-way 1-row cross)
       "tx14_scored_retrieval", // 1-row corpus-total anchor (idf numerator)
       "cp11_temperature_mixture", // 1-row weight-total anchor over a ~|langs| dim
       "cp12_balanced_resample", // 1-row n_min anchor folded into the ~|langs| dim
