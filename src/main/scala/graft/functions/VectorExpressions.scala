@@ -76,6 +76,9 @@ case class DotF64(left: Expression, right: Expression)
   * like any built-in. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Aggregate-navigation rewrite (graft.plans.SummaryRewrite): a
+    // no-op until a gate registers a summary in SummaryRegistry.
+    ext.injectOptimizerRule(session => new graft.plans.SummaryRewrite(session))
     ext.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),

@@ -430,6 +430,73 @@ object Relational {
     s.sql(q12Sql)
   }
 
+  // ---------------------------------------------------------------- q15
+
+  /** q15: SUMMARY-TABLE REWRITE — the optimizer answers a rollup query
+    * WRITTEN against the fact table from a pre-aggregated summary,
+    * via the injected [[graft.plans.SummaryRewrite]] Catalyst rule
+    * (the repo's one `Rule[LogicalPlan]`, registered through
+    * `SparkSessionExtensions.injectOptimizerRule`).
+    *
+    * The gate stages the once-per-ingest rollup (count + decimal
+    * partial sums + extrema per (returnflag, linestatus)), registers
+    * it, then runs a user query the rule must serve from it: filter
+    * on one summary key, group by the other, count/sum/min/max — the
+    * reference's dashboard-rollup shape (api_server.py analytics
+    * endpoints re-aggregate the same cached stats on every request).
+    * The query is materialized inside a register→checkpoint→unregister
+    * bracket so the rewrite can never leak into another gate's plan;
+    * SummaryRewriteSpec asserts the rewritten plan scans ONLY the
+    * summary parquet (zero fact I/O) and matches the unrewritten
+    * results column-for-column.
+    *
+    * Scale shape: this is the 100 TB dashboard answer — the fact scan
+    * happens ONCE at summary build; every matching query afterwards
+    * reads |groups| rows (here 6) instead of re-scanning the corpus.
+    * The re-aggregation is exact: decimal partial sums re-sum
+    * losslessly, count(*) becomes sum(cnt), extrema re-extremize. */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.{SummaryDef, SummaryRegistry}
+    val sumDir = s"/tmp/graft_summary/${d.replace('/', '_')}/lineitem_rf_ls"
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("l_quantity"))).as("sum_qty_dec"),
+        sum(dec(col("l_extendedprice"))).as("sum_price_dec"),
+        min(col("l_discount")).as("min_disc_p"),
+        max(col("l_discount")).as("max_disc_p"))
+      .write.mode("overwrite").parquet(sumDir)
+    SummaryRegistry.register(SummaryDef(
+      factPath = s"$d/lineitem.parquet",
+      summaryPath = sumDir,
+      keys = Seq("l_returnflag", "l_linestatus"),
+      cntCol = "cnt",
+      sums = Map(
+        ("l_quantity", Some((18, 2))) -> "sum_qty_dec",
+        ("l_extendedprice", Some((18, 2))) -> "sum_price_dec"),
+      mins = Map("l_discount" -> "min_disc_p"),
+      maxs = Map("l_discount" -> "max_disc_p")))
+    try {
+      // written against the FACT table; the rule swaps in the summary
+      Tables.lineitem(s, d)
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_discount")).as("max_disc"))
+        .localCheckpoint() // materialize while the def is registered
+    } finally SummaryRegistry.unregister(s"$d/lineitem.parquet")
+  }
+
+  private val q15Sql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  min(l_discount) AS min_disc, max(l_discount) AS max_disc
+      |FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -449,5 +516,7 @@ object Relational {
     GateQuery("q13_sql_not_exists", q13, Some(q13Sql),
       "NOT EXISTS decorrelated to an anti join before the rollup (q12's negated half)"),
     GateQuery("q14_bag_setops", q14, Some(q14Sql),
-      "INTERSECT ALL / EXCEPT ALL: multiplicity-preserving set ops (§2.7's bag half)"))
+      "INTERSECT ALL / EXCEPT ALL: multiplicity-preserving set ops (§2.7's bag half)"),
+    GateQuery("q15_summary_rewrite", q15, Some(q15Sql),
+      "Catalyst Rule answers a fact-table rollup from a registered summary (zero fact I/O)"))
 }
