@@ -303,6 +303,24 @@ object ScaleProbe {
       }
     }
 
+    // Bloom-prefilter probe at factor×: m rides the DISTINCT history
+    // chunk universe — replica-INVARIANT (exact copies add no new
+    // chunks) — so the bitmap the driver collects stays the base
+    // size while the probe-side chunk stream is factor×. The 100 TB
+    // shape: bitmap ∝ universe, probe cost ∝ batch (narrow map),
+    // verify join ∝ bloom hits only.
+    if (Set("all", "dedup")(probe)) {
+      val t1 = System.nanoTime()
+      val rows = SparkEntry.queries("dd17_bloom_history")(spark, out).collect()
+      val s1 = (System.nanoTime() - t1) / 1e9
+      val dec = rows.sortBy(_.getString(0))
+        .map(x => s"${x.getString(0)}=${x.getLong(1)}").mkString(" ")
+      val m = if (rows.nonEmpty) rows.head.getAs[Long]("m_bits") else 0L
+      val fill = if (rows.nonEmpty) rows.head.getAs[Long]("fill_permille") else 0L
+      println(f"dd17_bloom_history $dec m_bits=$m fill=${fill}permille " +
+        f"elapsed=$s1%7.1f s")
+    }
+
     // Events-family probe: the sf0.1 event log replicated factor× in
     // TIME (each replica shifted by the span, so user/hour density
     // stays realistic instead of stacking 20 copies into one hour) and

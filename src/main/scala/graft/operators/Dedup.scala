@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GateQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (SURVEY §7.5 north-star;
@@ -690,14 +690,34 @@ object Dedup {
     *
     * Output per doc: chunk counts and the md5 of the re-assembled
     * kept text (fp, portable across engines). */
-  private def dd9(s: SparkSession, d: String): DataFrame = {
-    val chunked = Tables.documents(s, d)
+  /** 16-token chunk stream `(doc_id, ci, c)` — dd9's grain, shared
+    * with dd17 so the chunk definition can't drift between the dedup
+    * pass and the bloom prefilter. */
+  private def chunkStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), ceil(size(col("t")) / 16.0).cast("int") - 1),
         i => struct(i.as("ci"),
           array_join(slice(col("t"), i * 16 + 1, lit(16)), " ").as("c")))).as("u"))
       .select(col("doc_id"), col("u.ci").as("ci"), col("u.c").as("c"))
+
+  /** SQL mirror of [[chunkStream]]: `toks` + `flat(doc_id, ci, c)`
+    * CTEs (no trailing comma), shared by the dd9/dd17 oracles. */
+  private val chunkCteSql =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |flat AS (
+      |  SELECT doc_id, u.ci AS ci, u.c AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(CAST(ceil(len(t) / 16.0) AS BIGINT)),
+      |      x -> struct_pack(ci := x,
+      |             c := array_to_string(t[x*16+1 : x*16+16], ' ')))) AS u
+      |    FROM toks) e)""".stripMargin
+
+  private def dd9(s: SparkSession, d: String): DataFrame = {
+    val chunked = chunkStream(s, d)
     val repeated = chunked.groupBy(col("c"))
       .agg(count(lit(1)).as("n_copies"))
       .filter(col("n_copies") >= 2)
@@ -713,16 +733,7 @@ object Dedup {
   }
 
   private val dd9Sql =
-    """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      |  FROM documents),
-      |flat AS (
-      |  SELECT doc_id, u.ci AS ci, u.c AS c FROM (
-      |    SELECT doc_id, unnest(list_transform(
-      |      range(CAST(ceil(len(t) / 16.0) AS BIGINT)),
-      |      x -> struct_pack(ci := x,
-      |             c := array_to_string(t[x*16+1 : x*16+16], ' ')))) AS u
-      |    FROM toks) e),
+    s"""WITH $chunkCteSql,
       |repeated AS (
       |  SELECT c, count(*) AS n_copies FROM flat
       |  GROUP BY c HAVING count(*) >= 2)
@@ -1214,6 +1225,110 @@ object Dedup {
       |""".stripMargin + dd6Sql + """
       |) base GROUP BY cluster_size""".stripMargin
 
+  // --------------------------------------------------------------- dd17
+
+  /** dd17: BLOOM-PREFILTERED incremental membership — dd13's
+    * daily-ingest scenario at dd9's CHUNK grain, with the exact
+    * membership probe replaced by a Bloom filter: the runtime-filter
+    * pattern every 100 TB join pipeline leans on, and the right grain
+    * for it (the chunk universe is ~10-100× the doc count — exactly
+    * where a bitmap probe beats a join). Build: ONE distinct-positions
+    * pass over history's chunk universe (k=4 salted-md5 hashes into
+    * m = 8·|history| bits — the ~8-bits-per-key production sizing
+    * rule, computed FROM the data so the filter never saturates as
+    * the corpus grows); the resulting bitmap (m/8 bytes — ~2 KiB at
+    * sf0.01) is the ONLY thing that reaches the driver, and ships
+    * back to every task as a plain array literal: this is the one
+    * collect() in the dd family, and it is the bloom-build contract
+    * itself — the bitmap IS the broadcast artifact. Probe: each
+    * incoming chunk tests its 4 bits in codegen (`getbit` over the
+    * literal array — no join, no shuffle); bloom-misses are DEFINITE
+    * new (no false negatives, asserted in TextDedupSpec against the
+    * exact membership), and only the bloom-hit slice pays the exact
+    * verify (dd13's stream-history-once asymmetry). Output:
+    * per-decision chunk counts (`definite_new` / `dup` / `bloom_fp`)
+    * plus the measured bitmap size and fill — the honest
+    * false-positive accounting most bloom deployments skip.
+    *
+    * Scale shape: the exact-verify join input shrinks by the
+    * true-negative rate (~70 % of new chunks never join at 8 b/key);
+    * at 100 TB the build becomes a treeAggregate of partial bitmaps
+    * and the probe stays a narrow map — candidate volume is
+    * |batch| · (dup rate + ~2.4 % FP), never |batch| × |history|. */
+  private def dd17(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    val chunked = chunkStream(s, d)
+    val batch = chunked.filter(col("doc_id") % 10 === 0)
+    val hist = chunked.filter(col("doc_id") % 10 =!= 0)
+      .select(col("c")).distinct()
+    val m = 8L * hist.count() // the sizing pass: ~8 bits per key
+    def posCol(c: Column, j: Int): Column =
+      pmod(conv(substring(md5(concat(c, lit(s"#$j"))), 1, 15), 16, 10)
+        .cast("long"), lit(m))
+    val positions = hist
+      .select(explode(array((0 until k).map(j => posCol(col("c"), j)): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bitmap = new Array[Long]((m / 64 + 1).toInt)
+    positions.foreach(p => bitmap((p / 64).toInt) |= (1L << (p % 64).toInt))
+    val nBitsSet = positions.length.toLong
+    val bmLit = lit(bitmap)
+    def bitSet(p: Column): Column =
+      call_function("getbit",
+        call_function("element_at", bmLit, floor(p / 64).cast("int") + lit(1)),
+        (p % 64).cast("int")) === lit(1)
+    val probed = batch.select(col("doc_id"), col("ci"), col("c"),
+      (0 until k).map(j => bitSet(posCol(col("c"), j))).reduce(_ && _)
+        .as("bloom_hit"))
+    // exact verify for the bloom-hit slice only: history's chunk
+    // universe streams ONCE through a semi-join against the broadcast
+    // candidate set (≤|batch| rows)
+    val candC = probed.filter(col("bloom_hit")).select(col("c")).distinct()
+    val matched = hist
+      .join(broadcast(candC), Seq("c"), "left_semi")
+      .withColumn("in_hist", lit(true))
+    probed.join(broadcast(matched), Seq("c"), "left")
+      .select(col("doc_id"), col("ci"),
+        when(!col("bloom_hit"), lit("definite_new"))
+          .when(coalesce(col("in_hist"), lit(false)), lit("dup"))
+          .otherwise(lit("bloom_fp")).as("decision"))
+      .groupBy(col("decision")).agg(count(lit(1)).as("n_chunks"))
+      .withColumn("m_bits", lit(m))
+      .withColumn("n_bits_set", lit(nBitsSet))
+      .withColumn("fill_permille", lit(nBitsSet * 1000L / m))
+  }
+
+  private val dd17Sql =
+    s"""WITH $chunkCteSql,
+       |b AS (SELECT doc_id, ci, c FROM flat WHERE doc_id % 10 = 0),
+       |h AS (SELECT DISTINCT c FROM flat WHERE doc_id % 10 <> 0),
+       |mm AS (SELECT 8 * count(*) AS m FROM h),
+       |hpos AS (
+       |  SELECT DISTINCT
+       |    ('0x' || substr(md5(c || '#' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+       |      % (SELECT m FROM mm) AS p
+       |  FROM h, (SELECT unnest(range(4)) AS j) js),
+       |bits AS (SELECT count(*) AS n_bits_set FROM hpos),
+       |bpos AS (
+       |  SELECT doc_id, ci, c, j,
+       |    ('0x' || substr(md5(c || '#' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+       |      % (SELECT m FROM mm) AS p
+       |  FROM b, (SELECT unnest(range(4)) AS j) js),
+       |hitc AS (
+       |  SELECT doc_id, ci, count(DISTINCT j) AS nj
+       |  FROM bpos JOIN hpos USING (p) GROUP BY doc_id, ci),
+       |dec AS (
+       |  SELECT b.doc_id, b.ci,
+       |    CASE WHEN coalesce(nj, 0) < 4 THEN 'definite_new'
+       |         WHEN b.c IN (SELECT c FROM h) THEN 'dup'
+       |         ELSE 'bloom_fp' END AS decision
+       |  FROM b LEFT JOIN hitc ON b.doc_id = hitc.doc_id AND b.ci = hitc.ci)
+       |SELECT decision, count(*) AS n_chunks,
+       |  (SELECT m FROM mm) AS m_bits,
+       |  (SELECT n_bits_set FROM bits) AS n_bits_set,
+       |  (SELECT n_bits_set FROM bits) * 1000 // (SELECT m FROM mm)
+       |    AS fill_permille
+       |FROM dec GROUP BY decision""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -1246,5 +1361,7 @@ object Dedup {
     GateQuery("dd15_containment_score", dd15, Some(dd15Sql),
       "per-doc benchmark containment permille + the >=70% contamination flag"),
     GateQuery("dd16_dedup_report", dd16, Some(dd16Sql),
-      "the run report: clusters/docs/removed per cluster size, off the memoized table"))
+      "the run report: clusters/docs/removed per cluster size, off the memoized table"),
+    GateQuery("dd17_bloom_history", dd17, Some(dd17Sql),
+      "bloom-prefiltered incremental dedup: 16 KiB bitmap probe, exact verify only for hits"))
 }

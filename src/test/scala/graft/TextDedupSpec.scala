@@ -621,6 +621,39 @@ class TextDedupSpec extends AnyFunSuite {
       || mm8.values.nonEmpty)
   }
 
+  test("dd17 bloom prefilter: zero false negatives, exact dup count, honest fill") {
+    import org.apache.spark.sql.functions._
+    val d = sf0001
+    val out = gate("dd17_bloom_history", d).collect()
+      .map(r => r.getAs[String]("decision") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("m_bits"),
+          r.getAs[Long]("n_bits_set"), r.getAs[Long]("fill_permille"))).toMap
+    val counts = out.view.mapValues(_._1).toMap
+    // recompute the exact truth with the same 16-token chunker
+    val chunked = Tables.documents(spark, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), ceil(size(col("t")) / 16.0).cast("int") - 1),
+        i => array_join(slice(col("t"), i * 16 + 1, lit(16)), " "))).as("c"))
+    val batch = chunked.filter(col("doc_id") % 10 === 0)
+    val hist = chunked.filter(col("doc_id") % 10 =!= 0).select(col("c")).distinct()
+    val nBatch = batch.count()
+    val nDup = batch.join(hist, Seq("c"), "left_semi").count()
+    // no false negatives: every exact dup is classified 'dup' (a dup
+    // that bloom-missed would have landed in definite_new)
+    assert(counts.getOrElse("dup", 0L) == nDup,
+      s"dup=${counts.get("dup")} but exact membership says $nDup")
+    // partition: every batch chunk got exactly one decision
+    assert(counts.values.sum == nBatch)
+    // sizing rule holds and the filter is not saturated
+    val (_, m, bits, fill) = out.head._2
+    assert(m == 8L * hist.count())
+    assert(bits <= m && fill == bits * 1000L / m && fill < 1000)
+    // false positives exist only among bloom hits, never among misses
+    assert(counts.getOrElse("bloom_fp", 0L) + counts.getOrElse("dup", 0L) +
+      counts.getOrElse("definite_new", 0L) == nBatch)
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
