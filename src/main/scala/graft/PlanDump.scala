@@ -74,7 +74,9 @@ object PlanDump {
     "tx13_inverted_index" ->
       "Inverted index: ONE pass after the tf aggregate — rank window and final agg share a single hash(term) exchange, no branch join; the 128-entry posting head stays bounded inside collect_list (CASE nulls past rank 128).",
     "mm8_crossmodal_dedup" ->
-      "Cross-modal ensemble: tagged UNION of the two blocking-bounded pair sets + one hash agg on (id1, id2) — never a full-outer join; sentinel fills keep the decision projection null-free.")
+      "Cross-modal ensemble: tagged UNION of the two blocking-bounded pair sets + one hash agg on (id1, id2) — never a full-outer join; sentinel fills keep the decision projection null-free.",
+    "dd17_bloom_history" ->
+      "Bloom prefilter: the probe is a codegen'd getbit map over the literal bitmap (NO join, no shuffle on the miss path); only the bloom-hit slice reaches the broadcast exact-verify join.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
