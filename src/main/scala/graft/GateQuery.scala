@@ -31,6 +31,7 @@ object GateQueries {
       operators.YtFormats.queries ++
       operators.LogAnalytics.queries ++
       operators.TimeWindows.queries ++
+      operators.StreamGates.queries ++
       operators.Observability.queries ++
       operators.TextAnalysis.queries ++
       operators.CorpusOps.queries ++

@@ -1,0 +1,225 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.{GateQuery, Tables}
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-oracled STRUCTURED STREAMING runs — the streaming runtime as
+  * first-class correctness gates, not just spec fixtures.
+  *
+  * Until these gates, the stateful streams in
+  * [[graft.streaming.EventStream]] were proven batch-equivalent only
+  * inside ScalaTest (`EventStreamSpec`, `PropertySpec`); the driver's
+  * DuckDB oracle never saw a streaming RUN. Each `st*` gate closes that
+  * gap end-to-end: the events table is staged as time-range parquet
+  * slices with strictly increasing modification times, replayed through
+  * a REAL file-source stream (`maxFilesPerTrigger=1` → one micro-batch
+  * per slice, oldest-first — the ordered-log contract a production
+  * Kafka/WAL source provides), run through the stateful pipeline with a
+  * checkpointed parquet sink, and the sink's contents are hash-compared
+  * by the driver against an independent SQL restatement of the state
+  * machine's closed form. STREAMING ≡ SQL, adjudicated outside the JVM.
+  *
+  * Scale shape: nothing here is driver-resident — the replay staging is
+  * a partitioned write (the same files a log-shipper would land), state
+  * per key is one small case class (see each pipeline's scaladoc), and
+  * the sink is the DSv2-style append-only parquet layout. The only
+  * driver-side values are the 1-row min/max time anchor (the la4/tw6
+  * broadcast-anchor pattern) used to cut slice boundaries. Replay
+  * tmpdirs are reclaimed at JVM exit (the LogSink staging-root
+  * discipline); the gate's read-back DataFrame stays valid for the
+  * duration of the Verify/Bench process.
+  *
+  * Reference semantics gated here: quota admission
+  * (`APIKeyStats.can_make_request`/`record_request`,
+  * youtube_api_handler.py:47-79 — a denied request consumes no quota),
+  * rate-limit dispatch (`_rate_limit`, youtube_api_handler.py:361-367),
+  * and the SCD2 CDC build (tw15's dimension as a change feed).
+  */
+object StreamGates {
+
+  // -------------------------------------------------------- replay rig
+
+  private val cleanupRoots = new java.util.concurrent.ConcurrentLinkedQueue[File]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = cleanupRoots.iterator()
+      while (it.hasNext) deleteRec(it.next())
+    }, "graft-streamgates-cleanup"))
+  }
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
+  /** Stage the events table as `slices` disjoint time-range parquet
+    * files (mod-times pinned strictly increasing, so the file source's
+    * oldest-first listing replays them in event-time order), run
+    * `pipe` over them as a micro-batch stream into a checkpointed
+    * parquet sink, and return the sink read-back.
+    *
+    * One file per micro-batch is the worst case for state correctness
+    * (every key's state crosses every batch boundary); the
+    * split-invariance of each pipeline under ARBITRARY batch cuts is
+    * property-tested in `PropertySpec` — this rig exercises it on the
+    * real table at gate scale. */
+  private def replayed(s: SparkSession, d: String, gate: String,
+      slices: Int = 4)(pipe: DataFrame => DataFrame): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = Files.createTempDirectory(s"graft-$gate-").toFile
+    cleanupRoots.add(root)
+    val src = new File(root, "src"); src.mkdirs()
+    // 1-row time anchor (the tw6/la4 broadcast-anchor pattern) to cut
+    // slice boundaries — the only driver-side data in the rig.
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = (hi - lo) / slices + 1
+    for (i <- 0 until slices) {
+      val stage = new File(root, s"stage$i")
+      ev.filter(unix_micros(col("ts")) >= lo + i * span &&
+          unix_micros(col("ts")) < lo + (i + 1) * span)
+        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = Option(stage.listFiles()).toSeq.flatten
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"$gate: no parquet part in $stage"))
+      val dst = new File(src, f"slice-$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      // strictly increasing mod-times → deterministic replay order
+      dst.setLastModified(1700000000000L + i * 60000L)
+      deleteRec(stage)
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+    val out = new File(root, "out")
+    val chk = new File(root, "chk")
+    val q = pipe(stream).writeStream.format("parquet")
+      .option("path", out.getPath)
+      .option("checkpointLocation", chk.getPath)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out.getPath)
+  }
+
+  private val HourUs = 3600L * 1000000
+  private val DayUs  = 24L * HourUs
+  private val RateUs = 600L * 1000000 // tw12's interval constant
+
+  // ---------------------------------------------------------------- st1
+
+  /** st1: the quota-admission DECISION STREAM, replayed and oracled.
+    * `EventStream.quotaAdmission` (20/hour, 80/day; a denied event
+    * consumes no quota) emits one decision per event; the oracle is the
+    * greedy process's closed form: within an hour the admitted events
+    * are exactly the first `adm_h` by arrival rank, where
+    * `adm_h = min(b_h, max(0, 80 − A_{h−1}))`, `b_h = min(n_h, 20)`,
+    * and the admitted-so-far prefix satisfies `A_h = min(Σb, 80)`
+    * (denials never increment either counter, so denial is a SUFFIX of
+    * every hour and the day prefix truncates at most once). Ranks over
+    * equal-ts events are tie-arbitrary on both engines, but decision
+    * values depend only on rank, so the output MULTISET — which is what
+    * the driver hashes — is deterministic. */
+  private def st1(s: SparkSession, d: String): DataFrame =
+    replayed(s, d, "st1")(EventStream.quotaAdmission(s, _))
+
+  private val st1Sql = TimeWindows.evsSql +
+    s""", r AS (
+       |  SELECT user_id, ts_us,
+       |    (ts_us // $DayUs) * $DayUs AS day_us,
+       |    (ts_us // $HourUs) * $HourUs AS hour_us,
+       |    CAST(row_number() OVER (PARTITION BY user_id, ts_us // $HourUs
+       |      ORDER BY ts_us ASC) AS BIGINT) AS rn
+       |  FROM evs),
+       |h AS (
+       |  SELECT user_id, day_us, hour_us,
+       |    LEAST(CAST(count(*) AS BIGINT), 20) AS b_h
+       |  FROM r GROUP BY user_id, day_us, hour_us),
+       |c AS (
+       |  SELECT user_id, hour_us,
+       |    LEAST(b_h, GREATEST(0, 80 - (csum - b_h))) AS adm_h,
+       |    LEAST(csum - b_h, 80) AS day_before
+       |  FROM (
+       |    SELECT user_id, day_us, hour_us, b_h,
+       |      CAST(sum(b_h) OVER (PARTITION BY user_id, day_us
+       |        ORDER BY hour_us ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS csum
+       |    FROM h) x)
+       |SELECT r.user_id, r.ts_us, r.rn <= c.adm_h AS admitted,
+       |  LEAST(r.rn, c.adm_h) AS hour_count,
+       |  c.day_before + LEAST(r.rn, c.adm_h) AS day_count
+       |FROM r JOIN c ON r.user_id = c.user_id AND r.hour_us = c.hour_us""".stripMargin
+
+  // ---------------------------------------------------------------- st2
+
+  /** st2: the rate-limit DISPATCH stream, replayed and oracled.
+    * `EventStream.rateLimitSchedule` carries one long per key (last
+    * dispatch time) through the Markovian recurrence
+    * D_i = max(a_i, D_{i−1} + I); the oracle is tw12's prefix-max
+    * closed form D_i = i·I + max_{j≤i}(a_j − j·I), here kept at the
+    * per-EVENT grain the stream emits (tw12 gates the per-key rollup).
+    * Equal-ts ties are rank-arbitrary but value-multiset-deterministic,
+    * as in st1. */
+  private def st2(s: SparkSession, d: String): DataFrame =
+    replayed(s, d, "st2")(EventStream.rateLimitSchedule(s, _))
+
+  private val st2Sql = TimeWindows.evsSql +
+    s""", r AS (
+       |  SELECT user_id, ts_us,
+       |    CAST(row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts_us ASC) AS BIGINT) AS i
+       |  FROM evs)
+       |SELECT user_id, ts_us, dispatch_us, dispatch_us - ts_us AS delay_us
+       |FROM (
+       |  SELECT user_id, ts_us,
+       |    i * $RateUs + max(ts_us - i * $RateUs) OVER (
+       |      PARTITION BY user_id ORDER BY i ASC
+       |      ROWS UNBOUNDED PRECEDING) AS dispatch_us
+       |  FROM r) t""".stripMargin
+
+  // ---------------------------------------------------------------- st3
+
+  /** st3: the SCD2 CDC feed, replayed and oracled.
+    * `EventStream.scd2Stream` keeps each user's OPEN interval in state
+    * and emits a closed `[valid_from, valid_to)` row on every state
+    * change — the change feed a warehouse merges. The oracle compresses
+    * the fully-ordered per-user event log to its change points
+    * (lag ≠ current), numbers them (version), closes each at the next
+    * change point, and drops the final open run per user — exactly the
+    * rows the stream has published when the replay ends. (ts, event_id)
+    * is a unique order key on both sides, so this gate is
+    * row-deterministic, not just multiset-deterministic. */
+  private def st3(s: SparkSession, d: String): DataFrame =
+    replayed(s, d, "st3")(EventStream.scd2Stream(s, _))
+
+  private val st3Sql = TimeWindows.evsSql +
+    """, o AS (
+      |  SELECT user_id, ts_us, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC) AS prev_t
+      |  FROM evs),
+      |ch AS (
+      |  SELECT user_id, ts_us, event_id, event_type,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC) AS INTEGER) AS version
+      |  FROM o WHERE prev_t IS NULL OR prev_t <> event_type),
+      |v AS (
+      |  SELECT user_id, version, event_type AS state, ts_us AS valid_from_us,
+      |    lead(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC) AS valid_to_us
+      |  FROM ch)
+      |SELECT user_id, version, state, valid_from_us, valid_to_us
+      |FROM v WHERE valid_to_us IS NOT NULL""".stripMargin
+
+  // ----------------------------------------------------------- registry
+
+  val queries: Seq[GateQuery] = Seq(
+    GateQuery("st1_stream_quota", st1, Some(st1Sql),
+      "streaming quota admission replay ≡ greedy closed form"),
+    GateQuery("st2_stream_rate", st2, Some(st2Sql),
+      "streaming rate-limit dispatch replay ≡ prefix-max closed form"),
+    GateQuery("st3_stream_scd2", st3, Some(st3Sql),
+      "streaming SCD2 CDC replay ≡ change-point compression"))
+}
