@@ -76,7 +76,11 @@ object PlanDump {
     "mm8_crossmodal_dedup" ->
       "Cross-modal ensemble: tagged UNION of the two blocking-bounded pair sets + one hash agg on (id1, id2) — never a full-outer join; sentinel fills keep the decision projection null-free.",
     "dd17_bloom_history" ->
-      "Bloom prefilter: the probe is a codegen'd getbit map over the literal bitmap (NO join, no shuffle on the miss path); only the bloom-hit slice reaches the broadcast exact-verify join.")
+      "Bloom prefilter: the probe is a codegen'd getbit map over the literal bitmap (NO join, no shuffle on the miss path); only the bloom-hit slice reaches the broadcast exact-verify join.",
+    "mm9_static_payload" ->
+      "Static-payload detector: the whole frame redundancy profile (distinct/modal fold) runs IN-ROW over the frame array — a zero-exchange narrow map from scan to output.",
+    "cp15_dataset_card" ->
+      "Dataset card: three corpus scans reduce map-side to source-grain dims (only the fingerprint exchange is corpus-sized); the card assembles via BroadcastHashJoins over tiny dims.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

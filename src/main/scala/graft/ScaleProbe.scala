@@ -154,7 +154,7 @@ object ScaleProbe {
     // buckets): runs the REAL dd3/dd4 gate pipelines (one-pass sketch
     // expressions + bucket-group pair generation) through the public
     // registry and reports verified pair counts + wall time.
-    if (Set("all", "dedup")(probe)) {
+    if (Set("all", "dedup", "curation")(probe)) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       // rounded up to a multiple of 100 for the same residue
       // preservation as the embeddings stride (dd13 selects its batch
@@ -321,6 +321,22 @@ object ScaleProbe {
         f"elapsed=$s1%7.1f s")
     }
 
+    // Curation-artifact probe at factor×: mm9 is a pure narrow map
+    // (in-row frame fold — wall tracks the scan); cp15's card reduces
+    // map-side to source-grain dims, so its output is |sources| rows
+    // REGARDLESS of corpus size and only the fingerprint exchange
+    // grows; ob4's funnel collapses to |decisions| rows + a 1-row
+    // anchor. All three ride the dedup section's documents replica.
+    if (Set("all", "curation")(probe)) {
+      for (g <- Seq("mm9_static_payload", "cp15_dataset_card",
+          "ob4_row_accounting")) {
+        val t1 = System.nanoTime()
+        val c = SparkEntry.queries(g)(spark, out).count()
+        val s1 = (System.nanoTime() - t1) / 1e9
+        println(f"$g%-20s rows=$c%10d elapsed=$s1%7.1f s")
+      }
+    }
+
     // Events-family probe: the sf0.1 event log replicated factor× in
     // TIME (each replica shifted by the span, so user/hour density
     // stays realistic instead of stacking 20 copies into one hour) and
@@ -329,7 +345,7 @@ object ScaleProbe {
     // rows so wall grows ~linearly; la10's sketch dim stays
     // levels×100 regardless of row count; tw14 collapses to user
     // grain after the first reduction.
-    if (Set("all", "events")(probe)) {
+    if (Set("all", "events", "streams")(probe)) {
       val ev = Tables.events(spark, sfDir)
       val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
       val span = b.getLong(1) - b.getLong(0) + 1
@@ -345,13 +361,32 @@ object ScaleProbe {
       // proportional to the DAY COUNT (20× the days here — the time-
       // shifted replica is exactly the la9 stressor: 20× more
       // partitions to list and drop, not 20× bigger ones).
-      for (g <- Seq("tw13_rate_spike", "tw15_scd2_intervals",
-          "tw14_conversion_funnel", "la10_histogram_p95", "la11_dsv2_sink",
-          "la9_retention_vacuum")) {
-        val t1 = System.nanoTime()
-        val c = SparkEntry.queries(g)(spark, out).count()
-        val s1 = (System.nanoTime() - t1) / 1e9
-        println(f"$g%-24s rows=$c%10d elapsed=$s1%7.1f s")
+      if (Set("all", "events")(probe)) {
+        for (g <- Seq("tw13_rate_spike", "tw15_scd2_intervals",
+            "tw14_conversion_funnel", "la10_histogram_p95", "la11_dsv2_sink",
+            "la9_retention_vacuum")) {
+          val t1 = System.nanoTime()
+          val c = SparkEntry.queries(g)(spark, out).count()
+          val s1 = (System.nanoTime() - t1) / 1e9
+          println(f"$g%-24s rows=$c%10d elapsed=$s1%7.1f s")
+        }
+      }
+      // Streaming-gate probe: the st* replay rigs run the factor×
+      // event log through REAL micro-batch streams (4 time slices,
+      // checkpointed parquet sink). The property under test: stateful
+      // stream cost rides the per-batch shuffle of (user_id, ts_us)
+      // pairs + O(keys) state — no term grows faster than the event
+      // count, so wall should track the events-family gates, and the
+      // emitted decision/dispatch/interval row counts stay exactly
+      // event- / change-proportional at factor×.
+      if (Set("all", "streams")(probe)) {
+        for (g <- Seq("st1_stream_quota", "st2_stream_rate",
+            "st3_stream_scd2")) {
+          val t1 = System.nanoTime()
+          val c = SparkEntry.queries(g)(spark, out).count()
+          val s1 = (System.nanoTime() - t1) / 1e9
+          println(f"$g%-20s rows=$c%10d elapsed=$s1%7.1f s")
+        }
       }
     }
     spark.stop()

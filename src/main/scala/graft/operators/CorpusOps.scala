@@ -695,6 +695,95 @@ object CorpusOps {
        |  FROM tagged t LEFT JOIN hits h ON h.doc_id = t.doc_id
        |  WHERE t.split <> 'train') z""".stripMargin
 
+  /** cp15: the DATASET CARD — the per-source datasheet a curation team
+    * publishes next to a corpus release ("Datasheets for Datasets";
+    * every open LLM corpus ships one): volume (docs/tokens/chars),
+    * language spread (distinct langs + modal language), quality
+    * composition (keep share), and redundancy (exact-dup share), all
+    * from the SAME shared definitions the pipeline gates use —
+    * [[TextAnalysis.qualityBucket]] thresholds, [[TextAnalysis.contentFp]]
+    * dedup key — so the card can never drift from the passes it
+    * summarizes. Exact integer permilles; the modal language pins ties
+    * by (count desc, lang asc).
+    *
+    * Scale shape: three corpus scans reduce map-side to source-grain
+    * dims (base rollup; (source, lang) counts; (source, fp) dup
+    * groups) — the only corpus-sized exchange is the fingerprint one,
+    * dd1's cost — and the final assembly joins ≤|sources|-row dims
+    * broadcast. Output is |sources| rows: the 100 TB card costs one
+    * pass more than the dedup run it reports on. */
+  private def cp15(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+      regexp_count(col("text"), lit("[^a-z0-9\\s]")).as("punct_cnt"),
+      regexp_count(col("text"), lit("\\b(the|a)\\b")).as("stopword_cnt"),
+      TextAnalysis.contentFp(col("text")).as("fp"))
+      .withColumn("quality", TextAnalysis.qualityBucket(
+        col("n_tokens"), col("stopword_cnt"), col("punct_cnt")))
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens").cast("long")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(when(col("quality") === "keep", 1L).otherwise(0L)).as("keep_docs"))
+    val langCnt = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("ln"))
+    val topLang = langCnt
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("ln").desc, col("lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val nLangs = langCnt.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"))
+    val dupDocs = docs.groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .groupBy(col("source")).agg(sum(col("n")).cast("long").as("dup_docs"))
+    base
+      .join(broadcast(nLangs), Seq("source"))
+      .join(broadcast(topLang), Seq("source"))
+      .join(broadcast(dupDocs), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("top_lang"),
+        expr("(keep_docs * 1000) div n_docs").as("keep_permille"),
+        expr("(coalesce(dup_docs, 0L) * 1000) div n_docs").as("dup_permille"))
+  }
+
+  private val cp15Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    length(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct_cnt,
+       |    length(regexp_extract_all(text, '\\b(the|a)\\b')) AS stopword_cnt,
+       |    ${TextAnalysis.contentFpSql} AS fp
+       |  FROM documents),
+       |q AS (
+       |  SELECT *, ${TextAnalysis.qualityBucketSql("n_tokens", "stopword_cnt", "punct_cnt")} AS quality
+       |  FROM docs),
+       |base AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(CASE WHEN quality = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS keep_docs
+       |  FROM q GROUP BY source),
+       |lc AS (SELECT source, lang, count(*) AS ln FROM docs GROUP BY source, lang),
+       |top AS (
+       |  SELECT source, lang AS top_lang FROM (
+       |    SELECT source, lang, row_number() OVER (PARTITION BY source
+       |      ORDER BY ln DESC, lang ASC) AS rk FROM lc) t WHERE rk = 1),
+       |nl AS (SELECT source, count(*) AS n_langs FROM lc GROUP BY source),
+       |dup AS (
+       |  SELECT source, CAST(sum(n) AS BIGINT) AS dup_docs FROM (
+       |    SELECT source, fp, count(*) AS n FROM docs GROUP BY source, fp) g
+       |  WHERE n > 1 GROUP BY source)
+       |SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, nl.n_langs, top.top_lang,
+       |  (b.keep_docs * 1000) // b.n_docs AS keep_permille,
+       |  (coalesce(dup.dup_docs, 0) * 1000) // b.n_docs AS dup_permille
+       |FROM base b
+       |JOIN nl ON nl.source = b.source
+       |JOIN top ON top.source = b.source
+       |LEFT JOIN dup ON dup.source = b.source""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
       "deterministic per-language k-sample via salted-md5 permutation"),
@@ -723,5 +812,7 @@ object CorpusOps {
     GateQuery("cp14_split_leakage", cp14, Some(cp14Sql),
       "train->holdout shingle-leakage audit over cp10's split: big-big slim hash join, per-doc permille"),
     GateQuery("cp13_jsonl_interchange", cp13, Some(cp13Sql),
-      "MUTATING lossless JSONL round-trip: write + schema-pinned read-back vs the parquet truth"))
+      "MUTATING lossless JSONL round-trip: write + schema-pinned read-back vs the parquet truth"),
+    GateQuery("cp15_dataset_card", cp15, Some(cp15Sql),
+      "per-source dataset card: volume, language spread, quality + dup shares from shared defs"))
 }

@@ -1329,6 +1329,82 @@ object Dedup {
        |    AS fill_permille
        |FROM dec GROUP BY decision""".stripMargin
 
+  // --------------------------------------------------------------- dd18
+
+  /** dd18: URL-GRAIN dedup — the C4/web-corpus "dedup by URL" pass,
+    * executed on yf10's canonicalizer output instead of asserted as a
+    * downstream exercise: the same video arrives under 5 link forms
+    * (tracking params, youtu.be, shorts, mobile host, embed — the
+    * shared [[YtFormats.VideoIdPat]], so the normalizer and this dedup
+    * can never drift); canonicalize, then one hash agg per canonical
+    * form: copies seen, distinct raw spellings, the min-event keeper
+    * (dd1's convention), how many arrived with tracking params, and
+    * the dropped count. The URL universe is synthesized
+    * deterministically from event columns with video id = event_id mod
+    * 1999 (prime, coprime to the 5-form selector, so every canonical
+    * cluster mixes link forms) — yf1/yf10's discipline: both engines
+    * build identical inputs, the gate checks normalize→dedup.
+    *
+    * Scale shape: a narrow canonicalize projection + ONE map-side-
+    * combinable hash agg on the canonical key (the distinct-raw count
+    * adds the standard partial-distinct expand, still key-local). At
+    * 100 TB this is dd1's economics at the URL grain — the cheapest
+    * dedup pass a web pipeline runs, and the first. */
+  private def dd18(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("raw_url", expr(
+        """CASE event_id % 5
+          |  WHEN 0 THEN concat('https://www.youtube.com/watch?v=v', event_id % 1999,
+          |    '&si=trk', user_id, '&t=42s')
+          |  WHEN 1 THEN concat('https://youtu.be/v', event_id % 1999, '?si=trk', user_id)
+          |  WHEN 2 THEN concat('https://www.youtube.com/shorts/v', event_id % 1999)
+          |  WHEN 3 THEN concat('https://m.youtube.com/watch?v=v', event_id % 1999,
+          |    '&feature=share')
+          |  ELSE concat('https://www.youtube.com/embed/v', event_id % 1999)
+          |END""".stripMargin))
+      .withColumn("canonical_url",
+        concat(lit("https://www.youtube.com/watch?v="),
+          regexp_extract(col("raw_url"), YtFormats.VideoIdPat, 1)))
+      .withColumn("had_tracking",
+        col("raw_url").contains("si=") || col("raw_url").contains("feature="))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("raw_url")).as("n_raw_forms"),
+        min(col("event_id")).as("keeper_event_id"),
+        sum(when(col("had_tracking"), 1L).otherwise(0L)).as("n_tracking"))
+      .withColumn("n_dropped", col("n_urls") - 1)
+
+  private val dd18Sql =
+    """SELECT canonical_url, count(*) AS n_urls,
+      |  count(DISTINCT raw_url) AS n_raw_forms,
+      |  min(event_id) AS keeper_event_id,
+      |  CAST(sum(CASE WHEN had_tracking THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_tracking,
+      |  count(*) - 1 AS n_dropped
+      |FROM (
+      |  SELECT event_id,
+      |    'https://www.youtube.com/watch?v=' || regexp_extract(raw_url,
+      |      '(?:watch\?v=|youtu\.be/|shorts/|embed/)([A-Za-z0-9_-]+)', 1)
+      |      AS canonical_url,
+      |    contains(raw_url, 'si=') OR contains(raw_url, 'feature=')
+      |      AS had_tracking,
+      |    raw_url
+      |  FROM (
+      |    SELECT event_id,
+      |      CASE event_id % 5
+      |        WHEN 0 THEN 'https://www.youtube.com/watch?v=v' || (event_id % 1999)
+      |          || '&si=trk' || user_id || '&t=42s'
+      |        WHEN 1 THEN 'https://youtu.be/v' || (event_id % 1999)
+      |          || '?si=trk' || user_id
+      |        WHEN 2 THEN 'https://www.youtube.com/shorts/v' || (event_id % 1999)
+      |        WHEN 3 THEN 'https://m.youtube.com/watch?v=v' || (event_id % 1999)
+      |          || '&feature=share'
+      |        ELSE 'https://www.youtube.com/embed/v' || (event_id % 1999)
+      |      END AS raw_url
+      |    FROM events) u) c
+      |GROUP BY canonical_url""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -1363,5 +1439,7 @@ object Dedup {
     GateQuery("dd16_dedup_report", dd16, Some(dd16Sql),
       "the run report: clusters/docs/removed per cluster size, off the memoized table"),
     GateQuery("dd17_bloom_history", dd17, Some(dd17Sql),
-      "bloom-prefiltered incremental dedup: 16 KiB bitmap probe, exact verify only for hits"))
+      "bloom-prefiltered incremental dedup: 16 KiB bitmap probe, exact verify only for hits"),
+    GateQuery("dd18_url_dedup", dd18, Some(dd18Sql),
+      "URL-grain dedup over the shared canonicalizer: per-canonical copies, forms, keeper"))
 }

@@ -424,6 +424,68 @@ object Multimodal {
        |       THEN 'drop' ELSE 'review' END AS decision
        |FROM pm FULL OUTER JOIN se ON pm.id1 = se.id1 AND pm.id2 = se.id2""".stripMargin
 
+  /** mm9: STATIC-PAYLOAD detector — the low-information media filter a
+    * video/image curation pass runs before spending decode or embedding
+    * compute (black frames, stuck encoders, looped intros): per media,
+    * the frame-grain redundancy profile — frame count, distinct-frame
+    * count, the modal frame's share — and a `is_static` flag when one
+    * frame accounts for ≥500‰ of a ≥4-frame payload. tx16's Gopher
+    * repetition rule restated at the frame grain, over mm2's exact
+    * frame geometry (byte slices of the binary payload), so the three
+    * frame-consuming gates (mm2 sampling, mm7 perceptual, mm9 quality)
+    * can never disagree on what a frame is.
+    *
+    * Scale shape: a pure NARROW map — the distinct/modal fold runs
+    * in-row over the ≤(bytes/128+1)-element frame array (the tx2
+    * fold; quadratic per payload, bounded by payload size), so the
+    * filter costs zero exchanges and composes into any ingest scan.
+    * Empty payloads profile as 0 frames, never static. */
+  private def mm9(s: SparkSession, d: String): DataFrame = {
+    val fr = when(octet_length(col("payload")) === 0,
+      array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0),
+          floor((octet_length(col("payload")) - 1) / lit(128)).cast("int")),
+        i => md5(col("payload").substr(lit(1) + i * lit(128), lit(32)))))
+    media(s, d)
+      .select(col("media_id"), fr.as("fr"))
+      .select(
+        col("media_id"),
+        size(col("fr")).as("n_frames"),
+        size(array_distinct(col("fr"))).as("n_distinct_frames"),
+        coalesce(expr(
+          "array_max(transform(array_distinct(fr), t -> size(filter(fr, x -> x = t))))"),
+          lit(0)).as("max_frame_cnt"))
+      .withColumn("top_frame_permille", expr(
+        "CASE WHEN n_frames > 0 THEN (max_frame_cnt * 1000) div n_frames ELSE 0 END"))
+      .withColumn("distinct_permille", expr(
+        "CASE WHEN n_frames > 0 THEN (n_distinct_frames * 1000) div n_frames ELSE 0 END"))
+      .withColumn("is_static",
+        col("n_frames") >= 4 && col("top_frame_permille") >= 500)
+  }
+
+  private val mm9Sql =
+    """SELECT media_id, n_frames, n_distinct_frames, max_frame_cnt,
+      |  top_frame_permille, distinct_permille,
+      |  n_frames >= 4 AND top_frame_permille >= 500 AS is_static
+      |FROM (
+      |  SELECT media_id, n_frames, n_distinct_frames, max_frame_cnt,
+      |    CASE WHEN n_frames > 0 THEN (max_frame_cnt * 1000) // n_frames
+      |      ELSE 0 END AS top_frame_permille,
+      |    CASE WHEN n_frames > 0 THEN (n_distinct_frames * 1000) // n_frames
+      |      ELSE 0 END AS distinct_permille
+      |  FROM (
+      |    SELECT doc_id AS media_id, len(fr) AS n_frames,
+      |      len(list_distinct(fr)) AS n_distinct_frames,
+      |      coalesce(list_max(list_transform(list_distinct(fr),
+      |        t -> len(list_filter(fr, x -> x = t)))), 0) AS max_frame_cnt
+      |    FROM (
+      |      SELECT doc_id,
+      |        CASE WHEN strlen(text) = 0 THEN []
+      |          ELSE list_transform(range(0, (strlen(text)-1) // 128 + 1),
+      |            i -> md5(substr(text, 1 + i*128, 32))) END AS fr
+      |      FROM documents) s) t) u""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
@@ -440,7 +502,9 @@ object Multimodal {
     GateQuery("mm7_perceptual_neardup", mm7, Some(mm7Sql),
       "perceptual near-dup: frame-grain SimHash, hamming-banded blocking, exact-digest flag"),
     GateQuery("mm8_crossmodal_dedup", mm8, Some(mm8Sql),
-      "cross-modal ensemble dedup: perceptual x embedding signals merged into drop/review decisions"))
+      "cross-modal ensemble dedup: perceptual x embedding signals merged into drop/review decisions"),
+    GateQuery("mm9_static_payload", mm9, Some(mm9Sql),
+      "static/low-information payload detector: in-row frame redundancy profile + is_static flag"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.GateQuery
+import graft.{GateQuery, Tables}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -206,11 +206,49 @@ object Observability {
       |      AS BIGINT) AS n_errors
       |  FROM evs GROUP BY 1) h""".stripMargin
 
+  /** ob4: ROW-ACCOUNTING conservation audit — the lineage check a
+    * production pipeline emits with every run: the tx7 prep funnel's
+    * per-decision counts, each decision's exact permille share, the
+    * funnel total, and the INDEPENDENTLY-scanned input count, with an
+    * `accounted` verdict (funnel total == input docs). A funnel that
+    * drops rows in a bad join or double-counts through an exploded
+    * one fails this gate even when every emitted row is individually
+    * plausible — conservation is the invariant no per-row check sees.
+    *
+    * Scale shape: the funnel reduces map-side to ≤|decisions| rows;
+    * the share window runs over that tiny frame (the ob3 pattern —
+    * bounded by decision cardinality, never rows); the input count is
+    * a 1-row broadcast anchor from a COUNT-only scan (column-pruned
+    * to nothing). The audit costs one counting pass over the input. */
+  private def ob4(s: SparkSession, d: String): DataFrame = {
+    val r = TextAnalysis.tx7(s, d)
+      .groupBy(col("decision")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("total_docs", expr("sum(n_docs) OVER ()"))
+      .withColumn("share_permille", expr("(n_docs * 1000) div total_docs"))
+    val input = Tables.documents(s, d).agg(count(lit(1)).as("input_docs"))
+    r.crossJoin(broadcast(input))
+      .withColumn("accounted", col("total_docs") === col("input_docs"))
+  }
+
+  private val ob4Sql =
+    s"""WITH funnel AS (${TextAnalysis.tx7Sql}),
+       |r AS (SELECT decision, count(*) AS n_docs FROM funnel GROUP BY decision),
+       |t AS (
+       |  SELECT decision, n_docs,
+       |    CAST(sum(n_docs) OVER () AS BIGINT) AS total_docs
+       |  FROM r)
+       |SELECT t.decision, t.n_docs, t.total_docs,
+       |  (t.n_docs * 1000) // t.total_docs AS share_permille,
+       |  i.input_docs, t.total_docs = i.input_docs AS accounted
+       |FROM t, (SELECT count(*) AS input_docs FROM documents) i""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("ob1_cache_counters", ob1, Some(ob1Sql),
       "TTL-cache hit/miss counters as data (A9's oracled twin; SimpleCache.get semantics)"),
     GateQuery("ob2_batch_cache_status", ob2, Some(ob2Sql),
       "per-request hit/miss/partial + per-batch 'mixed' cache-status reduction"),
     GateQuery("ob3_slo_burn", ob3, Some(ob3Sql),
-      "SLO error-budget burn per hour + fast-burn page flag + running budget share"))
+      "SLO error-budget burn per hour + fast-burn page flag + running budget share"),
+    GateQuery("ob4_row_accounting", ob4, Some(ob4Sql),
+      "prep-funnel row-conservation audit: per-decision counts + shares vs the independent input count"))
 }

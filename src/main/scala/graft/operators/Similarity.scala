@@ -847,6 +847,138 @@ object Similarity {
        |  LEFT JOIN r12 p ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
        |  LEFT JOIN r13 f ON e.query_id = f.query_id AND e.neighbor_id = f.neighbor_id) t""".stripMargin
 
+  // -------------------------------------------------------------- sim18
+
+  /** sim18: the nprobe RECALL/COST CURVE, measured as data — the knob
+    * an IVF deployment actually tunes, quantified instead of asserted:
+    * for nprobe ∈ {1, 2, 4}, the measured recall@10 of the IVF probe
+    * path (sim6's machinery, parameterized) against sim1's exact
+    * ground truth, NEXT TO the candidate volume each width pays —
+    * recall means nothing without its cost axis, and this gate emits
+    * both so the curve (wider probes buy recall linearly in scanned
+    * candidates) is a committed, oracle-checked artifact every round.
+    *
+    * Scale shape: probe sets NEST by rank (the nprobe=1 cells are a
+    * prefix of the nprobe=4 list), so the whole sweep costs ONE
+    * widest-probe scored pass — each candidate carries the probe rank
+    * (`wmin`) of the cell that admitted it, and a narrower width is
+    * just `wmin ≤ np` over the same scored frame, never a re-scan.
+    * Candidates stay slim (query_id, vec_id) until scoring; the exact
+    * truth executes once and left-joins the three top sets in one
+    * plan (sim8's shape); candidate VOLUMES come from the probe×
+    * cell-size algebra (Σ sizes of probed cells − the query's own
+    * membership), a broadcast-dim computation that never touches the
+    * candidate set. Output is |widths| rows. */
+  private def sim18(s: SparkSession, d: String): DataFrame = {
+    val widths = Seq(1, 2, 4)
+    val maxNp = widths.max
+    val base = vecs(s, d)
+    val cb = typedLit(codebookArr(s, d))
+    val assign = assignCells(base, cb)
+    // widest probe list WITH ranks (probeCells drops them)
+    val probesR = base.filter(col("vec_id") % 100 === 0 && col("v").isNotNull)
+      .select(col("vec_id").as("query_id"),
+        posexplode(call_function("pq_dist_table", col("v"), cb, lit(Dim)))
+          .as(Seq("clabel", "dist")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("clabel").asc)))
+      .filter(col("crk") <= maxNp)
+      .select("query_id", "clabel", "crk")
+    val qv = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val scored = assign.join(broadcast(probesR), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("crk").as("wmin"))
+      .join(base.select("vec_id", "v", "n2"), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine",
+        dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .select("query_id", "vec_id", "wmin", "cosine")
+    def top(np: Int) = scored.filter(col("wmin") <= np)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1L).as(s"hit$np"))
+    val audit = widths.foldLeft(
+        sim1(s, d).select(col("query_id"), col("neighbor_id"))) {
+        (acc, np) => acc.join(broadcast(top(np)),
+          Seq("query_id", "neighbor_id"), "left")
+      }
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum(coalesce(col("hit1"), lit(0L))).as("h1"),
+        sum(coalesce(col("hit2"), lit(0L))).as("h2"),
+        sum(coalesce(col("hit4"), lit(0L))).as("h4"))
+      .selectExpr("n_exact_pairs",
+        "stack(3, 1L, h1, 2L, h2, 4L, h4) AS (nprobe, hits)")
+    // candidate volume from the probe × cell-size algebra: the query's
+    // own cell is always probe rank 1, so subtract one per query
+    val cellSizes = assign.groupBy(col("clabel")).agg(count(lit(1)).as("sz"))
+    val candCounts = widths.map { np =>
+      probesR.filter(col("crk") <= np)
+        .join(broadcast(cellSizes), Seq("clabel"))
+        .agg((sum(col("sz")) - countDistinct(col("query_id")))
+          .as("n_candidates"))
+        .select(lit(np.toLong).as("nprobe"), col("n_candidates"))
+    }.reduce(_ unionAll _)
+    audit.join(broadcast(candCounts), Seq("nprobe"))
+      .select(col("nprobe"), col("n_exact_pairs"), col("hits"),
+        (col("hits").cast("double") * 100 / col("n_exact_pairs"))
+          .as("recall_pct"),
+        col("n_candidates"))
+  }
+
+  /** nprobe-parameterized probe CTE (probesCteSql's generalization). */
+  private def probesNSql(alias: String, np: Int): String =
+    s"""$alias AS (
+       |  SELECT vec_id AS query_id, clabel FROM (
+       |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |    ${distSql("(SELECT * FROM vecs WHERE vec_id % 100 = 0)", "vec_id")}) d) r
+       |  WHERE rk <= $np)""".stripMargin
+
+  private def sweepRowSql(np: Int): String =
+    s"""${probesNSql(s"p$np", np)},
+       |cand$np AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM assign a JOIN p$np p ON a.clabel = p.clabel
+       |  WHERE a.vec_id <> p.query_id),
+       |top$np AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id
+       |        ORDER BY ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) DESC,
+       |                 b.vec_id ASC) AS rank
+       |    FROM cand$np c
+       |    JOIN vecs b ON b.vec_id = c.vec_id
+       |    JOIN vecs q ON q.vec_id = c.query_id) t
+       |  WHERE rank <= 10),
+       |row$np AS (
+       |  SELECT CAST($np AS BIGINT) AS nprobe, n_exact_pairs, hits,
+       |    CAST(hits AS DOUBLE) * 100 / n_exact_pairs AS recall_pct,
+       |    n_candidates
+       |  FROM (
+       |    SELECT count(*) AS n_exact_pairs,
+       |      CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |        AS BIGINT) AS hits
+       |    FROM r1e e LEFT JOIN top$np t
+       |      ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id) r,
+       |    (SELECT count(*) AS n_candidates FROM cand$np) c)""".stripMargin
+
+  private lazy val sim18Sql =
+    "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
+      s"""${assignCteSql},
+         |r1e AS (${sim1Sql}),
+         |${sweepRowSql(1)},
+         |${sweepRowSql(2)},
+         |${sweepRowSql(4)}
+         |SELECT * FROM row1
+         |UNION ALL SELECT * FROM row2
+         |UNION ALL SELECT * FROM row4""".stripMargin
+
   // -------------------------------------------------------------- sim12
 
   /** sim12: the COMBINED IVF-PQ serving path — what a production
@@ -1351,5 +1483,7 @@ object Similarity {
     GateQuery("sim16_filtered_ivfpq", sim16, Some(sim16Sql),
       "filtered IVFADC + refine: predicate-pruned postings, widened probes, ADC top-50, exact top-10"),
     GateQuery("sim17_filtered_recall", sim17, Some(sim17Sql),
-      "measured recall of the filtered paths vs the filtered exact baseline"))
+      "measured recall of the filtered paths vs the filtered exact baseline"),
+    GateQuery("sim18_nprobe_curve", sim18, Some(sim18Sql),
+      "measured nprobe recall/cost curve: recall@10 + candidate volume at nprobe 1/2/4"))
 }

@@ -548,6 +548,13 @@ object YtFormats {
 
   // ---------------------------------------------------------------- yf10
 
+  /** The 5-form video-URL id pattern (watch?v= / youtu.be / shorts /
+    * embed) — ONE definition shared by yf10's canonicalizer and dd18's
+    * URL-grain dedup, so the normalizer and the dedup pass that runs
+    * on its output can never drift. */
+  private[operators] val VideoIdPat =
+    "(?:watch\\?v=|youtu\\.be/|shorts/|embed/)([A-Za-z0-9_-]+)"
+
   /** yf10: URL CANONICALIZATION — P6's video-id extraction generalized
     * to the curation primitive URL-grain dedup runs on: the five ways
     * the same video arrives (`watch?v=` with `si=`/`t=` tracking,
@@ -575,8 +582,7 @@ object YtFormats {
           |    '&feature=share')
           |  ELSE concat('https://www.youtube.com/embed/v', event_id)
           |END""".stripMargin))
-      .withColumn("video_id", regexp_extract(col("raw_url"),
-        "(?:watch\\?v=|youtu\\.be/|shorts/|embed/)([A-Za-z0-9_-]+)", 1))
+      .withColumn("video_id", regexp_extract(col("raw_url"), VideoIdPat, 1))
       .withColumn("canonical_url",
         concat(lit("https://www.youtube.com/watch?v="), col("video_id")))
       .withColumn("had_tracking",

@@ -180,7 +180,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "tx14_scored_retrieval", // 1-row corpus-total anchor (idf numerator)
       "cp11_temperature_mixture", // 1-row weight-total anchor over a ~|langs| dim
       "cp12_balanced_resample", // 1-row n_min anchor folded into the ~|langs| dim
-      "la10_histogram_p95") // 1-row global [lo, hi] anchor for the bin map
+      "la10_histogram_p95", // 1-row global [lo, hi] anchor for the bin map
+      "ob4_row_accounting", // 1-row independent input-count anchor (the audit's point)
+      "sim18_nprobe_curve") // embeds sim1's brute-force truth + 1-row recall x cand anchors
     // The ONE legitimate sort-merge join: q10's co-located bucketed
     // join — SMJ over bucket-sorted reads carries no exchange and no
     // sort (its own test asserts both), which is the whole point of
@@ -280,6 +282,22 @@ class PlanShapeSpec extends AnyFunSuite {
     val p10 = finalPlan(gate("sim10_pq_encode", sf0001))
     assert(shuffleCount(p5) == 0, s"sim5 encode shuffles\n$p5")
     assert(shuffleCount(p10) == 0, s"sim10 encode shuffles\n$p10")
+  }
+
+  test("mm9 static-payload profile is a zero-exchange narrow map") {
+    // the distinct/modal frame fold must run in-row over the frame
+    // array — a shuffle here means the profile regressed to the
+    // exploded (media, digest) regroup it was designed to avoid
+    val p = finalPlan(gate("mm9_static_payload", sf0001))
+    assert(shuffleCount(p) == 0, s"mm9 shuffles\n$p")
+  }
+
+  test("cp15 dataset card assembles source-grain dims via broadcast joins") {
+    val df = gate("cp15_dataset_card", sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"cp15 plans an SMJ\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cp15 lost its broadcast assembly\n$p")
   }
 
   test("sim11 ADC search: no aggregation exchange; top-k prunes map-side") {

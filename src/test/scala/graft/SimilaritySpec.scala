@@ -376,4 +376,22 @@ class SimilaritySpec extends AnyFunSuite {
         r.getAs[Double]("new_centroid") - r.getAs[Double]("seed_centroid"))
     }
   }
+
+  test("sim18 sweep: recall and candidate volume are monotone in nprobe") {
+    // probe sets nest by rank, so widening can only ADD candidates —
+    // recall must be non-decreasing and candidate volume strictly
+    // increasing (a violation means the nesting optimization broke
+    // per-width equivalence); nprobe=2 must agree with sim8's
+    // measured ivf recall, which runs the un-nested sim6 pipeline.
+    val rows = gate("sim18_nprobe_curve", sf0001).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("hits"),
+        r.getAs[Long]("n_candidates"), r.getAs[Double]("recall_pct")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 < b._3 }, s"non-monotone sweep: ${rows.toSeq}")
+    val sim8Ivf = gate("sim8_ann_recall", sf0001).head.getAs[Double]("ivf_recall_pct")
+    assert(rows(1)._4 == sim8Ivf,
+      s"nprobe=2 recall ${rows(1)._4} != sim8 ivf $sim8Ivf")
+  }
 }
