@@ -154,7 +154,7 @@ object ScaleProbe {
     // buckets): runs the REAL dd3/dd4 gate pipelines (one-pass sketch
     // expressions + bucket-group pair generation) through the public
     // registry and reports verified pair counts + wall time.
-    if (Set("all", "dedup", "curation")(probe)) {
+    if (Set("all", "dedup")(probe)) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       // rounded up to a multiple of 100 for the same residue
       // preservation as the embeddings stride (dd13 selects its batch
@@ -328,6 +328,16 @@ object ScaleProbe {
     // grows; ob4's funnel collapses to |decisions| rows + a 1-row
     // anchor. All three ride the dedup section's documents replica.
     if (Set("all", "curation")(probe)) {
+      if (probe == "curation") { // standalone run: build the documents replica
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val dstride = (docs.agg(max(col("doc_id")).cast("long")).head.getLong(0) / 100L + 1L) * 100L
+        docs.crossJoin(spark.range(factor).toDF("rep"))
+          .withColumn("doc_id", col("doc_id") + col("rep") * lit(dstride))
+          .drop("rep").repartition(32)
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        println(s"corpus: ${spark.read.parquet(s"$out/documents.parquet").count()} " +
+          s"documents ($factor x $sfDir)")
+      }
       for (g <- Seq("mm9_static_payload", "cp15_dataset_card",
           "ob4_row_accounting")) {
         val t1 = System.nanoTime()
