@@ -114,6 +114,27 @@ object Connector {
       |  max((i*1103515245 + 12345) % 10000000) AS max_subs
       |FROM range(0, 5000) t(i) GROUP BY 1""".stripMargin
 
+  /** s7: TOP-N pushdown — the reference's server-side `order=` param
+    * (ranked pages from the API, the client never sorts): ORDER BY
+    * (subscriber_count DESC, channel_id ASC) LIMIT 25 is answered at
+    * connector PLANNING time — the id universe is ranked by the
+    * composite key and truncated to 25 before a single chunk is
+    * fetched, and Spark drops its Sort and Limit nodes entirely
+    * (asserted in DataSourceSpec). The channel_id tie-break is the
+    * repo's unique-ordering discipline: without it, ties at the
+    * boundary would make the top-25 SET engine-dependent. */
+  private def s7(s: SparkSession, d: String): DataFrame =
+    s.read.format(Src).option("maxId", 4999).load()
+      .select(col("channel_id"), col("handle"), col("subscriber_count"))
+      .orderBy(col("subscriber_count").desc, col("channel_id").asc)
+      .limit(25)
+
+  private val s7Sql =
+    """SELECT i AS channel_id, '@ch' || i AS handle,
+      |  (i*1103515245 + 12345) % 10000000 AS subscriber_count
+      |FROM range(0, 5000) t(i)
+      |ORDER BY subscriber_count DESC, channel_id ASC LIMIT 25""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("s1_connector_scan", s1, Some(s1Sql),
       "DSv2 full scan, 50-id chunk partitions (S1)"),
@@ -126,5 +147,7 @@ object Connector {
     GateQuery("s5_connector_count", s5, Some(s5Sql),
       "COUNT(*) completely pushed: one pre-counted row, no Aggregate (A8)"),
     GateQuery("s6_connector_group_agg", s6, Some(s6Sql),
-      "GROUP BY country count/sum/min/max completely pushed into the connector (A7)"))
+      "GROUP BY country count/sum/min/max completely pushed into the connector (A7)"),
+    GateQuery("s7_connector_topn", s7, Some(s7Sql),
+      "ORDER BY + LIMIT fully pushed as planning-time top-N ranking (the API's order= param)"))
 }

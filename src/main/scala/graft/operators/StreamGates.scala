@@ -213,6 +213,90 @@ object StreamGates {
       |SELECT user_id, version, state, valid_from_us, valid_to_us
       |FROM v WHERE valid_to_us IS NOT NULL""".stripMargin
 
+  // ---------------------------------------------------------------- st4
+
+  /** st4: the EVENT-TIME TIMER path, replayed and oracled — the only
+    * stateful-stream machinery st1-st3 don't touch: `ttlCache` keyed
+    * per user (sparse activity, so entries genuinely expire
+    * mid-stream), emitting a cumulative 'cached' row per (key, batch
+    * with data) and an 'expired' tombstone when the watermark passes
+    * lastSeen + 30 min. The oracle SIMULATES the micro-batch timer
+    * protocol exactly — per user, a 4-step fold over the slice
+    * aggregates (events per slice, last event per slice) against the
+    * per-batch watermarks (floor-ms of the global max event time seen
+    * through the PREVIOUS batch, minus the 10-minute delay): a key
+    * with data never times out; expiry fires strictly-less-than the
+    * watermark on the ms-floored timer; expiry resets the hit count;
+    * and the post-data timer-flush batch Spark runs when the final
+    * watermark advance leaves due timers emits the last tombstones.
+    * Every constant in that sentence (ms flooring, strict <, the
+    * extra flush batch) is load-bearing and oracle-pinned. */
+  private def st4(s: SparkSession, d: String): DataFrame =
+    replayed(s, d, "st4")(EventStream.ttlCache(s, _, keyCol = "user_id"))
+
+  private val st4Sql = {
+    val TtlUs = 1800000000L // 30 min
+    val DelayMs = 600000L   // 10 min watermark delay
+    def step(i: Int): String = {
+      val p = i - 1
+      s"""s$i AS (
+         |  SELECT *,
+         |    (e$p AND n$i = 0 AND (L$p + $TtlUs) // 1000 < w$p) AS x$i,
+         |    CASE WHEN n$i > 0 THEN TRUE
+         |         WHEN (e$p AND n$i = 0 AND (L$p + $TtlUs) // 1000 < w$p) THEN FALSE
+         |         ELSE e$p END AS e$i,
+         |    CASE WHEN n$i > 0 AND e$p THEN greatest(L$p, l$i)
+         |         WHEN n$i > 0 THEN l$i
+         |         WHEN (e$p AND n$i = 0 AND (L$p + $TtlUs) // 1000 < w$p) THEN NULL
+         |         ELSE L$p END AS L$i,
+         |    CASE WHEN n$i > 0 AND e$p THEN h$p + n$i
+         |         WHEN n$i > 0 THEN n$i
+         |         WHEN (e$p AND n$i = 0 AND (L$p + $TtlUs) // 1000 < w$p) THEN 0
+         |         ELSE h$p END AS h$i
+         |  FROM s$p)""".stripMargin
+    }
+    TimeWindows.evsSql +
+      s""", bounds AS (
+         |  SELECT min(ts_us) AS lo, (max(ts_us) - min(ts_us)) // 4 + 1 AS span
+         |  FROM evs),
+         |sl AS (
+         |  SELECT user_id, ts_us, (ts_us - lo) // span AS sl FROM evs, bounds),
+         |agg AS (
+         |  SELECT user_id,
+         |    CAST(count(*) FILTER (WHERE sl = 0) AS BIGINT) AS n0,
+         |    max(ts_us) FILTER (WHERE sl = 0) AS l0,
+         |    CAST(count(*) FILTER (WHERE sl = 1) AS BIGINT) AS n1,
+         |    max(ts_us) FILTER (WHERE sl = 1) AS l1,
+         |    CAST(count(*) FILTER (WHERE sl = 2) AS BIGINT) AS n2,
+         |    max(ts_us) FILTER (WHERE sl = 2) AS l2,
+         |    CAST(count(*) FILTER (WHERE sl = 3) AS BIGINT) AS n3,
+         |    max(ts_us) FILTER (WHERE sl = 3) AS l3
+         |  FROM sl GROUP BY user_id),
+         |wm AS (
+         |  SELECT
+         |    max(ts_us) FILTER (WHERE sl <= 0) // 1000 - $DelayMs AS w0,
+         |    max(ts_us) FILTER (WHERE sl <= 1) // 1000 - $DelayMs AS w1,
+         |    max(ts_us) FILTER (WHERE sl <= 2) // 1000 - $DelayMs AS w2,
+         |    max(ts_us) FILTER (WHERE sl <= 3) // 1000 - $DelayMs AS w3
+         |  FROM sl),
+         |s0 AS (
+         |  SELECT a.*, w.*, n0 > 0 AS e0, l0 AS L0, n0 AS h0
+         |  FROM agg a, wm w),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT CAST(user_id AS VARCHAR) AS key, 'cached' AS status, h0 AS hits
+         |  FROM s3 WHERE n0 > 0
+         |UNION ALL SELECT CAST(user_id AS VARCHAR), 'expired', h0 FROM s3 WHERE x1
+         |UNION ALL SELECT CAST(user_id AS VARCHAR), 'cached', h1 FROM s3 WHERE n1 > 0
+         |UNION ALL SELECT CAST(user_id AS VARCHAR), 'expired', h1 FROM s3 WHERE x2
+         |UNION ALL SELECT CAST(user_id AS VARCHAR), 'cached', h2 FROM s3 WHERE n2 > 0
+         |UNION ALL SELECT CAST(user_id AS VARCHAR), 'expired', h2 FROM s3 WHERE x3
+         |UNION ALL SELECT CAST(user_id AS VARCHAR), 'cached', h3 FROM s3 WHERE n3 > 0
+         |UNION ALL SELECT CAST(user_id AS VARCHAR), 'expired', h3 FROM s3
+         |  WHERE e3 AND (L3 + $TtlUs) // 1000 < w3""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -221,5 +305,7 @@ object StreamGates {
     GateQuery("st2_stream_rate", st2, Some(st2Sql),
       "streaming rate-limit dispatch replay ≡ prefix-max closed form"),
     GateQuery("st3_stream_scd2", st3, Some(st3Sql),
-      "streaming SCD2 CDC replay ≡ change-point compression"))
+      "streaming SCD2 CDC replay ≡ change-point compression"),
+    GateQuery("st4_stream_ttl", st4, Some(st4Sql),
+      "streaming TTL cache with event-time timers ≡ simulated micro-batch timer protocol"))
 }

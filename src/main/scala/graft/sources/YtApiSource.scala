@@ -5,7 +5,7 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
@@ -84,6 +84,7 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private val minId = options.getLong("minId", 0L)
@@ -136,6 +137,30 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
     true
   }
   override def isPartiallyPushed(): Boolean = false
+
+  /** TOP-N pushdown — the reference's server-side `order=` parameter
+    * (search/list endpoints return pre-ranked pages, so the client
+    * never sorts the universe): an ORDER BY over closed-form LONG
+    * fields + LIMIT n is answered at PLANNING time — the planned id
+    * list is ranked by the requested composite key and truncated to n
+    * before a single chunk is fetched. Fully pushed
+    * (isPartiallyPushed = false, shared with the limit path), so
+    * Spark drops its Sort and Limit nodes entirely: at cluster scale
+    * the query ships n rows, not the universe. Declined for non-long
+    * columns (handle/title/country sort server-side only in the real
+    * API's collation — Spark keeps the sort). */
+  private var topKeys: Option[(Seq[(Long => Long, Boolean)], Int)] = None
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val keys = orders.toSeq.map { o =>
+      refName(o.expression())
+        .flatMap(SyntheticYtFetcher.longFields.get)
+        .map(f => (f, o.direction() == SortDirection.ASCENDING))
+    }
+    if (keys.nonEmpty && keys.forall(_.isDefined)) {
+      topKeys = Some((keys.map(_.get), limit))
+      true
+    } else false
+  }
 
   /** Aggregate pushdown — two server-side rollup shapes the upstream
     * can answer without shipping rows:
@@ -210,7 +235,18 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
       case Some(s) => s.filter(i => i >= minId && i <= maxId).toSeq.sorted
       case None => (minId to maxId).toSeq
     }
-    limitN.fold(ids)(ids.take)
+    topKeys match {
+      case Some((keys, n)) =>
+        def cmp(a: Long, b: Long): Int = {
+          keys.foreach { case (f, asc) =>
+            val c = java.lang.Long.compare(f(a), f(b))
+            if (c != 0) return if (asc) c else -c
+          }
+          0
+        }
+        ids.sortWith(cmp(_, _) < 0).take(n)
+      case None => limitN.fold(ids)(ids.take)
+    }
   }
 
   override def build(): Scan = {
@@ -218,13 +254,14 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
     pushedAgg match {
       case Some((groupCol, evals)) => new YtApiAggScan(ids, groupCol, evals, pushed)
       case None => new YtApiScan(ids, required, batchSize, limitN,
-        options.getInt("pollBatch", 100))
+        options.getInt("pollBatch", 100), topKeys.map(_._2))
     }
   }
 }
 
 class YtApiScan(initialIds: Seq[Long], required: StructType, batchSize: Int,
-    pushedLimit: Option[Int] = None, pollBatch: Int = 100)
+    pushedLimit: Option[Int] = None, pollBatch: Int = 100,
+    pushedTopN: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   private var ids: Seq[Long] = initialIds
@@ -278,7 +315,8 @@ class YtApiScan(initialIds: Seq[Long], required: StructType, batchSize: Int,
   override def description(): String =
     s"YtApiScan(ids=${ids.length}, batchSize=$batchSize, " +
       s"cols=${required.fieldNames.mkString(",")}" +
-      pushedLimit.fold("")(n => s", PushedLimit=$n") + ")"
+      pushedLimit.fold("")(n => s", PushedLimit=$n") +
+      pushedTopN.fold("")(n => s", PushedTopN=$n") + ")"
   override def planInputPartitions(): Array[InputPartition] =
     ids.grouped(batchSize).map(chunk => YtApiChunk(chunk.toArray)).toArray
   override def createReaderFactory(): PartitionReaderFactory =

@@ -390,7 +390,8 @@ object EventStream {
   case class CacheState(key: String, firstUs: Long, lastUs: Long, hits: Long)
   case class CacheEvent(key: String, status: String, hits: Long)
 
-  def ttlCache(spark: SparkSession, events: DataFrame, ttl: String = "30 minutes"): DataFrame = {
+  def ttlCache(spark: SparkSession, events: DataFrame,
+      ttl: String = "30 minutes", keyCol: String = "event_type"): DataFrame = {
     import spark.implicits._
     val ttlUs = ttl.trim.split("\\s+")(0).toLong * 60 * 1000000L
     events
@@ -398,7 +399,7 @@ object EventStream {
       // keep the watermarked `ts` attribute alongside the true-µs clock
       // the state machine runs on (`unix_micros` — the tw6 batch twin's
       // clock; `.getTime` would truncate sub-ms writes)
-      .select(col("event_type").as("key"), col("ts"),
+      .select(col(keyCol).cast("string").as("key"), col("ts"),
         unix_micros(col("ts")).as("ts_us"))
       .as[(String, Timestamp, Long)]
       .groupByKey(_._1)

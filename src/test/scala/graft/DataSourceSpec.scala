@@ -85,6 +85,31 @@ class DataSourceSpec extends AnyFunSuite {
     assert(ids.length == 750 && ids.head == 0L && ids.last == 749L)
   }
 
+  test("ORDER BY + LIMIT pushes as top-N: ranked planning, no Sort node") {
+    val df = load()
+      .select(col("channel_id"), col("subscriber_count"))
+      .orderBy(col("subscriber_count").desc, col("channel_id").asc)
+      .limit(25)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("PushedTopN=25"))
+    // 25 ranked ids → a single chunk partition
+    assert(scan.inputRDD.getNumPartitions == 1)
+    // fully pushed → Spark drops both the Sort and the Limit
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort") && !plan.contains("TakeOrderedAndProject"),
+      s"sort survived the pushdown\n$plan")
+    // the returned SET is the true top-25 by (subs desc, id asc)
+    val got = df.collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val expect = (0L to 4999L)
+      .map(i => ((i * 1103515245L + 12345L) % 10000000L, i))
+      .sortBy { case (subs, id) => (-subs, id) }.take(25).toSet
+    assert(got == expect)
+    // a non-long (string) ordering column is declined: sort stays in Spark
+    val declined = load().orderBy(col("country").asc, col("channel_id").asc).limit(3)
+    assert(!scanOf(declined).scan.description().contains("PushedTopN"))
+    assert(declined.count() == 3)
+  }
+
   test("LIMIT does not push through a residual filter (no truncation)") {
     // subscriber_count % 2 is NOT a pushable predicate — it stays a
     // post-scan filter. Pushing the limit into the source there would
