@@ -56,11 +56,53 @@ object StreamGates {
     f.delete(); ()
   }
 
+  /** Staged replay sources, ONE per (sfDir, slices) and shared by all
+    * st* gates in the JVM — the four gates replay the identical event
+    * log, so staging it once (Verify/Bench run them all) cuts the
+    * suite's staging cost 4×. `computeIfAbsent` makes the first
+    * caller stage while concurrent gates wait. */
+  private val stagedSrc =
+    new java.util.concurrent.ConcurrentHashMap[String, File]()
+
   /** Stage the events table as `slices` disjoint time-range parquet
     * files (mod-times pinned strictly increasing, so the file source's
-    * oldest-first listing replays them in event-time order), run
-    * `pipe` over them as a micro-batch stream into a checkpointed
-    * parquet sink, and return the sink read-back.
+    * oldest-first listing replays them in event-time order). ONE
+    * partitioned write stages every slice — `partitionBy(slice)` with
+    * a slice-keyed repartition yields exactly one file per slice dir
+    * from a single scan (vs one filtered scan per slice). */
+  private def stageSlices(s: SparkSession, d: String, slices: Int): File =
+    stagedSrc.computeIfAbsent(s"$d|$slices", _ => {
+      val ev = Tables.events(s, d)
+      val root = Files.createTempDirectory("graft-st-src-").toFile
+      cleanupRoots.add(root)
+      val src = new File(root, "src"); src.mkdirs()
+      // 1-row time anchor (the tw6/la4 broadcast-anchor pattern) to cut
+      // slice boundaries — the only driver-side data in the rig.
+      val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = (hi - lo) / slices + 1
+      val staged = new File(root, "staged")
+      ev.withColumn("slice",
+          ((unix_micros(col("ts")) - lo) / span).cast("int"))
+        .repartition(slices, col("slice"))
+        .write.partitionBy("slice").mode("overwrite").parquet(staged.getPath)
+      for (i <- 0 until slices) {
+        val dir = new File(staged, s"slice=$i")
+        Option(dir.listFiles()).toSeq.flatten
+          .find(_.getName.endsWith(".parquet")).foreach { part =>
+            val dst = new File(src, f"slice-$i%02d.parquet")
+            Files.move(part.toPath, dst.toPath)
+            // strictly increasing mod-times → deterministic replay order
+            dst.setLastModified(1700000000000L + i * 60000L)
+          }
+      }
+      deleteRec(staged)
+      src
+    })
+
+  /** Run `pipe` over the staged slice replay as a micro-batch stream
+    * into a checkpointed parquet sink, and return the sink read-back.
     *
     * One file per micro-batch is the worst case for state correctness
     * (every key's state crosses every batch boundary); the
@@ -69,31 +111,10 @@ object StreamGates {
     * real table at gate scale. */
   private def replayed(s: SparkSession, d: String, gate: String,
       slices: Int = 4)(pipe: DataFrame => DataFrame): DataFrame = {
-    val ev = Tables.events(s, d)
+    val src = stageSlices(s, d, slices)
     val root = Files.createTempDirectory(s"graft-$gate-").toFile
     cleanupRoots.add(root)
-    val src = new File(root, "src"); src.mkdirs()
-    // 1-row time anchor (the tw6/la4 broadcast-anchor pattern) to cut
-    // slice boundaries — the only driver-side data in the rig.
-    val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = (hi - lo) / slices + 1
-    for (i <- 0 until slices) {
-      val stage = new File(root, s"stage$i")
-      ev.filter(unix_micros(col("ts")) >= lo + i * span &&
-          unix_micros(col("ts")) < lo + (i + 1) * span)
-        .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
-      val part = Option(stage.listFiles()).toSeq.flatten
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"$gate: no parquet part in $stage"))
-      val dst = new File(src, f"slice-$i%02d.parquet")
-      Files.move(part.toPath, dst.toPath)
-      // strictly increasing mod-times → deterministic replay order
-      dst.setLastModified(1700000000000L + i * 60000L)
-      deleteRec(stage)
-    }
-    val stream = s.readStream.schema(ev.schema)
+    val stream = s.readStream.schema(Tables.events(s, d).schema)
       .option("maxFilesPerTrigger", "1").parquet(src.getPath)
     val out = new File(root, "out")
     val chk = new File(root, "chk")
