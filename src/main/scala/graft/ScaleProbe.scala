@@ -154,11 +154,14 @@ object ScaleProbe {
     // buckets): runs the REAL dd3/dd4 gate pipelines (one-pass sketch
     // expressions + bucket-group pair generation) through the public
     // registry and reports verified pair counts + wall time.
-    if (Set("all", "dedup")(probe)) {
+    // Shared documents-replica builder (dedup + curation sections):
+    // stride rounded up to a multiple of 100 for the same residue
+    // preservation as the embeddings stride (dd13 selects its batch by
+    // doc_id % 10; mod-50 selectors ride mod 100 too). ONE definition
+    // so probe=dedup and probe=curation can never measure different
+    // corpora.
+    def replicateDocuments(): Unit = {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      // rounded up to a multiple of 100 for the same residue
-      // preservation as the embeddings stride (dd13 selects its batch
-      // by doc_id % 10; mod-50 selectors ride mod 100 too)
       val dstride = (docs.agg(max(col("doc_id"))).head.getLong(0) / 100L + 1L) * 100L
       docs.crossJoin(spark.range(factor).toDF("rep"))
         .withColumn("doc_id", col("doc_id") + col("rep") * lit(dstride))
@@ -167,6 +170,10 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       val nd = spark.read.parquet(s"$out/documents.parquet").count()
       println(s"corpus: $nd documents ($factor x $sfDir)")
+    }
+
+    if (Set("all", "dedup")(probe)) {
+      replicateDocuments()
       for (g <- Seq("dd4_simhash", "dd3_minhash_lsh")) {
         val t0 = System.nanoTime()
         val c = SparkEntry.queries(g)(spark, out).count()
@@ -328,16 +335,7 @@ object ScaleProbe {
     // grows; ob4's funnel collapses to |decisions| rows + a 1-row
     // anchor. All three ride the dedup section's documents replica.
     if (Set("all", "curation")(probe)) {
-      if (probe == "curation") { // standalone run: build the documents replica
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val dstride = (docs.agg(max(col("doc_id")).cast("long")).head.getLong(0) / 100L + 1L) * 100L
-        docs.crossJoin(spark.range(factor).toDF("rep"))
-          .withColumn("doc_id", col("doc_id") + col("rep") * lit(dstride))
-          .drop("rep").repartition(32)
-          .write.mode("overwrite").parquet(s"$out/documents.parquet")
-        println(s"corpus: ${spark.read.parquet(s"$out/documents.parquet").count()} " +
-          s"documents ($factor x $sfDir)")
-      }
+      if (probe == "curation") replicateDocuments() // standalone run
       for (g <- Seq("mm9_static_payload", "cp15_dataset_card",
           "ob4_row_accounting")) {
         val t1 = System.nanoTime()

@@ -1353,16 +1353,7 @@ object Dedup {
   private def dd18(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"))
-      .withColumn("raw_url", expr(
-        """CASE event_id % 5
-          |  WHEN 0 THEN concat('https://www.youtube.com/watch?v=v', event_id % 1999,
-          |    '&si=trk', user_id, '&t=42s')
-          |  WHEN 1 THEN concat('https://youtu.be/v', event_id % 1999, '?si=trk', user_id)
-          |  WHEN 2 THEN concat('https://www.youtube.com/shorts/v', event_id % 1999)
-          |  WHEN 3 THEN concat('https://m.youtube.com/watch?v=v', event_id % 1999,
-          |    '&feature=share')
-          |  ELSE concat('https://www.youtube.com/embed/v', event_id % 1999)
-          |END""".stripMargin))
+      .withColumn("raw_url", expr(YtFormats.rawUrlCase("event_id % 1999")))
       .withColumn("canonical_url",
         concat(lit("https://www.youtube.com/watch?v="),
           regexp_extract(col("raw_url"), YtFormats.VideoIdPat, 1)))
@@ -1376,34 +1367,24 @@ object Dedup {
       .withColumn("n_dropped", col("n_urls") - 1)
 
   private val dd18Sql =
-    """SELECT canonical_url, count(*) AS n_urls,
-      |  count(DISTINCT raw_url) AS n_raw_forms,
-      |  min(event_id) AS keeper_event_id,
-      |  CAST(sum(CASE WHEN had_tracking THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_tracking,
-      |  count(*) - 1 AS n_dropped
-      |FROM (
-      |  SELECT event_id,
-      |    'https://www.youtube.com/watch?v=' || regexp_extract(raw_url,
-      |      '(?:watch\?v=|youtu\.be/|shorts/|embed/)([A-Za-z0-9_-]+)', 1)
-      |      AS canonical_url,
-      |    contains(raw_url, 'si=') OR contains(raw_url, 'feature=')
-      |      AS had_tracking,
-      |    raw_url
-      |  FROM (
-      |    SELECT event_id,
-      |      CASE event_id % 5
-      |        WHEN 0 THEN 'https://www.youtube.com/watch?v=v' || (event_id % 1999)
-      |          || '&si=trk' || user_id || '&t=42s'
-      |        WHEN 1 THEN 'https://youtu.be/v' || (event_id % 1999)
-      |          || '?si=trk' || user_id
-      |        WHEN 2 THEN 'https://www.youtube.com/shorts/v' || (event_id % 1999)
-      |        WHEN 3 THEN 'https://m.youtube.com/watch?v=v' || (event_id % 1999)
-      |          || '&feature=share'
-      |        ELSE 'https://www.youtube.com/embed/v' || (event_id % 1999)
-      |      END AS raw_url
-      |    FROM events) u) c
-      |GROUP BY canonical_url""".stripMargin
+    s"""SELECT canonical_url, count(*) AS n_urls,
+       |  count(DISTINCT raw_url) AS n_raw_forms,
+       |  min(event_id) AS keeper_event_id,
+       |  CAST(sum(CASE WHEN had_tracking THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tracking,
+       |  count(*) - 1 AS n_dropped
+       |FROM (
+       |  SELECT event_id,
+       |    'https://www.youtube.com/watch?v=' || regexp_extract(raw_url,
+       |      '${YtFormats.VideoIdPat}', 1) AS canonical_url,
+       |    contains(raw_url, 'si=') OR contains(raw_url, 'feature=')
+       |      AS had_tracking,
+       |    raw_url
+       |  FROM (
+       |    SELECT event_id,
+       |      ${YtFormats.rawUrlCaseSql("event_id % 1999")} AS raw_url
+       |    FROM events) u) c
+       |GROUP BY canonical_url""".stripMargin
 
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),

@@ -67,20 +67,28 @@ object Multimodal {
     when(octet_length(payload) === 0, lit(0))
       .otherwise((floor((octet_length(payload) - 1) / lit(128)) + 1).cast("int"))
 
-  /** Per-frame md5 digests joined with '|'; "" for an empty payload.
-    * Frames are BYTE slices of the binary payload (`substr` on a
-    * BinaryType column slices bytes) — a genuinely binary payload
-    * never round-trips through a UTF-8 decode, so invalid sequences
-    * can't collapse to U+FFFD and alias distinct payloads. The DuckDB
-    * oracle slices CHARACTERS of the text stand-in (1.0 has no
-    * substring/md5 over BLOB) — identical on this corpus, which is
-    * ASCII by construction (spec-pinned); the engine side is the
-    * byte-grained definition a real media store needs. */
-  private[graft] def frameDigests(payload: Column): Column =
-    when(octet_length(payload) === 0, lit(""))
-      .otherwise(concat_ws("|", transform(
+  /** The frame array itself: per-frame md5 digests as BYTE slices of
+    * the binary payload (`substr` on a BinaryType column slices
+    * bytes) — a genuinely binary payload never round-trips through a
+    * UTF-8 decode, so invalid sequences can't collapse to U+FFFD and
+    * alias distinct payloads; empty array for an empty payload. ONE
+    * definition of "what a frame is", consumed by every frame gate —
+    * mm2 (sampling, via [[frameDigests]]), mm7 (perceptual sketch,
+    * via [[frameSimhash]]), mm9 (redundancy profile) — so the gates
+    * can never disagree on the geometry. The DuckDB oracles slice
+    * CHARACTERS of the text stand-in (1.0 has no substring/md5 over
+    * BLOB) — identical on this corpus, which is ASCII by construction
+    * (spec-pinned); the engine side is the byte-grained definition a
+    * real media store needs. */
+  private[graft] def frameArr(payload: Column): Column =
+    when(octet_length(payload) === 0, array().cast("array<string>"))
+      .otherwise(transform(
         sequence(lit(0), floor((octet_length(payload) - 1) / lit(128)).cast("int")),
-        i => md5(payload.substr(lit(1) + i * lit(128), lit(32))))))
+        i => md5(payload.substr(lit(1) + i * lit(128), lit(32)))))
+
+  /** Per-frame digests joined with '|'; "" for an empty payload. */
+  private[graft] def frameDigests(payload: Column): Column =
+    concat_ws("|", frameArr(payload))
 
   private def mm2(s: SparkSession, d: String): DataFrame =
     media(s, d)
@@ -321,9 +329,7 @@ object Multimodal {
     * the live sketch can never drift from the published index grain. */
   private[graft] def frameSimhash(payload: Column): Column =
     when(octet_length(payload) > 0,
-      call_function("simhash64", transform(
-        sequence(lit(0), floor((octet_length(payload) - 1) / lit(128)).cast("int")),
-        i => md5(payload.substr(lit(1) + i * lit(128), lit(32))))))
+      call_function("simhash64", frameArr(payload)))
 
   private def mm7(s: SparkSession, d: String): DataFrame = {
     val sketch = media(s, d)
@@ -440,15 +446,9 @@ object Multimodal {
     * fold; quadratic per payload, bounded by payload size), so the
     * filter costs zero exchanges and composes into any ingest scan.
     * Empty payloads profile as 0 frames, never static. */
-  private def mm9(s: SparkSession, d: String): DataFrame = {
-    val fr = when(octet_length(col("payload")) === 0,
-      array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0),
-          floor((octet_length(col("payload")) - 1) / lit(128)).cast("int")),
-        i => md5(col("payload").substr(lit(1) + i * lit(128), lit(32)))))
+  private def mm9(s: SparkSession, d: String): DataFrame =
     media(s, d)
-      .select(col("media_id"), fr.as("fr"))
+      .select(col("media_id"), frameArr(col("payload")).as("fr"))
       .select(
         col("media_id"),
         size(col("fr")).as("n_frames"),
@@ -462,7 +462,6 @@ object Multimodal {
         "CASE WHEN n_frames > 0 THEN (n_distinct_frames * 1000) div n_frames ELSE 0 END"))
       .withColumn("is_static",
         col("n_frames") >= 4 && col("top_frame_permille") >= 500)
-  }
 
   private val mm9Sql =
     """SELECT media_id, n_frames, n_distinct_frames, max_frame_cnt,

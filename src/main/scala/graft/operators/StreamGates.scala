@@ -93,8 +93,12 @@ object StreamGates {
           .find(_.getName.endsWith(".parquet")).foreach { part =>
             val dst = new File(src, f"slice-$i%02d.parquet")
             Files.move(part.toPath, dst.toPath)
-            // strictly increasing mod-times → deterministic replay order
-            dst.setLastModified(1700000000000L + i * 60000L)
+            // strictly increasing mod-times → deterministic replay
+            // order; a silent pin failure (restrictive mounts) would
+            // surface later as an opaque oracle hash mismatch, so fail
+            // the staging loudly instead
+            require(dst.setLastModified(1700000000000L + i * 60000L),
+              s"cannot pin mod-time of $dst — replay order would be undefined")
           }
       }
       deleteRec(staged)

@@ -555,6 +555,35 @@ object YtFormats {
   private[operators] val VideoIdPat =
     "(?:watch\\?v=|youtu\\.be/|shorts/|embed/)([A-Za-z0-9_-]+)"
 
+  /** The 5-form raw-URL synthesis from event columns, parameterized by
+    * the video-id expression (`$vid`) — ONE definition shared by yf10
+    * (unique ids: gates the NORMALIZER) and dd18 (mod-1999 ids: gates
+    * the DEDUP), Spark-expr spelling. */
+  private[operators] def rawUrlCase(vid: String): String =
+    s"""CASE event_id % 5
+       |  WHEN 0 THEN concat('https://www.youtube.com/watch?v=v', $vid,
+       |    '&si=trk', user_id, '&t=42s')
+       |  WHEN 1 THEN concat('https://youtu.be/v', $vid, '?si=trk', user_id)
+       |  WHEN 2 THEN concat('https://www.youtube.com/shorts/v', $vid)
+       |  WHEN 3 THEN concat('https://m.youtube.com/watch?v=v', $vid,
+       |    '&feature=share')
+       |  ELSE concat('https://www.youtube.com/embed/v', $vid)
+       |END""".stripMargin
+
+  /** DuckDB spelling of [[rawUrlCase]]. This fragment interpolates
+    * into callers' stripMargin templates, so no line may START with
+    * `||` — the outer stripMargin would eat the first pipe. */
+  private[operators] def rawUrlCaseSql(vid: String): String =
+    s"""CASE event_id % 5
+       |      WHEN 0 THEN 'https://www.youtube.com/watch?v=v' || ($vid) ||
+       |        '&si=trk' || user_id || '&t=42s'
+       |      WHEN 1 THEN 'https://youtu.be/v' || ($vid) || '?si=trk' || user_id
+       |      WHEN 2 THEN 'https://www.youtube.com/shorts/v' || ($vid)
+       |      WHEN 3 THEN 'https://m.youtube.com/watch?v=v' || ($vid) ||
+       |        '&feature=share'
+       |      ELSE 'https://www.youtube.com/embed/v' || ($vid)
+       |    END""".stripMargin
+
   /** yf10: URL CANONICALIZATION — P6's video-id extraction generalized
     * to the curation primitive URL-grain dedup runs on: the five ways
     * the same video arrives (`watch?v=` with `si=`/`t=` tracking,
@@ -572,16 +601,7 @@ object YtFormats {
   private def yf10(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"))
-      .withColumn("raw_url", expr(
-        """CASE event_id % 5
-          |  WHEN 0 THEN concat('https://www.youtube.com/watch?v=v', event_id,
-          |    '&si=trk', user_id, '&t=42s')
-          |  WHEN 1 THEN concat('https://youtu.be/v', event_id, '?si=trk', user_id)
-          |  WHEN 2 THEN concat('https://www.youtube.com/shorts/v', event_id)
-          |  WHEN 3 THEN concat('https://m.youtube.com/watch?v=v', event_id,
-          |    '&feature=share')
-          |  ELSE concat('https://www.youtube.com/embed/v', event_id)
-          |END""".stripMargin))
+      .withColumn("raw_url", expr(rawUrlCase("event_id")))
       .withColumn("video_id", regexp_extract(col("raw_url"), VideoIdPat, 1))
       .withColumn("canonical_url",
         concat(lit("https://www.youtube.com/watch?v="), col("video_id")))
@@ -593,29 +613,18 @@ object YtFormats {
         "had_tracking", "noncanonical_host")
 
   private val yf10Sql =
-    """SELECT event_id, raw_url,
-      |  regexp_extract(raw_url,
-      |    '(?:watch\?v=|youtu\.be/|shorts/|embed/)([A-Za-z0-9_-]+)', 1)
-      |    AS video_id,
-      |  'https://www.youtube.com/watch?v=' || regexp_extract(raw_url,
-      |    '(?:watch\?v=|youtu\.be/|shorts/|embed/)([A-Za-z0-9_-]+)', 1)
-      |    AS canonical_url,
-      |  contains(raw_url, 'si=') OR contains(raw_url, 'feature=')
-      |    AS had_tracking,
-      |  NOT starts_with(raw_url, 'https://www.youtube.com/')
-      |    AS noncanonical_host
-      |FROM (
-      |  SELECT event_id,
-      |    CASE event_id % 5
-      |      WHEN 0 THEN 'https://www.youtube.com/watch?v=v' || event_id
-      |        || '&si=trk' || user_id || '&t=42s'
-      |      WHEN 1 THEN 'https://youtu.be/v' || event_id || '?si=trk' || user_id
-      |      WHEN 2 THEN 'https://www.youtube.com/shorts/v' || event_id
-      |      WHEN 3 THEN 'https://m.youtube.com/watch?v=v' || event_id
-      |        || '&feature=share'
-      |      ELSE 'https://www.youtube.com/embed/v' || event_id
-      |    END AS raw_url
-      |  FROM events) t""".stripMargin
+    s"""SELECT event_id, raw_url,
+       |  regexp_extract(raw_url, '$VideoIdPat', 1) AS video_id,
+       |  'https://www.youtube.com/watch?v='
+       |    || regexp_extract(raw_url, '$VideoIdPat', 1) AS canonical_url,
+       |  contains(raw_url, 'si=') OR contains(raw_url, 'feature=')
+       |    AS had_tracking,
+       |  NOT starts_with(raw_url, 'https://www.youtube.com/')
+       |    AS noncanonical_host
+       |FROM (
+       |  SELECT event_id,
+       |    ${rawUrlCaseSql("event_id")} AS raw_url
+       |  FROM events) t""".stripMargin
 
   def queries: Seq[GateQuery] = Seq(
     GateQuery("yf1_rss_xml_parse", yf1, Some(yf1Sql),

@@ -133,6 +133,11 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
     * (isPartiallyPushed = false lets Spark drop its own Limit node —
     * no chunk ever fetches a row the query cannot return). */
   override def pushLimit(limit: Int): Boolean = {
+    // Spark pushes limits AFTER aggregates; a limit accepted once an
+    // aggregate is completely pushed would truncate the RAW id
+    // universe where the query means "limit the GROUPS" — decline and
+    // let Spark keep its Limit over the pre-aggregated rows.
+    if (pushedAgg.isDefined) return false
     limitN = Some(limitN.fold(limit)(math.min(_, limit)))
     true
   }
@@ -151,6 +156,12 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
     * API's collation — Spark keeps the sort). */
   private var topKeys: Option[(Seq[(Long => Long, Boolean)], Int)] = None
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    // Spark maps a top-N over a completely-pushed aggregate back to
+    // source columns and still offers it here; ranking the RAW id
+    // universe would then truncate rows BEFORE grouping (wrong
+    // groups, undercounts at the cut). Decline — the sort+limit over
+    // |groups| pre-aggregated rows stays in Spark, where it is cheap.
+    if (pushedAgg.isDefined) return false
     val keys = orders.toSeq.map { o =>
       refName(o.expression())
         .flatMap(SyntheticYtFetcher.longFields.get)

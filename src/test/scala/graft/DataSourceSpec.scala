@@ -110,6 +110,25 @@ class DataSourceSpec extends AnyFunSuite {
     assert(declined.count() == 3)
   }
 
+  test("top-N and LIMIT are declined once an aggregate is completely pushed") {
+    // Spark offers the sort+limit over a completely-pushed aggregate
+    // back to the source (columns mapped through the agg output);
+    // accepting it would rank/truncate the RAW id universe BEFORE
+    // grouping — wrong groups, undercounts at the cut. The builder
+    // must decline both, keeping Spark's TakeOrderedAndProject over
+    // the |groups| pre-aggregated rows.
+    val df = load().groupBy(col("subscriber_count"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("subscriber_count").asc).limit(5)
+    val desc = scanOf(df).scan.description()
+    assert(!desc.contains("PushedTopN") && !desc.contains("PushedLimit"), desc)
+    val expect = (0L to 4999L).map(i => (i * 1103515245L + 12345L) % 10000000L)
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      .toSeq.sortBy(_._1).take(5)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sortBy(_._1) == expect, s"got $got expect $expect")
+  }
+
   test("LIMIT does not push through a residual filter (no truncation)") {
     // subscriber_count % 2 is NOT a pushable predicate — it stays a
     // post-scan filter. Pushing the limit into the source there would
