@@ -80,7 +80,9 @@ object PlanDump {
     "mm9_static_payload" ->
       "Static-payload detector: the whole frame redundancy profile (distinct/modal fold) runs IN-ROW over the frame array — a zero-exchange narrow map from scan to output.",
     "cp15_dataset_card" ->
-      "Dataset card: three corpus scans reduce map-side to source-grain dims (only the fingerprint exchange is corpus-sized); the card assembles via BroadcastHashJoins over tiny dims.")
+      "Dataset card: three corpus scans reduce map-side to source-grain dims (only the fingerprint exchange is corpus-sized); the card assembles via BroadcastHashJoins over tiny dims.",
+    "s7_connector_topn" ->
+      "Top-N pushdown: the scan reports PushedTopN=25 and plans ONE ranked chunk — no Sort, no TakeOrderedAndProject, no Limit anywhere in the plan (the API's order= param answered at planning time).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -113,7 +113,7 @@ object StreamGates {
     * split-invariance of each pipeline under ARBITRARY batch cuts is
     * property-tested in `PropertySpec` — this rig exercises it on the
     * real table at gate scale. */
-  private def replayed(s: SparkSession, d: String, gate: String,
+  private[graft] def replayed(s: SparkSession, d: String, gate: String,
       slices: Int = 4)(pipe: DataFrame => DataFrame): DataFrame = {
     val src = stageSlices(s, d, slices)
     val root = Files.createTempDirectory(s"graft-$gate-").toFile

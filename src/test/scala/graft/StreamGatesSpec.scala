@@ -52,6 +52,23 @@ class StreamGatesSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("replay rig: st1 output is invariant to the slice count") {
+    // the state machines' split-invariance under arbitrary batch cuts
+    // is PropertySpec's job with MemoryStream; this pins the RIG —
+    // staging, mod-time ordering, checkpointed sink — to the same
+    // invariance: replaying in 2 or 6 slices must equal the 4-slice
+    // gate (st4 is excluded by design: its batch-boundary-dependent
+    // 'cached' emissions make slice count part of the SEMANTICS, which
+    // is why its oracle simulates the 4-slice protocol explicitly).
+    val four = gate("st1_stream_quota", sf0001)
+    for (n <- Seq(2, 6)) {
+      val alt = graft.operators.StreamGates.replayed(spark, sf0001,
+        s"st1x$n", slices = n)(
+        graft.streaming.EventStream.quotaAdmission(spark, _))
+      assertSame(alt, four)
+    }
+  }
+
   test("st4 TTL replay: cache lives are well-formed") {
     // no batch-mode twin exists (timers never fire in a single batch
     // pass), so the value-level adjudication is the driver oracle's
