@@ -322,6 +322,26 @@ object StreamGates {
          |  WHERE e3 AND (L3 + $TtlUs) // 1000 < w3""".stripMargin
   }
 
+  // ---------------------------------------------------------------- st5
+
+  /** st5: st4's TTL protocol on Spark 4's `transformWithState` (the
+    * arbitrary-state v2 API): the SAME replay, the SAME oracle — the
+    * StatefulProcessor spelling (typed ValueState + explicit
+    * event-time timers on the RocksDB store) must reproduce the
+    * simulated micro-batch timer protocol bit-for-bit, which pins the
+    * v1→v2 migration path a production stream takes. The v2 API
+    * declines the default HDFS-backed store, so the gate runs in an
+    * isolated `newSession` (own SQLConf — the RocksDB provider
+    * setting can't leak into concurrently-running gates; the builder
+    * confs live on the shared SparkContext and are inherited). */
+  private def st5(s: SparkSession, d: String): DataFrame = {
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    replayed(iso, d, "st5")(
+      EventStream.ttlCacheTws(iso, _, keyCol = "user_id"))
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -332,5 +352,7 @@ object StreamGates {
     GateQuery("st3_stream_scd2", st3, Some(st3Sql),
       "streaming SCD2 CDC replay ≡ change-point compression"),
     GateQuery("st4_stream_ttl", st4, Some(st4Sql),
-      "streaming TTL cache with event-time timers ≡ simulated micro-batch timer protocol"))
+      "streaming TTL cache with event-time timers ≡ simulated micro-batch timer protocol"),
+    GateQuery("st5_stream_ttl_v2", st5, Some(st4Sql),
+      "the same TTL timer protocol on transformWithState v2 (RocksDB store) ≡ the same oracle"))
 }

@@ -439,12 +439,12 @@ object EventStream {
     * and asserts identical outcomes. Requires the RocksDB state store
     * provider (the v2 API declines the default HDFS-backed store). */
   def ttlCacheTws(spark: SparkSession, events: DataFrame,
-      ttl: String = "30 minutes"): DataFrame = {
+      ttl: String = "30 minutes", keyCol: String = "event_type"): DataFrame = {
     import spark.implicits._
     val ttlUs = ttl.trim.split("\\s+")(0).toLong * 60 * 1000000L
     events
       .withWatermark("ts", "10 minutes")
-      .select(col("event_type").as("key"), col("ts"),
+      .select(col(keyCol).cast("string").as("key"), col("ts"),
         unix_micros(col("ts")).as("ts_us"))
       .as[(String, Timestamp, Long)]
       .groupByKey(_._1)
