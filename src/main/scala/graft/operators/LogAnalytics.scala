@@ -530,6 +530,111 @@ object LogAnalytics {
       |  FROM logs) t
       |GROUP BY day_us""".stripMargin
 
+  /** la13: SURGICAL row-level delete — the compliance operation
+    * (GDPR right-to-be-forgotten, a poisoned-source purge) every
+    * production log/corpus store must support, at the cost shape that
+    * survives 100 TB: rewrite ONLY the partitions containing the
+    * target's rows, touch nothing else, and PROVE it. Completes the
+    * table-maintenance trio: la9 drops whole partitions (retention),
+    * la12 rewrites layout (compaction), la13 rewrites content
+    * (deletion) — the Delta/Iceberg `DELETE WHERE` shape executed on
+    * raw day-partitioned parquet.
+    *
+    * The target is the logger with the SMALLEST day footprint
+    * (count distinct days, tie-break name — both engines re-derive
+    * it), so most partitions are provably untouched: the gate
+    * snapshots every data file's (size, mtime) after the initial
+    * write and `require`s that files under unaffected day dirs are
+    * IDENTICAL after the delete — the "we only rewrote what we had
+    * to" receipt an auditor asks for. Affected days re-cluster to one
+    * file (la12's discipline). Read-back rollup (rows, exact cents,
+    * distinct loggers, rewritten flag per day) is the oracle-checked
+    * proof; staged dirs release after materializing (la9's
+    * write-materialize-delete discipline).
+    *
+    * Scale shape: delete cost ∝ (affected partitions × their size),
+    * never the table; the untouched-file audit is pure file metadata
+    * (∝ |files|); the driver-side values are the 1-row target anchor
+    * and the ≤|days| affected-day list. */
+  private def la13(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * 3600 * 1000000
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la13_${java.util.UUID.randomUUID()}"
+    val l = logs(s, d)
+      .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
+    l.repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(dir)
+    val target = l.groupBy(col("logger_name"))
+      .agg(countDistinct(col("day_us")).as("nd"))
+      .orderBy(col("nd").asc, col("logger_name").asc)
+      .limit(1).head().getString(0)
+    val affected = l.filter(col("logger_name") === target)
+      .select(col("day_us")).distinct().collect().map(_.getLong(0)).toSet
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, (Long, Long)] =
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("day_us="))
+        .flatMap(day => fs.listStatus(day.getPath).map(f =>
+          f.getPath.toString -> (f.getLen, f.getModificationTime)))
+        .toMap
+    val before = dataFiles()
+    if (affected.nonEmpty) {
+      // ONE rewrite job over exactly the affected partitions (basePath
+      // keeps the day_us partition column), re-clustered to one file
+      // per day (la12's discipline), then an atomic-per-partition swap
+      // — cost ∝ affected data, never the table
+      val stage = new org.apache.hadoop.fs.Path(s"${dir}_stage")
+      s.read.option("basePath", dir)
+        .parquet(affected.toSeq.sorted.map(day => s"$dir/day_us=$day"): _*)
+        .filter(col("logger_name") =!= target)
+        .repartition(col("day_us"))
+        .write.mode("overwrite").partitionBy("day_us").parquet(stage.toString)
+      affected.foreach { day =>
+        val dayPath = new org.apache.hadoop.fs.Path(root, s"day_us=$day")
+        val staged = new org.apache.hadoop.fs.Path(stage, s"day_us=$day")
+        fs.delete(dayPath, true)
+        if (fs.exists(staged)) // a day whose every row was the target's vanishes
+          fs.rename(staged, dayPath)
+      }
+      fs.delete(stage, true)
+    }
+    // the auditor's receipt: every file under an UNAFFECTED day dir is
+    // byte-for-byte the one written before the delete
+    val untouched = (m: Map[String, (Long, Long)]) => m.filterNot { case (p, _) =>
+      affected.exists(day => p.contains(s"day_us=$day/")) }
+    require(untouched(before) == untouched(dataFiles()),
+      "la13 touched partitions outside the target's footprint")
+    val rolled = s.read.parquet(dir)
+      .groupBy(col("day_us"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value_cents")).as("value_cents"),
+        countDistinct(col("logger_name")).as("n_loggers"))
+      .withColumn("rewritten", col("day_us").isin(affected.toSeq: _*))
+    val out = rolled.collect()
+    fs.delete(root, true)
+    s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
+  }
+
+  private val la13Sql = logsSql +
+    """, dd AS (
+      |  SELECT logger_name, value_cents,
+      |    (ts_us // 86400000000) * 86400000000 AS day_us
+      |  FROM logs),
+      |target AS (
+      |  SELECT logger_name FROM (
+      |    SELECT logger_name, count(DISTINCT day_us) AS nd
+      |    FROM dd GROUP BY logger_name) g
+      |  ORDER BY nd ASC, logger_name ASC LIMIT 1),
+      |aff AS (
+      |  SELECT DISTINCT dd.day_us FROM dd, target
+      |  WHERE dd.logger_name = target.logger_name)
+      |SELECT dd.day_us, count(*) AS n_rows,
+      |  CAST(sum(dd.value_cents) AS BIGINT) AS value_cents,
+      |  count(DISTINCT dd.logger_name) AS n_loggers,
+      |  dd.day_us IN (SELECT day_us FROM aff) AS rewritten
+      |FROM dd, target
+      |WHERE dd.logger_name <> target.logger_name
+      |GROUP BY dd.day_us""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -554,5 +659,7 @@ object LogAnalytics {
     GateQuery("la11_dsv2_sink", la11, Some(la11Sql),
       "DSv2 write protocol round-trip: staged task commits -> atomic publish -> rollup"),
     GateQuery("la12_compaction", la12, Some(la12Sql),
-      "small-file compaction: stage the many-files pathology, rewrite clustered, prove losslessness"))
+      "small-file compaction: stage the many-files pathology, rewrite clustered, prove losslessness"),
+    GateQuery("la13_surgical_delete", la13, Some(la13Sql),
+      "row-level DELETE WHERE: rewrite only the target's partitions, untouched files proven identical"))
 }
