@@ -135,6 +135,22 @@ object Connector {
       |FROM range(0, 5000) t(i)
       |ORDER BY subscriber_count DESC, channel_id ASC LIMIT 25""".stripMargin
 
+  /** s8: LIMIT + OFFSET pushdown — la1's pagination executed AT THE
+    * SOURCE (the reference pages its log queries with
+    * `LIMIT ? OFFSET ?`; a real API pages with pageToken): page 2 of
+    * 750 (skip 100) plans only ids [100, 850) — the skipped page is
+    * never fetched, and Spark drops its Offset and Limit nodes
+    * (asserted in DataSourceSpec). */
+  private def s8(s: SparkSession, d: String): DataFrame =
+    s.read.format(Src).option("maxId", 4999).load()
+      .select(col("channel_id"), col("handle"), col("country"))
+      .offset(100).limit(750)
+
+  private val s8Sql =
+    """SELECT i AS channel_id, '@ch' || i AS handle,
+      |  ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1] AS country
+      |FROM range(100, 850) t(i)""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("s1_connector_scan", s1, Some(s1Sql),
       "DSv2 full scan, 50-id chunk partitions (S1)"),
@@ -149,5 +165,7 @@ object Connector {
     GateQuery("s6_connector_group_agg", s6, Some(s6Sql),
       "GROUP BY country count/sum/min/max completely pushed into the connector (A7)"),
     GateQuery("s7_connector_topn", s7, Some(s7Sql),
-      "ORDER BY + LIMIT fully pushed as planning-time top-N ranking (the API's order= param)"))
+      "ORDER BY + LIMIT fully pushed as planning-time top-N ranking (the API's order= param)"),
+    GateQuery("s8_connector_offset", s8, Some(s8Sql),
+      "LIMIT + OFFSET fully pushed: the skipped page is never fetched (la1's pagination at the source)"))
 }

@@ -85,6 +85,7 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
     with SupportsPushDownFilters
     with SupportsPushDownLimit
     with SupportsPushDownTopN
+    with SupportsPushDownOffset
     with SupportsPushDownAggregates {
 
   private val minId = options.getLong("minId", 0L)
@@ -142,6 +143,20 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
     true
   }
   override def isPartiallyPushed(): Boolean = false
+
+  /** OFFSET pushdown — la1's pagination executed at the SOURCE (the
+    * reference pages with `LIMIT ? OFFSET ?`, sqlite_logger.py's
+    * query path): Spark pushes `limit(n+m)` first and `offset(m)`
+    * second for `offset(m).limit(n)` (and limit-then-offset for the
+    * other order), so the planned id list composes take-then-drop —
+    * the skipped page is never fetched. Declined under a pushed
+    * aggregate for the same reason as limit/top-N. */
+  private var offsetN: Option[Int] = None
+  override def pushOffset(offset: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
+    offsetN = Some(offsetN.fold(offset)(_ + offset))
+    true
+  }
 
   /** TOP-N pushdown — the reference's server-side `order=` parameter
     * (search/list endpoints return pre-ranked pages, so the client
@@ -246,7 +261,7 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
       case Some(s) => s.filter(i => i >= minId && i <= maxId).toSeq.sorted
       case None => (minId to maxId).toSeq
     }
-    topKeys match {
+    val limited = topKeys match {
       case Some((keys, n)) =>
         def cmp(a: Long, b: Long): Int = {
           keys.foreach { case (f, asc) =>
@@ -258,6 +273,9 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
         ids.sortWith(cmp(_, _) < 0).take(n)
       case None => limitN.fold(ids)(ids.take)
     }
+    // Spark's contract pushes the limit INCLUSIVE of the offset
+    // (limit(n+m) then offset(m)), so the drop composes after the take
+    offsetN.fold(limited)(limited.drop)
   }
 
   override def build(): Scan = {
@@ -265,14 +283,14 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
     pushedAgg match {
       case Some((groupCol, evals)) => new YtApiAggScan(ids, groupCol, evals, pushed)
       case None => new YtApiScan(ids, required, batchSize, limitN,
-        options.getInt("pollBatch", 100), topKeys.map(_._2))
+        options.getInt("pollBatch", 100), topKeys.map(_._2), offsetN)
     }
   }
 }
 
 class YtApiScan(initialIds: Seq[Long], required: StructType, batchSize: Int,
     pushedLimit: Option[Int] = None, pollBatch: Int = 100,
-    pushedTopN: Option[Int] = None)
+    pushedTopN: Option[Int] = None, pushedOffset: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   private var ids: Seq[Long] = initialIds
@@ -327,7 +345,8 @@ class YtApiScan(initialIds: Seq[Long], required: StructType, batchSize: Int,
     s"YtApiScan(ids=${ids.length}, batchSize=$batchSize, " +
       s"cols=${required.fieldNames.mkString(",")}" +
       pushedLimit.fold("")(n => s", PushedLimit=$n") +
-      pushedTopN.fold("")(n => s", PushedTopN=$n") + ")"
+      pushedTopN.fold("")(n => s", PushedTopN=$n") +
+      pushedOffset.fold("")(n => s", PushedOffset=$n") + ")"
   override def planInputPartitions(): Array[InputPartition] =
     ids.grouped(batchSize).map(chunk => YtApiChunk(chunk.toArray)).toArray
   override def createReaderFactory(): PartitionReaderFactory =

@@ -110,6 +110,19 @@ class DataSourceSpec extends AnyFunSuite {
     assert(declined.count() == 3)
   }
 
+  test("LIMIT + OFFSET push together: skipped page never planned, no Offset node") {
+    val df = load().select(col("channel_id")).offset(100).limit(750)
+    val scan = scanOf(df)
+    val desc = scan.scan.description()
+    // Spark pushes limit INCLUSIVE of the offset (850), then offset
+    assert(desc.contains("PushedLimit=850") && desc.contains("PushedOffset=100"), desc)
+    assert(scan.inputRDD.getNumPartitions == 15) // 750 kept ids, 50/chunk
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectLimit") && !plan.contains("GlobalLimit"), plan)
+    val ids = df.collect().map(_.getLong(0)).sorted
+    assert(ids.length == 750 && ids.head == 100L && ids.last == 849L)
+  }
+
   test("top-N and LIMIT are declined once an aggregate is completely pushed") {
     // Spark offers the sort+limit over a completely-pushed aggregate
     // back to the source (columns mapped through the agg output);
