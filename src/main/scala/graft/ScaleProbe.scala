@@ -389,7 +389,8 @@ object ScaleProbe {
       // event- / change-proportional at factor×.
       if (Set("all", "streams")(probe)) {
         for (g <- Seq("st1_stream_quota", "st2_stream_rate",
-            "st3_stream_scd2", "st4_stream_ttl", "st5_stream_ttl_v2")) {
+            "st3_stream_scd2", "st4_stream_ttl", "st5_stream_ttl_v2",
+            "st6_stream_join")) {
           val t1 = System.nanoTime()
           val c = SparkEntry.queries(g)(spark, out).count()
           val s1 = (System.nanoTime() - t1) / 1e9

@@ -342,6 +342,68 @@ object StreamGates {
       EventStream.ttlCacheTws(iso, _, keyCol = "user_id"))
   }
 
+  // ---------------------------------------------------------------- st6
+
+  /** st6: the STREAM-STREAM left-outer join, replayed and oracled —
+    * J1's RSS×details enrichment with BOTH sides live
+    * (`EventStream.rssDetailJoin`): each detail row joins every RSS
+    * row for the same video in the preceding hour, and a detail row
+    * whose match can no longer arrive (the watermark passed its
+    * range bound) is emitted with the 'unknown' default. The two
+    * sides derive from the same replayed source (a streaming
+    * self-join — two filters over one file stream).
+    *
+    * The oracle splits the emission law: MATCHED rows are the plain
+    * batch range join (time-ordered slices mean a side's state is
+    * never evicted while a future match is still possible, so no
+    * match is lost — the replay proves it); UNMATCHED rows emit iff
+    * no match exists anywhere AND the row's eviction bound cleared
+    * the FINAL watermark (floor-ms of min(max rss ts, max detail ts)
+    * across sides, minus the 10-min delay — multi-source watermark =
+    * min policy), including the post-data flush batch. Rows still
+    * inside the final watermark window stay pending and never emit —
+    * the oracle models exactly that. */
+  private def st6(s: SparkSession, d: String): DataFrame =
+    replayed(s, d, "st6") { ev =>
+      val rss = ev.filter(col("event_type") === "click")
+        .select((col("event_id") % 2).as("video_id"), col("ts"),
+          expr("CASE event_id % 3 WHEN 0 THEN 'videos' " +
+            "WHEN 1 THEN 'shorts' ELSE 'live' END").as("video_type"))
+      val det = ev.filter(col("event_type") === "view")
+        .select((col("event_id") % 2).as("video_id"), col("ts"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("views"))
+      EventStream.rssDetailJoin(rss, det)
+    }.select(col("video_id"), unix_micros(col("detail_ts")).as("detail_ts_us"),
+      col("views"), col("video_type"))
+
+  private val st6Sql = TimeWindows.evsSql +
+    s""", r AS (
+       |  SELECT event_id % 2 AS video_id, ts_us AS rss_ts_us,
+       |    CASE event_id % 3 WHEN 0 THEN 'videos'
+       |      WHEN 1 THEN 'shorts' ELSE 'live' END AS video_type
+       |  FROM evs WHERE event_type = 'click'),
+       |det AS (
+       |  SELECT event_id % 2 AS video_id, ts_us AS detail_ts_us,
+       |    value_cents AS views
+       |  FROM evs WHERE event_type = 'view'),
+       |w AS (
+       |  SELECT least((SELECT max(rss_ts_us) FROM r),
+       |               (SELECT max(detail_ts_us) FROM det)) // 1000
+       |         - 600000 AS wm_ms)
+       |SELECT d.video_id, d.detail_ts_us, d.views, r.video_type
+       |FROM det d JOIN r ON r.video_id = d.video_id
+       |  AND r.rss_ts_us <= d.detail_ts_us
+       |  AND r.rss_ts_us >= d.detail_ts_us - 3600000000
+       |UNION ALL
+       |SELECT d.video_id, d.detail_ts_us, d.views, 'unknown' AS video_type
+       |FROM det d, w
+       |WHERE NOT EXISTS (
+       |    SELECT 1 FROM r WHERE r.video_id = d.video_id
+       |      AND r.rss_ts_us <= d.detail_ts_us
+       |      AND r.rss_ts_us >= d.detail_ts_us - 3600000000)
+       |  AND d.detail_ts_us // 1000 < w.wm_ms""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -354,5 +416,7 @@ object StreamGates {
     GateQuery("st4_stream_ttl", st4, Some(st4Sql),
       "streaming TTL cache with event-time timers ≡ simulated micro-batch timer protocol"),
     GateQuery("st5_stream_ttl_v2", st5, Some(st4Sql),
-      "the same TTL timer protocol on transformWithState v2 (RocksDB store) ≡ the same oracle"))
+      "the same TTL timer protocol on transformWithState v2 (RocksDB store) ≡ the same oracle"),
+    GateQuery("st6_stream_join", st6, Some(st6Sql),
+      "stream-stream left-outer range join ≡ batch matches + watermark-evicted 'unknown' rows"))
 }

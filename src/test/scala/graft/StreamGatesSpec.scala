@@ -69,6 +69,30 @@ class StreamGatesSpec extends AnyFunSuite {
     }
   }
 
+  test("st6 stream-stream join: both emission classes present, no lost matches") {
+    // value-level adjudication is the driver oracle's (matches +
+    // watermark-evicted unknowns); here pin the structure: both
+    // classes occur at sf0.001, every matched row's video_type is a
+    // real type, and the matched subset equals the BATCH range join
+    // of the same derived sides (no match lost to state eviction —
+    // the time-ordered-replay guarantee the gate's scaladoc claims).
+    val rows = gate("st6_stream_join", sf0001).collect()
+    val (unknown, matched) = rows.partition(_.getAs[String]("video_type") == "unknown")
+    assert(matched.nonEmpty && unknown.nonEmpty)
+    assert(matched.forall(r => Set("videos", "shorts", "live")(r.getAs[String]("video_type"))))
+    val ev = Tables.events(spark, sf0001)
+    import org.apache.spark.sql.functions._
+    val r = ev.filter(col("event_type") === "click")
+      .select((col("event_id") % 2).as("vid"), unix_micros(col("ts")).as("rts"))
+    val dets = ev.filter(col("event_type") === "view")
+      .select((col("event_id") % 2).as("video_id"), unix_micros(col("ts")).as("detail_ts_us"))
+    val batchMatches = dets.join(r, col("vid") === col("video_id") &&
+        col("rts") <= col("detail_ts_us") &&
+        col("rts") >= col("detail_ts_us") - 3600000000L).count()
+    assert(matched.length.toLong == batchMatches,
+      s"streamed ${matched.length} matches vs batch $batchMatches")
+  }
+
   test("st4 TTL replay: cache lives are well-formed") {
     // no batch-mode twin exists (timers never fire in a single batch
     // pass), so the value-level adjudication is the driver oracle's
