@@ -127,7 +127,12 @@ object ScaleProbe {
       for (g <- Seq("sim10_pq_encode", "sim11_adc_search",
           "sim12_ivfpq_search", "sim13_adc_refine",
           "sim14_lloyd_refine", "sim15_filtered_search",
-          "sim16_filtered_ivfpq")) {
+          "sim16_filtered_ivfpq",
+          // sim19: SQ8 is a COMPRESSION of the exact scan, not a
+          // pruning index — its probe row should grow linearly with
+          // the corpus (like sim1 would) while staying 8x slimmer on
+          // bytes scanned; the stats agg stays 64 rows at any N.
+          "sim19_sq8_search")) {
         val t0 = System.nanoTime()
         val c = SparkEntry.queries(g)(spark, out).count()
         val secs = (System.nanoTime() - t0) / 1e9
@@ -174,7 +179,14 @@ object ScaleProbe {
 
     if (Set("all", "dedup")(probe)) {
       replicateDocuments()
-      for (g <- Seq("dd4_simhash", "dd3_minhash_lsh")) {
+      // dd19 on the replica is its worst case BY CONSTRUCTION: every
+      // doc is in a 20-dense exact-duplicate group, so every 8-gram is
+      // corpus-duplicated and every position survives the flag join —
+      // the islands then merge each doc into ONE maximal span. Volume
+      // to watch: positions (linear in corpus), dup-gram groups
+      // (universe-sized — exact copies add no new grams), span rows
+      // (= docs). Nothing quadratic anywhere.
+      for (g <- Seq("dd4_simhash", "dd3_minhash_lsh", "dd19_repeated_spans")) {
         val t0 = System.nanoTime()
         val c = SparkEntry.queries(g)(spark, out).count()
         val secs = (System.nanoTime() - t0) / 1e9
@@ -372,7 +384,11 @@ object ScaleProbe {
       if (Set("all", "events")(probe)) {
         for (g <- Seq("tw13_rate_spike", "tw15_scd2_intervals",
             "tw14_conversion_funnel", "la10_histogram_p95", "la11_dsv2_sink",
-            "la9_retention_vacuum")) {
+            // la14 on the time-shifted replica: the z-layout write is
+            // one range exchange over 20x the rows; the receipt stays
+            // |files| driver rows and the box query's pruning ratio
+            // holds (the z-tile geometry is scale-free).
+            "la9_retention_vacuum", "la14_zorder_skipping")) {
           val t1 = System.nanoTime()
           val c = SparkEntry.queries(g)(spark, out).count()
           val s1 = (System.nanoTime() - t1) / 1e9
@@ -390,7 +406,7 @@ object ScaleProbe {
       if (Set("all", "streams")(probe)) {
         for (g <- Seq("st1_stream_quota", "st2_stream_rate",
             "st3_stream_scd2", "st4_stream_ttl", "st5_stream_ttl_v2",
-            "st6_stream_join")) {
+            "st6_stream_join", "st7_stream_sessions")) {
           val t1 = System.nanoTime()
           val c = SparkEntry.queries(g)(spark, out).count()
           val s1 = (System.nanoTime() - t1) / 1e9

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GateQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (SURVEY §7.5 north-star;
@@ -1386,6 +1387,96 @@ object Dedup {
        |    FROM events) u) c
        |GROUP BY canonical_url""".stripMargin
 
+  // --------------------------------------------------------------- dd19
+
+  /** dd19: REPEATED-SPAN detection — the exact-substring dedup of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2021), restated at the positioned-k-gram grain a
+    * distributed engine can shuffle: a maximal token span that appears
+    * (at k-gram resolution, k = 8) in ≥ 2 distinct documents is a
+    * repeated span — the unit that paper REMOVES from training text,
+    * one level finer than dd9's fixed 16-token chunks (spans here are
+    * maximal islands of overlapping duplicated k-grams, so a 37-token
+    * copied paragraph surfaces as ONE span, not 3 chunks that happen
+    * to tile it).
+    *
+    * Pipeline: tokenize once → positioned k-gram 60-bit hashes (one
+    * narrow-map explode, the tx6 generator shape; hashes via the
+    * native `md5h60_array` so only 8-byte keys + int positions ever
+    * shuffle, never gram text) → corpus-duplicated grams =
+    * count(DISTINCT doc_id) ≥ 2 on the gram-hash agg (map-side
+    * combined) → per-doc gaps-and-islands over the flagged positions
+    * (running max of span ends; a gram starting past prev_end + 1
+    * opens a new island) → per-span envelope.
+    *
+    * Scale: the suffix-array approach of the paper is monolithic;
+    * this k-gram restatement is two hash shuffles (gram-hash agg,
+    * doc-keyed window), each on fixed-width keys — the shape that
+    * survives 100 TB. The window partition is doc_id: per-doc flagged
+    * positions are ≤ tokens/doc, bounded state. 60-bit collisions are
+    * engine-identical (same md5 prefix both sides). */
+  private def dd19(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val positioned = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("a"))
+      .filter(size(col("a")) >= K)
+      .select(col("doc_id"), posexplode(expr(
+        s"md5h60_array(transform(sequence(1, size(a) - ${K - 1}), " +
+          s"i -> concat_ws(' ', slice(a, i, $K))))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val dup = positioned.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    positioned.join(dup, "h")
+      .withColumn("prev_end",
+        max(col("pos") + (K - 1)).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (K - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+  }
+
+  private val dd19Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, length(a) - 6)) AS pos,
+      |    unnest(list_transform(range(1, length(a) - 6),
+      |      i -> ('0x' || substr(md5(array_to_string(a[i:i+7], ' ')),
+      |        1, 15))::BIGINT)) AS h
+      |  FROM tk WHERE length(a) >= 8),
+      |dup AS (
+      |  SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CAST(sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS span_id
+      |  FROM (
+      |    SELECT doc_id, pos,
+      |      CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+      |        THEN 1 ELSE 0 END AS new_span
+      |    FROM (
+      |      SELECT p.doc_id, p.pos,
+      |        max(p.pos + 7) OVER (PARTITION BY p.doc_id ORDER BY p.pos ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM pos p JOIN dup USING (h)) x) y)
+      |SELECT doc_id, span_id, min(pos) AS span_start,
+      |  max(pos) + 7 AS span_end, count(*) AS n_grams,
+      |  max(pos) + 7 - min(pos) + 1 AS span_tokens
+      |FROM isl GROUP BY doc_id, span_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -1422,5 +1513,7 @@ object Dedup {
     GateQuery("dd17_bloom_history", dd17, Some(dd17Sql),
       "bloom-prefiltered incremental dedup: 16 KiB bitmap probe, exact verify only for hits"),
     GateQuery("dd18_url_dedup", dd18, Some(dd18Sql),
-      "URL-grain dedup over the shared canonicalizer: per-canonical copies, forms, keeper"))
+      "URL-grain dedup over the shared canonicalizer: per-canonical copies, forms, keeper"),
+    GateQuery("dd19_repeated_spans", dd19, Some(dd19Sql),
+      "maximal cross-doc repeated token spans at 8-gram grain (exact-substring dedup)"))
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GateQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -635,6 +635,119 @@ object LogAnalytics {
       |WHERE dd.logger_name <> target.logger_name
       |GROUP BY dd.day_us""".stripMargin
 
+  // ---------------------------------------------------------------- la14
+
+  /** la14: Z-ORDER clustering — the multi-dimensional layout
+    * optimization (Delta `OPTIMIZE ZORDER BY`, Iceberg sort-order
+    * z-curves) that makes 2-D box queries prune files on BOTH
+    * dimensions at once, where any linear sort is tight on one and
+    * useless on the other. Completes the layout-maintenance quartet:
+    * la9 drops partitions, la12 compacts, la13 deletes rows, la14
+    * re-CLUSTERS for the read path.
+    *
+    * Mechanics: both dims ((ts_us, tenant) — time × logger id, the
+    * canonical ZORDER pair: "one tenant block's last week") bucket to
+    * 6 bits by min/max range scaling off the 1-row bounds anchor
+    * (tenant ids are uniform and time-uncorrelated, so range scaling
+    * IS the quantile scaling); the 12-bit Morton code interleaves
+    * them (bit i of each dim → bits 2i/2i+1); `repartitionByRange` +
+    * in-partition sort on z writes 32 files, each spanning ≈ 1/32 of
+    * the z-curve = a compact tile of the 64×64 grid, so each file's
+    * (min,max) on BOTH columns is tight — exactly the per-file stats
+    * parquet footers (or a Delta/Iceberg manifest) expose to a
+    * planner. The CONTROL is the same data range-written on ts only.
+    *
+    * The receipt is computed the way a planner would: per-file
+    * min/max of both dims (from rows, ≡ footer stats), count the
+    * files whose stat-box intersects the fixed query box (time ∈
+    * [lo+span/4, lo+span/2), tenant ∈ top quartile of the id range).
+    * In-gate `require`: the z layout prunes to FEWER candidate files
+    * than the linear one — the engine fact the SQL oracle cannot see
+    * (la12's discipline). The oracle re-derives the box bounds from
+    * the same integer anchor algebra and checks the box query's
+    * per-level rollup off rows that never left the engine.
+    *
+    * Scale shape: one bounds agg (1 row), one range exchange on z
+    * (the once-per-ingest layout cost la12 prices), file stats are
+    * ≤|files| driver rows — never row data. At 100 TB the win
+    * compounds: every subsequent box query opens ~√F of the files a
+    * time-sorted table opens. Tmpdirs release after the rollup
+    * materializes. */
+  private def la14(s: SparkSession, d: String): DataFrame = {
+    val Bits = 6
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_la14_${java.util.UUID.randomUUID()}"
+    val (zdir, ldir) = (s"$root/zorder", s"$root/linear")
+    val l = logs(s, d)
+      // tenant id back out of the logger name ('u<id>') — the logs
+      // view is the gate's table; both engines parse identically
+      .withColumn("uid", expr("CAST(substring(logger_name, 2) AS BIGINT)"))
+      .select("event_id", "ts_us", "level", "uid", "value_cents")
+    val b = l.agg(min(col("ts_us")), max(col("ts_us")),
+      min(col("uid")), max(col("uid"))).head()
+    val (tLo, tHi, vLo, vHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    // true integer div (Column./ is double division, and ts_us·64
+    // exceeds double's 2^53 exact-integer range)
+    def bucket(name: String, lo: Long, hi: Long): Column =
+      expr(s"(($name - ${lo}L) * ${1L << Bits}L) div ${hi - lo + 1}L")
+    val tb = bucket("ts_us", tLo, tHi)
+    val vb = bucket("uid", vLo, vHi)
+    val z = (0 until Bits).map { i =>
+      (shiftright(tb, i) % 2) * lit(1L << (2 * i)) +
+        (shiftright(vb, i) % 2) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    l.withColumn("z", z).repartitionByRange(32, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z").write.mode("overwrite").parquet(zdir)
+    l.repartitionByRange(32, col("ts_us"))
+      .sortWithinPartitions(col("ts_us"))
+      .write.mode("overwrite").parquet(ldir)
+    // the query box (integer algebra both engines re-derive)
+    val tSpan = tHi - tLo + 1
+    val (tA, tB) = (tLo + tSpan / 4, tLo + tSpan / 2)
+    val vA = vLo + (vHi - vLo + 1) * 3 / 4
+    // planner's-eye view: per-file stat boxes, candidate = box
+    // intersects the query box (what footer-stats pruning keeps)
+    def candidates(dir: String): Long =
+      s.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"),
+          min(col("uid")).as("v0"), max(col("uid")).as("v1"))
+        .filter(col("t1") >= tA && col("t0") < tB && col("v1") >= vA)
+        .count()
+    val (zCand, lCand) = (candidates(zdir), candidates(ldir))
+    require(zCand < lCand,
+      s"z-order did not out-prune the linear layout ($zCand vs $lCand)")
+    val rolled = s.read.parquet(zdir)
+      .filter(col("ts_us") >= tA && col("ts_us") < tB && col("uid") >= vA)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("value_cents"))
+    val out = rolled.collect()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
+  }
+
+  private val la14Sql = logsSql +
+    """, lu AS (
+      |  SELECT *, CAST(substring(logger_name, 2) AS BIGINT) AS uid
+      |  FROM logs),
+      |b AS (
+      |  SELECT min(ts_us) AS tlo, max(ts_us) AS thi,
+      |    min(uid) AS vlo, max(uid) AS vhi
+      |  FROM lu),
+      |box AS (
+      |  SELECT tlo + (thi - tlo + 1) // 4 AS ta,
+      |    tlo + (thi - tlo + 1) // 2 AS tb,
+      |    vlo + (vhi - vlo + 1) * 3 // 4 AS va
+      |  FROM b)
+      |SELECT level, count(*) AS n,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+      |FROM lu, box
+      |WHERE ts_us >= ta AND ts_us < tb AND uid >= va
+      |GROUP BY level""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -661,5 +774,7 @@ object LogAnalytics {
     GateQuery("la12_compaction", la12, Some(la12Sql),
       "small-file compaction: stage the many-files pathology, rewrite clustered, prove losslessness"),
     GateQuery("la13_surgical_delete", la13, Some(la13Sql),
-      "row-level DELETE WHERE: rewrite only the target's partitions, untouched files proven identical"))
+      "row-level DELETE WHERE: rewrite only the target's partitions, untouched files proven identical"),
+    GateQuery("la14_zorder_skipping", la14, Some(la14Sql),
+      "Z-order clustering: 2-D box query prunes to fewer file-stat boxes than the linear layout"))
 }

@@ -979,6 +979,103 @@ object Similarity {
          |UNION ALL SELECT * FROM row2
          |UNION ALL SELECT * FROM row4""".stripMargin
 
+  // -------------------------------------------------------------- sim19
+
+  /** sim19: SCALAR QUANTIZATION (SQ8) search — the third compression
+    * point on the accuracy/memory curve the PQ gates (sim10-sim13)
+    * and the raw-vector paths already pin: one uint8 code PER
+    * DIMENSION (64 bytes/vector vs 512 raw, vs PQ's 8), quantizing
+    * each dimension's corpus range into 256 equal cells — FAISS's
+    * `SQ8` / Lucene's `int8` HNSW storage. Queries stay EXACT
+    * (asymmetric): distance is ‖q − decode(code)‖², so the only
+    * approximation error is the ≤ half-cell rounding of the corpus
+    * side.
+    *
+    * Determinism: codes are `floor((x−mn)·256/range)` clamped to
+    * [0,255] — doubles under IEEE on both engines, no rounding-mode
+    * ambiguity (floor, not round); decode recenters to the cell
+    * midpoint; distances assemble as qn2 − 2·(q·r) + (r·r) with every
+    * dot the shared left-fold (`dot_f64` ≡ list_reduce). A
+    * zero-range dimension (constant corpus column) codes to 0 by an
+    * explicit guard — not via 0/0 NaN, whose least/greatest ordering
+    * the engines disagree on.
+    *
+    * Scale shape: the per-dim min/max stats are ONE map-side-combined
+    * agg collapsed to 64 rows (collected and folded into the encode
+    * expression as literals — the codebookArr discipline, so encode
+    * and decode are zero-exchange narrow maps). Corpus rows carry
+    * (vec_id, rv, rn2) — decode happens once per row, NOT once per
+    * (query, row) pair; per pair the only work is one dot against the
+    * broadcast query side. At 100 TB the scan side is the 64-byte
+    * code column, 8× slimmer than raw vectors, with identical plan
+    * shape to sim1's brute-force scan. */
+  private def sim19(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    // per-dim corpus stats: 64 rows, the bounded collect the IVF
+    // codebook already justifies (Similarity.scala codebookArr)
+    val stats = base.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i").asc).collect()
+    val mnA = stats.map(_.getAs[Double]("mn"))
+    val rgA = stats.map(r => r.getAs[Double]("mx") - r.getAs[Double]("mn"))
+    val mnL = typedLit(mnA.toSeq)
+    val rgL = typedLit(rgA.toSeq)
+    def mnAt(i: Column) = element_at(mnL, (i + 1).cast("int"))
+    def rgAt(i: Column) = element_at(rgL, (i + 1).cast("int"))
+    val coded = base.withColumn("rv",
+        transform(col("v"), (x, i) => {
+          val code = when(rgAt(i) === 0.0, lit(0.0)).otherwise(
+            least(lit(255.0), greatest(lit(0.0),
+              floor((x - mnAt(i)) * 256.0 / rgAt(i)))))
+          mnAt(i) + (code + lit(0.5)) * rgAt(i) / lit(256.0)
+        }))
+      .withColumn("rn2", dotExpr("rv", "rv"))
+      .select("vec_id", "rv", "rn2")
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sq8_dist",
+        col("qn2") - lit(2.0) * dotExpr("qv", "rv") + col("rn2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sq8_dist").asc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sq8_dist"))
+  }
+
+  private val sim19Sql = "WITH " + vecsSql.dropRight(1) + ", " +
+    s"""st AS (
+       |  SELECT list(mn ORDER BY i) AS mnl, list(rg ORDER BY i) AS rgl
+       |  FROM (
+       |    SELECT i, min(x) AS mn, max(x) - min(x) AS rg
+       |    FROM (
+       |      SELECT unnest(v) AS x, unnest(range(1, ${Dim + 1})) AS i
+       |      FROM vecs) u
+       |    GROUP BY i) s),
+       |rv AS (
+       |  SELECT vec_id, r, ${dotSql("r", "r")} AS rn2
+       |  FROM (
+       |    SELECT vec_id,
+       |      list_transform(range(1, ${Dim + 1}), i ->
+       |        mnl[i] + (CASE WHEN rgl[i] = 0.0::DOUBLE THEN 0.0::DOUBLE
+       |          ELSE least(255.0::DOUBLE, greatest(0.0::DOUBLE,
+       |            floor((v[i] - mnl[i]) * 256.0::DOUBLE / rgl[i]))) END
+       |          + 0.5::DOUBLE) * rgl[i] / 256.0::DOUBLE) AS r
+       |    FROM vecs, st) x),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2
+       |       FROM vecs WHERE vec_id % 100 = 0)
+       |SELECT query_id, rank, neighbor_id, sq8_dist FROM (
+       |  SELECT q.query_id, rv.vec_id AS neighbor_id,
+       |    q.qn2 - 2.0::DOUBLE * ${dotSql("q.qv", "rv.r")} + rv.rn2
+       |      AS sq8_dist,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY q.qn2 - 2.0::DOUBLE * ${dotSql("q.qv", "rv.r")} + rv.rn2
+       |        ASC, rv.vec_id ASC) AS rank
+       |  FROM rv JOIN qs q ON rv.vec_id <> q.query_id) t
+       |WHERE rank <= 10""".stripMargin
+
   // -------------------------------------------------------------- sim12
 
   /** sim12: the COMBINED IVF-PQ serving path — what a production
@@ -1485,5 +1582,7 @@ object Similarity {
     GateQuery("sim17_filtered_recall", sim17, Some(sim17Sql),
       "measured recall of the filtered paths vs the filtered exact baseline"),
     GateQuery("sim18_nprobe_curve", sim18, Some(sim18Sql),
-      "measured nprobe recall/cost curve: recall@10 + candidate volume at nprobe 1/2/4"))
+      "measured nprobe recall/cost curve: recall@10 + candidate volume at nprobe 1/2/4"),
+    GateQuery("sim19_sq8_search", sim19, Some(sim19Sql),
+      "SQ8 scalar-quantized top-10: 64-byte codes, asymmetric exact-query distance"))
 }

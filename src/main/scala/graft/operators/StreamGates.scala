@@ -404,6 +404,60 @@ object StreamGates {
        |      AND r.rss_ts_us >= d.detail_ts_us - 3600000000)
        |  AND d.detail_ts_us // 1000 < w.wm_ms""".stripMargin
 
+  // ---------------------------------------------------------------- st7
+
+  /** st7: SESSION WINDOWS live — the one stateful-aggregation shape
+    * st1-st6 leave untouched (they cover hand-rolled per-key state,
+    * timers, and the stream-stream join; this is Spark's native
+    * MERGING window generator): `EventStream.sessionWindows` replays
+    * the event log through `session_window(ts, 30 min)` in append
+    * mode, so per-user runs that straddle micro-batch boundaries must
+    * MERGE in the session store before the watermark closes them.
+    *
+    * The oracle is tw3's gaps-and-islands sessionization (identical
+    * 30-min law) wearing the streaming envelope (session end = last
+    * event + gap, the `session_window` contract) plus the EMISSION
+    * law: append mode publishes exactly the sessions with
+    * `end_us ≤ wm_ms · 1000` against the FINAL watermark (floor-ms of
+    * the global max event time minus the 10-min delay — including the
+    * post-data flush batch, st4's discipline). Both the ≤ (a session
+    * ending ON the watermark emits) and the µs-exactness (one ending
+    * 500 µs past it does NOT) are probed and pinned in
+    * `EventStreamSpec`; later sessions stay pending in state and
+    * never reach the sink. Merge and cut adjudicated outside the
+    * JVM. */
+  private def st7(s: SparkSession, d: String): DataFrame =
+    replayed(s, d, "st7")(EventStream.sessionWindows(_))
+      .select(col("user_id"),
+        unix_micros(col("sess_start")).as("sess_start_us"),
+        unix_micros(col("sess_end")).as("sess_end_us"),
+        col("n_events"), col("value_cents"))
+
+  private val GapUs = 1800L * 1000000
+  private val st7Sql = TimeWindows.evsSql +
+    s""", g AS (
+       |  SELECT user_id, ts_us, event_id,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL
+       |      OR ts_us - lag(ts_us) OVER w > $GapUs THEN 1 ELSE 0 END AS ns,
+       |    value_cents
+       |  FROM evs
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+       |sess AS (
+       |  SELECT user_id,
+       |    min(ts_us) AS sess_start_us,
+       |    max(ts_us) + $GapUs AS sess_end_us,
+       |    CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(sum(value_cents) AS BIGINT) AS value_cents
+       |  FROM (
+       |    SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us ASC, event_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+       |    FROM g) x
+       |  GROUP BY user_id, sid),
+       |wm AS (SELECT max(ts_us) // 1000 - 600000 AS wm_ms FROM evs)
+       |SELECT user_id, sess_start_us, sess_end_us, n_events, value_cents
+       |FROM sess, wm WHERE sess_end_us <= wm_ms * 1000""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -418,5 +472,7 @@ object StreamGates {
     GateQuery("st5_stream_ttl_v2", st5, Some(st4Sql),
       "the same TTL timer protocol on transformWithState v2 (RocksDB store) ≡ the same oracle"),
     GateQuery("st6_stream_join", st6, Some(st6Sql),
-      "stream-stream left-outer range join ≡ batch matches + watermark-evicted 'unknown' rows"))
+      "stream-stream left-outer range join ≡ batch matches + watermark-evicted 'unknown' rows"),
+    GateQuery("st7_stream_sessions", st7, Some(st7Sql),
+      "native session_window replay ≡ gaps-and-islands + watermark emission cut"))
 }

@@ -251,6 +251,26 @@ object EventStream {
         coalesce(col("video_type"), lit("unknown")).as("video_type"))
   }
 
+  /** SESSION windows live (tw3's 30-min-gap sessionization as a
+    * stream — T1's expiry shape on the native `session_window`
+    * generator): per user, overlapping-gap event runs MERGE in the
+    * session state store across micro-batch boundaries, and append
+    * mode emits a session's envelope exactly once — when the
+    * watermark passes its close (last event + gap), the same "dead
+    * after 30 idle minutes" law tw3 computes declaratively. State
+    * per key is the open sessions' envelopes — bounded by activity,
+    * evicted on emit. The emission law (which sessions have closed
+    * vs. still pending at replay end) is oracled in st7. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("value_cents"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"), col("value_cents"))
+
   /** Per-key quota admission state (T2/F10/A10 — `APIKeyStats`,
     * reference youtube_api_handler.py:33-79): tracks hourly and daily
     * request counts per key with boundary resets

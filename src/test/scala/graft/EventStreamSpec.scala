@@ -628,4 +628,61 @@ class EventStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("session windows: emission is µs-exact, non-strict at the ms-scaled watermark") {
+    // Pins st7's oracle law `end_us <= wm_ms * 1000`: user 1's session
+    // ends EXACTLY on the final watermark (1700000000000 + 30 min,
+    // ms-aligned) and MUST emit; user 3's is 500 µs past it and must
+    // stay pending. The watermark driver (user 2 at +40 min) leaves
+    // wm_ms = T0 + 30 min after the post-data flush batch.
+    val T0 = 1700000000000L
+    def tms(ms: Long, nanos: Int = 0): Timestamp = {
+      val t = new Timestamp(T0 + ms); if (nanos != 0) t.setNanos(nanos); t
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val q = EventStream.sessionWindows(toEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("sess_boundary")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, tms(0), 1L, "click", 1.0),
+        (2L, tms(0, 500000), 3L, "click", 1.0)) // session end +500 µs
+      q.processAllAvailable()
+      mem.addData((3L, tms(40L * 60000), 2L, "click", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("sess_boundary").collect()
+        .map(_.getAs[Long]("user_id")).toSet
+      assert(emitted == Set(1L),
+        s"expected only the ON-watermark session (user 1), got $emitted")
+    } finally q.stop()
+  }
+
+  test("session windows: cross-batch runs merge into one envelope (batch ≡ stream)") {
+    // Two per-user runs split across micro-batches inside one 30-min
+    // gap must MERGE in the session store; a 31-min gap must not.
+    val m = 60000L
+    def tmin(min: Long): Timestamp = new Timestamp(1700000000000L + min * m)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val q = EventStream.sessionWindows(toEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("sess_merge")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, tmin(0), 1L, "click", 1.0),
+        (2L, tmin(10), 1L, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, tmin(20), 1L, "click", 3.0), // merges: 10+30 > 20
+        (4L, tmin(51), 1L, "click", 4.0))           // new run: 20+30 < 51
+      q.processAllAvailable()
+      mem.addData((5L, tmin(600), 2L, "click", 0.0)) // close everything
+      q.processAllAvailable()
+      val got = spark.table("sess_merge").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Timestamp]("sess_start").getTime,
+          r.getAs[Timestamp]("sess_end").getTime,
+          r.getAs[Long]("n_events"), r.getAs[Long]("value_cents"))).toSet
+      assert(got == Set(
+        (tmin(0).getTime, tmin(50).getTime, 3L, 600L),
+        (tmin(51).getTime, tmin(81).getTime, 1L, 400L)), s"got $got")
+    } finally q.stop()
+  }
 }

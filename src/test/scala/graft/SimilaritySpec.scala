@@ -394,4 +394,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(1)._4 == sim8Ivf,
       s"nprobe=2 recall ${rows(1)._4} != sim8 ivf $sim8Ivf")
   }
+
+  test("sim19 SQ8: duplicate ranks first at sub-cell distance, recall tracks exact") {
+    // Fixture: vec 1 is IDENTICAL to query 0, so its only error is the
+    // corpus-side quantization — per-dim decode error ≤ range/512, so
+    // ‖q − r‖² ≤ 64·(2/512)² ≈ 1e-3. The orthogonal (2) and negated
+    // (3) vectors must stay in L2 order behind it.
+    val rows = gate("sim19_sq8_search", dir).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+    assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).getAs[Double]("sq8_dist") < 0.01,
+      s"identical vector at SQ8 distance ${rows(0).getAs[Double]("sq8_dist")}")
+    assert(rows(0).getAs[Double]("sq8_dist") >= 0.0)
+    // driver corpus: asymmetric SQ8 top-10 vs sim1's exact top-10.
+    // 256 levels/dim is near-lossless here — the floor guards drift.
+    val ex = gate("sim1_knn_bruteforce", sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val sq = gate("sim19_sq8_search", sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (ex & sq).size.toDouble / ex.size
+    assert(recall >= 0.9, s"SQ8 recall@10 $recall below 0.9")
+  }
 }

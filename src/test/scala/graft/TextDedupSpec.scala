@@ -675,4 +675,45 @@ class TextDedupSpec extends AnyFunSuite {
       assert(j >= 0.8 && j <= 1.0)
     }
   }
+
+  test("dd19 repeated spans: shared 10-token run is ONE maximal span, unique docs clean") {
+    // Docs 1 and 2 share tokens 3..12 ("r".."A", 10 tokens) with
+    // different 2-token prefixes/suffixes; 8-grams fit at start
+    // positions 3,4,5 of the run, so the island merge must produce a
+    // single maximal [3, 12] span in EACH doc (not three tiling
+    // grams). Doc 3's vocabulary is disjoint — no flagged grams.
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, "a1 a2 r s t u v w x y z A a3 a4", "en", "s1"),
+      (2L, "b1 b2 r s t u v w x y z A b3 b4", "en", "s1"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "en", "s2"))))
+    val rows = gate("dd19_repeated_spans", d).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L),
+      "exactly docs 1 and 2 carry spans")
+    assert(rows.length == 2, "one maximal span per doc, not one per gram")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("span_start") == 3)
+      assert(r.getAs[Int]("span_end") == 12)
+      assert(r.getAs[Int]("span_tokens") == 10)
+      assert(r.getAs[Long]("n_grams") == 3L)
+    }
+  }
+
+  test("dd19 spans within a doc never overlap and always cover >= 8 tokens") {
+    val byDoc = gate("dd19_repeated_spans", sf0001).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { spans =>
+      val sorted = spans.sortBy(_.getAs[Int]("span_start"))
+      sorted.foreach { r =>
+        assert(r.getAs[Int]("span_tokens") >= 8)
+        assert(r.getAs[Int]("span_end") ==
+          r.getAs[Int]("span_start") + r.getAs[Int]("span_tokens") - 1)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // maximality: merged islands leave a genuine gap between spans
+          assert(b.getAs[Int]("span_start") > a.getAs[Int]("span_end") + 1)
+        case _ => ()
+      }
+    }
+  }
 }
