@@ -388,7 +388,10 @@ object ScaleProbe {
             // one range exchange over 20x the rows; the receipt stays
             // |files| driver rows and the box query's pruning ratio
             // holds (the z-tile geometry is scale-free).
-            "la9_retention_vacuum", "la14_zorder_skipping")) {
+            "la9_retention_vacuum", "la14_zorder_skipping",
+            // la15: merge cost rides the affected-partition set (the
+            // argmin logger's 20x-wider day footprint), never the table
+            "la15_merge_upsert")) {
           val t1 = System.nanoTime()
           val c = SparkEntry.queries(g)(spark, out).count()
           val s1 = (System.nanoTime() - t1) / 1e9

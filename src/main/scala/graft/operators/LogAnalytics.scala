@@ -748,6 +748,151 @@ object LogAnalytics {
       |WHERE ts_us >= ta AND ts_us < tb AND uid >= va
       |GROUP BY level""".stripMargin
 
+  // ---------------------------------------------------------------- la15
+
+  /** la15: MERGE INTO (upsert) — the one lakehouse mutation the
+    * maintenance quartet (la9 drop, la12 compact, la13 delete, la14
+    * cluster) still lacked: apply a CDC batch of UPDATEs and INSERTs
+    * to the day-partitioned table in ONE pass that rewrites only the
+    * partitions the batch touches — the Delta/Iceberg `MERGE INTO t
+    * USING batch ON t.event_id = batch.event_id WHEN MATCHED THEN
+    * UPDATE WHEN NOT MATCHED THEN INSERT` shape executed on raw
+    * parquet.
+    *
+    * The batch is derived deterministically so both engines can
+    * re-state the merged table: UPDATEs target every row of la13's
+    * argmin logger (the logger with the smallest day footprint —
+    * few partitions affected by construction), bumping value_cents
+    * by 10000 and stamping the row 'patched'; INSERTs are one
+    * 'merge_bot' row per distinct level, landing in a brand-new day
+    * partition past the table's max day (the late-arriving-feed
+    * case: an insert CREATES its partition). Affected set = the
+    * target's days ∪ the new day; the la13 audit applies verbatim —
+    * every file under an unaffected day dir is `require`d
+    * byte-identical after the merge.
+    *
+    * Scale shape: merge cost ∝ affected partitions × their size +
+    * |batch| — never the table. The update keys need no driver
+    * round-trip beyond the 1-row anchors (argmin target, max id/ts);
+    * the rewrite is one job over the affected dirs with the batch
+    * side broadcast. Read-back rollup (rows, cents, batch-row count,
+    * rewritten flag per day) is the oracle-checked proof. */
+  private def la15(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * 3600 * 1000000
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la15_${java.util.UUID.randomUUID()}"
+    val l = logs(s, d)
+      .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
+    l.repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(dir)
+    val target = l.groupBy(col("logger_name"))
+      .agg(countDistinct(col("day_us")).as("nd"))
+      .orderBy(col("nd").asc, col("logger_name").asc)
+      .limit(1).head().getString(0)
+    val anchors = l.agg(max(col("event_id")), max(col("ts_us"))).head()
+    val (maxId, dayNew) =
+      (anchors.getLong(0), (anchors.getLong(1) / DayUs + 1) * DayUs)
+    val affectedUpd = l.filter(col("logger_name") === target)
+      .select(col("day_us")).distinct().collect().map(_.getLong(0)).toSet
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, (Long, Long)] =
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("day_us="))
+        .flatMap(day => fs.listStatus(day.getPath).map(f =>
+          f.getPath.toString -> (f.getLen, f.getModificationTime)))
+        .toMap
+    val before = dataFiles()
+    // the INSERT half of the batch: one row per distinct level, ids
+    // past the table's max, all landing in the new day partition
+    val inserts = l.select(col("level")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(pmod(lit(0), lit(1))).orderBy(col("level").asc))
+        .cast("long"))
+      .select(
+        (lit(maxId) + col("rk")).as("event_id"),
+        (lit(dayNew) + col("rk") * (3600L * 1000000)).as("ts_us"),
+        col("level"),
+        lit("merge_bot").as("logger_name"),
+        when(col("level") === "ERROR", 40).when(col("level") === "SIGNUP", 30)
+          .when(col("level") === "PURCHASE", 20).otherwise(10).as("level_no"),
+        lit("inserted").as("message"),
+        lit(999L).as("value_cents"),
+        lit(dayNew).as("day_us"))
+    val stage = new org.apache.hadoop.fs.Path(s"${dir}_stage")
+    // ONE rewrite job over exactly the affected partitions: matched
+    // rows take the UPDATE branch, everything else passes through,
+    // inserts append into their (new) partition
+    val rewritten =
+      (if (affectedUpd.nonEmpty)
+        s.read.option("basePath", dir)
+          .parquet(affectedUpd.toSeq.sorted.map(day => s"$dir/day_us=$day"): _*)
+          .withColumn("value_cents",
+            when(col("logger_name") === target, col("value_cents") + 10000)
+              .otherwise(col("value_cents")))
+          .withColumn("message",
+            when(col("logger_name") === target, lit("patched"))
+              .otherwise(col("message")))
+          .unionByName(inserts)
+      else inserts)
+    rewritten.repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(stage.toString)
+    val affected = affectedUpd + dayNew
+    affected.foreach { day =>
+      val dayPath = new org.apache.hadoop.fs.Path(root, s"day_us=$day")
+      val staged = new org.apache.hadoop.fs.Path(stage, s"day_us=$day")
+      fs.delete(dayPath, true)
+      if (fs.exists(staged)) fs.rename(staged, dayPath)
+    }
+    fs.delete(stage, true)
+    // la13's auditor receipt: unaffected partitions byte-identical
+    val untouched = (m: Map[String, (Long, Long)]) => m.filterNot { case (p, _) =>
+      affected.exists(day => p.contains(s"day_us=$day/")) }
+    require(untouched(before) == untouched(dataFiles()),
+      "la15 touched partitions outside the batch's footprint")
+    val rolled = s.read.parquet(dir)
+      .groupBy(col("day_us"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value_cents")).as("value_cents"),
+        sum(when(col("message").isin("patched", "inserted"), 1L)
+          .otherwise(0L)).as("n_batch"))
+      .withColumn("rewritten", col("day_us").isin(affected.toSeq: _*))
+    val out = rolled.collect()
+    fs.delete(root, true)
+    s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
+  }
+
+  private val la15Sql = logsSql +
+    """, dd AS (
+      |  SELECT event_id, logger_name, level, value_cents,
+      |    (ts_us // 86400000000) * 86400000000 AS day_us
+      |  FROM logs),
+      |target AS (
+      |  SELECT logger_name FROM (
+      |    SELECT logger_name, count(DISTINCT day_us) AS nd
+      |    FROM dd GROUP BY logger_name) g
+      |  ORDER BY nd ASC, logger_name ASC LIMIT 1),
+      |anchors AS (
+      |  SELECT ((max(ts_us) // 86400000000) + 1) * 86400000000 AS day_new
+      |  FROM logs),
+      |merged AS (
+      |  SELECT dd.day_us,
+      |    CASE WHEN dd.logger_name = t.logger_name
+      |      THEN dd.value_cents + 10000 ELSE dd.value_cents END AS value_cents,
+      |    dd.logger_name = t.logger_name AS from_batch
+      |  FROM dd, target t
+      |  UNION ALL
+      |  SELECT a.day_new AS day_us, 999 AS value_cents, TRUE AS from_batch
+      |  FROM (SELECT DISTINCT level FROM logs) lv, anchors a),
+      |aff AS (
+      |  SELECT DISTINCT dd.day_us FROM dd, target t
+      |  WHERE dd.logger_name = t.logger_name
+      |  UNION SELECT day_new FROM anchors)
+      |SELECT day_us, count(*) AS n_rows,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents,
+      |  CAST(sum(CASE WHEN from_batch THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_batch,
+      |  day_us IN (SELECT day_us FROM aff) AS rewritten
+      |FROM merged GROUP BY day_us""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -776,5 +921,7 @@ object LogAnalytics {
     GateQuery("la13_surgical_delete", la13, Some(la13Sql),
       "row-level DELETE WHERE: rewrite only the target's partitions, untouched files proven identical"),
     GateQuery("la14_zorder_skipping", la14, Some(la14Sql),
-      "Z-order clustering: 2-D box query prunes to fewer file-stat boxes than the linear layout"))
+      "Z-order clustering: 2-D box query prunes to fewer file-stat boxes than the linear layout"),
+    GateQuery("la15_merge_upsert", la15, Some(la15Sql),
+      "MERGE INTO: CDC updates + partition-creating inserts rewrite only affected days"))
 }

@@ -23,6 +23,34 @@ class LogTimeSpec extends AnyFunSuite {
     assert(a == b, "la12 output varies across invocations")
   }
 
+  test("la15 merge: updates conserve rows, inserts create their day, batch counted") {
+    val rows = gate("la15_merge_upsert", sf0001).collect()
+    val byDay = rows.map(r => r.getAs[Long]("day_us") -> r).toMap
+    val newDay = byDay.keys.max
+    // the insert half lands in a brand-new partition past the table's
+    // max day: one row per distinct level, all batch-flagged, rewritten
+    val levels = Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.upper(
+        org.apache.spark.sql.functions.col("event_type"))).distinct().count()
+    assert(byDay(newDay).getAs[Long]("n_rows") == levels)
+    assert(byDay(newDay).getAs[Long]("n_batch") == levels)
+    assert(byDay(newDay).getAs[Boolean]("rewritten"))
+    assert(byDay(newDay).getAs[Long]("value_cents") == 999L * levels)
+    // UPDATEs rewrite in place: total rows = corpus + inserts
+    val totalRows = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(totalRows == Tables.events(spark, sf0001).count() + levels,
+      s"merge changed the row count: $totalRows")
+    // every patched row lives in a rewritten day
+    rows.foreach { r =>
+      if (r.getAs[Long]("n_batch") > 0) assert(r.getAs[Boolean]("rewritten"))
+    }
+    // mutating-gate determinism across invocations (la12's discipline)
+    val again = gate("la15_merge_upsert", sf0001).collect()
+      .map(_.toSeq.toIndexedSeq).toSet
+    assert(again == rows.map(_.toSeq.toIndexedSeq).toSet,
+      "la15 output varies across invocations")
+  }
+
   test("la1 pagination: dense rank range, descending timestamps") {
     val rows = gate("la1_filter_paginate", sf0001).collect()
       .sortBy(_.getAs[Int]("rn"))
