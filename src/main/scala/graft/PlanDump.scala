@@ -82,7 +82,11 @@ object PlanDump {
     "cp15_dataset_card" ->
       "Dataset card: three corpus scans reduce map-side to source-grain dims (only the fingerprint exchange is corpus-sized); the card assembles via BroadcastHashJoins over tiny dims.",
     "s7_connector_topn" ->
-      "Top-N pushdown: the scan reports PushedTopN=25 and plans ONE ranked chunk — no Sort, no TakeOrderedAndProject, no Limit anywhere in the plan (the API's order= param answered at planning time).")
+      "Top-N pushdown: the scan reports PushedTopN=25 and plans ONE ranked chunk — no Sort, no TakeOrderedAndProject, no Limit anywhere in the plan (the API's order= param answered at planning time).",
+    "dd19_repeated_spans" ->
+      "Repeated spans: positioned 8-gram hashes explode as a narrow map (8-byte keys + int positions, never gram text); the duplicated-gram dim is one map-side-combined hash agg; the island window and the span rollup share ONE doc_id exchange.",
+    "sim19_sq8_search" ->
+      "SQ8 search: the 64-row stats agg folds into encode/decode as literals, so quantization is a zero-exchange narrow map; per candidate the only pair work is one dot against the broadcast query side; top-k prunes map-side (WindowGroupLimit).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

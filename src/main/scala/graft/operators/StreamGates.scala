@@ -351,7 +351,15 @@ object StreamGates {
     * whose match can no longer arrive (the watermark passed its
     * range bound) is emitted with the 'unknown' default. The two
     * sides derive from the same replayed source (a streaming
-    * self-join — two filters over one file stream).
+    * self-join — two filters over one file stream). The join key is
+    * `user_id` (the feed's channel) — realistic key cardinality
+    * matters HERE more than anywhere: stream-stream join state is
+    * scanned per key per input row, so a low-cardinality key makes
+    * each micro-batch quadratic within its hot keys (measured: a
+    * 2-key variant ground for >45 min on the 20× probe). user_id
+    * scales WITH the corpus — ~15 keys at sf0.001, ~1.5k at sf0.1 —
+    * so per-key state stays bounded at any replica factor while
+    * every scale still exercises both emission classes.
     *
     * The oracle splits the emission law: MATCHED rows are the plain
     * batch range join (time-ordered slices mean a side's state is
@@ -366,11 +374,11 @@ object StreamGates {
   private def st6(s: SparkSession, d: String): DataFrame =
     replayed(s, d, "st6") { ev =>
       val rss = ev.filter(col("event_type") === "click")
-        .select((col("event_id") % 2).as("video_id"), col("ts"),
+        .select(col("user_id").as("video_id"), col("ts"),
           expr("CASE event_id % 3 WHEN 0 THEN 'videos' " +
             "WHEN 1 THEN 'shorts' ELSE 'live' END").as("video_type"))
       val det = ev.filter(col("event_type") === "view")
-        .select((col("event_id") % 2).as("video_id"), col("ts"),
+        .select(col("user_id").as("video_id"), col("ts"),
           (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
             .cast("long").as("views"))
       EventStream.rssDetailJoin(rss, det)
@@ -379,12 +387,12 @@ object StreamGates {
 
   private val st6Sql = TimeWindows.evsSql +
     s""", r AS (
-       |  SELECT event_id % 2 AS video_id, ts_us AS rss_ts_us,
+       |  SELECT user_id AS video_id, ts_us AS rss_ts_us,
        |    CASE event_id % 3 WHEN 0 THEN 'videos'
        |      WHEN 1 THEN 'shorts' ELSE 'live' END AS video_type
        |  FROM evs WHERE event_type = 'click'),
        |det AS (
-       |  SELECT event_id % 2 AS video_id, ts_us AS detail_ts_us,
+       |  SELECT user_id AS video_id, ts_us AS detail_ts_us,
        |    value_cents AS views
        |  FROM evs WHERE event_type = 'view'),
        |w AS (

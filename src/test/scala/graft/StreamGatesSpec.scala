@@ -83,9 +83,9 @@ class StreamGatesSpec extends AnyFunSuite {
     val ev = Tables.events(spark, sf0001)
     import org.apache.spark.sql.functions._
     val r = ev.filter(col("event_type") === "click")
-      .select((col("event_id") % 2).as("vid"), unix_micros(col("ts")).as("rts"))
+      .select(col("user_id").as("vid"), unix_micros(col("ts")).as("rts"))
     val dets = ev.filter(col("event_type") === "view")
-      .select((col("event_id") % 2).as("video_id"), unix_micros(col("ts")).as("detail_ts_us"))
+      .select(col("user_id").as("video_id"), unix_micros(col("ts")).as("detail_ts_us"))
     val batchMatches = dets.join(r, col("vid") === col("video_id") &&
         col("rts") <= col("detail_ts_us") &&
         col("rts") >= col("detail_ts_us") - 3600000000L).count()
