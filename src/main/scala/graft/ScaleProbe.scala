@@ -132,7 +132,10 @@ object ScaleProbe {
           // pruning index — its probe row should grow linearly with
           // the corpus (like sim1 would) while staying 8x slimmer on
           // bytes scanned; the stats agg stays 64 rows at any N.
-          "sim19_sq8_search")) {
+          "sim19_sq8_search",
+          // sim20: two codebook builds + two serving legs + the drift
+          // join — all corpus-linear; the sampled build scans 10%.
+          "sim20_sampled_codebook")) {
         val t0 = System.nanoTime()
         val c = SparkEntry.queries(g)(spark, out).count()
         val secs = (System.nanoTime() - t0) / 1e9
@@ -186,7 +189,10 @@ object ScaleProbe {
       // to watch: positions (linear in corpus), dup-gram groups
       // (universe-sized — exact copies add no new grams), span rows
       // (= docs). Nothing quadratic anywhere.
-      for (g <- Seq("dd4_simhash", "dd3_minhash_lsh", "dd19_repeated_spans")) {
+      for (g <- Seq("dd4_simhash", "dd3_minhash_lsh", "dd19_repeated_spans",
+          // tx19: one (token x half) agg over the replica; the top-100
+          // cut and 1-row totals anchor are corpus-size-invariant.
+          "tx19_token_drift")) {
         val t0 = System.nanoTime()
         val c = SparkEntry.queries(g)(spark, out).count()
         val secs = (System.nanoTime() - t0) / 1e9

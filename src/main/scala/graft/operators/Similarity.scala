@@ -1076,6 +1076,175 @@ object Similarity {
        |  FROM rv JOIN qs q ON rv.vec_id <> q.query_id) t
        |WHERE rank <= 10""".stripMargin
 
+  // -------------------------------------------------------------- sim20
+
+  /** sim20: the SAMPLED-TRAINING codebook, measured — at 100 TB
+    * nobody trains the coarse quantizer on the full corpus: k-means
+    * sees a sample and the index lives with slightly-off centroids.
+    * This gate prices that trade instead of assuming it: centroids
+    * re-estimated from the 10% sample (vec_id ≡ 0 mod 10, sim4's
+    * exact scaled-integer formula), then in ONE output (a) the
+    * ASSIGNMENT DRIFT — the permille of vectors whose nearest cell
+    * changes under the sampled codebook (the fraction of the index
+    * that would migrate on a codebook refresh, i.e. the re-shuffle a
+    * rebuild pays) — and (b) the serving RECALL of the IVF probe
+    * path (nprobe=2, exact re-rank — sim6's machinery) under BOTH
+    * codebooks against sim1's exact truth. The number an index
+    * operator actually wants: "what does training on 10% cost me?"
+    *
+    * Scale shape: the sampled build is sim4's one map-side-combined
+    * agg over a 10× smaller scan; both codebooks fold into the
+    * zero-exchange assignment expressions; drift is one slim
+    * (vec_id, clabel, clabel_s) self-join on vec_id collapsed to a
+    * 1-row agg; each recall leg is sim18's shape (broadcast probes +
+    * slim candidates). Output: 2 rows.
+    *
+    * Measured at sf0.01: drift = 806‰ (the synthetic corpus's cells
+    * are weakly separated, so argmins sit on a knife's edge and a
+    * 10% re-estimate migrates most of the index) while recall is
+    * IDENTICAL (46.0% both legs) — assignments are fragile exactly
+    * where they are interchangeable, so the sampled build costs
+    * nothing at serve time. That asymmetry is the point of measuring
+    * both numbers instead of either alone. */
+  private def sim20(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val cbF = typedLit(codebookArr(s, d))
+    val cbS = typedLit(sampledCodebookArr(s, d))
+    val drift = assignCells(base, cbF)
+      .join(assignCells(base, cbS).withColumnRenamed("clabel", "clabel_s"),
+        "vec_id")
+      .agg(expr("sum(CASE WHEN clabel <> clabel_s THEN 1L ELSE 0L END) " +
+        "* 1000L div count(1)").as("drift_permille"))
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    def recallRow(cb: Column, name: String): DataFrame = {
+      val top = assignCells(base, cb).join(broadcast(probeCells(base, cb, 2)),
+          Seq("clabel"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+        .join(base.select("vec_id", "v", "n2"), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cosine",
+          dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          lit(1L).as("hit"))
+      sim1(s, d).select("query_id", "neighbor_id")
+        .join(broadcast(top), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(name).as("codebook"), col("n_exact_pairs"), col("hits"),
+          (col("hits").cast("double") * 100 / col("n_exact_pairs"))
+            .as("recall_pct"))
+    }
+    recallRow(cbF, "full")
+      .withColumn("drift_permille", lit(0L))
+      .unionByName(recallRow(cbS, "sampled_10pct").crossJoin(broadcast(drift)))
+  }
+
+  /** Sampled-corpus centroid CTE (centSql's formula over the 10%). */
+  private val centSampSql =
+    s"""cent_s AS (
+       |  SELECT label AS clabel, dim,
+       |    CAST(sum_scaled AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE) AS centroid
+       |  FROM (
+       |    SELECT label, i.range AS dim,
+       |      CAST(sum(CAST(floor(v[i.range + 1] * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_scaled,
+       |      count(*) AS n
+       |    FROM (SELECT * FROM vecs WHERE vec_id % 10 = 0) sv, range($Dim) i
+       |    GROUP BY 1, 2) t)
+       |""".stripMargin
+
+  /** distSql against an arbitrary centroid CTE. */
+  private def distSqlC(src: String, idCol: String, cent: String): String =
+    s"""SELECT e.$idCol, c.clabel,
+       |      CAST(sum(CAST(floor((e.v[c.dim + 1] - c.centroid) * (e.v[c.dim + 1] - c.centroid)
+       |        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS dist_scaled
+       |    FROM $src e, $cent c
+       |    GROUP BY 1, 2""".stripMargin
+
+  private def cbLegSql(tag: String, cent: String): String =
+    s"""assign_$tag AS (
+       |  SELECT vec_id, clabel FROM (
+       |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |    ${distSqlC("vecs", "vec_id", cent)}) d) r
+       |  WHERE rk = 1),
+       |probes_$tag AS (
+       |  SELECT vec_id AS query_id, clabel FROM (
+       |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_scaled ASC, clabel ASC) AS rk
+       |    FROM (
+       |    ${distSqlC("(SELECT * FROM vecs WHERE vec_id % 100 = 0)", "vec_id", cent)}) d) r
+       |  WHERE rk <= 2),
+       |top_$tag AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id
+       |        ORDER BY ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) DESC,
+       |                 b.vec_id ASC) AS rank
+       |    FROM (
+       |      SELECT p.query_id, a.vec_id
+       |      FROM assign_$tag a JOIN probes_$tag p ON a.clabel = p.clabel
+       |      WHERE a.vec_id <> p.query_id) c
+       |    JOIN vecs b ON b.vec_id = c.vec_id
+       |    JOIN vecs q ON q.vec_id = c.query_id) t
+       |  WHERE rank <= 10),
+       |rec_$tag AS (
+       |  SELECT count(*) AS n_exact_pairs,
+       |    CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits
+       |  FROM r1e e LEFT JOIN top_$tag t
+       |    ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id)""".stripMargin
+
+  private lazy val sim20Sql =
+    "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
+      centSampSql.dropRight(1) + ", " +
+      s"""r1e AS (${sim1Sql}),
+         |${cbLegSql("f", "cent")},
+         |${cbLegSql("s", "cent_s")},
+         |drift AS (
+         |  SELECT CAST(sum(CASE WHEN f.clabel <> x.clabel THEN 1 ELSE 0 END)
+         |      * 1000 // count(*) AS BIGINT) AS drift_permille
+         |  FROM assign_f f JOIN assign_s x USING (vec_id))
+         |SELECT 'full' AS codebook, n_exact_pairs, hits,
+         |  CAST(hits AS DOUBLE) * 100 / n_exact_pairs AS recall_pct,
+         |  CAST(0 AS BIGINT) AS drift_permille
+         |FROM rec_f
+         |UNION ALL
+         |SELECT 'sampled_10pct', n_exact_pairs, hits,
+         |  CAST(hits AS DOUBLE) * 100 / n_exact_pairs AS recall_pct,
+         |  drift_permille
+         |FROM rec_s, drift""".stripMargin
+
+  /** The 10%-sample codebook (sim20) — sim4's exact formula over
+    * `vec_id ≡ 0 mod 10`, memoized like [[codebookArr]]. */
+  private val sampledCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+
+  private def sampledCodebookArr(s: SparkSession, d: String): Seq[Seq[Double]] =
+    sampledCbCache.computeIfAbsent(d, _ => {
+      val rows = vecs(s, d).filter(col("vec_id") % 10 === 0)
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "comp")))
+        .withColumn("comp_scaled", expr("floor(comp * 1000000000.0D)"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("comp_scaled")).as("sum_scaled"), count(lit(1)).as("n"))
+        .withColumn("centroid",
+          col("sum_scaled").cast("double") / (col("n") * 1000000000L).cast("double"))
+        .select("label", "dim", "centroid").collect()
+      val nlist = rows.iterator.map(_.getInt(0)).max + 1
+      val cb = Array.fill(nlist, Dim)(Double.NaN)
+      rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      require(cb.forall(_.forall(!_.isNaN)),
+        "sampled codebook: labels must stay contiguous — 10% sample missed a cell")
+      cb.map(_.toSeq).toSeq
+    })
+
   // -------------------------------------------------------------- sim12
 
   /** sim12: the COMBINED IVF-PQ serving path — what a production
@@ -1584,5 +1753,7 @@ object Similarity {
     GateQuery("sim18_nprobe_curve", sim18, Some(sim18Sql),
       "measured nprobe recall/cost curve: recall@10 + candidate volume at nprobe 1/2/4"),
     GateQuery("sim19_sq8_search", sim19, Some(sim19Sql),
-      "SQ8 scalar-quantized top-10: 64-byte codes, asymmetric exact-query distance"))
+      "SQ8 scalar-quantized top-10: 64-byte codes, asymmetric exact-query distance"),
+    GateQuery("sim20_sampled_codebook", sim20, Some(sim20Sql),
+      "sampled-training codebook priced: assignment drift + serving recall vs the full build"))
 }

@@ -1012,6 +1012,66 @@ object TextAnalysis {
        |  GROUP BY source) t""".stripMargin
   }
 
+  // --------------------------------------------------------------- tx19
+
+  /** tx19: CORPUS DRIFT between two snapshots — the distribution-shift
+    * monitor a continuously-ingesting training pipeline runs between
+    * crawls ("did the new snapshot's language change under us?"),
+    * executed on deterministic hash-split halves of the corpus (the
+    * cp10 salted-md5 discipline, salt 'drift' — any engine, any
+    * cluster, same halves). Per top-100 corpus token (count-ranked,
+    * token tie-break): each half's occurrence count, each half's
+    * frequency in exact integer permille of that half's total tokens,
+    * and the absolute permille drift — the per-token L1 terms a
+    * monitor alerts on and a reviewer reads directly.
+    *
+    * Scale shape: one token explode → one map-side-combined
+    * (token × half) count agg carrying two longs per token; the
+    * top-100 cut is TakeOrderedAndProject (no global sort); the
+    * half totals are a 1-row broadcast anchor; output is 100 rows.
+    * Integer permille (BIGINT div) keeps both engines bit-equal —
+    * no FP frequency ratios. */
+  private def tx19(s: SparkSession, d: String): DataFrame = {
+    val halves = Tables.documents(s, d)
+      .withColumn("half", pmod(
+        conv(substring(md5(concat(lit("drift|"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(2)))
+      .select(col("half"), explode(toks(col("text"))).as("token"))
+    val counts = halves.groupBy(col("token"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+    val totals = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    counts.orderBy((col("na") + col("nb")).desc, col("token").asc)
+      .limit(100)
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("na"), col("nb"),
+        expr("na * 1000L div ta").as("pa_permille"),
+        expr("nb * 1000L div tb").as("pb_permille"),
+        abs(expr("na * 1000L div ta") - expr("nb * 1000L div tb"))
+          .as("drift_permille"))
+  }
+
+  private val tx19Sql =
+    """WITH tk AS (
+      |  SELECT ('0x' || substr(md5('drift|' || doc_id), 1, 15))::BIGINT % 2
+      |      AS half,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |counts AS (
+      |  SELECT token,
+      |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM tk GROUP BY token),
+      |tot AS (
+      |  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+      |  FROM counts)
+      |SELECT token, na, nb,
+      |  na * 1000 // ta AS pa_permille,
+      |  nb * 1000 // tb AS pb_permille,
+      |  abs(na * 1000 // ta - nb * 1000 // tb) AS drift_permille
+      |FROM counts, tot
+      |ORDER BY na + nb DESC, token ASC LIMIT 100""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -1048,5 +1108,7 @@ object TextAnalysis {
     GateQuery("tx17_source_reputation", tx17, Some(tx17Sql),
       "domain-grain curation: per-source quality shares + keep/review/drop verdict"),
     GateQuery("tx18_kmv_merge", tx18, Some(tx18Sql),
-      "KMV mergeability as data: per-source sketches re-sketched equal the direct global sketch"))
+      "KMV mergeability as data: per-source sketches re-sketched equal the direct global sketch"),
+    GateQuery("tx19_token_drift", tx19, Some(tx19Sql),
+      "token-distribution drift between hash-split corpus halves over the shared top-100 vocab"))
 }

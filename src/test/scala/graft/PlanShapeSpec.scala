@@ -183,9 +183,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "la10_histogram_p95", // 1-row global [lo, hi] anchor for the bin map
       "ob4_row_accounting", // 1-row independent input-count anchor (the audit's point)
       "sim18_nprobe_curve", // embeds sim1's brute-force truth + 1-row recall x cand anchors
-      "sim19_sq8_search") // SQ8 IS the brute-force scan compressed 8x:
+      "sim19_sq8_search", // SQ8 IS the brute-force scan compressed 8x:
       // the same non-equi broadcast-query join as sim1, over decoded
       // codes instead of raw vectors
+      "sim20_sampled_codebook", // embeds sim1's brute-force truth
+      // (sim8/sim18's shape) for both recall legs
+      "tx19_token_drift") // 1-row half-totals anchor cross (la2's shape)
     // The ONE legitimate sort-merge join: q10's co-located bucketed
     // join — SMJ over bucket-sorted reads carries no exchange and no
     // sort (its own test asserts both), which is the whole point of

@@ -416,4 +416,20 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (ex & sq).size.toDouble / ex.size
     assert(recall >= 0.9, s"SQ8 recall@10 $recall below 0.9")
   }
+
+  test("sim20 sampled codebook: full leg zero-drift and equal to sim8's IVF recall") {
+    val rows = gate("sim20_sampled_codebook", sf0001).collect()
+      .map(r => r.getAs[String]("codebook") -> r).toMap
+    assert(rows.keySet == Set("full", "sampled_10pct"))
+    assert(rows("full").getAs[Long]("drift_permille") == 0L)
+    val drift = rows("sampled_10pct").getAs[Long]("drift_permille")
+    assert(drift >= 0L && drift <= 1000L)
+    assert(rows("full").getAs[Long]("n_exact_pairs") ==
+      rows("sampled_10pct").getAs[Long]("n_exact_pairs"))
+    // the full leg IS sim6/sim8's nprobe=2 pipeline — its measured
+    // recall must agree with sim8's independent run
+    val sim8Ivf = gate("sim8_ann_recall", sf0001).head.getAs[Double]("ivf_recall_pct")
+    assert(rows("full").getAs[Double]("recall_pct") == sim8Ivf,
+      s"full-codebook recall ${rows("full").getAs[Double]("recall_pct")} != sim8 ivf $sim8Ivf")
+  }
 }

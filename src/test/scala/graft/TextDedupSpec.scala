@@ -698,6 +698,27 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("tx19 drift: permilles well-formed, conservation over the full-vocab corpus") {
+    val rows = gate("tx19_token_drift", sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      val (pa, pb, dr) = (r.getAs[Long]("pa_permille"),
+        r.getAs[Long]("pb_permille"), r.getAs[Long]("drift_permille"))
+      assert(pa >= 0 && pa <= 1000 && pb >= 0 && pb <= 1000)
+      assert(dr == math.abs(pa - pb))
+      assert(r.getAs[Long]("na") + r.getAs[Long]("nb") >= 1)
+    }
+    // the driver corpus vocabulary fits inside the top-100 cut, so the
+    // halves' token counts must CONSERVE the corpus token count
+    val total = rows.map(r => r.getAs[Long]("na") + r.getAs[Long]("nb")).sum
+    val expected = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions
+        .split(org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.col("text")), "\\s+")))
+      .collect().map(_.getInt(0).toLong).sum
+    assert(total == expected, s"token conservation broke: $total vs $expected")
+  }
+
   test("dd19 spans within a doc never overlap and always cover >= 8 tokens") {
     val byDoc = gate("dd19_repeated_spans", sf0001).collect()
       .groupBy(_.getAs[Long]("doc_id"))
