@@ -112,13 +112,28 @@ object StreamGates {
     * (every key's state crosses every batch boundary); the
     * split-invariance of each pipeline under ARBITRARY batch cuts is
     * property-tested in `PropertySpec` — this rig exercises it on the
-    * real table at gate scale. */
+    * real table at gate scale.
+    *
+    * The replay runs in its OWN `newSession` at 8 shuffle partitions
+    * (`extraConfs` lets st5 add its RocksDB provider): stateful
+    * streaming pays per-batch × per-partition fixed cost — task
+    * launch, state-store open/commit/snapshot — on EVERY micro-batch,
+    * so a 32-wide shuffle multiplies that constant 4× for zero
+    * parallelism gain at bench row counts (the state rows per batch
+    * fit in a handful of partitions). Results are partitioning-
+    * invariant — the oracle compare pins that. On a real cluster this
+    * knob is sized to state volume, not inherited from the batch
+    * side; the isolated session is exactly that sizing. */
   private[graft] def replayed(s: SparkSession, d: String, gate: String,
-      slices: Int = 4)(pipe: DataFrame => DataFrame): DataFrame = {
+      slices: Int = 4, extraConfs: Map[String, String] = Map.empty)(
+      pipe: DataFrame => DataFrame): DataFrame = {
     val src = stageSlices(s, d, slices)
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    extraConfs.foreach { case (k, v) => iso.conf.set(k, v) }
     val root = Files.createTempDirectory(s"graft-$gate-").toFile
     cleanupRoots.add(root)
-    val stream = s.readStream.schema(Tables.events(s, d).schema)
+    val stream = iso.readStream.schema(Tables.events(iso, d).schema)
       .option("maxFilesPerTrigger", "1").parquet(src.getPath)
     val out = new File(root, "out")
     val chk = new File(root, "chk")
@@ -330,17 +345,14 @@ object StreamGates {
     * event-time timers on the RocksDB store) must reproduce the
     * simulated micro-batch timer protocol bit-for-bit, which pins the
     * v1→v2 migration path a production stream takes. The v2 API
-    * declines the default HDFS-backed store, so the gate runs in an
-    * isolated `newSession` (own SQLConf — the RocksDB provider
-    * setting can't leak into concurrently-running gates; the builder
-    * confs live on the shared SparkContext and are inherited). */
-  private def st5(s: SparkSession, d: String): DataFrame = {
-    val iso = s.newSession()
-    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    replayed(iso, d, "st5")(
-      EventStream.ttlCacheTws(iso, _, keyCol = "user_id"))
-  }
+    * declines the default HDFS-backed store, so the RocksDB provider
+    * rides `replayed`'s isolated per-replay session via `extraConfs`
+    * — it can't leak into concurrently-running gates. */
+  private def st5(s: SparkSession, d: String): DataFrame =
+    replayed(s, d, "st5", extraConfs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))(
+      EventStream.ttlCacheTws(s, _, keyCol = "user_id"))
 
   // ---------------------------------------------------------------- st6
 

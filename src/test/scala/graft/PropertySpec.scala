@@ -330,4 +330,70 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getLong(1) * 15L <= Long.MaxValue / (100L * 100 * 10000))
     }
   }
+
+  test("sim19 SQ8: an exact duplicate's distance respects the half-cell error bound") {
+    // Property over RANDOM corpora: per dimension the decode error is
+    // ≤ range/512 (cell midpoint), so for a corpus vector IDENTICAL
+    // to the query, ‖q − decode(code)‖² ≤ Σ_d (range_d/512)² — a bound
+    // computable from the fixture itself. Holds for ALL inputs, so an
+    // unseeded generator cannot flake. Vector 1 duplicates query 0;
+    // ids 2.. are noise that shapes the per-dim ranges.
+    val dimGen = Gen.chooseNum(-1000, 1000).map(_ / 64.0f)
+    val vGen = Gen.listOfN(64, dimGen)
+    val corpus = Gen.listOfN(18, vGen).sample.get
+    val q = vGen.sample.get
+    val rows = Seq((0L, q, 0), (1L, q, 0)) ++
+      corpus.zipWithIndex.map { case (v, i) => (2L + i, v, 1) }
+    val d = fixtureDir("embeddings" -> embeddingsDf(
+      rows.map { case (id, v, l) => (id, v.map(_.toFloat), l) }))
+    val all = rows.map(_._2)
+    val bound = (0 until 64).map { i =>
+      val comps = all.map(v => v(i).toFloat.toDouble)
+      val r = comps.max - comps.min
+      (r / 512.0) * (r / 512.0)
+    }.sum
+    val top = gate("sim19_sq8_search", d).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+    assert(top.head.getAs[Long]("neighbor_id") == 1L,
+      s"duplicate did not rank first: ${top.head}")
+    val dist = top.head.getAs[Double]("sq8_dist")
+    assert(dist >= 0.0 && dist <= bound + 1e-12,
+      s"SQ8 distance $dist exceeds the half-cell bound $bound")
+  }
+
+  test("dd19 spans equal an independent Scala reference on random small-vocab docs") {
+    // Reference implementation at the STRING grain (hash collisions in
+    // the 60-bit gate path are engine-identical and vanishingly rare):
+    // positioned 8-grams, flag those in ≥2 distinct docs, merge
+    // overlapping/adjacent islands per doc, take the envelope.
+    val vocab = Vector("a", "b", "c")
+    val docGen = Gen.chooseNum(8, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val texts = Gen.listOfN(12, docGen).sample.get
+    val d = fixtureDir("documents" -> documentsDf(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s1") }))
+    val K = 8
+    val grams = texts.zipWithIndex.flatMap { case (t, id) =>
+      val a = t.split("\\s+")
+      (0 to a.length - K).map(p => (id.toLong, p + 1, a.slice(p, p + K).mkString(" ")))
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = grams.filter(g => dup(g._3)).groupBy(_._1).flatMap {
+      case (id, gs) =>
+        val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int, Int)]
+        gs.map(_._2).sorted.foreach { p =>
+          spans.lastOption match {
+            case Some((s, e, n)) if p <= e + 1 =>
+              spans.update(spans.length - 1, (s, math.max(e, p + K - 1), n + 1))
+            case _ => spans += ((p, p + K - 1, 1))
+          }
+        }
+        spans.map { case (s, e, n) => (id, s, e, n.toLong) }
+    }.toSet
+    val got = gate("dd19_repeated_spans", d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Long]("n_grams"))).toSet
+    assert(got == expected, s"got ${got.toSeq.sorted}\nexp ${expected.toSeq.sorted}")
+  }
 }
