@@ -1072,6 +1072,92 @@ object TextAnalysis {
       |FROM counts, tot
       |ORDER BY na + nb DESC, token ASC LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------------- tx20
+
+  /** tx20: HOST CENTRALITY for corpus weighting — the link-graph rank
+    * (PageRank with teleport 0.15, 4 power iterations) web-corpus
+    * pipelines use to weight sampling by domain authority (Common
+    * Crawl publishes exactly this as its harmonic-centrality host
+    * ranks; CCNet/RefinedWeb-style curation consumes it as a quality
+    * prior). The link graph is synthesized deterministically at the
+    * HOST grain — an edge (a, b) exists iff the 60-bit md5 of
+    * 'edge|a|b' ≡ 0 (mod 5), ≈20% density — so both engines derive
+    * identical structure from the distinct source list alone (the
+    * yf1/dd18 discipline: build identical inputs, gate the operator).
+    *
+    * Determinism: fixed-point ×10⁹ integer arithmetic end-to-end —
+    * r₀ = S div n; each step r' = (15·S div 100n) + (Σ floor-div
+    * contributions)·85 div 100, every sum a BIGINT (order-free), no
+    * FP damping. Dangling-node mass leaks identically on both
+    * engines (the undamped variant; the leak is part of the law
+    * being gated).
+    *
+    * Scale shape: the rank vector and edge list live at the host
+    * grain — |hosts| ≪ |docs| by construction (the whole point of
+    * domain-grain curation), so every per-iteration join is
+    * broadcast-size; the doc-grain iterative discipline for graphs
+    * that DON'T collapse is dd6/dd12 (min-label and star-contraction
+    * CC with per-round localCheckpoint), which this gate deliberately
+    * does not duplicate. 4 iterations unrolled in one lazy plan. */
+  private def tx20(s: SparkSession, d: String): DataFrame = {
+    val S = 1000000000L
+    val hosts = Tables.documents(s, d).select(col("source")).distinct()
+    val n = hosts.count() // ≤|hosts| driver anchor (the codebookArr class)
+    val edges = hosts.select(col("source").as("src"))
+      .crossJoin(hosts.select(col("source").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .filter(expr("CAST(conv(substring(md5(concat('edge|', src, '|', dst)), 1, 15), 16, 10) AS BIGINT) % 5 = 0"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val teleport = 15L * S / (100L * n)
+    var rank = hosts.select(col("source"), lit(S / n).as("r"))
+    for (_ <- 1 to 4) {
+      // every join side is ≤|hosts| (or |hosts|²-bounded edges) rows —
+      // broadcast explicitly: post-crossJoin stats are unknown to the
+      // planner, which would otherwise fall back to sort-merge
+      val contrib = edges.join(broadcast(rank), col("src") === col("source"))
+        .join(broadcast(outdeg), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      rank = hosts
+        .join(broadcast(contrib), col("source") === col("dst"), "left")
+        .select(col("source"),
+          (lit(teleport) + expr("coalesce(in_sum, 0L) * 85L div 100L")).as("r"))
+    }
+    rank.select(col("source"), col("r").as("rank_scaled"),
+      expr(s"r * 1000L div ${S}L").as("weight_permille"))
+  }
+
+  private val tx20Sql = {
+    def step(k: Int): String =
+      s"""r$k AS (
+         |  SELECT h.source,
+         |    CAST(15 AS BIGINT) * 1000000000 // (100 * (SELECT n FROM nn))
+         |      + coalesce(s.in_sum, 0) * 85 // 100 AS r
+         |  FROM hosts h LEFT JOIN (
+         |    SELECT e.dst, CAST(sum(p.r // od.outdeg) AS BIGINT) AS in_sum
+         |    FROM e JOIN r${k - 1} p ON e.src = p.source
+         |    JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) s ON s.dst = h.source)""".stripMargin
+    s"""WITH hosts AS (SELECT DISTINCT source FROM documents),
+       |nn AS (SELECT count(*) AS n FROM hosts),
+       |e AS (
+       |  SELECT a.source AS src, b.source AS dst
+       |  FROM hosts a, hosts b
+       |  WHERE a.source <> b.source
+       |    AND ('0x' || substr(md5('edge|' || a.source || '|' || b.source),
+       |      1, 15))::BIGINT % 5 = 0),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (
+       |  SELECT source, CAST(1000000000 AS BIGINT) // (SELECT n FROM nn) AS r FROM hosts),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)},
+       |${step(4)}
+       |SELECT source, r AS rank_scaled,
+       |  CAST(r * 1000 // 1000000000 AS BIGINT) AS weight_permille
+       |FROM r4""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -1110,5 +1196,7 @@ object TextAnalysis {
     GateQuery("tx18_kmv_merge", tx18, Some(tx18Sql),
       "KMV mergeability as data: per-source sketches re-sketched equal the direct global sketch"),
     GateQuery("tx19_token_drift", tx19, Some(tx19Sql),
-      "token-distribution drift between hash-split corpus halves over the shared top-100 vocab"))
+      "token-distribution drift between hash-split corpus halves over the shared top-100 vocab"),
+    GateQuery("tx20_host_centrality", tx20, Some(tx20Sql),
+      "PageRank host centrality (4 fixed-point iterations) for domain-weighted sampling"))
 }

@@ -188,7 +188,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // codes instead of raw vectors
       "sim20_sampled_codebook", // embeds sim1's brute-force truth
       // (sim8/sim18's shape) for both recall legs
-      "tx19_token_drift") // 1-row half-totals anchor cross (la2's shape)
+      "tx19_token_drift", // 1-row half-totals anchor cross (la2's shape)
+      "tx20_host_centrality") // |hosts|² bounded graph generator:
+      // the host-dim self-cross IS the edge rule's domain, ≪ |docs|
     // The ONE legitimate sort-merge join: q10's co-located bucketed
     // join — SMJ over bucket-sorted reads carries no exchange and no
     // sort (its own test asserts both), which is the whole point of

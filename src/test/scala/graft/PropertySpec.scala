@@ -362,6 +362,39 @@ class PropertySpec extends AnyFunSuite {
       s"SQ8 distance $dist exceeds the half-cell bound $bound")
   }
 
+  test("tx20 centrality equals an independent Scala fixed-point PageRank") {
+    // Reference implementation of the exact integer law over the same
+    // md5-derived edge rule, on a fixture with a random source count —
+    // every floor division and the dangling leak must agree.
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val nSrc = Gen.chooseNum(4, 12).sample.get
+    val srcs = (0 until nSrc).map(i => s"h$i")
+    val d = fixtureDir("documents" -> documentsDf(
+      srcs.zipWithIndex.map { case (s, i) => (i.toLong, s"doc of $s", "en", s) }))
+    val S = 1000000000L
+    val edges = for {
+      a <- srcs; b <- srcs
+      if a != b && h60(s"edge|$a|$b") % 5 == 0
+    } yield (a, b)
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val teleport = 15L * S / (100L * nSrc)
+    var rank = srcs.map(_ -> S / nSrc).toMap
+    for (_ <- 1 to 4) {
+      val in = edges.groupBy(_._2).map { case (dstK, es) =>
+        dstK -> es.map { case (a, _) => rank(a) / outdeg(a) }.sum
+      }
+      rank = srcs.map(sr =>
+        sr -> (teleport + in.getOrElse(sr, 0L) * 85L / 100L)).toMap
+    }
+    val got = gate("tx20_host_centrality", d).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("rank_scaled")).toMap
+    assert(got == rank, s"got $got\nexp $rank")
+  }
+
   test("dd19 spans equal an independent Scala reference on random small-vocab docs") {
     // Reference implementation at the STRING grain (hash collisions in
     // the 60-bit gate path are engine-identical and vanishingly rare):

@@ -719,6 +719,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(total == expected, s"token conservation broke: $total vs $expected")
   }
 
+  test("tx20 centrality: teleport floor, mass conservation, differentiation, determinism") {
+    val rows = gate("tx20_host_centrality", sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank_scaled")))
+    val n = rows.length
+    assert(n >= 2)
+    val teleport = 15L * 1000000000L / (100L * n)
+    rows.foreach { case (s, r) =>
+      assert(r >= teleport, s"$s rank $r below the teleport floor $teleport")
+    }
+    // fixed-point mass: ≤ S exactly (floor losses + dangling leak only
+    // ever shrink it), and the leak can't take more than half at 20%
+    // edge density
+    val total = rows.map(_._2).sum
+    assert(total <= 1000000000L && total > 500000000L, s"mass $total")
+    assert(rows.map(_._2).distinct.length > 1, "ranks failed to differentiate")
+    val again = gate("tx20_host_centrality", sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank_scaled")))
+    assert(rows.toSet == again.toSet, "tx20 output varies across invocations")
+  }
+
   test("dd19 spans within a doc never overlap and always cover >= 8 tokens") {
     val byDoc = gate("dd19_repeated_spans", sf0001).collect()
       .groupBy(_.getAs[Long]("doc_id"))
