@@ -86,7 +86,9 @@ object PlanDump {
     "dd19_repeated_spans" ->
       "Repeated spans: positioned 8-gram hashes explode as a narrow map (8-byte keys + int positions, never gram text); the duplicated-gram dim is one map-side-combined hash agg; the island window and the span rollup share ONE doc_id exchange.",
     "sim19_sq8_search" ->
-      "SQ8 search: the 64-row stats agg folds into encode/decode as literals, so quantization is a zero-exchange narrow map; per candidate the only pair work is one dot against the broadcast query side; top-k prunes map-side (WindowGroupLimit).")
+      "SQ8 search: the 64-row stats agg folds into encode/decode as literals, so quantization is a zero-exchange narrow map; per candidate the only pair work is one dot against the broadcast query side; top-k prunes map-side (WindowGroupLimit).",
+    "tx20_host_centrality" ->
+      "Host centrality: 4 unrolled fixed-point PageRank iterations in ONE lazy plan — every per-iteration join is host-grain and BroadcastHashJoin; the |hosts|² edge generator is the only nested loop, bounded by the host dim.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
