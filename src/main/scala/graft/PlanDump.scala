@@ -88,7 +88,9 @@ object PlanDump {
     "sim19_sq8_search" ->
       "SQ8 search: the 64-row stats agg folds into encode/decode as literals, so quantization is a zero-exchange narrow map; per candidate the only pair work is one dot against the broadcast query side; top-k prunes map-side (WindowGroupLimit).",
     "tx20_host_centrality" ->
-      "Host centrality: 4 unrolled fixed-point PageRank iterations in ONE lazy plan — every per-iteration join is host-grain and BroadcastHashJoin; the |hosts|² edge generator is the only nested loop, bounded by the host dim.")
+      "Host centrality: 4 unrolled fixed-point PageRank iterations in ONE lazy plan — every per-iteration join is host-grain and BroadcastHashJoin; the |hosts|² edge generator is the only nested loop, bounded by the host dim.",
+    "q16_sql_lateral" ->
+      "SQL LATERAL-with-LIMIT: Catalyst decorrelates the per-priority top-3 into the rank-window plan (no per-row re-execution) — hash joins and a partitioned window, never a loop.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

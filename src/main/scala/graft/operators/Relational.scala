@@ -341,6 +341,36 @@ object Relational {
       |    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
       |GROUP BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q16
+
+  /** q16: the LATERAL correlated subquery — the third and last
+    * correlated-subquery class the SQL-text surface owes (q12 EXISTS
+    * → semi join, q13 NOT EXISTS → anti join, q16 LATERAL-with-LIMIT
+    * → per-group top-k): "for each order priority, its top-3 orders
+    * by price", spelled as `, LATERAL (... ORDER BY ... LIMIT 3)` in
+    * ONE dialect-shared string both engines parse. Catalyst
+    * decorrelates the limited lateral into the rank-window plan W1
+    * computes natively (DecorrelateInnerQuery turns the per-row LIMIT
+    * into a partitioned row_number ≤ 3) — the point of the gate is
+    * that the DECLARATIVE spelling lands on the same scalable
+    * physical shape, not a per-driver-row re-execution. Exact cents,
+    * unique (cents, orderkey) tie-break, 5×3 deterministic rows. */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    ensureSqlViews(s, d)
+    s.sql(q16Sql)
+  }
+
+  private val q16Sql =
+    """SELECT p.o_orderpriority, t.o_orderkey, t.cents
+      |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+      |LATERAL (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders o
+      |  WHERE o.o_orderpriority = p.o_orderpriority
+      |  ORDER BY cents DESC, o_orderkey ASC
+      |  LIMIT 3) t""".stripMargin
+
   // ---------------------------------------------------------------- q13
 
   /** q13: the NEGATED correlated subquery — q12's missing half. One
@@ -518,5 +548,7 @@ object Relational {
     GateQuery("q14_bag_setops", q14, Some(q14Sql),
       "INTERSECT ALL / EXCEPT ALL: multiplicity-preserving set ops (§2.7's bag half)"),
     GateQuery("q15_summary_rewrite", q15, Some(q15Sql),
-      "Catalyst Rule answers a fact-table rollup from a registered summary (zero fact I/O)"))
+      "Catalyst Rule answers a fact-table rollup from a registered summary (zero fact I/O)"),
+    GateQuery("q16_sql_lateral", q16, Some(q16Sql),
+      "LATERAL-with-LIMIT decorrelated to the per-group top-k window (the SQL surface's third correlated class)"))
 }

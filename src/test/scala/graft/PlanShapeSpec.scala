@@ -321,6 +321,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffleCount(p) == 1, s"expected 1 exchange (top-k window)\n$p")
   }
 
+  test("q16 lateral decorrelates to a map-side-pruned rank window, not a loop") {
+    // The LATERAL-with-LIMIT spelling must land on W1's physical
+    // shape: a partial WindowGroupLimit BEFORE the priority exchange
+    // (each task keeps only its local top-3 per priority) and a
+    // broadcast join against the 5-row priority dim — never a
+    // per-driver-row re-execution of the subquery.
+    val df = gate("q16_sql_lateral", sf0001)
+    df.collect()
+    val p = finalPlan(df)
+    assert(p.contains("WindowGroupLimit"), s"no map-side top-k prune:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"priority dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"lateral fell back to a loop:\n$p")
+  }
+
   test("retrieval plans: tx13 is one-pass after tf, tx14 query dim is top-k") {
     // tx13's df/total_tf/postings_head all aggregate in ONE pass over
     // a single hash(term) exchange (the rank window's partitioning is
