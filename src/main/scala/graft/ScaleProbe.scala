@@ -415,7 +415,10 @@ object ScaleProbe {
       if (Set("all", "streams")(probe)) {
         for (g <- Seq("st1_stream_quota", "st2_stream_rate",
             "st3_stream_scd2", "st4_stream_ttl", "st5_stream_ttl_v2",
-            "st6_stream_join", "st7_stream_sessions")) {
+            "st6_stream_join", "st7_stream_sessions",
+            // ob5: the observation rides the replay scan; metric rows
+            // stay |slices| regardless of event count.
+            "ob5_stream_observe")) {
           val t1 = System.nanoTime()
           val c = SparkEntry.queries(g)(spark, out).count()
           val s1 = (System.nanoTime() - t1) / 1e9

@@ -478,6 +478,62 @@ object StreamGates {
        |SELECT user_id, sess_start_us, sess_end_us, n_events, value_cents
        |FROM sess, wm WHERE sess_end_us <= wm_ms * 1000""".stripMargin
 
+  // ---------------------------------------------------------------- ob5
+
+  /** ob5: `Dataset.observe` ON A STREAM — the per-micro-batch metric
+    * side-channel a production pipeline alarms on (rows/sec, cents
+    * ingested per batch), driver-oracled: the replay's observation
+    * emits (count, cent-sum) per micro-batch through
+    * `StreamingQueryProgress.observedMetrics` — no second scan, no
+    * extra action, the same `observe` machinery ob1/ob2 gate in
+    * batch — and because the replay's batch boundaries are the
+    * DETERMINISTIC time slices (maxFilesPerTrigger=1, oldest-first),
+    * the per-batch metrics are a pure function of the events table:
+    * the oracle re-derives them from the slice-cut algebra (floor
+    * time buckets over the 1-row bounds anchor). Observability
+    * numbers usually can't be oracle-checked; pinning the batch
+    * boundaries is what makes these exact.
+    *
+    * The sink is `noop` — the observation IS the output, which is
+    * the 100 TB point: per-batch accounting costs zero extra I/O.
+    * The ≤|slices| metric rows are the only driver-side data. */
+  private def ob5(s: SparkSession, d: String): DataFrame = {
+    val src = stageSlices(s, d, 4)
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = Files.createTempDirectory("graft-ob5-").toFile
+    cleanupRoots.add(root)
+    val stream = iso.readStream.schema(Tables.events(iso, d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+      .observe("slice_metrics",
+        count(lit(1)).as("n_events"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).as("value_cents"))
+    val q = stream.writeStream.format("noop")
+      .option("checkpointLocation", new File(root, "chk").getPath)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("slice_metrics"))
+        .map(m => (p.batchId, m.getAs[Long]("n_events"),
+          m.getAs[Long]("value_cents"))))
+      .filter(_._2 > 0)  // the post-data flush batch observes nothing
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, n, c), i) => (i.toLong, n, c) }
+    import s.implicits._
+    rows.toDF("slice_id", "n_events", "value_cents")
+  }
+
+  private val ob5Sql = TimeWindows.evsSql +
+    """, b AS (
+      |  SELECT min(ts_us) AS lo, (max(ts_us) - min(ts_us)) // 4 + 1 AS span
+      |  FROM evs)
+      |SELECT (ts_us - lo) // span AS slice_id,
+      |  count(*) AS n_events,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+      |FROM evs, b GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -494,5 +550,7 @@ object StreamGates {
     GateQuery("st6_stream_join", st6, Some(st6Sql),
       "stream-stream left-outer range join ≡ batch matches + watermark-evicted 'unknown' rows"),
     GateQuery("st7_stream_sessions", st7, Some(st7Sql),
-      "native session_window replay ≡ gaps-and-islands + watermark emission cut"))
+      "native session_window replay ≡ gaps-and-islands + watermark emission cut"),
+    GateQuery("ob5_stream_observe", ob5, Some(ob5Sql),
+      "Dataset.observe on a stream: per-micro-batch metrics ≡ the slice-cut algebra"))
 }

@@ -114,4 +114,22 @@ class StreamGatesSpec extends AnyFunSuite {
       assert(expired <= cached, s"key $k: $expired tombstones for $cached cached batches")
     }
   }
+
+  test("ob5 observed batch metrics conserve the corpus, one row per data slice") {
+    val rows = gate("ob5_stream_observe", sf0001).collect()
+      .map(r => (r.getAs[Long]("slice_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("value_cents")))
+    assert(rows.map(_._1).sorted.toSeq == (0L until rows.length).toSeq,
+      "slice ids must be dense from 0 in replay order")
+    assert(rows.length == 4, s"expected 4 data slices, got ${rows.length}")
+    val ev = Tables.events(spark, sf0001)
+    assert(rows.map(_._2).sum == ev.count(),
+      "observed per-batch counts must conserve the corpus")
+    import org.apache.spark.sql.functions._
+    val cents = ev.agg(sum((col("value")
+      .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long"))).head.getLong(0)
+    assert(rows.map(_._3).sum == cents,
+      "observed per-batch cent sums must conserve the corpus")
+  }
 }
