@@ -485,6 +485,68 @@ object Multimodal {
       |            i -> md5(substr(text, 1 + i*128, 32))) END AS fr
       |      FROM documents) s) t) u""".stripMargin
 
+  // ---------------------------------------------------------------- mm10
+
+  /** mm10: PAYLOAD QUARANTINE at ingest — the validation pass every
+    * media pipeline runs before a byte reaches a decoder: a payload
+    * whose ACTUAL byte length disagrees with the container's DECLARED
+    * length is truncated/corrupt and must quarantine, never crash a
+    * downstream codec (the reference's request-size caps, F11, are
+    * the serving-side cousin; this is the data-side check with real
+    * relational semantics). The corrupt population is synthesized
+    * DETERMINISTICALLY in both engines (the yf1/dd18 discipline —
+    * identical inputs, gate the validator): media_id ≡ 0 (mod 97)
+    * arrives EMPTY (a failed upload), media_id ≡ 0 (mod 11, and not
+    * the empty class) arrives with its last 7 bytes TRUNCATED (a cut
+    * transfer) — byte-grain `substring` on the BinaryType payload,
+    * which coincides with DuckDB's char-grain substr because the
+    * stand-in corpus is ASCII (a fact mm3's byte-moment oracle
+    * already relies on).
+    *
+    * Verdicts (first match wins, pinned order): quarantine_empty
+    * (zero bytes), quarantine_len_mismatch (actual ≠ declared), ok.
+    * Output is the per-(container, verdict) rollup + exact surviving
+    * byte volumes — what an ingest dashboard shows and an SLA
+    * references.
+    *
+    * Scale shape: one narrow map (the corruption stand-in + an
+    * octet_length — no payload bytes reach the agg) + one
+    * map-side-combined hash agg to ≤ |containers|×3 rows. The
+    * quarantine DECISION reads only lengths. */
+  private def mm10(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .withColumn("arrived",
+        when(col("media_id") % 97 === 0, lit("").cast("binary"))
+          .when(col("media_id") % 11 === 0 &&
+              octet_length(col("payload")) >= 8,
+            expr("substring(payload, 1, octet_length(payload) - 7)"))
+          .otherwise(col("payload")))
+      .select(col("container"),
+        octet_length(col("arrived")).as("n_bytes"), col("declared_len"))
+      .withColumn("verdict",
+        when(col("n_bytes") === 0, lit("quarantine_empty"))
+          .when(col("n_bytes") =!= col("declared_len"),
+            lit("quarantine_len_mismatch"))
+          .otherwise(lit("ok")))
+      .groupBy(col("container"), col("verdict"))
+      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"))
+
+  private val mm10Sql =
+    """SELECT container,
+      |  CASE WHEN n_bytes = 0 THEN 'quarantine_empty'
+      |       WHEN n_bytes <> declared_len THEN 'quarantine_len_mismatch'
+      |       ELSE 'ok' END AS verdict,
+      |  count(*) AS n,
+      |  CAST(sum(n_bytes) AS BIGINT) AS bytes
+      |FROM (
+      |  SELECT source AS container, n_chars AS declared_len,
+      |    strlen(CASE WHEN doc_id % 97 = 0 THEN ''
+      |      WHEN doc_id % 11 = 0 AND strlen(text) >= 8
+      |        THEN substr(text, 1, strlen(text) - 7)
+      |      ELSE text END) AS n_bytes
+      |  FROM documents) t
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
@@ -503,7 +565,9 @@ object Multimodal {
     GateQuery("mm8_crossmodal_dedup", mm8, Some(mm8Sql),
       "cross-modal ensemble dedup: perceptual x embedding signals merged into drop/review decisions"),
     GateQuery("mm9_static_payload", mm9, Some(mm9Sql),
-      "static/low-information payload detector: in-row frame redundancy profile + is_static flag"))
+      "static/low-information payload detector: in-row frame redundancy profile + is_static flag"),
+    GateQuery("mm10_payload_quarantine", mm10, Some(mm10Sql),
+      "ingest validation: declared-vs-actual length quarantine rollup, payload never opened"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

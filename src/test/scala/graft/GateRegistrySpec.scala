@@ -169,7 +169,7 @@ class GateRegistrySpec extends AnyFunSuite {
     // Pin the documented numbers to the registry so drift fails CI.
     val total = GateQueries.all.size
     val oracled = GateQueries.all.count(_.oracle.isDefined)
-    assert(total == 170 && oracled == 170,
+    assert(total == 171 && oracled == 171,
       s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
     val coverage = repoText("COVERAGE.md")
     assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),

@@ -197,6 +197,21 @@ class YtFormatsSpec extends AnyFunSuite {
     assert(uniq.getAs[Long]("bytes_saved") == 0L)
   }
 
+  test("mm10: empty/truncated arrivals quarantine, intact payloads pass") {
+    // media_id 0 (≡0 mod 97) arrives empty; 11 (≡0 mod 11) arrives
+    // 7 bytes short of its declared length; 1 is intact.
+    val text = "twelve bytes plus some more payload content here"
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (0L, text, "en", "srcA"), (11L, text, "en", "srcA"),
+      (1L, text, "en", "srcA"))))
+    val rows = gate("mm10_payload_quarantine", d).collect()
+      .map(r => r.getAs[String]("verdict") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("bytes"))).toMap
+    assert(rows("quarantine_empty") == (1L, 0L))
+    assert(rows("quarantine_len_mismatch") == (1L, text.length.toLong - 7))
+    assert(rows("ok") == (1L, text.length.toLong))
+  }
+
   test("yf10: every link form canonicalizes to one watch?v= URL") {
     val rows = gate("yf10_url_canonicalize", sf0001).collect()
     assert(rows.nonEmpty)
