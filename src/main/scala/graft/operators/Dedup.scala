@@ -1237,11 +1237,16 @@ object Dedup {
     * pass over history's chunk universe (k=4 salted-md5 hashes into
     * m = 8·|history| bits — the ~8-bits-per-key production sizing
     * rule, computed FROM the data so the filter never saturates as
-    * the corpus grows); the resulting bitmap (m/8 bytes — ~2 KiB at
-    * sf0.01) is the ONLY thing that reaches the driver, and ships
-    * back to every task as a plain array literal: this is the one
-    * collect() in the dd family, and it is the bloom-build contract
-    * itself — the bitmap IS the broadcast artifact. Probe: each
+    * the corpus grows). The build is DISTRIBUTED: positions are
+    * OR-folded into 64-bit words per block (`p DIV 64` →
+    * `bit_or(1L << (p % 64))`, a map-side-combinable hash agg), and
+    * only the ≤ m/64 non-zero words reach the driver — bitmap-sized
+    * transfer (m/8 bytes ≈ 2 KiB at sf0.01, 1 bit/position
+    * regardless of |history|), asserted in TextDedupSpec. The
+    * assembled bitmap then ships back to every task as a plain array
+    * literal: this is the one collect() in the dd family, and it is
+    * the bloom-build contract itself — the bitmap IS the broadcast
+    * artifact. Probe: each
     * incoming chunk tests its 4 bits in codegen (`getbit` over the
     * literal array — no join, no shuffle); bloom-misses are DEFINITE
     * new (no false negatives, asserted in TextDedupSpec against the
@@ -1253,9 +1258,29 @@ object Dedup {
     *
     * Scale shape: the exact-verify join input shrinks by the
     * true-negative rate (~70 % of new chunks never join at 8 b/key);
-    * at 100 TB the build becomes a treeAggregate of partial bitmaps
-    * and the probe stays a narrow map — candidate volume is
-    * |batch| · (dup rate + ~2.4 % FP), never |batch| × |history|. */
+    * the build is one shuffle at the (m/64)-block grain with map-side
+    * OR-combine and the probe stays a narrow codegen map — candidate
+    * volume is |batch| · (dup rate + ~2.4 % FP), never
+    * |batch| × |history|, and driver transfer is the bitmap itself. */
+  /** Bloom position hash: salted-md5 of the chunk string folded into
+    * [0, m). Shared by the build and probe sides of dd17. */
+  private def bloomPos(m: Long)(c: Column, j: Int): Column =
+    pmod(conv(substring(md5(concat(c, lit(s"#$j"))), 1, 15), 16, 10)
+      .cast("long"), lit(m))
+
+  /** dd17's DISTRIBUTED bloom build: the k positions per key are
+    * OR-folded into 64-bit words at the `p DIV 64` block grain — a
+    * map-side-combinable hash agg whose output is at most m/64 rows
+    * of (block, word), i.e. the bitmap itself in block form. This is
+    * the only thing the driver collects; exposed for the spec's
+    * driver-transfer assertion. */
+  private[graft] def bloomBlocks(hist: DataFrame, m: Long, k: Int): DataFrame =
+    hist
+      .select(explode(array(
+        (0 until k).map(j => bloomPos(m)(col("c"), j)): _*)).as("p"))
+      .groupBy(expr("p DIV 64").as("blk"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").as("word"))
+
   private def dd17(s: SparkSession, d: String): DataFrame = {
     val k = 4
     val chunked = chunkStream(s, d)
@@ -1263,15 +1288,11 @@ object Dedup {
     val hist = chunked.filter(col("doc_id") % 10 =!= 0)
       .select(col("c")).distinct()
     val m = 8L * hist.count() // the sizing pass: ~8 bits per key
-    def posCol(c: Column, j: Int): Column =
-      pmod(conv(substring(md5(concat(c, lit(s"#$j"))), 1, 15), 16, 10)
-        .cast("long"), lit(m))
-    val positions = hist
-      .select(explode(array((0 until k).map(j => posCol(col("c"), j)): _*)).as("p"))
-      .distinct().collect().map(_.getLong(0))
+    def posCol(c: Column, j: Int): Column = bloomPos(m)(c, j)
     val bitmap = new Array[Long]((m / 64 + 1).toInt)
-    positions.foreach(p => bitmap((p / 64).toInt) |= (1L << (p % 64).toInt))
-    val nBitsSet = positions.length.toLong
+    bloomBlocks(hist, m, k).collect()
+      .foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
+    val nBitsSet = bitmap.map(w => java.lang.Long.bitCount(w).toLong).sum
     val bmLit = lit(bitmap)
     def bitSet(p: Column): Column =
       call_function("getbit",

@@ -652,6 +652,16 @@ class TextDedupSpec extends AnyFunSuite {
     // false positives exist only among bloom hits, never among misses
     assert(counts.getOrElse("bloom_fp", 0L) + counts.getOrElse("dup", 0L) +
       counts.getOrElse("definite_new", 0L) == nBatch)
+    // DISTRIBUTED BUILD: driver transfer is bitmap-sized. The build
+    // collects at most m/64 (block, word) rows — never the
+    // universe-proportional position list — and the OR-folded words
+    // carry exactly the gate's reported bit count.
+    val blocks = operators.Dedup.bloomBlocks(hist, m, 4).collect()
+    assert(blocks.length <= (m / 64 + 1).toInt,
+      s"driver got ${blocks.length} rows > bitmap blocks ${m / 64 + 1}")
+    val blockBits = blocks.map(r => java.lang.Long.bitCount(r.getLong(1)).toLong).sum
+    assert(blockBits == bits,
+      s"block-folded bit count $blockBits != gate n_bits_set $bits")
   }
 
   test("invariants on driver data (sf0.001)") {
