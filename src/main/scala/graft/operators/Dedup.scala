@@ -346,7 +346,7 @@ object Dedup {
        |    AND a.doc_id < b.doc_id)""".stripMargin
 
   /** tok → … → sim at the TOKEN grain (dd4/dd13's sketch input). */
-  private val simhashCteSql =
+  private[operators] val simhashCteSql =
     s"""tok AS (
        |  SELECT doc_id, w, count(*) AS cnt FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
@@ -1174,7 +1174,7 @@ object Dedup {
       .withColumn("contaminated", col("containment_permille") >= 700)
   }
 
-  private val dd15Sql = "WITH " + shingledSql +
+  private[operators] val dd15Sql = "WITH " + shingledSql +
     """, benchu AS (
       |  SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h
       |  FROM (SELECT unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 = 0) b),

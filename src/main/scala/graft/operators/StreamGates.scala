@@ -64,15 +64,17 @@ object StreamGates {
   private val stagedSrc =
     new java.util.concurrent.ConcurrentHashMap[String, File]()
 
-  /** Stage the events table as `slices` disjoint time-range parquet
-    * files (mod-times pinned strictly increasing, so the file source's
-    * oldest-first listing replays them in event-time order). ONE
-    * partitioned write stages every slice — `partitionBy(slice)` with
-    * a slice-keyed repartition yields exactly one file per slice dir
-    * from a single scan (vs one filtered scan per slice). */
-  private def stageSlices(s: SparkSession, d: String, slices: Int): File =
-    stagedSrc.computeIfAbsent(s"$d|$slices", _ => {
-      val ev = Tables.events(s, d)
+  /** Stage a time-stamped DataFrame as `slices` disjoint time-range
+    * parquet files (mod-times pinned strictly increasing, so the file
+    * source's oldest-first listing replays them in event-time order).
+    * ONE partitioned write stages every slice — `partitionBy(slice)`
+    * with a slice-keyed repartition yields exactly one file per slice
+    * dir from a single scan (vs one filtered scan per slice). The
+    * frame must carry a timestamp column `ts`; `key` identifies the
+    * staged source for JVM-wide reuse across gates. */
+  private def stageAny(key: String, slices: Int)(mk: => DataFrame): File =
+    stagedSrc.computeIfAbsent(key, _ => {
+      val ev = mk
       val root = Files.createTempDirectory("graft-st-src-").toFile
       cleanupRoots.add(root)
       val src = new File(root, "src"); src.mkdirs()
@@ -105,6 +107,10 @@ object StreamGates {
       src
     })
 
+  /** The events-table staging every st1-st7 gate shares. */
+  private def stageSlices(s: SparkSession, d: String, slices: Int): File =
+    stageAny(s"$d|$slices", slices)(Tables.events(s, d))
+
   /** Run `pipe` over the staged slice replay as a micro-batch stream
     * into a checkpointed parquet sink, and return the sink read-back.
     *
@@ -126,14 +132,30 @@ object StreamGates {
     * side; the isolated session is exactly that sizing. */
   private[graft] def replayed(s: SparkSession, d: String, gate: String,
       slices: Int = 4, extraConfs: Map[String, String] = Map.empty)(
+      pipe: DataFrame => DataFrame): DataFrame =
+    runReplay(s, stageSlices(s, d, slices), Tables.events(s, d).schema,
+      gate, extraConfs)(pipe)
+
+  /** `replayed` for an arbitrary time-stamped frame: stage `df` (cached
+    * JVM-wide under `key`) as ordered slices and replay `pipe` over it —
+    * how the doc-/media-grain ingest pipelines (st8-st11) get the same
+    * real-micro-batch treatment the event-grain gates st1-st7 get. */
+  private[graft] def replayedDf(s: SparkSession, key: String, df: DataFrame,
+      gate: String, slices: Int = 4,
+      extraConfs: Map[String, String] = Map.empty)(
+      pipe: DataFrame => DataFrame): DataFrame =
+    runReplay(s, stageAny(key, slices)(df), df.schema, gate, extraConfs)(pipe)
+
+  private def runReplay(s: SparkSession, src: File,
+      schema: org.apache.spark.sql.types.StructType, gate: String,
+      extraConfs: Map[String, String])(
       pipe: DataFrame => DataFrame): DataFrame = {
-    val src = stageSlices(s, d, slices)
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "8")
     extraConfs.foreach { case (k, v) => iso.conf.set(k, v) }
     val root = Files.createTempDirectory(s"graft-$gate-").toFile
     cleanupRoots.add(root)
-    val stream = iso.readStream.schema(Tables.events(iso, d).schema)
+    val stream = iso.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src.getPath)
     val out = new File(root, "out")
     val chk = new File(root, "chk")
@@ -508,19 +530,28 @@ object StreamGates {
       .observe("slice_metrics",
         count(lit(1)).as("n_events"),
         sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-          .cast("long")).as("value_cents"))
+          .cast("long")).as("value_cents"),
+        min(unix_micros(col("ts"))).as("min_us"))
     val q = stream.writeStream.format("noop")
       .option("checkpointLocation", new File(root, "chk").getPath)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
+    // slice_id from each batch's min event time via the SAME bounds
+    // algebra that cut the slices — not a dense renumber, so an empty
+    // middle slice (no staged file, no batch) leaves the gap the
+    // oracle's algebra also leaves instead of shifting every later id
+    val bounds = Tables.events(s, d).agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, span) = (bounds.getLong(0), (bounds.getLong(1) - bounds.getLong(0)) / 4 + 1)
     val rows = q.recentProgress.toSeq
       .flatMap(p => Option(p.observedMetrics.get("slice_metrics"))
-        .map(m => (p.batchId, m.getAs[Long]("n_events"),
-          m.getAs[Long]("value_cents"))))
-      .filter(_._2 > 0)  // the post-data flush batch observes nothing
-      .sortBy(_._1)
-      .zipWithIndex
-      .map { case ((_, n, c), i) => (i.toLong, n, c) }
+        .map(m => (m.getAs[Long]("n_events"),
+          m.getAs[Long]("value_cents"), m.getAs[Any]("min_us"))))
+      .collect { case (n, c, minUs: Long) if n > 0 =>
+        // the post-data flush batch observes no rows (NULL min) → dropped
+        ((minUs - lo) / span, n, c)
+      }
     import s.implicits._
     rows.toDF("slice_id", "n_events", "value_cents")
   }
@@ -533,6 +564,234 @@ object StreamGates {
       |  count(*) AS n_events,
       |  CAST(sum(value_cents) AS BIGINT) AS value_cents
       |FROM evs, b GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- doc/media replays
+
+  /** Shared micro-batch base instant for the synthetic ingest clocks —
+    * the same anchor the spec fixtures use. */
+  private val BaseUs = 1700000000000000L
+
+  /** The shared doc-grain replay source for the stateless ingest gates
+    * (st9-st11): the documents table with a deterministic arrival
+    * clock (doc_id mod 240 seconds past the anchor — spread across
+    * all 4 slices, but the pipelines are stateless so the slicing
+    * only proves batch≡stream, never changes the answer). */
+  private def docSource(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      timestamp_micros(lit(BaseUs) + pmod(col("doc_id"), lit(240)) * lit(1000000L))
+        .as("ts"),
+      col("text"))
+
+  // ---------------------------------------------------------------- st8
+
+  /** st8: the STREAMING CORPUS-PREP FUNNEL (`EventStream.docPrepFunnel`
+    * — live ingest quality bucket + fingerprint dedup with
+    * WATERMARK-BOUNDED state), replayed and oracled, including the
+    * state-EVICTION path most dedup streams never get tested on: the
+    * synthetic ingest clock arrives every document twice (two crawl
+    * waves 98 min apart), with each fingerprint's wave slot derived
+    * from the fingerprint itself (fp mod 12 × 7 min), so every copy of
+    * a fingerprint arrives at the SAME instant (deterministic in-batch
+    * arbitration) and wave 2 lands after the 10-min dedup state for
+    * some slots — but not others — has been evicted.
+    *
+    * The emission law is PROBED, not assumed (EventStreamSpec
+    * "dedup-within-watermark eviction law"): state expiry = event ts +
+    * delay; eviction COMMITS with a batch's own eviction watermark
+    * (floor-ms of max event time through the PREVIOUS batch minus the
+    * delay), so in a CONTINUOUS backlog replay — data in every trigger,
+    * hence no intermediate no-data batches — a key re-arriving in
+    * batch j only finds state gone if its expiry cleared batch j−1's
+    * watermark, i.e. max event time through batch j−2 minus the delay
+    * (the two-batch lag; an idle stream would instead evict in the
+    * no-data batches Spark schedules on watermark advance, which is
+    * exactly how the same probe behaves one batch earlier under
+    * MemoryStream+processAllAvailable). The 7-min arrival grid makes
+    * expiry-vs-watermark equality impossible (equality would need an
+    * arrival-time delta of exactly 2×10 min, not a multiple of 7), so
+    * the comparison's strictness can never bite. The oracle rewrites
+    * the protocol as pure slice algebra: wave 1 always emits once;
+    * wave 2 re-emits iff its wave-1 expiry cleared the watermark
+    * carried into its slice — max event time over slices ≤ j−2, minus
+    * the delay. Output at the (fp, n_tokens,
+    * decision) grain with the emission count — doc_id/ts are projected
+    * out because within-batch duplicate arbitration is
+    * partition-ordered (every fp-mate shares identical text modulo
+    * whitespace, so the derived columns are arbitration-invariant;
+    * the ids are not).
+    *
+    * Scale shape: dedup state is one (fp, expiry) pair per in-flight
+    * fingerprint, bounded by the watermark horizon — the property this
+    * gate exists to exercise; the funnel itself is a narrow map. */
+  private def st8(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("slot", pmod(
+        conv(substring(TextAnalysis.contentFp(col("text")), 1, 15), 16, 10)
+          .cast("long"), lit(12)))
+    def wave(offsetUs: Long): DataFrame = base.select(
+      col("doc_id"),
+      timestamp_micros(lit(BaseUs) + col("slot") * lit(420000000L) + lit(offsetUs))
+        .as("ts"),
+      col("text"))
+    val stream = wave(0L).unionByName(wave(5880000000L))
+    replayedDf(s, s"$d|docprep", stream, "st8")(EventStream.docPrepFunnel)
+      .groupBy(col("fp"), col("n_tokens"), col("decision"))
+      .agg(count(lit(1)).as("n_emissions"))
+  }
+
+  private val st8Sql = {
+    val fpSql = TextAnalysis.contentFpSql
+    s"""WITH f AS (
+       |  SELECT $fpSql AS fp,
+       |    ('0x' || substr($fpSql, 1, 15))::BIGINT % 12 AS slot,
+       |    length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    length(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct_cnt,
+       |    length(regexp_extract_all(text, '\\b(the|a)\\b')) AS stopword_cnt
+       |  FROM documents),
+       |g AS (
+       |  SELECT fp, min(slot) AS slot, min(n_tokens) AS n_tokens,
+       |    min(punct_cnt) AS punct_cnt, min(stopword_cnt) AS stopword_cnt
+       |  FROM f GROUP BY fp),
+       |a AS (
+       |  SELECT fp, $BaseUs + slot * 420000000 AS w1_us,
+       |    $BaseUs + slot * 420000000 + 5880000000 AS w2_us
+       |  FROM g),
+       |arr AS (SELECT w1_us AS t FROM a UNION ALL SELECT w2_us FROM a),
+       |sp AS (
+       |  SELECT min(t) AS lo, (max(t) - min(t)) // 4 + 1 AS span FROM arr),
+       |sm AS (
+       |  SELECT (t - lo) // span AS sl, max(t) AS mx
+       |  FROM arr, sp GROUP BY 1),
+       |dec AS (
+       |  SELECT a.fp,
+       |    a.w1_us // 1000 + 600000 AS expiry_ms,
+       |    (SELECT max(sm.mx) FROM sm, sp
+       |     WHERE sm.sl < (a.w2_us - sp.lo) // sp.span - 1) // 1000 - 600000
+       |      AS wm_ms
+       |  FROM a)
+       |SELECT g.fp, g.n_tokens,
+       |  CASE WHEN ${TextAnalysis.qualityBucketSql(
+              "g.n_tokens", "g.stopword_cnt", "g.punct_cnt")
+              .replace("'keep'", "'x'")} = 'x' THEN 'kept'
+       |    ELSE ${TextAnalysis.qualityBucketSql(
+              "g.n_tokens", "g.stopword_cnt", "g.punct_cnt")} END AS decision,
+       |  CAST(CASE WHEN d.wm_ms IS NOT NULL AND d.expiry_ms < d.wm_ms
+       |    THEN 2 ELSE 1 END AS BIGINT) AS n_emissions
+       |FROM g JOIN dec d ON g.fp = d.fp""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- st9
+
+  /** st9: STREAMING DECONTAMINATION (`EventStream.streamDecontaminate`
+    * — dd15's benchmark-containment permille at live-ingest time, zero
+    * state: the benchmark shingle universe collapses to one broadcast
+    * array row), replayed and oracled with dd15's split (benchmark =
+    * doc_id ≡ 0 mod 50, corpus streams). Stateless ⇒ batch ≡ stream
+    * by construction — the replay proves the stream RUNS the shape
+    * (broadcast under stream-static cross join, per-batch reuse); the
+    * oracle is dd15's closed form verbatim, because `shingleCols`
+    * arrays are distinct-by-construction so `array_intersect` counts
+    * exactly what dd15's exploded hash join counts. */
+  private def st9(s: SparkSession, d: String): DataFrame =
+    replayedDf(s, s"$d|docsrc", docSource(s, d), "st9") { docs =>
+      EventStream.streamDecontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        Tables.documents(s, d).filter(col("doc_id") % 50 === 0))
+    }
+
+  private val st9Sql = Dedup.dd15Sql
+
+  // --------------------------------------------------------------- st10
+
+  /** st10: STREAMING INCREMENTAL DEDUP (`EventStream.incrementalDedup`
+    * — dd13's decision against a static history index, restructured
+    * stateless for the live path: history publishes distinct
+    * fingerprints and per-band sketch LISTS, so the per-doc check is
+    * 1 + 4 broadcast joins against bucket rows plus an `exists`
+    * hamming verify), replayed and oracled with dd13's split (batch =
+    * doc_id ≡ 0 mod 10 streams, rest is history). The oracle is
+    * dd13's exact+band closed form at the decision grain — the
+    * `exists`-over-bucket spelling and dd13's count-distinct-pairs
+    * spelling agree exactly when only the ≥1 threshold is asked. */
+  private def st10(s: SparkSession, d: String): DataFrame =
+    replayedDf(s, s"$d|docsrc", docSource(s, d), "st10") { docs =>
+      EventStream.incrementalDedup(
+        docs.filter(col("doc_id") % 10 === 0),
+        Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
+    }
+
+  private val st10Sql =
+    s"""WITH ${Dedup.simhashCteSql},
+       |fpt AS (SELECT doc_id, ${TextAnalysis.contentFpSql} AS fp FROM documents),
+       |base AS (
+       |  SELECT f.doc_id, f.fp, s.simhash
+       |  FROM fpt f JOIN sim s USING (doc_id)),
+       |inc AS (SELECT * FROM base WHERE doc_id % 10 = 0),
+       |hist AS (SELECT * FROM base WHERE doc_id % 10 <> 0),
+       |ib AS (SELECT doc_id, simhash, b.band, (simhash >> (b.band*16)) & 65535 AS key
+       |       FROM inc, (SELECT unnest(range(4)) AS band) b),
+       |hb AS (SELECT doc_id, simhash, b.band, (simhash >> (b.band*16)) & 65535 AS key
+       |       FROM hist, (SELECT unnest(range(4)) AS band) b)
+       |SELECT i.doc_id,
+       |  CASE WHEN i.fp IN (SELECT fp FROM hist) THEN 'dup_exact'
+       |       WHEN EXISTS (
+       |         SELECT 1 FROM ib a JOIN hb h
+       |           ON a.band = h.band AND a.key = h.key
+       |         WHERE a.doc_id = i.doc_id
+       |           AND bit_count(xor(a.simhash, h.simhash)) <= 3)
+       |       THEN 'dup_near'
+       |       ELSE 'new' END AS decision
+       |FROM inc i""".stripMargin
+
+  // --------------------------------------------------------------- st11
+
+  /** st11: STREAMING PERCEPTUAL INGEST (`EventStream.perceptualIngest`
+    * — mm6's exact-digest and mm7's frame-simhash band check against a
+    * published asset index, stateless), replayed and oracled with the
+    * mod-10 split at the media grain (payload = UTF-8 bytes of text,
+    * the mm stand-in). Empty payloads have no frames ⇒ NULL sketch ⇒
+    * exact-only matching, pinned on both sides. The oracle reuses
+    * mm7's frame-token→simhash SQL chain and asks the band+hamming
+    * existence question per incoming asset. */
+  private def st11(s: SparkSession, d: String): DataFrame =
+    replayedDf(s, s"$d|docsrc", docSource(s, d), "st11") { docs =>
+      EventStream.perceptualIngest(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("media_id"),
+            encode(col("text"), "UTF-8").as("payload")),
+        Multimodal.media(s, d).filter(col("media_id") % 10 =!= 0)
+          .select(col("media_id"), col("payload")))
+    }
+
+  private val st11Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, w, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0, (strlen(text)-1) // 128 + 1),
+       |      i -> md5(substr(text, CAST(1 + i*128 AS INT), 32)))) AS w
+       |    FROM documents WHERE strlen(text) > 0) t GROUP BY doc_id, w),
+       |${Dedup.simhashChainSql},
+       |dgx AS (SELECT doc_id, md5(text) AS dg, strlen(text) AS nb FROM documents),
+       |inc AS (SELECT * FROM dgx WHERE doc_id % 10 = 0),
+       |idx AS (SELECT * FROM dgx WHERE doc_id % 10 <> 0),
+       |ib AS (SELECT d.doc_id, s.simhash, b.band,
+       |         (s.simhash >> (b.band*16)) & 65535 AS key
+       |       FROM inc d JOIN sim s ON d.doc_id = s.doc_id,
+       |         (SELECT unnest(range(4)) AS band) b),
+       |hb AS (SELECT d.doc_id, s.simhash, b.band,
+       |         (s.simhash >> (b.band*16)) & 65535 AS key
+       |       FROM idx d JOIN sim s ON d.doc_id = s.doc_id,
+       |         (SELECT unnest(range(4)) AS band) b)
+       |SELECT i.doc_id AS media_id,
+       |  CASE WHEN i.dg IN (SELECT dg FROM idx) THEN 'dup_exact'
+       |       WHEN i.nb > 0 AND EXISTS (
+       |         SELECT 1 FROM ib a JOIN hb h
+       |           ON a.band = h.band AND a.key = h.key
+       |         WHERE a.doc_id = i.doc_id
+       |           AND bit_count(xor(a.simhash, h.simhash)) <= 3)
+       |       THEN 'dup_near'
+       |       ELSE 'new' END AS decision
+       |FROM inc i""".stripMargin
 
   // ----------------------------------------------------------- registry
 
@@ -552,5 +811,13 @@ object StreamGates {
     GateQuery("st7_stream_sessions", st7, Some(st7Sql),
       "native session_window replay ≡ gaps-and-islands + watermark emission cut"),
     GateQuery("ob5_stream_observe", ob5, Some(ob5Sql),
-      "Dataset.observe on a stream: per-micro-batch metrics ≡ the slice-cut algebra"))
+      "Dataset.observe on a stream: per-micro-batch metrics ≡ the slice-cut algebra"),
+    GateQuery("st8_stream_docprep", st8, Some(st8Sql),
+      "streaming corpus-prep funnel with watermark-evicted dedup state ≡ slice-algebra emission counts"),
+    GateQuery("st9_stream_decontaminate", st9, Some(st9Sql),
+      "streaming benchmark decontamination ≡ dd15's containment closed form"),
+    GateQuery("st10_stream_increm_dedup", st10, Some(st10Sql),
+      "streaming incremental dedup vs static history ≡ dd13's exact+band decision"),
+    GateQuery("st11_stream_perceptual", st11, Some(st11Sql),
+      "streaming perceptual ingest vs published index ≡ mm6/mm7 digest+band decision"))
 }

@@ -685,4 +685,51 @@ class EventStreamSpec extends AnyFunSuite {
         (tmin(51).getTime, tmin(81).getTime, 1L, 400L)), s"got $got")
     } finally q.stop()
   }
+
+  test("dedup-within-watermark eviction law: no-data batches evict early, " +
+    "continuous backlog lags one batch (st8's oracle constants)") {
+    // The law st8's oracle encodes, pinned from both sides.
+    // State expiry = event ts + delay; eviction commits with a batch's
+    // own watermark (max event time through the PREVIOUS batch − delay).
+    import org.apache.spark.sql.functions._
+    def tsec(sec: Long): Timestamp = new Timestamp(1700000000000L + sec * 1000)
+    // (1) IDLE stream (MemoryStream + processAllAvailable between adds):
+    // Spark schedules a no-data batch after each data batch when the
+    // watermark advances, so K's state (expiry 600) is evicted BEFORE
+    // the next data batch and K@2940 re-emits.
+    val mem = MemoryStream[(String, Timestamp)](spark)
+    val q = mem.toDF().toDF("key", "ts")
+      .withWatermark("ts", "600 seconds")
+      .dropDuplicatesWithinWatermark("key")
+      .writeStream.format("memory").queryName("dedup_law")
+      .outputMode("append").start()
+    try {
+      mem.addData(("K", tsec(0)), ("F", tsec(1680)))
+      q.processAllAvailable() // wm -> 1080; no-data batch evicts K
+      mem.addData(("K", tsec(2940)), ("F2", tsec(3780)))
+      q.processAllAvailable()
+      val idle = spark.table("dedup_law").collect().count(_.getString(0) == "K")
+      assert(idle == 2, s"idle stream: K emitted $idle times, expected 2")
+    } finally q.stop()
+    // (2) CONTINUOUS backlog (the st gates' staged file replay, data in
+    // every trigger, no intermediate no-data batches): the same arrival
+    // sequence dedups K@2940 — at that batch only batch-0's watermark
+    // (none) has committed an eviction — and re-emits K@5100, whose
+    // batch follows a commit at wm = 1680 − 600 = 1080 > expiry 600.
+    import TestSpark.spark.implicits._
+    val rows = Seq(("K", 0L), ("F", 1680L), ("K", 2940L), ("F2", 3780L),
+      ("K3", 5000L), ("K", 5100L), ("K4", 7560L))
+    val df = rows.toDF("key", "sec").select(col("key"),
+      timestamp_micros(lit(1700000000000000L) + col("sec") * 1000000L).as("ts"))
+    val out = operators.StreamGates.replayedDf(spark, "dedup-law-probe", df,
+      "dedup-law") { s =>
+      s.withWatermark("ts", "600 seconds").dropDuplicatesWithinWatermark("key")
+    }
+    val kSecs = out.filter(col("key") === "K")
+      .select(expr("(unix_micros(ts) - 1700000000000000) div 1000000"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kSecs == Seq(0L, 5100L),
+      s"continuous replay: K emitted at $kSecs, expected Seq(0, 5100) " +
+        "(two-batch eviction lag)")
+  }
 }

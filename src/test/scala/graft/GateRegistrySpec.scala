@@ -47,6 +47,23 @@ class GateRegistrySpec extends AnyFunSuite {
     })).map(Await.result(_, Duration.Inf)).toMap
   }
 
+  test("repoFile from a non-repo CWD fails NAMED, not with an NPE") {
+    // The lint must stay diagnosable from any runner: with user.dir
+    // pointing outside the repo, every repo-file resolution raises the
+    // message that names the path tried and the fix — the round-8
+    // regression class was an unchecked listFiles() NPE.
+    val saved = sys.props("user.dir")
+    sys.props("user.dir") = System.getProperty("java.io.tmpdir")
+    try {
+      val e = intercept[IllegalArgumentException](repoFile("COVERAGE.md"))
+      assert(e.getMessage.contains("run the suite from the repo root"),
+        s"unnamed failure: ${e.getMessage}")
+      assert(e.getMessage.contains("COVERAGE.md"))
+    } finally sys.props("user.dir") = saved
+    // and back home it resolves again
+    assert(repoFile("COVERAGE.md").exists())
+  }
+
   test("every gate method in operators/ is registered, and vice versa") {
     // Registry-completeness lint: a `private def la12(s: SparkSession,
     // d: String)` added without a GateQuery entry — or a GateQuery
@@ -169,7 +186,7 @@ class GateRegistrySpec extends AnyFunSuite {
     // Pin the documented numbers to the registry so drift fails CI.
     val total = GateQueries.all.size
     val oracled = GateQueries.all.count(_.oracle.isDefined)
-    assert(total == 171 && oracled == 171,
+    assert(total == 175 && oracled == 175,
       s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
     val coverage = repoText("COVERAGE.md")
     assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),
