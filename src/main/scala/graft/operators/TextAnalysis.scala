@@ -1044,10 +1044,15 @@ object TextAnalysis {
     counts.orderBy((col("na") + col("nb")).desc, col("token").asc)
       .limit(100)
       .crossJoin(broadcast(totals))
+      // greatest(total, 1) floor: if a tiny corpus hashes every doc
+      // into one half, the empty half's total is 0 — Spark's div
+      // yields NULL where DuckDB errors, so both engines divide by
+      // the same guarded denominator instead of diverging
       .select(col("token"), col("na"), col("nb"),
-        expr("na * 1000L div ta").as("pa_permille"),
-        expr("nb * 1000L div tb").as("pb_permille"),
-        abs(expr("na * 1000L div ta") - expr("nb * 1000L div tb"))
+        expr("na * 1000L div greatest(ta, 1L)").as("pa_permille"),
+        expr("nb * 1000L div greatest(tb, 1L)").as("pb_permille"),
+        abs(expr("na * 1000L div greatest(ta, 1L)") -
+          expr("nb * 1000L div greatest(tb, 1L)"))
           .as("drift_permille"))
   }
 
@@ -1066,9 +1071,10 @@ object TextAnalysis {
       |  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
       |  FROM counts)
       |SELECT token, na, nb,
-      |  na * 1000 // ta AS pa_permille,
-      |  nb * 1000 // tb AS pb_permille,
-      |  abs(na * 1000 // ta - nb * 1000 // tb) AS drift_permille
+      |  na * 1000 // greatest(ta, 1) AS pa_permille,
+      |  nb * 1000 // greatest(tb, 1) AS pb_permille,
+      |  abs(na * 1000 // greatest(ta, 1) - nb * 1000 // greatest(tb, 1))
+      |    AS drift_permille
       |FROM counts, tot
       |ORDER BY na + nb DESC, token ASC LIMIT 100""".stripMargin
 
@@ -1079,11 +1085,20 @@ object TextAnalysis {
     * pipelines use to weight sampling by domain authority (Common
     * Crawl publishes exactly this as its harmonic-centrality host
     * ranks; CCNet/RefinedWeb-style curation consumes it as a quality
-    * prior). The link graph is synthesized deterministically at the
-    * HOST grain — an edge (a, b) exists iff the 60-bit md5 of
-    * 'edge|a|b' ≡ 0 (mod 5), ≈20% density — so both engines derive
-    * identical structure from the distinct source list alone (the
-    * yf1/dd18 discipline: build identical inputs, gate the operator).
+    * prior). The link graph is EXTRACTED FROM DOCUMENT CONTENT — the
+    * Common-Crawl host-graph job shape: every document's tokens are
+    * its outbound mentions (each token resolves to a target host via
+    * its 60-bit md5 modulo |hosts|, standing in for anchor-URL
+    * parsing on this URL-free synthetic corpus), deduplicated to
+    * distinct (src host, dst host) pairs, with a pair-grain hash
+    * sparsifier ('edge|src|dst' ≡ 0 mod 5, ≈20% density) giving the
+    * synthetic graph realistic shape — both engines derive identical
+    * structure from the same scan (the yf1/dd18 discipline: build
+    * identical inputs, gate the operator). No hosts×hosts cross join
+    * anywhere: candidate edges cost one token scan + a distinct at
+    * the (src, dst-index) grain, and with real anchors the same
+    * pipeline IS the production link-extraction job (the sparsifier
+    * drops out).
     *
     * Determinism: fixed-point ×10⁹ integer arithmetic end-to-end —
     * r₀ = S div n; each step r' = (15·S div 100n) + (Σ floor-div
@@ -1092,21 +1107,35 @@ object TextAnalysis {
     * engines (the undamped variant; the leak is part of the law
     * being gated).
     *
-    * Scale shape: the rank vector and edge list live at the host
-    * grain — |hosts| ≪ |docs| by construction (the whole point of
-    * domain-grain curation), so every per-iteration join is
-    * broadcast-size; the doc-grain iterative discipline for graphs
-    * that DON'T collapse is dd6/dd12 (min-label and star-contraction
-    * CC with per-round localCheckpoint), which this gate deliberately
-    * does not duplicate. 4 iterations unrolled in one lazy plan. */
+    * Scale shape: edge EXTRACTION is scan-linear (explode tokens →
+    * narrow hash map → map-side-combinable distinct at the
+    * (src, dst-index) grain, ≤ |hosts|² rows out but never |hosts|²
+    * candidates in flight); the rank vector and resolved edge list
+    * live at the host grain — |hosts| ≪ |docs| by construction (the
+    * whole point of domain-grain curation), so every per-iteration
+    * join is broadcast-size. The host-numbering window is
+    * unpartitioned but frames ≤ |hosts| rows — the ob3/tw11 bounded
+    * class. The doc-grain iterative discipline for graphs that DON'T
+    * collapse is dd6/dd12 (min-label and star-contraction CC with
+    * per-round localCheckpoint), which this gate deliberately does
+    * not duplicate. 4 iterations unrolled in one lazy plan. */
   private def tx20(s: SparkSession, d: String): DataFrame = {
     val S = 1000000000L
-    val hosts = Tables.documents(s, d).select(col("source")).distinct()
+    val docs = Tables.documents(s, d)
+    val hosts = docs.select(col("source")).distinct()
     val n = hosts.count() // ≤|hosts| driver anchor (the codebookArr class)
-    val edges = hosts.select(col("source").as("src"))
-      .crossJoin(hosts.select(col("source").as("dst")))
+    val hostIdx = hosts.select(col("source").as("dst"),
+      (row_number().over(Window.orderBy(col("source"))) - 1).cast("long").as("didx"))
+    val mentions = docs
+      .select(col("source").as("src"), explode(toks(col("text"))).as("tok"))
+      .select(col("src"),
+        expr(s"CAST(conv(substring(md5(concat('link|', tok)), 1, 15), 16, 10) AS BIGINT) % ${n}L")
+          .as("didx"))
+      .distinct()
+    val edges = mentions.join(broadcast(hostIdx), Seq("didx"))
       .filter(col("src") =!= col("dst"))
       .filter(expr("CAST(conv(substring(md5(concat('edge|', src, '|', dst)), 1, 15), 16, 10) AS BIGINT) % 5 = 0"))
+      .select(col("src"), col("dst"))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val teleport = 15L * S / (100L * n)
     var rank = hosts.select(col("source"), lit(S / n).as("r"))
@@ -1140,11 +1169,21 @@ object TextAnalysis {
          |    GROUP BY e.dst) s ON s.dst = h.source)""".stripMargin
     s"""WITH hosts AS (SELECT DISTINCT source FROM documents),
        |nn AS (SELECT count(*) AS n FROM hosts),
+       |hidx AS (
+       |  SELECT source AS dst,
+       |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS didx
+       |  FROM hosts),
+       |ment AS (
+       |  SELECT DISTINCT source AS src,
+       |    ('0x' || substr(md5('link|' || tok), 1, 15))::BIGINT
+       |      % (SELECT n FROM nn) AS didx
+       |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |        FROM documents) t),
        |e AS (
-       |  SELECT a.source AS src, b.source AS dst
-       |  FROM hosts a, hosts b
-       |  WHERE a.source <> b.source
-       |    AND ('0x' || substr(md5('edge|' || a.source || '|' || b.source),
+       |  SELECT m.src, h.dst
+       |  FROM ment m JOIN hidx h USING (didx)
+       |  WHERE m.src <> h.dst
+       |    AND ('0x' || substr(md5('edge|' || m.src || '|' || h.dst),
        |      1, 15))::BIGINT % 5 = 0),
        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |r0 AS (

@@ -188,9 +188,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // codes instead of raw vectors
       "sim20_sampled_codebook", // embeds sim1's brute-force truth
       // (sim8/sim18's shape) for both recall legs
-      "tx19_token_drift", // 1-row half-totals anchor cross (la2's shape)
-      "tx20_host_centrality") // |hosts|² bounded graph generator:
-      // the host-dim self-cross IS the edge rule's domain, ≪ |docs|
+      "tx19_token_drift") // 1-row half-totals anchor cross (la2's shape)
+    // tx20 is deliberately NOT allowed: its edges are now extracted
+    // from document content (scan-linear token mentions), so any
+    // nested-loop re-appearing there is a regression of exactly the
+    // |hosts|² shape the round-8 verdict flagged.
     // The ONE legitimate sort-merge join: q10's co-located bucketed
     // join — SMJ over bucket-sorted reads carries no exchange and no
     // sort (its own test asserts both), which is the whole point of

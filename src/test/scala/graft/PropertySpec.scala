@@ -376,10 +376,16 @@ class PropertySpec extends AnyFunSuite {
     val d = fixtureDir("documents" -> documentsDf(
       srcs.zipWithIndex.map { case (s, i) => (i.toLong, s"doc of $s", "en", s) }))
     val S = 1000000000L
-    val edges = for {
-      a <- srcs; b <- srcs
-      if a != b && h60(s"edge|$a|$b") % 5 == 0
-    } yield (a, b)
+    // the content-derived edge rule: each doc token mentions the host
+    // at index h60('link|'+tok) mod n (hosts numbered in sorted order),
+    // deduplicated, self-edges dropped, pair-hash sparsified mod 5
+    val byIdx = srcs.sorted.toIndexedSeq
+    val edges = (for {
+      (src, i) <- srcs.zipWithIndex
+      tok <- s"doc of h$i".split("\\s+").toSeq
+      dst = byIdx((h60(s"link|$tok") % nSrc).toInt)
+      if src != dst && h60(s"edge|$src|$dst") % 5 == 0
+    } yield (src, dst)).distinct
     val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     val teleport = 15L * S / (100L * nSrc)
     var rank = srcs.map(_ -> S / nSrc).toMap
