@@ -107,6 +107,11 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     // Headline subset for the size-capped stdout line: one
     // representative per family plus the historically slowest gates.
+    // Quoted from the SEQUENTIAL warm pass (and labeled so): the
+    // concurrent per-query spans include thread contention — a heavy
+    // streaming replay running alongside makes a 0.2 s gate read as
+    // 2.6 s, which adjudicates as a phantom regression. `value` stays
+    // the concurrent suite's wall-clock (the throughput headline).
     val headline = Seq(
       "q1_agg", "q4_topn_window", "ca6_final_metrics", "la1_filter_paginate",
       "tw3_sessionize", "yf6_duration_parse", "tx6_bigram_topk",
@@ -114,10 +119,10 @@ object Bench {
       "sim1_knn_bruteforce", "sim2_ann_lsh", "sim6_ivf_search",
       "mm2_frame_sample", "cp3_sequence_pack", "s6_connector_group_agg")
     val headSet = headline.toSet
-    val qs = qmap(results.filter(r => headSet.contains(r._1)))
+    val qs = qmap(seq.filter(r => headSet.contains(r._1)))
     val failedJson = failed.take(5)
       .map(f => jstr(f.take(80))).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":$qs,"seq_total":${r3(seqTotal)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"detail":"BENCH_DETAIL.json","sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(wall)},"unit":"sec","regime":"wall=concurrent(x$qpar),queries=sequential","queries":$qs,"seq_total":${r3(seqTotal)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"detail":"BENCH_DETAIL.json","sf":${jstr(sfDir)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -25,13 +25,19 @@ object VerifySubset {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    names.foreach { name =>
+    // a gate that throws must FAIL the process (and stay out of
+    // oracle_sql.json) — otherwise check.py sees a missing parquet dir
+    // for an "expected" gate instead of a failing exit code
+    val failed = names.filterNot { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown gate '$name'"))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        true
+      } catch { case e: Throwable =>
         System.err.println(s"[verify-subset] $name failed: ${e.getMessage}")
+        false
       }
     }
     def q(s: String): String = "\"" + s.flatMap {
@@ -43,9 +49,14 @@ object VerifySubset {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+    val ok = names.filterNot(failed.contains)
+    val json = SparkEntry.oracleSql.filter(kv => ok.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify-subset] FAILED gates: ${failed.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

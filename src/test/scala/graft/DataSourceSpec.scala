@@ -499,6 +499,38 @@ class DataSourceSpec extends AnyFunSuite {
     assert(back.value.get("graft.test.fs.key") == "session-credential")
   }
 
+  test("cluster-shaped conf path: a SESSION-scoped fs override reaches a " +
+    "serialized LogFileReaderFactory") {
+    // The full executor-hop claim: a session-scoped fs override (a raw
+    // Hadoop key set on the session's RuntimeConfig — Spark's
+    // `newHadoopConf` copies every session conf entry into the task
+    // Hadoop conf, which is how per-session fs credentials ride) must
+    // be captured by LogSink.activeHadoopConf at scan-build time and
+    // survive inside the reader factory across Java serialization (the
+    // driver→task boundary on a real cluster). A bare
+    // `new Configuration()` anywhere on that path loses the key and
+    // this test goes red. setActiveSession is thread-local — no
+    // cross-suite leakage.
+    val iso = spark.newSession()
+    iso.conf.set("graft.test.session.key", "cluster-cred")
+    org.apache.spark.sql.SparkSession.setActiveSession(iso)
+    try {
+      val captured = graft.sources.LogSink.activeHadoopConf
+      assert(captured.get("graft.test.session.key") == "cluster-cred",
+        "activeHadoopConf did not surface the session-scoped fs key")
+      val factory = graft.sources.LogFileReaderFactory(
+        new graft.sources.SerializableHadoopConf(captured))
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(factory); oos.close()
+      val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[graft.sources.LogFileReaderFactory]
+      assert(back.conf.value.get("graft.test.session.key") == "cluster-cred",
+        "session conf lost across the factory's driver->task serialization")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("LogSink streaming write: epoch commits are atomic, replays idempotent, aborts invisible") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.{LogSink, LogStore, StagedBatch, StagedFile}
