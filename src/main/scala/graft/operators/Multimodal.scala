@@ -331,6 +331,30 @@ object Multimodal {
     when(octet_length(payload) > 0,
       call_function("simhash64", frameArr(payload)))
 
+  /** The PUBLISHED perceptual index — the "build once, serve many"
+    * artifact (sim12's deployment discipline at the media grain): one
+    * posting per non-empty media × band, carrying the digest (exact
+    * grain), the 64-bit frame sketch, the 16-bit band key and a
+    * 64-way key bucket `kb` — the partition column pair
+    * (`partitionBy("band", "kb")`, 4 × 64 = 256 dirs) a serving
+    * deployment prunes on: a probe's near-dup lookup reads exactly
+    * its 4 (band, kb) dirs (`input_file_name`-proven in
+    * TextDedupSpec). ONE definition consumed by the in-memory mm7
+    * pair gate, the streaming [[graft.streaming.EventStream
+    * .perceptualIngest]] (its bucket rows group FROM these postings),
+    * and the persisted layout — the three can never drift on what a
+    * posting is. Empty payloads have no frames hence no postings;
+    * they are servable only through the (separate, digest-grain)
+    * exact index. */
+  private[graft] def perceptualPostings(media: DataFrame): DataFrame =
+    media.filter(octet_length(col("payload")) > 0)
+      .select(col("media_id"), md5(col("payload")).as("digest"),
+        frameSimhash(col("payload")).as("phash"))
+      .select(col("media_id"), col("digest"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(phash, ${b * 16}) & 65535")): _*)).as(Seq("band", "key")))
+      .withColumn("kb", pmod(col("key"), lit(64)))
+
   private def mm7(s: SparkSession, d: String): DataFrame = {
     val sketch = media(s, d)
       .filter(octet_length(col("payload")) > 0)

@@ -170,20 +170,33 @@ object EventStream {
     * [[graft.operators.Multimodal.frameSimhash]] definition, so the
     * live sketch can never drift from the published index grain) and
     * they can only match exactly, never perceptually. */
-  def perceptualIngest(media: DataFrame, index: DataFrame): DataFrame = {
-    def sketched(df: DataFrame): DataFrame = df
+  def perceptualIngest(media: DataFrame, index: DataFrame): DataFrame =
+    perceptualIngestServe(media,
+      index.select(md5(col("payload")).as("digest")).distinct(),
+      graft.operators.Multimodal.perceptualPostings(index))
+
+  /** The SERVING half of [[perceptualIngest]], split out so the same
+    * decision pipeline runs against the PUBLISHED index artifacts —
+    * the digest dimension and the band postings
+    * ([[graft.operators.Multimodal.perceptualPostings]], possibly read
+    * back from their `partitionBy(band, kb)` parquet layout) — instead
+    * of re-sketching the index per run. The bucket rows group from
+    * the postings (≤1 joined row per probe band), so build-once/
+    * serve-many costs one broadcast of the grouped buckets. */
+  def perceptualIngestServe(media: DataFrame, digests: DataFrame,
+      postings: DataFrame): DataFrame = {
+    val dg = digests.select(col("digest")).distinct()
+      .withColumn("exact_hit", lit(true))
+    val bands = (0 until 4).map { b =>
+      postings.filter(col("band") === b)
+        .groupBy(col("key").as(s"pkey$b"))
+        .agg(collect_list(col("phash")).as(s"psk$b"))
+    }
+    var s = media
       .withColumn("digest", md5(col("payload")))
       .withColumn("phash",
         graft.operators.Multimodal.frameSimhash(col("payload")))
-    val idx = sketched(index)
-    val dg = idx.select(col("digest")).distinct()
-      .withColumn("exact_hit", lit(true))
-    val bands = (0 until 4).map { b =>
-      idx.filter(octet_length(col("payload")) > 0)
-        .groupBy(expr(s"shiftright(phash, ${b * 16}) & 65535").as(s"pkey$b"))
-        .agg(collect_list(col("phash")).as(s"psk$b"))
-    }
-    var s = sketched(media).join(broadcast(dg), Seq("digest"), "left")
+      .join(broadcast(dg), Seq("digest"), "left")
     for (b <- 0 until 4)
       s = s.withColumn(s"pkey$b", expr(s"shiftright(phash, ${b * 16}) & 65535"))
         .join(broadcast(bands(b)), Seq(s"pkey$b"), "left")

@@ -664,6 +664,74 @@ class TextDedupSpec extends AnyFunSuite {
       s"block-folded bit count $blockBits != gate n_bits_set $bits")
   }
 
+  test("persisted perceptual index: band/kb-pruned serve equals in-memory " +
+    "ingest and the mm7 pair gate") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    val d = sf0001
+    val media = operators.Multimodal.media(spark, d)
+      .select(col("media_id"), col("payload"))
+    val probe = media.filter(col("media_id") % 10 === 0)
+    val index = media.filter(col("media_id") % 10 =!= 0)
+    // BUILD ONCE: the published postings, partitioned on (band, kb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx")
+      .toString + "/index"
+    operators.Multimodal.perceptualPostings(index)
+      .write.partitionBy("band", "kb").parquet(dir)
+    val disk = spark.read.parquet(dir)
+    val digests = index.select(md5(col("payload")).as("digest")).distinct()
+    // SERVE MANY: the persisted postings feed the same decision
+    // pipeline the streaming ingest runs — results identical to
+    // re-sketching the index in memory
+    val served = EventStream.perceptualIngestServe(probe, digests, disk)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[String]("decision")).toMap
+    val mem = EventStream.perceptualIngest(probe, index)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[String]("decision")).toMap
+    assert(served == mem, "persisted-index serve diverges from in-memory ingest")
+    // consistency with the mm7 pair gate: a probe is near-dup iff mm7
+    // pairs it (hamming <= 3 via band collision) with an INDEX-side id
+    val pairs = gate("mm7_perceptual_neardup", d).collect()
+      .flatMap(r => Seq(
+        (r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        (r.getAs[Long]("id2"), r.getAs[Long]("id1"))))
+    val nearIds = pairs.collect {
+      case (p, h) if p % 10 == 0 && h % 10 != 0 => p
+    }.toSet
+    val exactIds = probe.withColumn("digest", md5(col("payload")))
+      .join(digests, Seq("digest"), "left_semi")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    served.foreach { case (id, dec) =>
+      val expected =
+        if (exactIds(id)) "dup_exact"
+        else if (nearIds(id)) "dup_near"
+        else "new"
+      assert(dec == expected, s"media $id: served $dec, mm6/mm7 say $expected")
+    }
+    assert(served.values.toSet.contains("new")) // non-degenerate
+    // PRUNING, behaviorally: one probe's near-dup lookup reads ONLY
+    // its 4 (band, kb) partition dirs — proven from the files actually
+    // opened, not the plan string (the sim12 discipline)
+    val p0 = probe.filter(octet_length(col("payload")) > 0)
+      .orderBy(col("media_id")).limit(1)
+    val p0Keys = operators.Multimodal.perceptualPostings(
+        p0.select(col("media_id"), col("payload")))
+      .select(col("band"), col("kb")).collect()
+      .map(r => (r.getAs[Int]("band"), r.getAs[Long]("kb")))
+    assert(p0Keys.length == 4)
+    val pruned = disk.filter(p0Keys.map { case (b, k) =>
+      col("band") === b && col("kb") === k
+    }.reduce(_ || _))
+    val filesRead = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(filesRead.nonEmpty && filesRead.forall(f =>
+      p0Keys.exists { case (b, k) => f.contains(s"band=$b/kb=$k/") }),
+      s"unpruned files read: ${filesRead.filterNot(f =>
+        p0Keys.exists { case (b, k) => f.contains(s"band=$b/kb=$k/") })
+        .mkString(",")}")
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
