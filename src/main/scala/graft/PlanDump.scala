@@ -88,9 +88,17 @@ object PlanDump {
     "sim19_sq8_search" ->
       "SQ8 search: the 64-row stats agg folds into encode/decode as literals, so quantization is a zero-exchange narrow map; per candidate the only pair work is one dot against the broadcast query side; top-k prunes map-side (WindowGroupLimit).",
     "tx20_host_centrality" ->
-      "Host centrality: 4 unrolled fixed-point PageRank iterations in ONE lazy plan — every per-iteration join is host-grain and BroadcastHashJoin; the |hosts|² edge generator is the only nested loop, bounded by the host dim.",
+      "Host centrality: edges EXTRACT from document content (token explode → narrow hash map → map-side-combined distinct — no hosts×hosts cross join anywhere); 4 unrolled fixed-point PageRank iterations in ONE lazy plan, every per-iteration join host-grain and BroadcastHashJoin.",
     "q16_sql_lateral" ->
-      "SQL LATERAL-with-LIMIT: Catalyst decorrelates the per-priority top-3 into the rank-window plan (no per-row re-execution) — hash joins and a partitioned window, never a loop.")
+      "SQL LATERAL-with-LIMIT: Catalyst decorrelates the per-priority top-3 into the rank-window plan (no per-row re-execution) — hash joins and a partitioned window, never a loop.",
+    "q17_incremental_summary" ->
+      "Incremental MV refresh: the delta slice scans once (filter pushed to the scan), unions with the |groups|-row checkpointed S0 (Scan ExistingRDD — the base is NEVER re-read), one map-side-combined merge agg.",
+    "q18_unpivot_melt" ->
+      "UNPIVOT/melt: one hash agg to the |days|-row wide table, then Expand emits the 5-way long form — no exchange after the rollup.",
+    "mm11_cdc_chunk_dedup" ->
+      "CDC chunk dedup: content-defined chunking runs IN-ROW (boundaries + digests in one projection — payload bytes never leave the scan stage); ONE hash exchange on the 16-byte digest feeds the copy-group rank window and the media rollup.",
+    "la16_time_travel" ->
+      "Time travel: both snapshot reads plan from explicit manifest file lists (no directory listing of dead files); each rollup is one map-side-combined level agg over its version's files.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

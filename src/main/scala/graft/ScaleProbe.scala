@@ -306,7 +306,12 @@ object ScaleProbe {
       // number to watch is the union+agg staying candidate-sized.
       for (g <- Seq("dd14_soft_dedup", "dd16_dedup_report",
           "mm6_payload_dedup", "mm7_perceptual_neardup",
-          "mm8_crossmodal_dedup")) {
+          "mm8_crossmodal_dedup",
+          // mm11: chunking is a narrow payload-bounded map; the digest
+          // exchange carries 16-byte digests + int lengths, and on the
+          // replica every chunk is 100-dense — the worst case for the
+          // rank window's copy groups, still digest-grain-bounded.
+          "mm11_cdc_chunk_dedup")) {
         val t1 = System.nanoTime()
         val c = SparkEntry.queries(g)(spark, out).count()
         val s1 = (System.nanoTime() - t1) / 1e9
@@ -395,9 +400,15 @@ object ScaleProbe {
             // |files| driver rows and the box query's pruning ratio
             // holds (the z-tile geometry is scale-free).
             "la9_retention_vacuum", "la14_zorder_skipping",
+            // la13: the surgical delete's rewrite cost rides the
+            // matched-file set (stats-pruned), never the table scan
+            "la13_surgical_delete",
             // la15: merge cost rides the affected-partition set (the
             // argmin logger's 20x-wider day footprint), never the table
-            "la15_merge_upsert")) {
+            "la15_merge_upsert",
+            // la16: the v1 commit rewrites ONE day; both snapshot reads
+            // plan from manifests (no dead-file listing)
+            "la16_time_travel")) {
           val t1 = System.nanoTime()
           val c = SparkEntry.queries(g)(spark, out).count()
           val s1 = (System.nanoTime() - t1) / 1e9
@@ -424,6 +435,72 @@ object ScaleProbe {
           val s1 = (System.nanoTime() - t1) / 1e9
           println(f"$g%-20s rows=$c%10d elapsed=$s1%7.1f s")
         }
+        // Doc-grain ingest replays (st8-st11) ride the documents
+        // replica: st8's dedup state is bounded by in-flight
+        // fingerprints (the watermark horizon), st9-st11 are stateless
+        // — wall should track the doc scan plus the broadcast builds.
+        replicateDocuments()
+        for (g <- Seq("st8_stream_docprep", "st9_stream_decontaminate",
+            "st10_stream_increm_dedup", "st11_stream_perceptual")) {
+          val t1 = System.nanoTime()
+          val c = SparkEntry.queries(g)(spark, out).count()
+          val s1 = (System.nanoTime() - t1) / 1e9
+          println(f"$g%-24s rows=$c%10d elapsed=$s1%7.1f s")
+        }
+      }
+    }
+
+    // Targeted gate probe: SPARK_GRAFT_PROBE=gates with
+    // SPARK_GRAFT_GATES=<name>[,<name>...] runs exactly the named
+    // gates against the replica corpus — how per-family 100×
+    // classification rows are measured without paying for a whole
+    // section (the quadratic controls dominate section wall at 100×).
+    // Replicas build on demand from the gate names' table needs.
+    if (probe == "gates") {
+      val gates = sys.env.getOrElse("SPARK_GRAFT_GATES", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      def famNum(g: String): (String, Int) = {
+        val tok = g.takeWhile(_ != '_')
+        (tok.takeWhile(_.isLetter), tok.dropWhile(_.isLetter).toInt)
+      }
+      val fams = gates.map(famNum)
+      val needsDocs = fams.exists { case (f, n) =>
+        Set("dd", "tx", "cp", "mm")(f) || (f == "st" && n >= 8) }
+      val needsEvents = fams.exists { case (f, n) =>
+        Set("tw", "la", "ob", "q", "s", "ca", "yf")(f) || (f == "st" && n <= 7) }
+      val needsEmb = fams.exists { case (f, n) =>
+        f == "sim" || (f == "dd" && Set(5, 11)(n)) || (f == "mm" && n == 8) }
+      if (needsDocs) replicateDocuments()
+      if (needsEvents) {
+        val ev = Tables.events(spark, sfDir)
+        val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+        val span = b.getLong(1) - b.getLong(0) + 1
+        val estride = (ev.agg(max(col("event_id"))).head.getLong(0) / 100L + 1L) * 100L
+        ev.crossJoin(spark.range(factor).toDF("rep"))
+          .withColumn("event_id", col("event_id") + col("rep") * lit(estride))
+          .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + col("rep") * span))
+          .drop("rep").repartition(32)
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+        println(s"events: ${spark.read.parquet(s"$out/events.parquet").count()} rows")
+      }
+      if (needsEmb) {
+        val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val stride = (src.agg(max(col("vec_id"))).head.getLong(0) / 100L + 1L) * 100L
+        src.crossJoin(spark.range(factor).toDF("rep"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * lit(stride))
+          .drop("rep").repartition(32)
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        println(s"corpus: ${spark.read.parquet(s"$out/embeddings.parquet").count()} vectors")
+      }
+      for (g <- gates) {
+        val t1 = System.nanoTime()
+        // toRdd.count() materializes EVERY column — a bare count()
+        // lets Catalyst eliminate unique-key outer joins and measure
+        // a plan the gate never serves (observed on mm11: 1.1 s vs
+        // the real 17.5 s at 100×)
+        val c = SparkEntry.queries(g)(spark, out).queryExecution.toRdd.count()
+        val s1 = (System.nanoTime() - t1) / 1e9
+        println(f"$g%-24s rows=$c%10d elapsed=$s1%7.1f s")
       }
     }
     spark.stop()

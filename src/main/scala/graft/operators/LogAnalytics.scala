@@ -903,6 +903,105 @@ object LogAnalytics {
       |  day_us IN (SELECT day_us FROM aff) AS rewritten
       |FROM merged GROUP BY day_us""".stripMargin
 
+  // ---------------------------------------------------------------- la16
+
+  /** la16: TIME TRAVEL — versioned snapshot reads over a manifest
+    * (Delta/Iceberg `VERSION AS OF`), completing the lakehouse
+    * family: la9 drops, la12 compacts, la13 deletes, la14 re-clusters,
+    * la15 merges — la16 is why a production table can do ANY of those
+    * safely: a rewrite RETAINS the old files and commits a new
+    * manifest (the file list IS the version), so readers pinned to v0
+    * see a bit-stable snapshot while v1 serves the correction.
+    *
+    * The commit: v1 rewrites the table's MAX day with a value
+    * correction (cents doubled — a currency-unit fix, the classic
+    * backfill), writing NEW files into the same day dir; v0's files
+    * are never touched. Receipts the SQL oracle cannot see, engine-
+    * `require`d: (a) SNAPSHOT ISOLATION — the v0 manifest re-read
+    * AFTER the v1 commit collects bit-identical rollup rows to the
+    * pre-commit read; (b) STRUCTURAL SHARING — v0 ∩ v1 manifests =
+    * exactly v0 minus the rewritten day's files (storage is shared,
+    * not copied — the property that makes retaining history
+    * affordable). Output: per-(version, level) rollup of both
+    * snapshots; the oracle restates v0 as the raw table and v1 as
+    * the closed-form correction.
+    *
+    * Scale shape: a commit costs the rewritten partitions + an
+    * O(|files|) manifest append; time-travel reads plan from the
+    * manifest (no directory listing of dead files); the only
+    * driver-side values are the file lists (∝ |files|) and the 1-row
+    * max-day anchor. */
+  private def la16(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * 3600 * 1000000
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la16_${java.util.UUID.randomUUID()}"
+    val l = logs(s, d)
+      .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
+    l.repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def allFiles(): Set[String] =
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("day_us="))
+        .flatMap(day => fs.listStatus(day.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)).toSet
+    val manifest0 = allFiles()
+    def rollup(manifest: Set[String], version: Long) =
+      s.read.option("basePath", dir).parquet(manifest.toSeq.sorted: _*)
+        .groupBy(col("level"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+        .withColumn("version", lit(version))
+        .select("version", "level", "n_rows", "value_cents")
+    val v0Before = rollup(manifest0, 0L).collect().sortBy(_.getString(1))
+    // COMMIT v1: rewrite the max day (cents doubled), old files retained
+    val maxDay = l.agg(max(col("day_us"))).head().getLong(0)
+    val oldDayFiles = manifest0.filter(_.contains(s"day_us=$maxDay/"))
+    val stage = new org.apache.hadoop.fs.Path(s"${dir}_stage")
+    s.read.option("basePath", dir)
+      .parquet(oldDayFiles.toSeq.sorted: _*)
+      .withColumn("value_cents", col("value_cents") * 2)
+      .repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(stage.toString)
+    val dayPath = new org.apache.hadoop.fs.Path(root, s"day_us=$maxDay")
+    val stagedDay = new org.apache.hadoop.fs.Path(stage, s"day_us=$maxDay")
+    val newFiles = fs.listStatus(stagedDay)
+      .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
+        val dst = new org.apache.hadoop.fs.Path(dayPath, s"v1-${f.getPath.getName}")
+        require(fs.rename(f.getPath, dst), s"cannot land ${f.getPath}")
+        dst.toString
+      }.toSet
+    fs.delete(stage, true)
+    val manifest1 = (manifest0 -- oldDayFiles) ++ newFiles
+    // receipt (a): snapshot isolation — v0 re-read post-commit is
+    // bit-identical to the pre-commit read
+    val v0After = rollup(manifest0, 0L).collect().sortBy(_.getString(1))
+    require(v0Before.sameElements(v0After),
+      "time travel broke snapshot isolation: v0 changed after the v1 commit")
+    // receipt (b): structural sharing — versions share every file
+    // outside the rewritten day
+    require((manifest0 intersect manifest1) == (manifest0 -- oldDayFiles),
+      "v1 does not structurally share v0's untouched files")
+    val out = v0After ++ rollup(manifest1, 1L).collect().sortBy(_.getString(1))
+    val schema = rollup(manifest0, 0L).schema
+    fs.delete(root, true)
+    s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
+
+  private val la16Sql = logsSql +
+    """, dd AS (
+      |  SELECT level, value_cents,
+      |    (ts_us // 86400000000) * 86400000000 AS day_us
+      |  FROM logs),
+      |mx AS (SELECT max(day_us) AS mday FROM dd)
+      |SELECT CAST(0 AS BIGINT) AS version, level, count(*) AS n_rows,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+      |FROM dd GROUP BY level
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), level, count(*),
+      |  CAST(sum(CASE WHEN day_us = (SELECT mday FROM mx)
+      |    THEN value_cents * 2 ELSE value_cents END) AS BIGINT)
+      |FROM dd GROUP BY level""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -933,5 +1032,7 @@ object LogAnalytics {
     GateQuery("la14_zorder_skipping", la14, Some(la14Sql),
       "Z-order clustering: 2-D box query prunes to fewer file-stat boxes than the linear layout"),
     GateQuery("la15_merge_upsert", la15, Some(la15Sql),
-      "MERGE INTO: CDC updates + partition-creating inserts rewrite only affected days"))
+      "MERGE INTO: CDC updates + partition-creating inserts rewrite only affected days"),
+    GateQuery("la16_time_travel", la16, Some(la16Sql),
+      "VERSION AS OF: manifest-pinned snapshot reads, isolation + structural sharing proven"))
 }

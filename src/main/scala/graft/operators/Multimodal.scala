@@ -571,6 +571,117 @@ object Multimodal {
       |  FROM documents) t
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- mm11
+
+  /** Content-defined chunk boundaries + per-chunk (digest, byte count)
+    * structs for a binary payload — the CDC unit shared by the mm11
+    * gate and the insertion-resilience spec so they can never disagree
+    * on where a chunk starts. A chunk starts at byte 1 and at every
+    * position i (2 ≤ i ≤ len−3) whose 4-byte content window hashes to
+    * ≡ 0 (mod 32) — a POSITION-LOCAL content rule, so chunking is
+    * embarrassingly parallel per payload (no rolling state) and
+    * boundaries re-synchronize one cut point after any edit. Empty
+    * payloads chunk to the empty list. */
+  private[graft] def cdcChunks(payload: Column): Column = {
+    val len = octet_length(payload)
+    val cut: Column => Column = i =>
+      pmod(conv(substring(md5(payload.substr(i, lit(4))), 1, 15), 16, 10)
+        .cast("long"), lit(32)) === 0
+    val bnd = when(len === 0, array().cast("array<int>"))
+      .when(len <= 4, array(lit(1)))
+      .otherwise(concat(array(lit(1)),
+        filter(sequence(lit(2), len - 3), cut)))
+    val ends = concat(slice(bnd, lit(2), size(bnd) - 1), array(len + 1))
+    when(len === 0, array().cast("array<struct<dg:string,nb:int>>"))
+      .otherwise(zip_with(bnd, ends, (s, e) =>
+        struct(md5(payload.substr(s, e - s)).as("dg"), (e - s).as("nb"))))
+  }
+
+  /** mm11: CONTENT-DEFINED-CHUNKING dedup — the blob-store treatment
+    * for media payloads (restic/borg/LBFS lineage): chunk boundaries
+    * derive from CONTENT (the 4-byte-window hash rule in
+    * [[cdcChunks]]), so a payload edited near its head re-synchronizes
+    * at the next cut point and every later chunk still dedups —
+    * mm2's fixed 128-byte frames shift wholesale on a 1-byte insert
+    * and share NOTHING (the property pinned in TextDedupSpec's
+    * insertion fixture; dd9 is the same idea at the 16-token text
+    * grain, where token boundaries provide the resynchronization for
+    * free). Corpus-wide: chunks group by digest, first occurrence in
+    * (media_id, chunk_idx) order is the stored copy, every later
+    * occurrence is a dup; per-media output counts chunks, dup chunks
+    * and exact bytes the store reclaims.
+    *
+    * Scale shape: chunking is a narrow per-row map (the position scan
+    * is payload-bounded; a production store swaps the md5 window for
+    * gearhash, same algebra); then dd1's economics at the chunk grain
+    * — ONE hash exchange on the 16-byte digest with a rank window
+    * whose groups are copy groups, and a media-grain rollup. Payload
+    * bytes never shuffle (only digests and int lengths). */
+  private def mm11(s: SparkSession, d: String): DataFrame = {
+    val ch = media(s, d)
+      .select(col("media_id"),
+        posexplode(cdcChunks(col("payload"))).as(Seq("ci", "u")))
+      .select(col("media_id"), col("ci"),
+        col("u.dg").as("dg"), col("u.nb").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dg")).orderBy(col("media_id").asc, col("ci").asc)
+    val agg = ch.withColumn("rk", row_number().over(w))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("nb")).cast("long").as("bytes_total"),
+        sum(when(col("rk") > 1, col("nb").cast("long")).otherwise(lit(0L)))
+          .as("bytes_saved"))
+    media(s, d).select(col("media_id"))
+      .join(agg.hint("shuffle_hash"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("bytes_total"), lit(0L)).as("bytes_total"),
+        coalesce(col("bytes_saved"), lit(0L)).as("bytes_saved"))
+  }
+
+  private val mm11Sql =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, text, strlen(text) AS len,
+      |    CASE WHEN strlen(text) <= 4 THEN [CAST(1 AS BIGINT)]
+      |      ELSE [CAST(1 AS BIGINT)] || list_filter(range(2, strlen(text) - 2),
+      |        i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 15))::BIGINT % 32 = 0)
+      |    END AS bnd
+      |  FROM documents WHERE strlen(text) > 0),
+      |u AS (
+      |  SELECT media_id, text, len, bnd, CAST(ci AS BIGINT) AS ci
+      |  FROM (SELECT media_id, text, len, bnd, unnest(range(len(bnd))) AS ci
+      |        FROM b) x),
+      |ch AS (
+      |  SELECT media_id, ci,
+      |    md5(substr(text, CAST(st AS INT), CAST(en - st AS INT))) AS dg,
+      |    en - st AS nb
+      |  FROM (
+      |    SELECT media_id, text, ci, bnd[CAST(ci + 1 AS INT)] AS st,
+      |      CASE WHEN ci + 2 <= len(bnd) THEN bnd[CAST(ci + 2 AS INT)]
+      |        ELSE len + 1 END AS en
+      |    FROM u) y),
+      |rk AS (
+      |  SELECT media_id, ci, dg, nb,
+      |    row_number() OVER (PARTITION BY dg
+      |      ORDER BY media_id ASC, ci ASC) AS rk
+      |  FROM ch),
+      |agg AS (
+      |  SELECT media_id, count(*) AS n_chunks,
+      |    CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_chunks,
+      |    CAST(sum(nb) AS BIGINT) AS bytes_total,
+      |    CAST(sum(CASE WHEN rk > 1 THEN nb ELSE 0 END) AS BIGINT)
+      |      AS bytes_saved
+      |  FROM rk GROUP BY media_id)
+      |SELECT d.doc_id AS media_id,
+      |  coalesce(a.n_chunks, 0) AS n_chunks,
+      |  coalesce(a.n_dup_chunks, 0) AS n_dup_chunks,
+      |  coalesce(a.bytes_total, 0) AS bytes_total,
+      |  coalesce(a.bytes_saved, 0) AS bytes_saved
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.media_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
@@ -591,7 +702,9 @@ object Multimodal {
     GateQuery("mm9_static_payload", mm9, Some(mm9Sql),
       "static/low-information payload detector: in-row frame redundancy profile + is_static flag"),
     GateQuery("mm10_payload_quarantine", mm10, Some(mm10Sql),
-      "ingest validation: declared-vs-actual length quarantine rollup, payload never opened"))
+      "ingest validation: declared-vs-actual length quarantine rollup, payload never opened"),
+    GateQuery("mm11_cdc_chunk_dedup", mm11, Some(mm11Sql),
+      "content-defined-chunking dedup: position-local cut rule, digest-grain copy groups, bytes reclaimed"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

@@ -527,6 +527,131 @@ object Relational {
       |  min(l_discount) AS min_disc, max(l_discount) AS max_disc
       |FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q17
+
+  /** q17: INCREMENTAL SUMMARY MAINTENANCE — the other half of q15's
+    * summary-table story: q15 proves queries can be ANSWERED from the
+    * rollup; this proves the rollup can be MAINTAINED without
+    * re-scanning the fact table when a delta batch lands (the
+    * materialized-view upkeep every 100 TB dashboard depends on —
+    * Delta/BigQuery incremental MV refresh, Calcite's lattice
+    * maintenance).
+    *
+    * The fact table splits deterministically (l_orderkey mod 10 = 0 is
+    * the arriving delta; the rest is the already-summarized base —
+    * both engines re-derive the split). The base summary S0 carries
+    * q15's self-maintainable aggregate state: count, DECIMAL partial
+    * sums, extrema — each mergeable (count re-sums, partial sums
+    * re-sum losslessly, extrema re-extremize; AVG would ride the
+    * (sum, cnt) pair, MEDIAN would not be self-maintainable and is
+    * exactly what this shape excludes). The refresh job reads ONLY
+    * the delta slice and S0: summarize the delta at the same grain,
+    * union with S0, one |groups|-bounded hash agg. The gate
+    * `require`s the refresh's fact-side input row count equals the
+    * delta's row count (via an [[org.apache.spark.sql.Observation]]
+    * riding the refresh job — the zero-base-I/O receipt the SQL
+    * oracle cannot see), and the oracle checks the merged summary
+    * against the full-table recompute: INCREMENTAL ≡ FULL.
+    *
+    * Scale shape: refresh cost ∝ |delta| + |groups| — at 100 TB the
+    * base is never touched again; S0 is |groups| rows (6 here), the
+    * union+agg is map-side-combinable, and the only scan is the
+    * arriving batch. */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val base = li.filter(col("l_orderkey") % 10 =!= 0)
+    val s0 = base
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("l_quantity"))).as("sum_qty_dec"),
+        sum(dec(col("l_extendedprice"))).as("sum_price_dec"),
+        min(col("l_discount")).as("min_disc_p"),
+        max(col("l_discount")).as("max_disc_p"))
+      .localCheckpoint() // S0 IS the stored artifact; base scan happens once
+    val obs = org.apache.spark.sql.Observation()
+    val delta = li.filter(col("l_orderkey") % 10 === 0)
+      .observe(obs, count(lit(1)).as("n_fact_rows"))
+    val dSum = delta
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("l_quantity"))).as("sum_qty_dec"),
+        sum(dec(col("l_extendedprice"))).as("sum_price_dec"),
+        min(col("l_discount")).as("min_disc_p"),
+        max(col("l_discount")).as("max_disc_p"))
+    val merged = s0.unionByName(dSum)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(col("sum_qty_dec")).cast("double").as("sum_qty"),
+        sum(col("sum_price_dec")).cast("double").as("sum_price"),
+        min(col("min_disc_p")).as("min_disc"),
+        max(col("max_disc_p")).as("max_disc"))
+      .localCheckpoint() // materialize so the observation is final
+    val nDelta = li.filter(col("l_orderkey") % 10 === 0).count()
+    val seen = obs.get("n_fact_rows").asInstanceOf[Long]
+    require(seen == nDelta,
+      s"refresh read $seen fact rows, delta is $nDelta — base was re-scanned")
+    merged
+  }
+
+  private val q17Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  min(l_discount) AS min_disc, max(l_discount) AS max_disc
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+
+  /** q18: UNPIVOT (melt) — la8's PIVOT inverted, closing the
+    * reshaping pair: the per-day × per-metric WIDE rollup (the
+    * dashboard export shape) melts back to the (day, metric, value)
+    * LONG form a warehouse stores, via `Dataset.unpivot` (Spark's
+    * melt operator, the `UNPIVOT ... FOR ... IN` SQL surface). Every
+    * (day, metric) cell emits — including the zero cells the wide
+    * table materializes — so the long form is the dense cross of the
+    * day dim × 5 metrics, which is exactly what the oracle restates
+    * with a VALUES metric dim (no UNPIVOT needed on the DuckDB side:
+    * melt of a conditional-agg wide table ≡ the conditional agg at
+    * the long grain).
+    *
+    * Scale shape: one hash agg to the |days|-row wide table
+    * (map-side-combined), then unpivot is a NARROW 5-way Expand over
+    * it — |days|×5 rows, no exchange after the rollup. */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 86400000000L
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    val agged = Tables.events(s, d)
+      .withColumn("day_us", expr(s"(unix_micros(ts) div ${DayUs}L) * ${DayUs}L"))
+      .withColumn("cents",
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(col("day_us"))
+      .agg(
+        sum(when(col("event_type") === types.head, col("cents")).otherwise(0L))
+          .as(s"${types.head}_cents"),
+        types.tail.map(t =>
+          sum(when(col("event_type") === t, col("cents")).otherwise(0L))
+            .as(s"${t}_cents")): _*)
+    agged.unpivot(
+      Array(col("day_us")),
+      types.map(t => col(s"${t}_cents")).toArray,
+      "metric", "cents")
+  }
+
+  private val q18Sql =
+    """WITH e AS (
+      |  SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+      |    event_type,
+      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS cents
+      |  FROM events),
+      |m(metric, et) AS (VALUES
+      |  ('click_cents', 'click'), ('view_cents', 'view'),
+      |  ('purchase_cents', 'purchase'), ('error_cents', 'error'),
+      |  ('signup_cents', 'signup'))
+      |SELECT e.day_us, m.metric,
+      |  CAST(sum(CASE WHEN e.event_type = m.et THEN e.cents ELSE 0 END)
+      |    AS BIGINT) AS cents
+      |FROM e, m GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -550,5 +675,9 @@ object Relational {
     GateQuery("q15_summary_rewrite", q15, Some(q15Sql),
       "Catalyst Rule answers a fact-table rollup from a registered summary (zero fact I/O)"),
     GateQuery("q16_sql_lateral", q16, Some(q16Sql),
-      "LATERAL-with-LIMIT decorrelated to the per-group top-k window (the SQL surface's third correlated class)"))
+      "LATERAL-with-LIMIT decorrelated to the per-group top-k window (the SQL surface's third correlated class)"),
+    GateQuery("q17_incremental_summary", q17, Some(q17Sql),
+      "incremental materialized-view refresh: delta-only scan merged into q15's summary ≡ full recompute"),
+    GateQuery("q18_unpivot_melt", q18, Some(q18Sql),
+      "UNPIVOT/melt of the per-day wide rollup back to the long (day, metric, cents) grain (la8's inverse)"))
 }

@@ -732,6 +732,45 @@ class TextDedupSpec extends AnyFunSuite {
         .mkString(",")}")
   }
 
+  test("mm11 CDC chunking survives a head insertion where fixed frames shift wholesale") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    // A ~400-char payload with enough content entropy for several cut
+    // points, and the same payload with ONE byte prepended — the edit
+    // every backup/blob system meets. Content-defined boundaries
+    // re-synchronize at the first cut point past the edit (the cut
+    // rule reads a position's 4-byte WINDOW, and every old window
+    // reappears shifted by one), so all later chunks keep their
+    // digests; mm2's fixed 128-byte grid shifts wholesale and shares
+    // nothing.
+    val p = (1 to 60).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val df = Seq((1L, p), (2L, "x" + p)).toDF("media_id", "txt")
+      .select(col("media_id"), encode(col("txt"), "UTF-8").as("payload"))
+    val chunks = df.select(col("media_id"),
+        explode(operators.Multimodal.cdcChunks(col("payload"))).as("u"))
+      .select(col("media_id"), col("u.dg").as("dg"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSeq).toMap
+    val shared = chunks(1L).toSet intersect chunks(2L).toSet
+    assert(chunks(1L).size >= 4, s"fixture too smooth: ${chunks(1L).size} chunks")
+    assert(shared.size * 2 >= chunks(1L).size,
+      s"CDC resync failed: only ${shared.size} of ${chunks(1L).size} chunks survive")
+    val frames = df.select(col("media_id"),
+        explode(operators.Multimodal.frameArr(col("payload"))).as("fd"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    assert((frames(1L) intersect frames(2L)).isEmpty,
+      "fixed frames unexpectedly survived the shift — fixture broken")
+    // and the digests really chunk the payload: bytes partition exactly
+    val tot = df.select(col("media_id"),
+        aggregate(operators.Multimodal.cdcChunks(col("payload")),
+          lit(0), (acc, x) => acc + x.getField("nb")).as("nb"),
+        octet_length(col("payload")).as("len"))
+      .collect()
+    tot.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"chunk bytes ${r.getInt(1)} != payload ${r.getInt(2)}"))
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
