@@ -429,7 +429,11 @@ object ScaleProbe {
             "st6_stream_join", "st7_stream_sessions",
             // ob5: the observation rides the replay scan; metric rows
             // stay |slices| regardless of event count.
-            "ob5_stream_observe")) {
+            "ob5_stream_observe",
+            // st12: window-store state ∝ open (window × type) pairs
+            // inside the watermark horizon; emitted rows ∝ closed
+            // windows — both event-count-independent per hour.
+            "st12_stream_tumbling")) {
           val t1 = System.nanoTime()
           val c = SparkEntry.queries(g)(spark, out).count()
           val s1 = (System.nanoTime() - t1) / 1e9

@@ -565,6 +565,49 @@ object StreamGates {
       |  CAST(sum(value_cents) AS BIGINT) AS value_cents
       |FROM evs, b GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- st12
+
+  /** st12: WATERMARKED TUMBLING AGGREGATION in append mode — the most
+    * common production streaming aggregate (per-hour per-type counts +
+    * cent sums, `EventStream.hourlyTypeCounts` — T2/A10's shape),
+    * replayed and oracled. The batch≡stream property for this
+    * pipeline was spec-only (EventStreamSpec runs it in COMPLETE
+    * mode); the gate runs the APPEND path a production parquet sink
+    * requires, where a window may only emit once the watermark closes
+    * it — partial per-batch states must MERGE in the window store
+    * across micro-batches first.
+    *
+    * Emission law, probed and pinned (EventStreamSpec "append-mode
+    * tumbling window emission"): windows are EPOCH-aligned (hour
+    * buckets = floor(ts_us / 3600e6) — NOT data-anchored), and a
+    * window emits iff `end_us ≤ wm_ms · 1000` against the FINAL
+    * watermark (floor-ms of the global max event time minus the
+    * 10-min delay, including the post-data flush batch) — the same
+    * non-strict ms-scaled cut st7's session windows obey (shared
+    * eviction machinery). Later windows stay pending in state and
+    * never reach the sink; the oracle models exactly that.
+    *
+    * Scale shape: per-batch partial aggs combine map-side before the
+    * (window, type)-grain state store; state is one (count, cents)
+    * pair per open window × type — bounded by the watermark horizon,
+    * not the stream; emitted volume ∝ closed windows. */
+  private def st12(s: SparkSession, d: String): DataFrame =
+    replayed(s, d, "st12")(EventStream.hourlyTypeCounts)
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  private val st12Sql = TimeWindows.evsSql +
+    s""", wm AS (SELECT max(ts_us) // 1000 - 600000 AS wm_ms FROM evs)
+       |SELECT window_start_us, event_type,
+       |  count(*) AS n_events,
+       |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+       |FROM (
+       |  SELECT (ts_us // $HourUs) * $HourUs AS window_start_us,
+       |    event_type, value_cents
+       |  FROM evs) t, wm
+       |WHERE window_start_us + $HourUs <= wm_ms * 1000
+       |GROUP BY window_start_us, event_type""".stripMargin
+
   // ------------------------------------------------- doc/media replays
 
   /** Shared micro-batch base instant for the synthetic ingest clocks —
@@ -819,5 +862,7 @@ object StreamGates {
     GateQuery("st10_stream_increm_dedup", st10, Some(st10Sql),
       "streaming incremental dedup vs static history ≡ dd13's exact+band decision"),
     GateQuery("st11_stream_perceptual", st11, Some(st11Sql),
-      "streaming perceptual ingest vs published index ≡ mm6/mm7 digest+band decision"))
+      "streaming perceptual ingest vs published index ≡ mm6/mm7 digest+band decision"),
+    GateQuery("st12_stream_tumbling", st12, Some(st12Sql),
+      "append-mode watermarked tumbling agg ≡ epoch-aligned hour rollup cut at end ≤ final watermark"))
 }

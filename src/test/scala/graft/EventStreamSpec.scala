@@ -732,4 +732,35 @@ class EventStreamSpec extends AnyFunSuite {
       s"continuous replay: K emitted at $kSecs, expected Seq(0, 5100) " +
         "(two-batch eviction lag)")
   }
+
+  test("append-mode tumbling window emission: epoch-aligned, end<=wm emits " +
+    "(st12's oracle constants)") {
+    // Two laws st12's oracle bakes in, pinned from fixtures:
+    // (1) window buckets are EPOCH-aligned (floor(ts/1h)), not anchored
+    //     to the data's min ts; (2) a window ending exactly ON the
+    //     ms-scaled final watermark EMITS (non-strict ≤ — the same cut
+    //     st7's session windows obey).
+    val w0 = (1700000000L / 3600 + 1) * 3600 // epoch-aligned hour start
+    def tsec(sec: Long): Timestamp = new Timestamp(sec * 1000)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val q = EventStream.hourlyTypeCounts(
+        toEvents(mem.toDF()))
+      .writeStream.format("memory").queryName("tumble_law")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, tsec(w0 + 10), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // max ts w0+4200 -> final wm = w0+3600 = the first window's END
+      mem.addData((2L, tsec(w0 + 4200), 1L, "view", 2.0))
+      q.processAllAvailable()
+      val starts = spark.table("tumble_law").collect()
+        .map(r => r.getAs[Timestamp]("window_start").getTime / 1000 - w0).toSet
+      assert(starts.contains(0L),
+        s"window ending ON the watermark did not emit (strict <?): $starts")
+      assert(!starts.contains(3600L),
+        s"window past the watermark emitted early: $starts")
+      // epoch alignment: the emitted start is the epoch hour floor
+      assert((w0 + 0L) % 3600 == 0)
+    } finally q.stop()
+  }
 }
