@@ -738,6 +738,60 @@ object TimeWindows {
       |    FROM evs) c
       |  WHERE prev_state IS NULL OR prev_state <> state) t""".stripMargin
 
+  // ---------------------------------------------------------------- tw16
+
+  /** tw16: HALF-LIFE DECAYED trending score — the recency-weighted
+    * ranking every "trending now" surface computes (and the
+    * reference's windowed recency metrics A1/W1 generalized from
+    * last-N cutoffs to smooth decay): each event's cents HALVE per
+    * 24 h of age against the stream's max-ts anchor (the tw6/la4
+    * 1-row anchor pattern), summed per user, top-50 by decayed score.
+    *
+    * Determinism is the design: decay is an INTEGER arithmetic right
+    * shift per 24-h bucket (`value >> min(age_days, 62)`) — exact
+    * halving, order-free BIGINT sums — where the textbook
+    * `value · exp(−λ·age)` would put FP partial-sum order into the
+    * hash. The shift cap at 62 keeps the shift defined at any
+    * horizon; buckets older than ~2 months contribute 0 exactly —
+    * the truncation a production decay would tolerate anyway.
+    *
+    * Scale shape: one narrow map (age bucket + shift) under a 1-row
+    * broadcast anchor, one map-side-combinable user rollup, a
+    * TakeOrderedAndProject top-50, and a rank window over the
+    * 50-row result (the ob3 bounded-frame class). */
+  private def tw16(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * HourUs
+    val anchor = evs(s, d).agg(max(col("ts_us")).as("now_us"))
+    evs(s, d).crossJoin(broadcast(anchor))
+      .withColumn("decay_steps",
+        least(expr(s"(now_us - ts_us) div ${DayUs}L"), lit(62L)).cast("int"))
+      .withColumn("decayed", expr("shiftright(value_cents, decay_steps)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("raw_cents"),
+        sum(col("decayed")).as("decayed_cents"))
+      .orderBy(col("decayed_cents").desc, col("user_id").asc).limit(50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("decayed_cents").desc, col("user_id").asc)))
+  }
+
+  private val tw16Sql = evsSql +
+    """, a AS (SELECT max(ts_us) AS now_us FROM evs),
+      |d AS (
+      |  SELECT user_id, value_cents,
+      |    value_cents >> LEAST((a.now_us - ts_us) // 86400000000, 62)
+      |      AS decayed
+      |  FROM evs, a)
+      |SELECT user_id, n_events, raw_cents, decayed_cents,
+      |  CAST(row_number() OVER (ORDER BY decayed_cents DESC, user_id ASC)
+      |    AS INT) AS rank
+      |FROM (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(value_cents) AS BIGINT) AS raw_cents,
+      |    CAST(sum(decayed) AS BIGINT) AS decayed_cents
+      |  FROM d GROUP BY user_id
+      |  ORDER BY decayed_cents DESC, user_id ASC LIMIT 50) t""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -768,5 +822,7 @@ object TimeWindows {
     GateQuery("tw14_conversion_funnel", tw14, Some(tw14Sql),
       "ordered signup->click->purchase funnel via chained user-grain min-reductions"),
     GateQuery("tw15_scd2_intervals", tw15, Some(tw15Sql),
-      "SCD2 dimension build: change-grain validity intervals via lag/lead, one shuffle"))
+      "SCD2 dimension build: change-grain validity intervals via lag/lead, one shuffle"),
+    GateQuery("tw16_decay_score", tw16, Some(tw16Sql),
+      "half-life decayed trending score: integer shift per 24h bucket, order-free sums, top-50"))
 }

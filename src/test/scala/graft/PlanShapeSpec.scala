@@ -188,7 +188,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // codes instead of raw vectors
       "sim20_sampled_codebook", // embeds sim1's brute-force truth
       // (sim8/sim18's shape) for both recall legs
-      "tx19_token_drift") // 1-row half-totals anchor cross (la2's shape)
+      "tx19_token_drift", // 1-row half-totals anchor cross (la2's shape)
+      "tw16_decay_score") // 1-row max-ts anchor cross (tw6/la4's shape)
     // tx20 is deliberately NOT allowed: its edges are now extracted
     // from document content (scan-linear token mentions), so any
     // nested-loop re-appearing there is a regression of exactly the
