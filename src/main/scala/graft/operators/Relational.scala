@@ -409,6 +409,7 @@ object Relational {
         Tables.orders(s, d).createOrReplaceTempView("orders")
         Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
         Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.events(s, d).createOrReplaceTempView("events")
       }
       d
     })
@@ -652,6 +653,78 @@ object Relational {
       |    AS BIGINT) AS cents
       |FROM e, m GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q19
+
+  /** q19: CORRELATED SCALAR SUBQUERY — the fourth decorrelation class
+    * the SQL-text surface needs beside EXISTS (q12), NOT EXISTS (q13)
+    * and LATERAL (q16): a per-row scalar lookup (`each customer's max
+    * order value`) written as the textbook correlated subselect.
+    * Catalyst decorrelates it to ONE grouped aggregate over orders
+    * plus a left outer hash join — never a per-row re-execution —
+    * and customers with no orders surface the scalar NULL, folded by
+    * the outer COALESCE (the reference's defensive `.get(..., 0)`
+    * discipline at the SQL layer). One dialect-shared ANSI string,
+    * exact cents end-to-end.
+    *
+    * Scale shape: the subquery side collapses to |custkey| rows
+    * before the join; the join is customer-keyed hash; the final
+    * rollup is |segments| rows. At 100 TB this is the difference
+    * between O(|customers|·|orders|) naive correlation and one
+    * aggregate + one join. */
+  private val q19Sql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  CAST(sum(coalesce(mx, 0)) AS BIGINT) AS max_cents_sum
+      |FROM (
+      |  SELECT c.c_mktsegment,
+      |    (SELECT CAST(max(floor(o.o_totalprice * 100)) AS BIGINT)
+      |     FROM orders o WHERE o.o_custkey = c.c_custkey) AS mx
+      |  FROM customer c) t
+      |GROUP BY c_mktsegment""".stripMargin
+
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    ensureSqlViews(s, d)
+    s.sql(q19Sql)
+  }
+
+  // ---------------------------------------------------------------- q20
+
+  /** q20: NULL-AWARE NOT IN — the SQL surface's classic trap, gated
+    * deliberately: `k NOT IN (subquery)` is NOT an anti join when k
+    * can be NULL — a NULL key compares UNKNOWN against every subquery
+    * row and the predicate filters it, which a plain anti join would
+    * KEEP. The outer key goes NULL deterministically (event_id ≡ 0
+    * mod 7 — both engines synthesize the same nullable column); the
+    * subquery side is non-null (so the other null trap — one NULL in
+    * the subquery annihilating every row — stays out of the law being
+    * gated, documented here); the subquery restricts the error cohort
+    * to a user residue class (user_id ≡ 0 mod 3) so survivors exist
+    * at EVERY SF (an activity-based sample covers all users once the
+    * corpus is dense enough and the gate would go empty). Spark plans
+    * the single-column case as a broadcast null-aware anti join
+    * (NAAJ); DuckDB executes its own mark join — both must land on
+    * identical SQL semantics, which is exactly what the gate hashes.
+    * One dialect-shared string.
+    *
+    * Scale shape: the subquery side is a distinct key set (broadcast
+    * at dim size); the null-aware probe is one pass over the fact —
+    * same economics as q6's anti join plus the null check. */
+  private val q20Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM (
+      |  SELECT event_type, value,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS k
+      |  FROM events) t
+      |WHERE k NOT IN (SELECT user_id FROM events
+      |                WHERE event_type = 'error' AND user_id % 3 = 0)
+      |GROUP BY event_type""".stripMargin
+
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    ensureSqlViews(s, d)
+    s.sql(q20Sql)
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -679,5 +752,9 @@ object Relational {
     GateQuery("q17_incremental_summary", q17, Some(q17Sql),
       "incremental materialized-view refresh: delta-only scan merged into q15's summary ≡ full recompute"),
     GateQuery("q18_unpivot_melt", q18, Some(q18Sql),
-      "UNPIVOT/melt of the per-day wide rollup back to the long (day, metric, cents) grain (la8's inverse)"))
+      "UNPIVOT/melt of the per-day wide rollup back to the long (day, metric, cents) grain (la8's inverse)"),
+    GateQuery("q19_sql_scalar_subq", q19, Some(q19Sql),
+      "correlated scalar subquery decorrelated to one grouped agg + left outer join (the 4th decorrelation class)"),
+    GateQuery("q20_null_aware_not_in", q20, Some(q20Sql),
+      "NOT IN over a nullable key: null-aware anti join semantics, identical in both engines"))
 }
