@@ -496,6 +496,19 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
         println(s"corpus: ${spark.read.parquet(s"$out/embeddings.parquet").count()} vectors")
       }
+      // base-table passthrough: gates that register the full SQL-view
+      // set (ensureSqlViews) resolve every table's schema eagerly, so
+      // link the un-replicated originals for any table the replica
+      // builders didn't write
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")) {
+        val dst = new java.io.File(s"$out/$t.parquet")
+        if (!dst.exists()) {
+          new java.io.File(out).mkdirs()
+          java.nio.file.Files.createSymbolicLink(dst.toPath,
+            java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+        }
+      }
       for (g <- gates) {
         val t1 = System.nanoTime()
         // toRdd.count() materializes EVERY column — a bare count()

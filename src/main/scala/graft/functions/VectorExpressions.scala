@@ -79,6 +79,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Aggregate-navigation rewrite (graft.plans.SummaryRewrite): a
     // no-op until a gate registers a summary in SummaryRegistry.
     ext.injectOptimizerRule(session => new graft.plans.SummaryRewrite(session))
+    // Range-join bin rewrite (graft.plans.RangeBinRewrite): a no-op
+    // until spark.graft.rangeJoin.binWidth is set.
+    ext.injectOptimizerRule(session => new graft.plans.RangeBinRewrite(session))
     ext.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),

@@ -792,6 +792,45 @@ object TimeWindows {
       |  FROM d GROUP BY user_id
       |  ORDER BY decayed_cents DESC, user_id ASC LIMIT 50) t""".stripMargin
 
+  // ---------------------------------------------------------------- tw17
+
+  /** tw17: the RANGE-JOIN BIN REWRITE exercised end-to-end — tw7's
+    * campaign-attribution query written the way a USER writes it (the
+    * naive `ts >= lo AND ts < hi` containment join), with the
+    * injected [[graft.plans.RangeBinRewrite]] optimizer rule
+    * (`SparkSessionExtensions.injectOptimizerRule`, the repo's second
+    * whole-plan Catalyst extension after q15's SummaryRewrite)
+    * supplying the bin-exploded equi-join plan underneath. tw7 gates
+    * the bin ALGEBRA through the explicit API; this gates the
+    * OPTIMIZER path — same oracle, and the plan law (no nested-loop
+    * join, a Generate feeding hash joins, rule off ⇒ NLJ returns) is
+    * pinned in `RangeBinRewriteSpec` since the gate materializes
+    * inside its conf bracket (the q15 register→materialize→unregister
+    * discipline, so the rewrite can never leak into another gate's
+    * plan).
+    *
+    * Scale shape: identical to tw7 once rewritten — the whole point:
+    * the user's naive spelling survives any interval count because
+    * the equi key lets Catalyst pick hash strategies and AQE re-plan
+    * between them. */
+  private def tw17(s: SparkSession, d: String): DataFrame = {
+    val e = evs(s, d)
+    val probe = e.select(col("ts_us"), col("user_id"), col("value_cents"))
+    val ivs = campaignsOf(e)
+    s.conf.set("spark.graft.rangeJoin.binWidth", SlideUs.toString)
+    try {
+      probe.join(ivs,
+          col("ts_us") >= col("lo_us") && col("ts_us") < col("hi_us"))
+        .groupBy(col("campaign_type"), col("campaign_hour_us"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value_cents")).as("value_cents"))
+        .localCheckpoint() // materialize while the rule is armed
+    } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
+  private val tw17Sql = tw7Sql
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -824,5 +863,7 @@ object TimeWindows {
     GateQuery("tw15_scd2_intervals", tw15, Some(tw15Sql),
       "SCD2 dimension build: change-grain validity intervals via lag/lead, one shuffle"),
     GateQuery("tw16_decay_score", tw16, Some(tw16Sql),
-      "half-life decayed trending score: integer shift per 24h bucket, order-free sums, top-50"))
+      "half-life decayed trending score: integer shift per 24h bucket, order-free sums, top-50"),
+    GateQuery("tw17_range_rewrite", tw17, Some(tw17Sql),
+      "the naive containment join auto-rewritten to the binned equi-join by the injected Catalyst rule"))
 }
