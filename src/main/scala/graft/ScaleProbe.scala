@@ -499,14 +499,20 @@ object ScaleProbe {
       // base-table passthrough: gates that register the full SQL-view
       // set (ensureSqlViews) resolve every table's schema eagerly, so
       // link the un-replicated originals for any table the replica
-      // builders didn't write
+      // builders didn't write. Stale links from a previous run are
+      // replaced (File.exists follows links, so a dangling link reads
+      // as absent and the create would otherwise throw), and the
+      // target is absolutized so a relative SPARK_GRAFT_SF_DIR can't
+      // resolve against the link's own directory.
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")) {
-        val dst = new java.io.File(s"$out/$t.parquet")
-        if (!dst.exists()) {
+        val dst = new java.io.File(s"$out/$t.parquet").toPath
+        if (java.nio.file.Files.isSymbolicLink(dst))
+          java.nio.file.Files.delete(dst)
+        if (!java.nio.file.Files.exists(dst)) {
           new java.io.File(out).mkdirs()
-          java.nio.file.Files.createSymbolicLink(dst.toPath,
-            java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+          java.nio.file.Files.createSymbolicLink(dst,
+            java.nio.file.Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
         }
       }
       for (g <- gates) {

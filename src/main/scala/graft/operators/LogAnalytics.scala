@@ -919,10 +919,12 @@ object LogAnalytics {
     * are never touched. Receipts the SQL oracle cannot see, engine-
     * `require`d: (a) SNAPSHOT ISOLATION — the v0 manifest re-read
     * AFTER the v1 commit collects bit-identical rollup rows to the
-    * pre-commit read; (b) STRUCTURAL SHARING — v0 ∩ v1 manifests =
-    * exactly v0 minus the rewritten day's files (storage is shared,
-    * not copied — the property that makes retaining history
-    * affordable). Output: per-(version, level) rollup of both
+    * pre-commit read; (b) STRUCTURAL SHARING — a post-commit
+    * filesystem re-list still contains every v0 file (old files
+    * retained, nothing clobbered by the landing renames) and every
+    * v1 file, so storage is shared, not copied — the property that
+    * makes retaining history affordable. Output: per-(version,
+    * level) rollup of both
     * snapshots; the oracle restates v0 as the raw table and v1 as
     * the closed-form correction.
     *
@@ -940,11 +942,14 @@ object LogAnalytics {
       .write.mode("overwrite").partitionBy("day_us").parquet(dir)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // scheme-normalized paths (listStatus reports file:/..., a
+    // hand-built Path stringifies bare) so manifest set algebra and
+    // the re-list receipt compare like for like
     def allFiles(): Set[String] =
       fs.listStatus(root).filter(_.getPath.getName.startsWith("day_us="))
         .flatMap(day => fs.listStatus(day.getPath)
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString)).toSet
+          .map(_.getPath.toUri.getPath)).toSet
     val manifest0 = allFiles()
     def rollup(manifest: Set[String], version: Long) =
       s.read.option("basePath", dir).parquet(manifest.toSeq.sorted: _*)
@@ -968,7 +973,7 @@ object LogAnalytics {
       .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
         val dst = new org.apache.hadoop.fs.Path(dayPath, s"v1-${f.getPath.getName}")
         require(fs.rename(f.getPath, dst), s"cannot land ${f.getPath}")
-        dst.toString
+        dst.toUri.getPath
       }.toSet
     fs.delete(stage, true)
     val manifest1 = (manifest0 -- oldDayFiles) ++ newFiles
@@ -977,10 +982,17 @@ object LogAnalytics {
     val v0After = rollup(manifest0, 0L).collect().sortBy(_.getString(1))
     require(v0Before.sameElements(v0After),
       "time travel broke snapshot isolation: v0 changed after the v1 commit")
-    // receipt (b): structural sharing — versions share every file
-    // outside the rewritten day
-    require((manifest0 intersect manifest1) == (manifest0 -- oldDayFiles),
-      "v1 does not structurally share v0's untouched files")
+    // receipt (b): structural sharing — re-LIST the filesystem after
+    // the commit and require every v0 file still present (old files
+    // retained, nothing clobbered by the landing renames) alongside
+    // every v1 file: history costs only the rewritten partitions. (A
+    // set-algebra comparison of the in-memory manifests would be
+    // tautological — both sides derive from the same construction.)
+    val postFiles = allFiles()
+    require(manifest0.subsetOf(postFiles),
+      s"v1 commit clobbered v0 files: ${(manifest0 -- postFiles).take(3)}")
+    require(manifest1.subsetOf(postFiles),
+      s"v1 manifest references missing files: ${(manifest1 -- postFiles).take(3)}")
     val out = v0After ++ rollup(manifest1, 1L).collect().sortBy(_.getString(1))
     val schema = rollup(manifest0, 0L).schema
     fs.delete(root, true)

@@ -692,10 +692,14 @@ object StreamGates {
        |    length(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct_cnt,
        |    length(regexp_extract_all(text, '\\b(the|a)\\b')) AS stopword_cnt
        |  FROM documents),
-       |g AS (
+       |g0 AS (
        |  SELECT fp, min(slot) AS slot, min(n_tokens) AS n_tokens,
        |    min(punct_cnt) AS punct_cnt, min(stopword_cnt) AS stopword_cnt
        |  FROM f GROUP BY fp),
+       |g AS (
+       |  SELECT *, ${TextAnalysis.qualityBucketSql(
+              "n_tokens", "stopword_cnt", "punct_cnt")} AS qb
+       |  FROM g0),
        |a AS (
        |  SELECT fp, $BaseUs + slot * 420000000 AS w1_us,
        |    $BaseUs + slot * 420000000 + 5880000000 AS w2_us
@@ -714,11 +718,7 @@ object StreamGates {
        |      AS wm_ms
        |  FROM a)
        |SELECT g.fp, g.n_tokens,
-       |  CASE WHEN ${TextAnalysis.qualityBucketSql(
-              "g.n_tokens", "g.stopword_cnt", "g.punct_cnt")
-              .replace("'keep'", "'x'")} = 'x' THEN 'kept'
-       |    ELSE ${TextAnalysis.qualityBucketSql(
-              "g.n_tokens", "g.stopword_cnt", "g.punct_cnt")} END AS decision,
+       |  CASE WHEN g.qb = 'keep' THEN 'kept' ELSE g.qb END AS decision,
        |  CAST(CASE WHEN d.wm_ms IS NOT NULL AND d.expiry_ms < d.wm_ms
        |    THEN 2 ELSE 1 END AS BIGINT) AS n_emissions
        |FROM g JOIN dec d ON g.fp = d.fp""".stripMargin

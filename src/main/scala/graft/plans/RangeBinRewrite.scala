@@ -111,10 +111,15 @@ class RangeBinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         val probeP = Project(probe.output :+ binP, probe)
         val binI = AttributeReference("__graft_bin_i", LongType, nullable = false)()
         // Sequence is TimeZoneAware — an optimizer-built instance must
-        // carry the session zone or the plan flips back to unresolved
+        // carry the session zone or the plan flips back to unresolved.
+        // No explicit step: a degenerate interval (hi <= lo) then
+        // yields a DESCENDING default-step sequence whose bins the
+        // residual predicate filters out — RangeJoin.binned's exact
+        // behavior — where step=1 would throw 'Illegal sequence
+        // boundaries' at runtime on data the naive join handles fine.
         val genPlan = Generate(
           Explode(Sequence(binOf(lo), binOf(Subtract(hi, Literal(1L))),
-            Some(Literal(1L)),
+            None,
             Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(binI), child = ivs)

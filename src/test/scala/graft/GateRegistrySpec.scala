@@ -14,8 +14,9 @@ class GateRegistrySpec extends AnyFunSuite {
     * sets it to the project base). A runner with a different CWD gets
     * a named failure pointing at the actual path tried, not an NPE
     * from an unchecked `listFiles()`. */
-  private def repoFile(rel: String): java.io.File = {
-    val f = new java.io.File(sys.props.getOrElse("user.dir", "."), rel)
+  private def repoFile(rel: String,
+      base: String = sys.props.getOrElse("user.dir", ".")): java.io.File = {
+    val f = new java.io.File(base, rel)
     require(f.exists(),
       s"repo file '$rel' not found at ${f.getAbsolutePath} — " +
         "run the suite from the repo root (sbt does; set your runner's " +
@@ -48,19 +49,19 @@ class GateRegistrySpec extends AnyFunSuite {
   }
 
   test("repoFile from a non-repo CWD fails NAMED, not with an NPE") {
-    // The lint must stay diagnosable from any runner: with user.dir
-    // pointing outside the repo, every repo-file resolution raises the
-    // message that names the path tried and the fix — the round-8
-    // regression class was an unchecked listFiles() NPE.
-    val saved = sys.props("user.dir")
-    sys.props("user.dir") = System.getProperty("java.io.tmpdir")
-    try {
-      val e = intercept[IllegalArgumentException](repoFile("COVERAGE.md"))
-      assert(e.getMessage.contains("run the suite from the repo root"),
-        s"unnamed failure: ${e.getMessage}")
-      assert(e.getMessage.contains("COVERAGE.md"))
-    } finally sys.props("user.dir") = saved
-    // and back home it resolves again
+    // The lint must stay diagnosable from any runner: with the base
+    // dir pointing outside the repo, every repo-file resolution raises
+    // the message that names the path tried and the fix — the round-8
+    // regression class was an unchecked listFiles() NPE. The non-repo
+    // base is passed explicitly (mutating the global user.dir property
+    // would race concurrently executing suites that resolve repo files
+    // through it).
+    val e = intercept[IllegalArgumentException](
+      repoFile("COVERAGE.md", base = System.getProperty("java.io.tmpdir")))
+    assert(e.getMessage.contains("run the suite from the repo root"),
+      s"unnamed failure: ${e.getMessage}")
+    assert(e.getMessage.contains("COVERAGE.md"))
+    // and from the real base it resolves
     assert(repoFile("COVERAGE.md").exists())
   }
 

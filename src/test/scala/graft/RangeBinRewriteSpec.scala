@@ -47,6 +47,24 @@ class RangeBinRewriteSpec extends AnyFunSuite {
     } finally spark.conf.unset(Conf)
   }
 
+  test("rule armed: a degenerate interval (hi <= lo) matches nothing, never throws") {
+    // The naive join simply emits no match for a zero/negative-length
+    // interval; the rewritten plan must do the same (the omitted
+    // Sequence step yields a descending bin list the residual filters
+    // out — an explicit step=1 would crash the whole query).
+    val badIv = Seq((100L, 50L, "deg"), (0L, 300L, "ok")).toDF("lo_us", "hi_us", "tag")
+    spark.conf.set(Conf, "250")
+    try {
+      val j = probeDf.join(badIv,
+        col("p_us") >= col("lo_us") && col("p_us") < col("hi_us"))
+      val got = j.select("ev", "tag").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == Seq((1L, "ok"), (2L, "ok")), s"got $got")
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.unset(Conf)
+  }
+
   test("rule unarmed or unmatchable: plan untouched") {
     // no conf -> the NLJ plan returns (the rule is bracket-scoped)
     val p0 = naive.queryExecution.executedPlan.toString
