@@ -784,6 +784,118 @@ object CorpusOps {
        |JOIN top ON top.source = b.source
        |LEFT JOIN dup ON dup.source = b.source""".stripMargin
 
+  // --------------------------------------------------------------- cp16
+
+  /** cp16: CURRICULUM PACING — the clean-first training-order policy
+    * (quality-ascending curricula à la data-pruning/curriculum-LM
+    * setups): documents order by (quality-bucket priority, token
+    * count, doc_id) — clean and short first — and the running token
+    * total cuts the corpus into 4 equal-budget PHASES; the output is
+    * the per-phase audit (docs, tokens, bucket mix) a training run
+    * logs before consuming the schedule. The curriculum property —
+    * later phases carry the noisier buckets — falls out of the
+    * ordering and is visible in the rollup.
+    *
+    * The SCALE SHAPE is the point: a per-doc global running sum is
+    * the classic single-partition-window trap at corpus scale. This
+    * gate computes the exact global prefix sum DISTRIBUTED — range-
+    * repartition on the (unique) sort key, per-partition running sums
+    * under a partition-local window, plus a ≤|partitions|-row offset
+    * dim (cumulative per-partition totals, the 1-row-anchor class)
+    * broadcast back. With a unique total order, partition boundaries
+    * cannot split ties, so offset + local prefix ≡ global prefix
+    * EXACTLY regardless of where the sampled range boundaries land —
+    * the determinism argument that makes the two-pass prefix sum
+    * safe to hash-compare. The oracle is the plain global window.
+    *
+    * Scale shape: one range exchange (the sort a curriculum needs
+    * anyway), partition-local windows, a 32-row offset collect;
+    * output is 4 rows. */
+  private def cp16(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+      TextAnalysis.qualityBucket(
+        size(split(trim(col("text")), "\\s+")),
+        regexp_count(col("text"), lit("\\b(the|a)\\b")),
+        regexp_count(col("text"), lit("[^a-z0-9\\s]"))).as("bucket"))
+      .withColumn("prio",
+        when(col("bucket") === "keep", 0)
+          .when(col("bucket").startsWith("flag"), 1).otherwise(2))
+    // materialize the quality signals ONCE before the range exchange:
+    // repartitionByRange runs a boundary-SAMPLING pass over its child
+    // in addition to the exchange itself, and the offset dim + final
+    // pass are two more consumers — on the lazy plan each of the four
+    // would re-run the regex scan (measured 100 s at the 100× probe;
+    // 24 s with the signals checkpointed). The narrow (doc_id,
+    // n_tokens, bucket, prio) rows are the curriculum's working set —
+    // payload text never enters the exchange.
+    val sig = base.localCheckpoint()
+    // the range layout is ALSO checkpointed: every consumer (offset
+    // dim, final pass) must read the SAME materialized partitioning —
+    // repartitionByRange re-SAMPLES boundaries per execution, and two
+    // executions with different boundaries would break the
+    // offset + local-prefix ≡ global-prefix identity (observed as a
+    // phantom 5th phase at the 100× probe)
+    val ranged = sig
+      .repartitionByRange(32, col("prio"), col("n_tokens"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // ≤32-row offset dim: cumulative token total of all partitions
+    // BEFORE each one (partition order = range order by construction)
+    val offsets = ranged.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("ptoks"))
+      .withColumn("offset",
+        coalesce(sum(col("ptoks")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val wLocal = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+      .orderBy(col("prio").asc, col("n_tokens").asc, col("doc_id").asc)
+    val total = sig.agg(sum(col("n_tokens"))).head().getLong(0)
+    val phaseBudget = total / 4 + 1
+    ranged
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", col("offset") + col("local_cum"))
+      .withColumn("phase", expr(s"(cum - n_tokens) div ${phaseBudget}L"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("bucket") === "keep", 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("bucket").startsWith("flag"), 1L).otherwise(0L)).as("n_flag"),
+        sum(when(col("prio") === 2, 1L).otherwise(0L)).as("n_drop"))
+  }
+
+  private val cp16Sql = {
+    val qb = TextAnalysis.qualityBucketSql("n_tokens", "stopword_cnt", "punct_cnt")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    length(regexp_extract_all(text, '\\b(the|a)\\b')) AS stopword_cnt,
+       |    length(regexp_extract_all(text, '[^a-z0-9\\s]')) AS punct_cnt
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, n_tokens, $qb AS bucket,
+       |    CASE WHEN $qb = 'keep' THEN 0
+       |         WHEN $qb LIKE 'flag%' THEN 1 ELSE 2 END AS prio
+       |  FROM base),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 4 + 1 AS budget FROM q),
+       |c AS (
+       |  SELECT *, CAST(sum(n_tokens) OVER (
+       |      ORDER BY prio ASC, n_tokens ASC, doc_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM q)
+       |SELECT (cum - n_tokens) // budget AS phase,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN bucket = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
+       |  CAST(sum(CASE WHEN bucket LIKE 'flag%' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flag,
+       |  CAST(sum(CASE WHEN prio = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop
+       |FROM c, tot GROUP BY 1""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
       "deterministic per-language k-sample via salted-md5 permutation"),
@@ -814,5 +926,7 @@ object CorpusOps {
     GateQuery("cp13_jsonl_interchange", cp13, Some(cp13Sql),
       "MUTATING lossless JSONL round-trip: write + schema-pinned read-back vs the parquet truth"),
     GateQuery("cp15_dataset_card", cp15, Some(cp15Sql),
-      "per-source dataset card: volume, language spread, quality + dup shares from shared defs"))
+      "per-source dataset card: volume, language spread, quality + dup shares from shared defs"),
+    GateQuery("cp16_curriculum_phases", cp16, Some(cp16Sql),
+      "clean-first curriculum pacing via a DISTRIBUTED exact global prefix sum (range partitions + offset dim)"))
 }

@@ -147,6 +147,72 @@ class CorpusOpsSpec extends AnyFunSuite {
       again(r.getAs[Long]("doc_id")) == r.getAs[Boolean]("accepted")))
   }
 
+  test("cp16: distributed prefix sum ≡ naive global window, keeps front-load") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextAnalysis
+    // (a) the identity the gate's scaladoc claims: offset + local
+    // prefix over sampled range partitions equals the single-partition
+    // global window — recompute the naive version here and compare
+    val naive = Tables.documents(spark, sf001).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+      TextAnalysis.qualityBucket(
+        size(split(trim(col("text")), "\\s+")),
+        regexp_count(col("text"), lit("\\b(the|a)\\b")),
+        regexp_count(col("text"), lit("[^a-z0-9\\s]"))).as("bucket"))
+      .withColumn("prio",
+        when(col("bucket") === "keep", 0)
+          .when(col("bucket").startsWith("flag"), 1).otherwise(2))
+    val total = naive.agg(sum("n_tokens")).head().getLong(0)
+    val budget = total / 4 + 1
+    val wG = Window.orderBy(col("prio").asc, col("n_tokens").asc, col("doc_id").asc)
+    val naiveRollup = naive
+      .withColumn("cum", sum(col("n_tokens")).over(wG))
+      .withColumn("phase", expr(s"(cum - n_tokens) div ${budget}L"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum(when(col("bucket") === "keep", 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("bucket").startsWith("flag"), 1L).otherwise(0L)).as("n_flag"),
+        sum(when(col("prio") === 2, 1L).otherwise(0L)).as("n_drop"))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val rows = gate("cp16_curriculum_phases", sf001).collect()
+    val got = rows.map(r => r.getAs[Long]("phase") -> r.toSeq).toMap
+    assert(got == naiveRollup, s"distributed ≠ naive:\n$got\nvs\n$naiveRollup")
+    // (b) phases are the dense 0..3
+    assert(got.keySet == Set(0L, 1L, 2L, 3L), s"phases not dense: ${got.keySet}")
+    // (c) the curriculum law: docs are prio-sorted, so keeps (prio 0)
+    // fill phases greedily from the front and drops (prio 2) from the
+    // back — phase p's n_keep is exactly the overlap of its doc-rank
+    // interval with [1, totalKeeps]
+    val ordered = rows.sortBy(_.getAs[Long]("phase"))
+    val totKeep = ordered.map(_.getAs[Long]("n_keep")).sum
+    val totDocs = ordered.map(_.getAs[Long]("n_docs")).sum
+    var lo = 0L
+    ordered.foreach { r =>
+      val hi = lo + r.getAs[Long]("n_docs")
+      val expKeep = math.max(0L, math.min(hi, totKeep) - lo)
+      assert(r.getAs[Long]("n_keep") == expKeep,
+        s"phase ${r.getAs[Long]("phase")}: keeps not greedily front-loaded")
+      val dropStart = totDocs - ordered.map(_.getAs[Long]("n_drop")).sum
+      val expDrop = math.max(0L, hi - math.max(lo, dropStart))
+      assert(r.getAs[Long]("n_drop") == expDrop,
+        s"phase ${r.getAs[Long]("phase")}: drops not back-loaded")
+      lo = hi
+    }
+    // (d) token budgets: every phase closes within one doc of the
+    // budget line (a doc is never split)
+    val cums = ordered.scanLeft(0L)(_ + _.getAs[Long]("n_tokens")).drop(1)
+    cums.zipWithIndex.dropRight(1).foreach { case (c, i) =>
+      assert(c >= budget * (i + 1), s"phase $i under-filled: $c < ${budget * (i + 1)}")
+    }
+    // (e) determinism: a re-run re-samples range boundaries, the
+    // identity makes the output invariant anyway
+    val again = gate("cp16_curriculum_phases", sf001).collect()
+      .map(r => r.getAs[Long]("phase") -> r.toSeq).toMap
+    assert(again == got, "re-run drifted: range boundaries leaked into output")
+  }
+
   test("cp11: sqrt weights flatten the head language, shares exact") {
     // 4 en docs vs 1 de doc: raw shares 800/200; isqrt weights 2/1
     // flatten to 666/333 — the tail language more than doubles.
