@@ -725,6 +725,50 @@ object Relational {
     s.sql(q20Sql)
   }
 
+  // ---------------------------------------------------------------- q21
+
+  /** q21: RECURSIVE CTE — the iterative SQL surface (`WITH
+    * RECURSIVE`), gated as the classic hierarchical rollup: walk
+    * every node's ancestor chain up a tree (parent(k) = floor(k/2),
+    * the dense-key binary hierarchy both engines derive from
+    * c_custkey arithmetic alone — org charts / category trees / BOMs
+    * are this shape with an explicit parent column) and aggregate
+    * subtree totals (descendant count + exact acctbal cents) for the
+    * top 4 levels. One dialect-shared string; the subtree totals are
+    * path-dependent (a node's total sums its whole descendant cohort)
+    * so the recursion is the computation, not decoration.
+    *
+    * Spark 4.x executes the recursion as an iterative UnionLoop:
+    * each level is ONE narrow map of the previous level's
+    * materialization (halve the key, keep the cents — no shuffle, no
+    * join), the loop runs depth(tree) = ⌈log₂ max-key⌉ iterations
+    * (17 at 100k keys, 47 at 100 TB's ~10¹⁴ — always under the
+    * default `cteRecursionLevelLimit` of 100), and the single
+    * exchange in the whole plan is the final ≤15-group hash agg.
+    * Total rows are Σ depth(k) = n·log n EXACTLY — the tree's unique
+    * parent means UNION ALL enumerates one row per (node, ancestor)
+    * pair, no walk multiplicity; that choice is deliberate because
+    * Spark 4.1.2 rejects UNION-DISTINCT recursion
+    * ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), so cyclic-graph BFS
+    * (frontier dedup per level) is not yet expressible — the tree is
+    * the recursion class that is exact under UNION ALL. */
+  private val q21Sql =
+    """WITH RECURSIVE chain(anc, cents) AS (
+      |  SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT CAST(floor(anc / 2) AS BIGINT), cents
+      |  FROM chain WHERE anc > 1
+      |)
+      |SELECT anc AS node, count(*) AS n_desc,
+      |  CAST(sum(cents) AS BIGINT) AS subtree_cents
+      |FROM chain WHERE anc BETWEEN 1 AND 15 GROUP BY anc""".stripMargin
+
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    ensureSqlViews(s, d)
+    s.sql(q21Sql)
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -756,5 +800,7 @@ object Relational {
     GateQuery("q19_sql_scalar_subq", q19, Some(q19Sql),
       "correlated scalar subquery decorrelated to one grouped agg + left outer join (the 4th decorrelation class)"),
     GateQuery("q20_null_aware_not_in", q20, Some(q20Sql),
-      "NOT IN over a nullable key: null-aware anti join semantics, identical in both engines"))
+      "NOT IN over a nullable key: null-aware anti join semantics, identical in both engines"),
+    GateQuery("q21_recursive_cte", q21, Some(q21Sql),
+      "WITH RECURSIVE hierarchical rollup: ancestor-chain walk to subtree totals via iterative UnionLoop"))
 }
