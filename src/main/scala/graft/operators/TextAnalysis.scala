@@ -1277,6 +1277,146 @@ object TextAnalysis {
       |FROM probed p JOIN cells c ON p.j = c.j AND p.b = c.b
       |GROUP BY p.tok, p.exact_cnt""".stripMargin
 
+  // --------------------------------------------------------------- tx22
+
+  /** tx22: HYPERLOGLOG registers — the third sketch of the toolkit
+    * (tx8/tx18 KMV for distinct counts, tx21 Count-Min for
+    * frequencies): the O(m)-state cardinality estimator every 100 TB
+    * profiler actually ships (Flajolet et al. 2007), built with EXACT
+    * integer register math so both engines hash-agree on every
+    * intermediate. The sketched unit is the word TRIGRAM (the corpus
+    * vocabulary is deliberately tiny, ~31 tokens; trigrams carry real
+    * cardinality — 16k+ distinct at sf0.01 — so the estimator leaves
+    * its small-range regime). m = 64 buckets; each trigram's 60-bit
+    * md5 hash splits into bucket (h mod 64) and a 54-bit tail whose
+    * leading-zero count (+1, capped at 45 so the harmonic terms stay
+    * integral) is the register candidate `rho = least(55 −
+    * bitlen(tail), 45)` — `bin()`'s length is the shared bitlen
+    * primitive, and tail = 0 needs no special case (bin(0) = "0",
+    * len 1 → 54 → capped). Registers are MAX-merged: the gate builds
+    * PER-SOURCE partial register sets and max-merges them into the
+    * `__all__` row — HLL's merge operator, the property that makes
+    * the sketch shard- and stream-friendly (tx18's discipline, here
+    * by idempotent max). No doubles anywhere: the harmonic
+    * denominator is Σ 2^(45−reg) (a BIGINT ≤ 64·2^45), raw est =
+    * C div sum with C = round(α₆₄·m²·2^45) = 102226805116602144, and
+    * the paper's SMALL-RANGE branch (raw ≤ 5m/2 with V empty
+    * registers → LinearCounting m·ln(m/V)) is a 64-entry
+    * PRECOMPUTED integer CASE table shared verbatim by both dialects
+    * — the branch the sf0.001 strata actually take, while sf0.01+
+    * exercises the raw path. Output per source + merged: exact
+    * distinct, estimate, which branch, |err| permille (raw-regime
+    * std error 1.04/√64 ≈ 13%).
+    *
+    * Scale shape: ONE narrow scan (trigrams via the dd-family's
+    * zip_with slices — no explode-join) → a map-side-combinable MAX
+    * agg to ≤ |sources|·64 cells; the dense-register fill and the
+    * merge are |sources|·64-row dim work; the exact comparator pays
+    * the full distinct exchange — precisely the cost the sketch
+    * replaces at corpus scale. */
+  private def tx22(s: SparkSession, d: String): DataFrame = {
+    val m = 64
+    val C = 102226805116602144L
+    // LinearCounting lookup: lc(V) = round(m·ln(m/V)), V = # zero
+    // registers — precomputed integers, the identical CASE text is
+    // embedded in both dialects (no engine evaluates a logarithm)
+    val lcCase = (1 to m)
+      .map(v => s"WHEN $v THEN ${math.round(m * math.log(m.toDouble / v))}")
+      .mkString("CAST(CASE vz ", " ", " ELSE 0 END AS BIGINT)")
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .withColumn("a", toks(col("text")))
+      .withColumn("g", expr(
+        // guard: slice() throws on negative length, so docs under 3
+        // tokens contribute an empty trigram list (matches range(1,
+        // greatest(len-1, 1)) going empty on the oracle side)
+        "CASE WHEN size(a) >= 3 THEN " +
+          "zip_with(zip_with(slice(a, 1, size(a)-2), slice(a, 2, size(a)-2), " +
+          "(x, y) -> concat(x, ' ', y)), slice(a, 3, size(a)-2), " +
+          "(x, y) -> concat(x, ' ', y)) " +
+          "ELSE CAST(array() AS array<string>) END"))
+      .select(col("source"), explode(col("g")).as("tri"))
+    val rho = grams
+      .select(col("source"),
+        conv(substring(md5(concat(lit("hll|"), col("tri"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .select(col("source"), expr(s"h % ${m}L").as("b"),
+        expr(s"least(55 - length(bin(h div ${m}L)), 45)").as("rho"))
+    // per-source partial registers: the ONLY agg that sees gram grain
+    val partials = rho.groupBy(col("source"), col("b"))
+      .agg(max(col("rho")).as("reg"))
+    // dense 64-register rows per source (empty bucket -> register 0)
+    val dense = docs.select(col("source")).distinct()
+      .select(col("source"), explode(sequence(lit(0), lit(m - 1))).as("b"))
+      .join(broadcast(partials), Seq("source", "b"), "left")
+      .select(col("source"), col("b"), coalesce(col("reg"), lit(0)).as("reg"))
+    // the HLL MERGE: per-bucket max over the per-source partials
+    val merged = dense.groupBy(col("b")).agg(max(col("reg")).as("reg"))
+      .select(lit("__all__").as("source"), col("b"), col("reg"))
+    val est = dense.unionByName(merged)
+      .groupBy(col("source"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 45 - reg)")).as("den"),
+        sum(when(col("reg") === 0, 1).otherwise(0)).as("vz"))
+      .select(col("source"), expr(s"${C}L div den").as("raw_est"), col("vz"))
+      .select(col("source"),
+        expr(s"raw_est <= ${5 * m / 2} AND vz > 0").as("used_lc"),
+        expr(s"CASE WHEN raw_est <= ${5 * m / 2} AND vz > 0 " +
+          s"THEN $lcCase ELSE raw_est END").as("hll_est"))
+    val exact = grams.groupBy(col("source"))
+      .agg(countDistinct(col("tri")).as("n_exact"))
+      .unionByName(grams.agg(countDistinct(col("tri")).as("n_exact"))
+        .select(lit("__all__").as("source"), col("n_exact")))
+    exact.join(broadcast(est), Seq("source"))
+      .select(col("source"), col("n_exact"), col("hll_est"), col("used_lc"),
+        expr("abs(hll_est - n_exact) * 1000L div n_exact").as("err_permille"))
+  }
+
+  private val tx22Sql = {
+    val lcCase = (1 to 64)
+      .map(v => s"WHEN $v THEN ${math.round(64 * math.log(64.0 / v))}")
+      .mkString("CAST(CASE vz ", " ", " ELSE 0 END AS BIGINT)")
+    s"""WITH tg AS (
+       |  SELECT source,
+       |    unnest(list_transform(range(1, greatest(length(a) - 1, 1)),
+       |      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS tri
+       |  FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS a
+       |        FROM documents) t),
+       |r AS (
+       |  SELECT source, h % 64 AS b,
+       |    least(55 - length(bin(h // 64)), 45) AS rho
+       |  FROM (SELECT source,
+       |          ('0x' || substr(md5('hll|' || tri), 1, 15))::BIGINT AS h
+       |        FROM tg) q),
+       |part AS (SELECT source, b, max(rho) AS reg FROM r GROUP BY 1, 2),
+       |dense AS (
+       |  SELECT s.source, g.b, coalesce(p.reg, 0) AS reg
+       |  FROM (SELECT DISTINCT source FROM documents) s
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) g
+       |  LEFT JOIN part p ON p.source = s.source AND p.b = g.b),
+       |merged AS (
+       |  SELECT '__all__' AS source, b, max(reg) AS reg FROM dense GROUP BY 2),
+       |est0 AS (
+       |  SELECT source,
+       |    102226805116602144 // CAST(sum(CAST(1 AS BIGINT) << (45 - reg))
+       |      AS BIGINT) AS raw_est,
+       |    CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vz
+       |  FROM (SELECT * FROM dense UNION ALL SELECT * FROM merged) a
+       |  GROUP BY 1),
+       |est AS (
+       |  SELECT source, (raw_est <= 160 AND vz > 0) AS used_lc,
+       |    CASE WHEN raw_est <= 160 AND vz > 0 THEN $lcCase
+       |         ELSE raw_est END AS hll_est
+       |  FROM est0),
+       |ex AS (
+       |  SELECT source, count(DISTINCT tri) AS n_exact FROM tg GROUP BY 1
+       |  UNION ALL
+       |  SELECT '__all__', count(DISTINCT tri) FROM tg)
+       |SELECT x.source, x.n_exact, e.hll_est, e.used_lc,
+       |  CAST(abs(e.hll_est - x.n_exact) * 1000 // x.n_exact AS BIGINT)
+       |    AS err_permille
+       |FROM ex x JOIN est e USING (source)""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -1319,5 +1459,7 @@ object TextAnalysis {
     GateQuery("tx20_host_centrality", tx20, Some(tx20Sql),
       "PageRank host centrality (4 fixed-point iterations) for domain-weighted sampling"),
     GateQuery("tx21_countmin_freq", tx21, Some(tx21Sql),
-      "Count-Min frequency sketch: per-source partials summed by linearity, top-20 probes with overestimates"))
+      "Count-Min frequency sketch: per-source partials summed by linearity, top-20 probes with overestimates"),
+    GateQuery("tx22_hll_registers", tx22, Some(tx22Sql),
+      "HyperLogLog cardinality: integer-exact registers, per-source partials max-merged, est = C div harmonic sum"))
 }

@@ -556,6 +556,41 @@ class TextDedupSpec extends AnyFunSuite {
     assert(f.getAs[Long]("n_distinct") == 62L)
   }
 
+  test("tx22: HLL is duplicate-insensitive, LC branch exact-ish, merge = max") {
+    // two sources carrying IDENTICAL text (one of them twice over)
+    // must build identical register sets: same estimate per source,
+    // and the max-merged __all__ row equals them too — the merge law
+    // on data where it's checkable from the gate's own output
+    val body = (1 to 40).map(i => s"w$i").mkString(" ") // 38 trigrams
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, body, "en", "sa"),
+      (2L, body, "en", "sb"), (3L, body, "en", "sb"))))
+    val rows = gate("tx22_hll_registers", d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == Set("sa", "sb", "__all__"))
+    val (ea, eb, em) = (rows("sa").getAs[Long]("hll_est"),
+      rows("sb").getAs[Long]("hll_est"), rows("__all__").getAs[Long]("hll_est"))
+    assert(ea == eb && eb == em,
+      s"identical content must sketch identically: $ea/$eb/$em")
+    assert(rows.values.forall(_.getAs[Long]("n_exact") == 38L))
+    // 38 distinct ≪ 5m/2: the small-range LinearCounting branch must
+    // fire, and LC is near-exact at this occupancy
+    assert(rows.values.forall(_.getAs[Boolean]("used_lc")),
+      "small fixture must take the LinearCounting branch")
+    assert(rows.values.forall(_.getAs[Long]("err_permille") <= 300L),
+      s"LC too far off at 38/64 occupancy: ${rows.values.map(_.getAs[Long]("err_permille")).toSeq}")
+    // corpus data: the raw branch fires and lands inside sane error
+    // bands (m=64 ⇒ ~13% std error; individual sources can tail)
+    val real = gate("tx22_hll_registers", sf0001).collect()
+    val all = real.find(_.getAs[String]("source") == "__all__").get
+    assert(!all.getAs[Boolean]("used_lc"), "corpus __all__ must be raw-regime")
+    assert(all.getAs[Long]("err_permille") <= 400L,
+      s"merged estimate off by ${all.getAs[Long]("err_permille")} permille")
+    val errs = real.map(_.getAs[Long]("err_permille")).sorted
+    assert(errs(errs.length / 2) <= 200L,
+      s"median per-source error too high: ${errs.toSeq}")
+  }
+
   test("frame sketches are byte-grained: distinct binaries can't alias via U+FFFD") {
     // genuinely binary payloads (invalid UTF-8) used to round-trip
     // through cast-to-string, where every invalid byte collapses to
