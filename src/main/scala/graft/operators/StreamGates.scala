@@ -836,6 +836,112 @@ object StreamGates {
        |       ELSE 'new' END AS decision
        |FROM inc i""".stripMargin
 
+  // --------------------------------------------------------------- st13
+
+  /** st13: the FOREACHBATCH sink — the one production sink surface
+    * st1-st12 leave untouched (they cover append-mode file sinks and
+    * `observe`; this is the programmatic per-micro-batch hook that
+    * carries every streaming-upsert / streaming-MERGE deployment):
+    * a CDC-APPLY stream maintaining a keyed CURRENT-STATE dimension
+    * (per user: lifetime event count, exact cent total, last event
+    * type + its µs timestamp) by merging each micro-batch's rollup
+    * into the previous table version.
+    *
+    * EXACTLY-ONCE is the gated property, engineered the way a real
+    * foreachBatch consumer must: versions are keyed BY BATCH ID
+    * (v(b) = merge(v(b−1), agg(batch b)) written to its own dir), so
+    * a retried batch deterministically rewrites ITS version from the
+    * unchanged predecessor instead of double-applying — the
+    * idempotence contract Spark documents for foreachBatch, made
+    * structural. The merge is a full-outer coalesce at the user
+    * grain: counts and cents ADD (associative), the last-event pair
+    * takes the lexicographically larger (ts, event_id) — a unique
+    * order, and since slices cut on time, cross-batch comparisons
+    * are strict (equal timestamps land in one slice) and in-batch
+    * ties resolve by event_id: the final table is replay-invariant.
+    * The oracle is the closed form over the whole log: per user,
+    * count / cent-sum / (ts, event_id)-argmax type / max ts.
+    *
+    * Scale shape: each batch shuffles only its own rollup (map-side
+    * combined to ≤|users in batch| rows) and the merge join is keyed
+    * on user_id; at 100 TB the table rewrite becomes la15's MERGE
+    * INTO (partition-pruned upsert into the lakehouse layout) — the
+    * per-version full rewrite here is the dim-scale simplification,
+    * stated honestly. The sink table is never driver-resident. */
+  private def st13(s: SparkSession, d: String): DataFrame = {
+    val src = stageSlices(s, d, 4)
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = Files.createTempDirectory("graft-st13-").toFile
+    cleanupRoots.add(root)
+    val lastV = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val stream = iso.readStream.schema(Tables.events(iso, d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val agg = batch.groupBy(col("user_id")).agg(
+          count(lit(1)).as("n_events"),
+          sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long")).as("total_cents"),
+          max_by(col("event_type"),
+            struct(col("ts"), col("event_id"))).as("last_type"),
+          max(unix_micros(col("ts"))).as("last_ts_us"),
+          max(struct(unix_micros(col("ts")).as("us"),
+            col("event_id").as("id"))).as("ord"))
+        val merged =
+          if (batchId == 0) agg
+          else {
+            val prev = batch.sparkSession.read
+              .parquet(new File(root, s"v${batchId - 1}").getPath)
+            prev.as("p").join(agg.as("b"), Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("p.n_events"), lit(0L)) +
+                  coalesce(col("b.n_events"), lit(0L))).as("n_events"),
+                (coalesce(col("p.total_cents"), lit(0L)) +
+                  coalesce(col("b.total_cents"), lit(0L))).as("total_cents"),
+                when(col("b.ord").isNull || (col("p.ord").isNotNull &&
+                    col("p.ord") > col("b.ord")), col("p.last_type"))
+                  .otherwise(col("b.last_type")).as("last_type"),
+                greatest_skipnull(col("p.last_ts_us"), col("b.last_ts_us"))
+                  .as("last_ts_us"),
+                when(col("b.ord").isNull || (col("p.ord").isNotNull &&
+                    col("p.ord") > col("b.ord")), col("p.ord"))
+                  .otherwise(col("b.ord")).as("ord"))
+          }
+        merged.write.mode("overwrite")
+          .parquet(new File(root, s"v$batchId").getPath)
+        lastV.updateAndGet(v => math.max(v, batchId))
+        ()
+      }
+      .option("checkpointLocation", new File(root, "chk").getPath)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(new File(root, s"v${lastV.get}").getPath)
+      .select(col("user_id"), col("n_events"), col("total_cents"),
+        col("last_type"), col("last_ts_us"))
+  }
+
+  /** max/greatest that ignores NULL on either side (SQL `greatest`
+    * returns NULL if any argument is NULL in neither engine — Spark
+    * skips nulls, but being explicit keeps the merge law readable). */
+  private def greatest_skipnull(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(a.isNull, b).when(b.isNull, a).otherwise(greatest(a, b))
+
+  private val st13Sql = TimeWindows.evsSql +
+    """, last AS (
+      |  SELECT user_id, event_type AS last_type FROM (
+      |    SELECT user_id, event_type, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+      |    FROM evs) r WHERE rn = 1)
+      |SELECT e.user_id,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(value_cents) AS BIGINT) AS total_cents,
+      |  any_value(l.last_type) AS last_type,
+      |  max(ts_us) AS last_ts_us
+      |FROM evs e JOIN last l ON e.user_id = l.user_id
+      |GROUP BY e.user_id""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -864,5 +970,7 @@ object StreamGates {
     GateQuery("st11_stream_perceptual", st11, Some(st11Sql),
       "streaming perceptual ingest vs published index ≡ mm6/mm7 digest+band decision"),
     GateQuery("st12_stream_tumbling", st12, Some(st12Sql),
-      "append-mode watermarked tumbling agg ≡ epoch-aligned hour rollup cut at end ≤ final watermark"))
+      "append-mode watermarked tumbling agg ≡ epoch-aligned hour rollup cut at end ≤ final watermark"),
+    GateQuery("st13_stream_upsert", st13, Some(st13Sql),
+      "foreachBatch CDC-apply: versioned-by-batchId keyed upsert table ≡ whole-log closed form"))
 }

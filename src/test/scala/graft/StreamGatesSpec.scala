@@ -132,4 +132,24 @@ class StreamGatesSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == cents,
       "observed per-batch cent sums must conserve the corpus")
   }
+
+  test("st13 foreachBatch upsert table equals the single-pass batch closed form") {
+    // The gate maintains the keyed CURRENT-STATE table incrementally,
+    // one version per micro-batch; the law it must land on is the
+    // whole-log closed form. Compute that form directly in Spark
+    // (independent of the DuckDB oracle's SQL) and require row-exact
+    // equality — this pins the merge algebra (adds for counts/cents,
+    // (ts_us, event_id)-argmax for the last-event pair) against a
+    // second implementation.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+    val batch = ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).as("total_cents"),
+      max_by(col("event_type"),
+        struct(unix_micros(col("ts")), col("event_id"))).as("last_type"),
+      max(unix_micros(col("ts"))).as("last_ts_us"))
+    assertSame(gate("st13_stream_upsert", sf0001), batch)
+  }
 }
