@@ -82,6 +82,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Range-join bin rewrite (graft.plans.RangeBinRewrite): a no-op
     // until spark.graft.rangeJoin.binWidth is set.
     ext.injectOptimizerRule(session => new graft.plans.RangeBinRewrite(session))
+    // Whole-operator rung: plans the graft.plans.AsOfJoin logical node
+    // (a node only AsOfJoin.asof builds — inert for every other query).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),

@@ -831,6 +831,37 @@ object TimeWindows {
 
   private val tw17Sql = tw7Sql
 
+  // ---------------------------------------------------------------- tw18
+
+  /** tw18: tw5's purchase→click attribution re-planned through the
+    * NATIVE as-of operator ([[graft.plans.AsOfJoin]] — custom logical
+    * node → injected strategy → one-merge-pass physical exec). Same
+    * semantics, same oracle as tw5; what this gate adds is the PLAN:
+    * no union, no window state — two key exchanges + sorts and a
+    * linear zip of co-partitioned iterators (AsOfJoinSpec pins the
+    * exec node's presence and the absence of Union/Window). At 100 TB
+    * the union-and-carry drags every purchase column through window
+    * state over |clicks|+|purchases| rows; this scans each side once.
+    * Ord tuples end in event_id, so ties are exact and match tw5's
+    * "(ts, event_id) lexicographically smaller" law. */
+  private def tw18(s: SparkSession, d: String): DataFrame = {
+    val e = evs(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user_id"), col("ts_us").as("click_ts_us"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+      leftKeys = Seq("user_id"), rightKeys = Seq("click_user_id"),
+      leftOrd = Seq("purchase_ts_us", "purchase_id"),
+      rightOrd = Seq("click_ts_us", "click_id"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
+        col("click_id").as("asof_click_id"))
+  }
+
+  private val tw18Sql = tw5Sql
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -865,5 +896,7 @@ object TimeWindows {
     GateQuery("tw16_decay_score", tw16, Some(tw16Sql),
       "half-life decayed trending score: integer shift per 24h bucket, order-free sums, top-50"),
     GateQuery("tw17_range_rewrite", tw17, Some(tw17Sql),
-      "the naive containment join auto-rewritten to the binned equi-join by the injected Catalyst rule"))
+      "the naive containment join auto-rewritten to the binned equi-join by the injected Catalyst rule"),
+    GateQuery("tw18_asof_plan", tw18, Some(tw18Sql),
+      "native as-of join: custom LogicalPlan + strategy + one-merge-pass exec, vs the lateral top-1 oracle"))
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark._
+import graft.plans.AsOfJoin
+
+/** The native as-of operator (custom logical node → injected strategy
+  * → merge-pass exec). The DuckDB oracle adjudicates values at the
+  * gate; this spec pins what the oracle can't see — the PHYSICAL PLAN
+  * (the exec node is actually chosen; no union/window machinery), the
+  * strict-before edge semantics, and the self-join attribute hygiene.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.toSeq
+    df.selectExpr(cols: _*).collect().toSeq
+      .map(r => (0 until r.length).map(r.get))
+      .sortBy(_.mkString("|"))
+  }
+
+  test("tw18 plans through AsOfJoinExec with no Union and no Window") {
+    val df = gate("tw18_asof_plan", sf0001)
+    // executedPlan is an AdaptiveSparkPlanExec wrapper whose collect()
+    // does not descend into the wrapped plan — assert on the rendered
+    // tree (the exec node prints as `AsOfJoin [keys]...` with its Sort
+    // + Exchange children)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("AsOfJoin ["), s"AsOfJoinExec missing from plan:\n$s")
+    assert(!s.contains("Union") && !s.contains("Window"),
+      "native as-of must not fall back to union-and-carry machinery")
+    // the exec's own cost: exactly the two key exchanges (plus sorts),
+    // like a shuffled join — nothing extra
+    assert(shuffleCount(s) == 2, s"expected 2 exchanges:\n$s")
+  }
+
+  test("native as-of equals tw5's independent union-and-carry, row for row") {
+    val native = gate("tw18_asof_plan", sf0001)
+    val carry = gate("tw5_asof_join", sf0001)
+    assert(native.columns.sorted.sameElements(carry.columns.sorted))
+    val (n, c) = (canon(native), canon(carry))
+    assert(n.nonEmpty && n == c,
+      s"divergence: ${n.diff(c).take(3)} vs ${c.diff(n).take(3)}")
+  }
+
+  test("strict-before semantics: ties excluded, no prior match is null") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 100L, 900L), // equal (t) with smaller id than nothing: ties on t
+      (1L, 150L, 901L),
+      (3L, 10L, 902L))  // key never joined
+      .toDF("rk", "rt", "rid")
+    val out = AsOfJoin.asof(left, right,
+      Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    // left (1,100,10): right (1,100,900) has (rt,rid)=(100,900) vs
+    // (t,lid)=(100,10) — 900 > 10, NOT strictly before → null
+    assert(out == Set((1L, 10L, None), (1L, 11L, Some(901L)),
+      (2L, 12L, None)), out.mkString(", "))
+  }
+
+  test("equal ord with smaller tiebreaker IS before; larger key stays unmatched") {
+    import spark.implicits._
+    val left = Seq((7L, 100L, 500L)).toDF("k", "t", "lid")
+    val right = Seq((7L, 100L, 499L), (7L, 100L, 501L)).toDF("rk", "rt", "rid")
+    val out = AsOfJoin.asof(left, right,
+      Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid")).collect()
+    assert(out.length == 1 && out.head.getLong(5) == 499L,
+      "(100,499) < (100,500) < (100,501): exactly 499 is as-of")
+  }
+
+  test("self-join: conflicting attribute ids are re-aliased, not cross-bound") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("k", "t", "id")
+    // each row's latest strict predecessor is the previous row
+    val out = AsOfJoin.asof(df, df, Seq("k"), Seq("k"),
+      Seq("t", "id"), Seq("t", "id")).collect()
+      .map(r => (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(out == Set((1L, None), (2L, Some(1L)), (3L, Some(2L))),
+      out.mkString(", "))
+  }
+
+  test("empty right side: all-null attach, left preserved") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, 1L)).toDF("k", "t", "id")
+    val right = Seq.empty[(Long, Long, Long)].toDF("rk", "rt", "rid")
+    val out = AsOfJoin.asof(left, right, Seq("k"), Seq("rk"),
+      Seq("t", "id"), Seq("rt", "rid")).collect()
+    assert(out.length == 1 && out.head.isNullAt(4) && out.head.isNullAt(5))
+  }
+
+  test("type mismatch and unknown columns are rejected up front") {
+    import spark.implicits._
+    val l = Seq((1L, 1L)).toDF("k", "t")
+    val r = Seq((1, 1L)).toDF("rk", "rt") // rk is INT, k is LONG
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), Seq("t"), Seq("rt"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, l, Seq("k"), Seq("nope"), Seq("t"), Seq("t"))
+    }
+  }
+}
