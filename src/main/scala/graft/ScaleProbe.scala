@@ -454,6 +454,68 @@ object ScaleProbe {
       }
     }
 
+    // AS-OF economics probe: the native operator (AsOfJoinExec) vs the
+    // union-and-carry window restatement (tw5's pattern), measured at
+    // two ROW WIDTHS on the same synthetic key/time distribution. Both
+    // plans are linear; what differs is WHAT each drags through its
+    // exchange + sort: union-and-carry sorts ONE union of both sides
+    // at the union's combined width and runs every right column
+    // through window carry state, while the native exec sorts each
+    // side at its own width and merges with O(1) state. So on narrow
+    // rows the single union sort wins on constants, and as payload
+    // width grows the carry pays width × (|L|+|R|) while native pays
+    // it only on the side that owns it — this probe MEASURES that
+    // crossover instead of asserting it (results recorded in
+    // COVERAGE.md; the tw18 scaladoc states the narrow-row caveat).
+    if (probe == "asof") {
+      val nL = 20000L * factor   // "purchases"
+      val nR = 80000L * factor   // "clicks"
+      val keys = 5000L
+      val payW = 12              // wide-variant payload columns/side
+      def side(n: Long, even: Int, wide: Boolean) = {
+        val base = spark.range(n).select(
+          (col("id") % keys).as("k"),
+          ((col("id") * 7919L) % (n * 10L)).as("t"),
+          (col("id") * 2 + even).as("rid"))
+        val cols = if (!wide) base.columns.map(col).toSeq
+          else base.columns.map(col).toSeq ++
+            (0 until payW).map(i => (col("rid") * (i + 3)).as(s"p$i"))
+        base.select(cols: _*).repartition(32).localCheckpoint()
+      }
+      for (wide <- Seq(false, true)) {
+        val l = side(nL, 1, wide)
+        val r0 = side(nR, 0, wide)
+        val r = r0.select(r0.columns.map(c => col(c).as(s"r_$c")): _*)
+        val t0 = System.nanoTime()
+        val nNative = graft.plans.AsOfJoin.asof(l, r,
+            Seq("k"), Seq("r_k"), Seq("t", "rid"), Seq("r_t", "r_rid"))
+          .queryExecution.toRdd.count()
+        val sNative = (System.nanoTime() - t0) / 1e9
+        // union-and-carry: right payload rides ONE struct through the
+        // window (the cheapest carry spelling), ordering law identical
+        val rpay = struct(r.columns.map(col): _*).as("rpay")
+        val lTagged = l.select(col("k"), col("t"), col("rid"),
+          lit(true).as("is_l"), lit(null).cast(
+            r.select(rpay).schema.head.dataType).as("rpay"))
+        val rTagged = r.select(col("r_k").as("k"), col("r_t").as("t"),
+          col("r_rid").as("rid"), lit(false).as("is_l"), rpay)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("t").asc, col("rid").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val t1 = System.nanoTime()
+        val nCarry = lTagged.unionAll(rTagged)
+          .withColumn("asof", last(col("rpay"), ignoreNulls = true).over(w))
+          .filter(col("is_l")).drop("rpay", "is_l")
+          .queryExecution.toRdd.count()
+        val sCarry = (System.nanoTime() - t1) / 1e9
+        require(nNative == nL && nCarry == nL,
+          s"row conservation broken: $nNative / $nCarry vs $nL")
+        val width = if (wide) s"wide(+$payW cols/side)" else "narrow"
+        println(f"asof $width%-18s left=$nL%9d right=$nR%9d " +
+          f"native=$sNative%6.1f s carry=$sCarry%6.1f s")
+      }
+    }
+
     // Targeted gate probe: SPARK_GRAFT_PROBE=gates with
     // SPARK_GRAFT_GATES=<name>[,<name>...] runs exactly the named
     // gates against the replica corpus — how per-family 100×

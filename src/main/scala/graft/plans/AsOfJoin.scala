@@ -112,10 +112,11 @@ case class AsOfJoinExec(
     leftRdd.zipPartitions(rightRdd) { (lIter, rIter) =>
       val lSortProj = UnsafeProjection.create(lk ++ lo, lOut)
       val rSortProj = UnsafeProjection.create(rk ++ ro, rOut)
-      val lKeyProj = UnsafeProjection.create(lk, lOut)
-      val rKeyProj = UnsafeProjection.create(rk, rOut)
       val sortCmp =
         RowOrdering.createNaturalAscendingOrdering((lk ++ lo).map(_.dataType))
+      // the key-prefix ordering binds fields 0..|keys|-1, so it can
+      // compare the full (key ++ ord) sort rows directly — no separate
+      // key projections in the per-row loop
       val keyCmp = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
@@ -135,8 +136,10 @@ case class AsOfJoinExec(
           lastRight = rHead.copy()
           rHead = if (rIter.hasNext) rIter.next() else null
         }
+        // rSortProj's buffer is free again after the loop: project the
+        // held candidate once and prefix-compare keys on the sort rows
         val matched = lastRight != null &&
-          keyCmp.compare(rKeyProj(lastRight), lKeyProj(l)) == 0
+          keyCmp.compare(rSortProj(lastRight), lSort) == 0
         outProj(joined(l, if (matched) lastRight else nullRight))
       }
     }
