@@ -1014,6 +1014,83 @@ object LogAnalytics {
       |    THEN value_cents * 2 ELSE value_cents END) AS BIGINT)
       |FROM dd GROUP BY level""".stripMargin
 
+  // ---------------------------------------------------------------- la17
+
+  /** la17: SCHEMA EVOLUTION — the lakehouse mutation the la9-la16
+    * family hasn't gated yet: a column ADDED mid-table-lifetime. Epoch
+    * v1 lands files with the original 4-column log schema; epoch v2
+    * (days ≥ the midpoint pivot) lands files that carry a new `region`
+    * column. The serving read resolves old files' missing column to
+    * NULL → 'unknown' and rolls up per (region, level).
+    *
+    * Receipts the SQL oracle can't see, engine-`require`d:
+    * (a) the epochs GENUINELY differ on disk — a footer-merged read
+    * (`mergeSchema=true`) surfaces `region`, and its NULL-region row
+    * count equals the v1 epoch's row count exactly (nothing was
+    * backfilled, nothing leaked); (b) a v1-only read has NO region
+    * field at all — the evolution lives in the new files, not in a
+    * rewrite of the old ones (old epochs are never touched: the
+    * cheap-history property, same as la16's structural sharing).
+    *
+    * Scale shape: the SERVING read passes the unified schema
+    * explicitly (`.schema(...)` — in production, from the table
+    * catalog/manifest), so it plans with ZERO footer inspection; the
+    * footer-merge sweep (O(|files|) driver-side footer reads — the
+    * thing that does NOT scale to 100 TB) runs once here as the
+    * receipt, exactly the role it has at a real migration's commit
+    * point. The rollup itself is one map-side-combined hash agg. */
+  private def la17(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * 3600 * 1000000
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la17_${java.util.UUID.randomUUID()}"
+    val l = logs(s, d)
+      .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
+    val b = l.agg(min(col("day_us")), max(col("day_us"))).head()
+    val pivot = (b.getLong(0) + b.getLong(1)) / 2
+    l.filter(col("day_us") < pivot)
+      .select("event_id", "ts_us", "level", "value_cents")
+      .write.mode("overwrite").parquet(dir)
+    val v1Files = s.read.parquet(dir).inputFiles.toSet
+    l.filter(col("day_us") >= pivot)
+      .select(col("event_id"), col("ts_us"), col("level"), col("value_cents"),
+        concat(lit("r"), pmod(col("event_id"), lit(3))).as("region"))
+      .write.mode("append").parquet(dir)
+    // receipt (b): v1 files still carry the 4-column schema — no rewrite
+    require(!s.read.parquet(v1Files.toSeq.sorted: _*)
+      .schema.fieldNames.contains("region"),
+      "schema evolution rewrote old files: v1 epoch grew a region column")
+    // receipt (a): footer-merged union schema has region; v1 rows (and
+    // only v1 rows) surface it as NULL
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+    require(merged.schema.fieldNames.contains("region"),
+      "merged footer schema is missing the evolved column")
+    val v1Rows = s.read.parquet(v1Files.toSeq.sorted: _*).count()
+    val nullRegion = merged.filter(col("region").isNull).count()
+    require(nullRegion == v1Rows,
+      s"null-region rows ($nullRegion) != v1 epoch rows ($v1Rows)")
+    // serving read: explicit unified schema, zero footer inspection
+    val out = s.read.schema(merged.schema).parquet(dir)
+      .withColumn("region", coalesce(col("region"), lit("unknown")))
+      .groupBy(col("region"), col("level"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+    val rows = out.collect()
+    val schema = out.schema
+    val root = new org.apache.hadoop.fs.Path(dir)
+    root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private val la17Sql = logsSql +
+    """, dd AS (
+      |  SELECT event_id, level, value_cents,
+      |    (ts_us // 86400000000) * 86400000000 AS day_us
+      |  FROM logs),
+      |b AS (SELECT (min(day_us) + max(day_us)) // 2 AS pv FROM dd)
+      |SELECT CASE WHEN day_us < (SELECT pv FROM b) THEN 'unknown'
+      |            ELSE 'r' || (event_id % 3) END AS region,
+      |  level, count(*) AS n_rows,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+      |FROM dd GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -1046,5 +1123,7 @@ object LogAnalytics {
     GateQuery("la15_merge_upsert", la15, Some(la15Sql),
       "MERGE INTO: CDC updates + partition-creating inserts rewrite only affected days"),
     GateQuery("la16_time_travel", la16, Some(la16Sql),
-      "VERSION AS OF: manifest-pinned snapshot reads, isolation + structural sharing proven"))
+      "VERSION AS OF: manifest-pinned snapshot reads, isolation + structural sharing proven"),
+    GateQuery("la17_schema_evolution", la17, Some(la17Sql),
+      "mid-lifetime column add: old epochs untouched, explicit-schema serving read, footer-merge receipt"))
 }

@@ -51,6 +51,27 @@ class LogTimeSpec extends AnyFunSuite {
       "la15 output varies across invocations")
   }
 
+  test("la17 schema evolution: epochs conserve rows, regions well-formed") {
+    import org.apache.spark.sql.functions._
+    val rows = gate("la17_schema_evolution", sf0001).collect()
+    // region domain: exactly 'unknown' (pre-evolution epoch) + r0/r1/r2
+    assert(rows.map(_.getAs[String]("region")).toSet
+      .subsetOf(Set("unknown", "r0", "r1", "r2")))
+    // both epochs present and together they conserve the corpus
+    val n = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(n == Tables.events(spark, sf0001).count(),
+      s"evolution lost/duplicated rows: $n")
+    val unknown = rows.filter(_.getAs[String]("region") == "unknown")
+      .map(_.getAs[Long]("n_rows")).sum
+    assert(unknown > 0 && unknown < n,
+      "fixture must exercise both the old-schema and new-schema epochs")
+    // mutating-gate determinism across invocations
+    val again = gate("la17_schema_evolution", sf0001).collect()
+      .map(_.toSeq.toIndexedSeq).toSet
+    assert(again == rows.map(_.toSeq.toIndexedSeq).toSet,
+      "la17 output varies across invocations")
+  }
+
   test("la1 pagination: dense rank range, descending timestamps") {
     val rows = gate("la1_filter_paginate", sf0001).collect()
       .sortBy(_.getAs[Int]("rn"))

@@ -435,4 +435,33 @@ class PropertySpec extends AnyFunSuite {
         r.getAs[Int]("span_end"), r.getAs[Long]("n_grams"))).toSet
     assert(got == expected, s"got ${got.toSeq.sorted}\nexp ${expected.toSeq.sorted}")
   }
+
+  test("native as-of equals the brute-force law on random collision-dense data") {
+    // Small key/time domains force multi-row keys, cross-key
+    // interleaving, equal-timestamp ties and empty keys — every branch
+    // of the merge. The law, stated independently of the operator: per
+    // left row, the right row with max (t, rid) among those with the
+    // same key and (t, rid) strictly below the left's (t, lid).
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 20L))
+    val lRows = Gen.listOfN(150, rowGen).sample.get.zipWithIndex
+      .map { case ((k, t), i) => (k, t, 2L * i + 1) } // odd ids
+    val rRows = Gen.listOfN(150, rowGen).sample.get.zipWithIndex
+      .map { case ((k, t), i) => (k, t, 2L * i) }     // even ids
+    val l = lRows.toDF("k", "t", "lid")
+    val r = rRows.toDF("rk", "rt", "rid")
+    val got = graft.plans.AsOfJoin.asof(l, r,
+        Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        Option(x.get(5)).map(_.asInstanceOf[Long]))).toSet
+    val expected = lRows.map { case (k, t, lid) =>
+      val prior = rRows.filter { case (rk, rt, rid) =>
+        rk == k && (rt < t || (rt == t && rid < lid)) }
+      (k, t, lid,
+        if (prior.isEmpty) None
+        else Some(prior.maxBy { case (_, rt, rid) => (rt, rid) }._3))
+    }.toSet
+    assert(got == expected,
+      s"asof law broken:\n+${(got -- expected).take(5)}\n-${(expected -- got).take(5)}")
+  }
 }
