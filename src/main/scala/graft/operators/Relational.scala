@@ -769,6 +769,46 @@ object Relational {
     s.sql(q21Sql)
   }
 
+  // ---------------------------------------------------------------- q22
+
+  /** q22: SEMI-STRUCTURED JSON analytics — schema-on-read over the
+    * `events.props` JSON column (the reference stores free-form dicts
+    * in its `props`/response payloads; `api_server.py` echoes them as
+    * JSON). The scalable spelling: `from_json` with an EXPLICIT
+    * schema — a codegen'd single-pass Jackson parse per row, no
+    * driver-side inference scan (schema inference at 100 TB reads the
+    * corpus twice; a pinned schema is also what keeps a malformed
+    * producer from silently widening a column to string). Malformed
+    * payloads surface as NULL structs and are COUNTED, not dropped —
+    * `n_malformed` is the data-quality meter a production parse
+    * carries. The rollup buckets the extracted field (`k div 10`)
+    * through a distinct-agg so the JSON value feeds integer
+    * arithmetic end-to-end; the oracle re-extracts with DuckDB's
+    * independent `->>` JSON path engine. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), col("props"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(expr("k div 10")).as("n_buckets"),
+        count(when(col("k").isNull && col("props").isNotNull, 1))
+          .as("n_malformed"))
+
+  private val q22Sql =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+      |  count(DISTINCT CAST(props->>'k' AS BIGINT) // 10) AS n_buckets,
+      |  count(CASE WHEN props IS NOT NULL
+      |    AND (props->>'k') IS NULL THEN 1 END) AS n_malformed
+      |FROM events GROUP BY event_type""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -802,5 +842,7 @@ object Relational {
     GateQuery("q20_null_aware_not_in", q20, Some(q20Sql),
       "NOT IN over a nullable key: null-aware anti join semantics, identical in both engines"),
     GateQuery("q21_recursive_cte", q21, Some(q21Sql),
-      "WITH RECURSIVE hierarchical rollup: ancestor-chain walk to subtree totals via iterative UnionLoop"))
+      "WITH RECURSIVE hierarchical rollup: ancestor-chain walk to subtree totals via iterative UnionLoop"),
+    GateQuery("q22_json_analytics", q22, Some(q22Sql),
+      "schema-on-read JSON: explicit-schema from_json parse, malformed counted, vs DuckDB's ->> path engine"))
 }

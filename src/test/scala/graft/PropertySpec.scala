@@ -436,6 +436,32 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.toSeq.sorted}\nexp ${expected.toSeq.sorted}")
   }
 
+  test("q22's parse law: malformed JSON counts as malformed, never drops the row") {
+    // the gate's extraction + malformed-meter law on a fixture that
+    // exercises every degenerate payload the corpus doesn't contain
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", """{"k": 7}"""), ("a", """{"k":-3}"""),       // well-formed
+      ("a", """{"j": 7}"""),                              // key missing -> null k, NOT malformed-parse but null
+      ("b", """not json"""), ("b", """{"k":"""),          // malformed -> null struct
+      ("b", """{"k": "x"}"""),                            // wrong type -> null field
+      ("b", null)                                         // null props -> not counted malformed
+    ).toDF("g", "props")
+    val out = df.select(col("g"), col("props"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        count(when(col("k").isNull && col("props").isNotNull, 1)).as("n_bad"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), r.getLong(3))).toMap
+    assert(out("a") == ((3L, Some(4L), 1L)), out("a").toString)
+    // 3 null-k rows with non-null props in g=b; the null-props row is
+    // counted in n but not in n_bad (absent data is not a parse error)
+    assert(out("b") == ((4L, None, 3L)), out("b").toString)
+  }
+
   test("native as-of equals the brute-force law on random collision-dense data") {
     // Small key/time domains force multi-row keys, cross-key
     // interleaving, equal-timestamp ties and empty keys — every branch
