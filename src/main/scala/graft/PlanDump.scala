@@ -98,7 +98,11 @@ object PlanDump {
     "mm11_cdc_chunk_dedup" ->
       "CDC chunk dedup: content-defined chunking runs IN-ROW (boundaries + digests in one projection — payload bytes never leave the scan stage); ONE hash exchange on the 16-byte digest feeds the copy-group rank window and the media rollup.",
     "la16_time_travel" ->
-      "Time travel: both snapshot reads plan from explicit manifest file lists (no directory listing of dead files); each rollup is one map-side-combined level agg over its version's files.")
+      "Time travel: both snapshot reads plan from explicit manifest file lists (no directory listing of dead files); each rollup is one map-side-combined level agg over its version's files.",
+    "tw18_asof_plan" ->
+      "Native as-of join: the custom AsOfJoin exec node between its two key exchanges + sorts — no Union, no Window carry state; the merge is a single co-partitioned linear pass.",
+    "q22_json_analytics" ->
+      "Schema-on-read JSON: the explicit-schema from_json parse is a codegen'd projection on the scan (no inference pass, no second read); one map-side-combined agg to |event types| rows.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
