@@ -865,6 +865,48 @@ object TimeWindows {
 
   private val tw18Sql = tw5Sql
 
+  // ---------------------------------------------------------------- tw19
+
+  /** tw19: as-of with TOLERANCE — tw18's attribution under a 1-hour
+    * lookback bound (pandas `merge_asof(tolerance=...)`; st6's
+    * "preceding hour" stream-stream window, answered batch-native): a
+    * purchase attributes to its latest prior click only if that click
+    * is ≤1 h older, else NULL. In the exec this is one extra long
+    * comparison on the already-held candidate — the latest prior
+    * being out of tolerance proves every prior is (sorted ord), so
+    * the merge stays O(L+R) with the same single-lookahead state.
+    * Same plan laws as tw18; the oracle adds the range bound to the
+    * lateral top-1. */
+  private def tw19(s: SparkSession, d: String): DataFrame = {
+    val e = evs(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user_id"), col("ts_us").as("click_ts_us"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+      leftKeys = Seq("user_id"), rightKeys = Seq("click_user_id"),
+      leftOrd = Seq("purchase_ts_us", "purchase_id"),
+      rightOrd = Seq("click_ts_us", "click_id"),
+      tolerance = Some(HourUs))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
+        col("click_id").as("asof_click_id"))
+  }
+
+  private val tw19Sql = evsSql +
+    s"""SELECT p.event_id AS purchase_id, p.user_id,
+       |  p.ts_us AS purchase_ts_us, c.click_id AS asof_click_id
+       |FROM (SELECT * FROM evs WHERE event_type = 'purchase') p
+       |LEFT JOIN LATERAL (
+       |  SELECT e.event_id AS click_id
+       |  FROM evs e
+       |  WHERE e.event_type = 'click' AND e.user_id = p.user_id
+       |    AND (e.ts_us < p.ts_us
+       |         OR (e.ts_us = p.ts_us AND e.event_id < p.event_id))
+       |    AND p.ts_us - e.ts_us <= $HourUs
+       |  ORDER BY e.ts_us DESC, e.event_id DESC LIMIT 1) c ON TRUE""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -901,5 +943,7 @@ object TimeWindows {
     GateQuery("tw17_range_rewrite", tw17, Some(tw17Sql),
       "the naive containment join auto-rewritten to the binned equi-join by the injected Catalyst rule"),
     GateQuery("tw18_asof_plan", tw18, Some(tw18Sql),
-      "native as-of join: custom LogicalPlan + strategy + one-merge-pass exec, vs the lateral top-1 oracle"))
+      "native as-of join: custom LogicalPlan + strategy + one-merge-pass exec, vs the lateral top-1 oracle"),
+    GateQuery("tw19_asof_tolerance", tw19, Some(tw19Sql),
+      "as-of with a 1h tolerance bound: one extra comparison on the held candidate, vs the bounded lateral"))
 }

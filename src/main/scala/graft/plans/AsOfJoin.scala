@@ -52,7 +52,8 @@ case class AsOfJoin(
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftOrd: Seq[Attribute],
-    rightOrd: Seq[Attribute]) extends BinaryNode {
+    rightOrd: Seq[Attribute],
+    tolerance: Option[Long]) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -66,21 +67,26 @@ case class AsOfJoin(
   * `GraftExtensions.injectPlannerStrategy`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lo, ro) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+    case AsOfJoin(l, r, lk, rk, lo, ro, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro, tol) :: Nil
     case _ => Nil
   }
 }
 
 /** Physical as-of join: co-partitioned on the keys, sorted by
-  * (key, ord...), merged in one linear pass per partition. */
+  * (key, ord...), merged in one linear pass per partition. With
+  * `tolerance` set, a candidate additionally requires
+  * `leftOrd0 - rightOrd0 <= tolerance` (the attribution-window bound;
+  * checking only the LATEST prior candidate is sufficient — any
+  * earlier one is farther away). */
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftOrd: Seq[Attribute],
-    rightOrd: Seq[Attribute]) extends BinaryExecNode {
+    rightOrd: Seq[Attribute],
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -109,6 +115,8 @@ case class AsOfJoinExec(
     // capture on the driver; Attribute seqs are serializable
     val (lOut, rOut, out) = (left.output, right.output, output)
     val (lk, rk, lo, ro) = (leftKeys, rightKeys, leftOrd, rightOrd)
+    val tol = tolerance.getOrElse(Long.MaxValue)
+    val nk = leftKeys.length
     leftRdd.zipPartitions(rightRdd) { (lIter, rIter) =>
       val lSortProj = UnsafeProjection.create(lk ++ lo, lOut)
       val rSortProj = UnsafeProjection.create(rk ++ ro, rOut)
@@ -138,8 +146,12 @@ case class AsOfJoinExec(
         }
         // rSortProj's buffer is free again after the loop: project the
         // held candidate once and prefix-compare keys on the sort rows
-        val matched = lastRight != null &&
-          keyCmp.compare(rSortProj(lastRight), lSort) == 0
+        val matched = lastRight != null && {
+          val rSort = rSortProj(lastRight)
+          keyCmp.compare(rSort, lSort) == 0 &&
+            (tol == Long.MaxValue ||
+              lSort.getLong(nk) - rSort.getLong(nk) <= tol)
+        }
         outProj(joined(l, if (matched) lastRight else nullRight))
       }
     }
@@ -156,10 +168,18 @@ object AsOfJoin {
     * pairwise. Output = left columns then right columns (right
     * nullable), so callers keep names collision-free by renaming
     * up front — the self-join case is handled by re-aliasing the
-    * right side's attribute ids. */
+    * right side's attribute ids.
+    *
+    * `tolerance` bounds the lookback on the FIRST ord column (which
+    * must then be LongType — µs timestamps here): a match requires
+    * `leftOrd0 - rightOrd0 <= tolerance` (pandas `merge_asof`'s
+    * tolerance). FORWARD as-of needs no second operator: negate the
+    * ord columns on both sides (x → -x) and the backward merge
+    * returns the earliest-after row — pinned in AsOfJoinSpec. */
   def asof(leftDf: DataFrame, rightDf: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftOrd: Seq[String], rightOrd: Seq[String]): DataFrame = {
+      leftOrd: Seq[String], rightOrd: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length &&
       leftOrd.nonEmpty && leftOrd.length == rightOrd.length,
       "key/ord column lists must be non-empty and pair up")
@@ -179,6 +199,12 @@ object AsOfJoin {
       require(a.dataType == b.dataType,
         s"as-of column type mismatch: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
     }
-    GraftSqlShims.ofRows(spark, AsOfJoin(lPlan, rPlan, lks, rks, los, ros))
+    tolerance.foreach { t =>
+      require(t >= 0, s"tolerance must be non-negative, got $t")
+      require(los.head.dataType == org.apache.spark.sql.types.LongType,
+        s"tolerance requires a LongType first ord column, got ${los.head.dataType}")
+    }
+    GraftSqlShims.ofRows(spark,
+      AsOfJoin(lPlan, rPlan, lks, rks, los, ros, tolerance))
   }
 }

@@ -96,6 +96,48 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.isNullAt(4) && out.head.isNullAt(5))
   }
 
+  test("tolerance: latest-prior out of window nulls; inside matches; tie is 0 gap") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 11L), (1L, 300L, 13L), (2L, 100L, 15L))
+      .toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 90L, 900L),  // within 50 of (1,100); 210 before (1,300)
+      (1L, 260L, 902L), // within 50 of (1,300)
+      (2L, 100L, 904L)) // tie with (2,100,15): gap 0, id 904 > 15? ord=(t,id): (100,904) vs (100,15) -> NOT prior
+      .toDF("rk", "rt", "rid")
+    val out = AsOfJoin.asof(left, right, Seq("k"), Seq("rk"),
+        Seq("t", "lid"), Seq("rt", "rid"), tolerance = Some(50L))
+      .collect()
+      .map(r => (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    assert(out == Set((11L, Some(900L)), (13L, Some(902L)), (15L, None)),
+      out.mkString(", "))
+    // the same join untolerated: (1,300) reaches back 210 to nothing
+    // closer than 902 (which IS its latest prior) — here equal; but
+    // (2,100) still has no strict prior. Tolerance=None keeps 900/902.
+    val un = AsOfJoin.asof(left, right, Seq("k"), Seq("rk"),
+        Seq("t", "lid"), Seq("rt", "rid"))
+      .collect()
+      .map(r => (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    assert(un == Set((11L, Some(900L)), (13L, Some(902L)), (15L, None)))
+  }
+
+  test("forward as-of = backward as-of on negated ord columns") {
+    import spark.implicits._
+    // earliest right strictly AFTER each left row
+    val left = Seq((1L, 100L, 11L), (1L, 250L, 13L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 150L, 900L), (1L, 240L, 902L), (1L, 90L, 904L))
+      .toDF("rk", "rt", "rid")
+    val neg = (df: org.apache.spark.sql.DataFrame, t: String, id: String) =>
+      df.withColumn(t, -col(t)).withColumn(id, -col(id))
+    val out = AsOfJoin.asof(neg(left, "t", "lid"), neg(right, "rt", "rid"),
+        Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"))
+      .collect()
+      .map(r => (-r.getLong(2), Option(r.get(5)).map(v => -v.asInstanceOf[Long]))).toSet
+    // after (1,100,11): candidates (150,900),(240,902) -> earliest 900
+    // after (1,250,13): nothing later -> null
+    assert(out == Set((11L, Some(900L)), (13L, None)), out.mkString(", "))
+  }
+
   test("type mismatch and unknown columns are rejected up front") {
     import spark.implicits._
     val l = Seq((1L, 1L)).toDF("k", "t")
