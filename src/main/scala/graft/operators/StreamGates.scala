@@ -667,7 +667,13 @@ object StreamGates {
     * Scale shape: dedup state is one (fp, expiry) pair per in-flight
     * fingerprint, bounded by the watermark horizon — the property this
     * gate exists to exercise; the funnel itself is a narrow map. */
-  private def st8(s: SparkSession, d: String): DataFrame = {
+  /** The st8/st14 two-crawl-wave synthetic clock: every document
+    * arrives twice, 98 min apart; each fingerprint's arrival slot
+    * derives from the fingerprint itself (fp mod 12 × 7 min), so every
+    * copy of an fp arrives at the same instant and in-batch
+    * arbitration can't leak identities. ONE staging key — both gates
+    * replay the identical slice set. */
+  private def docPrepWaves(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .withColumn("slot", pmod(
         conv(substring(TextAnalysis.contentFp(col("text")), 1, 15), 16, 10)
@@ -677,11 +683,14 @@ object StreamGates {
       timestamp_micros(lit(BaseUs) + col("slot") * lit(420000000L) + lit(offsetUs))
         .as("ts"),
       col("text"))
-    val stream = wave(0L).unionByName(wave(5880000000L))
-    replayedDf(s, s"$d|docprep", stream, "st8")(EventStream.docPrepFunnel)
+    wave(0L).unionByName(wave(5880000000L))
+  }
+
+  private def st8(s: SparkSession, d: String): DataFrame =
+    replayedDf(s, s"$d|docprep", docPrepWaves(s, d), "st8")(
+      EventStream.docPrepFunnel)
       .groupBy(col("fp"), col("n_tokens"), col("decision"))
       .agg(count(lit(1)).as("n_emissions"))
-  }
 
   private val st8Sql = {
     val fpSql = TextAnalysis.contentFpSql
@@ -928,6 +937,63 @@ object StreamGates {
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(a.isNull, b).when(b.isNull, a).otherwise(greatest(a, b))
 
+  // --------------------------------------------------------------- st14
+
+  /** st14: the BUILT-IN `dropDuplicatesWithinWatermark` — st8's
+    * hand-rolled flatMapGroupsWithState dedup is what you write when
+    * the decision needs custom state; this is the API a pipeline
+    * reaches for first, and it obeys the SAME probed eviction law
+    * (state expiry = event ts + delay; eviction commits with a
+    * batch's own watermark = max event time through the PREVIOUS
+    * batch, ms-floored, minus delay ⇒ the two-batch re-emission lag
+    * in continuous backlog replays — `EventStreamSpec`'s
+    * "dedup-within-watermark eviction law" probe pins BOTH engines'
+    * constants using this exact operator). Same two-wave clock and
+    * staged slices as st8 (shared staging key), so the oracle is
+    * st8's slice algebra at the fp grain: an fp re-emits on its
+    * second wave iff its first wave's expiry cleared the watermark
+    * committed two batches before the second wave's.
+    *
+    * Scale shape: state is one (key, expiry) pair per in-flight
+    * fingerprint, evicted by watermark — bounded by the dedup
+    * horizon's arrival rate, never the corpus. */
+  private def st14(s: SparkSession, d: String): DataFrame =
+    replayedDf(s, s"$d|docprep", docPrepWaves(s, d), "st14") { df =>
+      df.select(col("ts"), TextAnalysis.contentFp(col("text")).as("fp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("fp")
+    }.groupBy(col("fp")).agg(count(lit(1)).as("n_emissions"))
+
+  private val st14Sql = {
+    val fpSql = TextAnalysis.contentFpSql
+    s"""WITH f AS (
+       |  SELECT $fpSql AS fp,
+       |    ('0x' || substr($fpSql, 1, 15))::BIGINT % 12 AS slot
+       |  FROM documents),
+       |g AS (SELECT fp, min(slot) AS slot FROM f GROUP BY fp),
+       |a AS (
+       |  SELECT fp, $BaseUs + slot * 420000000 AS w1_us,
+       |    $BaseUs + slot * 420000000 + 5880000000 AS w2_us
+       |  FROM g),
+       |arr AS (SELECT w1_us AS t FROM a UNION ALL SELECT w2_us FROM a),
+       |sp AS (
+       |  SELECT min(t) AS lo, (max(t) - min(t)) // 4 + 1 AS span FROM arr),
+       |sm AS (
+       |  SELECT (t - lo) // span AS sl, max(t) AS mx
+       |  FROM arr, sp GROUP BY 1),
+       |dec AS (
+       |  SELECT a.fp,
+       |    a.w1_us // 1000 + 600000 AS expiry_ms,
+       |    (SELECT max(sm.mx) FROM sm, sp
+       |     WHERE sm.sl < (a.w2_us - sp.lo) // sp.span - 1) // 1000 - 600000
+       |      AS wm_ms
+       |  FROM a)
+       |SELECT d.fp,
+       |  CAST(CASE WHEN d.wm_ms IS NOT NULL AND d.expiry_ms < d.wm_ms
+       |    THEN 2 ELSE 1 END AS BIGINT) AS n_emissions
+       |FROM dec d""".stripMargin
+  }
+
   private val st13Sql = TimeWindows.evsSql +
     """, last AS (
       |  SELECT user_id, event_type AS last_type FROM (
@@ -972,5 +1038,7 @@ object StreamGates {
     GateQuery("st12_stream_tumbling", st12, Some(st12Sql),
       "append-mode watermarked tumbling agg ≡ epoch-aligned hour rollup cut at end ≤ final watermark"),
     GateQuery("st13_stream_upsert", st13, Some(st13Sql),
-      "foreachBatch CDC-apply: versioned-by-batchId keyed upsert table ≡ whole-log closed form"))
+      "foreachBatch CDC-apply: versioned-by-batchId keyed upsert table ≡ whole-log closed form"),
+    GateQuery("st14_stream_dropdup", st14, Some(st14Sql),
+      "built-in dropDuplicatesWithinWatermark under st8's clock ≡ the probed eviction-law slice algebra"))
 }
