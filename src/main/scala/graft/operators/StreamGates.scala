@@ -964,7 +964,10 @@ object StreamGates {
         .dropDuplicatesWithinWatermark("fp")
     }.groupBy(col("fp")).agg(count(lit(1)).as("n_emissions"))
 
-  private val st14Sql = {
+  /** The dedup-decision slice algebra st14/st15 share: per fp, both
+    * wave instants plus the re-emission decision inputs (state expiry
+    * vs the watermark committed two batches before wave 2's). */
+  private val docPrepDedupCte = {
     val fpSql = TextAnalysis.contentFpSql
     s"""WITH f AS (
        |  SELECT $fpSql AS fp,
@@ -982,17 +985,79 @@ object StreamGates {
        |  SELECT (t - lo) // span AS sl, max(t) AS mx
        |  FROM arr, sp GROUP BY 1),
        |dec AS (
-       |  SELECT a.fp,
+       |  SELECT a.fp, a.w1_us, a.w2_us,
        |    a.w1_us // 1000 + 600000 AS expiry_ms,
        |    (SELECT max(sm.mx) FROM sm, sp
        |     WHERE sm.sl < (a.w2_us - sp.lo) // sp.span - 1) // 1000 - 600000
        |      AS wm_ms
-       |  FROM a)
-       |SELECT d.fp,
-       |  CAST(CASE WHEN d.wm_ms IS NOT NULL AND d.expiry_ms < d.wm_ms
-       |    THEN 2 ELSE 1 END AS BIGINT) AS n_emissions
-       |FROM dec d""".stripMargin
+       |  FROM a)""".stripMargin
   }
+
+  private val st14Sql = docPrepDedupCte +
+    """
+      |SELECT d.fp,
+      |  CAST(CASE WHEN d.wm_ms IS NOT NULL AND d.expiry_ms < d.wm_ms
+      |    THEN 2 ELSE 1 END AS BIGINT) AS n_emissions
+      |FROM dec d""".stripMargin
+
+  // --------------------------------------------------------------- st15
+
+  /** st15: CHAINED STATEFUL OPERATORS in one streaming query — the
+    * built-in `dropDuplicatesWithinWatermark` (st14's operator)
+    * feeding an append-mode tumbling aggregation (st12's operator),
+    * dedup store and window store composing in a single micro-batch
+    * pipeline. This is the canonical production ingest shape ("dedup
+    * the crawl, then rate the hour") and the one streaming capability
+    * the per-operator gates can't witness: watermark propagation
+    * ACROSS stateful operators (Spark plans the downstream agg against
+    * the dedup's output with one global per-batch watermark; the
+    * upstream store must emit a row before the downstream store may
+    * count it, so a re-emitted wave-2 fingerprint lands in its wave-2
+    * hour bucket).
+    *
+    * The oracle composes the two pinned laws with no new constants:
+    * emitted instants = every fp's wave-1 arrival plus its wave-2
+    * arrival iff st14's eviction law re-admits it, then st12's
+    * emission law cuts the hour buckets (epoch-aligned, emit iff
+    * end_us ≤ final wm_ms · 1000, final watermark = global max event
+    * time − 10 min, ms-floored) — the last bucket stays pending in
+    * the window store by construction, so both emission classes are
+    * exercised at every sf.
+    *
+    * Scale shape: dedup state is (key, expiry) per in-flight
+    * fingerprint, window state one count per open hour — both bounded
+    * by the watermark horizon; the chain adds no exchange beyond the
+    * two stores' own key groupings. */
+  private def st15(s: SparkSession, d: String): DataFrame =
+    replayedDf(s, s"$d|docprep", docPrepWaves(s, d), "st15") { df =>
+      // bucket is a pure function of the dedup KEY, so whichever
+      // same-instant copy wins in-batch arbitration carries the same
+      // value — the only grouping column safe under chained dedup.
+      df.select(col("ts"), TextAnalysis.contentFp(col("text")).as("fp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("fp")
+        .withColumn("bucket",
+          pmod(conv(substring(col("fp"), 1, 1), 16, 10).cast("long"), lit(4L)))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("w.start").as("window_start"), col("bucket"), col("n_docs"))
+    }.select(unix_micros(col("window_start")).as("window_start_us"),
+      col("bucket"), col("n_docs"))
+
+  private val st15Sql = docPrepDedupCte +
+    s""",
+       |em AS (
+       |  SELECT fp, w1_us AS t FROM dec
+       |  UNION ALL
+       |  SELECT fp, w2_us FROM dec
+       |  WHERE wm_ms IS NOT NULL AND expiry_ms < wm_ms),
+       |fw AS (SELECT max(w2_us) // 1000 - 600000 AS wm_ms FROM dec)
+       |SELECT (t // $HourUs) * $HourUs AS window_start_us,
+       |  ('0x' || substr(fp, 1, 1))::BIGINT % 4 AS bucket,
+       |  count(*) AS n_docs
+       |FROM em, fw
+       |WHERE (t // $HourUs) * $HourUs + $HourUs <= wm_ms * 1000
+       |GROUP BY 1, 2""".stripMargin
 
   private val st13Sql = TimeWindows.evsSql +
     """, last AS (
@@ -1040,5 +1105,7 @@ object StreamGates {
     GateQuery("st13_stream_upsert", st13, Some(st13Sql),
       "foreachBatch CDC-apply: versioned-by-batchId keyed upsert table ≡ whole-log closed form"),
     GateQuery("st14_stream_dropdup", st14, Some(st14Sql),
-      "built-in dropDuplicatesWithinWatermark under st8's clock ≡ the probed eviction-law slice algebra"))
+      "built-in dropDuplicatesWithinWatermark under st8's clock ≡ the probed eviction-law slice algebra"),
+    GateQuery("st15_stream_chained", st15, Some(st15Sql),
+      "chained stateful ops (dedup → tumbling agg) ≡ st14's eviction law composed with st12's emission law"))
 }

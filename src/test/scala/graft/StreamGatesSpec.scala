@@ -152,4 +152,37 @@ class StreamGatesSpec extends AnyFunSuite {
       max(unix_micros(col("ts"))).as("last_ts_us"))
     assertSame(gate("st13_stream_upsert", sf0001), batch)
   }
+
+  test("st15 chained dedup→window: re-admitted key lands in its second " +
+    "bucket, pending window withheld") {
+    // The eviction-law probe's arrival sequence (EventStreamSpec)
+    // through the CHAINED pipeline: K@0 emits, K@2940 dedups, K@5100
+    // re-admits (expiry 600 < the wm 1080 committed two batches
+    // before) and must be COUNTED by the downstream window store in
+    // its own hour bucket; the last arrival's bucket ends past the
+    // final watermark and never reaches the sink.
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    val rows = Seq(("K", 0L), ("F", 1680L), ("K", 2940L), ("F2", 3780L),
+      ("K3", 5000L), ("K", 5100L), ("K4", 7560L))
+    val df = rows.toDF("key", "sec").select(col("key"),
+      timestamp_micros(lit(1700000000000000L) + col("sec") * 1000000L).as("ts"))
+    val out = operators.StreamGates.replayedDf(spark, "st15-chain-probe", df,
+      "st15-probe") { s =>
+      s.withWatermark("ts", "600 seconds")
+        .dropDuplicatesWithinWatermark("key")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("n"))
+    }
+    val got = out.select(
+        expr("(unix_micros(ws) - 1700000000000000) div 1000000"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Hour buckets are EPOCH-aligned: 1700000000 % 3600 = 800, so the
+    // first bucket starts at rel −800 s. Expected: {K@0, F@1680} → 2;
+    // {F2, K3, K@5100} → 3 (the dedup'd K@2940 absent, the re-emitted
+    // K@5100 present); K4@7560's bucket ends at rel 10000 > final
+    // wm 6960 and stays pending.
+    assert(got == Set((-800L, 2L), (2800L, 3L)), s"got $got")
+  }
 }
