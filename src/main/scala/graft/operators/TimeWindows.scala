@@ -907,6 +907,66 @@ object TimeWindows {
        |    AND p.ts_us - e.ts_us <= $HourUs
        |  ORDER BY e.ts_us DESC, e.event_id DESC LIMIT 1) c ON TRUE""".stripMargin
 
+  /** tw20: RESAMPLE + GAP-FILL (last observation carried forward) —
+    * the missing-bucket restatement every time-series consumer needs
+    * before charting, rating or joining against a regular clock:
+    * per-user hourly cent sums become a DENSE series over each user's
+    * own [first, last] active hour (`sequence()` spine + explode, the
+    * distributed answer to generate_series), absent hours carry the
+    * last observed hour's sum forward (`last(_, ignoreNulls)` over a
+    * per-user running frame — the ONE window shape that expresses
+    * LOCF without a self-join) and report their staleness in hours
+    * (freshness-SLA material). First spine hour is observed by
+    * construction, so the fill is never NULL.
+    *
+    * Scale shape: spine rows = Σ per-user active-span hours (output-
+    * proportional, never |users| × global span); one hash agg to the
+    * (user, hour) grain, one per-user-partitioned window — no
+    * unpartitioned ORDER BY, no self-join, spine generation is a
+    * narrow array op. Skew bound: a user's span ≤ corpus span in
+    * hours (720 here), so no partition outgrows the frame. */
+  private def tw20(s: SparkSession, d: String): DataFrame = {
+    val hourly = evs(s, d)
+      .groupBy(col("user_id"),
+        expr(s"(ts_us div ${HourUs}L) * ${HourUs}L").as("hour_us"))
+      .agg(sum(col("value_cents")).as("cents"), count(lit(1)).as("n_events"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(HourUs))).as("hour_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("hour_us"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("user_id", "hour_us"), "left")
+      .select(col("user_id"), col("hour_us"),
+        when(col("n_events").isNotNull, 1).otherwise(0).as("observed"),
+        last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"),
+        (col("hour_us") -
+          last(when(col("n_events").isNotNull, col("hour_us")),
+            ignoreNulls = true).over(w)).cast("long").as("staleness_us"))
+  }
+
+  private val tw20Sql = evsSql +
+    s""", r AS (
+       |  SELECT user_id, (ts_us // $HourUs) * $HourUs AS hour_us,
+       |    CAST(sum(value_cents) AS BIGINT) AS cents, count(*) AS n_events
+       |  FROM evs GROUP BY 1, 2),
+       |b AS (SELECT user_id, min(hour_us) AS lo, max(hour_us) AS hi
+       |  FROM r GROUP BY 1),
+       |spine AS (
+       |  SELECT user_id, unnest(range(lo, hi + 1, $HourUs)) AS hour_us
+       |  FROM b)
+       |SELECT s.user_id, s.hour_us,
+       |  CASE WHEN r.n_events IS NOT NULL THEN 1 ELSE 0 END AS observed,
+       |  last_value(r.cents IGNORE NULLS) OVER w AS cents_filled,
+       |  s.hour_us - last_value(
+       |    CASE WHEN r.n_events IS NOT NULL THEN s.hour_us END IGNORE NULLS)
+       |    OVER w AS staleness_us
+       |FROM spine s LEFT JOIN r ON s.user_id = r.user_id
+       |  AND s.hour_us = r.hour_us
+       |WINDOW w AS (PARTITION BY s.user_id ORDER BY s.hour_us
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -945,5 +1005,7 @@ object TimeWindows {
     GateQuery("tw18_asof_plan", tw18, Some(tw18Sql),
       "native as-of join: custom LogicalPlan + strategy + one-merge-pass exec, vs the lateral top-1 oracle"),
     GateQuery("tw19_asof_tolerance", tw19, Some(tw19Sql),
-      "as-of with a 1h tolerance bound: one extra comparison on the held candidate, vs the bounded lateral"))
+      "as-of with a 1h tolerance bound: one extra comparison on the held candidate, vs the bounded lateral"),
+    GateQuery("tw20_gap_fill", tw20, Some(tw20Sql),
+      "hourly resample + LOCF gap-fill with staleness: sequence-spine per user vs generate_series"))
 }
