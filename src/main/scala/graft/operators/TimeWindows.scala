@@ -919,31 +919,31 @@ object TimeWindows {
     * (freshness-SLA material). First spine hour is observed by
     * construction, so the fill is never NULL.
     *
-    * Scale shape: spine rows = Σ per-user active-span hours (output-
-    * proportional, never |users| × global span); one hash agg to the
-    * (user, hour) grain, one per-user-partitioned window — no
-    * unpartitioned ORDER BY, no self-join, spine generation is a
-    * narrow array op. Skew bound: a user's span ≤ corpus span in
-    * hours (720 here), so no partition outgrows the frame. */
+    * Scale shape: gaps-and-islands, NOT spine-join-window — each
+    * OBSERVED hour emits its own fill-run (`sequence(h, next_h − 1h)`
+    * from a `lead` at the observed grain), so the only window runs at
+    * the Σ-observed-hours grain and the dense output is born in a
+    * narrow explode; a dense-grain spine LEFT JOIN + LOCF window would
+    * shuffle and sort the full output cardinality instead (measured
+    * 226.6 s vs 6.8 s at the 100×-replica 108M-row output). Still: no
+    * unpartitioned ORDER BY, no self-join; skew bound = one user's
+    * longest silent gap, streamed inside its task by the generator. */
   private def tw20(s: SparkSession, d: String): DataFrame = {
-    val hourly = evs(s, d)
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("hour_us"))
+    evs(s, d)
       .groupBy(col("user_id"),
         expr(s"(ts_us div ${HourUs}L) * ${HourUs}L").as("hour_us"))
-      .agg(sum(col("value_cents")).as("cents"), count(lit(1)).as("n_events"))
-    val spine = hourly.groupBy(col("user_id"))
-      .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
-      .select(col("user_id"),
-        explode(sequence(col("lo"), col("hi"), lit(HourUs))).as("hour_us"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("hour_us"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    spine.join(hourly, Seq("user_id", "hour_us"), "left")
+      .agg(sum(col("value_cents")).as("cents"))
+      .withColumn("run_end",
+        coalesce(lead(col("hour_us"), 1).over(wl) - HourUs, col("hour_us")))
+      .select(col("user_id"), col("cents"), col("hour_us").as("obs_us"),
+        explode(sequence(col("hour_us"), col("run_end"), lit(HourUs)))
+          .as("hour_us"))
       .select(col("user_id"), col("hour_us"),
-        when(col("n_events").isNotNull, 1).otherwise(0).as("observed"),
-        last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"),
-        (col("hour_us") -
-          last(when(col("n_events").isNotNull, col("hour_us")),
-            ignoreNulls = true).over(w)).cast("long").as("staleness_us"))
+        when(col("hour_us") === col("obs_us"), 1).otherwise(0).as("observed"),
+        col("cents").as("cents_filled"),
+        (col("hour_us") - col("obs_us")).as("staleness_us"))
   }
 
   private val tw20Sql = evsSql +

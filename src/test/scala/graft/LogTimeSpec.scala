@@ -381,4 +381,38 @@ class LogTimeSpec extends AnyFunSuite {
     // no spike anywhere else
     assert(rows.values.count(_.getAs[Boolean]("spike")) == 1)
   }
+
+  test("tw20 gap-fill: dense spine, LOCF equals brute force, staleness exact") {
+    val HourUs = 3600L * 1000000
+    // brute-force observed hourly sums from the raw events
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val observed = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("value_cents")).collect()
+      .groupBy(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("ts_us") / HourUs * HourUs))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("value_cents")).sum }
+    val rows = gate("tw20_gap_fill", sf0001).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("hour_us"))
+      val hours = sorted.map(_.getAs[Long]("hour_us"))
+      // dense spine over exactly [first observed, last observed]
+      val userHours = observed.keys.collect { case (`uid`, h) => h }
+      assert(hours.head == userHours.min && hours.last == userHours.max)
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == HourUs },
+        s"spine has holes for user $uid")
+      // LOCF: filled value is the last observed hour's brute-force sum
+      var lastObs = -1L
+      sorted.foreach { r =>
+        val h = r.getAs[Long]("hour_us")
+        val obs = r.getAs[Int]("observed") == 1
+        assert(obs == observed.contains((uid, h)))
+        if (obs) lastObs = h
+        assert(lastObs >= 0, s"first spine hour unobserved for user $uid")
+        assert(r.getAs[Long]("cents_filled") == observed((uid, lastObs)))
+        assert(r.getAs[Long]("staleness_us") == h - lastObs)
+      }
+    }
+  }
 }
