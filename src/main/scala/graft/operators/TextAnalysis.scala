@@ -1119,8 +1119,14 @@ object TextAnalysis {
     * collapse is dd6/dd12 (min-label and star-contraction CC with
     * per-round localCheckpoint), which this gate deliberately does
     * not duplicate. 4 iterations unrolled in one lazy plan. */
-  private def tx20(s: SparkSession, d: String): DataFrame = {
-    val S = 1000000000L
+  /** Content-derived host link graph shared by tx20 (PageRank) and
+    * tx23 (triangles): every document's tokens are its outbound
+    * mentions, resolved to target hosts by 60-bit md5 mod |hosts|,
+    * distinct'd at the (src, dst-index) grain, 20%-sparsified at the
+    * pair grain — see tx20's scaladoc for why this is the production
+    * link-extraction job shape with the sparsifier standing in for
+    * anchor parsing. Returns (hosts dim, |hosts|, directed edges). */
+  private[graft] def hostGraph(s: SparkSession, d: String): (DataFrame, Long, DataFrame) = {
     val docs = Tables.documents(s, d)
     val hosts = docs.select(col("source")).distinct()
     val n = hosts.count() // ≤|hosts| driver anchor (the codebookArr class)
@@ -1136,6 +1142,34 @@ object TextAnalysis {
       .filter(col("src") =!= col("dst"))
       .filter(expr("CAST(conv(substring(md5(concat('edge|', src, '|', dst)), 1, 15), 16, 10) AS BIGINT) % 5 = 0"))
       .select(col("src"), col("dst"))
+    (hosts, n, edges)
+  }
+
+  /** SQL mirror of [[hostGraph]]: the hosts/nn/hidx/ment/e CTE chain
+    * (no leading WITH, no trailing comma) shared by tx20Sql/tx23Sql. */
+  private val hostGraphCtes: String =
+    """hosts AS (SELECT DISTINCT source FROM documents),
+      |nn AS (SELECT count(*) AS n FROM hosts),
+      |hidx AS (
+      |  SELECT source AS dst,
+      |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS didx
+      |  FROM hosts),
+      |ment AS (
+      |  SELECT DISTINCT source AS src,
+      |    ('0x' || substr(md5('link|' || tok), 1, 15))::BIGINT
+      |      % (SELECT n FROM nn) AS didx
+      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents) t),
+      |e AS (
+      |  SELECT m.src, h.dst
+      |  FROM ment m JOIN hidx h USING (didx)
+      |  WHERE m.src <> h.dst
+      |    AND ('0x' || substr(md5('edge|' || m.src || '|' || h.dst),
+      |      1, 15))::BIGINT % 5 = 0)""".stripMargin
+
+  private def tx20(s: SparkSession, d: String): DataFrame = {
+    val S = 1000000000L
+    val (hosts, n, edges) = hostGraph(s, d)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val teleport = 15L * S / (100L * n)
     var rank = hosts.select(col("source"), lit(S / n).as("r"))
@@ -1167,24 +1201,7 @@ object TextAnalysis {
          |    FROM e JOIN r${k - 1} p ON e.src = p.source
          |    JOIN od ON od.src = e.src
          |    GROUP BY e.dst) s ON s.dst = h.source)""".stripMargin
-    s"""WITH hosts AS (SELECT DISTINCT source FROM documents),
-       |nn AS (SELECT count(*) AS n FROM hosts),
-       |hidx AS (
-       |  SELECT source AS dst,
-       |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS didx
-       |  FROM hosts),
-       |ment AS (
-       |  SELECT DISTINCT source AS src,
-       |    ('0x' || substr(md5('link|' || tok), 1, 15))::BIGINT
-       |      % (SELECT n FROM nn) AS didx
-       |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-       |        FROM documents) t),
-       |e AS (
-       |  SELECT m.src, h.dst
-       |  FROM ment m JOIN hidx h USING (didx)
-       |  WHERE m.src <> h.dst
-       |    AND ('0x' || substr(md5('edge|' || m.src || '|' || h.dst),
-       |      1, 15))::BIGINT % 5 = 0),
+    s"""WITH $hostGraphCtes,
        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |r0 AS (
        |  SELECT source, CAST(1000000000 AS BIGINT) // (SELECT n FROM nn) AS r FROM hosts),
@@ -1417,6 +1434,104 @@ object TextAnalysis {
        |FROM ex x JOIN est e USING (source)""".stripMargin
   }
 
+  // --------------------------------------------------------------- tx23
+
+  /** tx23: TRIANGLE COUNT + local clustering coefficient per host —
+    * the graph-density companion to tx20's centrality on the SAME
+    * content-derived link graph: clustering coefficient separates
+    * organically-linked communities (high cc) from link farms and
+    * spam rings (star-shaped, cc ≈ 0), the standard web-graph
+    * curation signal next to domain rank. Per host: undirected
+    * degree, incident-triangle count, and cc = 2·tri/(deg·(deg−1))
+    * in integer permille.
+    *
+    * The Spark side runs the DEGREE-ORIENTED wedge algorithm (the
+    * "forward"/Schank-Wagner form): orient every undirected edge from
+    * its (deg, host)-smaller endpoint to the larger, generate wedges
+    * only at each edge-pair's common SOURCE in that orientation, and
+    * close them against the canonical edge set. Orientation is the
+    * whole scale story — out-degree under it is O(√|E|) regardless of
+    * hub skew, so wedge volume is Σ outdeg² ≤ arboricity-bounded
+    * instead of Σ deg² (a single 10⁶-degree hub would otherwise emit
+    * 10¹² wedges; oriented it emits what the graph's density
+    * warrants). Every triangle materializes exactly once, at its
+    * orientation-minimal corner, then explodes to its 3 corners for
+    * the per-host rollup. The oracle is the UNORIENTED textbook
+    * 3-way self-join on a<b<c — same triangle set, independently
+    * derived. Joins here are host-grain (tx20's stated |hosts| ≪
+    * |docs| premise) and explicitly broadcast; at web scale the same
+    * plan degrades gracefully to shuffled equi joins — both the
+    * wedge join and the closing join are pure equi joins on (lo) and
+    * on the canonical (a, b) pair key respectively. */
+  private def tx23(s: SparkSession, d: String): DataFrame = {
+    val (hosts, _, edges) = hostGraph(s, d)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("h"))
+      .unionAll(und.select(col("b").as("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(broadcast(deg.select(col("h").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("h").as("b"), col("deg").as("db"))), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"))
+    val wedges = oriented.as("e1")
+      .join(broadcast(oriented.as("e2")),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("c0"), col("e1.hi").as("x"), col("e2.hi").as("y"))
+    val tri = wedges
+      .select(col("c0"), col("x"), col("y"),
+        least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .join(broadcast(und), Seq("a", "b"))
+    val perHost = tri
+      .select(explode(array(col("c0"), col("x"), col("y"))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("tri"))
+    hosts.select(col("source").as("host"))
+      .join(broadcast(deg.withColumnRenamed("h", "host")), Seq("host"), "left")
+      .join(broadcast(perHost.withColumnRenamed("h", "host")), Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("tri"), lit(0L)).as("triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("coalesce(tri, 0L) * 2000L div (deg * (deg - 1L))"))
+          .otherwise(lit(0L)).as("cc_permille"))
+  }
+
+  private val tx23Sql =
+    s"""WITH $hostGraphCtes,
+       |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |      FROM e),
+       |degs AS (
+       |  SELECT h, count(*) AS deg
+       |  FROM (SELECT a AS h FROM u UNION ALL SELECT b AS h FROM u) x
+       |  GROUP BY h),
+       |t AS (
+       |  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+       |  FROM u e1
+       |  JOIN u e2 ON e2.a = e1.b
+       |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tc AS (
+       |  SELECT h, count(*) AS tri
+       |  FROM (SELECT v1 AS h FROM t UNION ALL SELECT v2 AS h FROM t
+       |        UNION ALL SELECT v3 AS h FROM t) x
+       |  GROUP BY h)
+       |SELECT h.source AS host,
+       |  CAST(coalesce(d.deg, 0) AS BIGINT) AS degree,
+       |  CAST(coalesce(tc.tri, 0) AS BIGINT) AS triangles,
+       |  CAST(CASE WHEN coalesce(d.deg, 0) >= 2
+       |    THEN coalesce(tc.tri, 0) * 2000 // (d.deg * (d.deg - 1))
+       |    ELSE 0 END AS BIGINT) AS cc_permille
+       |FROM hosts h
+       |LEFT JOIN degs d ON d.h = h.source
+       |LEFT JOIN tc ON tc.h = h.source""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -1461,5 +1576,7 @@ object TextAnalysis {
     GateQuery("tx21_countmin_freq", tx21, Some(tx21Sql),
       "Count-Min frequency sketch: per-source partials summed by linearity, top-20 probes with overestimates"),
     GateQuery("tx22_hll_registers", tx22, Some(tx22Sql),
-      "HyperLogLog cardinality: integer-exact registers, per-source partials max-merged, est = C div harmonic sum"))
+      "HyperLogLog cardinality: integer-exact registers, per-source partials max-merged, est = C div harmonic sum"),
+    GateQuery("tx23_host_triangles", tx23, Some(tx23Sql),
+      "degree-oriented triangle count + clustering coefficient per host, vs the unoriented 3-way join"))
 }

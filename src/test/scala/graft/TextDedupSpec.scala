@@ -929,4 +929,34 @@ class TextDedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tx23 triangles: oriented wedge algorithm equals driver brute force") {
+    // independent adjudication: pull the SAME undirected edge set the
+    // gate derives, brute-force per-host triangle counts on the driver
+    // (|hosts| = 20 at sf0.001), and compare count, degree and the
+    // integer cc formula corner for corner
+    val (_, _, edges) = graft.operators.TextAnalysis.hostGraph(spark, sf0001)
+    val und = edges.collect()
+      .map(r => { val (s, t) = (r.getString(0), r.getString(1))
+        if (s < t) (s, t) else (t, s) }).toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (h, ps) => h -> ps.map(_._2).toSet }
+    val deg = adj.map { case (h, ns) => h -> ns.size.toLong }
+    val tri = adj.map { case (h, ns) =>
+      h -> ns.toSeq.combinations(2)
+        .count { case Seq(x, y) => und(if (x < y) (x, y) else (y, x)) }.toLong
+    }
+    val rows = gate("tx23_host_triangles", sf0001).collect()
+    assert(rows.length == 20)
+    // the corpus graph must actually exercise the operator
+    assert(tri.values.sum > 0, "fixture graph has no triangles")
+    rows.foreach { r =>
+      val h = r.getAs[String]("host")
+      val (d0, t0) = (deg.getOrElse(h, 0L), tri.getOrElse(h, 0L))
+      assert(r.getAs[Long]("degree") == d0, s"degree($h)")
+      assert(r.getAs[Long]("triangles") == t0, s"triangles($h)")
+      val cc = if (d0 >= 2) t0 * 2000L / (d0 * (d0 - 1L)) else 0L
+      assert(r.getAs[Long]("cc_permille") == cc, s"cc($h)")
+    }
+  }
 }
