@@ -1532,6 +1532,153 @@ object TextAnalysis {
        |LEFT JOIN degs d ON d.h = h.source
        |LEFT JOIN tc ON tc.h = h.source""".stripMargin
 
+  // --------------------------------------------------------------- tx24
+
+  /** tx24: BPE MERGE TRAINING — the tokenizer-training kernel
+    * (Sennrich et al.'s byte-pair encoding, the algorithm behind
+    * GPT-2/LLaMA-class vocabularies) as a distributed job: 8 merge
+    * rounds over the corpus, each round counting adjacent symbol
+    * pairs, choosing the argmax pair (count desc, pair lex — the tie
+    * rule pinned), and applying the merge greedily left-to-right to
+    * every word. Emits the merge table itself — (iter, lhs, rhs,
+    * pair count, words touched) — the artifact a tokenizer ships.
+    * End-of-word marker `</w>` per the original formulation, so
+    * merges compose into whole subwords (`e r → er`, `er </w> →
+    * er</w>` on this corpus).
+    *
+    * Scale shape: THE classic corpus→dict compression — pair stats
+    * live on the WORD-FREQUENCY dict (one corpus scan builds it;
+    * every round after is dict-grain, and the dict is
+    * replica-INVARIANT: 100 copies of the corpus train the identical
+    * tokenizer for one extra scan). Each round is one map-side-
+    * combinable pair agg + a 1-row argmax anchor (TakeOrderedAndProject,
+    * the codebookArr driver class) + one narrow higher-order
+    * projection applying the merge — the greedy left-to-right pass is
+    * a single `aggregate()` fold per word (state: built prefix + one
+    * held symbol), not a per-position self-join. `localCheckpoint`
+    * per round keeps the 8-round lineage flat (the dd12/sim14
+    * iterative discipline). The oracle restates greedy application
+    * relationally: merge positions = candidate runs kept at even
+    * offsets (overlap chains only arise when lhs = rhs), an
+    * independently-derived spelling of the same one-pass law.
+    * Driver holds only the 8-row merge table and the per-round
+    * 1-row argmax — never the dict. */
+  private def tx24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 8
+    var wd = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          array(lit("</w>"))).as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+    var k = 1
+    var exhausted = false
+    while (k <= K && !exhausted) {
+      // sequence(1, 0) DESCENDS in Spark — a fully-merged single-symbol
+      // word needs the explicit empty branch, not an index clamp
+      val best = wd
+        .select(col("freq"), explode(expr(
+          """CASE WHEN size(syms) < 2
+            |  THEN CAST(array() AS array<struct<lhs:string,rhs:string>>)
+            |  ELSE transform(sequence(1, size(syms) - 1),
+            |    i -> struct(element_at(syms, i) AS lhs,
+            |                element_at(syms, i + 1) AS rhs)) END""".stripMargin)).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        val (lc, rc, lr) = (lit(l), lit(r), lit(l + r))
+        val touched = wd.filter(exists(
+          expr("CASE WHEN size(syms) < 2 THEN CAST(array() AS array<int>) " +
+            "ELSE sequence(1, size(syms) - 1) END"),
+          i => element_at(col("syms"), i) === lc &&
+            element_at(col("syms"), i + 1) === rc)).count()
+        // one-pass greedy: fold the tail holding (built prefix, one
+        // pending symbol); a merge emits lhs||rhs and clears the hold,
+        // so a merged symbol can never chain into the next occurrence
+        val merged = aggregate(
+          expr("slice(syms, 2, size(syms) - 1)"),
+          struct(expr("CAST(array() AS array<string>)").as("out"),
+            element_at(col("syms"), 1).as("prev")),
+          (acc, x) => when(acc.getField("prev") === lc && x === rc,
+            struct(concat(acc.getField("out"), array(lr)).as("out"),
+              lit(null).cast("string").as("prev")))
+            .otherwise(struct(
+              when(acc.getField("prev").isNull, acc.getField("out"))
+                .otherwise(concat(acc.getField("out"),
+                  array(acc.getField("prev")))).as("out"),
+              x.as("prev"))),
+          acc => when(acc.getField("prev").isNull, acc.getField("out"))
+            .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
+        wd = wd.select(col("word"), col("freq"), merged.as("syms"))
+          .localCheckpoint()
+        out += ((k, l, r, cnt, touched))
+      }
+      k += 1
+    }
+    out.toSeq.toDF("iter", "lhs", "rhs", "pair_count", "words_touched")
+  }
+
+  private val tx24Sql = {
+    def step(k: Int): String =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+         |        FROM w${k - 1}) x
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |cand$k AS MATERIALIZED (
+         |  SELECT word, i
+         |  FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i
+         |        FROM w${k - 1}) x
+         |  WHERE syms[i] = (SELECT lhs FROM b$k)
+         |    AND syms[i+1] = (SELECT rhs FROM b$k)),
+         |keep$k AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, i - min(i) OVER (PARTITION BY word, i - rn) AS off
+         |    FROM (SELECT word, i,
+         |            row_number() OVER (PARTITION BY word ORDER BY i) AS rn
+         |          FROM cand$k) c) x
+         |  WHERE off % 2 = 0),
+         |w$k AS MATERIALIZED (
+         |  SELECT e.word, e.freq,
+         |    list(CASE WHEN k1.i IS NOT NULL
+         |      THEN (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k)
+         |      ELSE e.sym END ORDER BY e.q) AS syms
+         |  FROM (SELECT word, freq, unnest(syms) AS sym,
+         |          unnest(range(1, len(syms) + 1)) AS q FROM w${k - 1}) e
+         |  LEFT JOIN keep$k k1 ON k1.word = e.word AND k1.i = e.q
+         |  LEFT JOIN keep$k k2 ON k2.word = e.word AND k2.i = e.q - 1
+         |  WHERE k2.i IS NULL
+         |  GROUP BY e.word, e.freq)""".stripMargin
+    def tail(k: Int): String =
+      s"""t$k AS (SELECT CAST($k AS INT) AS iter, lhs, rhs, cnt AS pair_count,
+         |  (SELECT CAST(count(DISTINCT word) AS BIGINT) FROM keep$k)
+         |    AS words_touched FROM b$k)""".stripMargin
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |    [substr(word, i, 1) for i in range(1, length(word) + 1)]
+       |      || ['</w>'] AS syms
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents) t
+       |  WHERE word <> ''
+       |  GROUP BY word),
+       |${(1 to 8).map(step).mkString(",\n")},
+       |${(1 to 8).map(tail).mkString(",\n")}
+       |SELECT * FROM (${(1 to 8).map(k => s"SELECT * FROM t$k").mkString(" UNION ALL ")}) u""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -1578,5 +1725,7 @@ object TextAnalysis {
     GateQuery("tx22_hll_registers", tx22, Some(tx22Sql),
       "HyperLogLog cardinality: integer-exact registers, per-source partials max-merged, est = C div harmonic sum"),
     GateQuery("tx23_host_triangles", tx23, Some(tx23Sql),
-      "degree-oriented triangle count + clustering coefficient per host, vs the unoriented 3-way join"))
+      "degree-oriented triangle count + clustering coefficient per host, vs the unoriented 3-way join"),
+    GateQuery("tx24_bpe_merges", tx24, Some(tx24Sql),
+      "BPE tokenizer training: 8 merge rounds on the word-frequency dict, greedy application as a fold"))
 }

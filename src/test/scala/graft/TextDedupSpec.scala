@@ -930,6 +930,32 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("tx24 BPE: run parity, tie order, and merge composition pinned") {
+    // words: aaaa, aaa, bb, b (freq 1 each, marker appended).
+    // iter1: (a,a) count 5 (overlaps counted: 3 in aaaa + 2 in aaa),
+    //   greedy left-to-right keeps EVEN run offsets: aaaa -> [aa,aa],
+    //   aaa -> [aa,a] — the lhs==rhs chain case the fold must get right
+    // iter2: (b,</w>) count 2 beats the five singletons
+    // iter3: all-ties broken (count desc, lhs, rhs): (a,</w>) wins
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, "aaaa aaa bb b", "en", "s"))))
+    val rows = gate("tx24_bpe_merges", d).collect().sortBy(_.getAs[Int]("iter"))
+    def m(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("words_touched"))
+    assert(m(rows(0)) == ("a", "a", 5L, 2L), s"iter1: ${rows(0)}")
+    assert(m(rows(1)) == ("b", "</w>", 2L, 2L), s"iter2: ${rows(1)}")
+    assert(m(rows(2)) == ("a", "</w>", 1L, 1L), s"iter3: ${rows(2)}")
+    // on the corpus, merges must COMPOSE (a learned symbol reappears
+    // as one side of a later merge) — the property that makes BPE BPE
+    val corpus = gate("tx24_bpe_merges", sf0001).collect()
+    assert(corpus.length == 8)
+    assert(corpus.exists { r =>
+      val (l, rr) = (r.getAs[String]("lhs"), r.getAs[String]("rhs"))
+      (l.length > 1 && l != "</w>") || (rr.length > 1 && rr != "</w>")
+    }, "no composed merge in 8 corpus rounds")
+  }
+
   test("tx23 triangles: oriented wedge algorithm equals driver brute force") {
     // independent adjudication: pull the SAME undirected edge set the
     // gate derives, brute-force per-host triangle counts on the driver
