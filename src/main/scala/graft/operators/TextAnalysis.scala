@@ -1563,8 +1563,10 @@ object TextAnalysis {
     * independently-derived spelling of the same one-pass law.
     * Driver holds only the 8-row merge table and the per-round
     * 1-row argmax — never the dict. */
-  private def tx24(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The 8-round training loop shared by tx24 (merge table) and tx25
+    * (corpus tokenization stats): returns the final word dict (word,
+    * freq, merged syms) and the per-round merge rows. */
+  private def bpeTrain(s: SparkSession, d: String): (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     val K = 8
     var wd = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("word"))
@@ -1625,10 +1627,51 @@ object TextAnalysis {
       }
       k += 1
     }
-    out.toSeq.toDF("iter", "lhs", "rhs", "pair_count", "words_touched")
+    (wd, out.toSeq)
   }
 
-  private val tx24Sql = {
+  private def tx24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, d)._2
+      .toDF("iter", "lhs", "rhs", "pair_count", "words_touched")
+  }
+
+  /** tx25: BPE TOKENIZATION of the corpus with the vocabulary tx24
+    * just trained — the serving half of the tokenizer story: per
+    * source, word/char totals, the subword-token total after the 8
+    * merges, and the compression the vocabulary bought in integer
+    * permille (initial symbol count = chars + one end-marker per
+    * word, so untrained compression is exactly 1000‰).
+    *
+    * Scale shape: training already left every word's merged symbol
+    * sequence ON THE DICT — tokenizing the corpus is one token scan
+    * joined against the broadcast (word → subword count) dim plus a
+    * map-side-combined per-source agg; no per-document merge
+    * application ever runs (the dict IS the memoized tokenizer, the
+    * production shape: train once, serve by lookup). */
+  private def tx25(s: SparkSession, d: String): DataFrame = {
+    val dict = bpeTrain(s, d)._1
+      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    Tables.documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(dict), Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        countDistinct(col("word")).as("n_distinct_words"),
+        sum(col("n_sub")).as("n_subwords"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("n_distinct_words"), col("n_subwords"),
+        expr("n_subwords * 1000L div (n_chars + n_words)")
+          .as("compression_permille"))
+  }
+
+  /** The w0→w8 training CTE chain (DuckDB) shared by tx24Sql/tx25Sql.
+    * MATERIALIZED is load-bearing: each round references its
+    * predecessor three times, so inlined CTEs would re-expand the
+    * corpus scan 3^8 times. */
+  private val bpeCtes: String = {
     def step(k: Int): String =
       s"""p$k AS MATERIALIZED (
          |  SELECT syms[i] AS lhs, syms[i+1] AS rhs,
@@ -1662,22 +1705,48 @@ object TextAnalysis {
          |  LEFT JOIN keep$k k2 ON k2.word = e.word AND k2.i = e.q - 1
          |  WHERE k2.i IS NULL
          |  GROUP BY e.word, e.freq)""".stripMargin
-    def tail(k: Int): String =
-      s"""t$k AS (SELECT CAST($k AS INT) AS iter, lhs, rhs, cnt AS pair_count,
-         |  (SELECT CAST(count(DISTINCT word) AS BIGINT) FROM keep$k)
-         |    AS words_touched FROM b$k)""".stripMargin
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
-       |    [substr(word, i, 1) for i in range(1, length(word) + 1)]
-       |      || ['</w>'] AS syms
+       |    list_append(
+       |      [substr(word, i, 1) for i in range(1, length(word) + 1)],
+       |      '</w>') AS syms
        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
        |        FROM documents) t
        |  WHERE word <> ''
        |  GROUP BY word),
-       |${(1 to 8).map(step).mkString(",\n")},
+       |${(1 to 8).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  private val tx24Sql = {
+    def tail(k: Int): String =
+      s"""t$k AS (SELECT CAST($k AS INT) AS iter, lhs, rhs, cnt AS pair_count,
+         |  (SELECT CAST(count(DISTINCT word) AS BIGINT) FROM keep$k)
+         |    AS words_touched FROM b$k)""".stripMargin
+    s"""WITH $bpeCtes,
        |${(1 to 8).map(tail).mkString(",\n")}
        |SELECT * FROM (${(1 to 8).map(k => s"SELECT * FROM t$k").mkString(" UNION ALL ")}) u""".stripMargin
   }
+
+  private val tx25Sql =
+    s"""WITH $bpeCtes,
+       |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub FROM w8),
+       |inst AS (
+       |  SELECT source, word
+       |  FROM (SELECT source,
+       |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents) t
+       |  WHERE word <> '')
+       |SELECT source, n_words, n_chars, n_distinct_words, n_subwords,
+       |  CAST(n_subwords * 1000 // (n_chars + n_words) AS BIGINT)
+       |    AS compression_permille
+       |FROM (
+       |  SELECT i.source,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(length(i.word)) AS BIGINT) AS n_chars,
+       |    CAST(count(DISTINCT i.word) AS BIGINT) AS n_distinct_words,
+       |    CAST(sum(e.n_sub) AS BIGINT) AS n_subwords
+       |  FROM inst i JOIN enc e ON e.word = i.word
+       |  GROUP BY i.source) g""".stripMargin
 
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
@@ -1727,5 +1796,7 @@ object TextAnalysis {
     GateQuery("tx23_host_triangles", tx23, Some(tx23Sql),
       "degree-oriented triangle count + clustering coefficient per host, vs the unoriented 3-way join"),
     GateQuery("tx24_bpe_merges", tx24, Some(tx24Sql),
-      "BPE tokenizer training: 8 merge rounds on the word-frequency dict, greedy application as a fold"))
+      "BPE tokenizer training: 8 merge rounds on the word-frequency dict, greedy application as a fold"),
+    GateQuery("tx25_bpe_tokenize", tx25, Some(tx25Sql),
+      "corpus tokenization with the trained BPE vocab: per-source subword totals + compression permille"))
 }

@@ -956,6 +956,26 @@ class TextDedupSpec extends AnyFunSuite {
     }, "no composed merge in 8 corpus rounds")
   }
 
+  test("tx25 tokenize: conservation, compression bound, dict consistency") {
+    import org.apache.spark.sql.functions._
+    val rows = gate("tx25_bpe_tokenize", sf0001).collect()
+    // every token instance is tokenized exactly once
+    val total = Tables.documents(spark, sf0001)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(rows.map(_.getAs[Long]("n_words")).sum == total)
+    rows.foreach { r =>
+      val (w, c, sub) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_subwords"))
+      // untrained tokenization is chars + one marker per word; 8 merges
+      // can only shrink, and each word keeps >= 1 symbol
+      assert(sub <= c + w && sub >= w, s"subword total out of bounds: $r")
+      assert(r.getAs[Long]("compression_permille") == sub * 1000 / (c + w))
+    }
+    // the corpus vocabulary actually compressed (merges fired)
+    assert(rows.forall(_.getAs[Long]("compression_permille") < 1000))
+  }
+
   test("tx23 triangles: oriented wedge algorithm equals driver brute force") {
     // independent adjudication: pull the SAME undirected edge set the
     // gate derives, brute-force per-host triangle counts on the driver
