@@ -1091,6 +1091,102 @@ object LogAnalytics {
       |  CAST(sum(value_cents) AS BIGINT) AS value_cents
       |FROM dd GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- la18
+
+  /** la18: CHANGE DATA FEED — the incremental-consumer artifact that
+    * completes la16's versioning story (Delta CDF / Iceberg
+    * changelog): after a v1 commit (the max day's cents doubled,
+    * la16's backfill), emit the ROW-GRAIN change feed — every changed
+    * row as an `update_preimage` and `update_postimage` pair tagged
+    * with the commit version — which is what a downstream
+    * materialized view or warehouse sync consumes instead of
+    * re-reading the table.
+    *
+    * The point is HOW the feed is computed: from the MANIFEST DIFF
+    * alone. Preimages come from the files the commit retired
+    * (manifest0 ∖ manifest1), postimages from the files it added
+    * (manifest1 ∖ manifest0) — the feed's scan cost is proportional
+    * to the CHANGED partitions, never the table. Engine-`require`d
+    * receipts the SQL oracle can't see: (a) the feed's plan read
+    * EXACTLY the diffed files (`inputFiles` ≡ the symmetric
+    * difference — no full-table scan hiding underneath); (b) pre- and
+    * postimage row counts both equal the rewritten day's count
+    * (change volume conservation).
+    *
+    * Scale shape: one rewritten-partition-sized scan per side + the
+    * manifest set algebra (O(|files|) driver strings, la16's class);
+    * output ∝ changed rows. The collect-before-cleanup is the
+    * mutating-gate materialize discipline (la12-la17). */
+  private def la18(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * 3600 * 1000000
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la18_${java.util.UUID.randomUUID()}"
+    val l = logs(s, d)
+      .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
+      .select("event_id", "ts_us", "level", "value_cents", "day_us")
+    l.repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def allFiles(): Set[String] =
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("day_us="))
+        .flatMap(day => fs.listStatus(day.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toUri.getPath)).toSet
+    val manifest0 = allFiles()
+    // COMMIT v1 (la16's backfill): rewrite the max day, cents doubled
+    val maxDay = l.agg(max(col("day_us"))).head().getLong(0)
+    val retired = manifest0.filter(_.contains(s"day_us=$maxDay/"))
+    val stage = new org.apache.hadoop.fs.Path(s"${dir}_stage")
+    s.read.option("basePath", dir).parquet(retired.toSeq.sorted: _*)
+      .withColumn("value_cents", col("value_cents") * 2)
+      .repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(stage.toString)
+    val dayPath = new org.apache.hadoop.fs.Path(root, s"day_us=$maxDay")
+    val added = fs.listStatus(new org.apache.hadoop.fs.Path(stage, s"day_us=$maxDay"))
+      .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
+        val dst = new org.apache.hadoop.fs.Path(dayPath, s"v1-${f.getPath.getName}")
+        require(fs.rename(f.getPath, dst), s"cannot land ${f.getPath}")
+        dst.toUri.getPath
+      }.toSet
+    fs.delete(stage, true)
+    // THE FEED: scan only the manifest diff, tag each side
+    def side(files: Set[String], tag: String) =
+      s.read.option("basePath", dir).parquet(files.toSeq.sorted: _*)
+        .select(lit(tag).as("change_type"), lit(1L).as("commit_version"),
+          col("event_id"), col("ts_us"), col("level"), col("value_cents"))
+    val cdf = side(retired, "update_preimage")
+      .unionAll(side(added, "update_postimage"))
+    // receipt (a): the feed's plan read exactly the diffed files
+    val scanned = cdf.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    require(scanned == retired ++ added,
+      s"CDF scanned outside the manifest diff: ${(scanned -- retired -- added).take(3)}" +
+        s" missing: ${((retired ++ added) -- scanned).take(3)}")
+    val out = cdf.collect()
+    // receipt (b): change-volume conservation, both sides = the day
+    val dayRows = out.count(_.getString(0) == "update_preimage")
+    require(dayRows.toLong == l.filter(col("day_us") === maxDay).count() &&
+      out.length == 2 * dayRows,
+      s"CDF volume broken: $dayRows pre vs ${out.length - dayRows} post")
+    val schema = cdf.schema
+    fs.delete(root, true)
+    s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
+
+  private val la18Sql = logsSql +
+    """, dd AS (
+      |  SELECT event_id, ts_us, level, value_cents,
+      |    (ts_us // 86400000000) * 86400000000 AS day_us
+      |  FROM logs),
+      |mx AS (SELECT max(day_us) AS mday FROM dd)
+      |SELECT 'update_preimage' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+      |  event_id, ts_us, level, CAST(value_cents AS BIGINT) AS value_cents
+      |FROM dd WHERE day_us = (SELECT mday FROM mx)
+      |UNION ALL
+      |SELECT 'update_postimage', CAST(1 AS BIGINT),
+      |  event_id, ts_us, level, CAST(value_cents * 2 AS BIGINT)
+      |FROM dd WHERE day_us = (SELECT mday FROM mx)""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -1125,5 +1221,7 @@ object LogAnalytics {
     GateQuery("la16_time_travel", la16, Some(la16Sql),
       "VERSION AS OF: manifest-pinned snapshot reads, isolation + structural sharing proven"),
     GateQuery("la17_schema_evolution", la17, Some(la17Sql),
-      "mid-lifetime column add: old epochs untouched, explicit-schema serving read, footer-merge receipt"))
+      "mid-lifetime column add: old epochs untouched, explicit-schema serving read, footer-merge receipt"),
+    GateQuery("la18_change_feed", la18, Some(la18Sql),
+      "change data feed from the manifest diff: pre/postimage pairs, scan proven to touch only changed files"))
 }

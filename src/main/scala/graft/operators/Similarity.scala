@@ -1713,6 +1713,152 @@ object Similarity {
        |  LEFT JOIN r15 a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        |  LEFT JOIN r16 c ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id) t""".stripMargin
 
+  // -------------------------------------------------------------- sim21
+
+  /** sim21: MMR DIVERSIFIED RE-RANKING (Carbonell & Goldstein's
+    * maximal marginal relevance) — the serving-path step between "top-k
+    * by cosine" and "what a retrieval product actually returns": from
+    * each query's top-25 candidate pool, greedily select 5 results
+    * maximizing `0.7·rel(q,d) − 0.3·max_{s∈S} sim(d,s)` — relevance
+    * traded against redundancy with what's already selected, so
+    * near-duplicate hits (which embedding corpora are full of — the
+    * sim3/mm7 story) can't monopolize a result page. Round 1 has an
+    * empty penalty term (score = 0.7·rel); ties break on neighbor id.
+    *
+    * Determinism: every score is derived from the SAME double
+    * arithmetic on both engines — cosines via the shared dot formula
+    * (sim1's left-fold order), the MMR combination written as the
+    * identical two-term expression, MAX over identical doubles — so
+    * FP hashes match bit-for-bit (the dot_f64 discipline; no integer
+    * scaling needed because nothing is ever summed across rows in
+    * data-dependent order).
+    *
+    * Scale shape: candidate generation is sim1's broadcast-query
+    * brute-force scan (the oracle-able baseline; the production pool
+    * would come from sim12's pruned IVFADC serve — the re-rank is
+    * pool-source-agnostic); everything after is POOL-grain: pairwise
+    * sims are 25×24 per query (never corpus × corpus), each of the 4
+    * greedy rounds is one anti-join + one max-agg + one rank over
+    * ≤25-row partitions, `localCheckpoint` per round keeps the
+    * lineage flat. Driver holds nothing — selection stays a
+    * DataFrame end-to-end. */
+  private def sim21(s: SparkSession, d: String): DataFrame = {
+    val P = 25 // candidate pool per query
+    val M = 5  // results served per query
+    val base = vecs(s, d)
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    // score slim FIRST: the queries × corpus volume crosses the rank
+    // exchange as 24-byte (query, cand, rel) rows — carrying the two
+    // 64-double vectors through that sort is a ~40× wider spill (it
+    // filled the probe host's disk at the 100× replica); the pool's
+    // vectors are re-fetched afterwards for only P survivors per query
+    val pool = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2")))).as("rel"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("cand_id").asc)))
+      .filter(col("rk") <= P)
+      .select(col("query_id"), col("cand_id"), col("rel"))
+    val cands = pool
+      .join(base.select(col("vec_id").as("cand_id"), col("v"), col("n2")),
+        Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("rel"), col("v"), col("n2"))
+      .localCheckpoint()
+    val pairSims = cands.as("a")
+      .join(cands.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.query_id").as("query_id"), col("a.cand_id").as("cand_id"),
+        col("b.cand_id").as("other_id"),
+        (dotExpr("a.v", "b.v") / (sqrt(col("a.n2")) * sqrt(col("b.n2"))))
+          .as("sim"))
+      .localCheckpoint()
+    val slim = cands.select(col("query_id"), col("cand_id"), col("rel"))
+    var selected = slim
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("cand_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("sel_rank"),
+        (lit(0.7) * col("rel")).as("mmr_score"))
+      .localCheckpoint()
+    for (k <- 2 to M) {
+      val remaining = slim.join(selected.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val penalty = pairSims
+        .join(selected.select(col("query_id"), col("cand_id").as("other_id")),
+          Seq("query_id", "other_id"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("sim")).as("mx"))
+      val pick = remaining.join(penalty, Seq("query_id", "cand_id"))
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("mx"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("cand_id").asc)))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("cand_id"), lit(k).as("sel_rank"),
+          col("score").as("mmr_score"))
+      selected = selected.unionAll(pick).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("sel_rank"),
+      col("cand_id").as("neighbor_id"), col("mmr_score"))
+  }
+
+  private val sim21Sql = {
+    def round(k: Int): String =
+      s"""pick$k AS MATERIALIZED (
+         |  SELECT query_id, cand_id, CAST($k AS INT) AS sel_rank, score AS mmr_score
+         |  FROM (
+         |    SELECT c.query_id, c.cand_id,
+         |      0.7::DOUBLE * c.rel - 0.3::DOUBLE * p.mx AS score,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY 0.7::DOUBLE * c.rel - 0.3::DOUBLE * p.mx DESC,
+         |                 c.cand_id ASC) AS rk
+         |    FROM cands c
+         |    JOIN (
+         |      SELECT ps.query_id, ps.cand_id, max(ps.sim) AS mx
+         |      FROM ps JOIN sel${k - 1} s
+         |        ON s.query_id = ps.query_id AND s.cand_id = ps.other_id
+         |      GROUP BY ps.query_id, ps.cand_id) p
+         |      ON p.query_id = c.query_id AND p.cand_id = c.cand_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s
+         |      WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)) t
+         |  WHERE rk = 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+    "WITH " + vecsSql +
+      s""", cands AS MATERIALIZED (
+         |  SELECT query_id, cand_id, rel, v, n2 FROM (
+         |    SELECT q.vec_id AS query_id, b.vec_id AS cand_id,
+         |      ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) AS rel,
+         |      b.v AS v, b.n2 AS n2,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) DESC,
+         |                 b.vec_id ASC) AS rk
+         |    FROM vecs q JOIN vecs b ON b.vec_id <> q.vec_id
+         |    WHERE q.vec_id % 100 = 0) t
+         |  WHERE rk <= 25),
+         |ps AS MATERIALIZED (
+         |  SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+         |    ${dotSql("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+         |  FROM cands a JOIN cands b
+         |    ON b.query_id = a.query_id AND b.cand_id <> a.cand_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT query_id, cand_id, CAST(1 AS INT) AS sel_rank,
+         |    0.7::DOUBLE * rel AS mmr_score
+         |  FROM (
+         |    SELECT query_id, cand_id, rel,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rel DESC, cand_id ASC) AS rk
+         |    FROM cands) t
+         |  WHERE rk = 1),
+         |${(2 to 5).map(round).mkString(",\n")}
+         |SELECT query_id, sel_rank, cand_id AS neighbor_id, mmr_score
+         |FROM sel5""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -1754,6 +1900,8 @@ object Similarity {
       "measured nprobe recall/cost curve: recall@10 + candidate volume at nprobe 1/2/4"),
     GateQuery("sim19_sq8_search", sim19, Some(sim19Sql),
       "SQ8 scalar-quantized top-10: 64-byte codes, asymmetric exact-query distance"),
+    GateQuery("sim21_mmr_rerank", sim21, Some(sim21Sql),
+      "MMR diversified re-rank: 5 greedy rounds over the top-25 pool, relevance vs redundancy at lambda 0.7"),
     GateQuery("sim20_sampled_codebook", sim20, Some(sim20Sql),
       "sampled-training codebook priced: assignment drift + serving recall vs the full build"))
 }

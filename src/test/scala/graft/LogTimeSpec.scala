@@ -382,6 +382,23 @@ class LogTimeSpec extends AnyFunSuite {
     assert(rows.values.count(_.getAs[Boolean]("spike")) == 1)
   }
 
+  test("la18 change feed: paired images, doubled cents, stable across runs") {
+    val a = gate("la18_change_feed", sf0001).collect()
+    val pre = a.filter(_.getAs[String]("change_type") == "update_preimage")
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("value_cents")).toMap
+    val post = a.filter(_.getAs[String]("change_type") == "update_postimage")
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("value_cents")).toMap
+    // every preimage has exactly one postimage with doubled cents
+    assert(pre.keySet == post.keySet && pre.nonEmpty)
+    pre.foreach { case (id, c) => assert(post(id) == 2 * c, s"event $id") }
+    assert(a.forall(_.getAs[Long]("commit_version") == 1L))
+    // mutating-gate determinism (fresh tmpdir, fresh commit, same feed)
+    val b = gate("la18_change_feed", sf0001).collect()
+      .map(_.toSeq.toIndexedSeq).toSet
+    assert(b == a.map(_.toSeq.toIndexedSeq).toSet,
+      "la18 feed varies across invocations")
+  }
+
   test("tw20 gap-fill: dense spine, LOCF equals brute force, staleness exact") {
     val HourUs = 3600L * 1000000
     // brute-force observed hourly sums from the raw events

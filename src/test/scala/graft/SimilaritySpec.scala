@@ -432,4 +432,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows("full").getAs[Double]("recall_pct") == sim8Ivf,
       s"full-codebook recall ${rows("full").getAs[Double]("recall_pct")} != sim8 ivf $sim8Ivf")
   }
+
+  test("sim21 MMR: redundancy penalized on a pinned fixture, corpus laws hold") {
+    // query u; candidates: v (rel .9), an exact DUP of v, and w
+    // (rel .85, near-orthogonal to v). Relevance order is v, dup, w —
+    // MMR must serve v, then w (dup's penalty 0.3·sim(v,v)=0.3 beats
+    // w's 0.3·0.765), then the dup last.
+    val u = (Seq(1.0f) ++ Seq.fill(63)(0.0f))
+    val v = (Seq(0.9f, 0.43588989f) ++ Seq.fill(62)(0.0f))
+    val w = (Seq(0.85f, 0.0f, 0.52678269f) ++ Seq.fill(61)(0.0f))
+    val d = fixtureDir("embeddings" -> embeddingsDf(Seq(
+      (0L, u, 0), (1L, v, 0), (2L, v, 0), (3L, w, 1))))
+    val fix = gate("sim21_mmr_rerank", d).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("sel_rank"))
+    assert(fix.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L),
+      s"MMR order: ${fix.mkString(", ")}")
+    // corpus laws at sf0.001: 5 per query, no repeats, round 1 is
+    // sim1's top hit, greedy scores never increase
+    val rows = gate("sim21_mmr_rerank", sf0001).collect()
+    val sim1Top = gate("sim1_knn_bruteforce", sf0001).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("sel_rank"))
+      assert(sorted.length == 5)
+      assert(sorted.map(_.getAs[Long]("neighbor_id")).distinct.length == 5)
+      assert(sorted.head.getAs[Long]("neighbor_id") == sim1Top(qid),
+        s"round 1 must be the relevance argmax for query $qid")
+      val scores = sorted.map(_.getAs[Double]("mmr_score"))
+      scores.zip(scores.tail).foreach { case (a, b) =>
+        assert(b <= a, s"greedy MMR scores increased for query $qid: $scores")
+      }
+    }
+  }
 }
