@@ -1187,6 +1187,135 @@ object LogAnalytics {
       |  event_id, ts_us, level, CAST(value_cents * 2 AS BIGINT)
       |FROM dd WHERE day_us = (SELECT mday FROM mx)""".stripMargin
 
+  // ---------------------------------------------------------------- la19
+
+  /** la19: OPTIMISTIC CONCURRENCY — the commit protocol that lets
+    * la12-la18's mutations run CONCURRENTLY on one table (Delta/
+    * Iceberg's snapshot-CAS): every committer stages against the
+    * manifest version it read, and commit is compare-and-swap on the
+    * manifest — on CAS failure the committer VALIDATES its read set
+    * against the winning manifest: files all still live → disjoint
+    * work → REBASE onto the new manifest without re-staging; any file
+    * retired by the winner → true write conflict → ABORT and discard
+    * the staging.
+    *
+    * Three writers race from the same base snapshot: A doubles the
+    * max day's cents (la16's backfill), B deletes the min day's
+    * lexicographically-first logger (la13's surgical shape, a
+    * DISJOINT partition), C adds 1000 cents to the max day (the SAME
+    * partition A rewrites). A's CAS succeeds; B's fails, validates
+    * disjoint, rebases and lands; C's fails, finds its base files
+    * retired, aborts. Engine-`require`d receipts: both CAS failures
+    * observed, B's validation passes, C's fails, and C's staged rows
+    * are absent from the served table. Output: the final per-level
+    * rollup (base + A + B, no C) — the oracle restates it closed-form.
+    *
+    * Scale shape: each commit costs its own rewritten partitions;
+    * the protocol itself is O(|files|) driver set algebra per
+    * attempt (the manifest discipline of la16/la18) — contention
+    * cost is independent of table size, which is the entire point
+    * of optimistic (not locked) table commits. */
+  private def la19(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * 3600 * 1000000
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la19_${java.util.UUID.randomUUID()}"
+    val l = logs(s, d)
+      .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
+      .select("event_id", "ts_us", "level", "logger_name", "value_cents", "day_us")
+    l.repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dayFiles(pred: String => Boolean): Set[String] =
+      fs.listStatus(root).filter(f => f.getPath.getName.startsWith("day_us=")
+          && pred(f.getPath.getName))
+        .flatMap(day => fs.listStatus(day.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toUri.getPath)).toSet
+    val manifest0 = dayFiles(_ => true)
+    val b = l.agg(min(col("day_us")), max(col("day_us"))).head()
+    val (minDay, maxDay) = (b.getLong(0), b.getLong(1))
+    // each writer stages from manifest0 (the shared base snapshot)
+    def stageRewrite(name: String, days: Set[String],
+        f: DataFrame => DataFrame): (Set[String], Set[String]) = {
+      val stage = new org.apache.hadoop.fs.Path(s"${dir}_stage_$name")
+      f(s.read.option("basePath", dir).parquet(days.toSeq.sorted: _*))
+        .repartition(col("day_us"))
+        .write.mode("overwrite").partitionBy("day_us").parquet(stage.toString)
+      val landed = fs.listStatus(stage)
+        .filter(_.getPath.getName.startsWith("day_us=")).flatMap { dayDir =>
+          val dst = new org.apache.hadoop.fs.Path(root, dayDir.getPath.getName)
+          fs.listStatus(dayDir.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet")).map { fl =>
+              val t = new org.apache.hadoop.fs.Path(dst, s"$name-${fl.getPath.getName}")
+              require(fs.rename(fl.getPath, t), s"cannot land ${fl.getPath}")
+              t.toUri.getPath
+            }
+        }.toSet
+      fs.delete(stage, true)
+      (days, landed)
+    }
+    val maxFiles0 = manifest0.filter(_.contains(s"day_us=$maxDay/"))
+    val minFiles0 = manifest0.filter(_.contains(s"day_us=$minDay/"))
+    val victim = s.read.option("basePath", dir)
+      .parquet(minFiles0.toSeq.sorted: _*)
+      .agg(min(col("logger_name"))).head().getString(0)
+    val (retireA, addA) = stageRewrite("a", maxFiles0,
+      _.withColumn("value_cents", col("value_cents") * 2))
+    val (retireB, addB) = stageRewrite("b", minFiles0,
+      _.filter(col("logger_name") =!= victim))
+    val (retireC, addC) = stageRewrite("c", maxFiles0,
+      _.withColumn("value_cents", col("value_cents") + 1000))
+    // the commit protocol: CAS on the manifest, validate-on-failure
+    var current = manifest0
+    def commit(expected: Set[String], retire: Set[String],
+        add: Set[String]): (Boolean, Boolean) = {
+      val casOk = current == expected
+      val valid = casOk || retire.subsetOf(current)
+      if (valid) current = current -- retire ++ add
+      else add.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      (casOk, valid)
+    }
+    val (casA, okA) = commit(manifest0, retireA, addA)
+    require(casA && okA, "writer A must win the first CAS")
+    val (casB, okB) = commit(manifest0, retireB, addB)
+    require(!casB && okB,
+      "writer B must lose the CAS yet validate disjoint and rebase")
+    val (casC, okC) = commit(manifest0, retireC, addC)
+    require(!casC && !okC,
+      "writer C must lose the CAS and fail validation (true conflict)")
+    val served = s.read.option("basePath", dir)
+      .parquet(current.toSeq.sorted: _*)
+    // receipt: C's staged rows are absent from the served table — a
+    // leak would serve the max day twice over (A's copy + C's copy)
+    require(served.filter(col("day_us") === maxDay).count() ==
+      l.filter(col("day_us") === maxDay).count(),
+      "aborted writer C's staged rows leaked into the served table")
+    val out = served.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+      .select(col("level"), col("n_rows"), col("value_cents"))
+    val rows = out.collect()
+    val schema = out.schema
+    fs.delete(root, true)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private val la19Sql = logsSql +
+    """, dd AS (
+      |  SELECT level, logger_name, value_cents,
+      |    (ts_us // 86400000000) * 86400000000 AS day_us
+      |  FROM logs),
+      |bnd AS (SELECT min(day_us) AS mnd, max(day_us) AS mxd FROM dd),
+      |vict AS (
+      |  SELECT min(logger_name) AS v FROM dd
+      |  WHERE day_us = (SELECT mnd FROM bnd))
+      |SELECT level, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN day_us = (SELECT mxd FROM bnd)
+      |    THEN value_cents * 2 ELSE value_cents END) AS BIGINT) AS value_cents
+      |FROM dd
+      |WHERE NOT (day_us = (SELECT mnd FROM bnd)
+      |  AND logger_name = (SELECT v FROM vict))
+      |GROUP BY level""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -1223,5 +1352,7 @@ object LogAnalytics {
     GateQuery("la17_schema_evolution", la17, Some(la17Sql),
       "mid-lifetime column add: old epochs untouched, explicit-schema serving read, footer-merge receipt"),
     GateQuery("la18_change_feed", la18, Some(la18Sql),
-      "change data feed from the manifest diff: pre/postimage pairs, scan proven to touch only changed files"))
+      "change data feed from the manifest diff: pre/postimage pairs, scan proven to touch only changed files"),
+    GateQuery("la19_optimistic_commit", la19, Some(la19Sql),
+      "optimistic concurrency: manifest CAS, disjoint writer rebases, conflicting writer aborts"))
 }

@@ -399,6 +399,40 @@ class LogTimeSpec extends AnyFunSuite {
       "la18 feed varies across invocations")
   }
 
+  test("la19 optimistic commit: final state is base + A + B, C absent, stable") {
+    import org.apache.spark.sql.functions._
+    val DayUs = 24L * 3600 * 1000000
+    val rows = gate("la19_optimistic_commit", sf0001).collect()
+      .map(r => r.getAs[String]("level") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("value_cents"))).toMap
+    // independent single-pass restatement of the two surviving commits
+    val l = Tables.events(spark, sf0001).select(
+      upper(col("event_type")).as("level"),
+      concat(lit("u"), col("user_id")).as("logger_name"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("value_cents"),
+      expr(s"(unix_micros(ts) div ${DayUs}L) * ${DayUs}L").as("day_us"))
+    val b = l.agg(min(col("day_us")), max(col("day_us"))).head()
+    val (mnd, mxd) = (b.getLong(0), b.getLong(1))
+    val victim = l.filter(col("day_us") === mnd)
+      .agg(min(col("logger_name"))).head().getString(0)
+    val expect = l
+      .filter(!(col("day_us") === mnd && col("logger_name") === victim))
+      .withColumn("value_cents",
+        when(col("day_us") === mxd, col("value_cents") * 2)
+          .otherwise(col("value_cents")))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("c"))
+      .collect()
+      .map(r => r.getAs[String]("level") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("c"))).toMap
+    assert(rows == expect, s"gate $rows vs law $expect")
+    // mutating-gate determinism across invocations
+    val again = gate("la19_optimistic_commit", sf0001).collect()
+      .map(_.toSeq.toIndexedSeq).toSet
+    assert(again == gate("la19_optimistic_commit", sf0001).collect()
+      .map(_.toSeq.toIndexedSeq).toSet)
+  }
+
   test("tw20 gap-fill: dense spine, LOCF equals brute force, staleness exact") {
     val HourUs = 3600L * 1000000
     // brute-force observed hourly sums from the raw events
