@@ -809,6 +809,63 @@ object Relational {
       |    AND (props->>'k') IS NULL THEN 1 END) AS n_malformed
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+
+  /** q23: RANGE-frame windows — the time-valued window frames the
+    * ROWS-frame gates (tw3/tw9/cp16) can't express: per user and per
+    * event, the TRAILING-hour spend (`RANGE BETWEEN 3599999999
+    * PRECEDING AND CURRENT ROW` over epoch-µs — the half-open hour
+    * (ts−1h, ts], the rate-limiter's admission view at every event)
+    * and the LEADING 10-minute activity (`RANGE BETWEEN 1 FOLLOWING
+    * AND 600000000 FOLLOWING` — strictly-after peers excluded, the
+    * "what happens next" feature a churn model trains on). RANGE
+    * frames are peer-inclusive: two events at the same µs see each
+    * other in the trailing frame and neither in the leading frame, so
+    * the result is deterministic without a tie-breaking key — that is
+    * the semantic difference from ROWS being gated.
+    *
+    * Scale shape: ONE exchange on user_id + one in-partition sort
+    * feeds both frames (same partition/order spec); Spark evaluates
+    * each bounded RANGE frame with two sliding pointers over the
+    * sorted run — O(n) amortized per partition, never the O(n·w)
+    * self-range-join a naive spelling would pay (tw17's rewrite gates
+    * that trap for joins; this gates the window form). Event-grain
+    * output, so the gate also exercises the driver hash at full
+    * |events| cardinality. */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val HourM1 = 3599999999L // 1h − 1µs: the half-open (ts−1h, ts] frame
+    val TenMinUs = 600L * 1000000
+    val e = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("value_cents"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    e.withColumn("trail_cents",
+        sum(col("value_cents")).over(byUser.rangeBetween(-HourM1, 0)))
+      .withColumn("trail_n",
+        count(lit(1)).over(byUser.rangeBetween(-HourM1, 0)))
+      .withColumn("next10m_n",
+        count(lit(1)).over(byUser.rangeBetween(1L, TenMinUs)))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("trail_cents"), col("trail_n"), col("next10m_n"))
+  }
+
+  private val q23Sql =
+    """WITH evs AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS value_cents
+      |  FROM events)
+      |SELECT event_id, user_id, ts_us,
+      |  CAST(sum(value_cents) OVER w1 AS BIGINT) AS trail_cents,
+      |  count(*) OVER w1 AS trail_n,
+      |  count(*) OVER w2 AS next10m_n
+      |FROM evs
+      |WINDOW
+      |  w1 AS (PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
+      |  w2 AS (PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 1 FOLLOWING AND 600000000 FOLLOWING)""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -844,5 +901,7 @@ object Relational {
     GateQuery("q21_recursive_cte", q21, Some(q21Sql),
       "WITH RECURSIVE hierarchical rollup: ancestor-chain walk to subtree totals via iterative UnionLoop"),
     GateQuery("q22_json_analytics", q22, Some(q22Sql),
-      "schema-on-read JSON: explicit-schema from_json parse, malformed counted, vs DuckDB's ->> path engine"))
+      "schema-on-read JSON: explicit-schema from_json parse, malformed counted, vs DuckDB's ->> path engine"),
+    GateQuery("q23_range_frame", q23, Some(q23Sql),
+      "time-valued RANGE window frames: trailing-hour and leading-10-min per event, peer-inclusive semantics"))
 }

@@ -462,6 +462,39 @@ class PropertySpec extends AnyFunSuite {
     assert(out("b") == ((4L, None, 3L)), out("b").toString)
   }
 
+  test("q23 RANGE frames equal the brute-force law at boundaries, ties, random") {
+    // Law per event i (same user): trail covers ts_j in (ts_i-1h, ts_i]
+    // INCLUDING same-µs peers; next10m covers ts_j in [ts_i+1,
+    // ts_i+10min] EXCLUDING same-µs peers. Crafted boundary rows pin
+    // the half-open edges exactly; random rows sweep the interior.
+    val HourM1 = 3599999999L; val TenMin = 600000000L
+    val t0 = 1700000000000000L
+    val crafted = Seq(
+      (1L, t0), (2L, t0 + HourM1),          // exactly 1h-1µs apart: in frame
+      (3L, t0 + 3600000000L),               // exactly 1h after t0: t0 out
+      (4L, t0 + 100), (5L, t0 + 100),       // same-µs tie pair
+      (6L, t0 + 100 + TenMin),              // exactly +10min from the pair: in
+      (7L, t0 + 101 + TenMin))              // +10min+1 from the pair: out
+    val rand = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 2L * HourM1))).sample.get
+      .zipWithIndex.map { case ((u, dt), i) => (100L + i, u, t0 + dt) }
+    val rows = crafted.map { case (id, us) => (id, us, 9L, "view", 1.0, 0) } ++
+      rand.map { case (id, u, us) => (id, us, u, "view", 0.25, 0) }
+    val d = fixtureDir("events" -> eventsDf(rows))
+    val byUser = rows.groupBy(_._3)
+    val cents = rows.map(r => r._1 -> (r._5 * 100).toLong).toMap
+    val got = gate("q23_range_frame", d).collect().map(r =>
+      r.getAs[Long]("event_id") -> ((r.getAs[Long]("trail_cents"),
+        r.getAs[Long]("trail_n"), r.getAs[Long]("next10m_n")))).toMap
+    rows.foreach { case (id, us, u, _, _, _) =>
+      val peers = byUser(u)
+      val trail = peers.filter(p => p._2 > us - HourM1 - 1 && p._2 <= us)
+      val next = peers.filter(p => p._2 >= us + 1 && p._2 <= us + TenMin)
+      val expect = (trail.map(p => cents(p._1)).sum, trail.size.toLong, next.size.toLong)
+      assert(got(id) == expect, s"event $id: got ${got(id)} expect $expect")
+    }
+  }
+
   test("native as-of equals the brute-force law on random collision-dense data") {
     // Small key/time domains force multi-row keys, cross-key
     // interleaving, equal-timestamp ties and empty keys — every branch
