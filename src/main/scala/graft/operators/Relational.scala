@@ -866,6 +866,86 @@ object Relational {
       |  w2 AS (PARTITION BY user_id ORDER BY ts_us
       |    RANGE BETWEEN 1 FOLLOWING AND 600000000 FOLLOWING)""".stripMargin
 
+  // ---------------------------------------------------------------- q24
+
+  /** q24: DYNAMIC PARTITION PRUNING — the star-schema scale feature
+    * that makes fact ⋈ filtered-dim cheap at 100 TB: the fact table is
+    * day-partitioned, the calendar dim is filtered to weekends, and
+    * the fact scan must read ONLY the weekend day dirs — a predicate
+    * that exists nowhere statically (it lives behind the join), so
+    * Catalyst injects a `DynamicPruningExpression` that reuses the
+    * dim's broadcast as the fact scan's runtime partition filter.
+    *
+    * The receipt is EMPIRICAL, not just plan-shaped: after the
+    * partitioned write, every NON-weekend day dir's parquet file is
+    * overwritten with garbage bytes (the serving read passes an
+    * explicit schema, so no footer is touched at planning) — the
+    * query can only complete if the pruned scan never opens a weekday
+    * file. A `dynamicpruning` plan receipt is also `require`d, plus a
+    * ≥1-poisoned-file check so the proof can't be vacuous.
+    *
+    * Scale shape: pruning happens in the driver's file index at µs
+    * cost per partition — the scan cost is ∝ matching partitions
+    * (8/30 days here), never the table; the dim broadcast is reused,
+    * so DPP is free (`reuseBroadcastOnly`, the default). Mutating-
+    * gate discipline: write → poison → serve → materialize → delete. */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 86400L * 1000000
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q24_${java.util.UUID.randomUUID()}"
+    val e = Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("value_cents"),
+      expr(s"CAST(unix_micros(ts) div ${DayUs}L AS INT)").as("day"))
+    e.repartition(col("day")).write.partitionBy("day").parquet(dir)
+    val b = e.agg(min(col("day")), max(col("day"))).head()
+    val (minDay, maxDay) = (b.getInt(0), b.getInt(1))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // poison every weekday dir: epoch day 0 is a Thursday, so
+    // (day + 3) % 7 maps Monday→0 … Sunday→6; weekend = dow ≥ 5
+    var poisoned = 0
+    fs.listStatus(root).filter(_.getPath.getName.startsWith("day=")).foreach { dd =>
+      val day = dd.getPath.getName.stripPrefix("day=").toLong
+      if ((day + 3) % 7 < 5)
+        fs.listStatus(dd.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val o = fs.create(f.getPath, true)
+            o.write("not a parquet file".getBytes("UTF-8")); o.close()
+            poisoned += 1
+          }
+    }
+    require(poisoned > 0, "no weekday files to poison — the proof is vacuous")
+    val fact = s.read
+      .schema("event_id BIGINT, event_type STRING, value_cents BIGINT, day INT")
+      .parquet(dir)
+    val dim = s.range(minDay.toLong, maxDay + 1L)
+      .select(col("id").cast("int").as("cal_day"),
+        ((col("id") + 3) % 7).as("dow"))
+      .filter(col("dow") >= 5)
+    val out = fact.join(broadcast(dim), col("day") === col("cal_day"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("value_cents"))
+    val rows = out.collect() // would throw on any poisoned file read
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.toLowerCase.contains("dynamicpruning"),
+      "fact scan carries no DynamicPruningExpression — DPP did not engage")
+    val schema = out.schema
+    fs.delete(root, true)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private val q24Sql =
+    """WITH evs AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) // 86400000000 AS day,
+      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS value_cents
+      |  FROM events)
+      |SELECT CAST((day + 3) % 7 AS BIGINT) AS dow, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+      |FROM evs WHERE (day + 3) % 7 >= 5
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -903,5 +983,7 @@ object Relational {
     GateQuery("q22_json_analytics", q22, Some(q22Sql),
       "schema-on-read JSON: explicit-schema from_json parse, malformed counted, vs DuckDB's ->> path engine"),
     GateQuery("q23_range_frame", q23, Some(q23Sql),
-      "time-valued RANGE window frames: trailing-hour and leading-10-min per event, peer-inclusive semantics"))
+      "time-valued RANGE window frames: trailing-hour and leading-10-min per event, peer-inclusive semantics"),
+    GateQuery("q24_dynamic_pruning", q24, Some(q24Sql),
+      "dynamic partition pruning: filtered-dim join prunes the fact scan, poisoned-weekday-file proof"))
 }

@@ -9,6 +9,26 @@ import TestSpark._
   * ingest didn't salt. */
 class AqeSpec extends AnyFunSuite {
 
+  test("q24 DPP law: weekend-only rollup, weekday partitions provably unread") {
+    // Day 19728 ≡ Saturday, 19729 ≡ Sunday, 19730 ≡ Monday under the
+    // gate's (day+3)%7 mapping. The Monday rows must contribute
+    // nothing — and the gate poisons their files, so completing at
+    // all proves they were never opened.
+    val DayUs = 86400L * 1000000
+    val d = fixtureDir("events" -> eventsDf(Seq(
+      (1L, 19728L * DayUs + 5, 1L, "view", 1.00, 0),
+      (2L, 19728L * DayUs + 9, 2L, "click", 2.50, 0),
+      (3L, 19729L * DayUs + 1, 1L, "view", 0.25, 0),
+      (4L, 19730L * DayUs + 1, 1L, "view", 99.00, 0),   // Monday: pruned
+      (5L, 19730L * DayUs + 2, 2L, "error", 99.00, 0)))) // Monday: pruned
+    val got = gate("q24_dynamic_pruning", d).collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("value_cents"))).toMap
+    assert(got == Map(
+      (5L, "view") -> ((1L, 100L)), (5L, "click") -> ((1L, 250L)),
+      (6L, "view") -> ((1L, 25L))), got.toString)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // The 100 TB pattern the SQLite secondary indexes map to beyond
     // static partition pruning: a selective dimension predicate
