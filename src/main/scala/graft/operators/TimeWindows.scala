@@ -967,6 +967,76 @@ object TimeWindows {
        |WINDOW w AS (PARTITION BY s.user_id ORDER BY s.hour_us
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** tw21: CONCURRENCY PROFILE — the sweep-line interval algebra over
+    * tw3's session envelopes: "how much wall time did the system spend
+    * with exactly c sessions open?" (the ops question behind capacity
+    * sizing and the reference's concurrent-request ceiling). Classic
+    * form: ±1 change points at `start` / `end+1` (sessions are
+    * µs-inclusive), collapse to distinct timestamps, running sum =
+    * live concurrency, and each segment [ts_i, ts_{i+1}) holds its
+    * level for `ts_{i+1} − ts_i` µs; rolled up per level over the
+    * span [first, last change point).
+    *
+    * Scale shape: the running sum is a GLOBAL prefix sum — the naive
+    * spelling is one unpartitioned window over every change point
+    * (single-task at 100 TB). Here it is the two-phase distributed
+    * prefix sum (cp16's pattern, applied to time): change points
+    * partition by DAY, each day's running sum is a partitioned
+    * window, and the day carry-ins are the cumulated day totals — a
+    * window over ≤|days| rows (the one bounded unpartitioned window,
+    * ob3-class) broadcast back. Zero-delta points injected at each
+    * day boundary sample the running level so every segment is
+    * day-contained: within-day `lead` plus the closed-form boundary
+    * fallback reconstruct segment ends with no cross-day join, and
+    * the split is duration-preserving so the per-level totals equal
+    * the oracle's global-window restatement exactly. */
+  private def tw21(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * HourUs
+    val sess = tw3(s, d).select(col("sess_start_us"), col("sess_end_us"))
+    val pts0 = sess.select(col("sess_start_us").as("ts"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("sess_end_us") + 1).as("ts"), lit(-1L).as("delta")))
+    val b = pts0.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val boundaries = s.range(lo / DayUs + 1, hi / DayUs + 1)
+      .select((col("id") * DayUs).as("ts"), lit(0L).as("delta"))
+    val pts = pts0.unionAll(boundaries)
+      .groupBy(col("ts")).agg(sum(col("delta")).as("delta"))
+      .withColumn("day", expr(s"ts div ${DayUs}L"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("ts"))
+    val carry = pts.groupBy(col("day")).agg(sum(col("delta")).as("day_total"))
+      .withColumn("carry", coalesce(
+        sum(col("day_total")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day").as("cday"), col("carry"))
+    pts.join(broadcast(carry), col("day") === col("cday"))
+      .withColumn("conc", col("carry") + sum(col("delta")).over(
+        wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seg_end", coalesce(lead(col("ts"), 1).over(wDay),
+        least((col("day") + 1) * DayUs, lit(hi))))
+      .withColumn("dur_us", col("seg_end") - col("ts"))
+      .filter(col("dur_us") > 0)
+      .groupBy(col("conc"))
+      .agg(sum(col("dur_us")).as("total_us"))
+      .select(col("conc").as("concurrency"), col("total_us"))
+  }
+
+  private val tw21Sql = evsSql +
+    s""", sess AS (
+       |${tw3Body}),
+       |pts AS (
+       |  SELECT ts, CAST(sum(delta) AS BIGINT) AS delta FROM (
+       |    SELECT sess_start_us AS ts, 1 AS delta FROM sess
+       |    UNION ALL
+       |    SELECT sess_end_us + 1 AS ts, -1 AS delta FROM sess) u
+       |  GROUP BY ts),
+       |run AS (
+       |  SELECT ts, CAST(sum(delta) OVER (ORDER BY ts) AS BIGINT) AS conc,
+       |    lead(ts) OVER (ORDER BY ts) AS nxt
+       |  FROM pts)
+       |SELECT conc AS concurrency,
+       |  CAST(sum(nxt - ts) AS BIGINT) AS total_us
+       |FROM run WHERE nxt IS NOT NULL GROUP BY 1""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -1007,5 +1077,7 @@ object TimeWindows {
     GateQuery("tw19_asof_tolerance", tw19, Some(tw19Sql),
       "as-of with a 1h tolerance bound: one extra comparison on the held candidate, vs the bounded lateral"),
     GateQuery("tw20_gap_fill", tw20, Some(tw20Sql),
-      "hourly resample + LOCF gap-fill with staleness: sequence-spine per user vs generate_series"))
+      "hourly resample + LOCF gap-fill with staleness: sequence-spine per user vs generate_series"),
+    GateQuery("tw21_concurrency_profile", tw21, Some(tw21Sql),
+      "sweep-line concurrency histogram over session intervals via a day-bucketed distributed prefix sum"))
 }

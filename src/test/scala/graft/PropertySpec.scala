@@ -495,6 +495,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tw21 concurrency profile equals a brute-force global sweep") {
+    // Law, stated independently of the day-bucketed prefix sum: derive
+    // 30-min-gap sessions per user, put ±1 at start/end+1, sweep the
+    // distinct change points in one global pass, and total the µs each
+    // concurrency level holds. Fixture spans 3 days with midnight-
+    // crossing sessions, an end+1 exactly on a day boundary, and ties.
+    val DayUs = 86400L * 1000000; val Gap = 1800L * 1000000
+    val t0 = 19728L * DayUs
+    val crafted = Seq(
+      (1L, t0 + DayUs - 1000), (1L, t0 + DayUs + 1000),   // crosses midnight
+      (2L, t0 + 2 * DayUs - Gap - 1),                      // end+1 lands on day boundary... (end = 2*DayUs-Gap-1)
+      (3L, t0 + 500), (4L, t0 + 500))                      // tie: same ts, two users
+    val rand = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 3 * DayUs))).sample.get
+      .map { case (u, dt) => (u, t0 + dt) }
+    val evRows = (crafted ++ rand).zipWithIndex.map { case ((u, us), i) =>
+      ((i + 1).toLong, us, u, "view", 1.0, 0) }
+    val d = fixtureDir("events" -> eventsDf(evRows))
+    // brute force: sessions per user, then the global sweep
+    val sessions = (crafted ++ rand).groupBy(_._1).values.flatMap { evs =>
+      val ts = evs.map(_._2).sorted
+      val breaks = ts.zip(ts.head +: ts.init).map { case (c, p) => c - p > Gap }
+      ts.zip(breaks).foldLeft(List.empty[(Long, Long)]) {
+        case (acc, (t, isBreak)) =>
+          if (acc.isEmpty || isBreak) (t, t) :: acc
+          else (acc.head._1, t) :: acc.tail
+      }
+    }.toSeq
+    val deltas = sessions.flatMap { case (a, b) => Seq((a, 1L), (b + 1, -1L)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val expect = deltas.zip(deltas.tail).foldLeft((0L, Map.empty[Long, Long])) {
+      case ((conc, acc), ((ts, dl), (nxt, _))) =>
+        val c = conc + dl
+        (c, acc.updated(c, acc.getOrElse(c, 0L) + (nxt - ts)))
+      }._2.filter(_._2 > 0)
+    val got = gate("tw21_concurrency_profile", d).collect()
+      .map(r => r.getAs[Long]("concurrency") -> r.getAs[Long]("total_us")).toMap
+    assert(got == expect, s"got $got\nexp $expect")
+  }
+
   test("native as-of equals the brute-force law on random collision-dense data") {
     // Small key/time domains force multi-row keys, cross-key
     // interleaving, equal-timestamp ties and empty keys — every branch
