@@ -1316,6 +1316,126 @@ object LogAnalytics {
       |  AND logger_name = (SELECT v FROM vict))
       |GROUP BY level""".stripMargin
 
+  // ---------------------------------------------------------------- la20
+
+  /** la20: SNAPSHOT EXPIRATION + ORPHAN-FILE GC — the storage-reclaim
+    * half of la16's time travel (Delta `VACUUM` / Iceberg
+    * `expire_snapshots` + `remove_orphan_files`): history is
+    * affordable because it shares files, but retired snapshots and
+    * crashed writers still strand bytes, and the GC must delete from
+    * MANIFEST SET ALGEBRA, never from mtimes or directory guesses.
+    *
+    * The run: build v0, commit v1 (la16's max-day cents-doubling
+    * backfill — old files retained), then PLANT two orphan files (a
+    * crashed writer's leftovers: garbage bytes named like data files,
+    * one in a rewritten day, one in an untouched day). Expire v0:
+    * live = the v1 manifest; dead = (listing − live) — which must
+    * equal EXACTLY (v0 − v1) ∪ planted, `require`d before any delete
+    * (a GC that would delete more than the provably-dead set must
+    * abort, not proceed). Delete dead, then the receipts the oracle
+    * can't see: (a) the post-GC listing == the v1 manifest exactly —
+    * nothing live lost, nothing dead left; (b) every live file is
+    * byte-identical (size+mtime snapshot taken pre-GC); (c) v0 is no
+    * longer fully materialized (expiry actually happened); (d)
+    * reclaimed bytes > 0 and == Σ sizes of the dead set. Output: the
+    * served v1 rollup — the oracle restates it as la16's closed-form
+    * correction.
+    *
+    * Scale shape: GC cost is O(|files|) driver set algebra + one
+    * delete per dead file (metadata ops, ∝ retired partitions — never
+    * a data scan); the serving read plans from the manifest and is
+    * untouched by expiry. */
+  private def la20(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * 3600 * 1000000
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la20_${java.util.UUID.randomUUID()}"
+    val l = logs(s, d)
+      .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
+    l.repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def allFiles(): Set[String] =
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("day_us="))
+        .flatMap(day => fs.listStatus(day.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toUri.getPath)).toSet
+    val manifest0 = allFiles()
+    val b = l.agg(min(col("day_us")), max(col("day_us"))).head()
+    val (minDay, maxDay) = (b.getLong(0), b.getLong(1))
+    // v1 commit: la16's backfill — rewrite the max day, cents doubled
+    val oldDayFiles = manifest0.filter(_.contains(s"day_us=$maxDay/"))
+    val stage = new org.apache.hadoop.fs.Path(s"${dir}_stage")
+    s.read.option("basePath", dir)
+      .parquet(oldDayFiles.toSeq.sorted: _*)
+      .withColumn("value_cents", col("value_cents") * 2)
+      .repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(stage.toString)
+    val stagedDay = new org.apache.hadoop.fs.Path(stage, s"day_us=$maxDay")
+    val newFiles = fs.listStatus(stagedDay)
+      .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
+        val dst = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, s"day_us=$maxDay"), s"v1-${f.getPath.getName}")
+        require(fs.rename(f.getPath, dst), s"cannot land ${f.getPath}")
+        dst.toUri.getPath
+      }.toSet
+    fs.delete(stage, true)
+    val manifest1 = (manifest0 -- oldDayFiles) ++ newFiles
+    // plant a crashed writer's orphans: data-file names, garbage bytes
+    val planted = Seq(maxDay, minDay).map { day =>
+      val p = new org.apache.hadoop.fs.Path(root,
+        s"day_us=$day/orphan-${java.util.UUID.randomUUID()}.parquet")
+      val o = fs.create(p, true)
+      o.write("crashed writer leftovers".getBytes("UTF-8")); o.close()
+      p.toUri.getPath
+    }.toSet
+    // EXPIRE v0: dead = listing − live, and it must equal exactly the
+    // provably-dead set before anything is deleted
+    val dead = allFiles() -- manifest1
+    require(dead == (manifest0 -- manifest1) ++ planted,
+      s"GC would delete outside the provably-dead set: ${(dead -- (manifest0 -- manifest1) -- planted).take(3)}")
+    val liveStat = manifest1.map { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+      f -> ((st.getLen, st.getModificationTime))
+    }.toMap
+    var reclaimed = 0L
+    dead.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      reclaimed += fs.getFileStatus(p).getLen
+      require(fs.delete(p, false), s"cannot GC $f")
+    }
+    require(reclaimed > 0, "expiry reclaimed nothing — the gate is vacuous")
+    // receipts: exact post-GC listing, live bytes untouched, v0 gone
+    val post = allFiles()
+    require(post == manifest1,
+      s"post-GC listing != live manifest: extra=${(post -- manifest1).take(3)} missing=${(manifest1 -- post).take(3)}")
+    manifest1.foreach { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+      require((st.getLen, st.getModificationTime) == liveStat(f),
+        s"GC touched a live file: $f")
+    }
+    require(!manifest0.subsetOf(post), "expiry left v0 fully materialized")
+    val out = s.read.option("basePath", dir)
+      .parquet(manifest1.toSeq.sorted: _*)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+      .select("level", "n_rows", "value_cents")
+    val rows = out.collect()
+    val schema = out.schema
+    fs.delete(root, true)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private val la20Sql = logsSql +
+    """, dd AS (
+      |  SELECT level, value_cents,
+      |    (ts_us // 86400000000) * 86400000000 AS day_us
+      |  FROM logs),
+      |mx AS (SELECT max(day_us) AS mday FROM dd)
+      |SELECT level, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN day_us = (SELECT mday FROM mx)
+      |    THEN value_cents * 2 ELSE value_cents END) AS BIGINT) AS value_cents
+      |FROM dd GROUP BY level""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -1354,5 +1474,7 @@ object LogAnalytics {
     GateQuery("la18_change_feed", la18, Some(la18Sql),
       "change data feed from the manifest diff: pre/postimage pairs, scan proven to touch only changed files"),
     GateQuery("la19_optimistic_commit", la19, Some(la19Sql),
-      "optimistic concurrency: manifest CAS, disjoint writer rebases, conflicting writer aborts"))
+      "optimistic concurrency: manifest CAS, disjoint writer rebases, conflicting writer aborts"),
+    GateQuery("la20_snapshot_expire", la20, Some(la20Sql),
+      "snapshot expiration + orphan GC: manifest-algebra dead set, exact post-GC listing, live bytes untouched"))
 }

@@ -433,6 +433,35 @@ class LogTimeSpec extends AnyFunSuite {
       .map(_.toSeq.toIndexedSeq).toSet)
   }
 
+  test("la20 snapshot expire: served v1 equals the backfill law, stable") {
+    import org.apache.spark.sql.functions._
+    val DayUs = 24L * 3600 * 1000000
+    val rows = gate("la20_snapshot_expire", sf0001).collect()
+      .map(r => r.getAs[String]("level") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("value_cents"))).toMap
+    val l = Tables.events(spark, sf0001).select(
+      upper(col("event_type")).as("level"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("value_cents"),
+      expr(s"(unix_micros(ts) div ${DayUs}L) * ${DayUs}L").as("day_us"))
+    val mxd = l.agg(max(col("day_us"))).head().getLong(0)
+    val expect = l
+      .withColumn("value_cents",
+        when(col("day_us") === mxd, col("value_cents") * 2)
+          .otherwise(col("value_cents")))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("c"))
+      .collect()
+      .map(r => r.getAs[String]("level") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("c"))).toMap
+    assert(rows == expect, s"gate $rows vs law $expect")
+    // mutating-gate determinism across invocations (the GC receipts
+    // re-execute every run: dead-set algebra, post-GC listing, stats)
+    val again = gate("la20_snapshot_expire", sf0001).collect()
+      .map(_.toSeq.toIndexedSeq).toSet
+    assert(again == gate("la20_snapshot_expire", sf0001).collect()
+      .map(_.toSeq.toIndexedSeq).toSet)
+  }
+
   test("tw20 gap-fill: dense spine, LOCF equals brute force, staleness exact") {
     val HourUs = 3600L * 1000000
     // brute-force observed hourly sums from the raw events
