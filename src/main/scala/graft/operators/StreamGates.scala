@@ -1073,6 +1073,75 @@ object StreamGates {
       |FROM evs e JOIN last l ON e.user_id = l.user_id
       |GROUP BY e.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- st16
+
+  /** st16: the custom DSv2 STREAMING SINK under the replay clock —
+    * `graft.sources.LogSink`'s epoch-keyed commit protocol (S9's
+    * streaming half) driven by a REAL micro-batch replay and
+    * adjudicated by the driver's oracle, not just the MemoryStream
+    * specs: each staged slice becomes one epoch, each epoch stages
+    * per-task files and publishes only constant-size (path, rows)
+    * handles at commit (`LogStreamingWrite` — the SQLite
+    * one-transaction-per-flush boundary as Spark's `StreamingWrite`
+    * contract), and the gate then reads the published table BACK
+    * through the sink's own batch scan (one InputPartition per staged
+    * file) into a per-level rollup the oracle restates from the raw
+    * events. Engine receipts: exactly 4 data epochs committed (one
+    * per slice — the epoch ledger is the unit of exactly-once), and
+    * every committed handle is row-counted metadata (`rowCount` sums
+    * handles without opening a file; it must equal the rollup total).
+    *
+    * Scale shape: row payloads never cross the driver — commit
+    * messages are (path, count) pairs; the read-back is
+    * file-partitioned. The replay session is isolated at 8 shuffle
+    * partitions like every st gate. */
+  private def st16(s: SparkSession, d: String): DataFrame = {
+    val src = stageSlices(s, d, 4)
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    val t = graft.sources.LogSink.freshTable("st16")
+    val root = Files.createTempDirectory("graft-st16-").toFile
+    cleanupRoots.add(root)
+    val stream = iso.readStream.schema(Tables.events(s, d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+    val shaped = stream.select(
+      unix_micros(col("ts")).as("ts_us"),
+      upper(col("event_type")).as("level"),
+      concat(lit("u"), col("user_id")).as("logger_name"),
+      (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("value_cents"))
+    val q = shaped.writeStream.format("graft.sources.LogSink")
+      .option("table", t)
+      .option("checkpointLocation", new File(root, "chk").getPath)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val dataEpochs = graft.sources.LogStore.batches(t)
+      .count(_.files.exists(_.rows > 0))
+    require(dataEpochs == 4,
+      s"expected one data epoch per slice (4), got $dataEpochs")
+    val handleRows = graft.sources.LogStore.rowCount(t)
+    val out = s.read.format("graft.sources.LogSink").option("table", t).load()
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"),
+        countDistinct(col("logger_name")).as("n_loggers"))
+    val rows = out.collect()
+    require(rows.map(_.getAs[Long]("n_rows")).sum == handleRows,
+      "commit-handle row counts diverge from the served rows")
+    val schema = out.schema
+    graft.sources.LogStore.drop(t)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private val st16Sql =
+    """WITH logs AS (
+      |  SELECT upper(event_type) AS level, 'u' || user_id AS logger_name,
+      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS value_cents
+      |  FROM events)
+      |SELECT level, count(*) AS n_rows,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents,
+      |  count(DISTINCT logger_name) AS n_loggers
+      |FROM logs GROUP BY level""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -1107,5 +1176,7 @@ object StreamGates {
     GateQuery("st14_stream_dropdup", st14, Some(st14Sql),
       "built-in dropDuplicatesWithinWatermark under st8's clock ≡ the probed eviction-law slice algebra"),
     GateQuery("st15_stream_chained", st15, Some(st15Sql),
-      "chained stateful ops (dedup → tumbling agg) ≡ st14's eviction law composed with st12's emission law"))
+      "chained stateful ops (dedup → tumbling agg) ≡ st14's eviction law composed with st12's emission law"),
+    GateQuery("st16_stream_dsv2_sink", st16, Some(st16Sql),
+      "custom DSv2 streaming sink: epoch-keyed staged commits under the replay, served back via its own scan"))
 }

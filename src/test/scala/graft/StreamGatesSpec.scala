@@ -37,6 +37,19 @@ class StreamGatesSpec extends AnyFunSuite {
       graft.streaming.EventStream.quotaAdmission(spark, Tables.events(spark, sf0001)))
   }
 
+  test("st16 DSv2 sink replay equals the direct batch rollup") {
+    import org.apache.spark.sql.functions._
+    assertSame(
+      gate("st16_stream_dsv2_sink", sf0001),
+      Tables.events(spark, sf0001)
+        .select(upper(col("event_type")).as("level"),
+          concat(lit("u"), col("user_id")).as("logger_name"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("value_cents"))
+        .groupBy(col("level"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"),
+          countDistinct(col("logger_name")).as("n_loggers")))
+  }
+
   test("st2 replay equals the batch rate-limit pass") {
     assertSame(
       gate("st2_stream_rate", sf0001),
