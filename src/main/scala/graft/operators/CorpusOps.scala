@@ -582,7 +582,7 @@ object CorpusOps {
     * inference pass — at 100 TB, inference is a full extra scan);
     * the rollup is one map-side-combined agg to |sources| rows. */
   private def cp13(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cp13_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "cp13") { dir =>
     val docs = Tables.documents(s, d)
     docs.write.mode("overwrite").json(dir)
     val back = s.read.schema(docs.schema).json(dir)
@@ -597,7 +597,7 @@ object CorpusOps {
     val path = new org.apache.hadoop.fs.Path(dir)
     path.getFileSystem(s.sparkContext.hadoopConfiguration).delete(path, true)
     s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
-  }
+  }}
 
   private val cp13Sql =
     """SELECT source, count(*) AS n_docs,

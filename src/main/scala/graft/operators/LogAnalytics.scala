@@ -178,7 +178,12 @@ object LogAnalytics {
     * never left the engine. The sink dir is a per-run temp path (the
     * write is part of the gate; ~MBs, OS-reaped). */
   private def la6(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la6_${java.util.UUID.randomUUID()}"
+    // exit-scoped, not collect-then-delete: the RETURNED plan is the
+    // evidence here (LogTimeSpec pins PartitionFilters on the
+    // read-back scan), so the staged dir must outlive the gate call;
+    // the TmpDirs shutdown hook reclaims it at JVM exit (pre-round-10
+    // it leaked one dir per run)
+    val dir = TmpDirs.exitScopedRoot("la6")
     logs(s, d).filter(col("level_no") >= 30)
       .write.mode("overwrite").partitionBy("level").parquet(dir)
     s.read.parquet(dir)
@@ -275,7 +280,7 @@ object LogAnalytics {
     * the engine. */
   private def la9(s: SparkSession, d: String): DataFrame = {
     val DayUs = 24L * 3600 * 1000000
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la9_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "la9") { dir =>
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
     // cluster by the partition key before the partitioned write: an
@@ -304,7 +309,7 @@ object LogAnalytics {
     val out = rolled.collect()
     fs.delete(path, true)
     s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
-  }
+  }}
 
   private val la9Sql = logsSql +
     """SELECT day_us, count(*) AS n,
@@ -478,7 +483,7 @@ object LogAnalytics {
     * after the rollup materializes (la9's tmpdir discipline). */
   private def la12(s: SparkSession, d: String): DataFrame = {
     val DayUs = 24L * 3600 * 1000000
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_la12_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "la12") { root =>
     val (raw, compacted) = (s"$root/raw", s"$root/compacted")
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
@@ -517,7 +522,7 @@ object LogAnalytics {
     val out = rolled.collect()
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
-  }
+  }}
 
   private val la12Sql = logsSql +
     """SELECT day_us, count(*) AS n,
@@ -558,7 +563,7 @@ object LogAnalytics {
     * and the ≤|days| affected-day list. */
   private def la13(s: SparkSession, d: String): DataFrame = {
     val DayUs = 24L * 3600 * 1000000
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la13_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "la13") { dir =>
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
     l.repartition(col("day_us"))
@@ -612,7 +617,7 @@ object LogAnalytics {
     val out = rolled.collect()
     fs.delete(root, true)
     s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
-  }
+  }}
 
   private val la13Sql = logsSql +
     """, dd AS (
@@ -675,7 +680,7 @@ object LogAnalytics {
     * materializes. */
   private def la14(s: SparkSession, d: String): DataFrame = {
     val Bits = 6
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_la14_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "la14") { root =>
     val (zdir, ldir) = (s"$root/zorder", s"$root/linear")
     val l = logs(s, d)
       // tenant id back out of the logger name ('u<id>') — the logs
@@ -737,7 +742,7 @@ object LogAnalytics {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
-  }
+  }}
 
   private val la14Sql = logsSql +
     """, lu AS (
@@ -789,7 +794,7 @@ object LogAnalytics {
     * rewritten flag per day) is the oracle-checked proof. */
   private def la15(s: SparkSession, d: String): DataFrame = {
     val DayUs = 24L * 3600 * 1000000
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la15_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "la15") { dir =>
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
     l.repartition(col("day_us"))
@@ -868,7 +873,7 @@ object LogAnalytics {
     val out = rolled.collect()
     fs.delete(root, true)
     s.createDataFrame(java.util.Arrays.asList(out: _*), rolled.schema)
-  }
+  }}
 
   private val la15Sql = logsSql +
     """, dd AS (
@@ -935,7 +940,7 @@ object LogAnalytics {
     * max-day anchor. */
   private def la16(s: SparkSession, d: String): DataFrame = {
     val DayUs = 24L * 3600 * 1000000
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la16_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "la16") { dir =>
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
     l.repartition(col("day_us"))
@@ -997,7 +1002,7 @@ object LogAnalytics {
     val schema = rollup(manifest0, 0L).schema
     fs.delete(root, true)
     s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
-  }
+  }}
 
   private val la16Sql = logsSql +
     """, dd AS (
@@ -1041,7 +1046,7 @@ object LogAnalytics {
     * point. The rollup itself is one map-side-combined hash agg. */
   private def la17(s: SparkSession, d: String): DataFrame = {
     val DayUs = 24L * 3600 * 1000000
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la17_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "la17") { dir =>
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
     val b = l.agg(min(col("day_us")), max(col("day_us"))).head()
@@ -1077,7 +1082,7 @@ object LogAnalytics {
     val root = new org.apache.hadoop.fs.Path(dir)
     root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+  }}
 
   private val la17Sql = logsSql +
     """, dd AS (
@@ -1119,7 +1124,7 @@ object LogAnalytics {
     * mutating-gate materialize discipline (la12-la17). */
   private def la18(s: SparkSession, d: String): DataFrame = {
     val DayUs = 24L * 3600 * 1000000
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la18_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "la18") { dir =>
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
       .select("event_id", "ts_us", "level", "value_cents", "day_us")
@@ -1171,7 +1176,7 @@ object LogAnalytics {
     val schema = cdf.schema
     fs.delete(root, true)
     s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
-  }
+  }}
 
   private val la18Sql = logsSql +
     """, dd AS (
@@ -1217,7 +1222,7 @@ object LogAnalytics {
     * of optimistic (not locked) table commits. */
   private def la19(s: SparkSession, d: String): DataFrame = {
     val DayUs = 24L * 3600 * 1000000
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la19_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "la19") { dir =>
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
       .select("event_id", "ts_us", "level", "logger_name", "value_cents", "day_us")
@@ -1297,7 +1302,7 @@ object LogAnalytics {
     val schema = out.schema
     fs.delete(root, true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+  }}
 
   private val la19Sql = logsSql +
     """, dd AS (
@@ -1347,7 +1352,7 @@ object LogAnalytics {
     * untouched by expiry. */
   private def la20(s: SparkSession, d: String): DataFrame = {
     val DayUs = 24L * 3600 * 1000000
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_la20_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "la20") { dir =>
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
     l.repartition(col("day_us"))
@@ -1423,7 +1428,7 @@ object LogAnalytics {
     val schema = out.schema
     fs.delete(root, true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+  }}
 
   private val la20Sql = logsSql +
     """, dd AS (

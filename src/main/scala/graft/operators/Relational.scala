@@ -891,7 +891,7 @@ object Relational {
     * gate discipline: write → poison → serve → materialize → delete. */
   private def q24(s: SparkSession, d: String): DataFrame = {
     val DayUs = 86400L * 1000000
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q24_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "q24") { dir =>
     val e = Tables.events(s, d).select(
       col("event_id"), col("event_type"),
       (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("value_cents"),
@@ -932,7 +932,7 @@ object Relational {
     val schema = out.schema
     fs.delete(root, true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+  }}
 
   private val q24Sql =
     """WITH evs AS (

@@ -1889,7 +1889,7 @@ object Similarity {
   private def sim22(s: SparkSession, d: String): DataFrame = {
     val base = vecs(s, d)
     val cb = typedLit(codebookArr(s, d))
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sim22_${java.util.UUID.randomUUID()}"
+    TmpDirs.withRoot(s, "sim22") { dir =>
     def withCell(df: DataFrame): DataFrame =
       df.withColumn("clabel",
         element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
@@ -1922,11 +1922,26 @@ object Similarity {
     val nDead = tomb.count()
     require(nDead > 0 && deadInIndex == nDead,
       s"tombstoned rows must stay in the files ($deadInIndex of $nDead found)")
-    // (4) SERVE: sim6's IVF search over the maintained artifacts
+    // (4) SERVE: sim6's IVF search over the maintained artifacts.
+    // The probed-cell set is an EXPLICIT partition filter (≤ nlist
+    // values, a driver-side dim): static partition pruning is
+    // guaranteed at plan time instead of hoping DPP fires under the
+    // broadcast join — and the pruning is then RECEIPTED behaviorally:
+    // every file the serve leg reads must sit under a probed
+    // clabel=... directory (sim12's input_file_name discipline).
     val probes = probeCells(base, cb, nprobe = 2)
+    val probedCells = probes.select("clabel").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idxServe = idx.filter(col("clabel").isin(probedCells.map(Int.box): _*))
+    val servedFiles = idxServe.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    require(servedFiles.nonEmpty && servedFiles.forall(f =>
+        probedCells.exists(c => f.contains(s"clabel=$c/"))),
+      s"serve leg read unprobed partitions: ${servedFiles.filterNot(f =>
+        probedCells.exists(c => f.contains(s"clabel=$c/"))).mkString(",")}")
     val qv = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
-    val out = idx.join(broadcast(probes), Seq("clabel"))
+    val out = idxServe.join(broadcast(probes), Seq("clabel"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(tomb), col("vec_id") === col("dead_id"), "left_anti")
       .join(broadcast(qv), Seq("query_id"))
@@ -1946,7 +1961,7 @@ object Similarity {
     val schema = out.schema
     fs.delete(root, true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+  }}
 
   private val sim22Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
     s"""${assignCteSql},

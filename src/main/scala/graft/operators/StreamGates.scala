@@ -1142,6 +1142,97 @@ object StreamGates {
       |  count(DISTINCT logger_name) AS n_loggers
       |FROM logs GROUP BY level""".stripMargin
 
+  // ---------------------------------------------------------------- st17
+
+  /** st17: the DSv2 SOURCE's poll loop driven as a REAL stream — the
+    * twin of st16's sink gate, closing the last spec-only streaming
+    * surface: [[graft.sources.YtApiMicroBatchStream]] (the reference's
+    * scheduled channel-discovery sweep, youtube_api_handler.py's
+    * quota-budgeted batch GETs as a `MicroBatchStream` with
+    * `SupportsAdmissionControl`). The stream reads the SAME planned id
+    * universe the batch scan plans (ids 0..1000, 50-id chunk
+    * partitions) but drains it `pollBatch=300` ids per trigger — the
+    * per-tick quota budget as `ReadLimit.maxRows` — into a
+    * checkpointed parquet sink until `processAllAvailable` reaches the
+    * end of the universe.
+    *
+    * Engine receipts (the oracle can't see the trigger ledger, so the
+    * gate `require`s it): the checkpoint's offset log must show the
+    * admission-controlled ramp — every per-trigger delta ≤ pollBatch,
+    * ≥ 3 budgeted triggers (1001 ids / 300 per tick = 4 data batches),
+    * and the final committed offset exactly the universe size; and the
+    * sink must hold one file per 50-id CHUNK partition (6+6+6+3 = 21 —
+    * the batch scan's chunk plan flowing unchanged through
+    * `planInputPartitions(start, end)`). Output is the per-country
+    * rollup of the drained universe; the oracle regenerates the
+    * deterministic synthetic fetch from `range()` (s1's discipline)
+    * and rolls it up independently — STREAM DRAIN ≡ BATCH SCAN.
+    *
+    * Scale shape: offsets are two longs; each trigger plans only its
+    * own slice's chunks (never the full universe), so a 2M-channel
+    * sweep costs the same per tick as this gate's 1001 — the poll loop
+    * is O(pollBatch) per trigger in planning and I/O, stateless by
+    * construction (end offset is computed FROM the start offset), and
+    * a checkpoint restart resumes at the committed position. */
+  private def st17(s: SparkSession, d: String): DataFrame = {
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = Files.createTempDirectory("graft-st17-").toFile
+    cleanupRoots.add(root)
+    val out = new File(root, "out")
+    val chk = new File(root, "chk")
+    val nIds = 1001L
+    val stream = iso.readStream.format("graft.sources.YtApiSource")
+      .option("maxId", nIds - 1).option("batchSize", 50)
+      .option("pollBatch", 300).load()
+    val q = stream.writeStream.format("parquet")
+      .option("path", out.getPath)
+      .option("checkpointLocation", chk.getPath)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // receipt 1: the offset ledger shows the budgeted ramp
+    val offsets = new File(chk, "offsets").listFiles()
+      .filter(f => f.getName.forall(_.isDigit))
+      .sortBy(_.getName.toLong)
+      .map { f =>
+        val lines = scala.io.Source.fromFile(f)
+        try lines.getLines().toSeq.last.trim.toLong finally lines.close()
+      }
+    require(offsets.nonEmpty && offsets.last == nIds,
+      s"stream did not drain the universe: ${offsets.mkString(",")}")
+    val deltas = offsets.zip(0L +: offsets.init).map { case (e, b) => e - b }
+    val dataBatches = deltas.count(_ > 0)
+    require(dataBatches == 4 && deltas.forall(_ <= 300),
+      s"admission control violated: deltas=${deltas.mkString(",")}")
+    // receipt 2: one sink file per 50-id chunk partition per trigger
+    val sinkFiles = out.listFiles().count(_.getName.endsWith(".parquet"))
+    require(sinkFiles == 21,
+      s"expected 21 chunk-partition files (6+6+6+3), got $sinkFiles")
+    val drained = s.read.parquet(out.getPath)
+    val rolled = drained.groupBy(col("country"))
+      .agg(count(lit(1)).as("n_channels"),
+        sum(col("subscriber_count")).as("subs"),
+        sum(col("view_count")).as("views"),
+        max(col("video_count")).as("max_videos"))
+    val rows = rolled.collect()
+    require(rows.map(_.getAs[Long]("n_channels")).sum == nIds,
+      "drained row count diverges from the planned universe")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
+  }
+
+  private val st17Sql =
+    """WITH ch AS (
+      |  SELECT (i*1103515245 + 12345) % 10000000 AS subscriber_count,
+      |    ((i*1103515245 + 12345) % 10000000) * 37 + i % 1000 AS view_count,
+      |    i % 500 AS video_count,
+      |    ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1] AS country
+      |  FROM range(0, 1001) t(i))
+      |SELECT country, count(*) AS n_channels,
+      |  CAST(sum(subscriber_count) AS BIGINT) AS subs,
+      |  CAST(sum(view_count) AS BIGINT) AS views,
+      |  CAST(max(video_count) AS BIGINT) AS max_videos
+      |FROM ch GROUP BY country""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -1178,5 +1269,7 @@ object StreamGates {
     GateQuery("st15_stream_chained", st15, Some(st15Sql),
       "chained stateful ops (dedup → tumbling agg) ≡ st14's eviction law composed with st12's emission law"),
     GateQuery("st16_stream_dsv2_sink", st16, Some(st16Sql),
-      "custom DSv2 streaming sink: epoch-keyed staged commits under the replay, served back via its own scan"))
+      "custom DSv2 streaming sink: epoch-keyed staged commits under the replay, served back via its own scan"),
+    GateQuery("st17_stream_dsv2_source", st17, Some(st17Sql),
+      "custom DSv2 streaming source: admission-controlled poll loop drains the id universe ≡ the batch scan's rollup"))
 }

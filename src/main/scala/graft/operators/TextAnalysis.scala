@@ -1458,11 +1458,13 @@ object TextAnalysis {
     * orientation-minimal corner, then explodes to its 3 corners for
     * the per-host rollup. The oracle is the UNORIENTED textbook
     * 3-way self-join on a<b<c — same triangle set, independently
-    * derived. Joins here are host-grain (tx20's stated |hosts| ≪
-    * |docs| premise) and explicitly broadcast; at web scale the same
-    * plan degrades gracefully to shuffled equi joins — both the
-    * wedge join and the closing join are pure equi joins on (lo) and
-    * on the canonical (a, b) pair key respectively. */
+    * derived. Hint discipline: the host-grain DIMS (degree, per-host
+    * triangle counts — tx20's stated |hosts| ≪ |docs| premise) are
+    * explicitly broadcast; the two EDGE-grain joins (wedges, closing)
+    * are pinned SHUFFLE-HASH — |E|-sized sides must never be
+    * broadcast-hinted, so the executed plan at gate scale is exactly
+    * the shuffled equi-join shape that survives web scale (pure equi
+    * keys: (lo), and the canonical (a, b) pair). */
   private def tx23(s: SparkSession, d: String): DataFrame = {
     val (hosts, _, edges) = hostGraph(s, d)
     val und = edges
@@ -1482,14 +1484,21 @@ object TextAnalysis {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("hi"))
+    // EDGE-grain joins are pinned SHUFFLE-HASH, never broadcast: the
+    // wedge join and the closing join are the two |E|-sized sides, so
+    // the plan executed at gate scale IS the one that survives web
+    // scale (hash on the lo / (a,b) keys; sorting corpus-sized edge
+    // streams for an SMJ buys nothing — the suite-wide lint). Hints
+    // stay broadcast only on the genuine host-grain dims (deg,
+    // perHost, hosts).
     val wedges = oriented.as("e1")
-      .join(broadcast(oriented.as("e2")),
+      .join(oriented.as("e2").hint("shuffle_hash"),
         col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
       .select(col("e1.lo").as("c0"), col("e1.hi").as("x"), col("e2.hi").as("y"))
     val tri = wedges
       .select(col("c0"), col("x"), col("y"),
         least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-      .join(broadcast(und), Seq("a", "b"))
+      .join(und.hint("shuffle_hash"), Seq("a", "b"))
     val perHost = tri
       .select(explode(array(col("c0"), col("x"), col("y"))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("tri"))

@@ -814,10 +814,19 @@ object TimeWindows {
     * the equi key lets Catalyst pick hash strategies and AQE re-plan
     * between them. */
   private def tw17(s: SparkSession, d: String): DataFrame = {
-    val e = evs(s, d)
+    // ISOLATED session (the StreamGates discipline): the conf bracket
+    // arms an optimizer rule, and Bench runs gates CONCURRENTLY on the
+    // shared session — armed on `s`, any other gate's inner join that
+    // happens to match the two-conjunct LongType range shape would be
+    // silently rewritten mid-bracket (semantics-preserving but it can
+    // flip plan-shape receipts and perf readings). newSession shares
+    // the SparkContext and the injected extensions but owns its SQLConf,
+    // so the bracket cannot leak.
+    val iso = s.newSession()
+    val e = evs(iso, d)
     val probe = e.select(col("ts_us"), col("user_id"), col("value_cents"))
     val ivs = campaignsOf(e)
-    s.conf.set("spark.graft.rangeJoin.binWidth", SlideUs.toString)
+    iso.conf.set("spark.graft.rangeJoin.binWidth", SlideUs.toString)
     try {
       probe.join(ivs,
           col("ts_us") >= col("lo_us") && col("ts_us") < col("hi_us"))
@@ -826,7 +835,7 @@ object TimeWindows {
           countDistinct(col("user_id")).as("n_users"),
           sum(col("value_cents")).as("value_cents"))
         .localCheckpoint() // materialize while the rule is armed
-    } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+    } finally iso.conf.unset("spark.graft.rangeJoin.binWidth")
   }
 
   private val tw17Sql = tw7Sql

@@ -150,7 +150,12 @@ case class AsOfJoinExec(
           val rSort = rSortProj(lastRight)
           keyCmp.compare(rSort, lSort) == 0 &&
             (tol == Long.MaxValue ||
-              lSort.getLong(nk) - rSort.getLong(nk) <= tol)
+              // NULL ord on either side can never be "within tolerance":
+              // nulls sort first, so a null-ord right row can become
+              // lastRight, and getLong on a null slot reads 0 — guard
+              // before the arithmetic or a phantom match fabricates
+              (!lSort.isNullAt(nk) && !rSort.isNullAt(nk) &&
+                lSort.getLong(nk) - rSort.getLong(nk) <= tol))
         }
         outProj(joined(l, if (matched) lastRight else nullRight))
       }
@@ -173,7 +178,14 @@ object AsOfJoin {
     * `tolerance` bounds the lookback on the FIRST ord column (which
     * must then be LongType — µs timestamps here): a match requires
     * `leftOrd0 - rightOrd0 <= tolerance` (pandas `merge_asof`'s
-    * tolerance). FORWARD as-of needs no second operator: negate the
+    * tolerance). NULL ord values: rows sort nulls-first as everywhere
+    * in Spark, and a NULL ord is never "within tolerance" — the exec
+    * null-checks both sides' first ord slot before the subtraction, so
+    * a null-ord right row may still match an UNbounded as-of (it is a
+    * legitimate "earliest" state) but can never satisfy a tolerance
+    * bound, and a null-ord left row gets no bounded match either
+    * (SQL comparison semantics: `NULL - x <= t` is not true).
+    * FORWARD as-of needs no second operator: negate the
     * ord columns on both sides (x → -x) and the backward merge
     * returns the earliest-after row — pinned in AsOfJoinSpec. */
   def asof(leftDf: DataFrame, rightDf: DataFrame,

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan, LessThanOrEqual, Literal, Pmod, Sequence, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, CaseWhen, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan, LessThanOrEqual, Literal, Pmod, Sequence, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** RANGE-JOIN BIN REWRITE — the optimizer half of
   * [[graft.operators.RangeJoin]]: a user who WRITES the naive
@@ -112,15 +112,21 @@ class RangeBinRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         val binI = AttributeReference("__graft_bin_i", LongType, nullable = false)()
         // Sequence is TimeZoneAware — an optimizer-built instance must
         // carry the session zone or the plan flips back to unresolved.
-        // No explicit step: a degenerate interval (hi <= lo) then
-        // yields a DESCENDING default-step sequence whose bins the
-        // residual predicate filters out — RangeJoin.binned's exact
-        // behavior — where step=1 would throw 'Illegal sequence
-        // boundaries' at runtime on data the naive join handles fine.
+        // Degenerate intervals (hi <= lo, where the naive join emits
+        // NOTHING) must generate NOTHING: the default-step Sequence
+        // would DESCEND and enumerate every bin from binOf(lo) down to
+        // binOf(hi-1) — O((lo-hi)/w) amplification on inverted input —
+        // so the generator is gated behind an explicit hi > lo branch
+        // whose else-arm is an empty array. The guard also keeps
+        // Subtract(hi, 1) off the hi = Long.MinValue overflow (only
+        // evaluated when hi > lo >= MinValue), and a NULL bound falls
+        // through to the empty arm exactly like the naive non-match.
         val genPlan = Generate(
-          Explode(Sequence(binOf(lo), binOf(Subtract(hi, Literal(1L))),
-            None,
-            Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))),
+          Explode(CaseWhen(
+            Seq((GreaterThan(hi, lo),
+              Sequence(binOf(lo), binOf(Subtract(hi, Literal(1L))), None,
+                Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)))),
+            Some(Literal.create(Array.empty[Long], ArrayType(LongType))))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(binI), child = ivs)
         val newJoin = Join(probeP, genPlan, Inner,

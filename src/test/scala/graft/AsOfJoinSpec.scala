@@ -121,6 +121,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(un == Set((11L, Some(900L)), (13L, Some(902L)), (15L, None)))
   }
 
+  test("tolerance: NULL ord values never fabricate a within-tolerance match") {
+    import spark.implicits._
+    // nulls sort FIRST, so a null-ord right row is every left row's
+    // earliest candidate and can become lastRight; pre-fix the exec
+    // read 0 from the null slot (getLong on a null field) and a left
+    // at t<=tol fabricated a match. SQL semantics: NULL - x <= tol is
+    // not true -> no bounded match from or to a null ord.
+    val left = Seq[(Long, java.lang.Long, Long)](
+      (1L, 40L, 11L),   // only prior candidate is the null-ord row
+      (2L, 40L, 12L),   // genuine prior within tolerance
+      (3L, null, 13L))  // null LEFT ord
+      .toDF("k", "t", "lid")
+    val right = Seq[(Long, java.lang.Long, Long)](
+      (1L, null, 900L), // null RIGHT ord: sorts before every t
+      (2L, 30L, 902L),
+      (3L, 10L, 904L))
+      .toDF("rk", "rt", "rid")
+    val out = AsOfJoin.asof(left, right, Seq("k"), Seq("rk"),
+        Seq("t", "lid"), Seq("rt", "rid"), tolerance = Some(50L))
+      .collect()
+      .map(r => (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    assert(out == Set((11L, None), (12L, Some(902L)), (13L, None)),
+      out.mkString(", "))
+    // UNbounded as-of keeps the legitimate "earliest state" semantics:
+    // the null-ord right row IS strictly before (1,40) and may match
+    val un = AsOfJoin.asof(left, right, Seq("k"), Seq("rk"),
+        Seq("t", "lid"), Seq("rt", "rid"))
+      .collect()
+      .map(r => (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    assert(un == Set((11L, Some(900L)), (12L, Some(902L)), (13L, None)),
+      un.mkString(", "))
+  }
+
   test("forward as-of = backward as-of on negated ord columns") {
     import spark.implicits._
     // earliest right strictly AFTER each left row

@@ -49,10 +49,18 @@ class RangeBinRewriteSpec extends AnyFunSuite {
 
   test("rule armed: a degenerate interval (hi <= lo) matches nothing, never throws") {
     // The naive join simply emits no match for a zero/negative-length
-    // interval; the rewritten plan must do the same (the omitted
-    // Sequence step yields a descending bin list the residual filters
-    // out — an explicit step=1 would crash the whole query).
-    val badIv = Seq((100L, 50L, "deg"), (0L, 300L, "ok")).toDF("lo_us", "hi_us", "tag")
+    // interval; the rewritten plan must do the same AND generate
+    // NOTHING for it: the generator is gated behind hi > lo (else-arm
+    // an empty array), because the default-step Sequence would DESCEND
+    // and enumerate O((lo-hi)/w) bins per inverted row. The 10^15-wide
+    // inverted interval below is the regression proof — pre-guard it
+    // enumerates 4e12 bins and this test never finishes; guarded it is
+    // instant. Long.MinValue as hi pins the Subtract(hi, 1) overflow
+    // out of reach (hi > lo is false for every lo when hi = MinValue).
+    val badIv = Seq(
+      (100L, 50L, "deg"), (0L, 300L, "ok"),
+      (1000L * 1000 * 1000 * 1000 * 1000, 0L, "huge_inverted"),
+      (5L, Long.MinValue, "minv")).toDF("lo_us", "hi_us", "tag")
     spark.conf.set(Conf, "250")
     try {
       val j = probeDf.join(badIv,
@@ -60,8 +68,28 @@ class RangeBinRewriteSpec extends AnyFunSuite {
       val got = j.select("ev", "tag").collect()
         .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
       assert(got == Seq((1L, "ok"), (2L, "ok")), s"got $got")
-      assert(!j.queryExecution.executedPlan.toString
-        .contains("BroadcastNestedLoopJoin"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      // structural pin: the explode input is the guarded conditional
+      assert(j.queryExecution.optimizedPlan.toString.contains("CASE WHEN"),
+        "bin generator is not gated behind the hi > lo guard")
+    } finally spark.conf.unset(Conf)
+  }
+
+  test("rule armed: NULL bounds generate nothing and match nothing") {
+    // SQL semantics: p >= NULL / p < NULL is never true, so the naive
+    // join emits no row; the rewritten generator's CaseWhen predicate
+    // is NULL -> else-arm -> empty array, the same nothing.
+    val nullIv = Seq[(java.lang.Long, java.lang.Long, String)](
+      (null, 300L, "nl"), (0L, null, "nh"), (0L, 300L, "ok"))
+      .toDF("lo_us", "hi_us", "tag")
+    spark.conf.set(Conf, "250")
+    try {
+      val j = probeDf.join(nullIv,
+        col("p_us") >= col("lo_us") && col("p_us") < col("hi_us"))
+      val got = j.select("ev", "tag").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == Seq((1L, "ok"), (2L, "ok")), s"got $got")
     } finally spark.conf.unset(Conf)
   }
 
