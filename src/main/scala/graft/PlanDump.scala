@@ -102,7 +102,11 @@ object PlanDump {
     "tw18_asof_plan" ->
       "Native as-of join: the custom AsOfJoin exec node between its two key exchanges + sorts — no Union, no Window carry state; the merge is a single co-partitioned linear pass.",
     "q22_json_analytics" ->
-      "Schema-on-read JSON: the explicit-schema from_json parse is a codegen'd projection on the scan (no inference pass, no second read); one map-side-combined agg to |event types| rows.")
+      "Schema-on-read JSON: the explicit-schema from_json parse is a codegen'd projection on the scan (no inference pass, no second read); one map-side-combined agg to |event types| rows.",
+    "cp17_pps_sample" ->
+      "Systematic PPS sample: the 'serial' cumulative-weight walk as pure plan algebra — ONE range exchange of slim (id, w, rk) rows, partition-local prefix windows, the ≤32-row offset dim broadcast back; output ≤ n rows at any corpus size.",
+    "sim23_radius_search" ->
+      "Radius search: probed-cell candidates via broadcast probe/query dims, a threshold filter REPLACES the per-query rank window (no sort at all on the serving leg); the brute-force truth leg rides alongside as the priced recall control.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -896,6 +896,90 @@ object CorpusOps {
        |FROM c, tot GROUP BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- cp17
+
+  /** cp17: SYSTEMATIC PPS SAMPLING — draw n documents with inclusion
+    * probability proportional to size (the Horvitz-Thompson workhorse
+    * for corpus audits, eval-set cuts and per-batch spot checks:
+    * sampling docs uniformly UNDER-represents the tokens long docs
+    * contribute; sampling ∝ chars makes the sample token-representative
+    * with n fixed). The classic sequential algorithm — walk the
+    * cumulative-weight line and take one doc at every step-sized grid
+    * point — looks inherently serial; here it runs as pure plan
+    * algebra on cp16's DISTRIBUTED exact prefix sum: documents take a
+    * reproducible md5 permutation order (decorrelated from size, the
+    * rnd(salt) discipline), range-repartition + partition-local
+    * windows + the ≤32-row offset dim give every doc its exact global
+    * cumulative weight `cum`, and doc i is selected with multiplicity
+    * = #(grid points in (cum−w, cum]) = min(cum, n·step) div step −
+    * min(cum−w, n·step) div step — all BIGINT, so both engines agree
+    * bit-for-bit (no u^(1/w) floating-point keys, the cross-engine
+    * trap the A-Res spelling would carry). The min(·, n·step) clamp
+    * pins EXACTLY n grid points even when total mod n ≠ 0; a doc with
+    * w ≥ step is always selected (hits ≥ 1) — the PPS certainty
+    * stratum.
+    *
+    * Scale shape: one narrow scan + one range exchange of (id, w, rk)
+    * rows + two bounded aggs; OUTPUT is ≤ n rows at ANY corpus size
+    * (the sample, not the corpus, leaves the cluster). At 100 TB the
+    * only growing cost is the range exchange of 3-column rows. */
+  private def cp17(s: SparkSession, d: String): DataFrame = {
+    val n = 100L
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("source"), col("lang"),
+      greatest(col("n_chars"), lit(1L)).as("w"),
+      rnd("cp17").as("rk"))
+    // same two-checkpoint discipline as cp16: the boundary-sampling
+    // pass and every downstream consumer must see ONE materialized
+    // layout or offset + local-prefix ≠ global-prefix
+    val sig = base.localCheckpoint()
+    val ranged = sig.repartitionByRange(32, col("rk"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged.groupBy(col("pid"))
+      .agg(sum(col("w")).as("pw"))
+      .withColumn("offset",
+        coalesce(sum(col("pw")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val total = sig.agg(sum(col("w"))).head().getLong(0)
+    val step = total / n
+    require(step > 0, s"corpus weight $total below the sample size $n")
+    val grid = step * n
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid"))
+      .orderBy(col("rk").asc, col("doc_id").asc)
+    ranged
+      .withColumn("local_cum", sum(col("w")).over(wLocal))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", col("offset") + col("local_cum"))
+      .withColumn("hits", expr(
+        s"least(cum, ${grid}L) div ${step}L - least(cum - w, ${grid}L) div ${step}L"))
+      .filter(col("hits") >= 1)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("w"), col("cum"), col("hits"))
+  }
+
+  private val cp17Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, lang,
+       |    greatest(n_chars, 1) AS w, ${rndSql("cp17")} AS rk
+       |  FROM documents),
+       |tot AS (
+       |  SELECT CAST(sum(w) AS BIGINT) // 100 AS step FROM w),
+       |c AS (
+       |  SELECT *, CAST(sum(w) OVER (
+       |      ORDER BY rk ASC, doc_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM w)
+       |SELECT doc_id, source, lang, CAST(w AS BIGINT) AS w, cum,
+       |  least(cum, step * 100) // step
+       |    - least(cum - w, step * 100) // step AS hits
+       |FROM c, tot
+       |WHERE least(cum, step * 100) // step
+       |    - least(cum - w, step * 100) // step >= 1""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
       "deterministic per-language k-sample via salted-md5 permutation"),
@@ -928,5 +1012,7 @@ object CorpusOps {
     GateQuery("cp15_dataset_card", cp15, Some(cp15Sql),
       "per-source dataset card: volume, language spread, quality + dup shares from shared defs"),
     GateQuery("cp16_curriculum_phases", cp16, Some(cp16Sql),
-      "clean-first curriculum pacing via a DISTRIBUTED exact global prefix sum (range partitions + offset dim)"))
+      "clean-first curriculum pacing via a DISTRIBUTED exact global prefix sum (range partitions + offset dim)"),
+    GateQuery("cp17_pps_sample", cp17, Some(cp17Sql),
+      "systematic PPS sampling: n grid points over the distributed cumulative-weight line, integer-exact, output ≤ n"))
 }

@@ -1980,6 +1980,95 @@ object Similarity {
        |  JOIN vecs q ON q.vec_id = p.query_id) t
        |WHERE rank <= 10""".stripMargin
 
+  // -------------------------------------------------------------- sim23
+
+  /** sim23: RADIUS SEARCH (range query) — the OTHER serving primitive
+    * next to top-k: return EVERY neighbor with cosine ≥ τ, the shape
+    * dedup-on-ingest, coverage audits and "find all near copies of
+    * this document" queries need (a top-k under-reports dense
+    * neighborhoods and over-reports sparse ones; a radius query's
+    * result size IS the signal). τ = 0.45, the repo's near-dup bar.
+    *
+    * The scale path is sim6's IVF pruning verbatim — probed cells
+    * bound the candidates BEFORE any distance work, then one exact
+    * cosine per survivor with no rank window at all (radius search is
+    * cheaper than top-k: a threshold filter replaces the per-query
+    * sort) — and, like every approximate path in this family, the
+    * gate MEASURES what pruning costs: per query, n_true from the
+    * exact brute-force radius truth, n_found from the pruned path
+    * (found ⊆ true, `require`d via the join shape: recall can never
+    * exceed 1000‰), and recall in integer permille. Both counts ride
+    * the SAME double cosine expression (shared left-fold dot), so the
+    * τ comparison agrees bit-for-bit across engines.
+    *
+    * Scale shape: pruned leg = slim (query, candidate) pairs from
+    * probed cells only, one hash join back to vectors, no window; the
+    * truth leg is the sim1-class quadratic CONTROL (queries × corpus)
+    * that a deployment runs on samples to calibrate τ/nprobe — the
+    * pruned leg alone is what serves. */
+  private def sim23(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val cb = typedLit(codebookArr(s, d))
+    val qv = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    def cosFound(cand: DataFrame): DataFrame = cand
+      .join(broadcast(qv), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .filter(col("cosine") >= 0.45)
+    val slim = base.select(col("vec_id"), col("v"), col("n2"))
+    // pruned: candidates = probed cells only (nprobe=2)
+    val pruned = cosFound(
+      assignCells(base, cb)
+        .join(broadcast(probeCells(base, cb, nprobe = 2)), Seq("clabel"))
+        .join(slim, Seq("vec_id")))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_found"))
+    // truth: the exact radius result (brute force, the control)
+    val truth = cosFound(slim.crossJoin(broadcast(qv.select("query_id"))))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+    // one row per QUERY, not per non-empty result: an empty radius
+    // result is a real answer ("no near copies"), and a query with no
+    // true neighbors has trivially perfect recall
+    qv.select(col("query_id"))
+      .join(broadcast(truth), Seq("query_id"), "left")
+      .join(broadcast(pruned), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        expr("CASE WHEN coalesce(n_true, 0L) > 0 THEN " +
+          "coalesce(n_found, 0L) * 1000L div n_true ELSE 1000L END")
+          .as("recall_permille"))
+  }
+
+  private val sim23Sql = "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
+    s"""${assignCteSql},
+       |${probesCteSql},
+       |qs AS (SELECT vec_id AS query_id, v, n2 FROM vecs WHERE vec_id % 100 = 0),
+       |truth AS (
+       |  SELECT q.query_id, count(*) AS n_true
+       |  FROM qs q JOIN vecs b ON b.vec_id <> q.query_id
+       |  WHERE ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) >= 0.45
+       |  GROUP BY q.query_id),
+       |found AS (
+       |  SELECT q.query_id, count(*) AS n_found
+       |  FROM probes p
+       |  JOIN assign a ON a.clabel = p.clabel
+       |  JOIN vecs b ON b.vec_id = a.vec_id AND b.vec_id <> p.query_id
+       |  JOIN qs q ON q.query_id = p.query_id
+       |  WHERE ${dotSql("q.v", "b.v")} / (sqrt(q.n2) * sqrt(b.n2)) >= 0.45
+       |  GROUP BY q.query_id)
+       |SELECT q.query_id,
+       |  coalesce(t.n_true, 0) AS n_true,
+       |  coalesce(f.n_found, 0) AS n_found,
+       |  CASE WHEN coalesce(t.n_true, 0) > 0
+       |    THEN coalesce(f.n_found, 0) * 1000 // t.n_true
+       |    ELSE 1000 END AS recall_permille
+       |FROM qs q
+       |LEFT JOIN truth t ON t.query_id = q.query_id
+       |LEFT JOIN found f ON f.query_id = q.query_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -2026,5 +2115,7 @@ object Similarity {
     GateQuery("sim20_sampled_codebook", sim20, Some(sim20Sql),
       "sampled-training codebook priced: assignment drift + serving recall vs the full build"),
     GateQuery("sim22_index_maintenance", sim22, Some(sim22Sql),
-      "vector-index lifecycle: append-only delta upsert, tombstone delete, served from the maintained files"))
+      "vector-index lifecycle: append-only delta upsert, tombstone delete, served from the maintained files"),
+    GateQuery("sim23_radius_search", sim23, Some(sim23Sql),
+      "radius (range) search: all neighbors at cosine >= 0.45, IVF-pruned, with measured per-query recall"))
 }

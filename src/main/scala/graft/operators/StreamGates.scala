@@ -1233,6 +1233,92 @@ object StreamGates {
       |  CAST(max(video_count) AS BIGINT) AS max_videos
       |FROM ch GROUP BY country""".stripMargin
 
+  // ---------------------------------------------------------------- st18
+
+  /** st18: CHECKPOINT RESTART of the DSv2 source — the property st17
+    * asserts by construction ("offsets are positions, so a restart
+    * resumes where the poller stopped") executed for real, under the
+    * production shape that makes restart non-trivial: the id universe
+    * GROWS between runs (the reference's scheduled sweep discovers new
+    * channels between polls). RUN 1 drains a 600-id universe to
+    * completion (2 budgeted triggers at pollBatch=300) and stops; RUN
+    * 2 reopens the SAME checkpoint against a 1001-id universe and must
+    * resume FROM THE COMMITTED OFFSET — ingesting exactly ids
+    * 600..1000 in 2 more triggers (300 + 101), never re-reading or
+    * skipping a row. Both runs share one parquet sink, whose
+    * `_spark_metadata` commit log is what makes the union exactly-once
+    * (the FileStreamSink side of the restart contract).
+    *
+    * Engine receipts: run 1's offset ledger is exactly [300, 600];
+    * run 2 CONTINUES the batch numbering (ids 2, 3 — proof it resumed
+    * rather than restarted) with offsets [900, 1001]; and the sink
+    * read-back is exactly 1001 distinct channel ids. Output is st17's
+    * per-country rollup over the final universe; same oracle — a
+    * restarted poller must be indistinguishable from one that never
+    * stopped.
+    *
+    * Scale shape: identical to st17 — restart cost is reading ONE
+    * offset file; nothing is replanned over the already-ingested
+    * prefix. */
+  private def st18(s: SparkSession, d: String): DataFrame = {
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = Files.createTempDirectory("graft-st18-").toFile
+    cleanupRoots.add(root)
+    val out = new File(root, "out")
+    val chk = new File(root, "chk")
+    def drain(maxId: Long): Unit = {
+      val q = iso.readStream.format("graft.sources.YtApiSource")
+        .option("maxId", maxId).option("batchSize", 50)
+        .option("pollBatch", 300).load()
+        .writeStream.format("parquet")
+        .option("path", out.getPath)
+        .option("checkpointLocation", chk.getPath)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def ledger(): Seq[(Long, Long)] = new File(chk, "offsets").listFiles()
+      .filter(f => f.getName.forall(_.isDigit))
+      .sortBy(_.getName.toLong)
+      .map { f =>
+        val src = scala.io.Source.fromFile(f)
+        try f.getName.toLong -> src.getLines().toSeq.last.trim.toLong
+        finally src.close()
+      }.toSeq
+    drain(599L) // run 1: the universe as first discovered
+    val l1 = ledger()
+    require(l1.map(_._2) == Seq(300L, 600L),
+      s"run-1 ledger not the 2-trigger drain: ${l1.mkString(",")}")
+    drain(1000L) // run 2: 401 newly discovered ids, SAME checkpoint
+    val l2 = ledger().drop(l1.size)
+    require(l2.map(_._1) == Seq(2L, 3L) && l2.map(_._2) == Seq(900L, 1001L),
+      s"restart did not resume from the committed offset: ${l2.mkString(",")}")
+    val drained = s.read.parquet(out.getPath)
+    val rolled = drained.groupBy(col("country"))
+      .agg(count(lit(1)).as("n_channels"),
+        countDistinct(col("channel_id")).as("n_distinct"),
+        sum(col("subscriber_count")).as("subs"),
+        max(col("video_count")).as("max_videos"))
+    val rows = rolled.collect()
+    require(rows.map(_.getAs[Long]("n_channels")).sum == 1001L &&
+        rows.forall(r => r.getAs[Long]("n_channels") == r.getAs[Long]("n_distinct")),
+      "restart re-read or skipped rows — the union is not exactly-once")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), rolled.schema)
+  }
+
+  private val st18Sql =
+    """WITH ch AS (
+      |  SELECT i AS channel_id,
+      |    (i*1103515245 + 12345) % 10000000 AS subscriber_count,
+      |    i % 500 AS video_count,
+      |    ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1] AS country
+      |  FROM range(0, 1001) t(i))
+      |SELECT country, count(*) AS n_channels,
+      |  count(DISTINCT channel_id) AS n_distinct,
+      |  CAST(sum(subscriber_count) AS BIGINT) AS subs,
+      |  CAST(max(video_count) AS BIGINT) AS max_videos
+      |FROM ch GROUP BY country""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -1271,5 +1357,7 @@ object StreamGates {
     GateQuery("st16_stream_dsv2_sink", st16, Some(st16Sql),
       "custom DSv2 streaming sink: epoch-keyed staged commits under the replay, served back via its own scan"),
     GateQuery("st17_stream_dsv2_source", st17, Some(st17Sql),
-      "custom DSv2 streaming source: admission-controlled poll loop drains the id universe ≡ the batch scan's rollup"))
+      "custom DSv2 streaming source: admission-controlled poll loop drains the id universe ≡ the batch scan's rollup"),
+    GateQuery("st18_stream_source_restart", st18, Some(st18Sql),
+      "checkpoint restart of the DSv2 source over a GROWN universe: resumes at the committed offset, union exactly-once"))
 }

@@ -213,6 +213,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again == got, "re-run drifted: range boundaries leaked into output")
   }
 
+  test("cp17: exactly n grid hits, certainty stratum included, PPS weighting holds") {
+    import org.apache.spark.sql.functions._
+    val rows = gate("cp17_pps_sample", sf0001).collect()
+    // (a) total multiplicity is EXACTLY n: the n grid points partition
+    // into the docs' (cum-w, cum] intervals, each landing in exactly one
+    assert(rows.map(_.getAs[Long]("hits")).sum == 100L,
+      s"grid hits != 100: ${rows.map(_.getAs[Long]("hits")).sum}")
+    // (b) the certainty stratum: any doc with w >= step is selected
+    val docs = Tables.documents(spark, sf0001)
+    val total = docs.agg(sum(greatest(col("n_chars"), lit(1L)))).head().getLong(0)
+    val step = total / 100L
+    val bigDocs = docs.filter(greatest(col("n_chars"), lit(1L)) >= step)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val selected = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(bigDocs.subsetOf(selected),
+      s"certainty stratum missing: ${(bigDocs -- selected).take(5)}")
+    // (c) multiplicity never exceeds ceil(w / step) (a doc can't hold
+    // more grid points than its weight spans)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Long]("w"), r.getAs[Long]("hits"))
+      assert(h <= w / step + 1, s"doc ${r.getAs[Long]("doc_id")}: $h hits at w=$w")
+    }
+    // (d) reproducible: the md5-permutation sample is identical across runs
+    val again = gate("cp17_pps_sample", sf0001).collect()
+      .map(_.toSeq.toIndexedSeq).toSet
+    assert(again == rows.map(_.toSeq.toIndexedSeq).toSet)
+  }
+
   test("cp11: sqrt weights flatten the head language, shares exact") {
     // 4 en docs vs 1 de doc: raw shares 800/200; isqrt weights 2/1
     // flatten to 666/333 — the tail language more than doubles.

@@ -189,7 +189,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim20_sampled_codebook", // embeds sim1's brute-force truth
       // (sim8/sim18's shape) for both recall legs
       "tx19_token_drift", // 1-row half-totals anchor cross (la2's shape)
-      "tw16_decay_score") // 1-row max-ts anchor cross (tw6/la4's shape)
+      "tw16_decay_score", // 1-row max-ts anchor cross (tw6/la4's shape)
+      "sim23_radius_search") // embeds sim1's brute-force radius TRUTH as
+      // the priced control leg; the pruned serving leg stays equi-join
     // tx20 is deliberately NOT allowed: its edges are now extracted
     // from document content (scan-linear token mentions), so any
     // nested-loop re-appearing there is a regression of exactly the

@@ -189,6 +189,24 @@ class SimilaritySpec extends AnyFunSuite {
       "sim22 varies across invocations")
   }
 
+  test("sim23 radius search: one row per query, found never exceeds true") {
+    import org.apache.spark.sql.functions._
+    val rows = gate("sim23_radius_search", sf0001).collect()
+    val nQueries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0).count()
+    assert(rows.length == nQueries.toInt,
+      s"expected one row per query ($nQueries), got ${rows.length}")
+    rows.foreach { r =>
+      val (t, f, rec) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_found"),
+        r.getAs[Long]("recall_permille"))
+      // the pruned candidates are a subset of the corpus, so the
+      // threshold filter can only UNDER-find — recall caps at 1000
+      assert(f <= t || t == 0, s"query ${r.getLong(0)}: found $f > true $t")
+      assert(rec >= 0 && rec <= 1000, s"recall $rec out of range")
+      if (t > 0) assert(rec == f * 1000 / t)
+    }
+  }
+
   test("persisted cell-partitioned IVF-PQ index serves via partition pruning") {
     import org.apache.spark.sql.functions._
     // Build once: codes + cell written partitionBy(cell) — the layout

@@ -50,6 +50,30 @@ class StreamGatesSpec extends AnyFunSuite {
           countDistinct(col("logger_name")).as("n_loggers")))
   }
 
+  test("st17/st18 DSv2 source drain equals the BATCH connector scan's rollup") {
+    import org.apache.spark.sql.functions._
+    // stream ≡ batch inside the JVM too (the driver's oracle checks it
+    // against range()-regenerated synthetics externally): the same id
+    // universe read through the BATCH DSv2 path must roll up identically
+    def batchScan(maxId: Long) = spark.read
+      .format("graft.sources.YtApiSource")
+      .option("maxId", maxId).option("batchSize", 50).load()
+    assertSame(
+      gate("st17_stream_dsv2_source", sf0001),
+      batchScan(1000L).groupBy(col("country"))
+        .agg(count(lit(1)).as("n_channels"),
+          sum(col("subscriber_count")).as("subs"),
+          sum(col("view_count")).as("views"),
+          max(col("video_count")).as("max_videos")))
+    assertSame(
+      gate("st18_stream_source_restart", sf0001),
+      batchScan(1000L).groupBy(col("country"))
+        .agg(count(lit(1)).as("n_channels"),
+          countDistinct(col("channel_id")).as("n_distinct"),
+          sum(col("subscriber_count")).as("subs"),
+          max(col("video_count")).as("max_videos")))
+  }
+
   test("st2 replay equals the batch rate-limit pass") {
     assertSame(
       gate("st2_stream_rate", sf0001),
