@@ -1441,6 +1441,140 @@ object LogAnalytics {
       |    THEN value_cents * 2 ELSE value_cents END) AS BIGINT) AS value_cents
       |FROM dd GROUP BY level""".stripMargin
 
+  // ---------------------------------------------------------------- la21
+
+  /** la21: WRITE-AUDIT-PUBLISH — the ingestion pattern every serious
+    * lakehouse deployment runs (Iceberg's WAP / Delta's staging
+    * branch): new data lands as FILES invisible to readers, an audit
+    * runs against the exact bytes that would be served (never the
+    * in-memory frame that produced them — schema drift and writer
+    * bugs live in that gap), and only a passing audit atomically
+    * swaps the published manifest pointer. Readers see the table
+    * jump from snapshot N to N+1 or never see the batch at all.
+    *
+    * Three staged batches drive all the audit rules: (1) a GOOD
+    * next-day batch (the max day replayed one day forward with
+    * offset ids) passes — null-rate zero, no partition collision,
+    * non-empty — and PUBLISHES; (2) a POISONED batch (every 10th
+    * logger_name NULLed — the writer-bug shape) fails the null-rate
+    * rule; (3) a COLLIDING batch restating the just-published day
+    * fails the partition-collision rule (double-ingest protection).
+    * Both failures leave the published manifest and the served
+    * rollup byte-identical (`require`d by re-serving), and their
+    * staged files are deleted — WAP's whole point: a failed audit
+    * is invisible, not half-visible.
+    *
+    * Scale shape: the audit reads ONLY the staged batch's files
+    * (batch-∝, never the table); publish is manifest set algebra
+    * (O(|files|) driver strings — la19's commit machinery); readers
+    * plan from the manifest, so an unpublished batch costs them
+    * nothing. Oracle: the published end state = base ∪ good batch,
+    * restated from raw logs. */
+  private def la21(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 24L * 3600 * 1000000
+    TmpDirs.withRoot(s, "la21") { dir =>
+    val l = logs(s, d)
+      .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
+      .select("event_id", "ts_us", "level", "logger_name", "value_cents", "day_us")
+    l.repartition(col("day_us"))
+      .write.mode("overwrite").partitionBy("day_us").parquet(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def allFiles(): Set[String] =
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("day_us="))
+        .flatMap(day => fs.listStatus(day.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toUri.getPath)).toSet
+    val manifest0 = allFiles()
+    val maxDay = l.agg(max(col("day_us"))).head().getLong(0)
+    // stage a batch: files LAND inside the partition dirs (so a
+    // manifest-respecting reader must prove it ignores them) but are
+    // not in any published manifest until the audit passes
+    def stage(name: String, df: DataFrame): Set[String] = {
+      val stg = new org.apache.hadoop.fs.Path(s"${dir}_stage_$name")
+      df.repartition(col("day_us"))
+        .write.mode("overwrite").partitionBy("day_us").parquet(stg.toString)
+      val landed = fs.listStatus(stg)
+        .filter(_.getPath.getName.startsWith("day_us=")).flatMap { dayDir =>
+          val dst = new org.apache.hadoop.fs.Path(root, dayDir.getPath.getName)
+          fs.mkdirs(dst)
+          fs.listStatus(dayDir.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet")).map { fl =>
+              val t = new org.apache.hadoop.fs.Path(dst, s"$name-${fl.getPath.getName}")
+              require(fs.rename(fl.getPath, t), s"cannot land ${fl.getPath}")
+              t.toUri.getPath
+            }
+        }.toSet
+      fs.delete(stg, true)
+      landed
+    }
+    def shifted(days: Long, idOffset: Long): DataFrame =
+      l.filter(col("day_us") === maxDay)
+        .withColumn("event_id", col("event_id") + idOffset)
+        .withColumn("ts_us", col("ts_us") + lit(days * DayUs))
+        .withColumn("day_us", col("day_us") + lit(days * DayUs))
+    val dayRe = "day_us=(-?\\d+)/".r
+    def daysOf(files: Set[String]): Set[Long] =
+      files.flatMap(f => dayRe.findFirstMatchIn(f).map(_.group(1).toLong))
+    // THE AUDIT — against the staged FILES, not the producing frame
+    def audit(add: Set[String], published: Set[String]): Boolean = {
+      val staged = s.read.option("basePath", dir).parquet(add.toSeq.sorted: _*)
+      val bad = staged.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("logger_name").isNull || col("level").isNull, 1L)
+          .otherwise(0L)).as("nulls")).head()
+      bad.getLong(0) > 0 && bad.getLong(1) == 0 &&
+        daysOf(add).intersect(daysOf(published)).isEmpty
+    }
+    def rollup(manifest: Set[String]): Array[org.apache.spark.sql.Row] =
+      s.read.option("basePath", dir).parquet(manifest.toSeq.sorted: _*)
+        .groupBy(col("level"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+        .collect()
+    var published = manifest0
+    // (1) GOOD: next-day batch passes and publishes atomically
+    val addGood = stage("wapg", shifted(1L, 1000000000L))
+    require(audit(addGood, published), "the good batch must pass the audit")
+    published = published ++ addGood
+    val servedGood = rollup(published).map(_.toSeq.toIndexedSeq).toSeq
+      .sortBy(_.mkString("|"))
+    // (2) POISONED: writer-bug nulls — audit rejects, nothing publishes
+    val poison = shifted(2L, 2000000000L)
+      .withColumn("logger_name",
+        when(col("event_id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(col("logger_name")))
+    val addBad = stage("wapb", poison)
+    require(!audit(addBad, published), "the poisoned batch must fail the audit")
+    addBad.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    // (3) COLLIDING: restates the just-published day — double-ingest guard
+    val addDup = stage("wapc", shifted(1L, 3000000000L))
+    require(!audit(addDup, published), "the colliding batch must fail the audit")
+    addDup.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    // failed audits are INVISIBLE: the served rollup is byte-identical
+    val servedAgain = rollup(published).map(_.toSeq.toIndexedSeq).toSeq
+      .sortBy(_.mkString("|"))
+    require(servedAgain == servedGood,
+      "a failed audit changed what readers see")
+    val out = s.read.option("basePath", dir)
+      .parquet(published.toSeq.sorted: _*)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("value_cents")).as("value_cents"))
+    val rows = out.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }}
+
+  private val la21Sql = logsSql +
+    """, mx AS (
+      |  SELECT (max(ts_us) // 86400000000) * 86400000000 AS max_day FROM logs),
+      |good AS (
+      |  SELECT level, value_cents FROM logs, mx
+      |  WHERE (ts_us // 86400000000) * 86400000000 = max_day)
+      |SELECT level, count(*) AS n_rows,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+      |FROM (SELECT level, value_cents FROM logs
+      |      UNION ALL SELECT level, value_cents FROM good) u
+      |GROUP BY level""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -1480,6 +1614,8 @@ object LogAnalytics {
       "change data feed from the manifest diff: pre/postimage pairs, scan proven to touch only changed files"),
     GateQuery("la19_optimistic_commit", la19, Some(la19Sql),
       "optimistic concurrency: manifest CAS, disjoint writer rebases, conflicting writer aborts"),
+    GateQuery("la21_write_audit_publish", la21, Some(la21Sql),
+      "write-audit-publish: staged batches audited against their FILES, atomic manifest publish, failed audits invisible"),
     GateQuery("la20_snapshot_expire", la20, Some(la20Sql),
       "snapshot expiration + orphan GC: manifest-algebra dead set, exact post-GC listing, live bytes untouched"))
 }

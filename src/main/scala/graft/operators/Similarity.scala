@@ -2069,6 +2069,95 @@ object Similarity {
        |LEFT JOIN truth t ON t.query_id = q.query_id
        |LEFT JOIN found f ON f.query_id = q.query_id""".stripMargin
 
+  // -------------------------------------------------------------- sim24
+
+  /** sim24: DOMINANT DIRECTION of the embedding corpus — the top
+    * eigenvector of the (uncentered) second-moment/Gram matrix Σ vvᵀ
+    * by POWER ITERATION, the anisotropy diagnostic an embedding
+    * pipeline runs before building an index (a corpus whose energy
+    * concentrates in one direction quantizes badly — IVF cells
+    * stretch, SQ ranges waste bits — and "all embeddings share a
+    * dominant component" is the classic symptom of an un-normalized
+    * encoder). Whitening/PCA preprocessing starts with exactly this
+    * computation.
+    *
+    * Scale split is the whole design: the CORPUS-sized work is one
+    * scan — each row emits its 64×64 scaled products in-row
+    * (`transform`×`transform`, floor ×10⁶ — sim4's exact-integer
+    * discipline) through a posexplode into a map-side-combined agg to
+    * 4 096 (i, j, s) cells; everything after is DIM-grain: 4 unrolled
+    * matvec iterations (64-row broadcast joins, BIGINT-exact —
+    * renormalized each round by max-abs via integer division, so no
+    * cross-engine FP ever enters), eigenvalue from the power-method
+    * ∞-norm ratio (λ ≈ max|S·x|/max|x|, exact integers, ~10⁻⁵
+    * relative — both engines compute the identical number), and
+    * explained energy = λ/trace(S) in integer permille. Overflow
+    * headroom is engineered, not hoped: |v|≤0.58 ⇒ products ≤0.34×10⁶,
+    * s ≤ N·3.4×10⁵, matvec ≤ 64·s·10⁵ ≈ 4×10¹⁷ at the 100× probe's
+    * 200 k vectors — inside int64 with 20× to spare.
+    *
+    * Output: one row per dimension (loading ×10⁵) + the shared
+    * eigenvalue/energy columns — 64 rows at any corpus size. */
+  private def sim24(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    // one corpus scan -> 4096-cell exact moment matrix; checkpointed:
+    // the 4 matvecs + trace are 6 consumers of a tiny frame
+    val sm = base.select(posexplode(expr(
+        "flatten(transform(v, x -> transform(v, y -> " +
+          "CAST(floor(x * y * 1000000.0D) AS BIGINT))))"))
+        .as(Seq("idx", "p")))
+      .groupBy(col("idx")).agg(sum(col("p")).as("s"))
+      .select(expr("idx div 64").as("i"), (col("idx") % 64).as("j"), col("s"))
+      .localCheckpoint()
+    val XScale = 100000L
+    var x = s.range(Dim).select(col("id").as("j"), lit(XScale).as("x"))
+    var m = 0L
+    for (_ <- 1 to 4) {
+      val y = sm.join(broadcast(x), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("s") * col("x")).as("y"))
+        .localCheckpoint()
+      m = y.agg(max(abs(col("y")))).head().getLong(0)
+      require(m > XScale, s"degenerate moment matrix (max|S.x| = $m)")
+      x = y.select(col("i").as("j"),
+        expr(s"y div ${m / XScale}L").as("x"))
+    }
+    val trace = sm.filter(col("i") === col("j"))
+      .agg(sum(col("s"))).head().getLong(0)
+    val lam = m / XScale
+    x.select(col("j").as("dim"), col("x").as("loading"),
+      lit(lam).as("eigval_scaled"),
+      lit(1000L * lam / trace).as("explained_permille"))
+  }
+
+  private val sim24Sql = "WITH " + vecsSql.dropRight(1) + ", " +
+    s"""sm AS (
+       |  SELECT i.range AS i, j.range AS j,
+       |    CAST(sum(CAST(floor(v[i.range + 1] * v[j.range + 1] * 1000000.0)
+       |      AS BIGINT)) AS BIGINT) AS s
+       |  FROM vecs, range($Dim) i, range($Dim) j GROUP BY 1, 2),
+       |x0 AS (SELECT range AS j, CAST(100000 AS BIGINT) AS x FROM range($Dim)),
+       |y1 AS (SELECT sm.i, CAST(sum(sm.s * x0.x) AS BIGINT) AS y
+       |       FROM sm JOIN x0 ON x0.j = sm.j GROUP BY 1),
+       |m1 AS (SELECT max(abs(y)) AS m FROM y1),
+       |x1 AS (SELECT i AS j, y // (m // 100000) AS x FROM y1, m1),
+       |y2 AS (SELECT sm.i, CAST(sum(sm.s * x1.x) AS BIGINT) AS y
+       |       FROM sm JOIN x1 ON x1.j = sm.j GROUP BY 1),
+       |m2 AS (SELECT max(abs(y)) AS m FROM y2),
+       |x2 AS (SELECT i AS j, y // (m // 100000) AS x FROM y2, m2),
+       |y3 AS (SELECT sm.i, CAST(sum(sm.s * x2.x) AS BIGINT) AS y
+       |       FROM sm JOIN x2 ON x2.j = sm.j GROUP BY 1),
+       |m3 AS (SELECT max(abs(y)) AS m FROM y3),
+       |x3 AS (SELECT i AS j, y // (m // 100000) AS x FROM y3, m3),
+       |y4 AS (SELECT sm.i, CAST(sum(sm.s * x3.x) AS BIGINT) AS y
+       |       FROM sm JOIN x3 ON x3.j = sm.j GROUP BY 1),
+       |m4 AS (SELECT max(abs(y)) AS m FROM y4),
+       |x4 AS (SELECT i AS j, y // (m // 100000) AS x FROM y4, m4),
+       |tr AS (SELECT CAST(sum(s) AS BIGINT) AS trace FROM sm WHERE i = j)
+       |SELECT x4.j AS dim, x4.x AS loading,
+       |  m4.m // 100000 AS eigval_scaled,
+       |  (1000 * (m4.m // 100000)) // tr.trace AS explained_permille
+       |FROM x4, m4, tr""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -2117,5 +2206,7 @@ object Similarity {
     GateQuery("sim22_index_maintenance", sim22, Some(sim22Sql),
       "vector-index lifecycle: append-only delta upsert, tombstone delete, served from the maintained files"),
     GateQuery("sim23_radius_search", sim23, Some(sim23Sql),
-      "radius (range) search: all neighbors at cosine >= 0.45, IVF-pruned, with measured per-query recall"))
+      "radius (range) search: all neighbors at cosine >= 0.45, IVF-pruned, with measured per-query recall"),
+    GateQuery("sim24_dominant_direction", sim24, Some(sim24Sql),
+      "corpus anisotropy: top Gram-matrix eigenvector by integer-exact power iteration, one scan + dim-grain matvecs"))
 }

@@ -1757,6 +1757,69 @@ object TextAnalysis {
        |  FROM inst i JOIN enc e ON e.word = i.word
        |  GROUP BY i.source) g""".stripMargin
 
+  // ---------------------------------------------------------------- tx26
+
+  /** tx26: VOCABULARY-GROWTH CURVE (the Heaps-law monitor) — how many
+    * NEW token types each successive tenth of the corpus contributes,
+    * and the cumulative vocabulary after it. The curve is a standing
+    * corpus-health dashboard number: a healthy growing crawl adds
+    * types sub-linearly (Heaps' V ∝ Nᵝ, β < 1); a curve that stays
+    * LINEAR means unbounded novelty (OCR noise, binary junk — tokens
+    * that never repeat), and one that goes FLAT while token volume
+    * grows means the new ingest is duplicated content the dedup
+    * stage should have caught. Tokenizer-budget planning (how big a
+    * BPE vocab the corpus warrants, tx24's training input) reads the
+    * same curve.
+    *
+    * One pass, exact: each token's FIRST-SEEN decile is a min-combined
+    * aggregate at the token grain (the only corpus-∝ exchange — the
+    * same class as tx1's token counting, map-side combined), the
+    * per-decile token volume rides the same explode, and the
+    * cumulative vocabulary is a ≤10-row window (ob3-class). No
+    * sketch: the driver never sees tokens, just 10 rows — the exact
+    * curve costs one exchange where the naive "count distinct over
+    * every prefix" costs ten corpus scans. Decile = doc_id·10 div
+    * (max_id+1) off a 1-row driver anchor (dense ids; the la4/tw6
+    * anchor discipline). */
+  private def tx26(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val toks = docs.select(
+        expr(s"doc_id * 10 div ${n}L").as("decile"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val perDecile = toks.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy(col("tok"))
+      .agg(min(col("decile")).as("first_seen"))
+      .groupBy(col("first_seen")).agg(count(lit(1)).as("new_types"))
+      .withColumnRenamed("first_seen", "decile")
+    perDecile.join(newTypes, Seq("decile"), "left")
+      .select(col("decile"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("vocab_cum", sum(col("new_types")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+  }
+
+  private val tx26Sql =
+    """WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+      |toks AS (
+      |  SELECT doc_id * 10 // mx.n AS decile, t.tok
+      |  FROM documents, mx,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+      |  WHERE length(t.tok) > 0),
+      |pd AS (SELECT decile, count(*) AS n_tokens FROM toks GROUP BY 1),
+      |nt AS (
+      |  SELECT first_seen AS decile, count(*) AS new_types FROM (
+      |    SELECT tok, min(decile) AS first_seen FROM toks GROUP BY tok) f
+      |  GROUP BY 1)
+      |SELECT pd.decile, pd.n_tokens,
+      |  coalesce(nt.new_types, 0) AS new_types,
+      |  CAST(sum(coalesce(nt.new_types, 0)) OVER (
+      |    ORDER BY pd.decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+      |FROM pd LEFT JOIN nt ON nt.decile = pd.decile""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -1806,6 +1869,8 @@ object TextAnalysis {
       "degree-oriented triangle count + clustering coefficient per host, vs the unoriented 3-way join"),
     GateQuery("tx24_bpe_merges", tx24, Some(tx24Sql),
       "BPE tokenizer training: 8 merge rounds on the word-frequency dict, greedy application as a fold"),
+    GateQuery("tx26_vocab_growth", tx26, Some(tx26Sql),
+      "vocabulary-growth (Heaps-law) curve: per-decile new types + cumulative vocab in one token-grain pass"),
     GateQuery("tx25_bpe_tokenize", tx25, Some(tx25Sql),
       "corpus tokenization with the trained BPE vocab: per-source subword totals + compression permille"))
 }

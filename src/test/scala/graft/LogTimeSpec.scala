@@ -462,6 +462,30 @@ class LogTimeSpec extends AnyFunSuite {
       .map(_.toSeq.toIndexedSeq).toSet)
   }
 
+  test("la21 WAP: published state is base + the good batch, nothing else") {
+    import org.apache.spark.sql.functions._
+    // the gate itself requires the audit outcomes and the
+    // failed-audit-invisible receipt; here the END STATE is recomputed
+    // independently: base logs + the max day replayed once = published
+    val rows = gate("la21_write_audit_publish", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val DayUs = 24L * 3600 * 1000000
+    val l = Tables.events(spark, sf0001).select(
+      upper(col("event_type")).as("level"),
+      expr(s"(unix_micros(ts) div ${DayUs}L) * ${DayUs}L").as("day_us"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("value_cents"))
+    val maxDay = l.agg(max(col("day_us"))).head().getLong(0)
+    val expected = l.unionAll(l.filter(col("day_us") === maxDay))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows == expected, s"published state diverged:\n$rows\nvs\n$expected")
+    // stability across invocations (the whole staging dance re-runs)
+    val again = gate("la21_write_audit_publish", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(again == rows)
+  }
+
   test("tw20 gap-fill: dense spine, LOCF equals brute force, staleness exact") {
     val HourUs = 3600L * 1000000
     // brute-force observed hourly sums from the raw events

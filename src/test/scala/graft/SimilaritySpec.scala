@@ -189,6 +189,41 @@ class SimilaritySpec extends AnyFunSuite {
       "sim22 varies across invocations")
   }
 
+  test("sim24 dominant direction: normalization, energy bounds, and the eigen law hold") {
+    import org.apache.spark.sql.functions._
+    val rows = gate("sim24_dominant_direction", sf0001).collect()
+    assert(rows.length == 64)
+    val loadings = rows.sortBy(_.getAs[Long]("dim")).map(_.getAs[Long]("loading"))
+    // max-abs normalization: the dominant component sits at ~XScale
+    // (integer-div truncation can shave a few ulps, never add)
+    val maxAbs = loadings.map(math.abs).max
+    assert(maxAbs <= 100000L && maxAbs >= 99000L, s"maxAbs=$maxAbs")
+    val lam = rows.head.getAs[Long]("eigval_scaled")
+    val exp = rows.head.getAs[Long]("explained_permille")
+    assert(rows.forall(r => r.getAs[Long]("eigval_scaled") == lam &&
+      r.getAs[Long]("explained_permille") == exp))
+    assert(lam > 0 && exp > 0 && exp <= 1000, s"lam=$lam exp=$exp")
+    // the eigen law against an independent exact recomputation: S·x on
+    // the driver from raw vectors must reproduce the gate's direction
+    // (same scaled-integer arithmetic, dims in order)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .filter(size(col("embedding")) === 64)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val S = Array.ofDim[Long](64, 64)
+    for (v <- vecs; i <- 0 until 64; j <- 0 until 64)
+      S(i)(j) += math.floor(v(i) * v(j) * 1000000.0).toLong
+    var x = Array.fill(64)(100000L)
+    for (_ <- 1 to 4) {
+      val y = Array.tabulate(64)(i =>
+        (0 until 64).map(j => S(i)(j) * x(j)).sum)
+      val m = y.map(math.abs).max
+      x = y.map(_ / (m / 100000L))
+    }
+    assert(x.toSeq == loadings.toSeq,
+      s"driver recomputation diverges: ${x.take(5).toSeq} vs ${loadings.take(5).toSeq}")
+  }
+
   test("sim23 radius search: one row per query, found never exceeds true") {
     import org.apache.spark.sql.functions._
     val rows = gate("sim23_radius_search", sf0001).collect()

@@ -976,6 +976,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("compression_permille") < 1000))
   }
 
+  test("tx26 vocab growth: curve conserves tokens and types exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = gate("tx26_vocab_growth", sf0001).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10, s"expected 10 deciles, got ${rows.length}")
+    // vocab_cum is the running sum of new_types and is non-decreasing
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("new_types")
+      assert(r.getAs[Long]("vocab_cum") == cum)
+    }
+    // conservation against independent exact totals
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == toks.count(),
+      "per-decile token volumes do not cover the corpus")
+    assert(cum == toks.distinct().count(),
+      "final cumulative vocabulary != exact distinct type count")
+  }
+
   test("tx23 triangles: oriented wedge algorithm equals driver brute force") {
     // independent adjudication: pull the SAME undirected edge set the
     // gate derives, brute-force per-host triangle counts on the driver
