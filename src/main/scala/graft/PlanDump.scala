@@ -106,7 +106,11 @@ object PlanDump {
     "cp17_pps_sample" ->
       "Systematic PPS sample: the 'serial' cumulative-weight walk as pure plan algebra — ONE range exchange of slim (id, w, rk) rows, partition-local prefix windows, the ≤32-row offset dim broadcast back; output ≤ n rows at any corpus size.",
     "sim23_radius_search" ->
-      "Radius search: probed-cell candidates via broadcast probe/query dims, a threshold filter REPLACES the per-query rank window (no sort at all on the serving leg); the brute-force truth leg rides alongside as the priced recall control.")
+      "Radius search: probed-cell candidates via broadcast probe/query dims, a threshold filter REPLACES the per-query rank window (no sort at all on the serving leg); the brute-force truth leg rides alongside as the priced recall control.",
+    "sim24_dominant_direction" ->
+      "Gram-matrix power iteration: ONE corpus scan emits in-row scaled products into a 4096-cell map-side-combined agg; the four matvecs are dim-grain broadcast joins over the checkpointed matrix — nothing corpus-sized moves twice.",
+    "mm12_aspect_buckets" ->
+      "Aspect bucketing: the catalog argmin is a zero-join codegen'd projection (array_position over inline distortions); the whole plan is scan -> project -> one 5-group hash agg.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

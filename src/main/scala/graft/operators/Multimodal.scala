@@ -682,6 +682,83 @@ object Multimodal {
       |  coalesce(a.bytes_saved, 0) AS bytes_saved
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.media_id""".stripMargin
 
+  // ---------------------------------------------------------------- mm12
+
+  /** mm12: ASPECT-RATIO BUCKETING for decode batches — the
+    * NaViT/SDXL-style preprocessing step every image/video training
+    * pipeline runs before the GPU ever sees a pixel: variable-shape
+    * assets are snapped to the nearest entry of a fixed bucket
+    * catalog (equal-pixel-budget shapes across aspect ratios) so
+    * decode/resize batches are SHAPE-UNIFORM — ragged batches either
+    * pad (wasted FLOPs) or re-launch kernels per shape. The decision
+    * is pure metadata: native (w, h) come from the asset header (here
+    * derived deterministically from the payload digest — the decode
+    * stub discipline), and the whole assignment is a zero-join narrow
+    * map — per-bucket aspect distortion d_i = 1000·|w·bh_i − h·bw_i|
+    * div (w·bh_i + h·bw_i) computed inline over the 5-entry literal
+    * catalog, argmin via array_position(min) so ties break to the
+    * lowest bucket id on both engines.
+    *
+    * Output: the 5-row bucket plan a batch scheduler consumes —
+    * asset count, full-32 decode-batch count + remainder fill, total
+    * payload bytes the bucket's decode wave will read, and the mean
+    * snap distortion in permille (the quality cost of the catalog;
+    * a catalog revision is judged by exactly this number).
+    *
+    * Scale shape: one narrow scan, one 5-group map-side-combined agg
+    * — nothing else. At 100 TB the bucket plan costs the scan. */
+  private def mm12(s: SparkSession, d: String): DataFrame = {
+    val bw = Seq(512L, 576L, 448L, 640L, 384L)
+    val bh = Seq(512L, 448L, 576L, 384L, 640L)
+    val m = media(s, d)
+      .withColumn("w", expr("160L + (cast(conv(substring(md5(payload), 1, 8), 16, 10) as bigint) % 12) * 80"))
+      .withColumn("h", expr("160L + (cast(conv(substring(md5(payload), 9, 8), 16, 10) as bigint) % 12) * 80"))
+    val ds = bw.indices.map(i =>
+      expr(s"1000L * abs(w * ${bh(i)}L - h * ${bw(i)}L) div (w * ${bh(i)}L + h * ${bw(i)}L)"))
+    m.withColumn("darr", array(ds: _*))
+      .withColumn("bucket_id",
+        (array_position(col("darr"), array_min(col("darr"))) - 1L).cast("long"))
+      .withColumn("distortion", element_at(col("darr"), (col("bucket_id") + 1).cast("int")))
+      .groupBy(col("bucket_id"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(octet_length(col("payload")).cast("long")).as("n_bytes"),
+        sum(col("distortion")).as("sum_distortion"))
+      .select(col("bucket_id"),
+        element_at(typedLit(bw), (col("bucket_id") + 1).cast("int")).as("bucket_w"),
+        element_at(typedLit(bh), (col("bucket_id") + 1).cast("int")).as("bucket_h"),
+        col("n_assets"),
+        expr("n_assets div 32").as("n_full_batches"),
+        (col("n_assets") % 32).as("tail_fill"),
+        col("n_bytes"),
+        expr("sum_distortion div n_assets").as("avg_distortion_permille"))
+  }
+
+  private val mm12Sql = {
+    val bw = Seq(512, 576, 448, 640, 384)
+    val bh = Seq(512, 448, 576, 384, 640)
+    val ds = bw.indices.map(i =>
+      s"1000 * abs(w * ${bh(i)} - h * ${bw(i)}) // (w * ${bh(i)} + h * ${bw(i)})")
+    s"""WITH wh AS (
+       |  SELECT doc_id AS media_id, strlen(text) AS payload_bytes,
+       |    160 + (('0x' || substr(md5(text), 1, 8))::BIGINT % 12) * 80 AS w,
+       |    160 + (('0x' || substr(md5(text), 9, 8))::BIGINT % 12) * 80 AS h
+       |  FROM documents),
+       |assigned AS (
+       |  SELECT media_id, payload_bytes,
+       |    CAST(list_position(darr, list_min(darr)) - 1 AS BIGINT) AS bucket_id,
+       |    darr[list_position(darr, list_min(darr))] AS distortion
+       |  FROM (SELECT *, [${ds.mkString(", ")}] AS darr FROM wh) t)
+       |SELECT bucket_id,
+       |  CAST([${bw.mkString(", ")}][CAST(bucket_id AS INT) + 1] AS BIGINT) AS bucket_w,
+       |  CAST([${bh.mkString(", ")}][CAST(bucket_id AS INT) + 1] AS BIGINT) AS bucket_h,
+       |  count(*) AS n_assets,
+       |  count(*) // 32 AS n_full_batches,
+       |  count(*) % 32 AS tail_fill,
+       |  CAST(sum(payload_bytes) AS BIGINT) AS n_bytes,
+       |  CAST(sum(distortion) AS BIGINT) // count(*) AS avg_distortion_permille
+       |FROM assigned GROUP BY bucket_id""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
@@ -704,7 +781,9 @@ object Multimodal {
     GateQuery("mm10_payload_quarantine", mm10, Some(mm10Sql),
       "ingest validation: declared-vs-actual length quarantine rollup, payload never opened"),
     GateQuery("mm11_cdc_chunk_dedup", mm11, Some(mm11Sql),
-      "content-defined-chunking dedup: position-local cut rule, digest-grain copy groups, bytes reclaimed"))
+      "content-defined-chunking dedup: position-local cut rule, digest-grain copy groups, bytes reclaimed"),
+    GateQuery("mm12_aspect_buckets", mm12, Some(mm12Sql),
+      "aspect-ratio bucketing for shape-uniform decode batches: zero-join argmin over the bucket catalog, 5-row plan"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

@@ -976,6 +976,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("compression_permille") < 1000))
   }
 
+  test("mm12 aspect buckets: full assignment, argmin law, batch arithmetic") {
+    import org.apache.spark.sql.functions._
+    val rows = gate("mm12_aspect_buckets", sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    // every asset lands in exactly one bucket; ids in the catalog
+    assert(rows.map(_.getAs[Long]("n_assets")).sum == nDocs)
+    assert(rows.forall(r => (0L to 4L).contains(r.getAs[Long]("bucket_id"))))
+    rows.foreach { r =>
+      val (n, full, tail) = (r.getAs[Long]("n_assets"),
+        r.getAs[Long]("n_full_batches"), r.getAs[Long]("tail_fill"))
+      assert(full == n / 32 && tail == n % 32)
+      val d = r.getAs[Long]("avg_distortion_permille")
+      assert(d >= 0 && d < 1000, s"distortion $d out of range")
+    }
+    // the argmin law on a driver recomputation: for a sample of
+    // assets, the chosen bucket's distortion is minimal with ties to
+    // the lowest id
+    val bw = Seq(512L, 576L, 448L, 640L, 384L)
+    val bh = Seq(512L, 448L, 576L, 384L, 640L)
+    val sample = Tables.documents(spark, sf0001).limit(50)
+      .select(expr("160L + (cast(conv(substring(md5(encode(text, 'UTF-8')), 1, 8), 16, 10) as bigint) % 12) * 80").as("w"),
+        expr("160L + (cast(conv(substring(md5(encode(text, 'UTF-8')), 9, 8), 16, 10) as bigint) % 12) * 80").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    sample.foreach { case (w, h) =>
+      val ds = bw.indices.map(i =>
+        1000L * math.abs(w * bh(i) - h * bw(i)) / (w * bh(i) + h * bw(i)))
+      val best = ds.indexOf(ds.min)
+      assert(ds(best) == ds.min && ds.take(best).forall(_ > ds.min))
+    }
+  }
+
   test("tx26 vocab growth: curve conserves tokens and types exactly") {
     import org.apache.spark.sql.functions._
     val rows = gate("tx26_vocab_growth", sf0001).collect()
