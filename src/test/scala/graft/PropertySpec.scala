@@ -535,6 +535,79 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expect, s"got $got\nexp $expect")
   }
 
+  test("bounded as-of with NULL ords equals the brute-force law on random data") {
+    // The round-10 tolerance contract on adversarial data: NULL ord
+    // values (nulls sort first, so a null-ord right row is every left
+    // row's earliest candidate and can become the held lastRight) must
+    // never fabricate a within-tolerance match, and the bound must
+    // apply exactly to the LATEST strict-prior candidate — not to any
+    // earlier one. ~12% of ords are NULL; small domains force ties.
+    val ordGen = Gen.frequency(
+      7 -> Gen.chooseNum(0L, 20L).map(Option(_)), 1 -> Gen.const(Option.empty[Long]))
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 7L), ordGen)
+    val lRows = Gen.listOfN(120, rowGen).sample.get.zipWithIndex
+      .map { case ((k, t), i) => (k, t, 2L * i + 1) }
+    val rRows = Gen.listOfN(120, rowGen).sample.get.zipWithIndex
+      .map { case ((k, t), i) => (k, t, 2L * i) }
+    val tol = 5L
+    val l = lRows.map { case (k, t, id) => (k, t.map(Long.box).orNull, id) }
+      .toDF("k", "t", "lid")
+    val r = rRows.map { case (k, t, id) => (k, t.map(Long.box).orNull, id) }
+      .toDF("rk", "rt", "rid")
+    val got = graft.plans.AsOfJoin.asof(l, r,
+        Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"),
+        tolerance = Some(tol))
+      .collect()
+      .map(x => (x.getLong(0), Option(x.get(1)).map(_.asInstanceOf[Long]),
+        x.getLong(2), Option(x.get(5)).map(_.asInstanceOf[Long]))).toSet
+    // nulls-first ordering key for the strict-before comparison
+    def key(t: Option[Long], id: Long): (Int, Long, Long) =
+      (if (t.isEmpty) 0 else 1, t.getOrElse(0L), id)
+    val expected = lRows.map { case (k, t, lid) =>
+      val prior = rRows.filter { case (rk, rt, rid) =>
+        rk == k && Ordering[(Int, Long, Long)].lt(key(rt, rid), key(t, lid)) }
+      val latest = if (prior.isEmpty) None else Some(prior.maxBy {
+        case (_, rt, rid) => key(rt, rid) })
+      // the bound applies to THAT candidate only; NULL on either side
+      // is never within tolerance
+      (k, t, lid, latest.collect {
+        case (_, Some(rt), rid) if t.exists(lt => lt - rt <= tol) => rid
+      })
+    }.toSet
+    assert(got == expected,
+      s"bounded asof law broken:\n+${(got -- expected).take(5)}\n-${(expected -- got).take(5)}")
+  }
+
+  test("cp17's grid arithmetic: exactly n hits for any positive weights") {
+    // The systematic-PPS law, independent of the gate's corpus: for
+    // ANY weight multiset (including giant weights that swallow many
+    // grid points and weights below step), the min(cum, n*step) clamp
+    // yields EXACTLY n total hits, and every doc with w >= step is
+    // selected. Generated weights are adversarial: mixed magnitudes
+    // over 3 orders, plus a deliberate giant.
+    val n = 17L
+    val wGen = Gen.frequency(
+      6 -> Gen.chooseNum(1L, 50L), 3 -> Gen.chooseNum(100L, 5000L),
+      1 -> Gen.const(200000L))
+    (1 to 5).foreach { round =>
+      val ws = Gen.listOfN(40 + round * 13, wGen).sample.get
+      val total = ws.sum
+      val step = total / n
+      assert(step > 0)
+      val grid = step * n
+      var cum = 0L
+      var hitsTotal = 0L
+      ws.zipWithIndex.foreach { case (w, i) =>
+        cum += w
+        val hits = math.min(cum, grid) / step - math.min(cum - w, grid) / step
+        assert(hits >= 0, s"negative hits at $i")
+        if (w >= step) assert(hits >= 1, s"certainty stratum missed: w=$w step=$step")
+        hitsTotal += hits
+      }
+      assert(hitsTotal == n, s"round $round: $hitsTotal hits != $n (total=$total step=$step)")
+    }
+  }
+
   test("native as-of equals the brute-force law on random collision-dense data") {
     // Small key/time domains force multi-row keys, cross-key
     // interleaving, equal-timestamp ties and empty keys — every branch
