@@ -151,6 +151,91 @@ object Connector {
       |  ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1] AS country
       |FROM range(100, 850) t(i)""".stripMargin
 
+  // ----------------------------------------------------------------- s9
+
+  /** s9: REQUEST-SIZE CAP enforced at planning (F11 — config.py:38-39
+    * caps every channel/video batch GET at 50 ids;
+    * youtube_api_handler.py:461-462 chunks the id list at that bound).
+    * A caller asking for batchSize=500 does NOT get 500-id requests
+    * the upstream would reject three stages downstream — the scan
+    * clamps to 50 at plan time and chunks accordingly. The receipt is
+    * the PARTITION PLAN itself: 1 000 ids must plan exactly 20
+    * chunk-partitions (a 500-id chunking would plan 2); the oracle
+    * then pins that the capped plan serves the identical universe.
+    * Cap cost is zero — it only changes how the id list is cut. */
+  private def s9(s: SparkSession, d: String): DataFrame = {
+    val df = s.read.format(Src)
+      .option("maxId", 999).option("batchSize", 500).load()
+    require(df.rdd.getNumPartitions == 20,
+      s"batchSize=500 must clamp to 50-id chunks (20 partitions), " +
+        s"planned ${df.rdd.getNumPartitions}")
+    df.groupBy(col("country"))
+      .agg(count(lit(1)).as("n_channels"),
+        sum(col("subscriber_count")).as("subs"),
+        min(col("channel_id")).as("min_id"),
+        max(col("channel_id")).as("max_id"))
+  }
+
+  private val s9Sql =
+    """WITH ch AS (
+      |  SELECT i AS channel_id,
+      |    (i*1103515245 + 12345) % 10000000 AS subscriber_count,
+      |    ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1] AS country
+      |  FROM range(0, 1000) t(i))
+      |SELECT country, count(*) AS n_channels,
+      |  CAST(sum(subscriber_count) AS BIGINT) AS subs,
+      |  CAST(min(channel_id) AS BIGINT) AS min_id,
+      |  CAST(max(channel_id) AS BIGINT) AS max_id
+      |FROM ch GROUP BY country""".stripMargin
+
+  // ---------------------------------------------------------------- s10
+
+  /** s10: RETRY/BACKOFF on 429 (T5 — youtube_api_handler.py:401-404:
+    * rate-limited requests sleep RETRY_DELAY and re-issue the SAME
+    * request, bounded by config.py:34 MAX_RETRIES = 3), executed at
+    * the REQUEST grain inside the partition reader: a Spark-level
+    * task retry would re-run the whole partition and re-bill every
+    * other request in the stage, so the loop lives where the
+    * reference's does — around one batch GET. The synthetic transport
+    * injects a deterministic 429 on every 4th chunk's first attempt
+    * (ids 0/200/400/600/800 of the 20-chunk plan → exactly 5 rate
+    * limits); the gate `require`s the retry ledger says exactly 5
+    * (the engine-side receipt the oracle can't see) and the oracle
+    * pins the served rollup is byte-identical to the never-throttled
+    * universe — a transient 429 costs latency, never data. */
+  private def s10(s: SparkSession, d: String): DataFrame = {
+    val runId = java.util.UUID.randomUUID().toString
+    // materialize the SCAN before aggregating: this connector answers
+    // rollups via complete aggregate pushdown (s6's gate), which would
+    // bypass the chunk readers — and the retry loop under test lives
+    // in the chunk reader's batch GET
+    val scanned = s.read.format(Src)
+      .option("maxId", 999).option("batchSize", 50)
+      .option("flakyEvery", 4).option("runId", runId).load()
+      .localCheckpoint()
+    val out = scanned
+      .groupBy(col("country"))
+      .agg(count(lit(1)).as("n_channels"),
+        sum(col("view_count")).as("views"),
+        sum(col("video_count")).as("videos"))
+    val rows = out.collect()
+    val retries = graft.sources.RetryStats.drain(runId)
+    require(retries == 5L,
+      s"expected exactly 5 rate-limit retries (chunks 0,200,..,800), got $retries")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val s10Sql =
+    """WITH ch AS (
+      |  SELECT ((i*1103515245 + 12345) % 10000000) * 37 + i % 1000 AS view_count,
+      |    i % 500 AS video_count,
+      |    ['US','IN','BR','DE','JP'][CAST(i % 5 AS INT) + 1] AS country
+      |  FROM range(0, 1000) t(i))
+      |SELECT country, count(*) AS n_channels,
+      |  CAST(sum(view_count) AS BIGINT) AS views,
+      |  CAST(sum(video_count) AS BIGINT) AS videos
+      |FROM ch GROUP BY country""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("s1_connector_scan", s1, Some(s1Sql),
       "DSv2 full scan, 50-id chunk partitions (S1)"),
@@ -167,5 +252,9 @@ object Connector {
     GateQuery("s7_connector_topn", s7, Some(s7Sql),
       "ORDER BY + LIMIT fully pushed as planning-time top-N ranking (the API's order= param)"),
     GateQuery("s8_connector_offset", s8, Some(s8Sql),
-      "LIMIT + OFFSET fully pushed: the skipped page is never fetched (la1's pagination at the source)"))
+      "LIMIT + OFFSET fully pushed: the skipped page is never fetched (la1's pagination at the source)"),
+    GateQuery("s9_request_cap", s9, Some(s9Sql),
+      "F11: the 50-id API batch cap enforced at PLANNING — batchSize=500 clamps to 20 chunk-partitions"),
+    GateQuery("s10_retry_backoff", s10, Some(s10Sql),
+      "T5: request-grain 429 retry with backoff — 5 injected rate limits, exact retry ledger, zero data loss"))
 }

@@ -90,7 +90,21 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
 
   private val minId = options.getLong("minId", 0L)
   private val maxId = options.getLong("maxId", 4999L)
-  private val batchSize = options.getInt("batchSize", 50)
+  /** F11 — REQUEST-SIZE CAP (config.py:38-39 MAX_CHANNEL/VIDEO_BATCH
+    * _SIZE = 50; youtube_api_handler.py:461-462, 487-488 chunks every
+    * id list at that bound): the upstream API hard-rejects >50-id
+    * batch GETs, so the cap is enforced at PLANNING — a caller may ask
+    * for any batchSize, the scan clamps to 50 and chunks accordingly
+    * (never a runtime error three stages downstream); non-positive
+    * sizes are input errors and fail fast. */
+  private val batchSize = {
+    val b = options.getInt("batchSize", 50)
+    require(b >= 1, s"batchSize must be >= 1, got $b")
+    math.min(b, 50)
+  }
+  /** T5 fault injection: every flakyEvery-th chunk 429s once (0 = off). */
+  private val flakyEvery = options.getInt("flakyEvery", 0)
+  private val runId = Option(options.get("runId")).getOrElse("")
 
   private var required: StructType = YtApiTable.schema
   private var pushed: Array[Filter] = Array.empty
@@ -283,14 +297,16 @@ class YtApiScanBuilder(options: CaseInsensitiveStringMap)
     pushedAgg match {
       case Some((groupCol, evals)) => new YtApiAggScan(ids, groupCol, evals, pushed)
       case None => new YtApiScan(ids, required, batchSize, limitN,
-        options.getInt("pollBatch", 100), topKeys.map(_._2), offsetN)
+        options.getInt("pollBatch", 100), topKeys.map(_._2), offsetN,
+        flakyEvery, runId)
     }
   }
 }
 
 class YtApiScan(initialIds: Seq[Long], required: StructType, batchSize: Int,
     pushedLimit: Option[Int] = None, pollBatch: Int = 100,
-    pushedTopN: Option[Int] = None, pushedOffset: Option[Int] = None)
+    pushedTopN: Option[Int] = None, pushedOffset: Option[Int] = None,
+    flakyEvery: Int = 0, runId: String = "")
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   private var ids: Seq[Long] = initialIds
@@ -306,7 +322,7 @@ class YtApiScan(initialIds: Seq[Long], required: StructType, batchSize: Int,
     * exactly where the poller stopped. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new YtApiMicroBatchStream(ids.toArray, required.fieldNames, batchSize,
-      pollBatch)
+      pollBatch, flakyEvery, runId)
   /** Runtime filtering — the DSv2 analog of dynamic partition
     * pruning: when this scan sits under a join, the join's build-side
     * keys arrive here AT EXECUTION TIME as an `In` filter, and the
@@ -350,7 +366,7 @@ class YtApiScan(initialIds: Seq[Long], required: StructType, batchSize: Int,
   override def planInputPartitions(): Array[InputPartition] =
     ids.grouped(batchSize).map(chunk => YtApiChunk(chunk.toArray)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new YtApiReaderFactory(required.fieldNames)
+    new YtApiReaderFactory(required.fieldNames, flakyEvery, runId)
 }
 
 /** Completely-pushed aggregate: the scan emits PRE-AGGREGATED rows —
@@ -425,7 +441,7 @@ case class YtOffset(pos: Long) extends Offset {
   * 2-arg form. `planInputPartitions` re-chunks the newly discovered
   * slice exactly like the batch scan. */
 class YtApiMicroBatchStream(ids: Array[Long], fieldNames: Array[String],
-    batchSize: Int, pollBatch: Int)
+    batchSize: Int, pollBatch: Int, flakyEvery: Int = 0, runId: String = "")
     extends MicroBatchStream with SupportsAdmissionControl {
   require(pollBatch > 0, s"pollBatch must be positive, got $pollBatch")
   override def initialOffset(): Offset = YtOffset(0L)
@@ -449,25 +465,67 @@ class YtApiMicroBatchStream(ids: Array[Long], fieldNames: Array[String],
     ids.slice(s, e).grouped(batchSize).map(YtApiChunk.apply).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new YtApiReaderFactory(fieldNames)
+    new YtApiReaderFactory(fieldNames, flakyEvery, runId)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 case class YtApiChunk(ids: Array[Long]) extends InputPartition
 
-class YtApiReaderFactory(fieldNames: Array[String])
+class YtApiReaderFactory(fieldNames: Array[String],
+    flakyEvery: Int = 0, runId: String = "")
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new YtApiPartitionReader(p.asInstanceOf[YtApiChunk].ids, fieldNames)
+    new YtApiPartitionReader(p.asInstanceOf[YtApiChunk].ids, fieldNames,
+      flakyEvery, runId)
 }
 
 /** One reader per chunk ≈ one upstream batch GET; projection applied at
-  * the source (only the pruned fields are materialized per row). */
-class YtApiPartitionReader(ids: Array[Long], fieldNames: Array[String])
+  * the source (only the pruned fields are materialized per row).
+  *
+  * T5 — RETRY/BACKOFF (youtube_api_handler.py:401-404: a 429 sleeps
+  * RETRY_DELAY then re-issues the SAME request, bounded by
+  * config.py:34 MAX_RETRIES = 3): the batch GET is wrapped in a retry
+  * loop that backs off and retries in place, so a transient rate
+  * limit never fails the Spark task (which would re-run the whole
+  * partition, re-billing every OTHER request in the stage — the retry
+  * belongs at the request grain, not the task grain). The synthetic
+  * transport simulates the 429 deterministically (every
+  * `flakyEvery`-th chunk fails on its first attempt) and each retry
+  * is counted in [[RetryStats]] under the scan's runId so gates can
+  * `require` the exact retry ledger; the delay is the reference's
+  * schedule scaled ms-for-s (zero-egress sandbox — the SHAPE of the
+  * loop is what's gated, not wall-clock seconds). */
+class YtApiPartitionReader(ids: Array[Long], fieldNames: Array[String],
+    flakyEvery: Int = 0, runId: String = "")
     extends PartitionReader[InternalRow] {
   private var i = -1
-  override def next(): Boolean = { i += 1; i < ids.length }
+  private val MaxRetries = 3 // config.py:34
+  // the simulated batch GET: 429s once per selected chunk, then serves
+  private var failedOnce = false
+  private def batchGet(): Unit = {
+    if (flakyEvery > 0 && !failedOnce && ids.nonEmpty &&
+        ids.head % (flakyEvery.toLong * 50L) == 0) {
+      failedOnce = true
+      throw new YtRateLimited(s"429 for chunk at ${ids.head}")
+    }
+  }
+  private lazy val fetched: Boolean = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { batchGet(); done = true }
+      catch {
+        case e: YtRateLimited =>
+          attempt += 1
+          if (attempt > MaxRetries) throw e
+          RetryStats.inc(runId)
+          Thread.sleep(1L << (attempt - 1)) // 1/2/4 ms, the scaled schedule
+      }
+    }
+    true
+  }
+  override def next(): Boolean = { require(fetched); i += 1; i < ids.length }
   override def get(): InternalRow = {
     val id = ids(i)
     val values: Array[Any] = fieldNames.map {
@@ -482,6 +540,24 @@ class YtApiPartitionReader(ids: Array[Long], fieldNames: Array[String])
     new GenericInternalRow(values)
   }
   override def close(): Unit = ()
+}
+
+/** Simulated upstream rate-limit response (HTTP 429). */
+class YtRateLimited(msg: String) extends RuntimeException(msg)
+
+/** Per-scan retry ledger: the engine-side receipt for T5 gates — the
+  * oracle can restate the served ROWS but never the retry traffic, so
+  * gates `require` the exact count here (keyed by the scan's runId;
+  * drain removes the key, keeping the map bounded). */
+object RetryStats {
+  private val counters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+  def inc(runId: String): Unit =
+    counters.computeIfAbsent(runId, _ => new java.util.concurrent.atomic.LongAdder).increment()
+  def drain(runId: String): Long = {
+    val a = counters.remove(runId)
+    if (a == null) 0L else a.sum()
+  }
 }
 
 /** STUB transport: deterministic synthetic channel documents in place

@@ -29,6 +29,45 @@ class DataSourceSpec extends AnyFunSuite {
     assert(scanOf(odd).inputRDD.getNumPartitions == 3)
   }
 
+  test("F11 request-size cap: batchSize clamps to 50 at planning; non-positive rejected") {
+    // the upstream hard cap (config.py:38-39): a 500-id request plans
+    // 50-id chunks, never a chunk the API would reject at runtime
+    val big = spark.read.format("graft.sources.YtApiSource")
+      .option("maxId", 999).option("batchSize", 500).load()
+    assert(scanOf(big).inputRDD.getNumPartitions == 20)
+    // and a request under the cap keeps its own size
+    val small = spark.read.format("graft.sources.YtApiSource")
+      .option("maxId", 999).option("batchSize", 10).load()
+    assert(scanOf(small).inputRDD.getNumPartitions == 100)
+    // input validation: zero/negative sizes are caller errors
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.YtApiSource")
+        .option("maxId", 10).option("batchSize", 0).load().collect()
+    }
+    assert(e.getMessage.contains("batchSize"))
+  }
+
+  test("T5 retry/backoff: exact ledger when flaky, zero when healthy, rows identical") {
+    import org.apache.spark.sql.functions._
+    def readAll(flaky: Int, runId: String) = spark.read
+      .format("graft.sources.YtApiSource")
+      .option("maxId", 499).option("batchSize", 50)
+      .option("flakyEvery", flaky).option("runId", runId).load()
+      .localCheckpoint() // force the chunk readers, not pushed aggs
+    val healthyId = java.util.UUID.randomUUID().toString
+    val healthy = readAll(0, healthyId).collect().map(_.toSeq).toSet
+    assert(graft.sources.RetryStats.drain(healthyId) == 0L,
+      "healthy transport must never retry")
+    val flakyId = java.util.UUID.randomUUID().toString
+    val throttled = readAll(2, flakyId).collect().map(_.toSeq).toSet
+    // chunks head in {0,100,200,300,400} fail once each → 5 retries
+    assert(graft.sources.RetryStats.drain(flakyId) == 5L)
+    assert(throttled == healthy,
+      "retried scan must serve the identical universe")
+    // the ledger drains: a second read is not double-counted
+    assert(graft.sources.RetryStats.drain(flakyId) == 0L)
+  }
+
   test("column pruning reaches the connector (parts= analog)") {
     val pruned = load().select("handle")
     assert(scanOf(pruned).scan.readSchema().fieldNames.toSeq == Seq("handle"))
