@@ -548,7 +548,14 @@ class YtRateLimited(msg: String) extends RuntimeException(msg)
 /** Per-scan retry ledger: the engine-side receipt for T5 gates — the
   * oracle can restate the served ROWS but never the retry traffic, so
   * gates `require` the exact count here (keyed by the scan's runId;
-  * drain removes the key, keeping the map bounded). */
+  * drain removes the key, keeping the map bounded).
+  *
+  * TEST-RIG instrumentation, deliberately: readers run in the same
+  * JVM under local[*], so a static ledger is exact. On a real cluster
+  * the counts live on executors — production telemetry for the same
+  * signal is a `LongAccumulator` or a task metric; the retry LOOP
+  * itself (the behavior under gate) is executor-local and
+  * cluster-correct as is. */
 object RetryStats {
   private val counters =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
