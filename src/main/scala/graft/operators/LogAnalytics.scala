@@ -1614,8 +1614,8 @@ object LogAnalytics {
       "change data feed from the manifest diff: pre/postimage pairs, scan proven to touch only changed files"),
     GateQuery("la19_optimistic_commit", la19, Some(la19Sql),
       "optimistic concurrency: manifest CAS, disjoint writer rebases, conflicting writer aborts"),
-    GateQuery("la21_write_audit_publish", la21, Some(la21Sql),
-      "write-audit-publish: staged batches audited against their FILES, atomic manifest publish, failed audits invisible"),
     GateQuery("la20_snapshot_expire", la20, Some(la20Sql),
-      "snapshot expiration + orphan GC: manifest-algebra dead set, exact post-GC listing, live bytes untouched"))
+      "snapshot expiration + orphan GC: manifest-algebra dead set, exact post-GC listing, live bytes untouched"),
+    GateQuery("la21_write_audit_publish", la21, Some(la21Sql),
+      "write-audit-publish: staged batches audited against their FILES, atomic manifest publish, failed audits invisible"))
 }

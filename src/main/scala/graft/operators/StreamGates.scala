@@ -1204,10 +1204,22 @@ object StreamGates {
     val dataBatches = deltas.count(_ > 0)
     require(dataBatches == 4 && deltas.forall(_ <= 300),
       s"admission control violated: deltas=${deltas.mkString(",")}")
-    // receipt 2: one sink file per 50-id chunk partition per trigger
-    val sinkFiles = out.listFiles().count(_.getName.endsWith(".parquet"))
+    // receipt 2: one COMMITTED sink file per 50-id chunk partition per
+    // trigger, read from the FileStreamSink's _spark_metadata commit
+    // log rather than a raw directory listing (round-10 advice: raw
+    // listings also count orphans from task retries/speculation and
+    // are hostage to empty-partition file policy; the commit log IS
+    // the committed set — the same ledger st18's exactly-once proof
+    // reads)
+    val sinkFiles = new File(out, "_spark_metadata").listFiles()
+      .filter(f => f.getName.forall(_.isDigit))
+      .map { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().count(l => l.startsWith("{") && l.contains("\"path\""))
+        finally src.close()
+      }.sum
     require(sinkFiles == 21,
-      s"expected 21 chunk-partition files (6+6+6+3), got $sinkFiles")
+      s"expected 21 committed chunk-partition files (6+6+6+3), got $sinkFiles")
     val drained = s.read.parquet(out.getPath)
     val rolled = drained.groupBy(col("country"))
       .agg(count(lit(1)).as("n_channels"),

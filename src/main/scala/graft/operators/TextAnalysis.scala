@@ -1869,8 +1869,8 @@ object TextAnalysis {
       "degree-oriented triangle count + clustering coefficient per host, vs the unoriented 3-way join"),
     GateQuery("tx24_bpe_merges", tx24, Some(tx24Sql),
       "BPE tokenizer training: 8 merge rounds on the word-frequency dict, greedy application as a fold"),
-    GateQuery("tx26_vocab_growth", tx26, Some(tx26Sql),
-      "vocabulary-growth (Heaps-law) curve: per-decile new types + cumulative vocab in one token-grain pass"),
     GateQuery("tx25_bpe_tokenize", tx25, Some(tx25Sql),
-      "corpus tokenization with the trained BPE vocab: per-source subword totals + compression permille"))
+      "corpus tokenization with the trained BPE vocab: per-source subword totals + compression permille"),
+    GateQuery("tx26_vocab_growth", tx26, Some(tx26Sql),
+      "vocabulary-growth (Heaps-law) curve: per-decile new types + cumulative vocab in one token-grain pass"))
 }

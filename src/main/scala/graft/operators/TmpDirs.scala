@@ -24,8 +24,15 @@ private[graft] object TmpDirs {
       s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${java.util.UUID.randomUUID()}"
     try body(dir)
     finally {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      // cleanup must never shadow the body's primary failure (e.g. the
+      // SparkContext already stopped when the body threw) — best-effort
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          exitRoots.add(new java.io.File(dir)) // retry at JVM exit
+      }
     }
   }
 

@@ -13,6 +13,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.LongAccumulator
 
 /** DataSource V2 connector for the reference's ingest boundary — the
   * YouTube Data API channel scan (S1-S3: `_make_request` /
@@ -366,7 +367,8 @@ class YtApiScan(initialIds: Seq[Long], required: StructType, batchSize: Int,
   override def planInputPartitions(): Array[InputPartition] =
     ids.grouped(batchSize).map(chunk => YtApiChunk(chunk.toArray)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new YtApiReaderFactory(required.fieldNames, flakyEvery, runId)
+    new YtApiReaderFactory(required.fieldNames, batchSize, flakyEvery,
+      RetryStats.accFor(flakyEvery, runId))
 }
 
 /** Completely-pushed aggregate: the scan emits PRE-AGGREGATED rows —
@@ -465,19 +467,20 @@ class YtApiMicroBatchStream(ids: Array[Long], fieldNames: Array[String],
     ids.slice(s, e).grouped(batchSize).map(YtApiChunk.apply).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new YtApiReaderFactory(fieldNames, flakyEvery, runId)
+    new YtApiReaderFactory(fieldNames, batchSize, flakyEvery,
+      RetryStats.accFor(flakyEvery, runId))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 case class YtApiChunk(ids: Array[Long]) extends InputPartition
 
-class YtApiReaderFactory(fieldNames: Array[String],
-    flakyEvery: Int = 0, runId: String = "")
+class YtApiReaderFactory(fieldNames: Array[String], batchSize: Int = 50,
+    flakyEvery: Int = 0, retryAcc: Option[LongAccumulator] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new YtApiPartitionReader(p.asInstanceOf[YtApiChunk].ids, fieldNames,
-      flakyEvery, runId)
+      batchSize, flakyEvery, retryAcc)
 }
 
 /** One reader per chunk ≈ one upstream batch GET; projection applied at
@@ -497,15 +500,20 @@ class YtApiReaderFactory(fieldNames: Array[String],
   * schedule scaled ms-for-s (zero-egress sandbox — the SHAPE of the
   * loop is what's gated, not wall-clock seconds). */
 class YtApiPartitionReader(ids: Array[Long], fieldNames: Array[String],
-    flakyEvery: Int = 0, runId: String = "")
+    batchSize: Int = 50, flakyEvery: Int = 0,
+    retryAcc: Option[LongAccumulator] = None)
     extends PartitionReader[InternalRow] {
   private var i = -1
   private val MaxRetries = 3 // config.py:34
-  // the simulated batch GET: 429s once per selected chunk, then serves
+  // the simulated batch GET: 429s once per selected chunk, then serves.
+  // The flaky stride is the scan's EFFECTIVE chunk width (round-10
+  // advice: a hardcoded 50 would pick a surprising failure set whenever
+  // a caller combines flakyEvery with batchSize != 50) — "every
+  // flakyEvery-th chunk" means exactly that at any batch size.
   private var failedOnce = false
   private def batchGet(): Unit = {
     if (flakyEvery > 0 && !failedOnce && ids.nonEmpty &&
-        ids.head % (flakyEvery.toLong * 50L) == 0) {
+        ids.head % (flakyEvery.toLong * math.max(batchSize, 1)) == 0) {
       failedOnce = true
       throw new YtRateLimited(s"429 for chunk at ${ids.head}")
     }
@@ -519,7 +527,7 @@ class YtApiPartitionReader(ids: Array[Long], fieldNames: Array[String],
         case e: YtRateLimited =>
           attempt += 1
           if (attempt > MaxRetries) throw e
-          RetryStats.inc(runId)
+          retryAcc.foreach(_.add(1L))
           Thread.sleep(1L << (attempt - 1)) // 1/2/4 ms, the scaled schedule
       }
     }
@@ -550,20 +558,31 @@ class YtRateLimited(msg: String) extends RuntimeException(msg)
   * gates `require` the exact count here (keyed by the scan's runId;
   * drain removes the key, keeping the map bounded).
   *
-  * TEST-RIG instrumentation, deliberately: readers run in the same
-  * JVM under local[*], so a static ledger is exact. On a real cluster
-  * the counts live on executors — production telemetry for the same
-  * signal is a `LongAccumulator` or a task metric; the retry LOOP
-  * itself (the behavior under gate) is executor-local and
-  * cluster-correct as is. */
+  * CLUSTER-CORRECT by construction (round-10 advice): the ledger is a
+  * Spark [[LongAccumulator]], minted on the DRIVER at
+  * `createReaderFactory` time and serialized into the task closure —
+  * executor-side increments flow back with task completion like any
+  * other accumulator, so `drain` reads the true fleet-wide count on a
+  * 1000-executor deployment, not a JVM-local copy. Updates from FAILED
+  * tasks are discarded by Spark's accumulator protocol
+  * (`countFailedValues = false`), so a task-level retry never
+  * double-bills the ledger; the request-grain retry under gate
+  * succeeds in-task and is always counted. */
 object RetryStats {
-  private val counters =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
-  def inc(runId: String): Unit =
-    counters.computeIfAbsent(runId, _ => new java.util.concurrent.atomic.LongAdder).increment()
+  private val accs =
+    new java.util.concurrent.ConcurrentHashMap[String, LongAccumulator]()
+  /** Driver-side mint/lookup: both `createReaderFactory` call sites run
+    * on the driver during planning, where an active SparkSession is
+    * guaranteed. Returns None when fault injection is off — the common
+    * path registers nothing. */
+  def accFor(flakyEvery: Int, runId: String): Option[LongAccumulator] =
+    if (flakyEvery <= 0 || runId.isEmpty) None
+    else Some(accs.computeIfAbsent(runId, id =>
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .longAccumulator(s"graft.yt.retries.$id")))
   def drain(runId: String): Long = {
-    val a = counters.remove(runId)
-    if (a == null) 0L else a.sum()
+    val a = accs.remove(runId)
+    if (a == null) 0L else a.value
   }
 }
 
