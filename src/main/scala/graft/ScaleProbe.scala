@@ -530,10 +530,15 @@ object ScaleProbe {
         (tok.takeWhile(_.isLetter), tok.dropWhile(_.isLetter).toInt)
       }
       val fams = gates.map(famNum)
+      // st gates split by the corpus they replay, not numerically:
+      // st8-11/14/15 ride the doc-grain clocks; st17/st18 drain the
+      // synthetic id universe and need neither replica
+      val stDocs = Set(8, 9, 10, 11, 14, 15)
+      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19)
       val needsDocs = fams.exists { case (f, n) =>
-        Set("dd", "tx", "cp", "mm")(f) || (f == "st" && n >= 8) }
+        Set("dd", "tx", "cp", "mm")(f) || (f == "st" && stDocs(n)) }
       val needsEvents = fams.exists { case (f, n) =>
-        Set("tw", "la", "ob", "q", "s", "ca", "yf")(f) || (f == "st" && n <= 7) }
+        Set("tw", "la", "ob", "q", "s", "ca", "yf")(f) || (f == "st" && stEvents(n)) }
       val needsEmb = fams.exists { case (f, n) =>
         f == "sim" || (f == "dd" && Set(5, 11)(n)) || (f == "mm" && n == 8) }
       if (needsDocs) replicateDocuments()

@@ -1331,6 +1331,86 @@ object StreamGates {
       |  CAST(max(video_count) AS BIGINT) AS max_videos
       |FROM ch GROUP BY country""".stripMargin
 
+  // --------------------------------------------------------------- st19
+
+  /** st19: CHECKPOINT RESTART of a STATEFUL query — the one streaming
+    * contract st16-st18 leave unproven. st18 restarts the SOURCE
+    * (offsets are two longs); this gate kills a query whose
+    * correctness lives in the STATE STORE mid-replay and resumes it:
+    * st12's watermarked tumbling aggregation runs over slices 1-2 of
+    * the shared event staging, the query STOPS (the deploy/worker
+    * restart every production stream exercises — the reference's
+    * cache/quota state machines surviving a worker bounce,
+    * youtube_api_handler.py:47-61), and a SECOND query reopens the
+    * SAME checkpoint over slices 3-4. Recovery must restore (a) the
+    * window store — hours straddling the kill point have partial
+    * counts from run 1 that run 2's events must MERGE into, (b) the
+    * watermark — re-read from the offset log, so run 2 neither
+    * re-emits a closed window nor drops a still-open one, and (c) the
+    * file-source ledger — slices 1-2 are never re-read.
+    *
+    * Engine receipts: run 2 CONTINUES the batch numbering (resume,
+    * not restart); the kill point splits emission (run 1's committed
+    * sink is a nonempty strict prefix of the final row count). The
+    * equality that matters — interrupted ≡ uninterrupted — is
+    * adjudicated by the driver: the gate reuses st12's oracle
+    * VERBATIM, so the restarted run must hash-match the closed form
+    * of the run that never stopped.
+    *
+    * Scale shape: st12's (bounded state, emitted ∝ closed windows)
+    * plus restart cost = re-reading one offset file and reloading the
+    * last state-store snapshot — nothing over the ingested prefix is
+    * replanned or re-aggregated. */
+  private def st19(s: SparkSession, d: String): DataFrame = {
+    val shared = stageSlices(s, d, 4)
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = Files.createTempDirectory("graft-st19-").toFile
+    cleanupRoots.add(root)
+    val src = new File(root, "src"); src.mkdirs()
+    val out = new File(root, "out")
+    val chk = new File(root, "chk")
+    val schema = Tables.events(s, d).schema
+    // land slice i in the gate-local source dir (the shared staging is
+    // read-only to gates — st1-st15 replay it concurrently), keeping
+    // the pinned strictly-increasing mod-times
+    def land(i: Int): Unit = {
+      val name = f"slice-$i%02d.parquet"
+      val dst = new File(src, name)
+      Files.copy(new File(shared, name).toPath, dst.toPath)
+      require(dst.setLastModified(1700000000000L + i * 60000L),
+        s"cannot pin mod-time of $dst — replay order would be undefined")
+    }
+    // one run = open the checkpoint, drain whatever is unprocessed,
+    // stop; returns the last committed batch id as the resume receipt
+    def run(): Long = {
+      val stream = iso.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+      val q = EventStream.hourlyTypeCounts(stream)
+        .writeStream.format("parquet")
+        .option("path", out.getPath)
+        .option("checkpointLocation", chk.getPath)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      new File(chk, "commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).map(_.getName.toLong).max
+    }
+    land(0); land(1)
+    val last1 = run() // run 1 ends here: the query object is gone
+    val rows1 = s.read.parquet(out.getPath).count()
+    land(2); land(3)
+    val last2 = run() // run 2: SAME checkpoint, the grown backlog
+    require(last2 > last1,
+      s"restart did not continue the batch numbering: $last1 -> $last2")
+    val sunk = s.read.parquet(out.getPath)
+    val total = sunk.count()
+    require(rows1 > 0 && rows1 < total,
+      s"kill point did not split emission: run1=$rows1 of $total — " +
+        "the restart proved nothing about state recovery")
+    sunk.select(unix_micros(col("window_start")).as("window_start_us"),
+      col("event_type"), col("n_events"), col("value_cents"))
+  }
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -1371,5 +1451,7 @@ object StreamGates {
     GateQuery("st17_stream_dsv2_source", st17, Some(st17Sql),
       "custom DSv2 streaming source: admission-controlled poll loop drains the id universe ≡ the batch scan's rollup"),
     GateQuery("st18_stream_source_restart", st18, Some(st18Sql),
-      "checkpoint restart of the DSv2 source over a GROWN universe: resumes at the committed offset, union exactly-once"))
+      "checkpoint restart of the DSv2 source over a GROWN universe: resumes at the committed offset, union exactly-once"),
+    GateQuery("st19_stream_state_restart", st19, Some(st12Sql),
+      "checkpoint restart of a STATEFUL query mid-replay: window store + watermark resume, sink ≡ the uninterrupted run's oracle"))
 }
