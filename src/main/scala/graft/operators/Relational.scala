@@ -946,6 +946,98 @@ object Relational {
       |FROM evs WHERE (day + 3) % 7 >= 5
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q25
+
+  /** q25: AQE SKEW-JOIN SPLIT on a deliberately skewed equi-join — the
+    * mega-channel shape (SURVEY §4's named skew case: one channel owns
+    * most of the fact rows, so a plain shuffle join puts ~90% of the
+    * probe side behind ONE reducer; at 100 TB that reducer never
+    * finishes). q9 covers the aggregation-side answer (explicit
+    * salting); this gate executes the JOIN-side answer — let AQE's
+    * `OptimizeSkewedJoin` split the hot partition at runtime from
+    * observed map-output sizes, duplicating the matching build-side
+    * partition per split. Events are remapped so event_id%10≠0
+    * collapses onto user 0 (the mega-channel), carrying an
+    * incompressible 128-byte pad (4 distinct md5s — skew detection
+    * sees lz4-compressed shuffle sizes, and repeated or constant
+    * payloads compress below any threshold); the dim side is the
+    * distinct remapped user set. The join is PINNED shuffle-hash
+    * (broadcast would hide the skew; SMJ is banned repo-wide), and
+    * the downstream re-aggregation on a different key (`tier`) is
+    * what makes the split legal without forcing — the join's output
+    * partitioning is reshuffled anyway.
+    *
+    * Engine receipt: the executed plan must carry the `skew=true`
+    * marker (`require`d — the oracle can restate values, never the
+    * runtime re-plan). Thresholds are scaled so the hot partition
+    * trips detection at every SF (hot ≥ ~130 KB at sf0.001, split ≥ 2
+    * ways at advisory 64 KB); values are oracle-checked — a split
+    * join must be indistinguishable from the unsplit one. */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val iso = s.newSession()
+    Seq(
+      // broadcast would absorb the dim and hide the skew path
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // scaled so sf0.001's ~130 KB hot partition still trips and
+      // splits ≥ 2 ways; at sf0.1 the ~13 MB hot partition splits
+      // ~200 ways — each split a bounded ~64 KB task
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // coalescing first would average the skew away below threshold
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false"
+    ).foreach { case (k, v) => iso.conf.set(k, v) }
+    val ev = Tables.events(iso, d).select(
+      when(pmod(col("event_id"), lit(10)) =!= 0, lit(0L))
+        .otherwise(col("user_id")).as("uid"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("value_cents"),
+      concat(
+        md5(col("event_id").cast("string")),
+        md5((col("event_id") + lit(1000003L)).cast("string")),
+        md5((col("event_id") * lit(7L) + lit(13L)).cast("string")),
+        md5((col("event_id") * lit(31L) + lit(5L)).cast("string")))
+        .as("pad"))
+      // AQE splits a skewed partition into MAP-INDEX ranges, so a
+      // single-mapper side is unsplittable by construction — and the
+      // sf parquet is one file, one mapper. At 100 TB the fact side
+      // always has thousands of mappers; this pre-shuffle restores
+      // that reality at gate scale (8 mappers ≫ the split count).
+      .repartition(8, col("event_id"))
+    // the dim must sit DIRECTLY on its shuffle under the join:
+    // OptimizeSkewedJoin only matches join children that are bare
+    // shuffle stages, so a distinct() (final agg above the shuffle)
+    // would structurally disable the split. A range over the id
+    // universe (1-row max anchor — the tw6/la4 pattern) gives the
+    // same inner-join semantics: every remapped uid resolves, unused
+    // ids drop out.
+    val maxUser = Tables.events(iso, d).agg(max(col("user_id"))).head.getLong(0)
+    val dim = iso.range(0, maxUser + 1).select(col("id").as("uid"),
+      pmod(col("id"), lit(5)).as("tier"))
+    val out = ev.join(dim.hint("shuffle_hash"), "uid")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("value_cents"),
+        // keeps the pad alive through the join shuffle (pruned
+        // otherwise, and a 16-byte row never trips skew detection)
+        sum(length(col("pad"))).as("pad_chars"))
+    val rows = out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("skew=true"),
+      s"OptimizeSkewedJoin did not split the mega-channel partition\n$plan")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val q25Sql =
+    """WITH m AS (
+      |  SELECT CASE WHEN event_id % 10 <> 0 THEN 0 ELSE user_id END AS uid,
+      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS value_cents
+      |  FROM events)
+      |SELECT uid % 5 AS tier, count(*) AS n_events,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents,
+      |  128 * count(*) AS pad_chars
+      |FROM m GROUP BY 1""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -985,5 +1077,7 @@ object Relational {
     GateQuery("q23_range_frame", q23, Some(q23Sql),
       "time-valued RANGE window frames: trailing-hour and leading-10-min per event, peer-inclusive semantics"),
     GateQuery("q24_dynamic_pruning", q24, Some(q24Sql),
-      "dynamic partition pruning: filtered-dim join prunes the fact scan, poisoned-weekday-file proof"))
+      "dynamic partition pruning: filtered-dim join prunes the fact scan, poisoned-weekday-file proof"),
+    GateQuery("q25_skew_join", q25, Some(q25Sql),
+      "AQE skew-join split on the mega-channel join: skew=true required in the executed plan, values ≡ the unsplit join"))
 }

@@ -142,4 +142,34 @@ class AqeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q25 skew-join gate: split fires AND values equal the unsplit join") {
+    import org.apache.spark.sql.functions._
+    // The gate itself `require`s skew=true in its executed plan (it
+    // runs on an isolated session with the scaled skew thresholds), so
+    // completing at all IS the split receipt — at every SF, including
+    // the 100× probe (COVERAGE classification row). What the gate's
+    // oracle can't state in-JVM is value equality against THIS
+    // session's unsplit plan: compute the same mega-channel rollup
+    // with default confs (dim broadcasts, no skew path) and pin
+    // equality — a split join must be indistinguishable from the
+    // unsplit one.
+    val got = gate("q25_skew_join", sf0001).collect()
+      .map(r => r.getAs[Long]("tier") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("value_cents"),
+          r.getAs[Long]("pad_chars")))).toMap
+    val want = Tables.events(spark, sf0001)
+      .select(
+        when(pmod(col("event_id"), lit(10)) =!= 0, lit(0L))
+          .otherwise(col("user_id")).as("uid"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("value_cents"))
+      .groupBy(pmod(col("uid"), lit(5)).as("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("c"))
+      .collect()
+      .map(r => r.getAs[Long]("tier") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("c"),
+          128L * r.getAs[Long]("n")))).toMap
+    assert(got == want, s"split join diverged from unsplit rollup:\n$got\nvs\n$want")
+  }
 }
