@@ -76,7 +76,7 @@ object PlanDump {
     "mm8_crossmodal_dedup" ->
       "Cross-modal ensemble: tagged UNION of the two blocking-bounded pair sets + one hash agg on (id1, id2) — never a full-outer join; sentinel fills keep the decision projection null-free.",
     "dd17_bloom_history" ->
-      "Bloom prefilter: the probe is a codegen'd getbit map over the literal bitmap (NO join, no shuffle on the miss path); only the bloom-hit slice reaches the broadcast exact-verify join.",
+      "Bloom prefilter: the bitmap's (block, word) table broadcasts — never collected — and each probe is a broadcast-hash block lookup + codegen'd shiftright/mask; only the bloom-hit slice reaches the broadcast exact-verify join.",
     "mm9_static_payload" ->
       "Static-payload detector: the whole frame redundancy profile (distinct/modal fold) runs IN-ROW over the frame array — a zero-exchange narrow map from scan to output.",
     "cp15_dataset_card" ->

@@ -1239,19 +1239,23 @@ object Dedup {
     * rule, computed FROM the data so the filter never saturates as
     * the corpus grows). The build is DISTRIBUTED: positions are
     * OR-folded into 64-bit words per block (`p DIV 64` →
-    * `bit_or(1L << (p % 64))`, a map-side-combinable hash agg), and
-    * only the ≤ m/64 non-zero words reach the driver — bitmap-sized
-    * transfer (m/8 bytes ≈ 2 KiB at sf0.01, 1 bit/position
-    * regardless of |history|), asserted in TextDedupSpec. The
-    * assembled bitmap then ships back to every task as a plain array
-    * literal: this is the one collect() in the dd family, and it is
-    * the bloom-build contract itself — the bitmap IS the broadcast
-    * artifact. Probe: each
-    * incoming chunk tests its 4 bits in codegen (`getbit` over the
-    * literal array — no join, no shuffle); bloom-misses are DEFINITE
-    * new (no false negatives, asserted in TextDedupSpec against the
-    * exact membership), and only the bloom-hit slice pays the exact
-    * verify (dd13's stream-history-once asymmetry). Output:
+    * `bit_or(1L << (p % 64))`, a map-side-combinable hash agg) whose
+    * output is at most m/64 (block, word) rows — the bitmap itself in
+    * block form (m/8 bytes ≈ 2 KiB at sf0.01, 1 bit/position
+    * regardless of |history|, bound asserted in TextDedupSpec). The
+    * block table never lands on the driver: it BROADCASTS (round-10
+    * advice — the old literal-array assembly was driver-memory-sized
+    * by the design parameter m; executor-side broadcast removes the
+    * one parameter-sized driver structure in main, and Spark reuses
+    * ONE exchange across the k probes). Probe: each incoming chunk
+    * tests its 4 bits via k broadcast-hash lookups on the block id
+    * (shiftright + mask in codegen — no shuffle, no row-count joins;
+    * an absent block reads as all-zeros via coalesce); bloom-misses
+    * are DEFINITE new (no false negatives, asserted in TextDedupSpec
+    * against the exact membership), and only the bloom-hit slice pays
+    * the exact verify (dd13's stream-history-once asymmetry). The
+    * only driver-side values are the two sizing/receipt scalars
+    * (|history| and the bit_count sum). Output:
     * per-decision chunk counts (`definite_new` / `dup` / `bloom_fp`)
     * plus the measured bitmap size and fill — the honest
     * false-positive accounting most bloom deployments skip.
@@ -1289,18 +1293,24 @@ object Dedup {
       .select(col("c")).distinct()
     val m = 8L * hist.count() // the sizing pass: ~8 bits per key
     def posCol(c: Column, j: Int): Column = bloomPos(m)(c, j)
-    val bitmap = new Array[Long]((m / 64 + 1).toInt)
-    bloomBlocks(hist, m, k).collect()
-      .foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
-    val nBitsSet = bitmap.map(w => java.lang.Long.bitCount(w).toLong).sum
-    val bmLit = lit(bitmap)
-    def bitSet(p: Column): Column =
-      call_function("getbit",
-        call_function("element_at", bmLit, floor(p / 64).cast("int") + lit(1)),
-        (p % 64).cast("int")) === lit(1)
-    val probed = batch.select(col("doc_id"), col("ci"), col("c"),
-      (0 until k).map(j => bitSet(posCol(col("c"), j))).reduce(_ && _)
-        .as("bloom_hit"))
+    val blocks = bloomBlocks(hist, m, k).localCheckpoint()
+    val nBitsSet =
+      blocks.agg(sum(expr("bit_count(word)"))).head.getLong(0)
+    // k broadcast-hash lookups on the block id — the bitmap stays
+    // executor-side; a missing block means no bit in it is set
+    val withBits = (0 until k).foldLeft(
+      batch.select(col("doc_id"), col("ci"), col("c"))) { (acc, j) =>
+      acc.withColumn(s"p_$j", posCol(col("c"), j))
+        .join(broadcast(blocks.select(col("blk").as(s"blk_$j"),
+          col("word").as(s"word_$j"))),
+          expr(s"p_$j DIV 64") === col(s"blk_$j"), "left")
+        .withColumn(s"hit_$j", coalesce(
+          expr(s"(shiftright(word_$j, CAST(p_$j % 64 AS INT)) & 1L) = 1L"),
+          lit(false)))
+        .drop(s"blk_$j", s"word_$j")
+    }
+    val probed = withBits.select(col("doc_id"), col("ci"), col("c"),
+      (0 until k).map(j => col(s"hit_$j")).reduce(_ && _).as("bloom_hit"))
     // exact verify for the bloom-hit slice only: history's chunk
     // universe streams ONCE through a semi-join against the broadcast
     // candidate set (≤|batch| rows)
