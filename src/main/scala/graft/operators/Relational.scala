@@ -506,7 +506,11 @@ object Relational {
         ("l_quantity", Some((18, 2))) -> "sum_qty_dec",
         ("l_extendedprice", Some((18, 2))) -> "sum_price_dec"),
       mins = Map("l_discount" -> "min_disc_p"),
-      maxs = Map("l_discount" -> "max_disc_p")))
+      maxs = Map("l_discount" -> "max_disc_p"),
+      // staleness token: the rewrite only serves while the fact's
+      // listing still matches the one this summary was built from
+      factFingerprint =
+        Some(SummaryRegistry.factFingerprint(s, s"$d/lineitem.parquet"))))
     try {
       // written against the FACT table; the rule swaps in the summary
       Tables.lineitem(s, d)

@@ -28,7 +28,15 @@ final case class SummaryDef(
     cntCol: String,
     sums: Map[(String, Option[(Int, Int)]), String],
     mins: Map[String, String] = Map.empty,
-    maxs: Map[String, String] = Map.empty)
+    maxs: Map[String, String] = Map.empty,
+    /** Fact-listing fingerprint captured when the summary was built
+      * (via [[SummaryRegistry.factFingerprint]]): the STALENESS
+      * contract. A rewrite only serves while the fact's current file
+      * listing still matches — a read arriving between fact-append and
+      * summary-refresh falls back to the fact scan instead of being
+      * answered from the stale rollup. `None` opts out (an external
+      * refresh pipeline that carries its own freshness token). */
+    factFingerprint: Option[Long] = None)
 
 /** Process-wide registry the [[SummaryRewrite]] rule consults. Gates
   * register a summary, materialize the queries that should be answered
@@ -44,6 +52,31 @@ object SummaryRegistry {
     current = current.filterNot(_.factPath == factPath)
   }
   def defs: Seq[SummaryDef] = current
+
+  /** Order-independent fingerprint of a fact location's CURRENT data
+    * file listing (path, length, mtime — hidden/metadata files
+    * excluded, matching what a scan would read). O(|files|) metadata
+    * traffic, the same cost class as the lakehouse gates' manifest
+    * algebra — paid once at summary build and once per candidate
+    * rewrite compile, never per row. */
+  def factFingerprint(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    var h = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        var e = 1125899906842597L
+        e = e * 31 + f.getPath.toString.hashCode
+        e = e * 31 + f.getLen
+        e = e * 31 + f.getModificationTime
+        h ^= e // XOR-fold: listing order never matters
+      }
+    }
+    h
+  }
 }
 
 /** Aggregate-navigation (materialized-view) rewrite: an `Aggregate`
@@ -69,7 +102,11 @@ object SummaryRegistry {
   * expression the summary didn't capture — vetoes the whole rewrite
   * and the plan is left untouched. An empty-group global aggregate is
   * also vetoed (a summary has no row for "fact was empty", so
-  * `count(*)=0` would become `sum(cnt)=NULL`).
+  * `count(*)=0` would become `sum(cnt)=NULL`). STALENESS is a veto
+  * too: a def registered with [[SummaryRegistry.factFingerprint]]
+  * only serves while the fact's current file listing matches — the
+  * window between a fact append and the summary refresh reads the
+  * fact, never the stale rollup.
   *
   * Registered via `SparkSessionExtensions.injectOptimizerRule` (see
   * `graft.functions.GraftExtensions`); exercised by the
@@ -140,6 +177,11 @@ class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => false
       })(())
       _ <- Option.when(filters.forall(_.references.forall(a => keySet(a.name))))(())
+      // staleness veto: a summary built before the latest fact append
+      // must NOT answer reads — fall back to the fact scan until the
+      // refresh re-registers with the new fingerprint
+      _ <- Option.when(d.factFingerprint.forall(
+        _ == SummaryRegistry.factFingerprint(session, d.factPath)))(())
       rewritten <- rewriteOnto(agg, d, filters)
     } yield rewritten
   }

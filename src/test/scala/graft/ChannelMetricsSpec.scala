@@ -112,6 +112,57 @@ class ChannelMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("golden e2e: 3-channel gotcha corpus byte-matches the hand-computed goldens") {
+    // The FIXTURES/SURVEY §7.6 regression net for gotchas 1-8 AS A SET:
+    // one shorts-heavy channel (10), one long-heavy with an unknown
+    // (20), one mixed with unknowns + absent from the subscriber dim +
+    // negative-value events clamped to 0 views (30). Every number in
+    // src/test/resources/golden_channel_analytics.jsonl was computed BY
+    // HAND from the reference semantics (floor-div windows, integer-
+    // permille ERs, ≥70% boundary, ER tie → long), never by running
+    // the gates — so a regression in any of the five analytics gates
+    // breaks a value the gate did not produce. Comparison is full-row,
+    // every column, modulo field order.
+    val base = 1700000000000000L
+    def ev(id: Long, u: Long, et: String, v: Double, k: Int) =
+      (id, base + id * 1000000L, u, et, v, k)
+    val rows =
+      // ch10 shorts-heavy: 9 shorts (k=10, 20.00) + 1 long (k=7, 40.00)
+      (101L to 109L).map(i => ev(i, 10, "click", 20.00, 10)) ++
+        Seq(ev(110L, 10, "view", 40.00, 7)) ++
+        // ch20 long-heavy: 8 long (k=5, 30.00) + 1 short (k=20, 10.00)
+        // + 1 unknown (k=3, 15.00)
+        (201L to 208L).map(i => ev(i, 20, "view", 30.00, 5)) ++
+        Seq(ev(209L, 20, "click", 10.00, 20), ev(210L, 20, "error", 15.00, 3)) ++
+        // ch30 mixed w/ unknowns, no subscriber row, negative values
+        (301L to 303L).map(i => ev(i, 30, "click", 12.00, 4)) ++
+        (304L to 306L).map(i => ev(i, 30, "view", -8.00, 6)) ++
+        (307L to 309L).map(i => ev(i, 30, "signup", 5.00, 2)) ++
+        Seq(ev(310L, 30, "error", 7.00, 1))
+    val d = fixtureDir(
+      "events" -> eventsDf(rows),
+      "customer" -> customerDf(Seq(10L -> 500.00, 20L -> 250.00))) // 30 absent
+    val goldenPath = getClass.getResource("/golden_channel_analytics.jsonl").getPath
+    val golden = spark.read.json(goldenPath).collect()
+      .groupBy(_.getAs[String]("gate"))
+    assert(golden.keySet == Set("ca1_window_metrics", "ca2_engagement_rate",
+      "ca3_type_distribution", "ca4_channel_classifier", "ca6_final_metrics"))
+    golden.foreach { case (g, want) =>
+      val df = gate(g, d)
+      val got = df.collect().map(r =>
+        r.getAs[Long]("channel_id") ->
+          df.columns.map(c => c -> r.getAs[Any](c)).toMap).toMap
+      assert(got.keySet == Set(10L, 20L, 30L), s"$g channels: ${got.keySet}")
+      want.foreach { w =>
+        val ch = w.getAs[Long]("channel_id")
+        got(ch).foreach { case (c, v) =>
+          assert(w.getAs[Any](c) == v,
+            s"$g ch$ch.$c: gate=$v golden=${w.getAs[Any](c)}")
+        }
+      }
+    }
+  }
+
   test("invariants on driver data (sf0.001)") {
     val d3 = gate("ca3_type_distribution", sf0001).collect()
     d3.foreach { r =>

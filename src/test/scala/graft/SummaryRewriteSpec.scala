@@ -114,6 +114,58 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("staleness veto: a fact append invalidates the summary until refresh") {
+    // own fact copy under tmp — /root/testdata is read-only and the
+    // point IS mutating the fact between registration and read
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_summary_stale").toFile.getAbsolutePath
+    val fact = s"$root/fact"
+    Tables.lineitem(spark, d).write.parquet(fact)
+    def buildSummary(): String = {
+      val dir = s"$root/sum"
+      spark.read.parquet(fact)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def register(sumDir: String): Unit = SummaryRegistry.register(SummaryDef(
+      factPath = fact, summaryPath = sumDir,
+      keys = Seq("l_returnflag", "l_linestatus"), cntCol = "cnt",
+      sums = Map.empty,
+      factFingerprint = Some(SummaryRegistry.factFingerprint(spark, fact))))
+    def q(): DataFrame = spark.read.parquet(fact)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    try {
+      register(buildSummary())
+      // fresh: served from the summary
+      assert(scanPaths(q()).forall(_.startsWith(s"$root/sum")))
+      val before = q().collect().map(_.toString).sorted
+      // the append lands AFTER registration — the summary is now stale
+      Tables.lineitem(spark, d).limit(7)
+        .write.mode("append").parquet(fact)
+      // the read between append and refresh must see the FACT (veto),
+      // and its counts must include the appended rows
+      val paths = scanPaths(q())
+      assert(paths.nonEmpty && paths.forall(_.startsWith(fact)),
+        s"stale summary served a read: $paths")
+      val staleRead = q().agg(sum(col("n"))).head.getLong(0)
+      val factRows = spark.read.parquet(fact).count()
+      assert(staleRead == factRows && !before.sameElements(
+        q().collect().map(_.toString).sorted))
+      // refresh + re-register with the new fingerprint: serves again
+      register(buildSummary())
+      assert(scanPaths(q()).forall(_.startsWith(s"$root/sum")))
+      assert(q().agg(sum(col("n"))).head.getLong(0) == factRows)
+    } finally {
+      SummaryRegistry.unregister(fact)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("q15 gate: rewrite fires inside the gate's register bracket, then detaches") {
     val df = gate("q15_summary_rewrite", d)
     assert(df.count() > 0)
