@@ -75,7 +75,7 @@ object StreamGates {
   private def stageAny(key: String, slices: Int)(mk: => DataFrame): File =
     stagedSrc.computeIfAbsent(key, _ => {
       val ev = mk
-      val root = Files.createTempDirectory("graft-st-src-").toFile
+      val root = Scratch.dir("graft-st-src-")
       cleanupRoots.add(root)
       val src = new File(root, "src"); src.mkdirs()
       // 1-row time anchor (the tw6/la4 broadcast-anchor pattern) to cut
@@ -153,7 +153,7 @@ object StreamGates {
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "8")
     extraConfs.foreach { case (k, v) => iso.conf.set(k, v) }
-    val root = Files.createTempDirectory(s"graft-$gate-").toFile
+    val root = Scratch.dir(s"graft-$gate-")
     cleanupRoots.add(root)
     val stream = iso.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src.getPath)
@@ -523,7 +523,7 @@ object StreamGates {
     val src = stageSlices(s, d, 4)
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "8")
-    val root = Files.createTempDirectory("graft-ob5-").toFile
+    val root = Scratch.dir("graft-ob5-")
     cleanupRoots.add(root)
     val stream = iso.readStream.schema(Tables.events(iso, d).schema)
       .option("maxFilesPerTrigger", "1").parquet(src.getPath)
@@ -881,7 +881,7 @@ object StreamGates {
     val src = stageSlices(s, d, 4)
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "8")
-    val root = Files.createTempDirectory("graft-st13-").toFile
+    val root = Scratch.dir("graft-st13-")
     cleanupRoots.add(root)
     val lastV = new java.util.concurrent.atomic.AtomicLong(-1L)
     val stream = iso.readStream.schema(Tables.events(iso, d).schema)
@@ -1100,7 +1100,7 @@ object StreamGates {
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "8")
     val t = graft.sources.LogSink.freshTable("st16")
-    val root = Files.createTempDirectory("graft-st16-").toFile
+    val root = Scratch.dir("graft-st16-")
     cleanupRoots.add(root)
     val stream = iso.readStream.schema(Tables.events(s, d).schema)
       .option("maxFilesPerTrigger", "1").parquet(src.getPath)
@@ -1177,7 +1177,7 @@ object StreamGates {
   private def st17(s: SparkSession, d: String): DataFrame = {
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "8")
-    val root = Files.createTempDirectory("graft-st17-").toFile
+    val root = Scratch.dir("graft-st17-")
     cleanupRoots.add(root)
     val out = new File(root, "out")
     val chk = new File(root, "chk")
@@ -1275,7 +1275,7 @@ object StreamGates {
   private def st18(s: SparkSession, d: String): DataFrame = {
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "8")
-    val root = Files.createTempDirectory("graft-st18-").toFile
+    val root = Scratch.dir("graft-st18-")
     cleanupRoots.add(root)
     val out = new File(root, "out")
     val chk = new File(root, "chk")
@@ -1365,7 +1365,7 @@ object StreamGates {
     val shared = stageSlices(s, d, 4)
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "8")
-    val root = Files.createTempDirectory("graft-st19-").toFile
+    val root = Scratch.dir("graft-st19-")
     cleanupRoots.add(root)
     val src = new File(root, "src"); src.mkdirs()
     val out = new File(root, "out")

@@ -12,16 +12,40 @@ import org.apache.spark.sql.SparkSession
   * deletes inside the gates stay — the finally is the backstop
   * (`FileSystem.delete` on a missing path is a no-op returning false).
   */
+/** Gate-scratch placement: tmpfs (`/dev/shm`) when present and
+  * writable, else `java.io.tmpdir`. The streaming/mutating gates stage
+  * replay slices, checkpoints, sinks and table layouts as REAL files —
+  * the protocol under test is identical either way — but on a
+  * disk-backed /tmp their walls carry the host's I/O noise (la12 was
+  * observed swinging 3-11 s run-to-run), which is measurement noise,
+  * not engine behavior. tmpfs removes it, tightening the bench
+  * artifact run-to-run; a production deployment points the same
+  * paths at durable storage and prices THAT deliberately. */
+private[graft] object Scratch {
+  lazy val root: String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-scratch"
+      else System.getProperty("java.io.tmpdir")
+    new java.io.File(base).mkdirs()
+    base
+  }
+  /** `createTempDirectory` under the scratch root. */
+  def dir(prefix: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(root), prefix).toFile
+}
+
 private[graft] object TmpDirs {
 
-  /** Mint `java.io.tmpdir/graft_<tag>_<uuid>`, run `body` with the
+  /** Mint `Scratch.root/graft_<tag>_<uuid>`, run `body` with the
     * path, recursively delete it on ALL exits. `body` must therefore
     * MATERIALIZE anything it reads from the dir before returning —
     * returning a lazy DataFrame over the root would read a deleted
     * directory at the caller's first action. */
   def withRoot[T](s: SparkSession, tag: String)(body: String => T): T = {
     val dir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${java.util.UUID.randomUUID()}"
+      s"${Scratch.root}/graft_${tag}_${java.util.UUID.randomUUID()}"
     try body(dir)
     finally {
       // cleanup must never shadow the body's primary failure (e.g. the
@@ -56,7 +80,7 @@ private[graft] object TmpDirs {
     * never accumulating across runs. */
   def exitScopedRoot(tag: String): String = {
     val dir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${java.util.UUID.randomUUID()}"
+      s"${Scratch.root}/graft_${tag}_${java.util.UUID.randomUUID()}"
     exitRoots.add(new java.io.File(dir))
     dir
   }

@@ -98,8 +98,7 @@ object LogSink {
     * on JVM exit so repeated bench/test processes never accumulate
     * (the same discipline la9 applies to its retention dir). */
   lazy val defaultStagingRoot: String = {
-    val root = new Path(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+    val root = new Path(graft.operators.Scratch.root,
       s"graft-logsink-${UUID.randomUUID()}").toString
     sys.addShutdownHook {
       try deleteDir(root, activeHadoopConf) catch { case _: Throwable => () }
