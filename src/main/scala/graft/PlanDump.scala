@@ -22,7 +22,7 @@ object PlanDump {
     "q10_bucketed_join" ->
       "Co-located bucketed join: SortMergeJoin directly over bucket-sorted scans — no Exchange, no Sort below the join.",
     "la1_filter_paginate" ->
-      "Pagination: filters pushed to the scan (PushedFilters), per-partition top-k (TakeOrderedAndProject) — no global sort.",
+      "Pagination: the level filter evaluates in the scan stage (a CASE mapping — not a source-pushable predicate; s2/s8 gate true source pushdown), per-partition top-k (TakeOrderedAndProject) — no exchange, no global sort.",
     "tw7_range_join" ->
       "Range join: bin-exploded EQUI-join (hash joins only) where the naive plan is a nested-loop — interval count stops mattering.",
     "s6_connector_group_agg" ->

@@ -169,15 +169,36 @@ object ScaleProbe {
     // so probe=dedup and probe=curation can never measure different
     // corpora.
     def replicateDocuments(): Unit = {
+      // SPARK_GRAFT_GROWVOCAB=1: replica text is REWRITTEN so the
+      // vocabulary actually grows with the corpus — each replica r>0
+      // retags a deterministic ~10% of its token occurrences (keyed on
+      // (token, r), so different replicas mint different new types).
+      // Exact replication proves replica-INVARIANCE (the easy case for
+      // dict-grain algorithms); the grown corpus proves the dict-grain
+      // claim when the dict itself scales (tx24/tx25's hard case).
+      val grow = sys.env.get("SPARK_GRAFT_GROWVOCAB").contains("1")
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val dstride = (docs.agg(max(col("doc_id"))).head.getLong(0) / 100L + 1L) * 100L
-      docs.crossJoin(spark.range(factor).toDF("rep"))
+      val replicated = docs.crossJoin(spark.range(factor).toDF("rep"))
         .withColumn("doc_id", col("doc_id") + col("rep") * lit(dstride))
-        .drop("rep")
+      val reexted =
+        if (!grow) replicated
+        else replicated.withColumn("text", concat_ws(" ",
+          transform(split(trim(col("text")), "\\s+"), t =>
+            when(col("rep") > 0 &&
+                pmod(xxhash64(concat(t, col("rep").cast("string"))), lit(10)) === 0,
+              concat(t, lit("v"), col("rep"))).otherwise(t))))
+      reexted.drop("rep")
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       val nd = spark.read.parquet(s"$out/documents.parquet").count()
-      println(s"corpus: $nd documents ($factor x $sfDir)")
+      println(s"corpus: $nd documents ($factor x $sfDir, growVocab=$grow)")
+      if (grow) {
+        val v = spark.read.parquet(s"$out/documents.parquet")
+          .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+          .filter(length(col("t")) > 0).agg(countDistinct(col("t"))).head.getLong(0)
+        println(s"corpus: $v distinct token types (grown vocabulary)")
+      }
     }
 
     if (Set("all", "dedup")(probe)) {

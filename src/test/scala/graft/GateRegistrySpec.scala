@@ -219,6 +219,123 @@ class GateRegistrySpec extends AnyFunSuite {
       s"PLANS.md sections with no registered gate (stale evidence): $staleSections")
   }
 
+  test("PLANS.md plan-shape claims are machine-checked (law lint)") {
+    // Round-10 advice discipline extended to PLANS.md: every showcase
+    // section's English claim carries pinned laws evaluated against
+    // the COMMITTED plan text, so a PlanDump regeneration that quietly
+    // loses a property (a broadcast flipping to shuffle, an exchange
+    // appearing on a zero-exchange path) fails CI — and adding a NEW
+    // showcase gate without deciding its laws fails the completeness
+    // check below. Laws run on the FINAL-plan tree region (adaptive
+    // dumps include an Initial Plan and a detail list that would
+    // double-count nodes); whole-body checks are for detail-only
+    // markers (PushedFilters, Scan ExistingRDD).
+    val text = repoText("PLANS.md")
+    val secRe = "(?ms)^## ([a-z0-9_]+)$(.*?)(?=^## |\\z)".r
+    val sections: Map[String, String] =
+      secRe.findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+    def finalRegion(b: String): String =
+      if (b.contains("== Final Plan =="))
+        b.split("== Final Plan ==")(1).split("== Initial Plan ==")(0)
+      else b.split("(?m)^\\(\\d+\\) ")(0) // plain dump: tree before details
+    def nodes(b: String, pat: String): Int =
+      (pat + " \\(\\d+\\)").r.findAllMatchIn(b).size
+    def sh(b: String): Int = nodes(b, "(?<!Broadcast)(?<!AQEShuffleRead )Exchange")
+    def scans(b: String): Int = "Scan parquet".r.findAllMatchIn(b).size
+    def joins(b: String): Int = nodes(b, "SortMergeJoin \\w+") +
+      nodes(b, "ShuffledHashJoin \\w+ \\w+") + nodes(b, "BroadcastHashJoin \\w+ \\w+")
+    case class Law(desc: String, ok: (String, String) => Boolean) // (final, whole)
+    def shufflesAtMost(n: Int) = Law(s"<=$n shuffle exchanges", (f, _) => sh(f) <= n)
+    def scansAtMost(n: Int) = Law(s"<=$n parquet scans", (f, _) => scans(f) <= n)
+    def node(p: String, n: Int = 1) = Law(s">=$n $p", (f, _) => nodes(f, p) >= n)
+    def noNode(p: String) = Law(s"no $p", (f, _) => nodes(f, p) == 0)
+    def bodyHas(s: String) = Law(s"body has '$s'", (_, w) => w.contains(s))
+    def bodyNot(s: String) = Law(s"body lacks '$s'", (_, w) => !w.contains(s))
+    val noSmj = noNode("SortMergeJoin \\w+")
+    val noNlj = Law("no nested-loop/cartesian",
+      (f, _) => !f.contains("NestedLoop") && !f.contains("CartesianProduct"))
+    val laws: Map[String, Seq[Law]] = Map(
+      "ca6_final_metrics" -> Seq(shufflesAtMost(2), scansAtMost(2)),
+      "q2_dim_join" -> Seq(node("BroadcastHashJoin \\w+ \\w+", 3), noSmj,
+        noNode("ShuffledHashJoin \\w+ \\w+"), shufflesAtMost(1)),
+      "q10_bucketed_join" -> Seq(node("SortMergeJoin \\w+"), noNode("Sort"),
+        shufflesAtMost(1)),
+      "la1_filter_paginate" -> Seq(node("TakeOrderedAndProject"),
+        shufflesAtMost(0)),
+      "tw7_range_join" -> Seq(node("Generate"), noNlj,
+        node("BroadcastHashJoin \\w+ \\w+")),
+      "s6_connector_group_agg" -> Seq(bodyNot("HashAggregate"),
+        bodyNot("SortAggregate")),
+      "cp1_stratified_sample" -> Seq(node("WindowGroupLimit"), shufflesAtMost(1)),
+      "tx8_kmv_cardinality" -> Seq(node("ObjectHashAggregate")),
+      "dd3_minhash_lsh" -> Seq(scansAtMost(2), node("ObjectHashAggregate")),
+      "dd4_simhash" -> Seq(scansAtMost(2), noSmj, shufflesAtMost(1)),
+      "sim9_ann_multiband" -> Seq(node("BroadcastHashJoin \\w+ \\w+", 3), noSmj),
+      "sim10_pq_encode" -> Seq(shufflesAtMost(0), scansAtMost(1)),
+      "sim11_adc_search" -> Seq(noNode("HashAggregate"), node("WindowGroupLimit")),
+      "tw9_event_gaps" -> Seq(shufflesAtMost(1), node("TakeOrderedAndProject")),
+      "dd9_chunk_dedup" -> Seq(noNode("Sort"), noSmj),
+      "sim12_ivfpq_search" -> Seq(node("ShuffledHashJoin \\w+ \\w+"), noSmj),
+      "q12_sql_exists" -> Seq(bodyHas("LeftSemi"), noSmj),
+      "dd13_incremental_dedup" -> Seq(noSmj, node("BroadcastExchange")),
+      "tw12_rate_limit" -> Seq(shufflesAtMost(1)),
+      "dd10_canonical_select" -> Seq(bodyHas("Scan ExistingRDD"),
+        node("WindowGroupLimit"), shufflesAtMost(1)),
+      "dd15_containment_score" -> Seq(node("BroadcastExchange", 2), node("Generate")),
+      "sim14_lloyd_refine" -> Seq(node("BroadcastExchange"), shufflesAtMost(2)),
+      "q13_sql_not_exists" -> Seq(bodyHas("LeftAnti"), noNode("Sort")),
+      "q14_bag_setops" -> Seq(Law("join-free", (f, _) => joins(f) == 0),
+        node("Generate")),
+      "la10_histogram_p95" -> Seq(noSmj),
+      "tx13_inverted_index" -> Seq(shufflesAtMost(2), scansAtMost(1),
+        node("Window")),
+      "mm8_crossmodal_dedup" -> Seq(bodyNot("FullOuter"), noSmj),
+      "tw15_scd2_intervals" -> Seq(shufflesAtMost(1),
+        Law("<=1 Sort (windows share it)", (f, _) => nodes(f, "Sort") <= 1),
+        node("Window", 2)),
+      "sim16_filtered_ivfpq" -> Seq(node("ShuffledHashJoin \\w+ \\w+"), noSmj),
+      "mm7_perceptual_neardup" -> Seq(noSmj, shufflesAtMost(2)),
+      "dd17_bloom_history" -> Seq(node("BroadcastExchange", 3),
+        node("BroadcastHashJoin \\w+ \\w+", 5), noSmj),
+      "mm9_static_payload" -> Seq(shufflesAtMost(0), scansAtMost(1)),
+      "cp15_dataset_card" -> Seq(node("BroadcastHashJoin \\w+ \\w+", 2), noSmj),
+      "s7_connector_topn" -> Seq(bodyHas("PushedTopN"), noNode("Sort"),
+        noNode("TakeOrderedAndProject"), bodyNot("CollectLimit")),
+      "dd19_repeated_spans" -> Seq(shufflesAtMost(3), node("Generate"), noSmj),
+      "sim19_sq8_search" -> Seq(node("WindowGroupLimit"), shufflesAtMost(1)),
+      "tx20_host_centrality" -> Seq(bodyNot("CartesianProduct"),
+        node("BroadcastHashJoin \\w+ \\w+", 10)),
+      "q16_sql_lateral" -> Seq(node("WindowGroupLimit"), noNlj),
+      "q17_incremental_summary" -> Seq(bodyHas("Scan ExistingRDD")),
+      "q18_unpivot_melt" -> Seq(bodyHas("Expand"), shufflesAtMost(1)),
+      "mm11_cdc_chunk_dedup" -> Seq(shufflesAtMost(3), noSmj),
+      "la16_time_travel" -> Seq(bodyNot("SortMergeJoin")),
+      "tw18_asof_plan" -> Seq(node("AsOfJoin"), noNode("Window"), bodyNot("Union")),
+      "q22_json_analytics" -> Seq(bodyHas("from_json"), scansAtMost(1)),
+      "cp17_pps_sample" -> Seq(bodyHas("hashpartitioning(pid"),
+        node("BroadcastExchange"), shufflesAtMost(3)),
+      "sim23_radius_search" -> Seq(bodyNot("SortMergeJoin")),
+      "sim24_dominant_direction" -> Seq(bodyNot("SortMergeJoin")),
+      "mm12_aspect_buckets" -> Seq(shufflesAtMost(1),
+        Law("join-free", (f, _) => joins(f) == 0)))
+    val missingLaws = sections.keySet -- laws.keySet
+    assert(missingLaws.isEmpty,
+      s"PLANS.md sections without pinned laws (add them here): $missingLaws")
+    val staleLaws = laws.keySet -- sections.keySet
+    assert(staleLaws.isEmpty,
+      s"laws for sections no longer in PLANS.md: $staleLaws")
+    val failures = for {
+      (g, ls) <- laws.toSeq.sortBy(_._1)
+      // body checks run on the fenced plan only — the English caption
+      // would otherwise satisfy/violate its own claim ("no Union")
+      body = sections(g).dropWhile(_ != '`')
+      fr = finalRegion(body)
+      l <- ls if !l.ok(fr, body)
+    } yield s"$g: ${l.desc}"
+    assert(failures.isEmpty,
+      s"PLANS.md claims no longer hold in the committed plans:\n${failures.mkString("\n")}")
+  }
+
   test("every gate query returns rows at sf0.001") {
     val bad = gateRuns.toSeq.sortBy(_._1).collect {
       case (name, Left(err)) => s"$name FAILED: $err"
