@@ -555,7 +555,7 @@ object ScaleProbe {
       // st8-11/14/15 ride the doc-grain clocks; st17/st18 drain the
       // synthetic id universe and need neither replica
       val stDocs = Set(8, 9, 10, 11, 14, 15)
-      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19)
+      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19, 20)
       val needsDocs = fams.exists { case (f, n) =>
         Set("dd", "tx", "cp", "mm")(f) || (f == "st" && stDocs(n)) }
       val needsEvents = fams.exists { case (f, n) =>

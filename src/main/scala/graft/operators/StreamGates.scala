@@ -1361,11 +1361,20 @@ object StreamGates {
     * plus restart cost = re-reading one offset file and reloading the
     * last state-store snapshot — nothing over the ingested prefix is
     * replanned or re-aggregated. */
-  private def st19(s: SparkSession, d: String): DataFrame = {
+  private def st19(s: SparkSession, d: String): DataFrame =
+    stateRestart(s, d, "st19", Map.empty)
+
+  /** The kill-and-resume rig shared by st19 (default HDFS-backed state
+    * store) and st20 (RocksDB + changelog checkpointing — the
+    * production store, whose recovery path is replaying the changelog
+    * onto the last snapshot rather than reloading a delta file). */
+  private def stateRestart(s: SparkSession, d: String, gate: String,
+      extraConfs: Map[String, String]): DataFrame = {
     val shared = stageSlices(s, d, 4)
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "8")
-    val root = Scratch.dir("graft-st19-")
+    extraConfs.foreach { case (k, v) => iso.conf.set(k, v) }
+    val root = Scratch.dir(s"graft-$gate-")
     cleanupRoots.add(root)
     val src = new File(root, "src"); src.mkdirs()
     val out = new File(root, "out")
@@ -1411,6 +1420,26 @@ object StreamGates {
       col("event_type"), col("n_events"), col("value_cents"))
   }
 
+  // --------------------------------------------------------------- st20
+
+  /** st20: st19's kill-and-resume on the ROCKSDB state store with
+    * CHANGELOG CHECKPOINTING — the production configuration (large
+    * state off-heap, per-batch commits as changelog deltas instead of
+    * full snapshot uploads). Recovery is materially different from
+    * the default store st19 proves: the restarted query must pick the
+    * last uploaded RocksDB snapshot and REPLAY the changelog tail
+    * onto it to rebuild the window store, so a bug in changelog
+    * replay (lost merge, double-applied delta) shows up here and
+    * nowhere else. Same kill point, same receipts, same oracle —
+    * st12's SQL verbatim: whichever store and recovery path runs
+    * underneath, interrupted ≡ uninterrupted. */
+  private def st20(s: SparkSession, d: String): DataFrame =
+    stateRestart(s, d, "st20", Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true"))
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -1453,5 +1482,7 @@ object StreamGates {
     GateQuery("st18_stream_source_restart", st18, Some(st18Sql),
       "checkpoint restart of the DSv2 source over a GROWN universe: resumes at the committed offset, union exactly-once"),
     GateQuery("st19_stream_state_restart", st19, Some(st12Sql),
-      "checkpoint restart of a STATEFUL query mid-replay: window store + watermark resume, sink ≡ the uninterrupted run's oracle"))
+      "checkpoint restart of a STATEFUL query mid-replay: window store + watermark resume, sink ≡ the uninterrupted run's oracle"),
+    GateQuery("st20_stream_rocksdb_restart", st20, Some(st12Sql),
+      "st19's kill-and-resume on RocksDB + changelog checkpointing: snapshot + changelog-tail replay recovery, same oracle"))
 }
