@@ -626,6 +626,82 @@ object YtFormats {
        |    ${rawUrlCaseSql("event_id")} AS raw_url
        |  FROM events) t""".stripMargin
 
+  // ---------------------------------------------------------------- yf11
+
+  /** yf11: CORRUPT-RESPONSE DEAD-LETTER — the ingest contract every
+    * other gate assumes away: an upstream response that is not valid
+    * JSON must not kill the batch (the reference wraps every parse in
+    * try/except and logs the failure, youtube_api_handler.py:369-416's
+    * error branches; at 100 TB "one bad record aborts the job" is an
+    * outage class of its own). Each event synthesizes its API response
+    * line; a deterministic slice is corrupted two ways (event_id%13=0
+    * truncates the tail, %13=1 prepends garbage — both unparseable, so
+    * cross-engine semantics never hinge on partial-parse nuances).
+    * Spark parses with `from_json` in PERMISSIVE mode with a corrupt-
+    * record column: clean rows must recover the exact original values
+    * (the ok-slice cent sum re-checks the round-trip), corrupt rows
+    * route to the dead-letter disposition with the PAYLOAD PRESERVED
+    * byte-for-byte — the gate emits the DLQ's exact byte volume and
+    * the oracle rebuilds the same strings and lengths independently,
+    * so a parser that mangles or drops a dead letter hash-mismatches.
+    *
+    * Scale shape: a pure narrow projection (synth + parse + classify
+    * inside one codegen stage) feeding a 2-row hash agg — the DLQ
+    * split costs nothing beyond the parse the pipeline already pays;
+    * dead letters land in the same scan-stage pass, never a second
+    * job. */
+  private def yf11(s: SparkSession, d: String): DataFrame = {
+    val full = concat(
+      lit("{\"id\": "), col("event_id"),
+      lit(", \"v\": "), (col("value").cast(DecimalType(18, 2)) * 100).cast("long"),
+      lit(", \"t\": \""), col("event_type"), lit("\"}"))
+    val parseSchema = StructType.fromDDL(
+      "id BIGINT, v BIGINT, t STRING, _bad STRING")
+    Tables.events(s, d)
+      .select(col("event_id"), full.as("full"))
+      .withColumn("raw",
+        when(pmod(col("event_id"), lit(13)) === 0,
+          substring(col("full"), 1, 25)) // truncated mid-record
+          .when(pmod(col("event_id"), lit(13)) === 1,
+            concat(lit("}{"), col("full"))) // leading garbage
+          .otherwise(col("full")))
+      .withColumn("p", from_json(col("raw"), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
+      .select(
+        when(col("p._bad").isNull, lit("ok")).otherwise(lit("dead_letter"))
+          .as("disposition"),
+        col("p.v").as("v"), col("raw"))
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v")).as("sum_cents"), // ok-slice round-trip; NULL for DLQ
+        sum(length(col("raw"))).as("payload_bytes"))
+  }
+
+  private val yf11Sql =
+    """WITH evs AS (
+      |  SELECT event_id, event_type,
+      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS value_cents
+      |  FROM events),
+      |raw AS (
+      |  SELECT event_id, value_cents,
+      |    '{"id": ' || event_id || ', "v": ' || value_cents
+      |      || ', "t": "' || event_type || '"}' AS body
+      |  FROM evs),
+      |cls AS (
+      |  SELECT
+      |    CASE WHEN event_id % 13 IN (0, 1)
+      |      THEN 'dead_letter' ELSE 'ok' END AS disposition,
+      |    CASE WHEN event_id % 13 IN (0, 1)
+      |      THEN NULL ELSE value_cents END AS v,
+      |    CASE WHEN event_id % 13 = 0 THEN substr(body, 1, 25)
+      |         WHEN event_id % 13 = 1 THEN '}{' || body
+      |         ELSE body END AS raw
+      |  FROM raw)
+      |SELECT disposition, count(*) AS n_rows,
+      |  CAST(sum(v) AS BIGINT) AS sum_cents,
+      |  CAST(sum(length(raw)) AS BIGINT) AS payload_bytes
+      |FROM cls GROUP BY disposition""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("yf1_rss_xml_parse", yf1, Some(yf1Sql),
       "Atom XML round-trip via from_xml + URL id extraction (S6/S7/P5/P6)"),
@@ -646,5 +722,7 @@ object YtFormats {
     GateQuery("yf9_response_envelope", yf9, Some(yf9Sql),
       "P12 standardize_response JSON envelope, byte-identical to_json"),
     GateQuery("yf10_url_canonicalize", yf10, Some(yf10Sql),
-      "URL canonicalization: 5 link forms -> one watch?v= form + audit flags (P6 grown)"))
+      "URL canonicalization: 5 link forms -> one watch?v= form + audit flags (P6 grown)"),
+    GateQuery("yf11_json_deadletter", yf11, Some(yf11Sql),
+      "corrupt-response dead-letter: malformed JSON routed with payload preserved, clean rows parse on — batch never dies"))
 }
