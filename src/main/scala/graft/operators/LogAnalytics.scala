@@ -1575,6 +1575,94 @@ object LogAnalytics {
       |      UNION ALL SELECT level, value_cents FROM good) u
       |GROUP BY level""".stripMargin
 
+  // --------------------------------------------------------------- la22
+
+  /** la22: DYNAMIC PARTITION OVERWRITE — the idempotent BACKFILL
+    * primitive every day-partitioned warehouse lives on (the reference
+    * re-fetches and re-stores a channel's stats, overwriting the old
+    * snapshot in place — sqlite_logger's INSERT OR REPLACE shape — at
+    * the partition grain a lake needs): a corrected batch for a subset
+    * of days must replace EXACTLY those day partitions and leave every
+    * other partition's files physically untouched, and re-running the
+    * same backfill must be a no-op semantically (blind re-runs are how
+    * orchestration retries work).
+    *
+    * The gate writes events day-partitioned, backfills days ≡ 0 mod 7
+    * with doubled cent values under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (the
+    * non-dynamic default would TRUNCATE the whole table — the classic
+    * backfill footgun, and the `require`s below would catch it two
+    * ways), runs the backfill twice, and serves the final rollup.
+    * Engine receipts the oracle can't see: untouched day dirs keep
+    * identical file listings (names + mtimes), touched days' files are
+    * replaced, and no day vanishes. Oracle: the per-weekday rollup
+    * with the correction applied to backfilled days — INCREMENTAL
+    * CORRECTION ≡ FULL RECOMPUTE.
+    *
+    * Scale shape: backfill I/O ∝ the corrected days' rows (the patch
+    * frame filters at the scan); untouched partitions cost zero bytes.
+    * At 100 TB this is the difference between rewriting 1/7th of a
+    * table and all of it. */
+  private def la22(s: SparkSession, d: String): DataFrame =
+    TmpDirs.withRoot(s, "la22") { root =>
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val tbl = s"$root/events_by_day"
+      def evs = Tables.events(iso, d).select(
+        col("event_id"), col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("value_cents"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      // day-keyed repartition: one file per day dir (q24's discipline —
+      // an unkeyed write emits |tasks| x |days| small files)
+      evs.repartition(col("day")).write.partitionBy("day").parquet(tbl)
+      def listing(): Map[String, Set[(String, Long)]] = {
+        val dirs = Option(new java.io.File(tbl).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("day="))
+        dirs.map(dir => dir.getName ->
+          Option(dir.listFiles()).toSeq.flatten
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).toSet).toMap
+      }
+      val before = listing()
+      def backfill(): Unit = evs.filter(col("day") % 7 === 0)
+        .withColumn("value_cents", col("value_cents") * 2)
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(tbl)
+      backfill()
+      val after = listing()
+      require(after.keySet == before.keySet,
+        s"backfill changed the partition set: ${(before.keySet diff after.keySet).take(3)} vanished — " +
+          "static overwrite truncated the table")
+      val (touched, untouched) = before.keySet.partition(
+        _.stripPrefix("day=").toLong % 7 == 0)
+      require(touched.nonEmpty && untouched.nonEmpty, "degenerate day split")
+      untouched.foreach(k => require(after(k) == before(k),
+        s"untouched partition $k was rewritten: ${before(k)} -> ${after(k)}"))
+      touched.foreach(k => require(after(k) != before(k),
+        s"backfilled partition $k kept its old files"))
+      backfill() // blind orchestration retry: semantically a no-op
+      val out = iso.read.parquet(tbl)
+        .groupBy((col("day") % 7).as("dow_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("value_cents"))
+      val rows = out.collect()
+      require(rows.map(_.getAs[Long]("n_events")).sum ==
+        Tables.events(iso, d).count(),
+        "backfill changed the row universe")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }
+
+  private val la22Sql =
+    """WITH evs AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS v
+      |  FROM events)
+      |SELECT CAST(day % 7 AS BIGINT) AS dow_bucket, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN day % 7 = 0 THEN v * 2 ELSE v END) AS BIGINT)
+      |    AS value_cents
+      |FROM evs GROUP BY 1""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -1617,5 +1705,7 @@ object LogAnalytics {
     GateQuery("la20_snapshot_expire", la20, Some(la20Sql),
       "snapshot expiration + orphan GC: manifest-algebra dead set, exact post-GC listing, live bytes untouched"),
     GateQuery("la21_write_audit_publish", la21, Some(la21Sql),
-      "write-audit-publish: staged batches audited against their FILES, atomic manifest publish, failed audits invisible"))
+      "write-audit-publish: staged batches audited against their FILES, atomic manifest publish, failed audits invisible"),
+    GateQuery("la22_dynamic_overwrite", la22, Some(la22Sql),
+      "dynamic partition overwrite: idempotent day-grain backfill, untouched partitions physically untouched (require'd)"))
 }
