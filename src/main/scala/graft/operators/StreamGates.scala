@@ -1416,6 +1416,18 @@ object StreamGates {
     require(rows1 > 0 && rows1 < total,
       s"kill point did not split emission: run1=$rows1 of $total — " +
         "the restart proved nothing about state recovery")
+    // store-provider receipt: when the gate claims RocksDB + changelog
+    // checkpointing, the state dir must actually hold changelog files
+    // — a silently ignored conf would otherwise pass on the default
+    // store and prove nothing about the production recovery path
+    if (extraConfs.exists(_._2.contains("RocksDB"))) {
+      def anyChangelog(f: File): Boolean =
+        (f.isFile && f.getName.endsWith(".changelog")) ||
+          Option(f.listFiles()).toSeq.flatten.exists(anyChangelog)
+      require(anyChangelog(new File(chk, "state")),
+        "no .changelog files under the checkpoint's state dir — " +
+          "the RocksDB changelog-checkpointing conf did not take")
+    }
     sunk.select(unix_micros(col("window_start")).as("window_start_us"),
       col("event_type"), col("n_events"), col("value_cents"))
   }

@@ -255,4 +255,55 @@ class YtFormatsSpec extends AnyFunSuite {
       assert(r.getAs[String]("digest") == docs(r.getAs[Long]("media_id")))
     }
   }
+
+  test("yf11 dead-letter law: unparseable routes, payload survives, and the " +
+    "type-mismatch nuance the gate avoids is pinned") {
+    import org.apache.spark.sql.functions._
+    // The gate's two corruption classes are UNPARSEABLE by design so
+    // cross-engine semantics never hinge on partial-parse behavior.
+    // This pin documents WHY, with the law PROBED (not assumed): in
+    // Spark 4.1's PERMISSIVE mode a record that is valid JSON but
+    // type-mismatched ("v": "oops") sets the corrupt column while
+    // KEEPING sibling fields parsed (id survives, only v nulls) — so
+    // a gate classifying on the corrupt column would call the row a
+    // dead letter while a field-extracting oracle (DuckDB ->>') sees
+    // a servable record. Unparseable input has no such ambiguity. If
+    // a Spark upgrade changes this law, the pin names the divergence
+    // before an oracle ever could.
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v BIGINT, t STRING, _bad STRING")
+    val rows = Seq(
+      ("valid", """{"id": 7, "v": 42, "t": "view"}"""),
+      ("truncated", """{"id": 7, "v": 42, "t"""),
+      ("garbage", """}{"id": 7, "v": 42, "t": "view"}"""),
+      ("type_mismatch", """{"id": 7, "v": "oops", "t": "view"}"""))
+    import spark.implicits._
+    val parsed = rows.toDF("label", "raw")
+      .withColumn("p", from_json(col("raw"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_bad")))
+      .select(col("label"), col("raw"), col("p.id").as("id"),
+        col("p.v").as("v"), col("p._bad").as("bad"))
+      .collect().map(r => r.getAs[String]("label") -> r).toMap
+    // clean row round-trips
+    assert(parsed("valid").getAs[Any]("bad") == null)
+    assert(parsed("valid").getAs[Long]("id") == 7L &&
+      parsed("valid").getAs[Long]("v") == 42L)
+    // both gate corruption classes route to the corrupt column with
+    // the ORIGINAL payload preserved byte-for-byte
+    for (l <- Seq("truncated", "garbage")) {
+      assert(parsed(l).getAs[String]("bad") == parsed(l).getAs[String]("raw"),
+        s"$l: corrupt column must carry the untouched payload")
+      assert(parsed(l).getAs[Any]("id") == null, s"$l: no partial parse")
+    }
+    // the nuance: valid JSON + bad type lands in the corrupt column
+    // but siblings STAY PARSED — the half-dead state the gate's
+    // corruption classes deliberately never produce
+    assert(parsed("type_mismatch").getAs[String]("bad") != null,
+      "type-mismatch no longer reaches the corrupt column")
+    assert(parsed("type_mismatch").getAs[Long]("id") == 7L &&
+      parsed("type_mismatch").getAs[Any]("v") == null,
+      "PERMISSIVE type-mismatch partial-parse law changed — " +
+        "yf11's corruption classes were chosen to avoid relying on it; " +
+        "revisit the gate scaladoc if Spark changed the law")
+  }
 }
