@@ -555,7 +555,19 @@ object ScaleProbe {
       // st8-11/14/15 ride the doc-grain clocks; st17/st18 drain the
       // synthetic id universe and need neither replica
       val stDocs = Set(8, 9, 10, 11, 14, 15)
-      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19, 20)
+      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19, 20, 21)
+      // Loud completeness check: a future st gate absent from both
+      // hand-partitioned sets would silently stage NEITHER corpus and
+      // fail obscurely mid-probe (round-11 advice). 17/18 drain the
+      // synthetic id universe and legitimately need no replica.
+      locally {
+        val stAll = SparkEntry.queries.keys.map(famNum)
+          .collect { case ("st", n) => n }.toSet
+        val unclassified = stAll -- stDocs -- stEvents -- Set(17, 18)
+        require(unclassified.isEmpty,
+          s"st gate(s) ${unclassified.toSeq.sorted.mkString(",")} have no " +
+            "corpus classification in ScaleProbe — add to stDocs/stEvents")
+      }
       val needsDocs = fams.exists { case (f, n) =>
         Set("dd", "tx", "cp", "mm")(f) || (f == "st" && stDocs(n)) }
       val needsEvents = fams.exists { case (f, n) =>

@@ -1292,10 +1292,20 @@ object Dedup {
     val hist = chunked.filter(col("doc_id") % 10 =!= 0)
       .select(col("c")).distinct()
     val m = 8L * hist.count() // the sizing pass: ~8 bits per key
+    // Degenerate empty history: m=0 would make bloomPos's pmod divide
+    // by zero and the bit-count sum come back NULL — every batch chunk
+    // is definite_new by construction, so answer that directly.
+    if (m == 0L)
+      return batch.groupBy(lit("definite_new").as("decision"))
+        .agg(count(lit(1)).as("n_chunks"))
+        .withColumn("m_bits", lit(0L))
+        .withColumn("n_bits_set", lit(0L))
+        .withColumn("fill_permille", lit(0L))
     def posCol(c: Column, j: Int): Column = bloomPos(m)(c, j)
     val blocks = bloomBlocks(hist, m, k).localCheckpoint()
     val nBitsSet =
-      blocks.agg(sum(expr("bit_count(word)"))).head.getLong(0)
+      blocks.agg(coalesce(sum(expr("bit_count(word)")), lit(0L)))
+        .head.getLong(0)
     // k broadcast-hash lookups on the block id — the bitmap stays
     // executor-side; a missing block means no bit in it is set
     val withBits = (0 until k).foldLeft(

@@ -264,7 +264,8 @@ object Relational {
     * layout. The write happens at gate time (la6's sink-gate
     * honesty); the oracle is layout-independent plain SQL. */
   private def q10(s: SparkSession, d: String): DataFrame = {
-    val base = s"${Scratch.root}/graft_bucketed/${d.replace('/', '_')}"
+    val base = TmpDirs.reclaimAtExit(
+      s"${Scratch.root}/graft_bucketed/${d.replace('/', '_')}")
     Bucketing.writeBucketed(
       Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
       "graft_q10_customer", s"$base/customer", 8, Seq("c_custkey"))
@@ -488,7 +489,8 @@ object Relational {
     * losslessly, count(*) becomes sum(cnt), extrema re-extremize. */
   private def q15(s: SparkSession, d: String): DataFrame = {
     import graft.plans.{SummaryDef, SummaryRegistry}
-    val sumDir = s"${Scratch.root}/graft_summary/${d.replace('/', '_')}/lineitem_rf_ls"
+    val sumDir = TmpDirs.reclaimAtExit(
+      s"${Scratch.root}/graft_summary/${d.replace('/', '_')}/lineitem_rf_ls")
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"),

@@ -22,11 +22,20 @@ import org.apache.spark.sql.SparkSession
   * artifact run-to-run; a production deployment points the same
   * paths at durable storage and prices THAT deliberately. */
 private[graft] object Scratch {
+  /** Placement order: `SPARK_GRAFT_SCRATCH` (explicit opt-out/redirect
+    * — point it at durable storage for a larger-SF run), else tmpfs
+    * WHEN it has real headroom (tmpfs is RAM-backed and typically
+    * capped at 50% of memory; routing a big staging write there with
+    * no check turns into ENOSPC mid-gate), else `java.io.tmpdir`. */
   lazy val root: String = {
-    val shm = new java.io.File("/dev/shm")
-    val base =
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-scratch"
-      else System.getProperty("java.io.tmpdir")
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH").filter(_.nonEmpty)
+      .getOrElse {
+        val shm = new java.io.File("/dev/shm")
+        val minFree = 8L << 30 // require >=8 GiB usable before tmpfs
+        if (shm.isDirectory && shm.canWrite &&
+            shm.getUsableSpace >= minFree) "/dev/shm/graft-scratch"
+        else System.getProperty("java.io.tmpdir")
+      }
     new java.io.File(base).mkdirs()
     base
   }
@@ -83,5 +92,15 @@ private[graft] object TmpDirs {
       s"${Scratch.root}/graft_${tag}_${java.util.UUID.randomUUID()}"
     exitRoots.add(new java.io.File(dir))
     dir
+  }
+
+  /** For DETERMINISTIC paths that must stay stable within a run so
+    * reruns overwrite instead of accumulating (q10's bucketed layout,
+    * q15's summary), but must still be reclaimed at JVM exit — they'd
+    * otherwise persist forever on tmpfs. Idempotent. */
+  def reclaimAtExit(path: String): String = {
+    val f = new java.io.File(path)
+    if (!exitRoots.contains(f)) exitRoots.add(f)
+    path
   }
 }

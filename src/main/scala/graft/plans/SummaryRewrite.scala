@@ -116,8 +116,21 @@ class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (SummaryRegistry.defs.isEmpty) plan
-    else plan.transformUp {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    else {
+      // One FS listing per fact path per rule invocation: the rule runs
+      // to fixed point and can visit many Aggregates, but the listing
+      // can't change mid-compile, so memoize it. A listing FAILURE
+      // (fact path dropped while still registered) must veto the
+      // rewrite — fall back to the fact scan and let THAT surface the
+      // real error — never fail the whole query compile from inside
+      // the optimizer (round-11 advice).
+      val fpCache = scala.collection.mutable.Map.empty[String, Option[Long]]
+      def freshFp(path: String): Option[Long] =
+        fpCache.getOrElseUpdate(path,
+          scala.util.Try(SummaryRegistry.factFingerprint(session, path)).toOption)
+      plan.transformUp {
+        case agg: Aggregate => tryRewrite(agg, freshFp).getOrElse(agg)
+      }
     }
   }
 
@@ -165,7 +178,9 @@ class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+  private def tryRewrite(
+      agg: Aggregate,
+      freshFp: String => Option[Long]): Option[LogicalPlan] = {
     if (agg.groupingExpressions.isEmpty) return None
     for {
       (lr, filters) <- unwrap(agg.child, Nil)
@@ -179,9 +194,10 @@ class SummaryRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       _ <- Option.when(filters.forall(_.references.forall(a => keySet(a.name))))(())
       // staleness veto: a summary built before the latest fact append
       // must NOT answer reads — fall back to the fact scan until the
-      // refresh re-registers with the new fingerprint
-      _ <- Option.when(d.factFingerprint.forall(
-        _ == SummaryRegistry.factFingerprint(session, d.factPath)))(())
+      // refresh re-registers with the new fingerprint. An unreadable
+      // fact listing (freshFp None) vetoes too.
+      _ <- Option.when(d.factFingerprint.forall(reg =>
+        freshFp(d.factPath).contains(reg)))(())
       rewritten <- rewriteOnto(agg, d, filters)
     } yield rewritten
   }

@@ -240,7 +240,12 @@ class GateRegistrySpec extends AnyFunSuite {
       else b.split("(?m)^\\(\\d+\\) ")(0) // plain dump: tree before details
     def nodes(b: String, pat: String): Int =
       (pat + " \\(\\d+\\)").r.findAllMatchIn(b).size
-    def sh(b: String): Int = nodes(b, "(?<!Broadcast)(?<!AQEShuffleRead )Exchange")
+    // ReusedExchange excluded too: it references an exchange counted at
+    // its definition site (often a BroadcastExchange) — counting the
+    // reuse would both pad shuffle counts and flip on a harmless
+    // broadcast-reuse appearing in a regenerated plan (round-11 advice).
+    def sh(b: String): Int =
+      nodes(b, "(?<!Reused)(?<!Broadcast)(?<!AQEShuffleRead )Exchange")
     def scans(b: String): Int = "Scan parquet".r.findAllMatchIn(b).size
     def joins(b: String): Int = nodes(b, "SortMergeJoin \\w+") +
       nodes(b, "ShuffledHashJoin \\w+ \\w+") + nodes(b, "BroadcastHashJoin \\w+ \\w+")
