@@ -110,7 +110,15 @@ object PlanDump {
     "sim24_dominant_direction" ->
       "Gram-matrix power iteration: ONE corpus scan emits in-row scaled products into a 4096-cell map-side-combined agg; the four matvecs are dim-grain broadcast joins over the checkpointed matrix — nothing corpus-sized moves twice.",
     "mm12_aspect_buckets" ->
-      "Aspect bucketing: the catalog argmin is a zero-join codegen'd projection (array_position over inline distortions); the whole plan is scan -> project -> one 5-group hash agg.")
+      "Aspect bucketing: the catalog argmin is a zero-join codegen'd projection (array_position over inline distortions); the whole plan is scan -> project -> one 5-group hash agg.",
+    "q25_skew_join" ->
+      "AQE skew-join split: the gate returns collected rows (a LocalTableScan here), so the evidence is the RECEIPT — the executed isolated-session plan's skew=true line, require'd in-gate on every run.",
+    "st19_stream_state_restart" ->
+      "Stateful kill-and-resume (default store): the sink read-back plan is ordinary; the evidence is the RECEIPT — batch numbering continued across the restart and run 1's emission is a nonempty proper prefix, require'd in-gate.",
+    "st20_stream_rocksdb_restart" ->
+      "Stateful kill-and-resume on RocksDB + changelog checkpointing: same receipts as st19 plus .changelog files require'd under the checkpoint state dir (a silently ignored provider conf cannot fake the pass).",
+    "la22_dynamic_overwrite" ->
+      "Dynamic partition overwrite backfill: the evidence is the RECEIPT — untouched day partitions byte-identical (name + mtime), touched partitions rewritten, blind retry idempotent, require'd in-gate on every run.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -134,6 +142,11 @@ object PlanDump {
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n$why\n\n```\n")
+      // runtime receipt (q25/st19/st20/la22): the fact the gate
+      // require'd during this dump run. INSIDE the fence — the law
+      // lint evaluates section text from the first backtick on, so a
+      // receipt outside it would be invisible to bodyHas laws.
+      Receipts.get(name).foreach(r => sb.append(s"-- RECEIPT: $r\n\n"))
       // the formatted tree + node details; trim codegen ids noise
       sb.append(formatted.trim)
       sb.append("\n```\n")

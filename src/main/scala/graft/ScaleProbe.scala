@@ -34,6 +34,30 @@ object ScaleProbe {
 
     val probe = sys.env.getOrElse("SPARK_GRAFT_PROBE", "all")
 
+    // High-diameter chain probe for dd12's star contraction
+    // (SPARK_GRAFT_PROBE=ccchain, SPARK_GRAFT_CHAIN=<n>): REPLICATION
+    // preserves graph diameter, so the gates replica can never stress
+    // what large-star exists for — this builds a GROWN single chain of
+    // n vertices (diameter n−1; the spec's fixture is 64) and runs
+    // [[graft.operators.Dedup.ccBigStar]] on it. Min-label propagation
+    // would need ~n rounds; the alternation must land one component in
+    // O(log n) and inside the operator's 20-round cap.
+    if (probe == "ccchain") {
+      val n = sys.env.getOrElse("SPARK_GRAFT_CHAIN", "100000").toLong
+      val edges = spark.range(n - 1)
+        .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+        .repartition(32)
+      val t0 = System.nanoTime()
+      val (labels, rounds) = graft.operators.Dedup.ccBigStar(edges)
+      val comps = labels.agg(countDistinct(col("lbl"))).head.getLong(0)
+      val ids = labels.count()
+      println(f"[probe] cc_chain n=$n rounds=$rounds components=$comps " +
+        f"labeled=$ids wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      require(comps == 1L, s"chain fragmented into $comps components")
+      spark.stop()
+      return
+    }
+
     // Range-join probe: the binned equi-join (RangeJoin.binned, gate
     // tw7) on a factor×-extended event timeline against ~6 intervals
     // per hour of it — an interval count where the nested-loop plan
@@ -561,8 +585,12 @@ object ScaleProbe {
       // fail obscurely mid-probe (round-11 advice). 17/18 drain the
       // synthetic id universe and legitimately need no replica.
       locally {
-        val stAll = SparkEntry.queries.keys.map(famNum)
-          .collect { case ("st", n) => n }.toSet
+        // digits-only parse: gate tokens may carry a variant letter
+        // suffix (q3b-style), which famNum's full toInt rejects
+        val stAll = SparkEntry.queries.keys.map(_.takeWhile(_ != '_'))
+          .filter(t => t.startsWith("st") && t.drop(2).nonEmpty &&
+            t.drop(2).head.isDigit)
+          .map(_.drop(2).takeWhile(_.isDigit).toInt).toSet
         val unclassified = stAll -- stDocs -- stEvents -- Set(17, 18)
         require(unclassified.isEmpty,
           s"st gate(s) ${unclassified.toSeq.sorted.mkString(",")} have no " +

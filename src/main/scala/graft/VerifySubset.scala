@@ -17,13 +17,7 @@ object VerifySubset {
     val names = args(0).split(",").toSeq
     val (sfDir, outDir) = (args(1), args(2))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config(Tables.requiredConfs)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(cpus)
     new java.io.File(outDir).mkdirs()
     // a gate that throws must FAIL the process (and stay out of
     // oracle_sql.json) — otherwise check.py sees a missing parquet dir

@@ -1518,6 +1518,123 @@ object Dedup {
       |  max(pos) + 7 - min(pos) + 1 AS span_tokens
       |FROM isl GROUP BY doc_id, span_id""".stripMargin
 
+  // --------------------------------------------------------------- dd20
+
+  /** dd20: maximal repeated-span REMOVAL — the edit step dd19 stops
+    * short of. dd19 detects the repeated spans; production ExactSubstr
+    * dedup (Lee et al. 2021, `deduplicate-text-datasets`) REMOVES the
+    * duplicated text and must decide which occurrence survives. Policy
+    * here: keep-first in corpus order — a positioned k-gram (k = 8) is
+    * REDUNDANT iff an occurrence of the same gram hash exists at a
+    * strictly smaller (doc_id, pos); the union of the redundant grams'
+    * [pos, pos+k-1] windows per doc forms the maximal spans to cut
+    * (islands again, so a 37-token re-paste is ONE span), and the doc
+    * is re-assembled from the surviving tokens. The FIRST occurrence
+    * of every span survives by construction — the corpus keeps exactly
+    * one copy of every repeated substring, which is the invariant the
+    * paper's dedup enforces.
+    *
+    * Scale shape vs the paper's monolithic suffix array: first
+    * occurrence per gram is ONE map-side-combinable `min` agg on the
+    * 60-bit gram hash (skew-safe: no window over the hash partition,
+    * a billion-copy boilerplate gram still reduces to one min);
+    * redundancy is a join back on that hash; coverage needs NO range
+    * join — a redundant gram's reach lands on its start token via a
+    * 1:≤1 equi-join on (doc_id, pos), and a per-doc running max turns
+    * reach into covered flags (the dd19 island window, state = one
+    * long per doc). Occurrence order is encoded as
+    * `doc_id * 2^20 + pos` so `min` is the lexicographic first
+    * (positions are bounded by tokens/doc « 2^20; the build guards
+    * it). Output per doc: token counts, spans cut, and the md5 of the
+    * surviving text — the engine-portable fingerprint of the edit. */
+  private def dd20(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("a"))
+    val positioned = toks.filter(size(col("a")) >= K)
+      .select(col("doc_id"), posexplode(expr(
+        s"md5h60_array(transform(sequence(1, size(a) - ${K - 1}), " +
+          s"i -> concat_ws(' ', slice(a, i, $K))))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .withColumn("occ", col("doc_id") * lit(1L << 20) + col("pos"))
+    val firstOcc = positioned.groupBy(col("h"))
+      .agg(min(col("occ")).as("first_occ"))
+    val red = positioned.join(firstOcc.hint("shuffle_hash"), Seq("h"))
+      .filter(col("occ") > col("first_occ"))
+      .select(col("doc_id"), col("pos").as("tpos"),
+        (col("pos") + (K - 1)).as("reach"))
+    val tokPos = toks
+      .select(col("doc_id"), size(col("a")).as("n_tokens"),
+        posexplode(col("a")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).as("tpos"), col("col").as("tok"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("tpos").asc)
+    tokPos.join(red.hint("shuffle_hash"), Seq("doc_id", "tpos"), "left")
+      .withColumn("runreach", max(col("reach")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("covered",
+        coalesce(col("runreach") >= col("tpos"), lit(false)))
+      .withColumn("new_span",
+        when(col("covered") &&
+          !coalesce(lag(col("covered"), 1).over(byDoc), lit(false)), 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("tokens_removed"),
+        sum(col("new_span")).as("n_spans"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(!col("covered"),
+            struct(col("tpos"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("kept_fp"))
+  }
+
+  private val dd20Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, length(a) - 6)) AS pos,
+      |    unnest(list_transform(range(1, length(a) - 6),
+      |      i -> ('0x' || substr(md5(array_to_string(a[i:i+7], ' ')),
+      |        1, 15))::BIGINT)) AS h
+      |  FROM tk WHERE length(a) >= 8),
+      |first_occ AS (
+      |  SELECT h, min(doc_id * 1048576 + pos) AS first_occ
+      |  FROM pos GROUP BY h),
+      |red AS (
+      |  SELECT p.doc_id, p.pos AS tpos, p.pos + 7 AS reach
+      |  FROM pos p JOIN first_occ f USING (h)
+      |  WHERE p.doc_id * 1048576 + p.pos > f.first_occ),
+      |tokpos AS (
+      |  SELECT doc_id, length(a) AS n_tokens,
+      |    unnest(range(1, length(a) + 1)) AS tpos,
+      |    unnest(a) AS tok
+      |  FROM tk),
+      |fl AS (
+      |  SELECT doc_id, n_tokens, tpos, tok,
+      |    coalesce(max(reach) OVER (PARTITION BY doc_id ORDER BY tpos ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) >= tpos,
+      |      FALSE) AS covered
+      |  FROM (
+      |    SELECT t.doc_id, t.n_tokens, t.tpos, t.tok, r.reach
+      |    FROM tokpos t LEFT JOIN red r
+      |      ON t.doc_id = r.doc_id AND t.tpos = r.tpos) j),
+      |sp AS (
+      |  SELECT doc_id, n_tokens, tpos, tok, covered,
+      |    CASE WHEN covered AND NOT coalesce(lag(covered) OVER
+      |      (PARTITION BY doc_id ORDER BY tpos ASC), FALSE)
+      |      THEN 1 ELSE 0 END AS new_span
+      |  FROM fl)
+      |SELECT doc_id, max(n_tokens) AS n_tokens,
+      |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS tokens_removed,
+      |  CAST(sum(new_span) AS BIGINT) AS n_spans,
+      |  md5(coalesce(array_to_string(
+      |    list(tok ORDER BY tpos) FILTER (WHERE NOT covered), ' '), ''))
+      |    AS kept_fp
+      |FROM sp GROUP BY doc_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -1556,5 +1673,7 @@ object Dedup {
     GateQuery("dd18_url_dedup", dd18, Some(dd18Sql),
       "URL-grain dedup over the shared canonicalizer: per-canonical copies, forms, keeper"),
     GateQuery("dd19_repeated_spans", dd19, Some(dd19Sql),
-      "maximal cross-doc repeated token spans at 8-gram grain (exact-substring dedup)"))
+      "maximal cross-doc repeated token spans at 8-gram grain (exact-substring dedup)"),
+    GateQuery("dd20_span_remove", dd20, Some(dd20Sql),
+      "ExactSubstr removal: cut maximal repeated spans, keep-first canonical, kept-text fp"))
 }

@@ -1650,6 +1650,13 @@ object LogAnalytics {
       require(rows.map(_.getAs[Long]("n_events")).sum ==
         Tables.events(iso, d).count(),
         "backfill changed the row universe")
+      // PLANS.md receipt: the layout facts `require`d above, made
+      // law-lintable on the committed text
+      graft.Receipts.record("la22_dynamic_overwrite",
+        s"dynamic overwrite touched ${touched.size} day partitions; " +
+          s"${untouched.size} untouched partitions byte-identical " +
+          "(file name + mtime unchanged); blind backfill retry idempotent " +
+          "(row universe conserved)")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }
 

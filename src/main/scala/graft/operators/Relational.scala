@@ -1031,6 +1031,12 @@ object Relational {
     val plan = out.queryExecution.executedPlan.toString
     require(plan.contains("skew=true"),
       s"OptimizeSkewedJoin did not split the mega-channel partition\n$plan")
+    // the decisive line of the EXECUTED inner plan, exprIds normalized
+    // so the PLANS.md receipt is regen-stable (law-lint checks it)
+    graft.Receipts.record("q25_skew_join",
+      "executed isolated-session plan carries the skew split: " +
+        plan.linesIterator.filter(_.contains("skew=true")).take(1)
+          .mkString.trim.replaceAll("#\\d+", "#x"))
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

@@ -1420,14 +1420,23 @@ object StreamGates {
     // checkpointing, the state dir must actually hold changelog files
     // — a silently ignored conf would otherwise pass on the default
     // store and prove nothing about the production recovery path
-    if (extraConfs.exists(_._2.contains("RocksDB"))) {
-      def anyChangelog(f: File): Boolean =
-        (f.isFile && f.getName.endsWith(".changelog")) ||
-          Option(f.listFiles()).toSeq.flatten.exists(anyChangelog)
-      require(anyChangelog(new File(chk, "state")),
-        "no .changelog files under the checkpoint's state dir — " +
-          "the RocksDB changelog-checkpointing conf did not take")
-    }
+    val storeReceipt =
+      if (extraConfs.exists(_._2.contains("RocksDB"))) {
+        def anyChangelog(f: File): Boolean =
+          (f.isFile && f.getName.endsWith(".changelog")) ||
+            Option(f.listFiles()).toSeq.flatten.exists(anyChangelog)
+        require(anyChangelog(new File(chk, "state")),
+          "no .changelog files under the checkpoint's state dir — " +
+            "the RocksDB changelog-checkpointing conf did not take")
+        "; RocksDB .changelog files present under the checkpoint state dir"
+      } else ""
+    // PLANS.md receipt: the restart facts this gate `require`s, made
+    // law-lintable on the committed text (deterministic at a fixed sf)
+    graft.Receipts.record(s"${gate}_stream_${
+        if (storeReceipt.isEmpty) "state" else "rocksdb"}_restart",
+      s"run2 continued the batch numbering ($last1 -> $last2) from the " +
+        s"same checkpoint; run1 sank $rows1 of $total rows " +
+        s"(nonempty proper prefix)$storeReceipt")
     sunk.select(unix_micros(col("window_start")).as("window_start_us"),
       col("event_type"), col("n_events"), col("value_cents"))
   }
@@ -1451,6 +1460,81 @@ object StreamGates {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
         "true"))
+
+  // --------------------------------------------------------------- st21
+
+  /** st21: LATE DATA BEYOND THE WATERMARK IS DROPPED — the semantics
+    * every production stream debate is about, and the half of the
+    * watermark contract st12/st14 leave unexercised: they replay
+    * slices in event-time order, so nothing ever arrives after the
+    * watermark passed it. This gate manufactures genuinely late
+    * arrivals: events are fed with a separate ARRIVAL clock (`ts`, the
+    * staging/slicing column) and EVENT clock (`ev_ts`, what the
+    * pipeline aggregates and watermarks on). A deterministic slice of
+    * first-half events (`event_id % 97 == 0`, ts below the span
+    * midpoint) keeps its old event time but arrives shifted by 2× the
+    * corpus span — strictly in the FINAL micro-batch, long after the
+    * on-time events (which span the full range) advanced the watermark
+    * to max(ev_ts) − 10 min. Every late event's hour window closed
+    * ~15 days before its arrival, so the engine must DROP all of them:
+    * never re-open an emitted window, never emit a correction row.
+    *
+    * The drop set is oracle-pinned, not asserted engine-side: the
+    * DuckDB closed form aggregates the ON-TIME events only (same
+    * midpoint/97 predicate), so if even one late event leaked into a
+    * window the hash compare fails. A staging `require` keeps the gate
+    * honest — the late set must be non-empty or the gate would pass
+    * vacuously.
+    *
+    * Scale shape: st12's exactly (bounded window-store state, emitted
+    * ∝ closed windows); dropping late rows is a pre-aggregation filter
+    * against the current watermark — O(row), no state touched. */
+  private def st21(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // 1-row span anchor (the tw6/la4 pattern) to cut the midpoint and
+    // the arrival shift; lo/hi also parameterize the oracle implicitly
+    // (it recomputes them from the same table).
+    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val shift = 2L * (hi - lo)
+    val isLate = col("event_id") % 97 === 0 && unix_micros(col("ts")) < mid
+    require(!ev.filter(isLate).isEmpty,
+      "st21 staged ZERO late events — the drop law would pass vacuously")
+    val fed = ev.select(
+      col("event_id"), col("event_type"), col("value"),
+      col("ts").as("ev_ts"),
+      when(isLate, timestamp_micros(unix_micros(col("ts")) + shift))
+        .otherwise(col("ts")).as("ts"))
+    replayedDf(s, s"$d|late21", fed, "st21") { df =>
+      df.withWatermark("ev_ts", "10 minutes")
+        .groupBy(window(col("ev_ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long")).as("value_cents"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("value_cents"))
+    }.select(unix_micros(col("window_start")).as("window_start_us"),
+      col("event_type"), col("n_events"), col("value_cents"))
+  }
+
+  private val st21Sql = TimeWindows.evsSql +
+    s""", b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM evs),
+       |ontime AS (
+       |  SELECT e.* FROM evs e, b
+       |  WHERE NOT (e.event_id % 97 = 0
+       |             AND e.ts_us < b.lo + (b.hi - b.lo) // 2)),
+       |wm AS (SELECT max(ts_us) // 1000 - 600000 AS wm_ms FROM ontime)
+       |SELECT window_start_us, event_type,
+       |  count(*) AS n_events,
+       |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+       |FROM (
+       |  SELECT (ts_us // $HourUs) * $HourUs AS window_start_us,
+       |    event_type, value_cents
+       |  FROM ontime) t, wm
+       |WHERE window_start_us + $HourUs <= wm_ms * 1000
+       |GROUP BY window_start_us, event_type""".stripMargin
 
   // ----------------------------------------------------------- registry
 
@@ -1496,5 +1580,7 @@ object StreamGates {
     GateQuery("st19_stream_state_restart", st19, Some(st12Sql),
       "checkpoint restart of a STATEFUL query mid-replay: window store + watermark resume, sink ≡ the uninterrupted run's oracle"),
     GateQuery("st20_stream_rocksdb_restart", st20, Some(st12Sql),
-      "st19's kill-and-resume on RocksDB + changelog checkpointing: snapshot + changelog-tail replay recovery, same oracle"))
+      "st19's kill-and-resume on RocksDB + changelog checkpointing: snapshot + changelog-tail replay recovery, same oracle"),
+    GateQuery("st21_stream_late_drop", st21, Some(st21Sql),
+      "events arriving beyond the watermark are dropped: late slice fed last, drop set oracle-pinned"))
 }

@@ -187,7 +187,7 @@ class GateRegistrySpec extends AnyFunSuite {
     // Pin the documented numbers to the registry so drift fails CI.
     val total = GateQueries.all.size
     val oracled = GateQueries.all.count(_.oracle.isDefined)
-    assert(total == 223 && oracled == 223,
+    assert(total == 225 && oracled == 225,
       s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
     val coverage = repoText("COVERAGE.md")
     assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),
@@ -217,6 +217,46 @@ class GateRegistrySpec extends AnyFunSuite {
       .filterNot(GateQueries.all.map(_.name).toSet)
     assert(staleSections.isEmpty,
       s"PLANS.md sections with no registered gate (stale evidence): $staleSections")
+  }
+
+  test("committed bench snapshot sits inside the per-gate noise band") {
+    // BENCH_BAND.json holds per-gate [floor, ceil] seq times from 7
+    // quiet-host sf0.1 runs (tools/bench_band.py build). The suite-
+    // level 1.00-1.27x pure-query band hides per-gate regressions
+    // smaller than the total's swing (round-11's sim2 0.38→0.47 s was
+    // presumed noise, not shown noise); this lint makes the committed
+    // snapshot prove each gate individually. Rule mirrors the tool:
+    // fail iff seq > max(ceil * tol_rel, ceil + tol_abs) — relative
+    // guard for real gates, absolute slack so planning-floor gates
+    // (fixed-overhead-dominated) never flap. Gates newer than the band
+    // pass informationally until the band regenerates.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val band = JsonMethods.parse(repoText("BENCH_BAND.json"))
+    val snap = JsonMethods.parse(repoText("BENCH_DETAIL.json"))
+    val tolRel = (band \ "tol_rel").extract[Double]
+    val tolAbs = (band \ "tol_abs").extract[Double]
+    val gates: Map[String, (Double, Double)] = (band \ "gates") match {
+      case JObject(fs) => fs.map { case (g, v) =>
+        g -> (((v \ "floor").extract[Double], (v \ "ceil").extract[Double]))
+      }.toMap
+      case other => fail(s"BENCH_BAND.json gates: unexpected $other")
+    }
+    assert(gates.size >= 200, s"band too small to lint (${gates.size} gates)")
+    val seq: Map[String, Double] = (snap \ "queries_seq") match {
+      case JObject(fs) => fs.map { case (g, JDouble(t)) => g -> t
+        case (g, JInt(t)) => g -> t.toDouble }.toMap
+      case other => fail(s"BENCH_DETAIL.json queries_seq: unexpected $other")
+    }
+    val slow = for {
+      (g, t) <- seq.toSeq.sortBy(_._1)
+      (floor, ceil) <- gates.get(g).toSeq
+      limit = math.max(ceil * tolRel, ceil + tolAbs)
+      if t > limit
+    } yield f"$g: $t%.3f s > limit $limit%.3f s (band [$floor%.3f, $ceil%.3f])"
+    assert(slow.isEmpty,
+      s"committed snapshot regresses beyond the per-gate band:\n${slow.mkString("\n")}")
   }
 
   test("PLANS.md plan-shape claims are machine-checked (law lint)") {
@@ -322,7 +362,21 @@ class GateRegistrySpec extends AnyFunSuite {
       "sim23_radius_search" -> Seq(bodyNot("SortMergeJoin")),
       "sim24_dominant_direction" -> Seq(bodyNot("SortMergeJoin")),
       "mm12_aspect_buckets" -> Seq(shufflesAtMost(1),
-        Law("join-free", (f, _) => joins(f) == 0)))
+        Law("join-free", (f, _) => joins(f) == 0)),
+      // receipt-backed sections (round-12): these gates return
+      // collected rows or sink read-backs, so their evidence is the
+      // in-gate require'd RECEIPT that PlanDump embeds in the fence —
+      // the laws pin the receipt's decisive phrases on committed text
+      "q25_skew_join" -> Seq(bodyHas("-- RECEIPT"), bodyHas("skew=true")),
+      "st19_stream_state_restart" -> Seq(
+        bodyHas("continued the batch numbering"),
+        bodyHas("nonempty proper prefix")),
+      "st20_stream_rocksdb_restart" -> Seq(
+        bodyHas("continued the batch numbering"),
+        bodyHas(".changelog files present")),
+      "la22_dynamic_overwrite" -> Seq(
+        bodyHas("untouched partitions byte-identical"),
+        bodyHas("retry idempotent")))
     val missingLaws = sections.keySet -- laws.keySet
     assert(missingLaws.isEmpty,
       s"PLANS.md sections without pinned laws (add them here): $missingLaws")

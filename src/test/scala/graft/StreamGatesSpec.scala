@@ -37,6 +37,35 @@ class StreamGatesSpec extends AnyFunSuite {
       graft.streaming.EventStream.quotaAdmission(spark, Tables.events(spark, sf0001)))
   }
 
+  test("st21 late-beyond-watermark events are dropped, not merged or re-emitted") {
+    // Hand fixture with one unambiguous late event: id 97 (the gate's
+    // %97 late predicate) sits in the same hour bucket as id 1 but
+    // arrives LAST (the gate shifts its arrival by 2x the span) after
+    // id 3 pushed the watermark ~4h past its window. The drop law
+    // says the bucket's emitted count stays 1 — a leak would make it
+    // 2 and add the late event's cents. Event 3's own window is still
+    // open at the final watermark and must NOT be emitted.
+    val B = 1700000000000000L
+    val d = fixtureDir("events" -> eventsDf(Seq(
+      (1L, B + 1800L * 1000000, 10L, "view", 2.0, 1),
+      (97L, B + 2400L * 1000000, 11L, "view", 4.0, 1), // LATE: same bucket as id 1
+      (2L, B + 4200L * 1000000, 10L, "click", 1.0, 1),
+      (3L, B + 18000L * 1000000, 12L, "view", 8.0, 1))))
+    val rows = gate("st21_stream_late_drop", d).collect()
+    val hourUs = 3600L * 1000000
+    def bucket(us: Long): Long = us / hourUs * hourUs
+    val m = rows.map(r => (r.getAs[Long]("window_start_us"),
+      r.getAs[String]("event_type")) -> r).toMap
+    assert(m.keySet == Set(
+      (bucket(B + 1800L * 1000000), "view"),
+      (bucket(B + 4200L * 1000000), "click")),
+      s"expected exactly the two closed on-time buckets, got ${m.keySet}")
+    val h0 = m((bucket(B + 1800L * 1000000), "view"))
+    assert(h0.getAs[Long]("n_events") == 1L &&
+      h0.getAs[Long]("value_cents") == 200L,
+      "late event leaked into its already-closed window")
+  }
+
   test("st16 DSv2 sink replay equals the direct batch rollup") {
     import org.apache.spark.sql.functions._
     assertSame(

@@ -870,6 +870,51 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dd20 span removal: keep-first canonical — first copy intact, later copies cut") {
+    // Doc 2 embeds doc 1's full 10-token run; doc 3 repeats its OWN
+    // first 8 tokens after a separator. Keep-first must leave doc 1
+    // (and doc 3's first occurrence) untouched, cut doc 2's copy
+    // [3, 12] as ONE span, and cut doc 3's intra-doc re-paste
+    // [10, 17]. Doc 4 is below the 8-gram floor — untouched.
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "en", "s1"),
+      (2L, "x1 x2 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 x3", "en", "s1"),
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8 z1 a1 a2 a3 a4 a5 a6 a7 a8", "en", "s2"),
+      (4L, "s1 s2 s3", "en", "s3"))))
+    val m = gate("dd20_span_remove", d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m.keySet == Set(1L, 2L, 3L, 4L), "every doc reports, cut or not")
+    assert(m(1L).getAs[Long]("tokens_removed") == 0L &&
+      m(1L).getAs[Long]("n_spans") == 0L, "first occurrence survives whole")
+    assert(m(2L).getAs[Long]("tokens_removed") == 10L &&
+      m(2L).getAs[Long]("n_spans") == 1L, "copy cut as ONE maximal span")
+    // surviving text of doc 2 is exactly the non-copied frame
+    def fp(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(m(2L).getAs[String]("kept_fp") == fp("x1 x2 x3"))
+    assert(m(3L).getAs[Long]("tokens_removed") == 8L &&
+      m(3L).getAs[Long]("n_spans") == 1L, "intra-doc re-paste cut too")
+    assert(m(3L).getAs[String]("kept_fp") == fp("a1 a2 a3 a4 a5 a6 a7 a8 z1"))
+    assert(m(4L).getAs[Long]("tokens_removed") == 0L &&
+      m(4L).getAs[String]("kept_fp") == fp("s1 s2 s3"), "sub-gram doc untouched")
+  }
+
+  test("dd20 conservation on the real corpus: cuts happen, every span >= 8 tokens") {
+    val rows = gate("dd20_span_remove", sf0001).collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getAs[Long]("tokens_removed")).sum > 0,
+      "the synthetic corpus has near-dups; dd20 must cut something")
+    rows.foreach { r =>
+      val (n, cut) = (r.getAs[Int]("n_tokens").toLong, r.getAs[Long]("tokens_removed"))
+      assert(cut >= 0 && cut <= n)
+      // a maximal span is the union of >= 1 8-token gram windows, so
+      // each span removes >= 8 tokens
+      assert(8L * r.getAs[Long]("n_spans") <= cut,
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[Long]("n_spans")} spans but only $cut tokens cut")
+    }
+  }
+
   test("tx19 drift: permilles well-formed, conservation over the full-vocab corpus") {
     val rows = gate("tx19_token_drift", sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 100)

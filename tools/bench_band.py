@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Per-gate bench noise band: build BENCH_BAND.json from several
+quiet-host BENCH_DETAIL-shaped snapshots, and lint a snapshot against
+the committed band.
+
+The README documents a suite-level 1.00-1.27x pure-query band, but a
+regression smaller than the suite band is invisible at the total
+grain; per-gate floors/ceilings from repeated quiet-host runs make a
+single gate's genuine slowdown (vs the host's scheduling noise)
+detectable on the committed artifacts alone.
+
+  build: python3 tools/bench_band.py build OUT.json SRC1 [SRC2 ...]
+         SRC = a JSON file path or a git rev (REV:BENCH_DETAIL.json
+         is read via `git show`). Uses queries_seq (the sequential
+         regime — wall/concurrent times share the scheduler and are
+         not per-gate attributable).
+  check: python3 tools/bench_band.py check BAND.json SNAPSHOT.json
+         Fails (exit 1) if any gate's seq time exceeds
+         max(ceil * TOL_REL, ceil + TOL_ABS) — the relative guard for
+         real gates, the absolute guard so planning-floor gates
+         (0.1-0.5 s, swing dominated by fixed overhead) never flap.
+         Gates absent from the band (newer than the runs) are listed
+         informationally and pass.
+
+The same rule runs in GateRegistrySpec as an artifact lint over the
+committed BENCH_BAND.json + BENCH_DETAIL.json pair.
+"""
+import json
+import subprocess
+import sys
+
+TOL_REL = 1.5   # >1.5x the observed per-gate ceiling = regression
+TOL_ABS = 0.3   # +300 ms absolute slack for planning-floor gates
+
+
+def load(src: str) -> dict:
+    if ":" in src and not src.endswith(".json"):
+        raw = subprocess.run(["git", "show", src], capture_output=True,
+                             text=True, check=True).stdout
+    else:
+        try:
+            raw = open(src).read()
+        except FileNotFoundError:
+            raw = subprocess.run(["git", "show", f"{src}:BENCH_DETAIL.json"],
+                                 capture_output=True, text=True,
+                                 check=True).stdout
+    d = json.loads(raw)
+    q = d.get("queries_seq") or d.get("queries")
+    if d.get("sf") and "sf0.1" not in d["sf"]:
+        raise SystemExit(f"{src}: band runs must be sf0.1 (got {d['sf']})")
+    return q
+
+
+def build(out: str, srcs: list) -> None:
+    runs = [load(s) for s in srcs]
+    gates = sorted(set().union(*[set(r) for r in runs]))
+    band = {}
+    for g in gates:
+        vals = [r[g] for r in runs if g in r]
+        band[g] = {"floor": min(vals), "ceil": max(vals), "n": len(vals)}
+    json.dump({"tol_rel": TOL_REL, "tol_abs": TOL_ABS, "runs": len(runs),
+               "gates": band}, open(out, "w"), indent=1, sort_keys=True)
+    print(f"wrote {out}: {len(gates)} gates from {len(runs)} runs")
+
+
+def check(band_path: str, snap_path: str) -> int:
+    band = json.load(open(band_path))
+    snap = load(snap_path)
+    gates = band["gates"]
+    slow, fresh = [], []
+    for g, t in sorted(snap.items()):
+        if g not in gates:
+            fresh.append(g)
+            continue
+        ceil = gates[g]["ceil"]
+        limit = max(ceil * band["tol_rel"], ceil + band["tol_abs"])
+        if t > limit:
+            slow.append(f"{g}: {t:.3f}s > limit {limit:.3f}s "
+                        f"(band [{gates[g]['floor']:.3f}, {ceil:.3f}] "
+                        f"over {gates[g]['n']} runs)")
+    if fresh:
+        print(f"no band yet (new gates, informational): {', '.join(fresh)}")
+    if slow:
+        print("REGRESSIONS beyond the per-gate noise band:")
+        print("\n".join(" " + s for s in slow))
+        return 1
+    print(f"ok: {len(snap) - len(fresh)} gates inside their bands")
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "build":
+        build(sys.argv[2], sys.argv[3:])
+    elif len(sys.argv) == 4 and sys.argv[1] == "check":
+        sys.exit(check(sys.argv[2], sys.argv[3]))
+    else:
+        raise SystemExit(__doc__)
