@@ -636,4 +636,54 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected,
       s"asof law broken:\n+${(got -- expected).take(5)}\n-${(expected -- got).take(5)}")
   }
+
+  test("dd20 span removal equals the brute-force keep-first reference on generated corpora") {
+    // Independent O(corpus²)-style reference of the dd20 law: a
+    // positioned 8-gram is redundant iff the same gram TEXT occurred
+    // at a smaller (doc_id, pos); covered = union of redundant
+    // [pos, pos+7] windows; kept = uncovered tokens in order. The
+    // gate keys first-occurrence on the 60-bit md5 prefix instead of
+    // the text — agreement here also certifies no collision ever
+    // decided an outcome on these corpora. Small vocabulary so
+    // repeats (cross-doc AND intra-doc) are dense.
+    val K = 8
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def reference(docs: Seq[(Long, Vector[String])])
+        : Map[Long, (Long, Long, Long, String)] = {
+      val first = scala.collection.mutable.Map[String, (Long, Int)]()
+      for ((id, toks) <- docs.sortBy(_._1); i <- 0 to toks.length - K)
+        first.getOrElseUpdate(toks.slice(i, i + K).mkString(" "), (id, i))
+      docs.map { case (id, toks) =>
+        val covered = Array.fill(toks.length)(false)
+        for (i <- 0 to toks.length - K)
+          if (first(toks.slice(i, i + K).mkString(" ")) != ((id, i)))
+            (i until i + K).foreach(covered(_) = true)
+        val removed = covered.count(identity).toLong
+        val spans = covered.zipWithIndex.count {
+          case (c, i) => c && (i == 0 || !covered(i - 1)) }.toLong
+        val kept = toks.zip(covered).collect { case (t, false) => t }
+          .mkString(" ")
+        id -> ((toks.length.toLong, removed, spans, md5hex(kept)))
+      }.toMap
+    }
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.toVector))
+    for (round <- 1 to 3) {
+      val nDocs = 4 + round * 2
+      val docs = Gen.listOfN(nDocs, docGen).sample.get.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks) }
+      val dir = fixtureDir("documents" -> documentsDf(
+        docs.map { case (id, toks) => (id, toks.mkString(" "), "en", "s") }))
+      val got = gate("dd20_span_remove", dir).collect().map(r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[Int]("n_tokens").toLong,
+          r.getAs[Long]("tokens_removed"), r.getAs[Long]("n_spans"),
+          r.getAs[String]("kept_fp")))).toMap
+      val want = reference(docs)
+      assert(got == want, s"round $round divergence: " +
+        s"${got.toSet.diff(want.toSet).take(3)} vs ${want.toSet.diff(got.toSet).take(3)}")
+    }
+  }
 }
