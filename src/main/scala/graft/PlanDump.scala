@@ -118,7 +118,13 @@ object PlanDump {
     "st20_stream_rocksdb_restart" ->
       "Stateful kill-and-resume on RocksDB + changelog checkpointing: same receipts as st19 plus .changelog files require'd under the checkpoint state dir (a silently ignored provider conf cannot fake the pass).",
     "la22_dynamic_overwrite" ->
-      "Dynamic partition overwrite backfill: the evidence is the RECEIPT — untouched day partitions byte-identical (name + mtime), touched partitions rewritten, blind retry idempotent, require'd in-gate on every run.")
+      "Dynamic partition overwrite backfill: the evidence is the RECEIPT — untouched day partitions byte-identical (name + mtime), touched partitions rewritten, blind retry idempotent, require'd in-gate on every run.",
+    "q26_cube" ->
+      "CUBE grouping sets: all four marginals from ONE scan — a single Expand feeds one map-side-combined hash agg; no per-marginal re-scan, no Union.",
+    "cp18_water_fill" ->
+      "Water-filling allocation: the corpus is touched ONCE (map-side-combined token agg); the fixed point is pure window algebra on the bounded source dim — one plan branch, the dim-grain sort shared by the Window nodes.",
+    "sim25_maxsim_rerank" ->
+      "MaxSim late-interaction re-rank: slim (query, candidate) pairs through the band join; token slices + norms precompute per side; the query side broadcasts; per-pair scoring is a narrow 4x4-dot projection; top-k prunes map-side.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -579,7 +579,7 @@ object ScaleProbe {
       // st8-11/14/15 ride the doc-grain clocks; st17/st18 drain the
       // synthetic id universe and need neither replica
       val stDocs = Set(8, 9, 10, 11, 14, 15)
-      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19, 20, 21)
+      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19, 20, 21, 22)
       // Loud completeness check: a future st gate absent from both
       // hand-partitioned sets would silently stage NEITHER corpus and
       // fail obscurely mid-probe (round-11 advice). 17/18 drain the

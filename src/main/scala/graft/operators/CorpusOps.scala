@@ -980,6 +980,106 @@ object CorpusOps {
        |WHERE least(cum, step * 100) // step
        |    - least(cum - w, step * 100) // step >= 1""".stripMargin
 
+  // ---------------------------------------------------------------- cp18
+
+  /** cp18: WATER-FILLING token-budget allocation — the capped
+    * equal-share fixed point cp11's proportional mixture cannot
+    * express: give every source the SAME number of tokens (the water
+    * level λ) except sources whose whole corpus fits under λ, which
+    * contribute everything they have; their surplus re-floods the
+    * rest. This is the standard budget law when small sources must
+    * not be over-weighted by proportionality (DoReMi-style mixture
+    * tuning starts from exactly this allocation). The fixed point is
+    * CLOSED-FORM, no iteration: sort sources by available tokens
+    * ascending; the saturated set is a PREFIX (if a bigger source
+    * fits under the level, every smaller one did too — monotone in
+    * the sort order), and prefix k saturates iff
+    * `P(k−1) + a_k·(n−k+1) ≤ B` (all smaller sources fully taken,
+    * the rest at least a_k each) — integer-exact, division-free.
+    * With j saturated sources the level is `(B − P(j)) div (n−j)`
+    * and the floor remainder is reported as `leftover`.
+    *
+    * Scale shape: the corpus is touched ONCE (the per-source token
+    * count, map-side combined to ≤|sources| rows); everything after
+    * — the sort window, the prefix sum, the saturation scan — runs
+    * on the bounded source dim, so the single-partition window is a
+    * dim-grain sort, not a corpus sort (contrast cp16, which needs
+    * its prefix sum AT the corpus grain and therefore distributes
+    * it). At 100 TB this plan is one scan + one tiny agg. */
+  private def cp18(s: SparkSession, d: String): DataFrame = {
+    // Everything after the corpus agg is WINDOW algebra over the
+    // bounded source dim — one plan branch, so the corpus is scanned
+    // ONCE (a multi-branch agg/crossJoin formulation re-scans the
+    // corpus per branch); the three Window nodes share the one
+    // single-partition (dim-grain) sort.
+    val byAvail = Window.orderBy(col("avail").asc, col("source").asc)
+    val whole = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("avail"))
+      .withColumn("pos", row_number().over(byAvail).cast("long"))
+      .withColumn("prefix", sum(col("avail")).over(byAvail))
+      .withColumn("n_src", count(lit(1)).over(whole))
+      .withColumn("total_tok", sum(col("avail")).over(whole))
+      .withColumn("budget", expr("total_tok div 3"))
+      .withColumn("fits",
+        expr("prefix - avail + avail * (n_src - pos + 1) <= budget"))
+      .withColumn("j", sum(when(col("fits"), 1L).otherwise(0L)).over(whole))
+      .withColumn("p_j", sum(when(col("fits"), col("avail"))).over(whole))
+      .withColumn("level", expr(
+        "CASE WHEN j < n_src THEN (budget - coalesce(p_j, 0L)) div (n_src - j) END"))
+      .withColumn("alloc",
+        when(col("fits"), col("avail")).otherwise(col("level")))
+      .withColumn("leftover", expr(
+        """CASE WHEN j < n_src
+          |  THEN budget - coalesce(p_j, 0L) - level * (n_src - j)
+          |  ELSE budget - p_j END""".stripMargin))
+      .select(col("source"), col("avail"), col("pos"),
+        col("fits").as("saturated"), col("alloc"), col("budget"),
+        col("level"), col("leftover"))
+  }
+
+  private val cp18Sql =
+    """WITH counts AS (
+      |  SELECT source,
+      |    CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      AS avail
+      |  FROM documents GROUP BY source),
+      |ranked AS (
+      |  SELECT source, avail,
+      |    CAST(row_number() OVER (ORDER BY avail ASC, source ASC) AS BIGINT)
+      |      AS pos,
+      |    CAST(sum(avail) OVER (ORDER BY avail ASC, source ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+      |  FROM counts),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_src,
+      |    CAST(sum(avail) AS BIGINT) AS total_tok FROM counts),
+      |base AS (
+      |  SELECT r.source, r.avail, r.pos, r.prefix, t.n_src,
+      |    t.total_tok // 3 AS budget,
+      |    r.prefix - r.avail + r.avail * (t.n_src - r.pos + 1)
+      |      <= t.total_tok // 3 AS fits
+      |  FROM ranked r, tot t),
+      |sat AS (
+      |  SELECT CAST(sum(CASE WHEN fits THEN 1 ELSE 0 END) AS BIGINT) AS j,
+      |    CAST(sum(CASE WHEN fits THEN avail END) AS BIGINT) AS p_j
+      |  FROM base)
+      |SELECT b.source, b.avail, b.pos, b.fits AS saturated,
+      |  CASE WHEN b.fits THEN b.avail
+      |       ELSE (b.budget - coalesce(s.p_j, 0)) // (b.n_src - s.j) END
+      |    AS alloc,
+      |  b.budget,
+      |  CASE WHEN s.j < b.n_src
+      |    THEN (b.budget - coalesce(s.p_j, 0)) // (b.n_src - s.j) END AS level,
+      |  CASE WHEN s.j < b.n_src
+      |    THEN b.budget - coalesce(s.p_j, 0)
+      |      - ((b.budget - coalesce(s.p_j, 0)) // (b.n_src - s.j))
+      |        * (b.n_src - s.j)
+      |    ELSE b.budget - s.p_j END AS leftover
+      |FROM base b, sat s""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("cp1_stratified_sample", cp1, Some(cp1Sql),
       "deterministic per-language k-sample via salted-md5 permutation"),
@@ -1014,5 +1114,7 @@ object CorpusOps {
     GateQuery("cp16_curriculum_phases", cp16, Some(cp16Sql),
       "clean-first curriculum pacing via a DISTRIBUTED exact global prefix sum (range partitions + offset dim)"),
     GateQuery("cp17_pps_sample", cp17, Some(cp17Sql),
-      "systematic PPS sampling: n grid points over the distributed cumulative-weight line, integer-exact, output ≤ n"))
+      "systematic PPS sampling: n grid points over the distributed cumulative-weight line, integer-exact, output ≤ n"),
+    GateQuery("cp18_water_fill", cp18, Some(cp18Sql),
+      "water-filling budget allocation: capped equal-share fixed point, closed-form saturated prefix, integer-exact"))
 }

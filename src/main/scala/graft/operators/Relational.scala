@@ -1050,6 +1050,37 @@ object Relational {
       |  128 * count(*) AS pad_chars
       |FROM m GROUP BY 1""".stripMargin
 
+  /** q26: full CUBE grouping sets — la7's ROLLUP covers the
+    * hierarchical subtotal chain; CUBE is the other grouping-sets
+    * surface a dashboard needs (every marginal: per-(flag,status)
+    * detail, per-flag, per-status, and grand total) from ONE scan.
+    * Plans as a single Expand (4 grouping sets) feeding one
+    * map-side-combined hash agg — one shuffle on the expanded key,
+    * vs four separate scans+aggs; at 100 TB the Expand multiplies
+    * rows 4× BEFORE the partial agg collapses them to ≤4·|groups|,
+    * so nothing corpus-sized crosses the exchange. `grouping_id`
+    * disambiguates subtotal NULLs from genuine NULL keys (same
+    * (l_returnflag, l_linestatus) bit order in both engines);
+    * money stays DECIMAL until the final cast (q1's exactness law).
+    * Ref: sqlite_logger.py:267-304 runs its marginals as separate
+    * queries — this is the one-pass restatement. */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        grouping_id().cast("long").as("gid"))
+
+  private val q26Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -1091,5 +1122,7 @@ object Relational {
     GateQuery("q24_dynamic_pruning", q24, Some(q24Sql),
       "dynamic partition pruning: filtered-dim join prunes the fact scan, poisoned-weekday-file proof"),
     GateQuery("q25_skew_join", q25, Some(q25Sql),
-      "AQE skew-join split on the mega-channel join: skew=true required in the executed plan, values ≡ the unsplit join"))
+      "AQE skew-join split on the mega-channel join: skew=true required in the executed plan, values ≡ the unsplit join"),
+    GateQuery("q26_cube", q26, Some(q26Sql),
+      "full CUBE grouping sets: all four marginals from one Expand + one agg pass"))
 }

@@ -2158,6 +2158,109 @@ object Similarity {
        |  (1000 * (m4.m // 100000)) // tr.trace AS explained_permille
        |FROM x4, m4, tr""".stripMargin
 
+  // --------------------------------------------------------------- sim25
+
+  /** sim25: MULTI-VECTOR LATE-INTERACTION retrieval (the ColBERT
+    * MaxSim law) — every gate so far scores doc-vs-query as ONE
+    * cosine; production retrieval over token-level embeddings scores
+    * `Σ_i max_j cos(q_i, d_j)`: each query token finds its best
+    * match among the doc's tokens, matches sum. Here each 64-dim
+    * vector is viewed as 4 contiguous 16-dim token sub-vectors (the
+    * slicing is the multi-vector storage layout, not a model claim).
+    *
+    * Serving shape — exactly how multi-vector indexes deploy at
+    * scale: the PRUNING index stays single-vector (sim2's 4×4-bit
+    * LSH band join on the pooled 64-dim signature — candidates are
+    * an equi-join, never all-pairs), and MaxSim is the RE-RANK on
+    * candidates only. Per candidate the score is a fixed 4×4 grid of
+    * slice dots — a narrow map over the joined row, no explode, no
+    * cross-row FP: each cos is a left-fold `dot_f64` on identical
+    * inputs in both engines, `greatest` is order-free max, and the
+    * 4-term sum is the same left-assoc chain in both. Slices and
+    * slice norms are precomputed ONCE per side before the join, so
+    * the per-pair cost is 16 16-wide dots (= sim1's single 64-wide
+    * dot × 4). Top-10 per query with unique neighbor tie-break.
+    *
+    * At 100 TB: token vectors bucket by the same band key as the
+    * pooled index; the re-rank joins only candidate postings. */
+  private def sim25(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    // token view: 4 × 16-dim slices + their self-dots, one narrow map
+    val mv0 = base.select(col("vec_id") +:
+      (0 until 4).map(i => slice(col("v"), 1 + 16 * i, 16).as(s"t$i")): _*)
+    val mv = mv0.select(col("vec_id") +:
+      ((0 until 4).map(i => col(s"t$i")) ++
+        (0 until 4).map(i => expr(s"dot_f64(t$i, t$i)").as(s"m$i"))): _*)
+    // sim2's candidate stage: slim (query, candidate) pairs via the
+    // pooled-signature band join
+    val bnd = withBands(withSig(base, 16), 4, 4)
+      .select("vec_id", "band", "key")
+    val qb = bnd.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("band"), col("key"))
+    val cand = bnd.join(broadcast(qb), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .dropDuplicates("query_id", "vec_id")
+    val qmv = mv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id") +:
+        ((0 until 4).map(i => col(s"t$i").as(s"qt$i")) ++
+          (0 until 4).map(i => col(s"m$i").as(s"qm$i"))): _*)
+    val dmv = mv.select(col("vec_id") +:
+      ((0 until 4).map(i => col(s"t$i").as(s"dt$i")) ++
+        (0 until 4).map(i => col(s"m$i").as(s"dm$i"))): _*)
+    val score = (0 until 4).map { i =>
+      greatest((0 until 4).map { j =>
+        expr(s"dot_f64(qt$i, dt$j)") / (sqrt(col(s"qm$i")) * sqrt(col(s"dm$j")))
+      }: _*)
+    }.reduceLeft(_ + _)
+    cand.join(broadcast(qmv), "query_id")
+      .join(dmv, "vec_id")
+      .withColumn("maxsim", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("maxsim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("maxsim"))
+  }
+
+  private def dot16Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 17), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  private val sim25Sql = {
+    val maxsim = (0 until 4).map { i =>
+      "greatest(" + (0 until 4).map { j =>
+        s"${dot16Sql(s"q.t$i", s"d.t$j")} / (sqrt(q.m$i) * sqrt(d.m$j))"
+      }.mkString(", ") + ")"
+    }.mkString(" + ")
+    "WITH " + vecsSql.dropRight(1) + ", " + sigSqlN(16).dropRight(1) +
+      ", " + bandsSqlN(4, 4) +
+      s""",
+         |mvs AS (
+         |  SELECT vec_id, v[1:16] AS t0, v[17:32] AS t1,
+         |    v[33:48] AS t2, v[49:64] AS t3 FROM vecs),
+         |mv AS (
+         |  SELECT vec_id, t0, t1, t2, t3,
+         |    ${dot16Sql("t0", "t0")} AS m0, ${dot16Sql("t1", "t1")} AS m1,
+         |    ${dot16Sql("t2", "t2")} AS m2, ${dot16Sql("t3", "t3")} AS m3
+         |  FROM mvs),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bands q JOIN bands b ON q.band = b.band AND q.key = b.key
+         |    AND b.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id, $maxsim AS maxsim
+         |  FROM cand c JOIN mv q ON q.vec_id = c.query_id
+         |    JOIN mv d ON d.vec_id = c.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, maxsim FROM (
+         |  SELECT query_id, neighbor_id, maxsim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY maxsim DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -2208,5 +2311,7 @@ object Similarity {
     GateQuery("sim23_radius_search", sim23, Some(sim23Sql),
       "radius (range) search: all neighbors at cosine >= 0.45, IVF-pruned, with measured per-query recall"),
     GateQuery("sim24_dominant_direction", sim24, Some(sim24Sql),
-      "corpus anisotropy: top Gram-matrix eigenvector by integer-exact power iteration, one scan + dim-grain matvecs"))
+      "corpus anisotropy: top Gram-matrix eigenvector by integer-exact power iteration, one scan + dim-grain matvecs"),
+    GateQuery("sim25_maxsim_rerank", sim25, Some(sim25Sql),
+      "multi-vector late interaction: LSH-pruned candidates re-ranked by MaxSim over 4x16-dim token slices"))
 }

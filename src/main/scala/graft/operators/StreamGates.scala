@@ -1536,6 +1536,103 @@ object StreamGates {
        |WHERE window_start_us + $HourUs <= wm_ms * 1000
        |GROUP BY window_start_us, event_type""".stripMargin
 
+  // --------------------------------------------------------------- st22
+
+  /** st22: PER-BATCH DIMENSION REFRESH in foreachBatch — the other
+    * production foreachBatch contract (st13 is the upsert SINK; this
+    * is the slowly-changing LOOKUP): a stream-dim join where the dim
+    * is RE-READ from storage inside every micro-batch, so dim rows
+    * published between batches are visible to the next batch. The
+    * distinction gated here is load-bearing: a static DataFrame
+    * embedded in the streaming plan pins its FILE LISTING at query
+    * start and never sees appends — re-reading inside foreachBatch
+    * is the refresh idiom a real deployment uses, and this gate
+    * proves the refresh actually lands batch-by-batch.
+    *
+    * Deterministic refresh schedule: the dim maps bucket
+    * (user_id % 4) → tier, version 0 = all 'base'; after processing
+    * the batch whose slice id is k the gate PUBLISHES the upgrade
+    * for bucket k ('t<k>', version k+1). An event in slice k
+    * therefore sees upgrades for exactly the buckets whose slice
+    * preceded k: tier = 't<bucket>' iff bucket < slice AND slice
+    * `bucket` was non-empty (the publish rides that batch), else
+    * 'base' — the closed form the oracle restates over the slice-cut
+    * algebra. Slice ids come from each batch's min event time via
+    * the SAME bounds algebra that cut the slices (ob5's discipline),
+    * so an empty middle slice shifts nothing. Effective dim =
+    * max-version row per bucket (max_by), so publishes are
+    * idempotent under batch retry.
+    *
+    * Scale shape: the dim re-read is a bounded-dim scan broadcast
+    * per batch (a production dim is partition-pruned + broadcast the
+    * same way); the batch side never shuffles for the join; the sink
+    * appends ≤ |buckets|·|tiers| map-side-combined rows per batch. */
+  private def st22(s: SparkSession, d: String): DataFrame = {
+    val src = stageSlices(s, d, 4)
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = Scratch.dir("graft-st22-")
+    cleanupRoots.add(root)
+    val dimDir = new File(root, "dim")
+    val outDir = new File(root, "out")
+    // v0: every bucket serves 'base'
+    iso.range(4).select(col("id").as("bucket"), lit("base").as("tier"),
+      lit(0L).as("version")).write.parquet(dimDir.getPath)
+    val bounds = Tables.events(s, d).agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, span) =
+      (bounds.getLong(0), (bounds.getLong(1) - bounds.getLong(0)) / 4 + 1)
+    val stream = iso.readStream.schema(Tables.events(iso, d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val mn = batch.agg(min(unix_micros(col("ts")))).head()
+        if (!mn.isNullAt(0)) {
+          val sliceId = (mn.getLong(0) - lo) / span
+          val sp = batch.sparkSession
+          val eff = sp.read.parquet(dimDir.getPath)
+            .groupBy(col("bucket"))
+            .agg(max_by(col("tier"), col("version")).as("tier"))
+          batch.withColumn("bucket", pmod(col("user_id"), lit(4L)))
+            .join(broadcast(eff), "bucket")
+            .groupBy(col("bucket"), col("tier"))
+            .agg(count(lit(1)).as("n_events"),
+              sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+                .cast("long")).as("value_cents"))
+            .write.mode("append").parquet(outDir.getPath)
+          // publish THIS slice's upgrade — visible from the next batch on
+          sp.range(1).select(lit(sliceId).as("bucket"),
+            lit(s"t$sliceId").as("tier"), lit(sliceId + 1).as("version"))
+            .write.mode("append").parquet(dimDir.getPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", new File(root, "chk").getPath)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir.getPath)
+      .groupBy(col("bucket"), col("tier"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("value_cents")).as("value_cents"))
+  }
+
+  private val st22Sql = TimeWindows.evsSql +
+    """, b AS (
+      |  SELECT min(ts_us) AS lo, (max(ts_us) - min(ts_us)) // 4 + 1 AS span
+      |  FROM evs),
+      |sl AS (
+      |  SELECT user_id % 4 AS bucket, (ts_us - lo) // span AS slice,
+      |    value_cents
+      |  FROM evs, b),
+      |ne AS (SELECT DISTINCT slice FROM sl)
+      |SELECT bucket,
+      |  CASE WHEN bucket < slice AND bucket IN (SELECT slice FROM ne)
+      |       THEN 't' || bucket ELSE 'base' END AS tier,
+      |  count(*) AS n_events,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents
+      |FROM sl GROUP BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------- registry
 
   val queries: Seq[GateQuery] = Seq(
@@ -1582,5 +1679,7 @@ object StreamGates {
     GateQuery("st20_stream_rocksdb_restart", st20, Some(st12Sql),
       "st19's kill-and-resume on RocksDB + changelog checkpointing: snapshot + changelog-tail replay recovery, same oracle"),
     GateQuery("st21_stream_late_drop", st21, Some(st21Sql),
-      "events arriving beyond the watermark are dropped: late slice fed last, drop set oracle-pinned"))
+      "events arriving beyond the watermark are dropped: late slice fed last, drop set oracle-pinned"),
+    GateQuery("st22_stream_dim_refresh", st22, Some(st22Sql),
+      "foreachBatch dim refresh: per-batch re-read of a versioned lookup, upgrades land batch-by-batch ≡ slice closed form"))
 }

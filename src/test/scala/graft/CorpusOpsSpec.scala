@@ -268,4 +268,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(top.getAs[Long]("share_permille") <= top.getAs[Long]("raw_share_permille"))
     assert(bot.getAs[Long]("share_permille") >= bot.getAs[Long]("raw_share_permille"))
   }
+
+  test("cp18 water-fill: hand fixture hits the closed form, invariants at corpus") {
+    // avail = [2, 3, 10, 25], total 40, budget 13. Saturation prefix:
+    // k=1: 0+2·4=8 ≤ 13 ✓; k=2: 2+3·3=11 ≤ 13 ✓; k=3: 5+10·2=25 ✗.
+    // j=2, level=(13−5) div 2 = 4 → alloc [2,3,4,4], leftover 0.
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, words(2), "en", "sa"),
+      (2L, words(3), "en", "sb"),
+      (3L, words(10), "en", "sc"),
+      (4L, words(12), "en", "sd"), (5L, words(13), "en", "sd"))))
+    val rows = gate("cp18_water_fill", d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == Set("sa", "sb", "sc", "sd"))
+    def check(src: String, avail: Long, sat: Boolean, alloc: Long): Unit = {
+      val r = rows(src)
+      assert(r.getAs[Long]("avail") == avail, s"$src avail")
+      assert(r.getAs[Boolean]("saturated") == sat, s"$src saturated")
+      assert(r.getAs[Long]("alloc") == alloc, s"$src alloc")
+      assert(r.getAs[Long]("budget") == 13L && r.getAs[Long]("level") == 4L &&
+        r.getAs[Long]("leftover") == 0L, s"$src scalars")
+    }
+    check("sa", 2, sat = true, 2); check("sb", 3, sat = true, 3)
+    check("sc", 10, sat = false, 4); check("sd", 25, sat = false, 4)
+
+    // corpus invariants: conservation, caps, equal-share of the rest
+    val c = gate("cp18_water_fill", sf001).collect()
+    val budget = c.head.getAs[Long]("budget")
+    val leftover = c.head.getAs[Long]("leftover")
+    assert(c.map(_.getAs[Long]("alloc")).sum + leftover == budget,
+      "allocations + leftover must exactly exhaust the budget")
+    c.foreach { r =>
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("avail"),
+        s"${r.getAs[String]("source")} allocated beyond availability")
+      if (!r.getAs[Boolean]("saturated"))
+        assert(r.getAs[Long]("alloc") == r.getAs[Long]("level"),
+          s"${r.getAs[String]("source")} unsaturated but off the water level")
+      else if (!r.isNullAt(r.fieldIndex("level")))
+        assert(r.getAs[Long]("avail") <= r.getAs[Long]("level"),
+          s"${r.getAs[String]("source")} saturated above the water level")
+    }
+  }
 }

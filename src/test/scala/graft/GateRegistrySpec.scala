@@ -187,7 +187,7 @@ class GateRegistrySpec extends AnyFunSuite {
     // Pin the documented numbers to the registry so drift fails CI.
     val total = GateQueries.all.size
     val oracled = GateQueries.all.count(_.oracle.isDefined)
-    assert(total == 225 && oracled == 225,
+    assert(total == 229 && oracled == 229,
       s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
     val coverage = repoText("COVERAGE.md")
     assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),
@@ -376,7 +376,14 @@ class GateRegistrySpec extends AnyFunSuite {
         bodyHas(".changelog files present")),
       "la22_dynamic_overwrite" -> Seq(
         bodyHas("untouched partitions byte-identical"),
-        bodyHas("retry idempotent")))
+        bodyHas("retry idempotent")),
+      "q26_cube" -> Seq(bodyHas("Expand"), scansAtMost(1), shufflesAtMost(1),
+        bodyNot("Union")),
+      "cp18_water_fill" -> Seq(scansAtMost(1), shufflesAtMost(2),
+        node("Window", 3),
+        Law("<=1 Sort (windows share it)", (f, _) => nodes(f, "Sort") <= 1)),
+      "sim25_maxsim_rerank" -> Seq(node("WindowGroupLimit"), noSmj, noNlj,
+        node("BroadcastHashJoin \\w+ \\w+", 2), shufflesAtMost(2)))
     val missingLaws = sections.keySet -- laws.keySet
     assert(missingLaws.isEmpty,
       s"PLANS.md sections without pinned laws (add them here): $missingLaws")

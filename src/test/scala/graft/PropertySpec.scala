@@ -686,4 +686,35 @@ class PropertySpec extends AnyFunSuite {
         s"${got.toSet.diff(want.toSet).take(3)} vs ${want.toSet.diff(got.toSet).take(3)}")
     }
   }
+
+  test("q26 CUBE marginals compose: every subtotal is the sum of its details") {
+    // The grouping-sets law: gid encodes which keys are aggregated
+    // away ((flag, status) bit order, flag = MSB), and every marginal
+    // must equal the sum of the gid=0 detail rows it covers — a CUBE
+    // that double-counts an Expand replica or drops a grouping set
+    // breaks one of these identities.
+    val rows = gate("q26_cube", sf001).collect()
+    def part(gid: Long) = rows.filter(_.getAs[Long]("gid") == gid)
+    val detail = part(0L); val byFlag = part(1L)
+    val byStatus = part(2L); val grand = part(3L)
+    assert(detail.nonEmpty && byFlag.nonEmpty && byStatus.nonEmpty &&
+      grand.length == 1, "all four grouping sets must be present")
+    // subtotal NULLs land on the aggregated-away key, never the kept one
+    assert(byFlag.forall(r => r.getAs[String]("l_linestatus") == null &&
+      r.getAs[String]("l_returnflag") != null))
+    assert(byStatus.forall(r => r.getAs[String]("l_returnflag") == null &&
+      r.getAs[String]("l_linestatus") != null))
+    val n = Tables.lineitem(spark, sf001).count()
+    assert(grand.head.getAs[Long]("n_rows") == n, "grand total != corpus rows")
+    assert(detail.map(_.getAs[Long]("n_rows")).sum == n &&
+      byFlag.map(_.getAs[Long]("n_rows")).sum == n &&
+      byStatus.map(_.getAs[Long]("n_rows")).sum == n,
+      "each grouping set must partition the corpus")
+    val detailByFlag = detail.groupBy(_.getAs[String]("l_returnflag"))
+      .map { case (f, rs) => f -> rs.map(_.getAs[Long]("n_rows")).sum }
+    byFlag.foreach { r =>
+      assert(detailByFlag(r.getAs[String]("l_returnflag")) ==
+        r.getAs[Long]("n_rows"), s"flag marginal mismatch at $r")
+    }
+  }
 }

@@ -543,4 +543,52 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sim25 MaxSim: independent recompute matches, ranks dense and ordered") {
+    // dd20's discipline: an INDEPENDENT driver-side reference of the
+    // MaxSim law for every returned pair — slices, left-fold dots,
+    // order-free max, left-assoc 4-term sum recomputed in plain Scala
+    // on the raw vectors, bit-compared to the gate's codegen'd path.
+    val rows = gate("sim25_maxsim_rerank", sf0001).collect()
+    assert(rows.nonEmpty, "sim25 returned no rows")
+    val ids = rows.flatMap(r => Seq(r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val vecs = Tables.embeddings(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("vec_id").isin(ids.toSeq: _*))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def slices(v: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(4)(i => v.slice(16 * i, 16 * i + 16))
+    def maxsim(q: Array[Double], d: Array[Double]): Double = {
+      val (qs, ds) = (slices(q), slices(d))
+      val qn = qs.map(t => math.sqrt(dot(t, t)))
+      val dn = ds.map(t => math.sqrt(dot(t, t)))
+      (0 until 4).map { i =>
+        (0 until 4).map(j => dot(qs(i), ds(j)) / (qn(i) * dn(j))).max
+      }.reduceLeft(_ + _)
+    }
+    rows.foreach { r =>
+      val (q, d) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(q % 100 == 0 && d != q, s"bad pair ($q, $d)")
+      val want = maxsim(vecs(q), vecs(d))
+      val got = r.getAs[Double]("maxsim")
+      assert(got == want, s"maxsim($q, $d): gate $got vs reference $want")
+    }
+    // per query: dense ranks 1..k, scores non-increasing in rank order
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length),
+        s"ranks not dense for query $qid")
+      val ms = sorted.map(_.getAs[Double]("maxsim"))
+      ms.zip(ms.tail).foreach { case (a, b) =>
+        assert(b <= a, s"maxsim increased with rank for query $qid")
+      }
+    }
+  }
 }

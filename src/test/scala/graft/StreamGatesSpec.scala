@@ -66,6 +66,29 @@ class StreamGatesSpec extends AnyFunSuite {
       "late event leaked into its already-closed window")
   }
 
+  test("st22 dim upgrades land exactly one batch late, never the same batch") {
+    // 4 events in 4 distinct slices. The publish schedule upgrades
+    // bucket k after slice k's batch, so: the slice-0 event (bucket 0)
+    // must join 'base' (its own upgrade is published AFTER its batch
+    // — same-batch visibility would be a refresh-ordering bug), the
+    // slice-1 event (bucket 0) must join 't0', and the bucket-1 events
+    // in slices 2/3 must both join 't1' (published after slice 1).
+    val B = 1700000000000000L
+    val d = fixtureDir("events" -> eventsDf(Seq(
+      (1L, B, 4L, "view", 2.0, 1),                     // slice 0, bucket 0
+      (2L, B + 1000L * 1000000, 4L, "view", 3.0, 1),   // slice 1, bucket 0
+      (3L, B + 2000L * 1000000, 1L, "view", 5.0, 1),   // slice 2, bucket 1
+      (4L, B + 3000L * 1000000, 5L, "view", 7.0, 1)))) // slice 3, bucket 1
+    val rows = gate("st22_stream_dim_refresh", d).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[String]("tier")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("value_cents"))).toMap
+    assert(rows == Map(
+      (0L, "base") -> ((1L, 200L)),
+      (0L, "t0") -> ((1L, 300L)),
+      (1L, "t1") -> ((2L, 1200L))),
+      s"refresh schedule broken: $rows")
+  }
+
   test("st16 DSv2 sink replay equals the direct batch rollup") {
     import org.apache.spark.sql.functions._
     assertSame(
