@@ -2183,14 +2183,49 @@ object Similarity {
     *
     * At 100 TB: token vectors bucket by the same band key as the
     * pooled index; the re-rank joins only candidate postings. */
+  /** Token view for the MaxSim gates: 4 × 16-dim contiguous slices of
+    * each vector + their self-dots, one narrow map per side. */
+  private def tokenView(base: DataFrame): DataFrame =
+    base.select(col("vec_id") +:
+        (0 until 4).map(i => slice(col("v"), 1 + 16 * i, 16).as(s"t$i")): _*)
+      .select(col("vec_id") +:
+        ((0 until 4).map(i => col(s"t$i")) ++
+          (0 until 4).map(i => expr(s"dot_f64(t$i, t$i)").as(s"m$i"))): _*)
+
+  /** MaxSim over qt/qm vs dt/dm column names: Σ_i max_j cos(q_i, d_j)
+    * as a fixed left-assoc 4-term chain of order-free `greatest`s. */
+  private val maxsimCol: Column = (0 until 4).map { i =>
+    greatest((0 until 4).map { j =>
+      expr(s"dot_f64(qt$i, dt$j)") / (sqrt(col(s"qm$i")) * sqrt(col(s"dm$j")))
+    }: _*)
+  }.reduceLeft(_ + _)
+
+  /** MaxSim re-rank of slim (query_id, vec_id) candidate pairs:
+    * token views join back (query side broadcast), per-pair scoring
+    * is the fixed 4×4 grid, top-10 per query. Shared tail of
+    * sim25/sim26 — the candidate GENERATOR is the gates' difference. */
+  private def maxsimRerank(base: DataFrame, cand: DataFrame): DataFrame = {
+    val mv = tokenView(base)
+    val qmv = mv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id") +:
+        ((0 until 4).map(i => col(s"t$i").as(s"qt$i")) ++
+          (0 until 4).map(i => col(s"m$i").as(s"qm$i"))): _*)
+    val dmv = mv.select(col("vec_id") +:
+      ((0 until 4).map(i => col(s"t$i").as(s"dt$i")) ++
+        (0 until 4).map(i => col(s"m$i").as(s"dm$i"))): _*)
+    cand.join(broadcast(qmv), "query_id")
+      .join(dmv, "vec_id")
+      .withColumn("maxsim", maxsimCol)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("maxsim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("maxsim"))
+  }
+
   private def sim25(s: SparkSession, d: String): DataFrame = {
     val base = vecs(s, d)
-    // token view: 4 × 16-dim slices + their self-dots, one narrow map
-    val mv0 = base.select(col("vec_id") +:
-      (0 until 4).map(i => slice(col("v"), 1 + 16 * i, 16).as(s"t$i")): _*)
-    val mv = mv0.select(col("vec_id") +:
-      ((0 until 4).map(i => col(s"t$i")) ++
-        (0 until 4).map(i => expr(s"dot_f64(t$i, t$i)").as(s"m$i"))): _*)
     // sim2's candidate stage: slim (query, candidate) pairs via the
     // pooled-signature band join
     val bnd = withBands(withSig(base, 16), 4, 4)
@@ -2201,65 +2236,87 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
       .dropDuplicates("query_id", "vec_id")
-    val qmv = mv.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id") +:
-        ((0 until 4).map(i => col(s"t$i").as(s"qt$i")) ++
-          (0 until 4).map(i => col(s"m$i").as(s"qm$i"))): _*)
-    val dmv = mv.select(col("vec_id") +:
-      ((0 until 4).map(i => col(s"t$i").as(s"dt$i")) ++
-        (0 until 4).map(i => col(s"m$i").as(s"dm$i"))): _*)
-    val score = (0 until 4).map { i =>
-      greatest((0 until 4).map { j =>
-        expr(s"dot_f64(qt$i, dt$j)") / (sqrt(col(s"qm$i")) * sqrt(col(s"dm$j")))
-      }: _*)
-    }.reduceLeft(_ + _)
-    cand.join(broadcast(qmv), "query_id")
-      .join(dmv, "vec_id")
-      .withColumn("maxsim", score)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("maxsim").desc, col("vec_id").asc)))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("maxsim"))
+    maxsimRerank(base, cand)
   }
 
   private def dot16Sql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 17), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
-  private val sim25Sql = {
+  /** Shared oracle CTEs for the token view (mvs/mv) and the ranked
+    * MaxSim tail over a `cand(query_id, neighbor_id)` CTE. */
+  private val mvCteSql =
+    s"""mvs AS (
+       |  SELECT vec_id, v[1:16] AS t0, v[17:32] AS t1,
+       |    v[33:48] AS t2, v[49:64] AS t3 FROM vecs),
+       |mv AS (
+       |  SELECT vec_id, t0, t1, t2, t3,
+       |    ${dot16Sql("t0", "t0")} AS m0, ${dot16Sql("t1", "t1")} AS m1,
+       |    ${dot16Sql("t2", "t2")} AS m2, ${dot16Sql("t3", "t3")} AS m3
+       |  FROM mvs)""".stripMargin
+
+  private val maxsimTailSql = {
     val maxsim = (0 until 4).map { i =>
       "greatest(" + (0 until 4).map { j =>
         s"${dot16Sql(s"q.t$i", s"d.t$j")} / (sqrt(q.m$i) * sqrt(d.m$j))"
       }.mkString(", ") + ")"
     }.mkString(" + ")
+    s"""scored AS (
+       |  SELECT c.query_id, c.neighbor_id, $maxsim AS maxsim
+       |  FROM cand c JOIN mv q ON q.vec_id = c.query_id
+       |    JOIN mv d ON d.vec_id = c.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, maxsim FROM (
+       |  SELECT query_id, neighbor_id, maxsim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY maxsim DESC, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  private val sim25Sql =
     "WITH " + vecsSql.dropRight(1) + ", " + sigSqlN(16).dropRight(1) +
       ", " + bandsSqlN(4, 4) +
       s""",
-         |mvs AS (
-         |  SELECT vec_id, v[1:16] AS t0, v[17:32] AS t1,
-         |    v[33:48] AS t2, v[49:64] AS t3 FROM vecs),
-         |mv AS (
-         |  SELECT vec_id, t0, t1, t2, t3,
-         |    ${dot16Sql("t0", "t0")} AS m0, ${dot16Sql("t1", "t1")} AS m1,
-         |    ${dot16Sql("t2", "t2")} AS m2, ${dot16Sql("t3", "t3")} AS m3
-         |  FROM mvs),
+         |$mvCteSql,
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
          |  FROM bands q JOIN bands b ON q.band = b.band AND q.key = b.key
          |    AND b.vec_id <> q.vec_id
          |  WHERE q.vec_id % 100 = 0),
-         |scored AS (
-         |  SELECT c.query_id, c.neighbor_id, $maxsim AS maxsim
-         |  FROM cand c JOIN mv q ON q.vec_id = c.query_id
-         |    JOIN mv d ON d.vec_id = c.neighbor_id)
-         |SELECT query_id, rank, neighbor_id, maxsim FROM (
-         |  SELECT query_id, neighbor_id, maxsim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY maxsim DESC, neighbor_id ASC) AS rank
-         |  FROM scored) t
-         |WHERE rank <= 10""".stripMargin
+         |$maxsimTailSql""".stripMargin
+
+  // --------------------------------------------------------------- sim26
+
+  /** sim26: MaxSim re-rank fed by the IVF candidate path — the
+    * production pairing sim25's COVERAGE row names: at corpus scale
+    * the pruning index is the cell-partitioned IVF layout (sim6's
+    * nprobe=2 probe — candidates ≈ nprobe/nlist of the corpus, flat
+    * in corpus DENSITY where band collisions grow with it), and the
+    * multi-vector scorer runs only on the probed cells' postings.
+    * Same scorer, same tail, same tie-break as sim25 — the candidate
+    * GENERATOR is the only difference, which is exactly the
+    * single-vector-index / multi-vector-scorer split ColBERT-style
+    * serving deploys. Cell assignment and probing are sim6's
+    * zero-exchange folded-codebook narrow maps. */
+  private def sim26(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val cb = typedLit(codebookArr(s, d))
+    val cand = assignCells(base, cb)
+      .join(broadcast(probeCells(base, cb, nprobe = 2)), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    maxsimRerank(base, cand)
   }
+
+  private val sim26Sql =
+    "WITH " + vecsSql.dropRight(1) + ", " + centSql.dropRight(1) + ", " +
+      s"""${assignCteSql},
+         |${probesCteSql},
+         |$mvCteSql,
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a ON a.clabel = p.clabel
+         |  WHERE a.vec_id <> p.query_id),
+         |$maxsimTailSql""".stripMargin
 
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
@@ -2313,5 +2370,7 @@ object Similarity {
     GateQuery("sim24_dominant_direction", sim24, Some(sim24Sql),
       "corpus anisotropy: top Gram-matrix eigenvector by integer-exact power iteration, one scan + dim-grain matvecs"),
     GateQuery("sim25_maxsim_rerank", sim25, Some(sim25Sql),
-      "multi-vector late interaction: LSH-pruned candidates re-ranked by MaxSim over 4x16-dim token slices"))
+      "multi-vector late interaction: LSH-pruned candidates re-ranked by MaxSim over 4x16-dim token slices"),
+    GateQuery("sim26_ivf_maxsim", sim26, Some(sim26Sql),
+      "MaxSim fed by the IVF probe path: cell-pruned candidates, same scorer — the production multi-vector serving split"))
 }

@@ -1046,6 +1046,53 @@ object TimeWindows {
        |  CAST(sum(nxt - ts) AS BIGINT) AS total_us
        |FROM run WHERE nxt IS NOT NULL GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- tw22
+
+  /** tw22: CALENDAR-month rollup — every other window gate is
+    * fixed-width epoch arithmetic; billing/reporting windows are
+    * calendar months, which are NOT fixed-width (28-31 days, which
+    * `window()` cannot express). The law gated: `date_trunc(MONTH)`
+    * under the pinned UTC session clock buckets identically to the
+    * oracle's calendar truncation, `last_day` prices each month's
+    * true length, and the daily-average normalization divides by
+    * THAT length (a fixed /30 would misprice February by 7%). Active
+    * days per month via distinct UTC dates. All integer: cents,
+    * floor-div daily average, µs month starts.
+    *
+    * Scale shape: one map-side-combined hash agg on the month key
+    * (≤ a few rows per year of data); the month-length projection is
+    * calendar arithmetic on the |months|-row result, not the corpus. */
+  private def tw22(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("MONTH", col("ts")).as("month_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("value_cents"),
+        countDistinct(to_date(col("ts"))).as("n_active_days"))
+      .withColumn("days_in_month",
+        dayofmonth(last_day(col("month_start"))).cast("long"))
+      .withColumn("daily_avg_cents", expr("value_cents div days_in_month"))
+      .select(unix_micros(col("month_start")).as("month_start_us"),
+        col("n_events"), col("value_cents"), col("n_active_days"),
+        col("days_in_month"), col("daily_avg_cents"))
+
+  private val tw22Sql =
+    """SELECT epoch_us(month_start) AS month_start_us, n_events, value_cents,
+      |  n_active_days,
+      |  CAST(date_part('day', last_day(CAST(month_start AS DATE))) AS BIGINT)
+      |    AS days_in_month,
+      |  value_cents
+      |    // CAST(date_part('day', last_day(CAST(month_start AS DATE))) AS BIGINT)
+      |    AS daily_avg_cents
+      |FROM (
+      |  SELECT date_trunc('month', ts) AS month_start,
+      |    count(*) AS n_events,
+      |    CAST(sum((CAST(value AS DECIMAL(18,2)) * 100)::BIGINT) AS BIGINT)
+      |      AS value_cents,
+      |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days
+      |  FROM events GROUP BY 1) m""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tw1_tumbling_hourly", tw1, Some(tw1Sql),
       "tumbling 1h agg: count/sum/distinct users (T2)"),
@@ -1088,5 +1135,7 @@ object TimeWindows {
     GateQuery("tw20_gap_fill", tw20, Some(tw20Sql),
       "hourly resample + LOCF gap-fill with staleness: sequence-spine per user vs generate_series"),
     GateQuery("tw21_concurrency_profile", tw21, Some(tw21Sql),
-      "sweep-line concurrency histogram over session intervals via a day-bucketed distributed prefix sum"))
+      "sweep-line concurrency histogram over session intervals via a day-bucketed distributed prefix sum"),
+    GateQuery("tw22_calendar_months", tw22, Some(tw22Sql),
+      "calendar-month rollup: true month lengths via last_day, floor-div daily average, UTC-pinned truncation"))
 }

@@ -519,4 +519,31 @@ class LogTimeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tw22 calendar months: true month lengths incl. leap Feb, floor-div avg") {
+    // Events straddling Feb 2023 (28d), Jan 2024 (31d), Feb 2024 (29d
+    // — LEAP): the month-length projection must price each month's
+    // real calendar length (a fixed /30 would misprice all three),
+    // and active days count distinct UTC dates within the month.
+    val d = fixtureDir("events" -> eventsDf(Seq(
+      (1L, 1675576800000000L, 1L, "view", 5.60, 1),  // 2023-02-05
+      (2L, 1707134400000000L, 1L, "view", 2.90, 1),  // 2024-02-05
+      (3L, 1708389000000000L, 2L, "view", 3.10, 1),  // 2024-02-20
+      (4L, 1706742000000000L, 2L, "view", 9.30, 1))))// 2024-01-31 23:00
+    val rows = gate("tw22_calendar_months", d).collect()
+      .map(r => r.getAs[Long]("month_start_us") -> r).toMap
+    val feb23 = 1675209600000000L; val jan24 = 1704067200000000L
+    val feb24 = 1706745600000000L
+    assert(rows.keySet == Set(feb23, jan24, feb24), s"months: ${rows.keySet}")
+    def check(mo: Long, n: Long, cents: Long, days: Long, len: Long): Unit = {
+      val r = rows(mo)
+      assert(r.getAs[Long]("n_events") == n && r.getAs[Long]("value_cents") == cents &&
+        r.getAs[Long]("n_active_days") == days &&
+        r.getAs[Long]("days_in_month") == len &&
+        r.getAs[Long]("daily_avg_cents") == cents / len, s"month $mo: $r")
+    }
+    check(feb23, 1, 560, 1, 28)
+    check(jan24, 1, 930, 1, 31)
+    check(feb24, 2, 600, 2, 29) // the leap February
+  }
 }

@@ -544,13 +544,16 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("sim25 MaxSim: independent recompute matches, ranks dense and ordered") {
+  for (g <- Seq("sim25_maxsim_rerank", "sim26_ivf_maxsim"))
+  test(s"$g MaxSim: independent recompute matches, ranks dense and ordered") {
     // dd20's discipline: an INDEPENDENT driver-side reference of the
     // MaxSim law for every returned pair — slices, left-fold dots,
     // order-free max, left-assoc 4-term sum recomputed in plain Scala
     // on the raw vectors, bit-compared to the gate's codegen'd path.
-    val rows = gate("sim25_maxsim_rerank", sf0001).collect()
-    assert(rows.nonEmpty, "sim25 returned no rows")
+    // Runs for BOTH candidate generators (LSH bands / IVF probes):
+    // the scorer is shared, the pair sets differ.
+    val rows = gate(g, sf0001).collect()
+    assert(rows.nonEmpty, s"$g returned no rows")
     val ids = rows.flatMap(r => Seq(r.getAs[Long]("query_id"),
       r.getAs[Long]("neighbor_id"))).toSet
     val vecs = Tables.embeddings(spark, sf0001)
