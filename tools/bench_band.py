@@ -14,6 +14,13 @@ detectable on the committed artifacts alone.
          is read via `git show`). Uses queries_seq (the sequential
          regime — wall/concurrent times share the scheduler and are
          not per-gate attributable).
+  merge: python3 tools/bench_band.py merge BAND.json OUT.json SRC1 [...]
+         Widen/extend a committed band with additional runs whose raw
+         per-run files still exist: per gate, floor = min(old, new),
+         ceil = max(old, new), n accumulates. Equivalent to build over
+         the union of all sources; used when the original runs are no
+         longer on disk but the observed host regime has widened (the
+         band documents OBSERVED spread — a merge never narrows it).
   check: python3 tools/bench_band.py check BAND.json SNAPSHOT.json
          Fails (exit 1) if any gate's seq time exceeds
          max(ceil * TOL_REL, ceil + TOL_ABS) — the relative guard for
@@ -63,6 +70,25 @@ def build(out: str, srcs: list) -> None:
     print(f"wrote {out}: {len(gates)} gates from {len(runs)} runs")
 
 
+def merge(band_path: str, out: str, srcs: list) -> None:
+    band = json.load(open(band_path))
+    runs = [load(s) for s in srcs]
+    gates = dict(band["gates"])
+    for g in sorted(set().union(*[set(r) for r in runs])):
+        vals = [r[g] for r in runs if g in r]
+        if g in gates:
+            gates[g] = {"floor": min(gates[g]["floor"], min(vals)),
+                        "ceil": max(gates[g]["ceil"], max(vals)),
+                        "n": gates[g]["n"] + len(vals)}
+        else:
+            gates[g] = {"floor": min(vals), "ceil": max(vals),
+                        "n": len(vals)}
+    json.dump({"tol_rel": band["tol_rel"], "tol_abs": band["tol_abs"],
+               "runs": band["runs"] + len(runs), "gates": gates},
+              open(out, "w"), indent=1, sort_keys=True)
+    print(f"wrote {out}: {len(gates)} gates, {band['runs']} + {len(runs)} runs")
+
+
 def check(band_path: str, snap_path: str) -> int:
     band = json.load(open(band_path))
     snap = load(snap_path)
@@ -91,6 +117,8 @@ def check(band_path: str, snap_path: str) -> int:
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "build":
         build(sys.argv[2], sys.argv[3:])
+    elif len(sys.argv) >= 5 and sys.argv[1] == "merge":
+        merge(sys.argv[2], sys.argv[3], sys.argv[4:])
     elif len(sys.argv) == 4 and sys.argv[1] == "check":
         sys.exit(check(sys.argv[2], sys.argv[3]))
     else:
