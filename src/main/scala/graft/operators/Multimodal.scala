@@ -759,6 +759,64 @@ object Multimodal {
        |FROM assigned GROUP BY bucket_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- mm13
+
+  /** mm13: SHOT-BOUNDARY (scene-cut) detection — the video-curation
+    * primitive between frame sampling (mm2) and whole-asset sketches
+    * (mm7): a cut is a frame whose perceptual hash is FAR from its
+    * predecessor's, and shot statistics (cut count, mean shot length)
+    * are what a video pipeline samples training clips by. On the
+    * stubbed decode (charter: the codec is faked, the Spark plumbing
+    * is real) each frame's "perceptual hash" is the 60-bit md5 prefix
+    * of the shared [[frameArr]] frame definition; the cut law —
+    * hamming(h_i, h_{i−1}) ≥ 16 of 60 — separates the two real
+    * classes this corpus produces: repeated frames (identical slices,
+    * distance 0 — the static spans mm9 profiles) vs content changes
+    * (independent digests, distance ≈ 30). With a real decoder the
+    * SAME plan runs on real pHashes (mm7's swap-in seam).
+    *
+    * Scale shape: frames explode as a narrow map (8-byte hashes, int
+    * positions — payload bytes never leave the scan stage); the lag
+    * window and the per-media rollup share ONE media_id exchange
+    * (tw9's law); output is media-grain. Empty payloads have no
+    * frames and drop out of the cut profile by construction. */
+  private def mm13(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("idx"))
+    media(s, d)
+      .select(col("media_id"),
+        posexplode(frameArr(col("payload"))).as(Seq("idx", "dig")))
+      .withColumn("h", conv(substring(col("dig"), 1, 15), 16, 10).cast("long"))
+      .withColumn("prev", lag(col("h"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          bit_count(col("h").bitwiseXOR(col("prev"))) >= 16, 1L).otherwise(0L))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"))
+      .withColumn("shot_len_milli", expr("(n_frames * 1000) div (n_cuts + 1)"))
+  }
+
+  private val mm13Sql =
+    """WITH fr AS (
+      |  SELECT doc_id AS media_id,
+      |    unnest(range(0, (strlen(text)-1) // 128 + 1)) AS idx,
+      |    unnest(list_transform(range(0, (strlen(text)-1) // 128 + 1),
+      |      i -> ('0x' || substr(md5(substr(text, CAST(1 + i*128 AS INT), 32)),
+      |                    1, 15))::BIGINT)) AS h
+      |  FROM documents WHERE strlen(text) > 0),
+      |lg AS (
+      |  SELECT media_id, h,
+      |    lag(h) OVER (PARTITION BY media_id ORDER BY idx) AS prev
+      |  FROM fr)
+      |SELECT media_id, n_frames, n_cuts,
+      |  (n_frames * 1000) // (n_cuts + 1) AS shot_len_milli
+      |FROM (
+      |  SELECT media_id, count(*) AS n_frames,
+      |    CAST(sum(CASE WHEN prev IS NOT NULL
+      |      AND bit_count(xor(h, prev)) >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_cuts
+      |  FROM lg GROUP BY media_id) a""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
@@ -783,7 +841,9 @@ object Multimodal {
     GateQuery("mm11_cdc_chunk_dedup", mm11, Some(mm11Sql),
       "content-defined-chunking dedup: position-local cut rule, digest-grain copy groups, bytes reclaimed"),
     GateQuery("mm12_aspect_buckets", mm12, Some(mm12Sql),
-      "aspect-ratio bucketing for shape-uniform decode batches: zero-join argmin over the bucket catalog, 5-row plan"))
+      "aspect-ratio bucketing for shape-uniform decode batches: zero-join argmin over the bucket catalog, 5-row plan"),
+    GateQuery("mm13_scene_cuts", mm13, Some(mm13Sql),
+      "shot-boundary detection: hamming distance between consecutive frame hashes, cut count + mean shot length per media"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

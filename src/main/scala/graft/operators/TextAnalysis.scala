@@ -1820,6 +1820,96 @@ object TextAnalysis {
       |    ORDER BY pd.decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
       |FROM pd LEFT JOIN nt ON nt.decile = pd.decile""".stripMargin
 
+  // ---------------------------------------------------------------- tx27
+
+  /** tx27: per-source LINEAR PROBE — the least-squares fit of tokens
+    * against chars, per source, in closed form: the length-law probe
+    * a curation team fits per domain to spot machine-generated or
+    * boilerplate-heavy sources (a source whose token count is almost
+    * perfectly affine in char count — r² ≈ 1000‰ with an anomalous
+    * slope — is template output, not prose). No gradient loop, no FP:
+    * the normal equations for one feature reduce to integer moment
+    * sums (n, Σx, Σy, Σx², Σxy, Σy²), and slope/intercept/r² come out
+    * of the centered second moments `D__ = n·Σ__ − Σ_·Σ_` by integer
+    * division — slope in micro units, r² in permille. Moments are
+    * summed as DECIMAL(38,0) (exact, order-free — DuckDB's HUGEINT
+    * twin); the r² quotient pre-floors its operands by 10³ so the
+    * squared numerator stays inside 38 digits (exact headroom to
+    * ~10¹⁸-scale D values ≈ 10⁹ docs/source; the same defined
+    * formula on both engines, so the floor is part of the law).
+    * Degenerate sources (constant x or constant y) emit NULL fit
+    * columns rather than dividing by zero, and r² is reported only
+    * when BOTH floored moments are nonzero (D ≥ 1000) — below that a
+    * sample is too small for its r² to mean anything, and the floor
+    * would otherwise zero the quotient's denominator.
+    *
+    * Scale shape: ONE narrow scan computes per-doc (x, y); one
+    * map-side-combined hash agg collapses to the source dim; the
+    * algebra is a projection on ≤|sources| rows. At 100 TB: one
+    * scan, bounded output — tx17's economics with a model on top. */
+  private def tx27(s: SparkSession, d: String): DataFrame = {
+    val D = "decimal(38,0)"
+    Tables.documents(s, d)
+      .select(col("source"),
+        col("n_chars").cast("long").as("x"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("y"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast(D).as("n"),
+        sum(col("x").cast(D)).as("sx"),
+        sum(col("y").cast(D)).as("sy"),
+        sum(expr(s"CAST(x * x AS $D)")).as("sxx"),
+        sum(expr(s"CAST(x * y AS $D)")).as("sxy"),
+        sum(expr(s"CAST(y * y AS $D)")).as("syy"))
+      .withColumn("dxx", expr("n * sxx - sx * sx"))
+      .withColumn("dxy", expr("n * sxy - sx * sy"))
+      .withColumn("dyy", expr("n * syy - sy * sy"))
+      .withColumn("slope_micro",
+        expr("CASE WHEN dxx <> 0 THEN (dxy * 1000000) div dxx END"))
+      .withColumn("icept_micro",
+        expr("CASE WHEN dxx <> 0 THEN (sy * 1000000 - slope_micro * sx) div n END"))
+      .withColumn("r2_permille", expr(
+        """CASE WHEN dxx div 1000 <> 0 AND dyy div 1000 <> 0 THEN
+          |  (CAST(dxy div 1000 AS DECIMAL(38,0))
+          |     * CAST(dxy div 1000 AS DECIMAL(38,0)) * 1000)
+          |  div (CAST(dxx div 1000 AS DECIMAL(38,0))
+          |     * CAST(dyy div 1000 AS DECIMAL(38,0))) END""".stripMargin))
+      .select(col("source"), expr("CAST(n AS BIGINT)").as("n_docs"),
+        col("slope_micro"), col("icept_micro"), col("r2_permille"))
+  }
+
+  private val tx27Sql =
+    """WITH rows_ AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(y * y) AS HUGEINT) AS syy
+      |  FROM rows_ GROUP BY source),
+      |d AS (
+      |  SELECT source, n, sx, sy,
+      |    n * sxx - sx * sx AS dxx,
+      |    n * sxy - sx * sy AS dxy,
+      |    n * syy - sy * sy AS dyy
+      |  FROM s),
+      |f AS (
+      |  SELECT source, n, sx, sy, dxx, dxy, dyy,
+      |    CASE WHEN dxx <> 0 THEN (dxy * 1000000) // dxx END AS slope_micro
+      |  FROM d)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |  CAST(slope_micro AS BIGINT) AS slope_micro,
+      |  CAST(CASE WHEN dxx <> 0
+      |    THEN (sy * 1000000 - slope_micro * sx) // n END AS BIGINT)
+      |    AS icept_micro,
+      |  CAST(CASE WHEN dxx // 1000 <> 0 AND dyy // 1000 <> 0 THEN
+      |    ((dxy // 1000) * (dxy // 1000) * 1000)
+      |      // ((dxx // 1000) * (dyy // 1000)) END AS BIGINT) AS r2_permille
+      |FROM f""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -1872,5 +1962,7 @@ object TextAnalysis {
     GateQuery("tx25_bpe_tokenize", tx25, Some(tx25Sql),
       "corpus tokenization with the trained BPE vocab: per-source subword totals + compression permille"),
     GateQuery("tx26_vocab_growth", tx26, Some(tx26Sql),
-      "vocabulary-growth (Heaps-law) curve: per-decile new types + cumulative vocab in one token-grain pass"))
+      "vocabulary-growth (Heaps-law) curve: per-decile new types + cumulative vocab in one token-grain pass"),
+    GateQuery("tx27_linear_probe", tx27, Some(tx27Sql),
+      "per-source least-squares fit of tokens ~ chars in closed form: integer-exact moments, slope/intercept/r2"))
 }

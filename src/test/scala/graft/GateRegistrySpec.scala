@@ -140,7 +140,13 @@ class GateRegistrySpec extends AnyFunSuite {
       prefix = sql.substring(0, m.start).replaceAll("\\s+$", "")
       target = if (prefix.toUpperCase.endsWith("CAST("))
         castTarget(sql, prefix.length - 1) else None
-      if !target.exists(t => t == "BIGINT" || t == "DOUBLE")
+      // HUGEINT is allowed as an EXPLICIT cast: an intermediate CTE may
+      // deliberately keep int128 exactness (tx27's regression moments);
+      // the trap this lint guards against is the IMPLICIT sum(BIGINT)
+      // -> HUGEINT promotion reaching an output column untyped. Output
+      // dtypes are still pinned by the driver hash + the scalar-schema
+      // lint; any HUGEINT column that reached output would hash-fail.
+      if !target.exists(t => t == "BIGINT" || t == "DOUBLE" || t == "HUGEINT")
     } yield s"${q.name}@${m.start} (cast target: ${target.getOrElse("none")}): " +
       s"...${sql.substring(math.max(0, m.start - 20), math.min(sql.length, m.start + 30)).replace("\n", " ")}..."
     assert(offenders.isEmpty,
@@ -187,7 +193,7 @@ class GateRegistrySpec extends AnyFunSuite {
     // Pin the documented numbers to the registry so drift fails CI.
     val total = GateQueries.all.size
     val oracled = GateQueries.all.count(_.oracle.isDefined)
-    assert(total == 231 && oracled == 231,
+    assert(total == 233 && oracled == 233,
       s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
     val coverage = repoText("COVERAGE.md")
     assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),

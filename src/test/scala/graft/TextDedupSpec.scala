@@ -1102,4 +1102,51 @@ class TextDedupSpec extends AnyFunSuite {
       assert(r.getAs[Long]("cc_permille") == cc, s"cc($h)")
     }
   }
+
+  test("tx27 linear probe: perfect fit recovered exactly, degenerate source NULLs") {
+    // Source 'lin': texts of n 3-char words → x = 4n−1 chars, y = n
+    // tokens — exactly collinear (y = (x+1)/4). Hand-run the moment
+    // algebra at n ∈ {50,100,150,200,250}: dxx = 2 000 000,
+    // dxy = 500 000, dyy = 125 000 → slope 0.25 (250000 micro),
+    // intercept 0.25 (250000 micro), r² = exactly 1000‰.
+    // Source 'const': two docs with identical char counts → dxx = 0 →
+    // every fit column NULL (no division by zero on either engine).
+    def words(n: Int): String = (1 to n).map(i => f"w${i % 100}%02d").mkString(" ")
+    val lin = Seq(50, 100, 150, 200, 250).zipWithIndex.map { case (n, i) =>
+      (i + 1L, words(n), "en", "lin")
+    }
+    val d = fixtureDir("documents" -> documentsDf(lin ++ Seq(
+      (10L, "ab cd", "en", "const"), (11L, "xy zw", "en", "const"))))
+    val rows = gate("tx27_linear_probe", d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == Set("lin", "const"))
+    val l = rows("lin")
+    assert(l.getAs[Long]("n_docs") == 5)
+    assert(l.getAs[Long]("slope_micro") == 250000L, s"slope: $l")
+    assert(l.getAs[Long]("icept_micro") == 250000L, s"icept: $l")
+    assert(l.getAs[Long]("r2_permille") == 1000L, s"r2: $l")
+    val c = rows("const")
+    assert(c.getAs[Long]("n_docs") == 2)
+    for (f <- Seq("slope_micro", "icept_micro", "r2_permille"))
+      assert(c.isNullAt(c.fieldIndex(f)), s"const.$f should be NULL: $c")
+  }
+
+  test("mm13 scene cuts: identical frame = no cut, changed frame = cut") {
+    // 3-frame payload: frames 1 and 2 share their first 32 bytes (the
+    // digest window) → distance 0, NO cut; frame 3 differs → one cut
+    // (hamming(md5-60bit('A'*32), md5-60bit('C'*32)) = 25 ≥ 16,
+    // deterministic). Plus a 1-frame doc: zero cuts by construction.
+    val text3 = "A" * 32 + "x" * 96 + "A" * 32 + "y" * 96 + "C" * 128
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, text3, "en", "s1"), (2L, "z" * 10, "en", "s1"))))
+    val rows = gate("mm13_scene_cuts", d).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L).getAs[Long]("n_frames") == 3 &&
+      rows(1L).getAs[Long]("n_cuts") == 1 &&
+      rows(1L).getAs[Long]("shot_len_milli") == 1500L, s"doc1: ${rows(1L)}")
+    assert(rows(2L).getAs[Long]("n_frames") == 1 &&
+      rows(2L).getAs[Long]("n_cuts") == 0 &&
+      rows(2L).getAs[Long]("shot_len_milli") == 1000L, s"doc2: ${rows(2L)}")
+  }
 }
