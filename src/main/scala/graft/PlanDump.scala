@@ -124,7 +124,11 @@ object PlanDump {
     "cp18_water_fill" ->
       "Water-filling allocation: the corpus is touched ONCE (map-side-combined token agg); the fixed point is pure window algebra on the bounded source dim — one plan branch, the dim-grain sort shared by the Window nodes.",
     "sim25_maxsim_rerank" ->
-      "MaxSim late-interaction re-rank: slim (query, candidate) pairs through the band join; token slices + norms precompute per side; the query side broadcasts; per-pair scoring is a narrow 4x4-dot projection; top-k prunes map-side.")
+      "MaxSim late-interaction re-rank: slim (query, candidate) pairs through the band join; token slices + norms precompute per side; the query side broadcasts; per-pair scoring is a narrow 4x4-dot projection; top-k prunes map-side.",
+    "tx27_linear_probe" ->
+      "Closed-form linear probe: ONE narrow scan, one map-side-combined moment agg to the source dim, the fit algebra a join-free window-free projection on it — a regression for the cost of a token count.",
+    "mm13_scene_cuts" ->
+      "Scene cuts: frames explode as a narrow map (8-byte hashes + int positions — payload bytes never leave the scan stage); the lag window and the per-media rollup share ONE media_id exchange.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

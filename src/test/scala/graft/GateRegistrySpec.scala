@@ -389,7 +389,11 @@ class GateRegistrySpec extends AnyFunSuite {
         node("Window", 3),
         Law("<=1 Sort (windows share it)", (f, _) => nodes(f, "Sort") <= 1)),
       "sim25_maxsim_rerank" -> Seq(node("WindowGroupLimit"), noSmj, noNlj,
-        node("BroadcastHashJoin \\w+ \\w+", 2), shufflesAtMost(2)))
+        node("BroadcastHashJoin \\w+ \\w+", 2), shufflesAtMost(2)),
+      "tx27_linear_probe" -> Seq(scansAtMost(1), shufflesAtMost(1),
+        Law("join-free", (f, _) => joins(f) == 0), noNode("Window")),
+      "mm13_scene_cuts" -> Seq(scansAtMost(1), shufflesAtMost(1),
+        node("Generate"), node("Window"), noSmj))
     val missingLaws = sections.keySet -- laws.keySet
     assert(missingLaws.isEmpty,
       s"PLANS.md sections without pinned laws (add them here): $missingLaws")
