@@ -44,6 +44,9 @@ object ScaleProbe {
     // O(log n) and inside the operator's 20-round cap.
     if (probe == "ccchain") {
       val n = sys.env.getOrElse("SPARK_GRAFT_CHAIN", "100000").toLong
+      require(n >= 2,
+        s"SPARK_GRAFT_CHAIN=$n is degenerate — a chain needs >= 2 vertices " +
+          "(n-1 edges); range(n-1) would build an empty or negative edge set")
       val edges = spark.range(n - 1)
         .select(col("id").as("id1"), (col("id") + 1).as("id2"))
         .repartition(32)

@@ -1362,14 +1362,14 @@ object StreamGates {
     * last state-store snapshot — nothing over the ingested prefix is
     * replanned or re-aggregated. */
   private def st19(s: SparkSession, d: String): DataFrame =
-    stateRestart(s, d, "st19", Map.empty)
+    stateRestart(s, d, "st19", "st19_stream_state_restart", Map.empty)
 
   /** The kill-and-resume rig shared by st19 (default HDFS-backed state
     * store) and st20 (RocksDB + changelog checkpointing — the
     * production store, whose recovery path is replaying the changelog
     * onto the last snapshot rather than reloading a delta file). */
   private def stateRestart(s: SparkSession, d: String, gate: String,
-      extraConfs: Map[String, String]): DataFrame = {
+      registryName: String, extraConfs: Map[String, String]): DataFrame = {
     val shared = stageSlices(s, d, 4)
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1421,7 +1421,9 @@ object StreamGates {
     // — a silently ignored conf would otherwise pass on the default
     // store and prove nothing about the production recovery path
     val storeReceipt =
-      if (extraConfs.exists(_._2.contains("RocksDB"))) {
+      if (extraConfs.get(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+          .contains("true")) {
         def anyChangelog(f: File): Boolean =
           (f.isFile && f.getName.endsWith(".changelog")) ||
             Option(f.listFiles()).toSeq.flatten.exists(anyChangelog)
@@ -1432,8 +1434,10 @@ object StreamGates {
       } else ""
     // PLANS.md receipt: the restart facts this gate `require`s, made
     // law-lintable on the committed text (deterministic at a fixed sf)
-    graft.Receipts.record(s"${gate}_stream_${
-        if (storeReceipt.isEmpty) "state" else "rocksdb"}_restart",
+    // keyed by the REGISTRY name passed from the call site — string-
+    // rebuilding it here would silently detach the receipt from the
+    // gate on a rename and fail the PLANS law lint far from the cause
+    graft.Receipts.record(registryName,
       s"run2 continued the batch numbering ($last1 -> $last2) from the " +
         s"same checkpoint; run1 sank $rows1 of $total rows " +
         s"(nonempty proper prefix)$storeReceipt")
@@ -1455,7 +1459,7 @@ object StreamGates {
     * st12's SQL verbatim: whichever store and recovery path runs
     * underneath, interrupted ≡ uninterrupted. */
   private def st20(s: SparkSession, d: String): DataFrame =
-    stateRestart(s, d, "st20", Map(
+    stateRestart(s, d, "st20", "st20_stream_rocksdb_restart", Map(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->

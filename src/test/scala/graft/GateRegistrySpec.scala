@@ -241,6 +241,14 @@ class GateRegistrySpec extends AnyFunSuite {
     implicit val fmts: Formats = DefaultFormats
     val band = JsonMethods.parse(repoText("BENCH_BAND.json"))
     val snap = JsonMethods.parse(repoText("BENCH_DETAIL.json"))
+    // mirror bench_band.py load()'s sf guard: a snapshot regenerated
+    // at a smaller scale factor would sit far below every sf0.1
+    // ceiling and pass this lint VACUOUSLY — the silent-noise hole
+    // the lint exists to close
+    (snap \ "sf").extractOpt[String].foreach(sf =>
+      assert(sf.contains("sf0.1"),
+        s"BENCH_DETAIL.json is not an sf0.1 snapshot (sf=$sf) — the " +
+          "band lint would pass vacuously against smaller-sf times"))
     val tolRel = (band \ "tol_rel").extract[Double]
     val tolAbs = (band \ "tol_abs").extract[Double]
     val gates: Map[String, (Double, Double)] = (band \ "gates") match {

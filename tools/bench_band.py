@@ -41,18 +41,26 @@ TOL_ABS = 0.3   # +300 ms absolute slack for planning-floor gates
 
 
 def load(src: str) -> dict:
-    if ":" in src and not src.endswith(".json"):
-        raw = subprocess.run(["git", "show", src], capture_output=True,
-                             text=True, check=True).stdout
+    # Source forms: a JSON file path, "REV:path" (read via git show
+    # verbatim), or a bare rev (expanded to REV:BENCH_DETAIL.json).
+    # ":" alone cannot distinguish the first two — a rev-qualified
+    # path ends with .json too — so try the filesystem first and
+    # treat any non-file as a git object.
+    import os
+    if os.path.isfile(src):
+        raw = open(src).read()
     else:
-        try:
-            raw = open(src).read()
-        except FileNotFoundError:
-            raw = subprocess.run(["git", "show", f"{src}:BENCH_DETAIL.json"],
-                                 capture_output=True, text=True,
-                                 check=True).stdout
+        obj = src if ":" in src else f"{src}:BENCH_DETAIL.json"
+        raw = subprocess.run(["git", "show", obj], capture_output=True,
+                             text=True, check=True).stdout
     d = json.loads(raw)
-    q = d.get("queries_seq") or d.get("queries")
+    q = d.get("queries_seq")
+    if q is None:
+        # concurrent-regime times are NOT per-gate attributable (they
+        # share the scheduler); never silently substitute them
+        raise SystemExit(
+            f"{src}: no 'queries_seq' in snapshot — bands are built from "
+            "the sequential regime only (BENCH_DETAIL-shaped files)")
     if d.get("sf") and "sf0.1" not in d["sf"]:
         raise SystemExit(f"{src}: band runs must be sf0.1 (got {d['sf']})")
     return q
