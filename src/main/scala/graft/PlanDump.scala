@@ -128,7 +128,13 @@ object PlanDump {
     "tx27_linear_probe" ->
       "Closed-form linear probe: ONE narrow scan, one map-side-combined moment agg to the source dim, the fit algebra a join-free window-free projection on it — a regression for the cost of a token count.",
     "mm13_scene_cuts" ->
-      "Scene cuts: frames explode as a narrow map (8-byte hashes + int positions — payload bytes never leave the scan stage); the lag window and the per-media rollup share ONE media_id exchange.")
+      "Scene cuts: frames explode as a narrow map (8-byte hashes + int positions — payload bytes never leave the scan stage); the lag window and the per-media rollup share ONE media_id exchange.",
+    "tx28_classifier_inference" ->
+      "Folded-weights classifier inference: the trained weight vector lives in the projection as LITERALS (no weights table, no join, no UDF) — scan -> codegen'd integer score map -> one map-side-combined source agg; the cheapest possible full-corpus pass.",
+    "mm14_prep_funnel" ->
+      "End-to-end media prep funnel in ONE lazy plan: payload bytes never leave the scan stage (digests/sketches/counts move); ONE digest exchange for the canonical window; band self-join and drop-set apply are SHUFFLE-HASH joins (never sort-merge); the lineage audit anchor broadcasts as one row.",
+    "st23_stream_drop_ledger" ->
+      "Late-drop ledger: the output is the collected progress metric, so the evidence is the RECEIPT — numRowsDroppedByWatermark summed over the batch progress entries equals the staged late set exactly, require'd in-gate on every run.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

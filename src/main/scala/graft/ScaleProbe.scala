@@ -408,7 +408,8 @@ object ScaleProbe {
     if (Set("all", "curation")(probe)) {
       if (probe == "curation") replicateDocuments() // standalone run
       for (g <- Seq("mm9_static_payload", "cp15_dataset_card",
-          "ob4_row_accounting", "mm10_payload_quarantine")) {
+          "ob4_row_accounting", "mm10_payload_quarantine",
+          "tx28_classifier_inference", "mm14_prep_funnel")) {
         val t1 = System.nanoTime()
         val c = SparkEntry.queries(g)(spark, out).count()
         val s1 = (System.nanoTime() - t1) / 1e9

@@ -817,6 +817,212 @@ object Multimodal {
       |      AS n_cuts
       |  FROM lg GROUP BY media_id) a""".stripMargin
 
+  // ---------------------------------------------------------------- mm14
+
+  /** mm14: the END-TO-END MULTIMODAL PREP FUNNEL — the composition a
+    * media-curation pipeline actually deploys, as ONE lazy plan (the
+    * tx7 discipline at the media grain): quarantine (mm10's
+    * arrived-byte validation) → static filter (mm9's frame-redundancy
+    * rule) → exact dedup (mm6's digest grain, min-id canonical) →
+    * perceptual dedup (mm7's band-blocked SimHash pairs among the
+    * exact survivors) → aspect-bucket assignment for the keeps
+    * (mm12's catalog) → the per-stage lineage rollup, ob4-audited
+    * (total across decisions must equal an independently-scanned
+    * input count — conservation is the invariant no per-row check
+    * sees). Stage PRECEDENCE is pinned: quarantine beats static beats
+    * exact-dup beats perceptual-dup (cheapest-signal-first, mirroring
+    * tx7's "dedup before filter" cost order), and every derived
+    * artifact (frames, digest, sketch, bucket geometry) computes over
+    * the ARRIVED bytes — what actually landed, not what was sent.
+    * Perceptual drops use the one-pass greedy min-id-anchor rule: a
+    * survivor drops iff some SMALLER-id exact-canonical survivor
+    * shares a band and sits within hamming ≤ 3 (dd3/dd4's candidate
+    * discipline — deterministic, join-bounded, never all-pairs).
+    *
+    * Scale shape: one narrow scan profiles every payload (bytes never
+    * leave the scan stage — only digests, sketches and counts move);
+    * ONE digest-hash exchange for the canonical window; the band
+    * self-join and the drop-set apply are SHUFFLE-HASH joins by
+    * construction (hinted — at 100 TB both sides are corpus-scale, a
+    * broadcast would OOM and a sort-merge pays two sorts for nothing);
+    * the rollup collapses map-side to ≤ |decisions|+|buckets| rows;
+    * the audit anchor is a COUNT-only scan broadcast as one row. */
+  private def mm14(s: SparkSession, d: String): DataFrame = {
+    val bw = Seq(512L, 576L, 448L, 640L, 384L)
+    val bh = Seq(512L, 448L, 576L, 384L, 640L)
+    // arrived payloads: mm10's deterministic corruption stand-in, plus
+    // a STATIC class the natural corpus never produces (zero payloads
+    // trip mm9's rule organically — checked at every sf): media_id ≡ 0
+    // (mod 13, outside the corrupt classes, ≥385 bytes so ≥4 frames
+    // exist) arrives as its first 32 bytes TILED to the ORIGINAL
+    // length — a stuck encoder emitting one block forever. Length is
+    // preserved so quarantine (which outranks static) passes; every
+    // 128-byte frame stride lands on the same 32-byte block (128 =
+    // 4·32), so all frames hash identical and the mm9 rule fires.
+    val prof = media(s, d)
+      .withColumn("arrived",
+        when(col("media_id") % 97 === 0, lit("").cast("binary"))
+          .when(col("media_id") % 11 === 0 &&
+              octet_length(col("payload")) >= 8,
+            expr("substring(payload, 1, octet_length(payload) - 7)"))
+          .when(col("media_id") % 13 === 0 &&
+              octet_length(col("payload")) >= 385,
+            expr("encode(substring(repeat(substring(cast(payload AS string), 1, 32), " +
+              "cast(ceil(octet_length(payload) / 32.0) AS int)), " +
+              "1, octet_length(payload)), 'UTF-8')"))
+          .otherwise(col("payload")))
+      .withColumn("n_bytes", octet_length(col("arrived")).cast("long"))
+      .withColumn("vq",
+        when(col("n_bytes") === 0, lit("quarantine_empty"))
+          .when(col("n_bytes") =!= col("declared_len"),
+            lit("quarantine_len_mismatch")))
+      .withColumn("fr", frameArr(col("arrived")))
+      .withColumn("n_frames", size(col("fr")))
+      .withColumn("max_frame_cnt", coalesce(expr(
+        "array_max(transform(array_distinct(fr), t -> size(filter(fr, x -> x = t))))"),
+        lit(0)))
+      .withColumn("is_static",
+        when(col("n_frames") >= 4,
+          expr("(max_frame_cnt * 1000) div n_frames") >= 500)
+          .otherwise(lit(false)))
+      .withColumn("digest", md5(col("arrived")))
+      .withColumn("phash", frameSimhash(col("arrived")))
+      .select("media_id", "n_bytes", "vq", "is_static", "digest", "phash")
+    // exact dedup: min ELIGIBLE id per digest — one window, one
+    // digest exchange, no self-join (quarantined/static rows never
+    // claim canonicality)
+    val canon = prof
+      .withColumn("elig", col("vq").isNull && !col("is_static"))
+      .withColumn("is_canon", col("elig") &&
+        col("media_id") === min(when(col("elig"), col("media_id")))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("digest"))))
+    // perceptual dedup among exact-canonical survivors: dd4's 4x16-bit
+    // band blocking, greedy min-id anchor
+    val bands = canon.filter(col("is_canon"))
+      .select(col("media_id"), col("phash"),
+        posexplode(array((0 until 4).map(bd =>
+          expr(s"shiftright(phash, ${bd * 16}) & 65535")): _*))
+          .as(Seq("band", "key")))
+    val pdrop = bands.as("a").hint("shuffle_hash")
+      .join(bands.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .filter(expr("bit_count(a.phash ^ b.phash)") <= 3)
+      .select(col("b.media_id").as("media_id")).distinct()
+      .withColumn("pdropped", lit(true))
+    val decided = canon
+      .join(pdrop.hint("shuffle_hash"), Seq("media_id"), "left")
+      .withColumn("decision",
+        when(col("vq").isNotNull, col("vq"))
+          .when(col("is_static"), lit("drop_static"))
+          .when(!col("is_canon"), lit("drop_exact_dup"))
+          .when(col("pdropped"), lit("drop_perceptual_dup"))
+          .otherwise(lit("keep")))
+    // aspect bucket for the keeps (mm12's catalog over the ARRIVED
+    // digest); drops carry bucket -1 so the rollup grain stays total
+    val ds = bw.indices.map(i =>
+      expr(s"1000L * abs(wpx * ${bh(i)}L - hpx * ${bw(i)}L) div (wpx * ${bh(i)}L + hpx * ${bw(i)}L)"))
+    val bucketed = decided
+      .withColumn("wpx", expr(
+        "160L + (cast(conv(substring(digest, 1, 8), 16, 10) as bigint) % 12) * 80"))
+      .withColumn("hpx", expr(
+        "160L + (cast(conv(substring(digest, 9, 8), 16, 10) as bigint) % 12) * 80"))
+      .withColumn("darr", array(ds: _*))
+      .withColumn("bucket_id", when(col("decision") === "keep",
+        (array_position(col("darr"), array_min(col("darr"))) - 1L).cast("long"))
+        .otherwise(lit(-1L)))
+    // ob4's conservation audit: funnel total vs independent input count
+    val roll = bucketed.groupBy(col("decision"), col("bucket_id"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("n_bytes"))
+      .withColumn("total_media", expr("sum(n_media) OVER ()"))
+      .withColumn("share_permille", expr("(n_media * 1000) div total_media"))
+    val input = media(s, d).agg(count(lit(1)).as("input_media"))
+    roll.crossJoin(broadcast(input))
+      .withColumn("accounted", col("total_media") === col("input_media"))
+      .select("decision", "bucket_id", "n_media", "n_bytes", "share_permille",
+        "total_media", "input_media", "accounted")
+  }
+
+  private lazy val mm14Sql = {
+    val bw = Seq(512, 576, 448, 640, 384)
+    val bh = Seq(512, 448, 576, 384, 640)
+    val ds = bw.indices.map(i =>
+      s"1000 * abs(wpx * ${bh(i)} - hpx * ${bw(i)}) // (wpx * ${bh(i)} + hpx * ${bw(i)})")
+    s"""WITH arr AS (
+       |  SELECT doc_id AS media_id, n_chars AS declared_len,
+       |    CASE WHEN doc_id % 97 = 0 THEN ''
+       |         WHEN doc_id % 11 = 0 AND strlen(text) >= 8
+       |           THEN substr(text, 1, strlen(text) - 7)
+       |         WHEN doc_id % 13 = 0 AND strlen(text) >= 385
+       |           THEN substr(repeat(substr(text, 1, 32),
+       |             CAST(ceil(strlen(text) / 32.0) AS INT)), 1, strlen(text))
+       |         ELSE text END AS a
+       |  FROM documents),
+       |prof AS (
+       |  SELECT media_id, declared_len, strlen(a) AS n_bytes, md5(a) AS digest,
+       |    CASE WHEN strlen(a) = 0 THEN 'quarantine_empty'
+       |         WHEN strlen(a) <> declared_len THEN 'quarantine_len_mismatch'
+       |         END AS vq,
+       |    CASE WHEN strlen(a) = 0 THEN []
+       |      ELSE list_transform(range(0, (strlen(a)-1) // 128 + 1),
+       |        i -> md5(substr(a, CAST(1 + i*128 AS INT), 32))) END AS fr
+       |  FROM arr),
+       |st AS (
+       |  SELECT *, len(fr) AS n_frames,
+       |    coalesce(list_max(list_transform(list_distinct(fr),
+       |      t -> len(list_filter(fr, x -> x = t)))), 0) AS maxc
+       |  FROM prof),
+       |st2 AS (
+       |  SELECT *, CASE WHEN n_frames >= 4
+       |      THEN (maxc * 1000) // n_frames >= 500 ELSE FALSE END AS is_static
+       |  FROM st),
+       |el AS (SELECT *, (vq IS NULL AND NOT is_static) AS elig FROM st2),
+       |cn AS (
+       |  SELECT *, elig AND media_id = min(CASE WHEN elig THEN media_id END)
+       |      OVER (PARTITION BY digest) AS is_canon
+       |  FROM el),
+       |tok AS (
+       |  SELECT media_id AS doc_id, w, count(*) AS cnt FROM (
+       |    SELECT media_id, unnest(fr) AS w FROM cn WHERE is_canon) t
+       |  GROUP BY media_id, w),
+       |${Dedup.simhashChainSql},
+       |${Dedup.simhashBandsSql},
+       |pd AS (
+       |  SELECT DISTINCT id2 AS media_id FROM cand
+       |  WHERE bit_count(xor(s1, s2)) <= 3),
+       |dec AS (
+       |  SELECT cn.media_id, cn.n_bytes, cn.digest,
+       |    CASE WHEN cn.vq IS NOT NULL THEN cn.vq
+       |         WHEN cn.is_static THEN 'drop_static'
+       |         WHEN NOT cn.is_canon THEN 'drop_exact_dup'
+       |         WHEN pd.media_id IS NOT NULL THEN 'drop_perceptual_dup'
+       |         ELSE 'keep' END AS decision
+       |  FROM cn LEFT JOIN pd ON cn.media_id = pd.media_id),
+       |wh AS (
+       |  SELECT *,
+       |    160 + (('0x' || substr(digest, 1, 8))::BIGINT % 12) * 80 AS wpx,
+       |    160 + (('0x' || substr(digest, 9, 8))::BIGINT % 12) * 80 AS hpx
+       |  FROM dec),
+       |bk AS (
+       |  SELECT media_id, decision, n_bytes,
+       |    CASE WHEN decision = 'keep'
+       |      THEN CAST(list_position(darr, list_min(darr)) - 1 AS BIGINT)
+       |      ELSE -1 END AS bucket_id
+       |  FROM (SELECT *, [${ds.mkString(", ")}] AS darr FROM wh) t),
+       |r AS (
+       |  SELECT decision, bucket_id, count(*) AS n_media,
+       |    CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+       |  FROM bk GROUP BY decision, bucket_id),
+       |tt AS (SELECT *, CAST(sum(n_media) OVER () AS BIGINT) AS total_media
+       |       FROM r)
+       |SELECT tt.decision, tt.bucket_id, tt.n_media, tt.n_bytes,
+       |  (tt.n_media * 1000) // tt.total_media AS share_permille,
+       |  tt.total_media, i.input_media,
+       |  tt.total_media = i.input_media AS accounted
+       |FROM tt, (SELECT count(*) AS input_media FROM documents) i""".stripMargin
+  }
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
@@ -843,7 +1049,9 @@ object Multimodal {
     GateQuery("mm12_aspect_buckets", mm12, Some(mm12Sql),
       "aspect-ratio bucketing for shape-uniform decode batches: zero-join argmin over the bucket catalog, 5-row plan"),
     GateQuery("mm13_scene_cuts", mm13, Some(mm13Sql),
-      "shot-boundary detection: hamming distance between consecutive frame hashes, cut count + mean shot length per media"))
+      "shot-boundary detection: hamming distance between consecutive frame hashes, cut count + mean shot length per media"),
+    GateQuery("mm14_prep_funnel", mm14, Some(mm14Sql),
+      "end-to-end media prep funnel: quarantine -> static -> exact+perceptual dedup -> aspect buckets, ob4-audited lineage"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

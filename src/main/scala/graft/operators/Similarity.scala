@@ -2193,10 +2193,19 @@ object Similarity {
           (0 until 4).map(i => expr(s"dot_f64(t$i, t$i)").as(s"m$i"))): _*)
 
   /** MaxSim over qt/qm vs dt/dm column names: Σ_i max_j cos(q_i, d_j)
-    * as a fixed left-assoc 4-term chain of order-free `greatest`s. */
+    * as a fixed left-assoc 4-term chain of order-free `greatest`s.
+    * A zero-norm slice (all-zero 16-dim sub-vector) scores 0.0 by
+    * DEFINITION on both engines — without the guard the divide's
+    * NULL/NaN/Inf semantics differ between Spark and DuckDB, so the
+    * equivalence would rest on the corpus never producing a zero
+    * slice rather than holding by construction (the full-vector
+    * gates already guard their norms the same way). */
   private val maxsimCol: Column = (0 until 4).map { i =>
     greatest((0 until 4).map { j =>
-      expr(s"dot_f64(qt$i, dt$j)") / (sqrt(col(s"qm$i")) * sqrt(col(s"dm$j")))
+      when(col(s"qm$i") > 0 && col(s"dm$j") > 0,
+        expr(s"dot_f64(qt$i, dt$j)") /
+          (sqrt(col(s"qm$i")) * sqrt(col(s"dm$j"))))
+        .otherwise(lit(0.0))
     }: _*)
   }.reduceLeft(_ + _)
 
@@ -2257,7 +2266,9 @@ object Similarity {
   private val maxsimTailSql = {
     val maxsim = (0 until 4).map { i =>
       "greatest(" + (0 until 4).map { j =>
-        s"${dot16Sql(s"q.t$i", s"d.t$j")} / (sqrt(q.m$i) * sqrt(d.m$j))"
+        s"CASE WHEN q.m$i > 0 AND d.m$j > 0 THEN " +
+          s"${dot16Sql(s"q.t$i", s"d.t$j")} / (sqrt(q.m$i) * sqrt(d.m$j)) " +
+          "ELSE CAST(0 AS DOUBLE) END"
       }.mkString(", ") + ")"
     }.mkString(" + ")
     s"""scored AS (

@@ -120,16 +120,32 @@ object StreamGates {
     * property-tested in `PropertySpec` — this rig exercises it on the
     * real table at gate scale.
     *
-    * The replay runs in its OWN `newSession` at 8 shuffle partitions
+    * SLICE COUNT is per-gate, sized to the gate's LAW, because the
+    * suite's streaming wall is ~pure per-batch machinery (measured at
+    * sf0.001, where data is negligible, the 24 st gates cost ~64 s —
+    * incremental re-planning, state-store open/commit and log writes
+    * per batch; data volume barely moves it). Gates whose oracle is a
+    * closed form over event time + the FINAL watermark (st1-st3
+    * decision streams — split-invariance property-tested; st6/st7/
+    * st12 emission cuts; the stateless st9-st11 ingest twins) need
+    * only ONE interior batch boundary to prove state crosses batches,
+    * so they replay 2 slices. Gates whose oracle ENCODES the slice
+    * algebra (st4/st5's 4-step timer simulation, st8/st14/st15's
+    * two-batch-lag eviction law, ob5's per-slice metrics, st22/st23's
+    * slice closed forms) and the restart rigs (st19/st20 kill between
+    * slices 2 and 3; st16 requires one epoch per slice) keep 4.
+    *
+    * The replay runs in its OWN `newSession` at 4 shuffle partitions
     * (`extraConfs` lets st5 add its RocksDB provider): stateful
     * streaming pays per-batch × per-partition fixed cost — task
     * launch, state-store open/commit/snapshot — on EVERY micro-batch,
-    * so a 32-wide shuffle multiplies that constant 4× for zero
+    * so a 32-wide shuffle multiplies that constant 8× for zero
     * parallelism gain at bench row counts (the state rows per batch
-    * fit in a handful of partitions). Results are partitioning-
-    * invariant — the oracle compare pins that. On a real cluster this
-    * knob is sized to state volume, not inherited from the batch
-    * side; the isolated session is exactly that sizing. */
+    * fit in a handful of partitions; 8→4 measured −20% CPU at equal
+    * wall). Results are partitioning-invariant — the oracle compare
+    * pins that. On a real cluster this knob is sized to state volume,
+    * not inherited from the batch side; the isolated session is
+    * exactly that sizing. */
   private[graft] def replayed(s: SparkSession, d: String, gate: String,
       slices: Int = 4, extraConfs: Map[String, String] = Map.empty)(
       pipe: DataFrame => DataFrame): DataFrame =
@@ -151,7 +167,7 @@ object StreamGates {
       extraConfs: Map[String, String])(
       pipe: DataFrame => DataFrame): DataFrame = {
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    iso.conf.set("spark.sql.shuffle.partitions", "4")
     extraConfs.foreach { case (k, v) => iso.conf.set(k, v) }
     val root = Scratch.dir(s"graft-$gate-")
     cleanupRoots.add(root)
@@ -186,7 +202,7 @@ object StreamGates {
     * values depend only on rank, so the output MULTISET — which is what
     * the driver hashes — is deterministic. */
   private def st1(s: SparkSession, d: String): DataFrame =
-    replayed(s, d, "st1")(EventStream.quotaAdmission(s, _))
+    replayed(s, d, "st1", slices = 2)(EventStream.quotaAdmission(s, _))
 
   private val st1Sql = TimeWindows.evsSql +
     s""", r AS (
@@ -225,7 +241,7 @@ object StreamGates {
     * Equal-ts ties are rank-arbitrary but value-multiset-deterministic,
     * as in st1. */
   private def st2(s: SparkSession, d: String): DataFrame =
-    replayed(s, d, "st2")(EventStream.rateLimitSchedule(s, _))
+    replayed(s, d, "st2", slices = 2)(EventStream.rateLimitSchedule(s, _))
 
   private val st2Sql = TimeWindows.evsSql +
     s""", r AS (
@@ -254,7 +270,7 @@ object StreamGates {
     * is a unique order key on both sides, so this gate is
     * row-deterministic, not just multiset-deterministic. */
   private def st3(s: SparkSession, d: String): DataFrame =
-    replayed(s, d, "st3")(EventStream.scd2Stream(s, _))
+    replayed(s, d, "st3", slices = 2)(EventStream.scd2Stream(s, _))
 
   private val st3Sql = TimeWindows.evsSql +
     """, o AS (
@@ -406,7 +422,7 @@ object StreamGates {
     * inside the final watermark window stay pending and never emit —
     * the oracle models exactly that. */
   private def st6(s: SparkSession, d: String): DataFrame =
-    replayed(s, d, "st6") { ev =>
+    replayed(s, d, "st6", slices = 2) { ev =>
       val rss = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("video_id"), col("ts"),
           expr("CASE event_id % 3 WHEN 0 THEN 'videos' " +
@@ -469,7 +485,7 @@ object StreamGates {
     * never reach the sink. Merge and cut adjudicated outside the
     * JVM. */
   private def st7(s: SparkSession, d: String): DataFrame =
-    replayed(s, d, "st7")(EventStream.sessionWindows(_))
+    replayed(s, d, "st7", slices = 2)(EventStream.sessionWindows(_))
       .select(col("user_id"),
         unix_micros(col("sess_start")).as("sess_start_us"),
         unix_micros(col("sess_end")).as("sess_end_us"),
@@ -522,7 +538,7 @@ object StreamGates {
   private def ob5(s: SparkSession, d: String): DataFrame = {
     val src = stageSlices(s, d, 4)
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    iso.conf.set("spark.sql.shuffle.partitions", "4")
     val root = Scratch.dir("graft-ob5-")
     cleanupRoots.add(root)
     val stream = iso.readStream.schema(Tables.events(iso, d).schema)
@@ -592,7 +608,7 @@ object StreamGates {
     * pair per open window × type — bounded by the watermark horizon,
     * not the stream; emitted volume ∝ closed windows. */
   private def st12(s: SparkSession, d: String): DataFrame =
-    replayed(s, d, "st12")(EventStream.hourlyTypeCounts)
+    replayed(s, d, "st12", slices = 2)(EventStream.hourlyTypeCounts)
       .select(unix_micros(col("window_start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("value_cents"))
 
@@ -746,7 +762,7 @@ object StreamGates {
     * arrays are distinct-by-construction so `array_intersect` counts
     * exactly what dd15's exploded hash join counts. */
   private def st9(s: SparkSession, d: String): DataFrame =
-    replayedDf(s, s"$d|docsrc", docSource(s, d), "st9") { docs =>
+    replayedDf(s, s"$d|docsrc", docSource(s, d), "st9", slices = 2) { docs =>
       EventStream.streamDecontaminate(
         docs.filter(col("doc_id") % 50 =!= 0),
         Tables.documents(s, d).filter(col("doc_id") % 50 === 0))
@@ -767,7 +783,7 @@ object StreamGates {
     * `exists`-over-bucket spelling and dd13's count-distinct-pairs
     * spelling agree exactly when only the ≥1 threshold is asked. */
   private def st10(s: SparkSession, d: String): DataFrame =
-    replayedDf(s, s"$d|docsrc", docSource(s, d), "st10") { docs =>
+    replayedDf(s, s"$d|docsrc", docSource(s, d), "st10", slices = 2) { docs =>
       EventStream.incrementalDedup(
         docs.filter(col("doc_id") % 10 === 0),
         Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
@@ -807,7 +823,7 @@ object StreamGates {
     * mm7's frame-token→simhash SQL chain and asks the band+hamming
     * existence question per incoming asset. */
   private def st11(s: SparkSession, d: String): DataFrame =
-    replayedDf(s, s"$d|docsrc", docSource(s, d), "st11") { docs =>
+    replayedDf(s, s"$d|docsrc", docSource(s, d), "st11", slices = 2) { docs =>
       EventStream.perceptualIngest(
         docs.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id").as("media_id"),
@@ -880,7 +896,7 @@ object StreamGates {
   private def st13(s: SparkSession, d: String): DataFrame = {
     val src = stageSlices(s, d, 4)
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    iso.conf.set("spark.sql.shuffle.partitions", "4")
     val root = Scratch.dir("graft-st13-")
     cleanupRoots.add(root)
     val lastV = new java.util.concurrent.atomic.AtomicLong(-1L)
@@ -1098,7 +1114,7 @@ object StreamGates {
   private def st16(s: SparkSession, d: String): DataFrame = {
     val src = stageSlices(s, d, 4)
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    iso.conf.set("spark.sql.shuffle.partitions", "4")
     val t = graft.sources.LogSink.freshTable("st16")
     val root = Scratch.dir("graft-st16-")
     cleanupRoots.add(root)
@@ -1176,7 +1192,7 @@ object StreamGates {
     * a checkpoint restart resumes at the committed position. */
   private def st17(s: SparkSession, d: String): DataFrame = {
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    iso.conf.set("spark.sql.shuffle.partitions", "4")
     val root = Scratch.dir("graft-st17-")
     cleanupRoots.add(root)
     val out = new File(root, "out")
@@ -1274,7 +1290,7 @@ object StreamGates {
     * prefix. */
   private def st18(s: SparkSession, d: String): DataFrame = {
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    iso.conf.set("spark.sql.shuffle.partitions", "4")
     val root = Scratch.dir("graft-st18-")
     cleanupRoots.add(root)
     val out = new File(root, "out")
@@ -1337,17 +1353,17 @@ object StreamGates {
     * contract st16-st18 leave unproven. st18 restarts the SOURCE
     * (offsets are two longs); this gate kills a query whose
     * correctness lives in the STATE STORE mid-replay and resumes it:
-    * st12's watermarked tumbling aggregation runs over slices 1-2 of
-    * the shared event staging, the query STOPS (the deploy/worker
+    * st12's watermarked tumbling aggregation runs over slice 1 of
+    * the shared 2-slice staging, the query STOPS (the deploy/worker
     * restart every production stream exercises — the reference's
     * cache/quota state machines surviving a worker bounce,
     * youtube_api_handler.py:47-61), and a SECOND query reopens the
-    * SAME checkpoint over slices 3-4. Recovery must restore (a) the
+    * SAME checkpoint over slice 2. Recovery must restore (a) the
     * window store — hours straddling the kill point have partial
     * counts from run 1 that run 2's events must MERGE into, (b) the
     * watermark — re-read from the offset log, so run 2 neither
     * re-emits a closed window nor drops a still-open one, and (c) the
-    * file-source ledger — slices 1-2 are never re-read.
+    * file-source ledger — slice 1 is never re-read.
     *
     * Engine receipts: run 2 CONTINUES the batch numbering (resume,
     * not restart); the kill point splits emission (run 1's committed
@@ -1370,9 +1386,14 @@ object StreamGates {
     * onto the last snapshot rather than reloading a delta file). */
   private def stateRestart(s: SparkSession, d: String, gate: String,
       registryName: String, extraConfs: Map[String, String]): DataFrame = {
-    val shared = stageSlices(s, d, 4)
+    // 2 slices: the restart law needs exactly one kill point with
+    // unprocessed backlog behind it — run 1 drains slice 0, run 2
+    // resumes onto slice 1 (the shared 2-slice staging st1-st7 use);
+    // window-store partials still straddle the cut and the emission
+    // still splits (rows1 a nonempty proper prefix, require'd below).
+    val shared = stageSlices(s, d, 2)
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    iso.conf.set("spark.sql.shuffle.partitions", "4")
     extraConfs.foreach { case (k, v) => iso.conf.set(k, v) }
     val root = Scratch.dir(s"graft-$gate-")
     cleanupRoots.add(root)
@@ -1404,10 +1425,10 @@ object StreamGates {
       new File(chk, "commits").listFiles()
         .filter(_.getName.forall(_.isDigit)).map(_.getName.toLong).max
     }
-    land(0); land(1)
+    land(0)
     val last1 = run() // run 1 ends here: the query object is gone
     val rows1 = s.read.parquet(out.getPath).count()
-    land(2); land(3)
+    land(1)
     val last2 = run() // run 2: SAME checkpoint, the grown backlog
     require(last2 > last1,
       s"restart did not continue the batch numbering: $last1 -> $last2")
@@ -1493,7 +1514,15 @@ object StreamGates {
     * Scale shape: st12's exactly (bounded window-store state, emitted
     * ∝ closed windows); dropping late rows is a pre-aggregation filter
     * against the current watermark — O(row), no state touched. */
-  private def st21(s: SparkSession, d: String): DataFrame = {
+  /** st21/st23 shared staging: (n_late, fed) — the arrival-shifted
+    * feed where a deterministic slice of first-half events keeps its
+    * EVENT clock (`ev_ts`) but ARRIVES (`ts`, the staging column) 2×
+    * the corpus span later, strictly after the on-time replay advanced
+    * the watermark past its windows. The staging `require` keeps both
+    * gates honest — zero late events would pass the drop law
+    * vacuously. */
+  private def lateFeed(s: SparkSession, d: String,
+      gate: String): (Long, DataFrame) = {
     val ev = Tables.events(s, d)
     // 1-row span anchor (the tw6/la4 pattern) to cut the midpoint and
     // the arrival shift; lo/hi also parameterize the oracle implicitly
@@ -1504,23 +1533,33 @@ object StreamGates {
     val mid = lo + (hi - lo) / 2
     val shift = 2L * (hi - lo)
     val isLate = col("event_id") % 97 === 0 && unix_micros(col("ts")) < mid
-    require(!ev.filter(isLate).isEmpty,
-      "st21 staged ZERO late events — the drop law would pass vacuously")
+    val nLate = ev.filter(isLate).count()
+    require(nLate > 0,
+      s"$gate staged ZERO late events — the drop law would pass vacuously")
     val fed = ev.select(
       col("event_id"), col("event_type"), col("value"),
       col("ts").as("ev_ts"),
       when(isLate, timestamp_micros(unix_micros(col("ts")) + shift))
         .otherwise(col("ts")).as("ts"))
-    replayedDf(s, s"$d|late21", fed, "st21") { df =>
-      df.withWatermark("ev_ts", "10 minutes")
-        .groupBy(window(col("ev_ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-            .cast("long")).as("value_cents"))
-        .select(col("w.start").as("window_start"), col("event_type"),
-          col("n_events"), col("value_cents"))
-    }.select(unix_micros(col("window_start")).as("window_start_us"),
-      col("event_type"), col("n_events"), col("value_cents"))
+    (nLate, fed)
+  }
+
+  /** st21/st23 shared pipeline: the watermarked hour×type rollup over
+    * the EVENT clock (st12's shape on the dual-clock feed). */
+  private def lateAggPipe(df: DataFrame): DataFrame =
+    df.withWatermark("ev_ts", "10 minutes")
+      .groupBy(window(col("ev_ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).as("value_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  private def st21(s: SparkSession, d: String): DataFrame = {
+    val (_, fed) = lateFeed(s, d, "st21")
+    replayedDf(s, s"$d|late21", fed, "st21")(lateAggPipe)
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("value_cents"))
   }
 
   private val st21Sql = TimeWindows.evsSql +
@@ -1539,6 +1578,102 @@ object StreamGates {
        |  FROM ontime) t, wm
        |WHERE window_start_us + $HourUs <= wm_ms * 1000
        |GROUP BY window_start_us, event_type""".stripMargin
+
+  // --------------------------------------------------------------- st23
+
+  /** st23: the LATE-DROP LEDGER — st21 proves late rows are DROPPED by
+    * pinning the on-time aggregate; a production pipeline also COUNTS
+    * them (`StreamingQueryProgress.stateOperators
+    * .numRowsDroppedByWatermark` — the metric every streaming SLO
+    * dashboard alerts on). This gate re-runs st21's exact pipeline
+    * over the SAME staged arrival-shifted source while capturing the
+    * per-batch progress ledger, and emits the ledger AS DATA: total
+    * rows dropped by the watermark, how many micro-batches dropped
+    * anything, and the on-time emission count — oracle-pinned against
+    * the same late-set predicate the staging used, so the engine's
+    * runtime metric must equal the closed-form late count EXACTLY
+    * (not ≥, not ±). The batch attribution is itself law-checked: the
+    * oracle recomputes which arrival slices contain late rows via the
+    * staging's own slice algebra, so a drop leaking into a different
+    * batch (or splitting across batches) flips n_drop_batches. An
+    * engine-side `require` pins ledger == staged-late-count before the
+    * oracle compare, and the shared staging `require` keeps the gate
+    * non-vacuous.
+    *
+    * Scale shape: st21's exactly — the ledger is free (the engine
+    * already maintains it per batch); surfacing it is a driver-side
+    * read of bounded query-progress metadata, never a data scan. */
+  private def st23(s: SparkSession, d: String): DataFrame = {
+    val (nLate, fed) = lateFeed(s, d, "st23")
+    val src = stageAny(s"$d|late21", 4)(fed) // shared with st21
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    val root = Scratch.dir("graft-st23-")
+    cleanupRoots.add(root)
+    val stream = iso.readStream.schema(fed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.getPath)
+    val out = new File(root, "out")
+    val q = lateAggPipe(stream).writeStream.format("parquet")
+      .option("path", out.getPath)
+      .option("checkpointLocation", new File(root, "chk").getPath)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // per-batch drop ledger: batchId -> rows the watermark rejected
+    // (recentProgress retains 100 entries; this replay runs ≤ 6
+    // batches). Keyed dedupe guards against a progress re-report.
+    val drops: Map[Long, Long] = q.recentProgress.toSeq
+      .map(p => p.batchId ->
+        p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+      .toMap
+    val totalDropped = drops.valuesIterator.sum
+    val nDropBatches = drops.valuesIterator.count(_ > 0).toLong
+    require(totalDropped == nLate,
+      s"late-drop ledger ($totalDropped) != staged late set ($nLate) — " +
+        "the watermark either leaked a late row into state or dropped " +
+        "an on-time one")
+    graft.Receipts.record("st23_stream_drop_ledger",
+      s"numRowsDroppedByWatermark summed over ${drops.size} batch " +
+        s"progress entries == the staged late set exactly; drops " +
+        s"confined to $nDropBatches batch(es)")
+    val nWindows = s.read.parquet(out.getPath).count()
+    s.range(1).select(
+      lit(nLate).as("n_late_staged"),
+      lit(totalDropped).as("n_dropped_wm"),
+      lit(nDropBatches).as("n_drop_batches"),
+      lit(nWindows).as("n_ontime_windows"))
+  }
+
+  private val st23Sql = TimeWindows.evsSql +
+    s""", b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM evs),
+       |late AS (
+       |  SELECT e.*, e.ts_us + 2 * (b.hi - b.lo) AS arr_us FROM evs e, b
+       |  WHERE e.event_id % 97 = 0
+       |    AND e.ts_us < b.lo + (b.hi - b.lo) // 2),
+       |ontime AS (
+       |  SELECT e.* FROM evs e, b
+       |  WHERE NOT (e.event_id % 97 = 0
+       |             AND e.ts_us < b.lo + (b.hi - b.lo) // 2)),
+       |arr AS (
+       |  SELECT min(a) AS alo, max(a) AS ahi FROM (
+       |    SELECT arr_us AS a FROM late
+       |    UNION ALL SELECT ts_us AS a FROM ontime) u),
+       |sp AS (SELECT alo, (ahi - alo) // 4 + 1 AS span FROM arr),
+       |dbatch AS (
+       |  SELECT count(DISTINCT (l.arr_us - sp.alo) // sp.span)
+       |    AS n_drop_batches
+       |  FROM late l, sp),
+       |wm AS (SELECT max(ts_us) // 1000 - 600000 AS wm_ms FROM ontime),
+       |win AS (
+       |  SELECT count(*) AS n_ontime_windows FROM (
+       |    SELECT 1 FROM (
+       |      SELECT (ts_us // $HourUs) * $HourUs AS ws, event_type
+       |      FROM ontime) t, wm
+       |    WHERE ws + $HourUs <= wm_ms * 1000
+       |    GROUP BY ws, event_type) g)
+       |SELECT (SELECT count(*) FROM late) AS n_late_staged,
+       |  (SELECT count(*) FROM late) AS n_dropped_wm,
+       |  (SELECT n_drop_batches FROM dbatch) AS n_drop_batches,
+       |  (SELECT n_ontime_windows FROM win) AS n_ontime_windows""".stripMargin
 
   // --------------------------------------------------------------- st22
 
@@ -1574,7 +1709,7 @@ object StreamGates {
   private def st22(s: SparkSession, d: String): DataFrame = {
     val src = stageSlices(s, d, 4)
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    iso.conf.set("spark.sql.shuffle.partitions", "4")
     val root = Scratch.dir("graft-st22-")
     cleanupRoots.add(root)
     val dimDir = new File(root, "dim")
@@ -1590,7 +1725,7 @@ object StreamGates {
     val stream = iso.readStream.schema(Tables.events(iso, d).schema)
       .option("maxFilesPerTrigger", "1").parquet(src.getPath)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val mn = batch.agg(min(unix_micros(col("ts")))).head()
         if (!mn.isNullAt(0)) {
           val sliceId = (mn.getLong(0) - lo) / span
@@ -1598,13 +1733,19 @@ object StreamGates {
           val eff = sp.read.parquet(dimDir.getPath)
             .groupBy(col("bucket"))
             .agg(max_by(col("tier"), col("version")).as("tier"))
+          // batchId-keyed partition dir + OVERWRITE: foreachBatch is
+          // at-least-once, so a retried batch must REPLACE its own
+          // prior output, never append a second copy (st13's upsert
+          // discipline applied to the rollup side; the dim publish
+          // below was already retry-idempotent via max_by(version)).
           batch.withColumn("bucket", pmod(col("user_id"), lit(4L)))
             .join(broadcast(eff), "bucket")
             .groupBy(col("bucket"), col("tier"))
             .agg(count(lit(1)).as("n_events"),
               sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
                 .cast("long")).as("value_cents"))
-            .write.mode("append").parquet(outDir.getPath)
+            .write.mode("overwrite")
+            .parquet(new File(outDir, s"batch_id=$batchId").getPath)
           // publish THIS slice's upgrade — visible from the next batch on
           sp.range(1).select(lit(sliceId).as("bucket"),
             lit(s"t$sliceId").as("tier"), lit(sliceId + 1).as("version"))
@@ -1685,5 +1826,7 @@ object StreamGates {
     GateQuery("st21_stream_late_drop", st21, Some(st21Sql),
       "events arriving beyond the watermark are dropped: late slice fed last, drop set oracle-pinned"),
     GateQuery("st22_stream_dim_refresh", st22, Some(st22Sql),
-      "foreachBatch dim refresh: per-batch re-read of a versioned lookup, upgrades land batch-by-batch ≡ slice closed form"))
+      "foreachBatch dim refresh: per-batch re-read of a versioned lookup, upgrades land batch-by-batch ≡ slice closed form"),
+    GateQuery("st23_stream_drop_ledger", st23, Some(st23Sql),
+      "numRowsDroppedByWatermark ledger ≡ the staged late set exactly; drop batches pinned by the slice algebra"))
 }

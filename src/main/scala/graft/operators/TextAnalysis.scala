@@ -1858,9 +1858,15 @@ object TextAnalysis {
         count(lit(1)).cast(D).as("n"),
         sum(col("x").cast(D)).as("sx"),
         sum(col("y").cast(D)).as("sy"),
-        sum(expr(s"CAST(x * x AS $D)")).as("sxx"),
-        sum(expr(s"CAST(x * y AS $D)")).as("sxy"),
-        sum(expr(s"CAST(y * y AS $D)")).as("syy"))
+        // cast EACH OPERAND to decimal(38,0) BEFORE the multiply: a
+        // BIGINT product wraps silently at ~9.2e18 on Spark while the
+        // HUGEINT twin errors loudly — pre-casting gives the per-doc
+        // products the same exact 38-digit headroom as the aggregated
+        // moments (x,y ≤ ~1e9 per doc keeps products ≤ 1e18, but the
+        // guarantee should hold by construction, not by data luck)
+        sum(expr(s"CAST(x AS $D) * CAST(x AS $D)")).as("sxx"),
+        sum(expr(s"CAST(x AS $D) * CAST(y AS $D)")).as("sxy"),
+        sum(expr(s"CAST(y AS $D) * CAST(y AS $D)")).as("syy"))
       .withColumn("dxx", expr("n * sxx - sx * sx"))
       .withColumn("dxy", expr("n * sxy - sx * sy"))
       .withColumn("dyy", expr("n * syy - sy * sy"))
@@ -1886,9 +1892,9 @@ object TextAnalysis {
       |s AS (
       |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
-      |    CAST(sum(x * x) AS HUGEINT) AS sxx,
-      |    CAST(sum(x * y) AS HUGEINT) AS sxy,
-      |    CAST(sum(y * y) AS HUGEINT) AS syy
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
       |  FROM rows_ GROUP BY source),
       |d AS (
       |  SELECT source, n, sx, sy,
@@ -1909,6 +1915,97 @@ object TextAnalysis {
       |    ((dxy // 1000) * (dxy // 1000) * 1000)
       |      // ((dxx // 1000) * (dyy // 1000)) END AS BIGINT) AS r2_permille
       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------- tx28
+
+  /** tx28: LINEAR-CLASSIFIER INFERENCE as a folded-weights narrow map
+    * — the serving half of tx27's fit, and the FineWeb-Edu-style
+    * quality scorer every curation pipeline runs over the full corpus:
+    * per-doc score = w·features + b with the TRAINED weight vector
+    * folded into the projection as literals (sim6's folded-codebook
+    * discipline — no weights table, no join, no UDF; the whole scorer
+    * is one whole-stage-codegen'd map over the scan), keep/drop at a
+    * fixed threshold, then the per-source CALIBRATION rollup a
+    * curation team reads to see which domains the scorer guts (the
+    * reference's ≥70% A4 classifier is the threshold-decision
+    * precedent, youtube_api_handler.py:1073-1092). Integer end-to-end:
+    * features are exact counts, weights are integer MICRO units, the
+    * score is a BIGINT micro sum — bit-identical on both engines by
+    * construction, no FP anywhere (the tx27 moment discipline applied
+    * to serving). Both engines' score terms are generated from the
+    * SAME (feature, weight) sequence, so the scorer cannot drift from
+    * its oracle restatement.
+    *
+    * Scale shape: ONE narrow scan → per-doc score (zero exchanges) →
+    * map-side-combined hash agg to the source dim. At 100 TB this is
+    * the cheapest possible full-corpus pass: no state, no join,
+    * output ∝ |sources|. Retraining ships new literals, not a new
+    * plan. */
+  private[graft] val tx28Weights: Seq[(String, Long)] = Seq(
+    "n_tokens" -> 2500L,     // length reward (tokens are the budget unit)
+    "n_chars" -> -13L,       // verbosity penalty per char
+    "punct_cnt" -> -900L,    // symbol-noise penalty
+    "digit_cnt" -> -400L,    // table/boilerplate penalty
+    "stopword_cnt" -> 1700L) // prose-likeness reward
+  private[graft] val tx28Bias = -60000L // micro
+  /** keep iff score_micro >= 0 */
+
+  /** Per-doc feature extraction + folded-weights score — shared by the
+    * gate and the fixture-pinning spec (TextAnalysisSpec). */
+  private[graft] def tx28Score(docs: DataFrame): DataFrame = {
+    val feats = docs.select(
+      col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      col("n_chars").cast("long").as("n_chars"),
+      regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("long").as("punct_cnt"),
+      regexp_count(col("text"), lit("[0-9]")).cast("long").as("digit_cnt"),
+      regexp_count(col("text"), lit("\\b(the|a)\\b")).cast("long").as("stopword_cnt"))
+    val score = tx28Weights.map { case (f, w) => col(f) * lit(w) }
+      .reduceLeft(_ + _) + lit(tx28Bias)
+    feats.withColumn("score_micro", score)
+      .withColumn("keep", col("score_micro") >= 0L)
+  }
+
+  private def tx28(s: SparkSession, d: String): DataFrame =
+    tx28Score(Tables.documents(s, d))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("score_micro")).as("sum_score"),
+        min(col("score_micro")).as("min_score_micro"),
+        max(col("score_micro")).as("max_score_micro"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        expr("(n_keep * 1000) div n_docs").as("keep_permille"),
+        expr("sum_score div n_docs").as("mean_score_micro"),
+        col("min_score_micro"), col("max_score_micro"))
+
+  private val tx28Sql = {
+    val terms = tx28Weights.map { case (f, w) => s"$f * ($w)" }
+      .mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT source, doc_id,
+       |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(n_chars AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_extract_all(text, '[^a-z0-9\\s]')) AS BIGINT)
+       |      AS punct_cnt,
+       |    CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+       |      AS digit_cnt,
+       |    CAST(length(regexp_extract_all(text, '\\b(the|a)\\b')) AS BIGINT)
+       |      AS stopword_cnt
+       |  FROM documents),
+       |sc AS (
+       |  SELECT source, $terms + (${tx28Bias}) AS score_micro FROM f)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
+       |  (CAST(sum(CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000) // count(*) AS keep_permille,
+       |  CAST(sum(score_micro) AS BIGINT) // count(*) AS mean_score_micro,
+       |  min(score_micro) AS min_score_micro,
+       |  max(score_micro) AS max_score_micro
+       |FROM sc GROUP BY source""".stripMargin
+  }
 
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
@@ -1964,5 +2061,7 @@ object TextAnalysis {
     GateQuery("tx26_vocab_growth", tx26, Some(tx26Sql),
       "vocabulary-growth (Heaps-law) curve: per-decile new types + cumulative vocab in one token-grain pass"),
     GateQuery("tx27_linear_probe", tx27, Some(tx27Sql),
-      "per-source least-squares fit of tokens ~ chars in closed form: integer-exact moments, slope/intercept/r2"))
+      "per-source least-squares fit of tokens ~ chars in closed form: integer-exact moments, slope/intercept/r2"),
+    GateQuery("tx28_classifier_inference", tx28, Some(tx28Sql),
+      "folded-weights linear classifier inference: integer micro score + threshold keep/drop + per-source calibration"))
 }

@@ -66,6 +66,28 @@ class StreamGatesSpec extends AnyFunSuite {
       "late event leaked into its already-closed window")
   }
 
+  test("st23 drop ledger counts exactly the staged late set, in one batch") {
+    // st21's fixture, ledger view: one late event (id 97), so
+    // numRowsDroppedByWatermark must total exactly 1, confined to the
+    // single final batch its shifted arrival lands in, while the two
+    // closed on-time windows emit. The gate's own `require` already
+    // pins ledger == late count engine-side; this spec pins the whole
+    // output row against the hand-derived fixture numbers.
+    val B = 1700000000000000L
+    val d = fixtureDir("events" -> eventsDf(Seq(
+      (1L, B + 1800L * 1000000, 10L, "view", 2.0, 1),
+      (97L, B + 2400L * 1000000, 11L, "view", 4.0, 1), // LATE
+      (2L, B + 4200L * 1000000, 10L, "click", 1.0, 1),
+      (3L, B + 18000L * 1000000, 12L, "view", 8.0, 1))))
+    val rows = gate("st23_stream_drop_ledger", d).collect()
+    assert(rows.length == 1, s"ledger must be one row: ${rows.toSeq}")
+    val r = rows(0)
+    assert(r.getAs[Long]("n_late_staged") == 1L &&
+      r.getAs[Long]("n_dropped_wm") == 1L &&
+      r.getAs[Long]("n_drop_batches") == 1L &&
+      r.getAs[Long]("n_ontime_windows") == 2L, s"ledger: $r")
+  }
+
   test("st22 dim upgrades land exactly one batch late, never the same batch") {
     // 4 events in 4 distinct slices. The publish schedule upgrades
     // bucket k after slice k's batch, so: the slice-0 event (bucket 0)

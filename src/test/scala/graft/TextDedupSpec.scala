@@ -1131,6 +1131,64 @@ class TextDedupSpec extends AnyFunSuite {
       assert(c.isNullAt(c.fieldIndex(f)), s"const.$f should be NULL: $c")
   }
 
+  test("tx28 classifier inference: score equals the hand-computed fixture") {
+    // Doc A "the aa bb 7!": n_tokens=4, n_chars=12, punct=1 ('!'),
+    // digit=1 ('7'), stopword=1 ('the') → score = 4·2500 − 12·13 −
+    // 900 − 400 + 1700 − 60000 = −49756 → drop.
+    // Doc B = "the"×30: n_tokens=30, n_chars=119, stopword=30 →
+    // score = 75000 − 1547 + 51000 − 60000 = 64453 → keep.
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, "the aa bb 7!", "en", "s1"),
+      (2L, (1 to 30).map(_ => "the").mkString(" "), "en", "s1"))))
+    val perDoc = graft.operators.TextAnalysis
+      .tx28Score(Tables.documents(spark, d)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(perDoc(1L).getAs[Long]("score_micro") == -49756L, s"${perDoc(1L)}")
+    assert(!perDoc(1L).getAs[Boolean]("keep"))
+    assert(perDoc(2L).getAs[Long]("score_micro") == 64453L, s"${perDoc(2L)}")
+    assert(perDoc(2L).getAs[Boolean]("keep"))
+    val roll = gate("tx28_classifier_inference", d).collect()
+    assert(roll.length == 1)
+    val r = roll(0)
+    assert(r.getAs[Long]("n_docs") == 2 && r.getAs[Long]("n_keep") == 1 &&
+      r.getAs[Long]("keep_permille") == 500L &&
+      r.getAs[Long]("mean_score_micro") == 7348L && // (64453-49756) div 2
+      r.getAs[Long]("min_score_micro") == -49756L &&
+      r.getAs[Long]("max_score_micro") == 64453L, s"rollup: $r")
+  }
+
+  test("mm14 prep funnel: every stage drops its crafted doc, lineage accounted") {
+    // One doc per stage, ids chosen to trip exactly one rule each:
+    // 97 → quarantine_empty (the %97 class), 11 → truncated 7 bytes →
+    // quarantine_len_mismatch, 13 (400 chars) → first-32-bytes tiling
+    // → drop_static, 2 = exact copy of 1 → drop_exact_dup (min-id 1
+    // keeps). The perceptual stage is pinned by the sf0.01 oracle
+    // (16 drops there); this fixture pins precedence + conservation.
+    val base = "the quick data " * 12 // 180 chars, unique-ish frames
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (1L, base + "alpha", "en", "s1"),
+      (2L, base + "alpha", "en", "s1"), // exact copy of doc 1
+      (11L, "bravo " + base, "en", "s1"),
+      (13L, ("x7 kilo " * 50).take(400), "en", "s1"),
+      (97L, "charlie " + base, "en", "s1"))))
+    val rows = gate("mm14_prep_funnel", d).collect()
+    val byDec = rows.groupBy(_.getAs[String]("decision"))
+      .view.mapValues(_.map(_.getAs[Long]("n_media")).sum).toMap
+    assert(byDec == Map(
+      "quarantine_empty" -> 1L, "quarantine_len_mismatch" -> 1L,
+      "drop_static" -> 1L, "drop_exact_dup" -> 1L, "keep" -> 1L),
+      s"stage counts: $byDec")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("accounted"), s"lineage leak: $r")
+      assert(r.getAs[Long]("total_media") == 5L &&
+        r.getAs[Long]("input_media") == 5L)
+      val b = r.getAs[Long]("bucket_id")
+      if (r.getAs[String]("decision") == "keep")
+        assert(b >= 0L && b <= 4L, s"keep bucket out of catalog: $r")
+      else assert(b == -1L, s"drop row carries a bucket: $r")
+    }
+  }
+
   test("mm13 scene cuts: identical frame = no cut, changed frame = cut") {
     // 3-frame payload: frames 1 and 2 share their first 32 bytes (the
     // digest window) → distance 0, NO cut; frame 3 differs → one cut
