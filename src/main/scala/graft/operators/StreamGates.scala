@@ -1591,20 +1591,35 @@ object StreamGates {
     * rows dropped by the watermark, how many micro-batches dropped
     * anything, and the on-time emission count — oracle-pinned against
     * the same late-set predicate the staging used, so the engine's
-    * runtime metric must equal the closed-form late count EXACTLY
-    * (not ≥, not ±). The batch attribution is itself law-checked: the
-    * oracle recomputes which arrival slices contain late rows via the
-    * staging's own slice algebra, so a drop leaking into a different
-    * batch (or splitting across batches) flips n_drop_batches. An
-    * engine-side `require` pins ledger == staged-late-count before the
-    * oracle compare, and the shared staging `require` keeps the gate
-    * non-vacuous.
+    * runtime metric must equal its closed form EXACTLY (not ≥, not ±).
+    * What the metric actually counts is itself part of the gated law —
+    * and it is NOT raw rows: the aggregation pipeline partial-combines
+    * MAP-SIDE before the stateful operator, so the watermark filter
+    * sees (window × type) PARTIAL rows and `numRowsDroppedByWatermark`
+    * counts dropped GROUPS per batch (at sf0.1: 517 late rows → 480
+    * dropped partials — a dashboard reading this metric as an event
+    * count under-reports exactly when drops are bursty, which is the
+    * production incident where it matters; the gate emits BOTH
+    * numbers). All late rows arrive in ONE batch (the slice algebra
+    * pins it), so per-batch distinct ≡ global distinct and the oracle
+    * states the group count corpus-wide. The batch attribution is
+    * law-checked too: the oracle recomputes which arrival slices
+    * contain late rows, so a drop leaking into a different batch flips
+    * n_drop_batches. An engine-side `require` pins ledger ==
+    * staged-late-GROUP-count before the oracle compare, and the shared
+    * staging `require` keeps the gate non-vacuous.
     *
     * Scale shape: st21's exactly — the ledger is free (the engine
     * already maintains it per batch); surfacing it is a driver-side
     * read of bounded query-progress metadata, never a data scan. */
   private def st23(s: SparkSession, d: String): DataFrame = {
     val (nLate, fed) = lateFeed(s, d, "st23")
+    // the ledger's unit: (hour-window × type) PARTIAL groups among the
+    // late set — what the post-partial-agg watermark filter sees
+    val nLateGroups = fed.filter(unix_micros(col("ev_ts")) < unix_micros(col("ts")))
+      .select(expr(s"unix_micros(ev_ts) div ${HourUs}L").as("hb"),
+        col("event_type"))
+      .distinct().count()
     val src = stageAny(s"$d|late21", 4)(fed) // shared with st21
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "4")
@@ -1627,17 +1642,20 @@ object StreamGates {
       .toMap
     val totalDropped = drops.valuesIterator.sum
     val nDropBatches = drops.valuesIterator.count(_ > 0).toLong
-    require(totalDropped == nLate,
-      s"late-drop ledger ($totalDropped) != staged late set ($nLate) — " +
-        "the watermark either leaked a late row into state or dropped " +
-        "an on-time one")
+    require(totalDropped == nLateGroups,
+      s"late-drop ledger ($totalDropped) != staged late GROUP count " +
+        s"($nLateGroups from $nLate rows) — the watermark either leaked " +
+        "a late group into state or dropped an on-time one")
     graft.Receipts.record("st23_stream_drop_ledger",
       s"numRowsDroppedByWatermark summed over ${drops.size} batch " +
-        s"progress entries == the staged late set exactly; drops " +
-        s"confined to $nDropBatches batch(es)")
+        s"progress entries == the staged late set exactly — in the " +
+        s"metric's true unit, post-partial-agg (window x type) GROUPS " +
+        s"($nLateGroups groups from $nLate late rows); drops confined " +
+        s"to $nDropBatches batch(es)")
     val nWindows = s.read.parquet(out.getPath).count()
     s.range(1).select(
       lit(nLate).as("n_late_staged"),
+      lit(nLateGroups).as("n_late_groups"),
       lit(totalDropped).as("n_dropped_wm"),
       lit(nDropBatches).as("n_drop_batches"),
       lit(nWindows).as("n_ontime_windows"))
@@ -1669,9 +1687,14 @@ object StreamGates {
        |      SELECT (ts_us // $HourUs) * $HourUs AS ws, event_type
        |      FROM ontime) t, wm
        |    WHERE ws + $HourUs <= wm_ms * 1000
-       |    GROUP BY ws, event_type) g)
+       |    GROUP BY ws, event_type) g),
+       |lg AS (
+       |  SELECT count(DISTINCT (ts_us // $HourUs, event_type))
+       |    AS n_late_groups
+       |  FROM late)
        |SELECT (SELECT count(*) FROM late) AS n_late_staged,
-       |  (SELECT count(*) FROM late) AS n_dropped_wm,
+       |  (SELECT n_late_groups FROM lg) AS n_late_groups,
+       |  (SELECT n_late_groups FROM lg) AS n_dropped_wm,
        |  (SELECT n_drop_batches FROM dbatch) AS n_drop_batches,
        |  (SELECT n_ontime_windows FROM win) AS n_ontime_windows""".stripMargin
 

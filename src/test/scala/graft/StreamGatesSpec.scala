@@ -83,6 +83,7 @@ class StreamGatesSpec extends AnyFunSuite {
     assert(rows.length == 1, s"ledger must be one row: ${rows.toSeq}")
     val r = rows(0)
     assert(r.getAs[Long]("n_late_staged") == 1L &&
+      r.getAs[Long]("n_late_groups") == 1L &&
       r.getAs[Long]("n_dropped_wm") == 1L &&
       r.getAs[Long]("n_drop_batches") == 1L &&
       r.getAs[Long]("n_ontime_windows") == 2L, s"ledger: $r")
