@@ -134,7 +134,9 @@ object PlanDump {
     "mm14_prep_funnel" ->
       "End-to-end media prep funnel in ONE lazy plan: payload bytes never leave the scan stage (digests/sketches/counts move); ONE digest exchange for the canonical window; band self-join and drop-set apply are SHUFFLE-HASH joins (never sort-merge); the lineage audit anchor broadcasts as one row.",
     "st23_stream_drop_ledger" ->
-      "Late-drop ledger: the output is the collected progress metric, so the evidence is the RECEIPT — numRowsDroppedByWatermark summed over the batch progress entries equals the staged late set exactly, require'd in-gate on every run.")
+      "Late-drop ledger: the output is the collected progress metric, so the evidence is the RECEIPT — numRowsDroppedByWatermark summed over the batch progress entries equals the staged late set exactly, require'd in-gate on every run.",
+    "la24_orc_roundtrip" ->
+      "ORC round-trip: the read-back scan prunes to the single level=PURCHASE partition dir (PartitionFilters) AND pushes the value predicate into the ORC reader's row-group stats (PushedFilters) — one pruned columnar scan feeds a map-side-combined day rollup.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

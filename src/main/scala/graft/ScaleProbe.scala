@@ -482,7 +482,10 @@ object ScaleProbe {
             // st12: window-store state ∝ open (window × type) pairs
             // inside the watermark horizon; emitted rows ∝ closed
             // windows — both event-count-independent per hour.
-            "st12_stream_tumbling")) {
+            "st12_stream_tumbling",
+            // st23: the ledger rides st21's replay; reading the
+            // progress metric is O(batches) driver metadata.
+            "st23_stream_drop_ledger")) {
           val t1 = System.nanoTime()
           val c = SparkEntry.queries(g)(spark, out).count()
           val s1 = (System.nanoTime() - t1) / 1e9
@@ -583,7 +586,7 @@ object ScaleProbe {
       // st8-11/14/15 ride the doc-grain clocks; st17/st18 drain the
       // synthetic id universe and need neither replica
       val stDocs = Set(8, 9, 10, 11, 14, 15)
-      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19, 20, 21, 22)
+      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19, 20, 21, 22, 23)
       // Loud completeness check: a future st gate absent from both
       // hand-partitioned sets would silently stage NEITHER corpus and
       // fail obscurely mid-probe (round-11 advice). 17/18 drain the

@@ -1670,6 +1670,162 @@ object LogAnalytics {
       |    AS value_cents
       |FROM evs GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- la23
+
+  /** la23: CSV INGEST with PERMISSIVE dead-lettering — the remaining
+    * first-class source format (parquet + ORC columnar, XML feeds,
+    * JSON envelopes, JSONL interchange are all gated; CSV is what
+    * operational exports actually arrive as). The corpus synthesizes
+    * RFC4180 lines from the log view DETERMINISTICALLY in both
+    * engines: message fields carry arbitrary text, so they are quoted
+    * with doubled inner quotes ('""') and the reader runs with
+    * escape='"' — Spark's DEFAULT escape is backslash, the single
+    * most common CSV interop bug, pinned here by construction (a
+    * backslash-escape reader would mis-parse every message containing
+    * a quote). Two corrupt classes arrive mixed in (yf11's
+    * discipline): event_id ≡ 0 (mod 17) carries a non-numeric cents
+    * field, ≡ 1 a non-numeric id (both type-cast failures on columns the
+    * query READS — measured here: the column-pruning csv parser never
+    * inspects tokens past the schema NOR columns the query doesn't
+    * reference, so a fifth trailing token and an unread malformed
+    * column both sail through as 'ok'; the quarantine contract is
+    * per-PARSED-column, which is why this gate's rollup reads every
+    * schema column);
+    * the csv parser — from_csv over a raw text scan; the csv FILE
+    * source rejects plans pruned down to the corrupt column alone
+    * (see the in-code note) — must route exactly those to the
+    * corrupt-record column — which preserves the raw line verbatim
+    * (the quarantine contract at the file-format layer) — and
+    * round-trip everything else: the ok slice's summed message
+    * LENGTHS must equal the pre-quoting originals, so unquoting is
+    * proven, not assumed.
+    *
+    * Scale shape: the writer is a narrow one-column projection; the
+    * reader is the csv source's per-partition FailureSafeParser (no
+    * shuffle); the disposition rollup map-side-combines to 2 rows.
+    * Dead letters keep their bytes — route to a quarantine sink,
+    * never crash the ingest. */
+  private def la23(s: SparkSession, d: String): DataFrame = {
+    val dir = TmpDirs.exitScopedRoot("la23")
+    val msg = translate(coalesce(col("message"), lit("")), "\n\r", "")
+    val quoted = concat(lit("\""), regexp_replace(msg, "\"", "\"\""), lit("\""))
+    val line = concat(
+      when(pmod(col("event_id"), lit(17)) === 1, lit("yy"))
+        .otherwise(col("event_id").cast("string")),
+      lit(","), col("level"), lit(","),
+      when(pmod(col("event_id"), lit(17)) === 0, lit("xx"))
+        .otherwise(col("value_cents").cast("string")),
+      lit(","), quoted)
+    logs(s, d).select(line.as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, level STRING, cents BIGINT, msg STRING, _bad STRING")
+    // text scan + from_csv, NOT the csv file source: the file source
+    // DISALLOWS any plan whose surviving columns are only the corrupt
+    // record (QUERY_ONLY_CORRUPT_RECORD_COLUMN — corrupt detection
+    // needs a full-row parse, which column pruning would skip), and a
+    // downstream count() over the disposition rollup prunes to
+    // exactly that. A production dead-letter pipeline parses with
+    // from_csv over the raw line for the same reason — the quarantine
+    // decision stays valid under ANY downstream pruning, and the
+    // parser underneath is the same univocity engine.
+    s.read.text(dir)
+      .withColumn("p", from_csv(col("value"), schema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_bad",
+          "quote" -> "\"", "escape" -> "\"")))
+      .select(
+        when(col("p._bad").isNull, lit("ok")).otherwise(lit("dead_letter"))
+          .as("disposition"),
+        when(col("p._bad").isNull, col("p.id")).as("i"),
+        when(col("p._bad").isNull, col("p.cents")).as("c"),
+        when(col("p._bad").isNull, length(col("p.msg"))).as("ml"),
+        length(col("p._bad")).as("bl"))
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("i")).as("sum_ids"),
+        sum(col("c")).as("sum_cents"),
+        sum(col("ml")).as("msg_bytes"),
+        sum(col("bl")).as("dead_bytes"))
+  }
+
+  private val la23Sql = logsSql.dropRight(1) +
+    """, raw AS (
+      |  SELECT event_id, level, value_cents,
+      |    translate(coalesce(message, ''), chr(10) || chr(13), '') AS m
+      |  FROM logs),
+      |built AS (
+      |  SELECT event_id, value_cents, length(m) AS mlen,
+      |    CASE WHEN event_id % 17 = 1 THEN 'yy'
+      |         ELSE CAST(event_id AS VARCHAR) END || ',' || level || ',' ||
+      |      CASE WHEN event_id % 17 = 0 THEN 'xx'
+      |           ELSE CAST(value_cents AS VARCHAR) END ||
+      |      ',' || '"' || replace(m, '"', '""') || '"' AS line
+      |  FROM raw),
+      |cls AS (
+      |  SELECT
+      |    CASE WHEN event_id % 17 IN (0, 1) THEN 'dead_letter'
+      |         ELSE 'ok' END AS disposition,
+      |    CASE WHEN event_id % 17 IN (0, 1) THEN NULL
+      |         ELSE event_id END AS i,
+      |    CASE WHEN event_id % 17 IN (0, 1) THEN NULL
+      |         ELSE value_cents END AS c,
+      |    CASE WHEN event_id % 17 IN (0, 1) THEN NULL ELSE mlen END AS ml,
+      |    CASE WHEN event_id % 17 IN (0, 1) THEN length(line) END AS bl
+      |  FROM built)
+      |SELECT disposition, count(*) AS n_rows,
+      |  CAST(sum(i) AS BIGINT) AS sum_ids,
+      |  CAST(sum(c) AS BIGINT) AS sum_cents,
+      |  CAST(sum(ml) AS BIGINT) AS msg_bytes,
+      |  CAST(sum(bl) AS BIGINT) AS dead_bytes
+      |FROM cls GROUP BY disposition""".stripMargin
+
+  // ---------------------------------------------------------------- la24
+
+  /** la24: ORC ROUND-TRIP with partition pruning + predicate pushdown
+    * — the other columnar format a lakehouse serves (Hive estates,
+    * Trino federation): la6's partitioned-sink shape on the ORC
+    * writer/reader. The read-back plan must prune to the single
+    * `level=PURCHASE` directory (partition pruning on the layout) AND
+    * push the value predicate into the ORC reader (row-group stats
+    * skipping — `PushedFilters` in the scan, law-linted in PLANS.md),
+    * so the rollup reads one partition's row groups, never the table.
+    * min/max ride along because ORC's stride stats answer them
+    * per-row-group — the columnar-format contract parquet gates
+    * already enjoy, proven here for the second format.
+    *
+    * Scale shape: write is one narrow filtered projection partitioned
+    * by level; read is a pruned single-dir scan with pushed
+    * predicates; the day rollup map-side-combines. Format choice
+    * must never change semantics: the oracle recomputes from the raw
+    * view, so parquet-vs-ORC divergence (timestamp, decimal, null
+    * encoding) would hash-fail. */
+  private def la24(s: SparkSession, d: String): DataFrame = {
+    val dir = TmpDirs.exitScopedRoot("la24")
+    logs(s, d).filter(col("level_no") >= 20)
+      .write.mode("overwrite").option("compression", "zlib")
+      .partitionBy("level").orc(dir)
+    s.read.orc(dir)
+      .filter(col("level") === "PURCHASE" && col("value_cents") >= 1000L)
+      .withColumn("day_us",
+        expr("(ts_us div (24L * 3600 * 1000000)) * (24L * 3600 * 1000000)"))
+      .groupBy(col("day_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_cents")).as("value_cents"),
+        min(col("value_cents")).as("min_cents"),
+        max(col("value_cents")).as("max_cents"))
+  }
+
+  private val la24Sql = logsSql +
+    """SELECT (ts_us // 86400000000) * 86400000000 AS day_us,
+      |  count(*) AS n,
+      |  CAST(sum(value_cents) AS BIGINT) AS value_cents,
+      |  min(value_cents) AS min_cents,
+      |  max(value_cents) AS max_cents
+      |FROM logs
+      |WHERE level_no >= 20 AND level = 'PURCHASE' AND value_cents >= 1000
+      |GROUP BY 1""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -1714,5 +1870,9 @@ object LogAnalytics {
     GateQuery("la21_write_audit_publish", la21, Some(la21Sql),
       "write-audit-publish: staged batches audited against their FILES, atomic manifest publish, failed audits invisible"),
     GateQuery("la22_dynamic_overwrite", la22, Some(la22Sql),
-      "dynamic partition overwrite: idempotent day-grain backfill, untouched partitions physically untouched (require'd)"))
+      "dynamic partition overwrite: idempotent day-grain backfill, untouched partitions physically untouched (require'd)"),
+    GateQuery("la23_csv_deadletter", la23, Some(la23Sql),
+      "RFC4180 CSV ingest: quote-doubling round-trip (escape='\"'), corrupt rows dead-lettered with raw bytes preserved"),
+    GateQuery("la24_orc_roundtrip", la24, Some(la24Sql),
+      "ORC partitioned round-trip: partition pruning + predicate pushdown into the ORC reader, rollup ≡ the raw view"))
 }

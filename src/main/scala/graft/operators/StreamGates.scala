@@ -120,20 +120,32 @@ object StreamGates {
     * property-tested in `PropertySpec` — this rig exercises it on the
     * real table at gate scale.
     *
-    * SLICE COUNT is per-gate, sized to the gate's LAW, because the
-    * suite's streaming wall is ~pure per-batch machinery (measured at
-    * sf0.001, where data is negligible, the 24 st gates cost ~64 s —
-    * incremental re-planning, state-store open/commit and log writes
-    * per batch; data volume barely moves it). Gates whose oracle is a
-    * closed form over event time + the FINAL watermark (st1-st3
-    * decision streams — split-invariance property-tested; st6/st7/
-    * st12 emission cuts; the stateless st9-st11 ingest twins) need
-    * only ONE interior batch boundary to prove state crosses batches,
-    * so they replay 2 slices. Gates whose oracle ENCODES the slice
-    * algebra (st4/st5's 4-step timer simulation, st8/st14/st15's
-    * two-batch-lag eviction law, ob5's per-slice metrics, st22/st23's
-    * slice closed forms) and the restart rigs (st19/st20 kill between
-    * slices 2 and 3; st16 requires one epoch per slice) keep 4.
+    * SLICE COUNT is per-gate, sized by MEASUREMENT at both ends of
+    * the scale axis, not by one benchmark. At bench SFs the suite's
+    * streaming wall is ~pure per-batch machinery (at sf0.001, where
+    * data is negligible, the 24 st gates cost ~64 s — incremental
+    * re-planning, state-store open/commit, log writes), so fewer
+    * batches = faster. But batch count also sets RESIDENT STATE:
+    * halving the slices doubles what the stateful operator holds and
+    * scans per input row before the next watermark eviction — the
+    * micro-batch-sizing trade-off every production stream tunes. The
+    * 100× probe (10M events) measured both regimes: the stream-stream
+    * join blew up 145.6 s → 638 s at 2 slices (per-key state scanned
+    * per input row) and the decision streams st1/st2/st3 regressed
+    * 1.2-1.6×, while the window/session aggregates and stateless
+    * ingest twins got FASTER at both scales (st12 22.6→14.0 s,
+    * st7 101→85 s, st10 69→31 s — their state is grain-bounded, so
+    * only machinery varies). Hence: 2 slices for st7/st9-st12 (their
+    * oracles are closed forms over event time + the FINAL watermark —
+    * one interior batch boundary proves state crosses batches;
+    * split-invariance is property-tested), and the restart rigs kill
+    * after one slice of a 2-slice staging (st19/st20 run st12's
+    * pipeline). 4 slices stay where resident state scans dominate at
+    * scale (st1-st3 decision streams, st6's join) and where the
+    * oracle ENCODES the slice algebra (st4/st5's 4-step timer
+    * simulation, st8/st14/st15's two-batch-lag eviction law, ob5's
+    * per-slice metrics, st22/st23's slice closed forms, st16's
+    * epoch-per-slice require).
     *
     * The replay runs in its OWN `newSession` at 4 shuffle partitions
     * (`extraConfs` lets st5 add its RocksDB provider): stateful
@@ -202,7 +214,7 @@ object StreamGates {
     * values depend only on rank, so the output MULTISET — which is what
     * the driver hashes — is deterministic. */
   private def st1(s: SparkSession, d: String): DataFrame =
-    replayed(s, d, "st1", slices = 2)(EventStream.quotaAdmission(s, _))
+    replayed(s, d, "st1")(EventStream.quotaAdmission(s, _))
 
   private val st1Sql = TimeWindows.evsSql +
     s""", r AS (
@@ -241,7 +253,7 @@ object StreamGates {
     * Equal-ts ties are rank-arbitrary but value-multiset-deterministic,
     * as in st1. */
   private def st2(s: SparkSession, d: String): DataFrame =
-    replayed(s, d, "st2", slices = 2)(EventStream.rateLimitSchedule(s, _))
+    replayed(s, d, "st2")(EventStream.rateLimitSchedule(s, _))
 
   private val st2Sql = TimeWindows.evsSql +
     s""", r AS (
@@ -270,7 +282,7 @@ object StreamGates {
     * is a unique order key on both sides, so this gate is
     * row-deterministic, not just multiset-deterministic. */
   private def st3(s: SparkSession, d: String): DataFrame =
-    replayed(s, d, "st3", slices = 2)(EventStream.scd2Stream(s, _))
+    replayed(s, d, "st3")(EventStream.scd2Stream(s, _))
 
   private val st3Sql = TimeWindows.evsSql +
     """, o AS (
@@ -422,7 +434,7 @@ object StreamGates {
     * inside the final watermark window stay pending and never emit —
     * the oracle models exactly that. */
   private def st6(s: SparkSession, d: String): DataFrame =
-    replayed(s, d, "st6", slices = 2) { ev =>
+    replayed(s, d, "st6") { ev =>
       val rss = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("video_id"), col("ts"),
           expr("CASE event_id % 3 WHEN 0 THEN 'videos' " +

@@ -209,7 +209,7 @@ class GateRegistrySpec extends AnyFunSuite {
     // Pin the documented numbers to the registry so drift fails CI.
     val total = GateQueries.all.size
     val oracled = GateQueries.all.count(_.oracle.isDefined)
-    assert(total == 236 && oracled == 236,
+    assert(total == 238 && oracled == 238,
       s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
     val coverage = repoText("COVERAGE.md")
     assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),
@@ -438,7 +438,13 @@ class GateRegistrySpec extends AnyFunSuite {
         shufflesAtMost(8)),
       "st23_stream_drop_ledger" -> Seq(
         bodyHas("numRowsDroppedByWatermark summed"),
-        bodyHas("== the staged late set exactly")))
+        bodyHas("== the staged late set exactly")),
+      "la24_orc_roundtrip" -> Seq(bodyHas("Scan orc"),
+        bodyHas("PartitionFilters: [isnotnull(level"),
+        bodyHas("PushedFilters: [IsNotNull(value_cents), " +
+          "GreaterThanOrEqual(value_cents,1000)]"),
+        bodyHas("ReadSchema: struct<ts_us:bigint,value_cents:bigint>"),
+        shufflesAtMost(1)))
     val missingLaws = sections.keySet -- laws.keySet
     assert(missingLaws.isEmpty,
       s"PLANS.md sections without pinned laws (add them here): $missingLaws")

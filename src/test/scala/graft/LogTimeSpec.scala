@@ -8,6 +8,34 @@ import TestSpark._
   * oracle; here we pin structural semantics). */
 class LogTimeSpec extends AnyFunSuite {
 
+  test("la23 csv round-trip: quoted messages survive, corrupt classes quarantine") {
+    // props = {"k": N} — every message carries quotes, so EVERY ok row
+    // exercises quote-doubling + escape='"' unquoting; ids 17/18 land
+    // in the two mod-17 corrupt classes (bad cents / bad id) and must
+    // dead-letter with their raw line bytes preserved. Hand-derived:
+    // ok ids 2,3 → cents 300+400, msg lengths 8 ({"k": 9}) + 9
+    // ({"k": 10}); dead raw lines '17,VIEW,xx,"{""k"": 7}"' (23 bytes)
+    // + 'yy,CLICK,200,"{""k"": 8}"' (25 bytes).
+    val B = 1700000000000000L
+    val d = fixtureDir("events" -> eventsDf(Seq(
+      (17L, B, 1L, "view", 1.0, 7),
+      (18L, B + 1000000L, 1L, "click", 2.0, 8),
+      (2L, B + 2000000L, 1L, "purchase", 3.0, 9),
+      (3L, B + 3000000L, 1L, "error", 4.0, 10))))
+    val rows = gate("la23_csv_deadletter", d).collect()
+      .map(r => r.getAs[String]("disposition") -> r).toMap
+    assert(rows.keySet == Set("ok", "dead_letter"), s"${rows.keySet}")
+    val ok = rows("ok")
+    assert(ok.getAs[Long]("n_rows") == 2 &&
+      ok.getAs[Long]("sum_ids") == 5L &&
+      ok.getAs[Long]("sum_cents") == 700L &&
+      ok.getAs[Long]("msg_bytes") == 17L, s"ok: $ok")
+    val dl = rows("dead_letter")
+    assert(dl.getAs[Long]("n_rows") == 2 &&
+      dl.isNullAt(dl.fieldIndex("sum_cents")) &&
+      dl.getAs[Long]("dead_bytes") == 48L, s"dead: $dl")
+  }
+
   test("la12 compaction is lossless, covers every event, and is stable across runs") {
     val a = gate("la12_compaction", sf0001).collect()
       .map(_.toSeq.toIndexedSeq).toSet
