@@ -49,7 +49,8 @@ object Bench {
     * driver window needed judge forensics to rule out a regression —
     * with this field the evidence rides in BENCH_DETAIL.json). */
   private def loadavg(): String =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString
+    try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg"))
       .split("\\s+").headOption.getOrElse("NA")
     catch { case scala.util.control.NonFatal(_) => "NA" }
 

@@ -1534,7 +1534,7 @@ object StreamGates {
     * gates honest — zero late events would pass the drop law
     * vacuously. */
   private def lateFeed(s: SparkSession, d: String,
-      gate: String): (Long, DataFrame) = {
+      gate: String): DataFrame = {
     val ev = Tables.events(s, d)
     // 1-row span anchor (the tw6/la4 pattern) to cut the midpoint and
     // the arrival shift; lo/hi also parameterize the oracle implicitly
@@ -1545,15 +1545,15 @@ object StreamGates {
     val mid = lo + (hi - lo) / 2
     val shift = 2L * (hi - lo)
     val isLate = col("event_id") % 97 === 0 && unix_micros(col("ts")) < mid
-    val nLate = ev.filter(isLate).count()
-    require(nLate > 0,
+    // non-emptiness via isEmpty (a LIMIT-1 scan), not count(): st21
+    // needs only the boolean, and this staging runs on every gate call
+    require(!ev.filter(isLate).isEmpty,
       s"$gate staged ZERO late events — the drop law would pass vacuously")
-    val fed = ev.select(
+    ev.select(
       col("event_id"), col("event_type"), col("value"),
       col("ts").as("ev_ts"),
       when(isLate, timestamp_micros(unix_micros(col("ts")) + shift))
         .otherwise(col("ts")).as("ts"))
-    (nLate, fed)
   }
 
   /** st21/st23 shared pipeline: the watermarked hour×type rollup over
@@ -1568,7 +1568,7 @@ object StreamGates {
         col("n_events"), col("value_cents"))
 
   private def st21(s: SparkSession, d: String): DataFrame = {
-    val (_, fed) = lateFeed(s, d, "st21")
+    val fed = lateFeed(s, d, "st21")
     replayedDf(s, s"$d|late21", fed, "st21")(lateAggPipe)
       .select(unix_micros(col("window_start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("value_cents"))
@@ -1608,11 +1608,14 @@ object StreamGates {
     * and it is NOT raw rows: the aggregation pipeline partial-combines
     * MAP-SIDE before the stateful operator, so the watermark filter
     * sees (window × type) PARTIAL rows and `numRowsDroppedByWatermark`
-    * counts dropped GROUPS per batch (at sf0.1: 517 late rows → 480
-    * dropped partials — a dashboard reading this metric as an event
-    * count under-reports exactly when drops are bursty, which is the
-    * production incident where it matters; the gate emits BOTH
-    * numbers). All late rows arrive in ONE batch (the slice algebra
+    * counts dropped partials — (group × input split) rows, which the
+    * gate pins to exactly the GROUP count by fixing the read regime
+    * (one split per slice file via maxPartitionBytes; a file big
+    * enough to split would legitimately count a group once per split).
+    * At sf0.1: 517 late rows → 480 dropped partials — a dashboard
+    * reading this metric as an event count under-reports exactly when
+    * drops are bursty, which is the production incident where it
+    * matters; the gate emits BOTH numbers. All late rows arrive in ONE batch (the slice algebra
     * pins it), so per-batch distinct ≡ global distinct and the oracle
     * states the group count corpus-wide. The batch attribution is
     * law-checked too: the oracle recomputes which arrival slices
@@ -1625,16 +1628,27 @@ object StreamGates {
     * already maintains it per batch); surfacing it is a driver-side
     * read of bounded query-progress metadata, never a data scan. */
   private def st23(s: SparkSession, d: String): DataFrame = {
-    val (nLate, fed) = lateFeed(s, d, "st23")
+    val fed = lateFeed(s, d, "st23")
+    val late = fed.filter(unix_micros(col("ev_ts")) < unix_micros(col("ts")))
+    val nLate = late.count()
     // the ledger's unit: (hour-window × type) PARTIAL groups among the
     // late set — what the post-partial-agg watermark filter sees
-    val nLateGroups = fed.filter(unix_micros(col("ev_ts")) < unix_micros(col("ts")))
+    val nLateGroups = late
       .select(expr(s"unix_micros(ev_ts) div ${HourUs}L").as("hb"),
         col("event_type"))
       .distinct().count()
     val src = stageAny(s"$d|late21", 4)(fed) // shared with st21
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "4")
+    // PIN the one-split-per-slice-file read regime the closed form
+    // depends on: partial combining is per INPUT PARTITION, so a slice
+    // file large enough to split (maxSplitBytes) would count a group
+    // once per split and inflate the ledger past the group count — a
+    // correct metric reading, but a different closed form. 1 GiB of
+    // headroom covers ~500× the 100× probe's slice size; past that a
+    // deployment reads the counter as (group × split) partials, which
+    // is what the docstring teaches.
+    iso.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
     val root = Scratch.dir("graft-st23-")
     cleanupRoots.add(root)
     val stream = iso.readStream.schema(fed.schema)

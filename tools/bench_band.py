@@ -67,8 +67,11 @@ def load_doc(src: str) -> dict:
     return json.loads(raw)
 
 
-def load(src: str) -> dict:
-    d = load_doc(src)
+def load(src: str, doc: dict = None) -> dict:
+    # `doc` lets a caller that already parsed the snapshot (check())
+    # skip a second read — in committed-blob mode the naive double
+    # load would spawn `git show` twice for the same object
+    d = doc if doc is not None else load_doc(src)
     q = d.get("queries_seq")
     if q is None:
         # concurrent-regime times are NOT per-gate attributable (they
@@ -140,9 +143,14 @@ def merge(band_path: str, out: str, srcs: list) -> None:
 
 
 def check(band_path: str, snap_path: str) -> int:
-    band = json.load(open(band_path))
+    # load_doc for BOTH inputs: the band may also be a git object
+    # (`check HEAD:BENCH_BAND.json HEAD:BENCH_DETAIL.json` is the full
+    # committed-blob mode the GateRegistrySpec lint mirrors — reading
+    # the band from the worktree while the snapshot comes from HEAD
+    # could give a different verdict than the Scala lint)
+    band = load_doc(band_path)
     doc = load_doc(snap_path)
-    snap = load(snap_path)
+    snap = load(snap_path, doc)
     # host-load telemetry: a contended window self-labels (the round-12
     # forensics needed a judge; now the artifact carries the evidence)
     la = doc.get("load_before"), doc.get("load_after")
