@@ -136,7 +136,11 @@ object PlanDump {
     "st23_stream_drop_ledger" ->
       "Late-drop ledger: the output is the collected progress metric, so the evidence is the RECEIPT — numRowsDroppedByWatermark summed over the batch progress entries equals the staged late set exactly, require'd in-gate on every run.",
     "la24_orc_roundtrip" ->
-      "ORC round-trip: the read-back scan prunes to the single level=PURCHASE partition dir (PartitionFilters) AND pushes the value predicate into the ORC reader's row-group stats (PushedFilters) — one pruned columnar scan feeds a map-side-combined day rollup.")
+      "ORC round-trip: the read-back scan prunes to the single level=PURCHASE partition dir (PartitionFilters) AND pushes the value predicate into the ORC reader's row-group stats (PushedFilters) — one pruned columnar scan feeds a map-side-combined day rollup.",
+    "sim27_ivf_sq8" ->
+      "IVF-SQ8 serving: cell pruning bounds candidates before any distance work (broadcast probe dims), the SQ8 reconstruction table joins SHUFFLE-HASH (corpus-sized — never broadcast, never sort-merge), the asymmetric distance is one codegen'd dot per pair, top-10 prunes map-side.",
+    "mm15_clip_sample" ->
+      "Clip sampling: frames explode narrow; three slim exchanges at strictly SHRINKING grain (media lag window -> (media, shot) rollup -> media top-2 rank) — no join anywhere, output <=2 rows per media by construction.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -780,7 +780,12 @@ object Multimodal {
     * window and the per-media rollup share ONE media_id exchange
     * (tw9's law); output is media-grain. Empty payloads have no
     * frames and drop out of the cut profile by construction. */
-  private def mm13(s: SparkSession, d: String): DataFrame = {
+  /** Frame-grain cut flags: (media_id, idx, h, cut) — the shared
+    * shot-boundary law (hamming(h_i, h_{i−1}) ≥ 16 of 60 on the
+    * frameArr digests). ONE definition consumed by mm13's cut profile
+    * and mm15's clip sampler, so the two can never disagree on where
+    * a shot starts. */
+  private def frameCuts(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("media_id")).orderBy(col("idx"))
     media(s, d)
@@ -791,31 +796,37 @@ object Multimodal {
       .withColumn("cut",
         when(col("prev").isNotNull &&
           bit_count(col("h").bitwiseXOR(col("prev"))) >= 16, 1L).otherwise(0L))
+  }
+
+  private def mm13(s: SparkSession, d: String): DataFrame =
+    frameCuts(s, d)
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"))
       .withColumn("shot_len_milli", expr("(n_frames * 1000) div (n_cuts + 1)"))
-  }
 
-  private val mm13Sql =
-    """WITH fr AS (
+  /** fr/ct CTEs — [[frameCuts]]'s SQL twin. Expects `documents`. */
+  private val frameCutCteSql =
+    """fr AS (
       |  SELECT doc_id AS media_id,
       |    unnest(range(0, (strlen(text)-1) // 128 + 1)) AS idx,
       |    unnest(list_transform(range(0, (strlen(text)-1) // 128 + 1),
       |      i -> ('0x' || substr(md5(substr(text, CAST(1 + i*128 AS INT), 32)),
       |                    1, 15))::BIGINT)) AS h
       |  FROM documents WHERE strlen(text) > 0),
-      |lg AS (
-      |  SELECT media_id, h,
-      |    lag(h) OVER (PARTITION BY media_id ORDER BY idx) AS prev
-      |  FROM fr)
+      |ct AS (
+      |  SELECT media_id, idx,
+      |    CASE WHEN lag(h) OVER w IS NOT NULL
+      |      AND bit_count(xor(h, lag(h) OVER w)) >= 16 THEN 1 ELSE 0 END AS cut
+      |  FROM fr WINDOW w AS (PARTITION BY media_id ORDER BY idx))""".stripMargin
+
+  private lazy val mm13Sql =
+    s"""WITH $frameCutCteSql
       |SELECT media_id, n_frames, n_cuts,
       |  (n_frames * 1000) // (n_cuts + 1) AS shot_len_milli
       |FROM (
       |  SELECT media_id, count(*) AS n_frames,
-      |    CAST(sum(CASE WHEN prev IS NOT NULL
-      |      AND bit_count(xor(h, prev)) >= 16 THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS n_cuts
-      |  FROM lg GROUP BY media_id) a""".stripMargin
+      |    CAST(sum(cut) AS BIGINT) AS n_cuts
+      |  FROM ct GROUP BY media_id) a""".stripMargin
 
   // ---------------------------------------------------------------- mm14
 
@@ -1023,6 +1034,105 @@ object Multimodal {
        |FROM tt, (SELECT count(*) AS input_media FROM documents) i""".stripMargin
   }
 
+  // ---------------------------------------------------------------- mm15
+
+  /** mm15: CLIP SAMPLING from shot boundaries — the step between
+    * mm13's cut detection and a video training batch: training clips
+    * must not straddle a scene cut (a clip spanning two shots teaches
+    * the model a false transition), so the sampler materializes SHOTS
+    * (maximal cut-free frame runs, shot_id = running cut count) and
+    * emits a bounded CLIP MANIFEST: per media, the top-2 shots by
+    * (length desc, start asc), each ≥ 3 frames, clip = the shot's
+    * head capped at 4 frames. The manifest is what a decode wave
+    * consumes — (media, start, len) triples, never pixel data.
+    *
+    * The frame stream is the DECODE STUB made richer (the charter:
+    * the codec is faked, the Spark plumbing is real): the raw
+    * text-stand-in corpus never repeats a 32-byte block at 128-byte
+    * strides, so every adjacent frameArr pair is a cut and every shot
+    * has length 1 — structurally shot-free (measured; mm13's profile
+    * gates exactly that). Here each media synthesizes a deterministic
+    * decoded-hash sequence with REAL shot structure: 4 + (id mod 9)
+    * frames in groups of g = 2 + (id mod 4) — frames inside a group
+    * hash identically (a held shot), groups hash independently — and
+    * the cut rule over the stream is mm13's law verbatim (hamming
+    * ≥ 16 of 60: 0 within a shot, ≈30 across). With a real decoder
+    * the SAME plan runs on real pHashes; the g/remainder geometry
+    * exercises every sampler branch (g=2 media qualify only via a
+    * ≥3-frame remainder shot, g=5 shots hit the 4-frame cap, equal
+    * lengths tie-break to the earlier start).
+    *
+    * Scale shape: frames explode narrow (int positions + 8-byte
+    * hashes, ≤12 per media); three slim exchanges at strictly
+    * SHRINKING grain — media_id for the lag window, (media, shot)
+    * for the shot rollup, media_id for the top-2 rank; output ≤ 2
+    * rows per media by construction. */
+  private def mm15(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("idx"))
+    val frames = media(s, d)
+      .select(col("media_id"),
+        (lit(4) + pmod(col("media_id"), lit(9)).cast("int")).as("nf"),
+        (lit(2) + pmod(col("media_id"), lit(4)).cast("int")).as("g"))
+      .select(col("media_id"), col("g"),
+        explode(sequence(lit(0), col("nf") - 1)).as("idx"))
+      .withColumn("h", conv(substring(
+        md5(concat(col("media_id").cast("string"), lit("#"),
+          (col("idx").cast("long") / col("g").cast("long")).cast("long")
+            .cast("string"))), 1, 15), 16, 10).cast("long"))
+    frames
+      .withColumn("prev", lag(col("h"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          bit_count(col("h").bitwiseXOR(col("prev"))) >= 16, 1L)
+          .otherwise(0L))
+      .withColumn("shot_id", sum(col("cut")).over(w))
+      .groupBy(col("media_id"), col("shot_id"))
+      .agg(min(col("idx")).cast("long").as("start_idx"),
+        count(lit(1)).as("shot_len"))
+      .filter(col("shot_len") >= 3)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))
+          .orderBy(col("shot_len").desc, col("start_idx").asc)))
+      .filter(col("rk") <= 2)
+      .select(col("media_id"), col("shot_id"), col("start_idx"),
+        col("shot_len"), least(col("shot_len"), lit(4L)).as("clip_len"))
+  }
+
+  private val mm15Sql =
+    """WITH fr AS (
+      |  SELECT media_id, g, unnest(range(0, nf)) AS idx FROM (
+      |    SELECT doc_id AS media_id,
+      |      4 + doc_id % 9 AS nf, 2 + doc_id % 4 AS g
+      |    FROM documents) m),
+      |hs AS (
+      |  SELECT media_id, idx,
+      |    ('0x' || substr(md5(CAST(media_id AS VARCHAR) || '#' ||
+      |      CAST(idx // g AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM fr),
+      |ct AS (
+      |  SELECT media_id, idx,
+      |    CASE WHEN lag(h) OVER w IS NOT NULL
+      |      AND bit_count(xor(h, lag(h) OVER w)) >= 16 THEN 1 ELSE 0 END
+      |      AS cut
+      |  FROM hs WINDOW w AS (PARTITION BY media_id ORDER BY idx)),
+      |sh AS (
+      |  SELECT media_id, idx,
+      |    CAST(sum(cut) OVER (PARTITION BY media_id ORDER BY idx
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot_id
+      |  FROM ct),
+      |shots AS (
+      |  SELECT media_id, shot_id,
+      |    CAST(min(idx) AS BIGINT) AS start_idx, count(*) AS shot_len
+      |  FROM sh GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY media_id
+      |    ORDER BY shot_len DESC, start_idx ASC) AS rk
+      |  FROM shots WHERE shot_len >= 3)
+      |SELECT media_id, shot_id, start_idx, shot_len,
+      |  least(shot_len, 4) AS clip_len
+      |FROM ranked WHERE rk <= 2""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("mm1_binary_meta", mm1, Some(mm1Sql),
       "binary payload metadata projection (octet_length/md5/shard)"),
@@ -1051,7 +1161,9 @@ object Multimodal {
     GateQuery("mm13_scene_cuts", mm13, Some(mm13Sql),
       "shot-boundary detection: hamming distance between consecutive frame hashes, cut count + mean shot length per media"),
     GateQuery("mm14_prep_funnel", mm14, Some(mm14Sql),
-      "end-to-end media prep funnel: quarantine -> static -> exact+perceptual dedup -> aspect buckets, ob4-audited lineage"))
+      "end-to-end media prep funnel: quarantine -> static -> exact+perceptual dedup -> aspect buckets, ob4-audited lineage"),
+    GateQuery("mm15_clip_sample", mm15, Some(mm15Sql),
+      "clip sampling from shot boundaries: cut-free shots via mm13's shared flags, top-2 per media, 4-frame clip cap"))
 }
 
 /** Decoded-feature record emitted by the (stubbed) media decoder. */

@@ -1009,8 +1009,12 @@ object Similarity {
     * broadcast query side. At 100 TB the scan side is the 64-byte
     * code column, 8× slimmer than raw vectors, with identical plan
     * shape to sim1's brute-force scan. */
-  private def sim19(s: SparkSession, d: String): DataFrame = {
-    val base = vecs(s, d)
+  /** SQ8 reconstruction view: (vec_id, rv, rn2) — each dim floor-
+    * quantized to 256 equal cells of its corpus range off a 64-row
+    * stats agg folded into the expression as literals (the
+    * codebookArr discipline; zero-exchange narrow map). Shared by
+    * sim19 (flat scan) and sim27 (IVF-pruned serving). */
+  private def sq8Recon(base: DataFrame): DataFrame = {
     // per-dim corpus stats: 64 rows, the bounded collect the IVF
     // codebook already justifies (Similarity.scala codebookArr)
     val stats = base.select(posexplode(col("v")).as(Seq("i", "x")))
@@ -1022,7 +1026,7 @@ object Similarity {
     val rgL = typedLit(rgA.toSeq)
     def mnAt(i: Column) = element_at(mnL, (i + 1).cast("int"))
     def rgAt(i: Column) = element_at(rgL, (i + 1).cast("int"))
-    val coded = base.withColumn("rv",
+    base.withColumn("rv",
         transform(col("v"), (x, i) => {
           val code = when(rgAt(i) === 0.0, lit(0.0)).otherwise(
             least(lit(255.0), greatest(lit(0.0),
@@ -1031,6 +1035,11 @@ object Similarity {
         }))
       .withColumn("rn2", dotExpr("rv", "rv"))
       .select("vec_id", "rv", "rn2")
+  }
+
+  private def sim19(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val coded = sq8Recon(base)
     val q = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn2"))
@@ -1045,7 +1054,9 @@ object Similarity {
         col("sq8_dist"))
   }
 
-  private val sim19Sql = "WITH " + vecsSql.dropRight(1) + ", " +
+  /** SQ8 st/rv CTEs (stats + reconstruction) — sq8Recon's SQL twin,
+    * shared by sim19Sql and sim27Sql. Expects a `vecs` CTE. */
+  private val sq8CteSql =
     s"""st AS (
        |  SELECT list(mn ORDER BY i) AS mnl, list(rg ORDER BY i) AS rgl
        |  FROM (
@@ -1063,7 +1074,10 @@ object Similarity {
        |          ELSE least(255.0::DOUBLE, greatest(0.0::DOUBLE,
        |            floor((v[i] - mnl[i]) * 256.0::DOUBLE / rgl[i]))) END
        |          + 0.5::DOUBLE) * rgl[i] / 256.0::DOUBLE) AS r
-       |    FROM vecs, st) x),
+       |    FROM vecs, st) x)""".stripMargin
+
+  private val sim19Sql = "WITH " + vecsSql.dropRight(1) + ", " +
+    s"""$sq8CteSql,
        |qs AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2
        |       FROM vecs WHERE vec_id % 100 = 0)
        |SELECT query_id, rank, neighbor_id, sq8_dist FROM (
@@ -2329,6 +2343,69 @@ object Similarity {
          |  WHERE a.vec_id <> p.query_id),
          |$maxsimTailSql""".stripMargin
 
+  // --------------------------------------------------------------- sim27
+
+  /** sim27: IVF-SQ8 — the remaining cell of the quantization matrix
+    * (PQ flat = sim10/11, IVF-PQ = sim12/13, SQ8 flat = sim19): the
+    * FAISS `IVF<n>,SQ8` config production deploys when PQ's 64×
+    * compression is more than recall can afford — cell pruning bounds
+    * the candidates, 8× scalar compression bounds the memory, and the
+    * asymmetric distance (exact query vs reconstructed candidate)
+    * keeps ranking sharp. Composition is exactly the serving split:
+    * sim6's nprobe=2 probe path generates slim (query, candidate)
+    * pairs (zero-exchange folded-codebook assignment, broadcast probe
+    * dims), sim19's folded-stats SQ8 reconstruction scores them —
+    * vectors are never read at query time, only codes (here their
+    * deterministic reconstructions, the sim19 seam).
+    *
+    * Scale shape: candidates ≈ nprobe/nlist of the corpus and stay
+    * FLAT in corpus density (the √N nlist rule); per candidate the
+    * cost is one 64-wide dot against the broadcast query + a cheap
+    * rn2 lookup; the code table joins shuffle-hash (corpus-sized —
+    * broadcast would OOM, sort-merge pays two sorts for nothing);
+    * top-10 prunes map-side (WindowGroupLimit). */
+  private def sim27(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val cb = typedLit(codebookArr(s, d))
+    val cand = assignCells(base, cb)
+      .join(broadcast(probeCells(base, cb, nprobe = 2)), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val qv = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    cand.join(sq8Recon(base).hint("shuffle_hash"), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("sq8_dist",
+        col("qn2") - lit(2.0) * dotExpr("qv", "rv") + col("rn2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sq8_dist").asc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("sq8_dist"))
+  }
+
+  private val sim27Sql = "WITH " + vecsSql.dropRight(1) + ", " +
+    centSql.dropRight(1) + ", " +
+    s"""${assignCteSql},
+       |${probesCteSql},
+       |$sq8CteSql,
+       |qs AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2
+       |       FROM vecs WHERE vec_id % 100 = 0)
+       |SELECT query_id, rank, neighbor_id, sq8_dist FROM (
+       |  SELECT p.query_id, rv.vec_id AS neighbor_id,
+       |    q.qn2 - 2.0::DOUBLE * ${dotSql("q.qv", "rv.r")} + rv.rn2
+       |      AS sq8_dist,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY q.qn2 - 2.0::DOUBLE * ${dotSql("q.qv", "rv.r")} + rv.rn2
+       |        ASC, rv.vec_id ASC) AS rank
+       |  FROM probes p
+       |  JOIN assign a ON a.clabel = p.clabel AND a.vec_id <> p.query_id
+       |  JOIN rv ON rv.vec_id = a.vec_id
+       |  JOIN qs q ON q.query_id = p.query_id) t
+       |WHERE rank <= 10""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("sim1_knn_bruteforce", sim1, Some(sim1Sql),
       "brute-force cosine top-10, broadcast query set"),
@@ -2383,5 +2460,7 @@ object Similarity {
     GateQuery("sim25_maxsim_rerank", sim25, Some(sim25Sql),
       "multi-vector late interaction: LSH-pruned candidates re-ranked by MaxSim over 4x16-dim token slices"),
     GateQuery("sim26_ivf_maxsim", sim26, Some(sim26Sql),
-      "MaxSim fed by the IVF probe path: cell-pruned candidates, same scorer — the production multi-vector serving split"))
+      "MaxSim fed by the IVF probe path: cell-pruned candidates, same scorer — the production multi-vector serving split"),
+    GateQuery("sim27_ivf_sq8", sim27, Some(sim27Sql),
+      "IVF-SQ8 serving: nprobe=2 cell pruning + asymmetric distance on folded-stats SQ8 reconstructions — FAISS IVF,SQ8"))
 }

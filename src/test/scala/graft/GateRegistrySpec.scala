@@ -209,7 +209,7 @@ class GateRegistrySpec extends AnyFunSuite {
     // Pin the documented numbers to the registry so drift fails CI.
     val total = GateQueries.all.size
     val oracled = GateQueries.all.count(_.oracle.isDefined)
-    assert(total == 238 && oracled == 238,
+    assert(total == 240 && oracled == 240,
       s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
     val coverage = repoText("COVERAGE.md")
     assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),
@@ -439,6 +439,11 @@ class GateRegistrySpec extends AnyFunSuite {
       "st23_stream_drop_ledger" -> Seq(
         bodyHas("numRowsDroppedByWatermark summed"),
         bodyHas("== the staged late set exactly")),
+      "sim27_ivf_sq8" -> Seq(node("ShuffledHashJoin \\w+ \\w+"), noSmj,
+        node("WindowGroupLimit"), node("BroadcastExchange", 2)),
+      "mm15_clip_sample" -> Seq(scansAtMost(1), shufflesAtMost(3),
+        Law("join-free", (f, _) => joins(f) == 0), node("Generate"),
+        node("Window", 2)),
       "la24_orc_roundtrip" -> Seq(bodyHas("Scan orc"),
         bodyHas("PartitionFilters: [isnotnull(level"),
         bodyHas("PushedFilters: [IsNotNull(value_cents), " +

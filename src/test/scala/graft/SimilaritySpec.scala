@@ -494,6 +494,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall@10 $recall below 0.9")
   }
 
+  test("sim27 IVF-SQ8: quantization costs almost nothing on top of the IVF pruning") {
+    // The serving split's accounting: sim27 ranks the SAME nprobe=2
+    // candidate set as sim6, so its divergence from sim6 measures the
+    // SQ8 metric swap alone (asymmetric L2 on reconstructions vs exact
+    // cosine) — sim19 showed 256 levels/dim is near-lossless on this
+    // corpus, so the per-query top-10 overlap must stay high. Recall
+    // vs the exact truth is then bounded by the IVF probe path itself
+    // (the pruning, not the compression, is the recall knob).
+    val ivf = gate("sim6_ivf_search", sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val sq = gate("sim27_ivf_sq8", sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(sq.nonEmpty)
+    val overlap = (ivf & sq).size.toDouble / ivf.size
+    assert(overlap >= 0.85,
+      s"IVF-SQ8 top-10 diverged from the uncompressed IVF path: $overlap")
+  }
+
   test("sim20 sampled codebook: full leg zero-drift and equal to sim8's IVF recall") {
     val rows = gate("sim20_sampled_codebook", sf0001).collect()
       .map(r => r.getAs[String]("codebook") -> r).toMap

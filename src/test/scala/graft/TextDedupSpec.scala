@@ -1189,6 +1189,29 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("mm15 clip sampler: threshold, cap and tie-break branches all pinned") {
+    // The synthetic shot geometry is id-derived (g = 2 + id%4,
+    // nf = 4 + id%9), so three ids exercise every branch:
+    // id 4 → g=2, nf=8: shots 2/2/2/2, none ≥3 → NO manifest rows;
+    // id 3 → g=5, nf=7: shots 5/2 → one clip, len capped 5→4;
+    // id 5 → g=3, nf=9: shots 3/3/3 → equal lengths tie-break to the
+    // two EARLIEST starts (0 then 3), clip_len 3 uncapped.
+    val d = fixtureDir("documents" -> documentsDf(Seq(
+      (4L, "aaa", "en", "s1"), (3L, "bbb", "en", "s1"),
+      (5L, "ccc", "en", "s1"))))
+    val rows = gate("mm15_clip_sample", d).collect()
+      .groupBy(_.getAs[Long]("media_id"))
+    assert(!rows.contains(4L), s"g=2 media produced clips: ${rows.get(4L)}")
+    val m3 = rows(3L).map(r => (r.getAs[Long]("shot_id"),
+      r.getAs[Long]("start_idx"), r.getAs[Long]("shot_len"),
+      r.getAs[Long]("clip_len"))).toSeq
+    assert(m3 == Seq((0L, 0L, 5L, 4L)), s"media 3: $m3")
+    val m5 = rows(5L).map(r => (r.getAs[Long]("start_idx"),
+      r.getAs[Long]("shot_len"), r.getAs[Long]("clip_len")))
+      .toSeq.sortBy(_._1)
+    assert(m5 == Seq((0L, 3L, 3L), (3L, 3L, 3L)), s"media 5: $m5")
+  }
+
   test("mm13 scene cuts: identical frame = no cut, changed frame = cut") {
     // 3-frame payload: frames 1 and 2 share their first 32 bytes (the
     // digest window) → distance 0, NO cut; frame 3 differs → one cut
