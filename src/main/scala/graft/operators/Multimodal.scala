@@ -780,23 +780,28 @@ object Multimodal {
     * window and the per-media rollup share ONE media_id exchange
     * (tw9's law); output is media-grain. Empty payloads have no
     * frames and drop out of the cut profile by construction. */
-  /** Frame-grain cut flags: (media_id, idx, h, cut) — the shared
-    * shot-boundary law (hamming(h_i, h_{i−1}) ≥ 16 of 60 on the
-    * frameArr digests). ONE definition consumed by mm13's cut profile
-    * and mm15's clip sampler, so the two can never disagree on where
-    * a shot starts. */
-  private def frameCuts(s: SparkSession, d: String): DataFrame = {
+  /** THE shot-boundary law, over any frame-grain frame carrying
+    * (media_id, idx, h): cut_i := hamming(h_i, h_{i−1}) ≥ 16 of 60.
+    * ONE definition consumed by mm13's cut profile (payload-derived
+    * frames) and mm15's clip sampler (its synthetic decoded-hash
+    * stream), so the two can never disagree on where a shot starts. */
+  private def cutFlags(frames: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("media_id")).orderBy(col("idx"))
-    media(s, d)
-      .select(col("media_id"),
-        posexplode(frameArr(col("payload"))).as(Seq("idx", "dig")))
-      .withColumn("h", conv(substring(col("dig"), 1, 15), 16, 10).cast("long"))
+    frames
       .withColumn("prev", lag(col("h"), 1).over(w))
       .withColumn("cut",
         when(col("prev").isNotNull &&
           bit_count(col("h").bitwiseXOR(col("prev"))) >= 16, 1L).otherwise(0L))
   }
+
+  /** [[cutFlags]] applied to the payload-derived frameArr digests —
+    * mm13's frame source. */
+  private def frameCuts(s: SparkSession, d: String): DataFrame =
+    cutFlags(media(s, d)
+      .select(col("media_id"),
+        posexplode(frameArr(col("payload"))).as(Seq("idx", "dig")))
+      .withColumn("h", conv(substring(col("dig"), 1, 15), 16, 10).cast("long")))
 
   private def mm13(s: SparkSession, d: String): DataFrame =
     frameCuts(s, d)
@@ -1080,12 +1085,7 @@ object Multimodal {
         md5(concat(col("media_id").cast("string"), lit("#"),
           (col("idx").cast("long") / col("g").cast("long")).cast("long")
             .cast("string"))), 1, 15), 16, 10).cast("long"))
-    frames
-      .withColumn("prev", lag(col("h"), 1).over(w))
-      .withColumn("cut",
-        when(col("prev").isNotNull &&
-          bit_count(col("h").bitwiseXOR(col("prev"))) >= 16, 1L)
-          .otherwise(0L))
+    cutFlags(frames) // mm13's shared shot-boundary law, verbatim
       .withColumn("shot_id", sum(col("cut")).over(w))
       .groupBy(col("media_id"), col("shot_id"))
       .agg(min(col("idx")).cast("long").as("start_idx"),

@@ -167,12 +167,17 @@ object StreamGates {
   /** `replayed` for an arbitrary time-stamped frame: stage `df` (cached
     * JVM-wide under `key`) as ordered slices and replay `pipe` over it —
     * how the doc-/media-grain ingest pipelines (st8-st11) get the same
-    * real-micro-batch treatment the event-grain gates st1-st7 get. */
+    * real-micro-batch treatment the event-grain gates st1-st7 get.
+    * The slice count is folded into the staging key (`key|slices`, the
+    * same shape stageSlices uses) so two callers sharing a logical
+    * source at DIFFERENT batching can never silently inherit each
+    * other's staging — before this, the first caller's count won. */
   private[graft] def replayedDf(s: SparkSession, key: String, df: DataFrame,
       gate: String, slices: Int = 4,
       extraConfs: Map[String, String] = Map.empty)(
       pipe: DataFrame => DataFrame): DataFrame =
-    runReplay(s, stageAny(key, slices)(df), df.schema, gate, extraConfs)(pipe)
+    runReplay(s, stageAny(s"$key|$slices", slices)(df), df.schema, gate,
+      extraConfs)(pipe)
 
   private def runReplay(s: SparkSession, src: File,
       schema: org.apache.spark.sql.types.StructType, gate: String,
@@ -1400,7 +1405,8 @@ object StreamGates {
       registryName: String, extraConfs: Map[String, String]): DataFrame = {
     // 2 slices: the restart law needs exactly one kill point with
     // unprocessed backlog behind it — run 1 drains slice 0, run 2
-    // resumes onto slice 1 (the shared 2-slice staging st1-st7 use);
+    // resumes onto slice 1 (the shared "$d|2" staging st7/st12 use;
+    // st1-st6 stay on the 4-slice staging);
     // window-store partials still straddle the cut and the emission
     // still splits (rows1 a nonempty proper prefix, require'd below).
     val shared = stageSlices(s, d, 2)
@@ -1637,7 +1643,8 @@ object StreamGates {
       .select(expr(s"unix_micros(ev_ts) div ${HourUs}L").as("hb"),
         col("event_type"))
       .distinct().count()
-    val src = stageAny(s"$d|late21", 4)(fed) // shared with st21
+    // shared with st21's replayedDf staging (key|slices shape)
+    val src = stageAny(s"$d|late21|4", 4)(fed)
     val iso = s.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", "4")
     // PIN the one-split-per-slice-file read regime the closed form

@@ -292,14 +292,35 @@ class GateRegistrySpec extends AnyFunSuite {
         case (g, JInt(t)) => g -> t.toDouble }.toMap
       case other => fail(s"BENCH_DETAIL.json queries_seq: unexpected $other")
     }
-    val slow = for {
-      (g, t) <- seq.toSeq.sortBy(_._1)
+    def breaches(seqTimes: Map[String, Double]): Seq[String] = for {
+      (g, t) <- seqTimes.toSeq.sortBy(_._1)
       (floor, ceil) <- gates.get(g).toSeq
       limit = math.max(ceil * tolRel, ceil + tolAbs)
       if t > limit
     } yield f"$g: $t%.3f s > limit $limit%.3f s (band [$floor%.3f, $ceil%.3f])"
+    val slow = breaches(seq)
     assert(slow.isEmpty,
       s"committed snapshot regresses beyond the per-gate band:\n${slow.mkString("\n")}")
+    // INFORMATIONAL worktree pass (warn, never fail): the committed-blob
+    // rule above means a freshly regenerated, staged-but-uncommitted
+    // snapshot pair would otherwise be linted only on the FOLLOWING
+    // commit's test run — this surfaces a band violation to the builder
+    // before it lands, without re-opening the driver-window flakiness
+    // the committed rule closed (round-12/13 advice).
+    try {
+      val wtSnap = JsonMethods.parse(repoText("BENCH_DETAIL.json"))
+      val wtSf = (wtSnap \ "sf").extractOpt[String]
+      if (wtSf.exists(_.split('/').last == "sf0.1")) {
+        val wtSeq: Map[String, Double] = (wtSnap \ "queries_seq") match {
+          case JObject(fs) => fs.collect { case (g, JDouble(t)) => g -> t
+            case (g, JInt(t)) => g -> t.toDouble }.toMap
+          case _ => Map.empty
+        }
+        breaches(wtSeq).foreach(b =>
+          alert(s"WORKTREE BENCH_DETAIL.json breaches the band " +
+            s"(informational — possibly an uncontrolled driver window): $b"))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   test("PLANS.md plan-shape claims are machine-checked (law lint)") {
