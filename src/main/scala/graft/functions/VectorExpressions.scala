@@ -131,5 +131,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvKMin(children.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch"),
+      (children: Seq[Expression]) =>
+        KllSketchAgg(children.head, litInt(children(1), "kll_sketch k"))))
   }
 }

@@ -1826,6 +1826,103 @@ object LogAnalytics {
       |WHERE level_no >= 20 AND level = 'PURCHASE' AND value_cents >= 1000
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- la25
+
+  /** la25: MERGEABLE QUANTILE SKETCH with an error certificate — the
+    * p50/p95/p99 dashboard rollup (reference precedent: the log-stats
+    * aggregates, sqlite_logger.py:267-304) computed the way 100 TB
+    * requires: per-level KLL sketches ([[graft.functions.KllSketchAgg]])
+    * built in ONE map-side-combinable pass, no per-group global sort.
+    * la10's histogram p95 needs the value RANGE up front (a bins×range
+    * resolution trade); the KLL ladder needs nothing up front and
+    * bounds RANK error instead — the sketch tracks its own worst-case
+    * bound `err` (each compaction at level l adds exactly 2^l; merges
+    * add bounds, so the guarantee survives Spark's nondeterministic
+    * partial-merge order).
+    *
+    * The certificate (la10's discipline): for each quantile q with
+    * integer target t = ceil(q·n), the sketch's answer v (min retained
+    * value whose cumulative weight ≥ t) must have TRUE rank inside
+    * [t − err, t − 1 + maxw + err] — a bound that holds
+    * DETERMINISTICALLY by construction, so the gate emits it as an
+    * always-true boolean the oracle pins to TRUE, while the exact
+    * quantiles in the output are re-derived rank-selections DuckDB
+    * recomputes independently. The sketch's internal values are
+    * merge-order-dependent and never reach a hashed column.
+    *
+    * Scale shape: sketch pass = one ObjectHashAggregate over levels
+    * (bounded O(k·log n) state per group); the audit joins the ≤4-row
+    * answer frame back broadcast for exact ranks (one more scan), and
+    * the exact-quantile columns cost the same per-level window la10's
+    * audit pays. Drop the audit columns and the gate IS the sketch —
+    * a single narrow agg. */
+  private def la25(s: SparkSession, d: String): DataFrame = {
+    val base = logs(s, d).select(col("level"), col("value_cents"), col("event_id"))
+    val sk = base.groupBy(col("level"))
+      .agg(expr("kll_sketch(value_cents, 64)").as("sk"),
+        count(lit(1)).as("n_rows"))
+    // sketch answer for target t(num,den) = ceil(num·n/den): the first
+    // retained value whose cumulative weight reaches t (cumw·den ≥ num·n)
+    def sq(num: Int, den: Int): Column = element_at(
+      filter(col("sk.items"),
+        i => i.getField("cumw") * den >= col("sk.n") * num), 1).getField("v")
+    def tgt(num: Int, den: Int): Column =
+      expr(s"(sk.n * $num + ${den - 1}) div $den")
+    val ans = sk.select(col("level"), col("n_rows"),
+      col("sk.err").as("err"), col("sk.maxw").as("maxw"),
+      sq(1, 2).as("v50"), sq(19, 20).as("v95"), sq(99, 100).as("v99"),
+      tgt(1, 2).as("t50"), tgt(19, 20).as("t95"), tgt(99, 100).as("t99"))
+    // exact ranks of the sketch answers — one conditional-count pass
+    val ranks = base.join(broadcast(ans.select(
+        col("level"), col("v50"), col("v95"), col("v99"))), Seq("level"))
+      .groupBy(col("level"))
+      .agg(sum(when(col("value_cents") <= col("v50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value_cents") <= col("v95"), 1L).otherwise(0L)).as("r95"),
+        sum(when(col("value_cents") <= col("v99"), 1L).otherwise(0L)).as("r99"))
+    // exact rank-selected quantiles — the oracle-recomputed audit
+    val wRank = Window.partitionBy(col("level"))
+      .orderBy(col("value_cents").asc, col("event_id").asc)
+    val wTot = Window.partitionBy(col("level"))
+    val exact = base
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("tot", count(lit(1)).over(wTot))
+      .groupBy(col("level"))
+      .agg(
+        min(when(col("rk") * 2 >= col("tot"), col("value_cents")))
+          .as("exact_p50_cents"),
+        min(when(col("rk") * 20 >= col("tot") * 19, col("value_cents")))
+          .as("exact_p95_cents"),
+        min(when(col("rk") * 100 >= col("tot") * 99, col("value_cents")))
+          .as("exact_p99_cents"))
+    def cert(r: String, t: String): Column =
+      col(r) >= col(t) - col("err") &&
+        col(r) <= col(t) - 1 + col("err") + col("maxw")
+    ans.join(ranks.hint("shuffle_hash"), Seq("level"))
+      .join(exact.hint("shuffle_hash"), Seq("level"))
+      .select(col("level"), col("n_rows"),
+        col("exact_p50_cents"), col("exact_p95_cents"), col("exact_p99_cents"),
+        cert("r50", "t50").as("certified_p50"),
+        cert("r95", "t95").as("certified_p95"),
+        cert("r99", "t99").as("certified_p99"))
+  }
+
+  private val la25Sql = logsSql +
+    """, r AS (
+      |  SELECT level, value_cents,
+      |    row_number() OVER (PARTITION BY level
+      |      ORDER BY value_cents ASC, event_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY level) AS tot
+      |  FROM logs)
+      |SELECT level, count(*) AS n_rows,
+      |  min(CASE WHEN rk * 2 >= tot THEN value_cents END)
+      |    AS exact_p50_cents,
+      |  min(CASE WHEN rk * 20 >= tot * 19 THEN value_cents END)
+      |    AS exact_p95_cents,
+      |  min(CASE WHEN rk * 100 >= tot * 99 THEN value_cents END)
+      |    AS exact_p99_cents,
+      |  TRUE AS certified_p50, TRUE AS certified_p95, TRUE AS certified_p99
+      |FROM r GROUP BY level""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("la1_filter_paginate", la1, Some(la1Sql),
       "WHERE + ORDER BY ts DESC + LIMIT/OFFSET pagination (S10/W3/F5)"),
@@ -1874,5 +1971,7 @@ object LogAnalytics {
     GateQuery("la23_csv_deadletter", la23, Some(la23Sql),
       "RFC4180 CSV ingest: quote-doubling round-trip (escape='\"'), corrupt rows dead-lettered with raw bytes preserved"),
     GateQuery("la24_orc_roundtrip", la24, Some(la24Sql),
-      "ORC partitioned round-trip: partition pruning + predicate pushdown into the ORC reader, rollup ≡ the raw view"))
+      "ORC partitioned round-trip: partition pruning + predicate pushdown into the ORC reader, rollup ≡ the raw view"),
+    GateQuery("la25_kll_quantiles", la25, Some(la25Sql),
+      "mergeable KLL quantile sketch: self-tracked worst-case rank bound, exact p50/p95/p99 audit + certificate"))
 }
