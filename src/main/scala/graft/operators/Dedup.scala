@@ -1635,6 +1635,135 @@ object Dedup {
       |    AS kept_fp
       |FROM sp GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- dd21
+
+  /** Core of dd21, parameterized for the spec: ExactSubstr removal at
+    * window grain K over any (doc_id, text) frame. A positioned
+    * K-token window is DUPLICATED iff its hash occurs ≥ 2 times in
+    * the corpus — cross-doc or within-doc, unlike dd19's cross-doc-
+    * only count — and EVERY occurrence is cut (the Lee et al. 2021
+    * `deduplicate-text-datasets` default: each copy of a repeated
+    * ≥K-token substring is itself repeated text, so all copies go;
+    * dd20 is the keep-first variant). Coverage is the union of the
+    * duplicated windows' [pos, pos+K−1] ranges per doc, merged into
+    * maximal islands — a repeated 70-token paragraph is 21 overlapping
+    * duplicated 50-windows but ONE 70-token span.
+    *
+    * Pipeline: tokenize → positioned window hashes (`md5h60_array`,
+    * so only 8-byte keys + int positions shuffle) → occurrence-count
+    * agg on the hash (map-side combined, skew-safe: a billion-copy
+    * boilerplate window still reduces to one count) → join back →
+    * per-doc running-max island window (dd19/dd20's shape, state one
+    * long per doc) → re-assembly fingerprint of the survivors. */
+  private[graft] def exactSubstrRemove(docs: DataFrame, K: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("a"))
+    val positioned = toks.filter(size(col("a")) >= K)
+      .select(col("doc_id"), posexplode(expr(
+        s"md5h60_array(transform(sequence(1, size(a) - ${K - 1}), " +
+          s"i -> concat_ws(' ', slice(a, i, $K))))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val dup = positioned.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"))
+    val red = positioned.join(dup.hint("shuffle_hash"), Seq("h"))
+      .select(col("doc_id"), col("pos").as("tpos"),
+        (col("pos") + (K - 1)).as("reach"))
+    val tokPos = toks
+      .select(col("doc_id"), size(col("a")).as("n_tokens"),
+        posexplode(col("a")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).as("tpos"), col("col").as("tok"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("tpos").asc)
+    tokPos.join(red.hint("shuffle_hash"), Seq("doc_id", "tpos"), "left")
+      .withColumn("runreach", max(col("reach")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("covered",
+        coalesce(col("runreach") >= col("tpos"), lit(false)))
+      .withColumn("new_span",
+        when(col("covered") &&
+          !coalesce(lag(col("covered"), 1).over(byDoc), lit(false)), 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("reach").isNotNull, 1L).otherwise(0L)).as("dup_windows"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("tokens_removed"),
+        sum(col("new_span")).as("n_spans"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(!col("covered"),
+            struct(col("tpos"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("kept_fp"))
+  }
+
+  /** dd21: EXACT-SUBSTRING dedup at the paper's own grain — Lee et al.
+    * 2021's ExactSubstr with its published 50-token threshold,
+    * restated as overlapping 50-token windows whose suffix keys (the
+    * window hash = a bounded suffix prefix) group-by instead of a
+    * monolithic suffix array. Completes the dedup ladder: dd9 fixed
+    * chunks → dd19 cross-doc span DETECTION (k=8) → dd20 keep-first
+    * removal → dd21 the all-copies removal the released tool performs
+    * at the threshold the paper validated.
+    *
+    * The oracle is an INDEPENDENT re-derivation, not a restatement:
+    * DuckDB groups the raw 50-token window STRINGS — no md5h60, no
+    * shared hashing path — so a 60-bit collision on the engine side
+    * would hash-fail the gate instead of hiding (window-pair odds
+    * ≈ 2e-9 at this sf; a 100 TB deployment widens the key to the
+    * full 128-bit digest, same plan).
+    *
+    * Scale: two fixed-width-key shuffles (window-hash count agg +
+    * doc-keyed windows), candidates slim, payloads joined back —
+    * identical survival shape to dd19/dd20; K only changes the
+    * explode constant. */
+  private def dd21(s: SparkSession, d: String): DataFrame =
+    exactSubstrRemove(Tables.documents(s, d), 50)
+
+  private val dd21Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, length(a) - 48)) AS pos,
+      |    unnest(list_transform(range(1, length(a) - 48),
+      |      i -> array_to_string(a[i:i+49], ' '))) AS g
+      |  FROM tk WHERE length(a) >= 50),
+      |dup AS (
+      |  SELECT g FROM win GROUP BY g HAVING count(*) >= 2),
+      |red AS (
+      |  SELECT w.doc_id, w.pos AS tpos, w.pos + 49 AS reach
+      |  FROM win w JOIN dup USING (g)),
+      |tokpos AS (
+      |  SELECT doc_id, length(a) AS n_tokens,
+      |    unnest(range(1, length(a) + 1)) AS tpos,
+      |    unnest(a) AS tok
+      |  FROM tk),
+      |fl AS (
+      |  SELECT doc_id, n_tokens, tpos, tok, reach,
+      |    coalesce(max(reach) OVER (PARTITION BY doc_id ORDER BY tpos ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) >= tpos,
+      |      FALSE) AS covered
+      |  FROM (
+      |    SELECT t.doc_id, t.n_tokens, t.tpos, t.tok, r.reach
+      |    FROM tokpos t LEFT JOIN red r
+      |      ON t.doc_id = r.doc_id AND t.tpos = r.tpos) j),
+      |sp AS (
+      |  SELECT doc_id, n_tokens, tpos, tok, reach, covered,
+      |    CASE WHEN covered AND NOT coalesce(lag(covered) OVER
+      |      (PARTITION BY doc_id ORDER BY tpos ASC), FALSE)
+      |      THEN 1 ELSE 0 END AS new_span
+      |  FROM fl)
+      |SELECT doc_id, max(n_tokens) AS n_tokens,
+      |  CAST(count(reach) AS BIGINT) AS dup_windows,
+      |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS tokens_removed,
+      |  CAST(sum(new_span) AS BIGINT) AS n_spans,
+      |  md5(coalesce(array_to_string(
+      |    list(tok ORDER BY tpos) FILTER (WHERE NOT covered), ' '), ''))
+      |    AS kept_fp
+      |FROM sp GROUP BY doc_id""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("dd1_exact_dedup", dd1, Some(dd1Sql),
       "exact dedup by md5 fingerprint, min-id keeper"),
@@ -1675,5 +1804,7 @@ object Dedup {
     GateQuery("dd19_repeated_spans", dd19, Some(dd19Sql),
       "maximal cross-doc repeated token spans at 8-gram grain (exact-substring dedup)"),
     GateQuery("dd20_span_remove", dd20, Some(dd20Sql),
-      "ExactSubstr removal: cut maximal repeated spans, keep-first canonical, kept-text fp"))
+      "ExactSubstr removal: cut maximal repeated spans, keep-first canonical, kept-text fp"),
+    GateQuery("dd21_exact_substring", dd21, Some(dd21Sql),
+      "Lee et al. ExactSubstr at the 50-token threshold: all-copies removal, string-grain independent oracle"))
 }

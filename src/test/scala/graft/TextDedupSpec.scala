@@ -1230,4 +1230,39 @@ class TextDedupSpec extends AnyFunSuite {
       rows(2L).getAs[Long]("n_cuts") == 0 &&
       rows(2L).getAs[Long]("shot_len_milli") == 1000L, s"doc2: ${rows(2L)}")
   }
+
+  test("dd21 exact-substring: maximal-span merging, all-copies removal, K threshold") {
+    import spark.implicits._
+    // K = 4 keeps the geometry readable; the gate runs the same code at 50.
+    // docs 1/2 share a 6-token run (3 overlapping dup windows -> ONE
+    // 6-token span each); doc 3 repeats a 4-token block WITHIN itself
+    // (both copies cut -> 2 spans); docs 4/5 share only 3 tokens
+    // (below K -> untouched).
+    val docs = Seq(
+      (1L, "a1 a2 s1 s2 s3 s4 s5 s6 a9 a10"),
+      (2L, "b1 s1 s2 s3 s4 s5 s6 b8"),
+      (3L, "c1 r1 r2 r3 r4 c6 r1 r2 r3 r4 c11"),
+      (4L, "d1 d2 u1 u2 u3 d6"),
+      (5L, "e1 u1 u2 u3 e5")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.exactSubstrRemove(docs, 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def f(id: Long, c: String) = out(id).getAs[Long](c)
+    // maximal merging: 3 overlapping windows -> one span of 6, not 3x4
+    assert(f(1L, "dup_windows") == 3 && f(1L, "tokens_removed") == 6 &&
+      f(1L, "n_spans") == 1, s"doc1: ${out(1L)}")
+    assert(f(2L, "dup_windows") == 3 && f(2L, "tokens_removed") == 6 &&
+      f(2L, "n_spans") == 1, s"doc2: ${out(2L)}")
+    // all-copies removal: the within-doc repeat loses BOTH occurrences
+    assert(f(3L, "dup_windows") == 2 && f(3L, "tokens_removed") == 8 &&
+      f(3L, "n_spans") == 2, s"doc3: ${out(3L)}")
+    // below-K sharing is untouched
+    Seq(4L, 5L).foreach(id =>
+      assert(f(id, "tokens_removed") == 0 && f(id, "n_spans") == 0,
+        s"doc$id: ${out(id)}"))
+    // survivor reassembly: doc3 keeps exactly "c1 c6 c11"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest("c1 c6 c11".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(3L).getAs[String]("kept_fp") == expected, s"doc3 fp: ${out(3L)}")
+  }
 }
