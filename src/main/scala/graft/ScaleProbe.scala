@@ -168,6 +168,26 @@ object ScaleProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"$g%-18s rows=$c%10d elapsed=$secs%7.1f s")
       }
+      // sim27 IVF-SQ8 with its classification ASSERTED, not just
+      // printed: candidacy is nprobe/nlist of the corpus (cells grow
+      // with N, probed fraction doesn't), the SQ8 reconstruction is a
+      // zero-exchange narrow map, and the OUTPUT must stay exactly
+      // top-10 per query at any replica factor — a candidate-volume
+      // blowup would surface here as either missing queries (a cell
+      // overflow dropping rows) or a wall regression vs sim19's flat
+      // scan (the compressed-brute control in the same section).
+      locally {
+        val t0 = System.nanoTime()
+        val r = SparkEntry.queries("sim27_ivf_sq8")(spark, out)
+          .agg(count(lit(1)).as("rows"),
+            countDistinct(col("query_id")).as("queries")).head
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(r.getLong(0) == 10L * r.getLong(1),
+          s"sim27 output not 10/query: ${r.getLong(0)} rows for " +
+            s"${r.getLong(1)} queries — per-query candidacy no longer flat")
+        println(f"sim27_ivf_sq8 rows=${r.getLong(0)}%10d " +
+          f"queries=${r.getLong(1)}%8d elapsed=$secs%7.1f s")
+      }
       // sim17 runs the filtered EXACT brute force as its ground truth
       // (queries × corpus cosine pairs at ½ selectivity) — the
       // deliberately quadratic yardstick the serving paths beat; its
@@ -245,6 +265,21 @@ object ScaleProbe {
         val c = SparkEntry.queries(g)(spark, out).count()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"$g%-16s pairs=$c%12d elapsed=$secs%7.1f s")
+      }
+      // dd21 on the replica is the TOTAL-coverage worst case (every
+      // doc exact-duplicated → every 50-window duplicated → every
+      // token of every ≥50-token doc covered): positions linear, the
+      // window-hash count dim universe-bounded (copies add no new
+      // windows), coverage state one long per doc. Classification
+      // asserted: output stays exactly doc-grain at any factor.
+      locally {
+        val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries("dd21_exact_substring")(spark, out).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(c == nDocs,
+          s"dd21 output $c rows != $nDocs docs — no longer doc-grain")
+        println(f"dd21_exact_substring rows=$c%10d elapsed=$secs%7.1f s")
       }
       // Decontamination at 20×: the benchmark side (doc_id ≡ 0 mod 50 —
       // 2% of the corpus) stays broadcastable while the corpus side
@@ -415,6 +450,20 @@ object ScaleProbe {
         val s1 = (System.nanoTime() - t1) / 1e9
         println(f"$g%-20s rows=$c%10d elapsed=$s1%7.1f s")
       }
+      // mm15 with its classification ASSERTED: frames explode narrow
+      // (≤12 per media, 8-byte hashes), three strictly-shrinking
+      // exchanges, and the clip manifest is OUTPUT-BOUNDED — at most
+      // 2 clips per media at any corpus size (the decode wave it
+      // feeds reads only (media, start, len) triples).
+      locally {
+        val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
+        val t1 = System.nanoTime()
+        val c = SparkEntry.queries("mm15_clip_sample")(spark, out).count()
+        val s1 = (System.nanoTime() - t1) / 1e9
+        require(c <= 2L * nDocs,
+          s"mm15 emitted $c clips for $nDocs media — top-2 cap broken")
+        println(f"mm15_clip_sample rows=$c%10d elapsed=$s1%7.1f s")
+      }
     }
 
     // Events-family probe: the sf0.1 event log replicated factor× in
@@ -457,11 +506,39 @@ object ScaleProbe {
             "la15_merge_upsert",
             // la16: the v1 commit rewrites ONE day; both snapshot reads
             // plan from manifests (no dead-file listing)
-            "la16_time_travel")) {
+            "la16_time_travel",
+            // la23: both sides scan-linear narrow maps (synthesize one
+            // text column, from_csv per-partition); output stays the
+            // 2-row disposition agg at any volume
+            "la23_csv_deadletter",
+            // la24: write ∝ corpus into 4 level dirs; the read side
+            // costs ONE pruned partition with the predicate pushed to
+            // ORC row-group stats; output ∝ spanned days
+            "la24_orc_roundtrip")) {
           val t1 = System.nanoTime()
           val c = SparkEntry.queries(g)(spark, out).count()
           val s1 = (System.nanoTime() - t1) / 1e9
           println(f"$g%-24s rows=$c%10d elapsed=$s1%7.1f s")
+        }
+        // la25 with its classification ASSERTED: the sketch pass is one
+        // map-side-combinable ObjectHashAggregate (state O(k·log n) per
+        // level), output stays level-grain at any event count — and the
+        // error certificate must HOLD at replica scale (the whole point
+        // of a self-tracked worst-case bound: it cannot decay with n).
+        locally {
+          val t1 = System.nanoTime()
+          val rows = SparkEntry.queries("la25_kll_quantiles")(spark, out).collect()
+          val s1 = (System.nanoTime() - t1) / 1e9
+          require(rows.nonEmpty && rows.length <= 8,
+            s"la25 output ${rows.length} rows — no longer level-grain")
+          rows.foreach { r =>
+            require(r.getAs[Boolean]("certified_p50") &&
+              r.getAs[Boolean]("certified_p95") &&
+              r.getAs[Boolean]("certified_p99"),
+              s"la25 certificate violated at replica scale: $r")
+          }
+          println(f"la25_kll_quantiles rows=${rows.length}%10d " +
+            f"elapsed=$s1%7.1f s (certificates all true)")
         }
       }
       // Streaming-gate probe: the st* replay rigs run the factor×
