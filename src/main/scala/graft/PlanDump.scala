@@ -140,7 +140,11 @@ object PlanDump {
     "sim27_ivf_sq8" ->
       "IVF-SQ8 serving: cell pruning bounds candidates before any distance work (broadcast probe dims), the SQ8 reconstruction table joins SHUFFLE-HASH (corpus-sized — never broadcast, never sort-merge), the asymmetric distance is one codegen'd dot per pair, top-10 prunes map-side.",
     "mm15_clip_sample" ->
-      "Clip sampling: frames explode narrow; three slim exchanges at strictly SHRINKING grain (media lag window -> (media, shot) rollup -> media top-2 rank) — no join anywhere, output <=2 rows per media by construction.")
+      "Clip sampling: frames explode narrow; three slim exchanges at strictly SHRINKING grain (media lag window -> (media, shot) rollup -> media top-2 rank) — no join anywhere, output <=2 rows per media by construction.",
+    "la25_kll_quantiles" ->
+      "Mergeable KLL quantile sketch: the sketch pass is ONE bounded-state ObjectHashAggregate (kll_sketch) — drop the audit columns and that agg IS the gate; the <=levels-row answer frame joins back BROADCAST for the exact-rank audit, and the only per-row sort is the exact-quantile audit window the sketch exists to replace.",
+    "dd21_exact_substring" ->
+      "ExactSubstr at the 50-token grain: positioned window hashes explode as a narrow map (8-byte keys + int positions, never window text); the duplicated-window dim is one map-side-combined hash agg; every join is SHUFFLE-HASH (never sort-merge, never nested-loop); the island window and the doc rollup share ONE doc_id-compatible exchange chain.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

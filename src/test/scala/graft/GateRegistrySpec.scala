@@ -470,7 +470,20 @@ class GateRegistrySpec extends AnyFunSuite {
         bodyHas("PushedFilters: [IsNotNull(value_cents), " +
           "GreaterThanOrEqual(value_cents,1000)]"),
         bodyHas("ReadSchema: struct<ts_us:bigint,value_cents:bigint>"),
-        shufflesAtMost(1)))
+        shufflesAtMost(1)),
+      // la25: the sketch is a bounded-state ObjectHashAggregate; the
+      // ≤levels-row answer frame joins back BROADCAST; never a
+      // sort-merge join; 4 exchanges = sketch agg + ranks agg + the
+      // audit window + the final level joins (shuffle-hash, slim).
+      "la25_kll_quantiles" -> Seq(node("ObjectHashAggregate"),
+        node("BroadcastHashJoin \\w+ \\w+"), noSmj, noNlj,
+        shufflesAtMost(4), scansAtMost(4)),
+      // dd21: window hashes + token stream explode narrow (3
+      // Generates); both corpus joins are SHUFFLE-HASH on fixed-width
+      // keys; never sort-merge, never a nested loop.
+      "dd21_exact_substring" -> Seq(node("Generate", 3),
+        node("ShuffledHashJoin \\w+ \\w+", 2), noSmj, noNlj,
+        shufflesAtMost(5), scansAtMost(3)))
     val missingLaws = sections.keySet -- laws.keySet
     assert(missingLaws.isEmpty,
       s"PLANS.md sections without pinned laws (add them here): $missingLaws")
