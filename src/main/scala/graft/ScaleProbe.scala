@@ -450,6 +450,24 @@ object ScaleProbe {
         val s1 = (System.nanoTime() - t1) / 1e9
         println(f"$g%-20s rows=$c%10d elapsed=$s1%7.1f s")
       }
+      // tx29 with its laws ASSERTED at replica scale: the MG summary
+      // stays O(k) while n grows 20x, and all three deterministic
+      // certificates (never-overcount band, heavy-hitter presence,
+      // err·(k+1) ≤ n) must hold on the replica corpus — the bound is
+      // a counting argument, so scale cannot decay it.
+      locally {
+        val t1 = System.nanoTime()
+        val rows = SparkEntry.queries("tx29_mg_heavy_hitters")(spark, out).collect()
+        val s1 = (System.nanoTime() - t1) / 1e9
+        require(rows.length == 20, s"tx29 emitted ${rows.length} rows, not 20")
+        rows.foreach { r =>
+          require(r.getAs[Boolean]("certified") && r.getAs[Boolean]("hh_present") &&
+            r.getAs[Boolean]("err_law_ok"),
+            s"tx29 certificate violated at replica scale: $r")
+        }
+        println(f"tx29_mg_heavy_hitters rows=${rows.length}%10d " +
+          f"elapsed=$s1%7.1f s (certificates all true)")
+      }
       // mm15 with its classification ASSERTED: frames explode narrow
       // (≤12 per media, 8-byte hashes), three strictly-shrinking
       // exchanges, and the clip manifest is OUTPUT-BOUNDED — at most

@@ -136,5 +136,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch"),
       (children: Seq[Expression]) =>
         KllSketchAgg(children.head, litInt(children(1), "kll_sketch k"))))
+    ext.injectFunction((
+      FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MgTopKAgg].getName, "mg_topk"),
+      (children: Seq[Expression]) =>
+        MgTopKAgg(children.head, litInt(children(1), "mg_topk k"))))
   }
 }

@@ -2007,6 +2007,60 @@ object TextAnalysis {
        |FROM sc GROUP BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- tx29
+
+  /** tx29: MISRA-GRIES heavy hitters — the FOURTH classic sketch,
+    * closing the toolkit (tx8/tx18 KMV distinct-count, tx21 Count-Min
+    * frequency, tx22 HLL cardinality, la25 KLL quantiles): the O(k)
+    * mergeable summary with the strongest frequency guarantee per
+    * byte, and the DETERMINISTIC counterpart to Count-Min — CM never
+    * undercounts but its overestimate rides the hash draw; MG never
+    * OVERcounts and its undercount is bounded by a counting argument
+    * the sketch tracks exactly ([[graft.functions.MgTopKAgg]]: every
+    * unit of `err` costs ≥ k+1 units of discarded input mass, so
+    * err ≤ n/(k+1) under ANY merge tree — Agarwal et al. 2012).
+    *
+    * Certificates (the la25 discipline — MG counters are merge-order-
+    * dependent and never reach a hashed column): for the exact top-20
+    * tokens (both engines re-derive them) the gate emits
+    * `certified` (exact − err ≤ mg_counter ≤ exact), `hh_present`
+    * (any token with exact > err is IN the summary — the classical
+    * no-heavy-hitter-lost law), and `err_law_ok`
+    * (err·(k+1) ≤ n). All three are deterministically true; the
+    * oracle pins them to TRUE and recomputes the exact counts.
+    *
+    * Scale shape: the sketch is one ObjectHashAggregate with O(k)
+    * state per partition — the (token, count) dim it replaces is the
+    * corpus-wide exchange tx21's comparator pays; the audit (exact
+    * top-20 + probe) costs exactly that comparator, and drops with it
+    * at serving time. */
+  private def tx29(s: SparkSession, d: String): DataFrame = {
+    val K = 256
+    val tk = Tables.documents(s, d).select(explode(toks(col("text"))).as("tok"))
+    val sk = tk.agg(expr(s"mg_topk(tok, $K)").as("sk"))
+    val top = tk.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
+    top.crossJoin(broadcast(sk)) // 1-row sketch anchor, la10's pattern
+      .withColumn("mg_cnt", coalesce(
+        element_at(filter(col("sk.items"),
+          i => i.getField("tok") === col("tok")), 1).getField("cnt"), lit(0L)))
+      .select(col("tok"), col("exact_cnt"),
+        (col("mg_cnt") >= col("exact_cnt") - col("sk.err") &&
+          col("mg_cnt") <= col("exact_cnt")).as("certified"),
+        (col("exact_cnt") <= col("sk.err") || col("mg_cnt") > 0)
+          .as("hh_present"),
+        (col("sk.err") * (K + 1) <= col("sk.n")).as("err_law_ok"))
+  }
+
+  private val tx29Sql =
+    """WITH tk AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents)
+      |SELECT tok, count(*) AS exact_cnt,
+      |  TRUE AS certified, TRUE AS hh_present, TRUE AS err_law_ok
+      |FROM tk GROUP BY tok
+      |ORDER BY exact_cnt DESC, tok ASC LIMIT 20""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("tx1_token_stats", tx1, Some(tx1Sql),
       "token/char counting + avg token length"),
@@ -2063,5 +2117,7 @@ object TextAnalysis {
     GateQuery("tx27_linear_probe", tx27, Some(tx27Sql),
       "per-source least-squares fit of tokens ~ chars in closed form: integer-exact moments, slope/intercept/r2"),
     GateQuery("tx28_classifier_inference", tx28, Some(tx28Sql),
-      "folded-weights linear classifier inference: integer micro score + threshold keep/drop + per-source calibration"))
+      "folded-weights linear classifier inference: integer micro score + threshold keep/drop + per-source calibration"),
+    GateQuery("tx29_mg_heavy_hitters", tx29, Some(tx29Sql),
+      "Misra-Gries heavy hitters: O(k) mergeable summary, never-overcount + n/(k+1) laws certified vs exact top-20"))
 }
