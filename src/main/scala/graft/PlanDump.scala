@@ -144,7 +144,9 @@ object PlanDump {
     "la25_kll_quantiles" ->
       "Mergeable KLL quantile sketch: the sketch pass is ONE bounded-state ObjectHashAggregate (kll_sketch) — drop the audit columns and that agg IS the gate; the <=levels-row answer frame joins back BROADCAST for the exact-rank audit, and the only per-row sort is the exact-quantile audit window the sketch exists to replace.",
     "dd21_exact_substring" ->
-      "ExactSubstr at the 50-token grain: positioned window hashes explode as a narrow map (8-byte keys + int positions, never window text); the duplicated-window dim is one map-side-combined hash agg; every join is SHUFFLE-HASH (never sort-merge, never nested-loop); the island window and the doc rollup share ONE doc_id-compatible exchange chain.")
+      "ExactSubstr at the 50-token grain: positioned window hashes explode as a narrow map (8-byte keys + int positions, never window text); the duplicated-window dim is one map-side-combined hash agg; every join is SHUFFLE-HASH (never sort-merge, never nested-loop); the island window and the doc rollup share ONE doc_id-compatible exchange chain.",
+    "tx29_mg_heavy_hitters" ->
+      "Misra-Gries heavy hitters: the O(k)-state summary is one bounded-state ObjectHashAggregate; the exact top-20 audit prunes via TakeOrderedAndProject; the 1-row sketch anchors the certificate projection as a broadcast nested-loop over 20 rows (la10's anchor pattern — the only NLJ shape the suite permits).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

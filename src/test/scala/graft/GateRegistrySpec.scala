@@ -483,7 +483,13 @@ class GateRegistrySpec extends AnyFunSuite {
       // keys; never sort-merge, never a nested loop.
       "dd21_exact_substring" -> Seq(node("Generate", 3),
         node("ShuffledHashJoin \\w+ \\w+", 2), noSmj, noNlj,
-        shufflesAtMost(5), scansAtMost(3)))
+        shufflesAtMost(5), scansAtMost(3)),
+      // tx29: one bounded-state sketch agg + the exact top-20 audit
+      // (TakeOrderedAndProject); the 1-row sketch anchor is the suite's
+      // permitted BNLJ shape, so noNlj is deliberately NOT pinned here.
+      "tx29_mg_heavy_hitters" -> Seq(node("ObjectHashAggregate"),
+        node("TakeOrderedAndProject"), noSmj,
+        shufflesAtMost(2), scansAtMost(2)))
     val missingLaws = sections.keySet -- laws.keySet
     assert(missingLaws.isEmpty,
       s"PLANS.md sections without pinned laws (add them here): $missingLaws")
