@@ -192,8 +192,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "tw16_decay_score", // 1-row max-ts anchor cross (tw6/la4's shape)
       "sim23_radius_search", // embeds sim1's brute-force radius TRUTH as
       // the priced control leg; the pruned serving leg stays equi-join
-      "mm14_prep_funnel") // ob4's shape: 1-row independent input-count
+      "mm14_prep_funnel", // ob4's shape: 1-row independent input-count
       // anchor crossed onto the ≤|decisions|x|buckets| lineage rollup
+      "tx29_mg_heavy_hitters") // 1-row MG-sketch anchor crossed onto
+      // the 20-row exact-top-k audit (la10's anchor pattern)
     // tx20 is deliberately NOT allowed: its edges are now extracted
     // from document content (scan-linear token mentions), so any
     // nested-loop re-appearing there is a regression of exactly the

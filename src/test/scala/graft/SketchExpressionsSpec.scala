@@ -101,6 +101,47 @@ class SketchExpressionsSpec extends AnyFunSuite {
     assert(tiny == Seq(3L, 5L, 9L))
   }
 
+  test("kll_sketch / mg_topk SQL surface: groups, null-skip, partitioning-invariant laws") {
+    import spark.implicits._
+    // nulls are skipped (n counts only non-null inserts), groups are
+    // independent, and the certificate inputs (n, err, maxw) obey
+    // their laws at ANY partitioning — the SQL-level twin of
+    // KllSpec/MgSpec's buffer-grain checks.
+    val df = Seq.tabulate(4000)(i => (s"g${i % 3}", (i * 37 % 1000).toLong))
+      .toDF("g", "v")
+      .union(Seq(("g0", null.asInstanceOf[java.lang.Long]))
+        .map(t => (t._1, t._2)).toDF("g", "v").selectExpr("g", "cast(v as long) as v"))
+    for (parts <- Seq(1, 7)) {
+      val sk = df.repartition(parts).groupBy(col("g"))
+        .agg(expr("kll_sketch(v, 32)").as("sk")).collect()
+        .map(r => r.getString(0) -> r.getStruct(1)).toMap
+      assert(sk.keySet == Set("g0", "g1", "g2"))
+      sk.foreach { case (g, s) =>
+        val n = s.getLong(0); val err = s.getLong(1)
+        val expected = if (g == "g0") 1334L else 1333L // null skipped
+        assert(n == expected, s"$g: n=$n")
+        assert(err >= 0 && err < n, s"$g: err=$err out of range")
+        val items = s.getSeq[org.apache.spark.sql.Row](3)
+        assert(items.last.getLong(1) == n, s"$g: last cumw != n")
+        assert(items.map(_.getLong(0)) == items.map(_.getLong(0)).sorted,
+          s"$g: items not ascending")
+      }
+      val mg = df.repartition(parts).groupBy(col("g"))
+        .agg(expr("mg_topk(cast(v as string), 16)").as("sk")).collect()
+        .map(r => r.getString(0) -> r.getStruct(1)).toMap
+      mg.foreach { case (g, s) =>
+        val n = s.getLong(0); val err = s.getLong(1)
+        val items = s.getSeq[org.apache.spark.sql.Row](2)
+        assert(items.size <= 16, s"$g: ${items.size} > k counters")
+        assert(err * 17 <= n, s"$g: err=$err breaks n/(k+1)")
+      }
+    }
+    // non-literal k must fail loudly at analysis, not silently misplan
+    val e = intercept[Exception](
+      df.groupBy(col("g")).agg(expr("kll_sketch(v, cast(v as int))")).collect())
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
   test("dd3/dd4 sketch stages plan as narrow maps (no pre-band shuffle)") {
     // the point of the expressions: zero exchanges before the band
     // self-join's own shuffle. Count exchanges in the sketch subplans.
