@@ -586,6 +586,26 @@ object ScaleProbe {
           val s1 = (System.nanoTime() - t1) / 1e9
           println(f"$g%-20s rows=$c%10d elapsed=$s1%7.1f s")
         }
+        // st24 with its laws ASSERTED at replica scale: state per open
+        // (window × type) group is one O(k·log n) KLL buffer, emitted
+        // rows ∝ closed windows (time-shifted replica → factor× the
+        // windows), and the error certificates must survive the
+        // streaming state store's serialize/merge path at volume —
+        // the bound is merge-order-independent, so the engine's batch
+        // boundaries cannot decay it.
+        locally {
+          val t1 = System.nanoTime()
+          val rows = SparkEntry.queries("st24_stream_kll")(spark, out).collect()
+          val s1 = (System.nanoTime() - t1) / 1e9
+          require(rows.nonEmpty, "st24 emitted no closed windows")
+          rows.foreach { r =>
+            require(r.getAs[Boolean]("certified_p50") &&
+              r.getAs[Boolean]("certified_p95"),
+              s"st24 certificate violated at replica scale: $r")
+          }
+          println(f"st24_stream_kll rows=${rows.length}%10d " +
+            f"elapsed=$s1%7.1f s (certificates all true)")
+        }
         // Doc-grain ingest replays (st8-st11) ride the documents
         // replica: st8's dedup state is bounded by in-flight
         // fingerprints (the watermark horizon), st9-st11 are stateless
@@ -681,7 +701,7 @@ object ScaleProbe {
       // st8-11/14/15 ride the doc-grain clocks; st17/st18 drain the
       // synthetic id universe and need neither replica
       val stDocs = Set(8, 9, 10, 11, 14, 15)
-      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19, 20, 21, 22, 23)
+      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19, 20, 21, 22, 23, 24)
       // Loud completeness check: a future st gate absent from both
       // hand-partitioned sets would silently stage NEITHER corpus and
       // fail obscurely mid-probe (round-11 advice). 17/18 drain the

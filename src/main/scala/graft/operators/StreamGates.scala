@@ -1836,6 +1836,114 @@ object StreamGates {
 
   // ----------------------------------------------------------- registry
 
+  // ---------------------------------------------------------------- st24
+
+  /** st24: STREAMING KLL — la25's mergeable quantile sketch maintained
+    * BY THE STREAMING ENGINE: a watermarked 1-hour windowed aggregation
+    * whose aggregate is `kll_sketch(value_cents, 64)`, so the sketch
+    * buffer lives in the state store and crosses micro-batch boundaries
+    * through the serialize/deserialize/merge path (the 2-slice replay
+    * pins at least one interior boundary; windows straddling it
+    * accumulate in batch 0 and finish in batch 1). Incremental
+    * maintenance is the REASON mergeable summaries exist, and the KLL
+    * bound's merge-order independence is what keeps the certificate
+    * valid here: the engine decides when partials merge, and
+    * |estRank − trueRank| ≤ err holds regardless
+    * ([[graft.functions.KllBuffer]]).
+    *
+    * The emitted sketch structs are audited batch-side with la25's
+    * arithmetic per (window, type) group — answer v_q = first item
+    * with cumw·den ≥ num·n, true rank recomputed from the events
+    * table, certificate r_q ∈ [t − err, t − 1 + maxw + err] — and the
+    * output carries only deterministic columns: n_rows, the exact
+    * rank-selected p50/p95 (oracle-recomputed), and the always-true
+    * certificates. Emission law = st12's (window end ≤ watermark).
+    *
+    * Scale shape: state per open (window × type) group is one
+    * O(k·log n) sketch buffer; the output side is the win — a
+    * per-window quantile dashboard with NO per-window sort and no
+    * (window, value) dim anywhere in the serving path. The exact audit
+    * is bench-side only; drop it and the stream IS the dashboard. */
+  private def st24(s: SparkSession, d: String): DataFrame = {
+    val emitted = replayed(s, d, "st24", slices = 2) { ev =>
+      ev.select(col("ts"), col("event_type"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("value_cents"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(expr("kll_sketch(value_cents, 64)").as("sk"),
+          count(lit(1)).as("n_rows"))
+        .select(unix_micros(col("w.start")).as("window_start_us"),
+          col("event_type"), col("n_rows"), col("sk"))
+    }
+    def sq(num: Int, den: Int): org.apache.spark.sql.Column = element_at(
+      filter(col("sk.items"),
+        i => i.getField("cumw") * den >= col("sk.n") * num), 1).getField("v")
+    def tgt(num: Int, den: Int): org.apache.spark.sql.Column =
+      expr(s"(sk.n * $num + ${den - 1}) div $den")
+    val ans = emitted.select(col("window_start_us"), col("event_type"),
+      col("n_rows"), col("sk.err").as("err"), col("sk.maxw").as("maxw"),
+      sq(1, 2).as("v50"), sq(19, 20).as("v95"),
+      tgt(1, 2).as("t50"), tgt(19, 20).as("t95"))
+    val evs = Tables.events(s, d).select(
+      expr(s"(unix_micros(ts) div ${HourUs}L) * ${HourUs}L")
+        .as("window_start_us"),
+      col("event_type"),
+      (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("value_cents"),
+      col("event_id"))
+    val ranks = evs.join(broadcast(ans.select(col("window_start_us"),
+        col("event_type"), col("v50"), col("v95"))),
+        Seq("window_start_us", "event_type"))
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(sum(when(col("value_cents") <= col("v50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value_cents") <= col("v95"), 1L).otherwise(0L)).as("r95"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start_us"), col("event_type"))
+      .orderBy(col("value_cents").asc, col("event_id").asc)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start_us"), col("event_type"))
+    val exact = evs
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("tot", count(lit(1)).over(wTot))
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(min(when(col("rk") * 2 >= col("tot"), col("value_cents")))
+          .as("exact_p50_cents"),
+        min(when(col("rk") * 20 >= col("tot") * 19, col("value_cents")))
+          .as("exact_p95_cents"))
+    def cert(r: String, t: String): org.apache.spark.sql.Column =
+      col(r) >= col(t) - col("err") &&
+        col(r) <= col(t) - 1 + col("err") + col("maxw")
+    ans.join(ranks.hint("shuffle_hash"), Seq("window_start_us", "event_type"))
+      .join(exact.hint("shuffle_hash"), Seq("window_start_us", "event_type"))
+      .select(col("window_start_us"), col("event_type"), col("n_rows"),
+        col("exact_p50_cents"), col("exact_p95_cents"),
+        cert("r50", "t50").as("certified_p50"),
+        cert("r95", "t95").as("certified_p95"))
+  }
+
+  private val st24Sql = TimeWindows.evsSql +
+    s""", wm AS (SELECT max(ts_us) // 1000 - 600000 AS wm_ms FROM evs),
+       |b AS (
+       |  SELECT (ts_us // $HourUs) * $HourUs AS window_start_us,
+       |    event_type, value_cents, event_id
+       |  FROM evs),
+       |r AS (
+       |  SELECT window_start_us, event_type, value_cents,
+       |    row_number() OVER (PARTITION BY window_start_us, event_type
+       |      ORDER BY value_cents ASC, event_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY window_start_us, event_type) AS tot
+       |  FROM b)
+       |SELECT window_start_us, event_type, count(*) AS n_rows,
+       |  min(CASE WHEN rk * 2 >= tot THEN value_cents END)
+       |    AS exact_p50_cents,
+       |  min(CASE WHEN rk * 20 >= tot * 19 THEN value_cents END)
+       |    AS exact_p95_cents,
+       |  TRUE AS certified_p50, TRUE AS certified_p95
+       |FROM r, wm
+       |WHERE window_start_us + $HourUs <= wm_ms * 1000
+       |GROUP BY window_start_us, event_type""".stripMargin
+
   val queries: Seq[GateQuery] = Seq(
     GateQuery("st1_stream_quota", st1, Some(st1Sql),
       "streaming quota admission replay ≡ greedy closed form"),
@@ -1883,6 +1991,8 @@ object StreamGates {
       "events arriving beyond the watermark are dropped: late slice fed last, drop set oracle-pinned"),
     GateQuery("st22_stream_dim_refresh", st22, Some(st22Sql),
       "foreachBatch dim refresh: per-batch re-read of a versioned lookup, upgrades land batch-by-batch ≡ slice closed form"),
+    GateQuery("st24_stream_kll", st24, Some(st24Sql),
+      "streaming KLL: the quantile sketch maintained in the state store across micro-batches, certificates batch-audited"),
     GateQuery("st23_stream_drop_ledger", st23, Some(st23Sql),
       "numRowsDroppedByWatermark ledger ≡ the staged late set exactly; drop batches pinned by the slice algebra"))
 }
