@@ -182,9 +182,14 @@ object ScaleProbe {
           .agg(count(lit(1)).as("rows"),
             countDistinct(col("query_id")).as("queries")).head
         val secs = (System.nanoTime() - t0) / 1e9
-        require(r.getLong(0) == 10L * r.getLong(1),
-          s"sim27 output not 10/query: ${r.getLong(0)} rows for " +
-            s"${r.getLong(1)} queries — per-query candidacy no longer flat")
+        // top-k emits UP TO 10 per query (a query whose probed cells
+        // hold fewer candidates legitimately emits fewer rows) — the
+        // asserted law is the CEILING, which is what flat per-query
+        // candidacy actually guarantees; a blowup would surface as a
+        // wall regression vs sim19's flat-scan control, not extra rows
+        require(r.getLong(1) > 0 && r.getLong(0) <= 10L * r.getLong(1),
+          s"sim27 emitted ${r.getLong(0)} rows for ${r.getLong(1)} " +
+            "queries — exceeds the top-10-per-query ceiling")
         println(f"sim27_ivf_sq8 rows=${r.getLong(0)}%10d " +
           f"queries=${r.getLong(1)}%8d elapsed=$secs%7.1f s")
       }

@@ -12,9 +12,36 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
+/** Growable primitive long buffer — the KLL levels' backing store, so
+  * the per-row insert path never boxes (an ArrayBuffer[Long] boxes
+  * every element through java.lang.Long and every compaction sort
+  * through Ordering[Long]; at corpus row counts that is pure GC
+  * pressure inside the ObjectHashAggregate update loop — the KmvKMin
+  * primitive-state discipline applies here too). */
+private[functions] final class LongBuf(initCap: Int) {
+  var arr: Array[Long] = new Array[Long](initCap)
+  var size: Int = 0
+
+  def add(v: Long): Unit = {
+    if (size == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    arr(size) = v
+    size += 1
+  }
+
+  def addAll(o: LongBuf): Unit = {
+    var i = 0
+    while (i < o.size) { add(o.arr(i)); i += 1 }
+  }
+
+  /** In-place ascending sort of the live prefix. */
+  def sortInPlace(): Unit = java.util.Arrays.sort(arr, 0, size)
+
+  def toSeq: Seq[Long] = arr.take(size).toSeq
+}
+
 /** Bounded-state mergeable quantile sketch (the KLL/Manku-style
   * compactor hierarchy) with a SELF-TRACKED worst-case rank-error
-  * bound — the certificate the la25 gate publishes.
+  * bound — the certificate the la25/st24 gates publish.
   *
   * Structure: level l holds up to k raw values, each standing for
   * w = 2^l input rows. A full level sorts, promotes every other
@@ -36,8 +63,9 @@ import org.apache.spark.sql.types._
   * 2(k−1) items still costs one 2^l — fewer, larger compactions
   * only tighten the bound). That order-independence is what makes
   * the certificate valid under Spark's nondeterministic partial-
-  * aggregate merge order: the VALUES inside the sketch vary run to
-  * run, the bound never lies.
+  * aggregate merge order — batch partials and streaming state-store
+  * merges alike: the VALUES inside the sketch vary run to run, the
+  * bound never lies.
   *
   * Space: O(k·log(n/k)) longs per group; err ≈ (n/k)·log₂(n/k) in
   * the worst case (each level compacts ≤ n/(k·2^(l−1)) times). The
@@ -57,20 +85,28 @@ final class KllBuffer(val k: Int) {
 
   var n: Long = 0L
   var err: Long = 0L
-  val levels: ArrayBuffer[ArrayBuffer[Long]] = ArrayBuffer.empty
+  val levels: ArrayBuffer[LongBuf] = ArrayBuffer.empty
   /** Next compaction keeps odd indices? Alternates per level — an
     * accuracy heuristic only; the err accounting never depends on it. */
   val parity: ArrayBuffer[Boolean] = ArrayBuffer.empty
 
-  private def level(l: Int): ArrayBuffer[Long] = {
-    while (levels.size <= l) { levels += ArrayBuffer.empty; parity += false }
+  private def level(l: Int): LongBuf = {
+    while (levels.size <= l) {
+      // level 0 sees every insert and always reaches k; upper levels
+      // often stay small — size them up from 8
+      levels += new LongBuf(if (levels.isEmpty) k else 8)
+      parity += false
+    }
     levels(l)
   }
 
   def insert(v: Long): Unit = {
-    level(0) += v
+    val l0 = level(0)
+    l0.add(v)
     n += 1
-    compactCascade()
+    // only a full level 0 can start a cascade on the insert path —
+    // upper levels grow solely via compaction, which cascades itself
+    if (l0.size >= k) compactCascade()
   }
 
   def mergeIn(o: KllBuffer): Unit = {
@@ -78,7 +114,7 @@ final class KllBuffer(val k: Int) {
     n += o.n
     err += o.err
     var l = 0
-    while (l < o.levels.size) { level(l) ++= o.levels(l); l += 1 }
+    while (l < o.levels.size) { level(l).addAll(o.levels(l)); l += 1 }
     compactCascade()
   }
 
@@ -91,14 +127,16 @@ final class KllBuffer(val k: Int) {
   }
 
   private def compact(l: Int): Unit = {
-    val sorted = levels(l).sorted
-    val m = (sorted.size / 2) * 2 // even prefix; odd leftover survives
+    val buf = levels(l)
+    buf.sortInPlace()
+    val m = (buf.size / 2) * 2 // even prefix; odd leftover survives
     val off = if (parity(l)) 1 else 0
     parity(l) = !parity(l)
     val up = level(l + 1)
     var i = off
-    while (i < m) { up += sorted(i); i += 2 }
-    levels(l) = if (sorted.size > m) ArrayBuffer(sorted(m)) else ArrayBuffer.empty
+    while (i < m) { up.add(buf.arr(i)); i += 2 }
+    if (buf.size > m) { buf.arr(0) = buf.arr(m); buf.size = 1 }
+    else buf.size = 0
     err += (1L << l) // THE bound: one compaction at level l costs <= 2^l
   }
 
@@ -109,7 +147,7 @@ final class KllBuffer(val k: Int) {
     while (l < levels.size) {
       val buf = levels(l)
       var i = 0
-      while (i < buf.size) { if (buf(i) <= x) acc += (1L << l); i += 1 }
+      while (i < buf.size) { if (buf.arr(i) <= x) acc += (1L << l); i += 1 }
       l += 1
     }
     acc
@@ -117,7 +155,12 @@ final class KllBuffer(val k: Int) {
 
   /** Retained items as (value, weight), unsorted. */
   def retained: Seq[(Long, Long)] =
-    levels.zipWithIndex.flatMap { case (buf, l) => buf.map(v => (v, 1L << l)) }.toSeq
+    levels.zipWithIndex.flatMap { case (buf, l) =>
+      buf.toSeq.map(v => (v, 1L << l))
+    }.toSeq
+
+  /** Per-level contents (sorted) — test support for round-trip specs. */
+  def levelContents: Seq[Seq[Long]] = levels.map(_.toSeq.sorted).toSeq
 
   /** Value-merged ascending (value, cumulative-weight) list plus the
     * largest merged per-value weight — cumw(v) IS estRank(v), which is
@@ -156,7 +199,7 @@ object KllBuffer {
       val buf = b.levels(l)
       bb.putInt(buf.size)
       var i = 0
-      while (i < buf.size) { bb.putLong(buf(i)); i += 1 }
+      while (i < buf.size) { bb.putLong(buf.arr(i)); i += 1 }
       l += 1
     }
     bb.array()
@@ -172,9 +215,9 @@ object KllBuffer {
     while (l < nLevels) {
       val par = bb.get() == 1.toByte
       val cnt = bb.getInt
-      val buf = ArrayBuffer.empty[Long]
+      val buf = new LongBuf(math.max(cnt, 8))
       var i = 0
-      while (i < cnt) { buf += bb.getLong; i += 1 }
+      while (i < cnt) { buf.add(bb.getLong); i += 1 }
       b.levels += buf
       b.parity += par
       l += 1
@@ -199,11 +242,14 @@ case class KllSketchAgg(
   extends TypedImperativeAggregate[KllBuffer]
   with UnaryLike[Expression] {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"kll_sketch expects a bigint column, got ${other.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 8) TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch k must be >= 8, got $k") // fail at ANALYSIS, not per-task
+    else child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kll_sketch expects a bigint column, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),

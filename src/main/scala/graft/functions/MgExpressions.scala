@@ -1,7 +1,6 @@
 package graft.functions
 
 import java.nio.ByteBuffer
-import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -55,15 +54,24 @@ final class MgBuffer(val k: Int) {
 
   var n: Long = 0L
   var err: Long = 0L
-  val counters = new java.util.HashMap[String, Long]()
+  /** Keyed by UTF8String so the per-row update path never decodes a
+    * java.lang.String: the aggregate probes with the scan's transient
+    * UTF8String (content hash/equals) and only CLONES it on first
+    * insert — at most k live copies, never one per row (the review's
+    * per-row-allocation finding). */
+  val counters = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Long]()
 
-  def insert(tok: String): Unit = {
+  /** Spec convenience — production code inserts UTF8String directly. */
+  def insert(tok: String): Unit =
+    insert(org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+
+  def insert(tok: org.apache.spark.unsafe.types.UTF8String): Unit = {
     n += 1
     val cur = counters.get(tok)
     if (cur != 0L || counters.containsKey(tok)) {
-      counters.put(tok, cur + 1L); ()
+      counters.put(tok, cur + 1L); () // equal key present: map keeps ITS key
     } else if (counters.size < k) {
-      counters.put(tok, 1L); ()
+      counters.put(tok.clone(), 1L); () // first insert: own the bytes
     } else {
       // decrement-all: k counters + the arriving item = k+1 mass gone
       err += 1L
@@ -101,7 +109,10 @@ final class MgBuffer(val k: Int) {
     }
   }
 
-  def count(tok: String): Long = {
+  def count(tok: String): Long =
+    count(org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+
+  def count(tok: org.apache.spark.unsafe.types.UTF8String): Long = {
     val c = counters.get(tok)
     if (c == 0L && !counters.containsKey(tok)) 0L else c
   }
@@ -114,7 +125,7 @@ object MgBuffer {
     val it = b.counters.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val tb = e.getKey.getBytes(StandardCharsets.UTF_8)
+      val tb = e.getKey.getBytes
       entries.add((tb, e.getValue))
       bytes += 4 + tb.length + 8
     }
@@ -145,7 +156,7 @@ object MgBuffer {
       val tb = new Array[Byte](len)
       bb.get(tb)
       val c = bb.getLong
-      b.counters.put(new String(tb, StandardCharsets.UTF_8), c)
+      b.counters.put(org.apache.spark.unsafe.types.UTF8String.fromBytes(tb), c)
       i += 1
     }
     b
@@ -166,11 +177,14 @@ case class MgTopKAgg(
   extends TypedImperativeAggregate[MgBuffer]
   with UnaryLike[Expression] {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"mg_topk expects a string column, got ${other.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 4) TypeCheckResult.TypeCheckFailure(
+      s"mg_topk k must be >= 4, got $k") // fail at ANALYSIS, not per-task
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mg_topk expects a string column, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),
@@ -187,7 +201,7 @@ case class MgTopKAgg(
 
   override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.insert(v.asInstanceOf[UTF8String].toString)
+    if (v != null) buf.insert(v.asInstanceOf[UTF8String]) // no String decode
     buf
   }
 
@@ -197,13 +211,13 @@ case class MgTopKAgg(
   }
 
   override def eval(buf: MgBuffer): Any = {
-    val toks = new java.util.ArrayList[String](buf.counters.keySet())
+    val toks = new java.util.ArrayList[UTF8String](buf.counters.keySet())
     java.util.Collections.sort(toks)
     val items = new Array[Any](toks.size)
     var i = 0
     while (i < toks.size) {
       val t = toks.get(i)
-      items(i) = InternalRow(UTF8String.fromString(t), buf.counters.get(t))
+      items(i) = InternalRow(t, buf.counters.get(t))
       i += 1
     }
     InternalRow(buf.n, buf.err, new GenericArrayData(items))

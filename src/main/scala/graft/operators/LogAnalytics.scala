@@ -1861,49 +1861,12 @@ object LogAnalytics {
     val sk = base.groupBy(col("level"))
       .agg(expr("kll_sketch(value_cents, 64)").as("sk"),
         count(lit(1)).as("n_rows"))
-    // sketch answer for target t(num,den) = ceil(num·n/den): the first
-    // retained value whose cumulative weight reaches t (cumw·den ≥ num·n)
-    def sq(num: Int, den: Int): Column = element_at(
-      filter(col("sk.items"),
-        i => i.getField("cumw") * den >= col("sk.n") * num), 1).getField("v")
-    def tgt(num: Int, den: Int): Column =
-      expr(s"(sk.n * $num + ${den - 1}) div $den")
-    val ans = sk.select(col("level"), col("n_rows"),
-      col("sk.err").as("err"), col("sk.maxw").as("maxw"),
-      sq(1, 2).as("v50"), sq(19, 20).as("v95"), sq(99, 100).as("v99"),
-      tgt(1, 2).as("t50"), tgt(19, 20).as("t95"), tgt(99, 100).as("t99"))
-    // exact ranks of the sketch answers — one conditional-count pass
-    val ranks = base.join(broadcast(ans.select(
-        col("level"), col("v50"), col("v95"), col("v99"))), Seq("level"))
-      .groupBy(col("level"))
-      .agg(sum(when(col("value_cents") <= col("v50"), 1L).otherwise(0L)).as("r50"),
-        sum(when(col("value_cents") <= col("v95"), 1L).otherwise(0L)).as("r95"),
-        sum(when(col("value_cents") <= col("v99"), 1L).otherwise(0L)).as("r99"))
-    // exact rank-selected quantiles — the oracle-recomputed audit
-    val wRank = Window.partitionBy(col("level"))
-      .orderBy(col("value_cents").asc, col("event_id").asc)
-    val wTot = Window.partitionBy(col("level"))
-    val exact = base
-      .withColumn("rk", row_number().over(wRank))
-      .withColumn("tot", count(lit(1)).over(wTot))
-      .groupBy(col("level"))
-      .agg(
-        min(when(col("rk") * 2 >= col("tot"), col("value_cents")))
-          .as("exact_p50_cents"),
-        min(when(col("rk") * 20 >= col("tot") * 19, col("value_cents")))
-          .as("exact_p95_cents"),
-        min(when(col("rk") * 100 >= col("tot") * 99, col("value_cents")))
-          .as("exact_p99_cents"))
-    def cert(r: String, t: String): Column =
-      col(r) >= col(t) - col("err") &&
-        col(r) <= col(t) - 1 + col("err") + col("maxw")
-    ans.join(ranks.hint("shuffle_hash"), Seq("level"))
-      .join(exact.hint("shuffle_hash"), Seq("level"))
-      .select(col("level"), col("n_rows"),
-        col("exact_p50_cents"), col("exact_p95_cents"), col("exact_p99_cents"),
-        cert("r50", "t50").as("certified_p50"),
-        cert("r95", "t95").as("certified_p95"),
-        cert("r99", "t99").as("certified_p99"))
+    // the answer/rank/exact/certificate arithmetic is the SHARED
+    // [[KllAudit]] — one definition with st24, so the certificate law
+    // the two oracles pin to TRUE can never diverge between the batch
+    // and streaming spellings
+    KllAudit.certify(sk, base, Seq("level"),
+      Seq(("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)))
   }
 
   private val la25Sql = logsSql +

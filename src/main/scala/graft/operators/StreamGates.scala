@@ -1876,15 +1876,6 @@ object StreamGates {
         .select(unix_micros(col("w.start")).as("window_start_us"),
           col("event_type"), col("n_rows"), col("sk"))
     }
-    def sq(num: Int, den: Int): org.apache.spark.sql.Column = element_at(
-      filter(col("sk.items"),
-        i => i.getField("cumw") * den >= col("sk.n") * num), 1).getField("v")
-    def tgt(num: Int, den: Int): org.apache.spark.sql.Column =
-      expr(s"(sk.n * $num + ${den - 1}) div $den")
-    val ans = emitted.select(col("window_start_us"), col("event_type"),
-      col("n_rows"), col("sk.err").as("err"), col("sk.maxw").as("maxw"),
-      sq(1, 2).as("v50"), sq(19, 20).as("v95"),
-      tgt(1, 2).as("t50"), tgt(19, 20).as("t95"))
     val evs = Tables.events(s, d).select(
       expr(s"(unix_micros(ts) div ${HourUs}L) * ${HourUs}L")
         .as("window_start_us"),
@@ -1892,34 +1883,10 @@ object StreamGates {
       (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
         .cast("long").as("value_cents"),
       col("event_id"))
-    val ranks = evs.join(broadcast(ans.select(col("window_start_us"),
-        col("event_type"), col("v50"), col("v95"))),
-        Seq("window_start_us", "event_type"))
-      .groupBy(col("window_start_us"), col("event_type"))
-      .agg(sum(when(col("value_cents") <= col("v50"), 1L).otherwise(0L)).as("r50"),
-        sum(when(col("value_cents") <= col("v95"), 1L).otherwise(0L)).as("r95"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("window_start_us"), col("event_type"))
-      .orderBy(col("value_cents").asc, col("event_id").asc)
-    val wTot = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("window_start_us"), col("event_type"))
-    val exact = evs
-      .withColumn("rk", row_number().over(wRank))
-      .withColumn("tot", count(lit(1)).over(wTot))
-      .groupBy(col("window_start_us"), col("event_type"))
-      .agg(min(when(col("rk") * 2 >= col("tot"), col("value_cents")))
-          .as("exact_p50_cents"),
-        min(when(col("rk") * 20 >= col("tot") * 19, col("value_cents")))
-          .as("exact_p95_cents"))
-    def cert(r: String, t: String): org.apache.spark.sql.Column =
-      col(r) >= col(t) - col("err") &&
-        col(r) <= col(t) - 1 + col("err") + col("maxw")
-    ans.join(ranks.hint("shuffle_hash"), Seq("window_start_us", "event_type"))
-      .join(exact.hint("shuffle_hash"), Seq("window_start_us", "event_type"))
-      .select(col("window_start_us"), col("event_type"), col("n_rows"),
-        col("exact_p50_cents"), col("exact_p95_cents"),
-        cert("r50", "t50").as("certified_p50"),
-        cert("r95", "t95").as("certified_p95"))
+    // the answer/rank/exact/certificate arithmetic is the SHARED
+    // [[KllAudit]] — one definition with la25 (the batch spelling)
+    KllAudit.certify(emitted, evs, Seq("window_start_us", "event_type"),
+      Seq(("p50", 1, 2), ("p95", 19, 20)))
   }
 
   private val st24Sql = TimeWindows.evsSql +

@@ -90,7 +90,7 @@ class KllSpec extends AnyFunSuite {
     val b = build(uniform)
     val back = KllBuffer.deserialize(64, KllBuffer.serialize(b))
     assert(back.n == b.n && back.err == b.err)
-    assert(back.levels.map(_.sorted) == b.levels.map(_.sorted))
+    assert(back.levelContents == b.levelContents)
     assert(back.parity == b.parity)
     assertBound(back, uniform, "roundtrip")
   }

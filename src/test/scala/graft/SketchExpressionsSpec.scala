@@ -140,6 +140,15 @@ class SketchExpressionsSpec extends AnyFunSuite {
     val e = intercept[Exception](
       df.groupBy(col("g")).agg(expr("kll_sketch(v, cast(v as int))")).collect())
     assert(e.getMessage.contains("integer literal"), e.getMessage)
+    // under-sized k must fail at ANALYSIS (checkInputDataTypes), not as
+    // a per-task IllegalArgumentException from createAggregationBuffer
+    val e2 = intercept[Exception](
+      df.groupBy(col("g")).agg(expr("kll_sketch(v, 4)")).queryExecution.analyzed)
+    assert(e2.getMessage.contains("must be >= 8"), e2.getMessage)
+    val e3 = intercept[Exception](
+      df.groupBy(col("g")).agg(expr("mg_topk(cast(v as string), 2)"))
+        .queryExecution.analyzed)
+    assert(e3.getMessage.contains("must be >= 4"), e3.getMessage)
   }
 
   test("dd3/dd4 sketch stages plan as narrow maps (no pre-band shuffle)") {
