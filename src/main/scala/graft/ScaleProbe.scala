@@ -543,6 +543,21 @@ object ScaleProbe {
           val s1 = (System.nanoTime() - t1) / 1e9
           println(f"$g%-24s rows=$c%10d elapsed=$s1%7.1f s")
         }
+        // q27 with its law ASSERTED at replica scale: the CM join-size
+        // estimate must NEVER undercount the exact join size — a
+        // deterministic one-sided law that holds for any hash draw and
+        // any corpus (the planner's admission test); sketch state stays
+        // d·w cells per side while events grow 20×/100×.
+        locally {
+          val t1 = System.nanoTime()
+          val r = SparkEntry.queries("q27_cm_join_size")(spark, out).head
+          val s1 = (System.nanoTime() - t1) / 1e9
+          require(r.getAs[Boolean]("never_under") &&
+            r.getAs[Long]("exact_pairs") > 0L,
+            s"q27 never-undercount law violated at replica scale: $r")
+          println(f"q27_cm_join_size exact=${r.getAs[Long]("exact_pairs")}%12d " +
+            f"est=${r.getAs[Long]("est_pairs")}%12d elapsed=$s1%7.1f s")
+        }
         // la25 with its classification ASSERTED: the sketch pass is one
         // map-side-combinable ObjectHashAggregate (state O(k·log n) per
         // level), output stays level-grain at any event count — and the

@@ -1081,6 +1081,88 @@ object Relational {
       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+
+  /** q27: JOIN-SIZE ESTIMATION from Count-Min sketches — the classic
+    * planner application of the CM inner product (Cormode &
+    * Muthukrishnan §4.2, and what Alon-Matias-Szegedy F₂ machinery
+    * became in practice): |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k) estimated as
+    * min over the d rows of Σ_b A_j[b]·B_j[b], WITHOUT touching the
+    * join. Two properties make it gate-able exactly:
+    *
+    *   - NEVER an underestimate, for ANY hash draw: each row's inner
+    *     product is the true answer plus non-negative collision
+    *     cross-terms — the deterministic one-sided law a planner can
+    *     lean on (admit the join iff even the ESTIMATE fits the
+    *     budget);
+    *   - fully DETERMINISTIC given the data — CM is linear and
+    *     order-free — so unlike the KLL/MG gates the estimate itself
+    *     is hash-compared: both engines derive every cell from the
+    *     same salted-md5 bucket formula and the oracle recomputes
+    *     est_pairs exactly, not just a certificate.
+    *
+    * The probe: events.user_id ⋈ customer.c_custkey. Sketches are
+    * d=4 × w=1024 per side; the exact comparator is the key-grain
+    * count-count join (aggregate BEFORE joining — the slim spelling of
+    * the exact answer). Scale shape: the estimate costs two narrow
+    * scans map-side-combined to ≤ d·w cells each and a 4096-row
+    * sketch-sketch join — corpus-independent state, the admission test
+    * a 100 TB planner runs before committing to a shuffle; the exact
+    * leg is the key-grain exchange the sketch replaces. */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val (dRows, w) = (4, 1024)
+    def bucket(j: Int, c: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"js$j|"), c.cast("string"))), 1, 15),
+        16, 10).cast("long"), lit(w))
+    def cm(df: DataFrame, key: Column, cname: String): DataFrame =
+      df.select(posexplode(array(
+          (0 until dRows).map(j => bucket(j, key)): _*)).as(Seq("j", "b")))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as(cname))
+    val e = cm(Tables.events(s, d), col("user_id"), "ecnt")
+    val c = cm(Tables.customer(s, d), col("c_custkey"), "ccnt")
+    val est = e.join(c.hint("shuffle_hash"), Seq("j", "b"))
+      .groupBy(col("j")).agg(sum(col("ecnt") * col("ccnt")).as("ip"))
+      .agg(min(col("ip")).as("est_pairs"))
+    val exact = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("en"))
+      .join(Tables.customer(s, d).groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("cn")),
+        col("user_id") === col("c_custkey"))
+      .agg(coalesce(sum(col("en") * col("cn")), lit(0L)).as("exact_pairs"))
+    exact.crossJoin(broadcast(est)) // two 1-row anchors
+      .select(col("exact_pairs"), col("est_pairs"),
+        (col("est_pairs") - col("exact_pairs")).as("overestimate"),
+        (col("est_pairs") >= col("exact_pairs")).as("never_under"))
+  }
+
+  private val q27Sql =
+    """WITH ec AS (
+      |  SELECT j, b, count(*) AS ecnt FROM (
+      |    SELECT j, ('0x' || substr(md5('js' || j || '|' ||
+      |        CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1024 AS b
+      |    FROM events, (SELECT unnest(range(4)) AS j) js) q
+      |  GROUP BY j, b),
+      |cc AS (
+      |  SELECT j, b, count(*) AS ccnt FROM (
+      |    SELECT j, ('0x' || substr(md5('js' || j || '|' ||
+      |        CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 1024 AS b
+      |    FROM customer, (SELECT unnest(range(4)) AS j) js) q
+      |  GROUP BY j, b),
+      |est AS (
+      |  SELECT CAST(min(ip) AS BIGINT) AS est_pairs FROM (
+      |    SELECT ec.j, CAST(sum(ecnt * ccnt) AS BIGINT) AS ip
+      |    FROM ec JOIN cc ON ec.j = cc.j AND ec.b = cc.b
+      |    GROUP BY ec.j) p),
+      |exact AS (
+      |  SELECT coalesce(CAST(sum(en * cn) AS BIGINT), 0) AS exact_pairs
+      |  FROM (SELECT user_id, count(*) AS en FROM events GROUP BY 1) e
+      |  JOIN (SELECT c_custkey, count(*) AS cn FROM customer GROUP BY 1) c
+      |    ON e.user_id = c.c_custkey)
+      |SELECT exact_pairs, est_pairs,
+      |  est_pairs - exact_pairs AS overestimate,
+      |  est_pairs >= exact_pairs AS never_under
+      |FROM exact, est""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -1124,5 +1206,7 @@ object Relational {
     GateQuery("q25_skew_join", q25, Some(q25Sql),
       "AQE skew-join split on the mega-channel join: skew=true required in the executed plan, values ≡ the unsplit join"),
     GateQuery("q26_cube", q26, Some(q26Sql),
-      "full CUBE grouping sets: all four marginals from one Expand + one agg pass"))
+      "full CUBE grouping sets: all four marginals from one Expand + one agg pass"),
+    GateQuery("q27_cm_join_size", q27, Some(q27Sql),
+      "CM-sketch join-size estimate (inner product, min over d rows): deterministic, never under the exact size"))
 }

@@ -194,8 +194,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // the priced control leg; the pruned serving leg stays equi-join
       "mm14_prep_funnel", // ob4's shape: 1-row independent input-count
       // anchor crossed onto the ≤|decisions|x|buckets| lineage rollup
-      "tx29_mg_heavy_hitters") // 1-row MG-sketch anchor crossed onto
+      "tx29_mg_heavy_hitters", // 1-row MG-sketch anchor crossed onto
       // the 20-row exact-top-k audit (la10's anchor pattern)
+      "q27_cm_join_size") // two 1-row anchors crossed (exact x estimate)
     // tx20 is deliberately NOT allowed: its edges are now extracted
     // from document content (scan-linear token mentions), so any
     // nested-loop re-appearing there is a regression of exactly the
