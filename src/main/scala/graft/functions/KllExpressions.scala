@@ -23,7 +23,10 @@ private[functions] final class LongBuf(initCap: Int) {
   var size: Int = 0
 
   def add(v: Long): Unit = {
-    if (size == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    // max(…, 8) so a zero-capacity buffer still grows (0 * 2 == 0 loops).
+    if (size == arr.length) {
+      arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, 8))
+    }
     arr(size) = v
     size += 1
   }

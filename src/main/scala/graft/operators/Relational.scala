@@ -1088,7 +1088,15 @@ object Relational {
     * Muthukrishnan §4.2, and what Alon-Matias-Szegedy F₂ machinery
     * became in practice): |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k) estimated as
     * min over the d rows of Σ_b A_j[b]·B_j[b], WITHOUT touching the
-    * join. Two properties make it gate-able exactly:
+    * join. Overflow ceiling: the inner product (both the estimate's
+    * Σ ecnt·ccnt and the exact leg's Σ en·cn) is held in Long, so it
+    * saturates correctness at Σ ≈ 9.2e18 pairs — ~1e12 events × 1e9
+    * customers concentrated on shared keys exceeds that; a planner
+    * running this at the 100 TB grain should widen the product to
+    * DECIMAL(38,0) (one cast on each sum). Kept Long here because the
+    * gate's hash-compare law needs bit-identical integers across
+    * engines at every tested sf. Two properties make it gate-able
+    * exactly:
     *
     *   - NEVER an underestimate, for ANY hash draw: each row's inner
     *     product is the true answer plus non-negative collision

@@ -1958,8 +1958,8 @@ object StreamGates {
       "events arriving beyond the watermark are dropped: late slice fed last, drop set oracle-pinned"),
     GateQuery("st22_stream_dim_refresh", st22, Some(st22Sql),
       "foreachBatch dim refresh: per-batch re-read of a versioned lookup, upgrades land batch-by-batch ≡ slice closed form"),
-    GateQuery("st24_stream_kll", st24, Some(st24Sql),
-      "streaming KLL: the quantile sketch maintained in the state store across micro-batches, certificates batch-audited"),
     GateQuery("st23_stream_drop_ledger", st23, Some(st23Sql),
-      "numRowsDroppedByWatermark ledger ≡ the staged late set exactly; drop batches pinned by the slice algebra"))
+      "numRowsDroppedByWatermark ledger ≡ the staged late set exactly; drop batches pinned by the slice algebra"),
+    GateQuery("st24_stream_kll", st24, Some(st24Sql),
+      "streaming KLL: the quantile sketch maintained in the state store across micro-batches, certificates batch-audited"))
 }

@@ -79,10 +79,10 @@ class KllSpec extends AnyFunSuite {
     val errSum = parts.map(_.err).sum
     val merged = parts.reduceLeft { (a, c) => a.mergeIn(c); a }
     assert(merged.n == uniform.size)
-    // post-merge compactions may add error, but the bound itself was
-    // already re-verified above; here pin that err STAYS a certificate
-    // (finite, and small relative to n for this k)
-    assert(merged.err >= errSum - 1 && merged.err <= merged.n,
+    // mergeIn adds err counters exactly, and compaction only ever
+    // increases err — so >= errSum holds with no slack; any dip below
+    // the parts' sum is an accounting regression
+    assert(merged.err >= errSum && merged.err <= merged.n,
       s"merged err ${merged.err} out of sane range (parts sum $errSum)")
   }
 
