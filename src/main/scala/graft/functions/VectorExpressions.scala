@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Range-join bin rewrite (graft.plans.RangeBinRewrite): a no-op
     // until spark.graft.rangeJoin.binWidth is set.
     ext.injectOptimizerRule(session => new graft.plans.RangeBinRewrite(session))
+    // Sketch-driven join-strategy selection (graft.plans.SketchJoinHint):
+    // inert unless spark.graft.sketchJoin.thresholdBytes is set AND a
+    // statistic is registered in SketchJoinRegistry.
+    ext.injectOptimizerRule(session => new graft.plans.SketchJoinHint(session))
     // Whole-operator rung: plans the graft.plans.AsOfJoin logical node
     // (a node only AsOfJoin.asof builds — inert for every other query).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

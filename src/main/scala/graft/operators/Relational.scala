@@ -1171,6 +1171,160 @@ object Relational {
       |  est_pairs >= exact_pairs AS never_under
       |FROM exact, est""".stripMargin
 
+  // ---------------------------------------------------------------- q28
+
+  /** q28: SKETCH-DRIVEN JOIN-STRATEGY SELECTION, end-to-end — q27
+    * proved the sketch ESTIMATE's admission law; this gate proves the
+    * PLANNER DECISION built on one. The injected
+    * [[graft.plans.SketchJoinHint]] optimizer rule consults a
+    * registered sketch statistic (KMV NDV × schema row width) against
+    * a byte budget and expresses its choice as a standard Catalyst
+    * join-strategy hint; Spark's own JoinSelection then executes it.
+    * Two connector-fed joins run inside the bracket, one per
+    * direction:
+    *
+    *   - channels ⋈ nation  — est 25 × 28 B = 700 B ≤ 4096 → BROADCAST
+    *   - channels ⋈ customer — est ≥ ~120 × 60 B > 4096    → SHUFFLE_HASH
+    *
+    * and the gate's `strategy` column is read FROM THE EXECUTED PLAN
+    * (BroadcastHashJoin vs ShuffledHashJoin node presence), while the
+    * oracle derives it from the same estimate arithmetic in SQL — so a
+    * planner that ignores the sketch hash-mismatches. Spark's own
+    * size-based broadcast is disabled in the bracket
+    * (autoBroadcastJoinThreshold = −1, AQE's too): within it, a
+    * broadcast can ONLY come from the sketch decision, and without the
+    * SHUFFLE_HASH hint the big leg would sort-merge — both directions
+    * are load-bearing. The estimate is bit-deterministic across
+    * engines: KMV over the shared md5-prefix 60-bit hash, exact k_eff
+    * when the sketch saw every distinct key (k_eff < k), else
+    * floor((k−1)·2^60 / kth_min); widths are Catalyst defaultSize sums
+    * (nation 4+20+4, customer 8+20+4+8+20).
+    *
+    * Scale shape: the statistic costs one O(k)-state sketch pass over
+    * a single narrow column per dimension — the 100 TB planner's
+    * admission test priced at a 256-byte answer — and the decision
+    * itself is plan-time-free. Ref precedent: the reference sizes its
+    * upstream requests before dispatching them
+    * (config.py:38-39's MAX_CHANNEL_BATCH_SIZE chunk planning); here
+    * the sizing consults a measured sketch instead of a constant. */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.{SketchJoinRegistry, SketchStat}
+    val k = 32
+    // ISOLATED session (tw17's discipline): the bracket arms an
+    // optimizer rule via conf; gates run concurrently on the shared
+    // session, so the threshold lives in a private SQLConf.
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.graft.sketchJoin.thresholdBytes", "4096")
+    val (nPath, cPath) = (s"$d/nation.parquet", s"$d/customer.parquet")
+
+    // the sketch pass: KMV NDV over the md5-prefix 60-bit key hash
+    def kmvRows(df: DataFrame, key: Column): Long = {
+      val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val r = df.select(h.as("h"))
+        .agg(expr(s"kmv_kmin(h, $k)").as("km"))
+        .select(size(col("km")).cast("long").as("k_eff"),
+          expr("km[size(km) - 1]").as("kth"))
+        .head()
+      val kEff = r.getLong(0)
+      if (kEff < k) kEff // sketch saw every distinct key: exact
+      else math.floor((kEff - 1) * 1152921504606846976.0 /
+        r.getLong(1)).toLong
+    }
+    def width(df: DataFrame): Long =
+      df.schema.map(_.dataType.defaultSize.toLong).sum
+
+    val (nation, customer) = (Tables.nation(iso, d), Tables.customer(iso, d))
+    SketchJoinRegistry.clearDecisions()
+    SketchJoinRegistry.register(SketchStat(
+      nPath, kmvRows(nation, col("n_nationkey")), width(nation), s"kmv_kmin(k=$k)"))
+    SketchJoinRegistry.register(SketchStat(
+      cPath, kmvRows(customer, col("c_custkey")), width(customer), s"kmv_kmin(k=$k)"))
+    try {
+      val u = iso.read.format("graft.sources.YtApiSource")
+        .option("maxId", 4999).load()
+        .select(col("channel_id"), col("subscriber_count"))
+      def leg(name: String, dim: DataFrame, cond: Column,
+          dimPath: String): (String, Long, Long, Long, String, Long, Long) = {
+        val j = u.join(dim, cond)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("subscriber_count")).as("sum_subs"))
+        val Array(row) = j.collect()
+        val p = j.queryExecution.executedPlan.toString
+        val strategy = (p.contains("BroadcastHashJoin"),
+            p.contains("ShuffledHashJoin")) match {
+          case (true, false) => "broadcast"
+          case (false, true) => "shuffle_hash"
+          case other => s"unexpected:$other"
+        }
+        val dec = SketchJoinRegistry.decisionsFor(dimPath).lastOption
+          .getOrElse(sys.error(s"sketch rule never fired for $dimPath"))
+        (name, dec.estRows, dec.estBytes, dec.thresholdBytes, strategy,
+          row.getLong(0), row.getLong(1))
+      }
+      val rows = Seq(
+        leg("nation_dim", nation,
+          col("channel_id") % 25 === col("n_nationkey").cast("long"), nPath),
+        leg("customer_dim", customer,
+          col("channel_id") === col("c_custkey"), cPath))
+      graft.Receipts.record("q28_sketch_planner", rows.map { r =>
+        s"${r._1}: est_rows=${r._2} est_bytes=${r._3} thr=${r._4} -> ${r._5}"
+      }.mkString("; "))
+      import iso.implicits._
+      rows.toDF("leg", "est_rows", "est_bytes", "threshold", "strategy",
+        "n_rows", "sum_subs")
+    } finally {
+      SketchJoinRegistry.unregister(nPath)
+      SketchJoinRegistry.unregister(cPath)
+      iso.conf.unset("spark.graft.sketchJoin.thresholdBytes")
+    }
+  }
+
+  private val q28Sql =
+    """WITH u AS (
+      |  SELECT i AS channel_id,
+      |    (i*1103515245 + 12345) % 10000000 AS subscriber_count
+      |  FROM range(0, 5000) t(i)),
+      |nk AS (
+      |  SELECT count(*) AS k_eff, max(h) AS kth FROM (
+      |    SELECT DISTINCT ('0x' || substr(md5(CAST(n_nationkey AS VARCHAR)),
+      |      1, 15))::BIGINT AS h
+      |    FROM nation ORDER BY h ASC LIMIT 32) q),
+      |ck AS (
+      |  SELECT count(*) AS k_eff, max(h) AS kth FROM (
+      |    SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+      |      1, 15))::BIGINT AS h
+      |    FROM customer ORDER BY h ASC LIMIT 32) q),
+      |ne AS (
+      |  SELECT CASE WHEN k_eff < 32 THEN k_eff
+      |    ELSE CAST(floor((k_eff - 1) * 1152921504606846976.0 / kth) AS BIGINT)
+      |    END AS est_rows FROM nk),
+      |ce AS (
+      |  SELECT CASE WHEN k_eff < 32 THEN k_eff
+      |    ELSE CAST(floor((k_eff - 1) * 1152921504606846976.0 / kth) AS BIGINT)
+      |    END AS est_rows FROM ck),
+      |na AS (
+      |  SELECT count(*) AS n_rows, CAST(sum(subscriber_count) AS BIGINT) AS sum_subs
+      |  FROM u JOIN nation ON channel_id % 25 = n_nationkey),
+      |ca AS (
+      |  SELECT count(*) AS n_rows, CAST(sum(subscriber_count) AS BIGINT) AS sum_subs
+      |  FROM u JOIN customer ON channel_id = c_custkey)
+      |SELECT 'nation_dim' AS leg, est_rows, est_rows * 28 AS est_bytes,
+      |  4096 AS threshold,
+      |  CASE WHEN est_rows * 28 <= 4096 THEN 'broadcast'
+      |       ELSE 'shuffle_hash' END AS strategy,
+      |  n_rows, sum_subs
+      |FROM ne, na
+      |UNION ALL
+      |SELECT 'customer_dim' AS leg, est_rows, est_rows * 60 AS est_bytes,
+      |  4096 AS threshold,
+      |  CASE WHEN est_rows * 60 <= 4096 THEN 'broadcast'
+      |       ELSE 'shuffle_hash' END AS strategy,
+      |  n_rows, sum_subs
+      |FROM ce, ca""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -1216,5 +1370,7 @@ object Relational {
     GateQuery("q26_cube", q26, Some(q26Sql),
       "full CUBE grouping sets: all four marginals from one Expand + one agg pass"),
     GateQuery("q27_cm_join_size", q27, Some(q27Sql),
-      "CM-sketch join-size estimate (inner product, min over d rows): deterministic, never under the exact size"))
+      "CM-sketch join-size estimate (inner product, min over d rows): deterministic, never under the exact size"),
+    GateQuery("q28_sketch_planner", q28, Some(q28Sql),
+      "sketch-driven join strategy: KMV estimate x schema width vs byte budget picks broadcast/shuffle-hash, plan-observed"))
 }
