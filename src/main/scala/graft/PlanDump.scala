@@ -146,7 +146,11 @@ object PlanDump {
     "dd21_exact_substring" ->
       "ExactSubstr at the 50-token grain: positioned window hashes explode as a narrow map (8-byte keys + int positions, never window text); the duplicated-window dim is one map-side-combined hash agg; every join is SHUFFLE-HASH (never sort-merge, never nested-loop); the island window and the doc rollup share ONE doc_id-compatible exchange chain.",
     "tx29_mg_heavy_hitters" ->
-      "Misra-Gries heavy hitters: the O(k)-state summary is one bounded-state ObjectHashAggregate; the exact top-20 audit prunes via TakeOrderedAndProject; the 1-row sketch anchors the certificate projection as a broadcast nested-loop over 20 rows (la10's anchor pattern — the only NLJ shape the suite permits).")
+      "Misra-Gries heavy hitters: the O(k)-state summary is one bounded-state ObjectHashAggregate; the exact top-20 audit prunes via TakeOrderedAndProject; the 1-row sketch anchors the certificate projection as a broadcast nested-loop over 20 rows (la10's anchor pattern — the only NLJ shape the suite permits).",
+    "q28_sketch_planner" ->
+      "Sketch-driven join-strategy selection: the SketchJoinHint rule consults a KMV-NDV x row-width statistic against a byte budget and emits a BROADCAST or SHUFFLE_HASH hint; the receipt records both directions firing on connector-fed joins with Spark's own size-based broadcast disabled — the decisive evidence is the decision ledger, not this assembly plan.",
+    "st25_stream_mg_restart" ->
+      "Streaming Misra-Gries through a kill-and-resume: MG counters live in the state store and survive a checkpoint restart (snapshot reload + backlog merge — safe under ANY merge tree by the never-overcount law); the receipt pins batch-numbering continuity, the emission split, and the err>0 compaction count.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

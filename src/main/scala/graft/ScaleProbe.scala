@@ -555,8 +555,20 @@ object ScaleProbe {
           require(r.getAs[Boolean]("never_under") &&
             r.getAs[Long]("exact_pairs") > 0L,
             s"q27 never-undercount law violated at replica scale: $r")
+          // STATE-SIZE INVARIANCE asserted, not just implied: the CM
+          // sketch of the replica event log must still fit in ≤ d·w
+          // cells — the sketch is corpus-size-independent BY
+          // CONSTRUCTION, and this pins it on 20×/100× the rows.
+          val cells = graft.operators.Relational.cmSketch(
+            spark.read.parquet(s"$out/events.parquet"),
+            col("user_id"), "c").count()
+          val cap = graft.operators.Relational.cmD.toLong *
+            graft.operators.Relational.cmW
+          require(cells <= cap,
+            s"q27 CM sketch grew past d*w: $cells > $cap cells")
           println(f"q27_cm_join_size exact=${r.getAs[Long]("exact_pairs")}%12d " +
-            f"est=${r.getAs[Long]("est_pairs")}%12d elapsed=$s1%7.1f s")
+            f"est=${r.getAs[Long]("est_pairs")}%12d cells=$cells%5d/" +
+            f"$cap elapsed=$s1%7.1f s")
         }
         // la25 with its classification ASSERTED: the sketch pass is one
         // map-side-combinable ObjectHashAggregate (state O(k·log n) per
@@ -625,6 +637,24 @@ object ScaleProbe {
           }
           println(f"st24_stream_kll rows=${rows.length}%10d " +
             f"elapsed=$s1%7.1f s (certificates all true)")
+          // STATE-SIZE LAW asserted on the RAW sketch structs (the
+          // gate's deterministic output drops them): per (window,
+          // type) group the retained items must stay ≤ k·levels with
+          // levels ≈ log2(n/k)+2 — KllSpec's space budget, re-pinned
+          // after the state store's serialize/merge path at factor×
+          // the event volume.
+          val sk = graft.operators.StreamGates.st24Emitted(spark, out)
+            .select(col("n_rows"), size(col("sk.items")).cast("long").as("ret"))
+            .collect()
+          sk.foreach { r =>
+            val (n, ret) = (math.max(r.getLong(0), 64L), r.getLong(1))
+            val cap = 64L * (2 + (63 - java.lang.Long
+              .numberOfLeadingZeros(n / 64L)).max(0) + 1)
+            require(ret <= cap,
+              s"st24 sketch state $ret items exceeds k*levels cap $cap at n=$n")
+          }
+          println(f"st24 state law: ${sk.length}%d groups, max retained=" +
+            f"${sk.map(_.getLong(1)).max}%d items (all within k*levels)")
         }
         // Doc-grain ingest replays (st8-st11) ride the documents
         // replica: st8's dedup state is bounded by in-flight

@@ -1117,17 +1117,23 @@ object Relational {
     * sketch-sketch join — corpus-independent state, the admission test
     * a 100 TB planner runs before committing to a shuffle; the exact
     * leg is the key-grain exchange the sketch replaces. */
-  private def q27(s: SparkSession, d: String): DataFrame = {
-    val (dRows, w) = (4, 1024)
+  /** q27's CM sketch pass — exposed so ScaleProbe can assert the
+    * STATE-SIZE invariance law (≤ d·w cells regardless of corpus) on
+    * the replica tables. */
+  private[graft] val (cmD, cmW) = (4, 1024)
+  private[graft] def cmSketch(df: DataFrame, key: Column,
+      cname: String): DataFrame = {
     def bucket(j: Int, c: Column): Column =
       pmod(conv(substring(md5(concat(lit(s"js$j|"), c.cast("string"))), 1, 15),
-        16, 10).cast("long"), lit(w))
-    def cm(df: DataFrame, key: Column, cname: String): DataFrame =
-      df.select(posexplode(array(
-          (0 until dRows).map(j => bucket(j, key)): _*)).as(Seq("j", "b")))
-        .groupBy(col("j"), col("b")).agg(count(lit(1)).as(cname))
-    val e = cm(Tables.events(s, d), col("user_id"), "ecnt")
-    val c = cm(Tables.customer(s, d), col("c_custkey"), "ccnt")
+        16, 10).cast("long"), lit(cmW))
+    df.select(posexplode(array(
+        (0 until cmD).map(j => bucket(j, key)): _*)).as(Seq("j", "b")))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as(cname))
+  }
+
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val e = cmSketch(Tables.events(s, d), col("user_id"), "ecnt")
+    val c = cmSketch(Tables.customer(s, d), col("c_custkey"), "ccnt")
     val est = e.join(c.hint("shuffle_hash"), Seq("j", "b"))
       .groupBy(col("j")).agg(sum(col("ecnt") * col("ccnt")).as("ip"))
       .agg(min(col("ip")).as("est_pairs"))

@@ -1395,14 +1395,15 @@ object StreamGates {
     * last state-store snapshot — nothing over the ingested prefix is
     * replanned or re-aggregated. */
   private def st19(s: SparkSession, d: String): DataFrame =
-    stateRestart(s, d, "st19", "st19_stream_state_restart", Map.empty)
+    hourlyProj(stateRestart(s, d, "st19", "st19_stream_state_restart", Map.empty))
 
   /** The kill-and-resume rig shared by st19 (default HDFS-backed state
     * store) and st20 (RocksDB + changelog checkpointing — the
     * production store, whose recovery path is replaying the changelog
     * onto the last snapshot rather than reloading a delta file). */
   private def stateRestart(s: SparkSession, d: String, gate: String,
-      registryName: String, extraConfs: Map[String, String]): DataFrame = {
+      registryName: String, extraConfs: Map[String, String],
+      pipe: DataFrame => DataFrame = EventStream.hourlyTypeCounts): DataFrame = {
     // 2 slices: the restart law needs exactly one kill point with
     // unprocessed backlog behind it — run 1 drains slice 0, run 2
     // resumes onto slice 1 (the shared "$d|2" staging st7/st12 use;
@@ -1434,7 +1435,7 @@ object StreamGates {
     def run(): Long = {
       val stream = iso.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src.getPath)
-      val q = EventStream.hourlyTypeCounts(stream)
+      val q = pipe(stream)
         .writeStream.format("parquet")
         .option("path", out.getPath)
         .option("checkpointLocation", chk.getPath)
@@ -1480,9 +1481,14 @@ object StreamGates {
       s"run2 continued the batch numbering ($last1 -> $last2) from the " +
         s"same checkpoint; run1 sank $rows1 of $total rows " +
         s"(nonempty proper prefix)$storeReceipt")
+    sunk
+  }
+
+  /** st19/st20's output projection for the default hourlyTypeCounts
+    * pipeline (st12's oracle shape). */
+  private def hourlyProj(sunk: DataFrame): DataFrame =
     sunk.select(unix_micros(col("window_start")).as("window_start_us"),
       col("event_type"), col("n_events"), col("value_cents"))
-  }
 
   // --------------------------------------------------------------- st20
 
@@ -1498,11 +1504,11 @@ object StreamGates {
     * st12's SQL verbatim: whichever store and recovery path runs
     * underneath, interrupted ≡ uninterrupted. */
   private def st20(s: SparkSession, d: String): DataFrame =
-    stateRestart(s, d, "st20", "st20_stream_rocksdb_restart", Map(
+    hourlyProj(stateRestart(s, d, "st20", "st20_stream_rocksdb_restart", Map(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-        "true"))
+        "true")))
 
   // --------------------------------------------------------------- st21
 
@@ -1864,8 +1870,12 @@ object StreamGates {
     * per-window quantile dashboard with NO per-window sort and no
     * (window, value) dim anywhere in the serving path. The exact audit
     * is bench-side only; drop it and the stream IS the dashboard. */
-  private def st24(s: SparkSession, d: String): DataFrame = {
-    val emitted = replayed(s, d, "st24", slices = 2) { ev =>
+  /** st24's emitted frame (window_start_us, event_type, n_rows, sk) —
+    * exposed so ScaleProbe can assert the STATE-SIZE law on the raw
+    * sketch structs (retained items ≤ k·levels) at replica scale,
+    * which the gate's deterministic output deliberately drops. */
+  private[graft] def st24Emitted(s: SparkSession, d: String): DataFrame =
+    replayed(s, d, "st24", slices = 2) { ev =>
       ev.select(col("ts"), col("event_type"),
           (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
             .cast("long").as("value_cents"))
@@ -1876,6 +1886,9 @@ object StreamGates {
         .select(unix_micros(col("w.start")).as("window_start_us"),
           col("event_type"), col("n_rows"), col("sk"))
     }
+
+  private def st24(s: SparkSession, d: String): DataFrame = {
+    val emitted = st24Emitted(s, d)
     val evs = Tables.events(s, d).select(
       expr(s"(unix_micros(ts) div ${HourUs}L) * ${HourUs}L")
         .as("window_start_us"),
@@ -1910,6 +1923,110 @@ object StreamGates {
        |FROM r, wm
        |WHERE window_start_us + $HourUs <= wm_ms * 1000
        |GROUP BY window_start_us, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- st25
+
+  /** st25: STREAMING MISRA-GRIES SURVIVING A RESTART — tx29's
+    * heavy-hitter summary maintained by the streaming engine
+    * (mirroring how st24 carries la25's KLL), and additionally put
+    * through st19's kill-and-resume rig: the MG counters live in the
+    * state store, the query is KILLED mid-replay, and a second query
+    * reopens the same checkpoint — so the summary crosses not just
+    * micro-batch boundaries (serialize/merge) but a full state-store
+    * recovery (snapshot reload). This is the one seam tx29's batch
+    * gate never exercises, and the MG law is exactly what makes it
+    * safe: never-overcount and err ≤ n/(k+1) hold under ANY merge
+    * tree ([[graft.functions.MgTopKAgg]] — Agarwal et al. 2012), so
+    * the engine's arbitrary partial-merge order AND the restart's
+    * snapshot+backlog merge both preserve the certificates.
+    *
+    * Pipeline: per 1-DAY watermarked window, `mg_topk(uid, 8)` over
+    * the event user ids (k = 8 « per-window user cardinality at every
+    * sf — hourly windows at sf0.001 hold ≤ 6 users, a day holds ≥ 11,
+    * so daily is the grain where the
+    * summary genuinely discards mass and err > 0 — the certificates
+    * are load-bearing, not vacuous). Audit (tx29's, per emitted
+    * window, for the exact top-5 users both engines re-derive):
+    * `certified` (exact − err ≤ mg_cnt ≤ exact), `hh_present` (any
+    * user with exact > err is IN the summary), `err_law_ok`
+    * (err·(k+1) ≤ n). MG counters are merge-order-dependent, so only
+    * the deterministic columns are emitted (the la25/st24 discipline);
+    * the restart receipts (batch numbering continued, emission split)
+    * are require'd by the shared rig.
+    *
+    * Scale shape: state per open window is one O(k) counter map —
+    * the (window, user) dim a top-users dashboard would otherwise
+    * maintain is exactly the corpus-sized state this replaces; the
+    * exact audit is bench-side only and drops at serving time.
+    * Restart cost = one offset file + the last state snapshot,
+    * independent of ingested history. */
+  private def st25(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val emitted = stateRestart(s, d, "st25", "st25_stream_mg_restart",
+      Map.empty, ev =>
+        ev.select(col("ts"), col("user_id").cast("string").as("uid"))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"))
+          .agg(expr(s"mg_topk(uid, $K)").as("sk"), count(lit(1)).as("n_rows"))
+          .select(unix_micros(col("w.start")).as("window_start_us"),
+            col("n_rows"), col("sk")))
+    // the certificates must be LOAD-BEARING: at least one emitted
+    // window must have genuinely compacted (err > 0). Deterministic
+    // despite merge-order-dependent counters: err > 0 iff the window
+    // saw more than k distinct keys, under ANY merge tree.
+    val es = emitted.agg(count(lit(1)).as("w"),
+      sum(when(col("sk.err") > 0, 1L).otherwise(0L)).as("pos")).head()
+    require(es.getLong(1) > 0,
+      s"MG never compacted in ${es.getLong(0)} windows: certificates vacuous")
+    graft.Receipts.record("st25_stream_mg_restart",
+      graft.Receipts.get("st25_stream_mg_restart").getOrElse("") +
+        s"; MG compacted (err>0) in ${es.getLong(1)} of ${es.getLong(0)} " +
+        "emitted windows — never-overcount certified through the restart")
+    val exact = Tables.events(s, d).select(
+        expr(s"(unix_micros(ts) div ${DayUs}L) * ${DayUs}L")
+          .as("window_start_us"),
+        col("user_id").cast("string").as("uid"))
+      .groupBy(col("window_start_us"), col("uid"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val top = exact.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start_us"))
+          .orderBy(col("exact_cnt").desc, col("uid").asc)))
+      .where(col("rk") <= 5).drop("rk")
+    top.join(emitted, Seq("window_start_us"))
+      .withColumn("mg_cnt", coalesce(
+        try_element_at(filter(col("sk.items"),
+          i => i.getField("tok") === col("uid")), lit(1)).getField("cnt"),
+        lit(0L)))
+      .select(col("window_start_us"), col("uid"), col("n_rows"),
+        col("exact_cnt"),
+        (col("mg_cnt") >= col("exact_cnt") - col("sk.err") &&
+          col("mg_cnt") <= col("exact_cnt")).as("certified"),
+        (col("exact_cnt") <= col("sk.err") || col("mg_cnt") > 0)
+          .as("hh_present"),
+        (col("sk.err") * (K + 1) <= col("sk.n")).as("err_law_ok"))
+  }
+
+  private val st25Sql = TimeWindows.evsSql +
+    s""", wm AS (SELECT max(ts_us) // 1000 - 600000 AS wm_ms FROM evs),
+       |b AS (
+       |  SELECT (ts_us // $DayUs) * $DayUs AS window_start_us,
+       |    CAST(user_id AS VARCHAR) AS uid
+       |  FROM evs),
+       |c AS (
+       |  SELECT window_start_us, uid, count(*) AS exact_cnt
+       |  FROM b GROUP BY 1, 2),
+       |t AS (
+       |  SELECT window_start_us, uid, exact_cnt,
+       |    row_number() OVER (PARTITION BY window_start_us
+       |      ORDER BY exact_cnt DESC, uid ASC) AS rk,
+       |    CAST(sum(exact_cnt) OVER (PARTITION BY window_start_us)
+       |      AS BIGINT) AS n_rows
+       |  FROM c)
+       |SELECT window_start_us, uid, n_rows, exact_cnt,
+       |  TRUE AS certified, TRUE AS hh_present, TRUE AS err_law_ok
+       |FROM t, wm
+       |WHERE rk <= 5 AND window_start_us + $DayUs <= wm_ms * 1000""".stripMargin
 
   val queries: Seq[GateQuery] = Seq(
     GateQuery("st1_stream_quota", st1, Some(st1Sql),
@@ -1961,5 +2078,7 @@ object StreamGates {
     GateQuery("st23_stream_drop_ledger", st23, Some(st23Sql),
       "numRowsDroppedByWatermark ledger ≡ the staged late set exactly; drop batches pinned by the slice algebra"),
     GateQuery("st24_stream_kll", st24, Some(st24Sql),
-      "streaming KLL: the quantile sketch maintained in the state store across micro-batches, certificates batch-audited"))
+      "streaming KLL: the quantile sketch maintained in the state store across micro-batches, certificates batch-audited"),
+    GateQuery("st25_stream_mg_restart", st25, Some(st25Sql),
+      "streaming Misra-Gries through a kill-and-resume: MG counters in the state store survive a checkpoint restart, never-overcount certified"))
 }

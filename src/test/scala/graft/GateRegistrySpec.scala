@@ -209,7 +209,7 @@ class GateRegistrySpec extends AnyFunSuite {
     // Pin the documented numbers to the registry so drift fails CI.
     val total = GateQueries.all.size
     val oracled = GateQueries.all.count(_.oracle.isDefined)
-    assert(total == 246 && oracled == 246,
+    assert(total == 247 && oracled == 247,
       s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
     val coverage = repoText("COVERAGE.md")
     assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),
@@ -489,7 +489,18 @@ class GateRegistrySpec extends AnyFunSuite {
       // permitted BNLJ shape, so noNlj is deliberately NOT pinned here.
       "tx29_mg_heavy_hitters" -> Seq(node("ObjectHashAggregate"),
         node("TakeOrderedAndProject"), noSmj,
-        shufflesAtMost(2), scansAtMost(2)))
+        shufflesAtMost(2), scansAtMost(2)),
+      // q28: the gate returns an assembled 2-row frame; the decisive
+      // evidence is the receipt — the decision ledger with both
+      // directions of the sketch-vs-budget comparison.
+      "q28_sketch_planner" -> Seq(bodyHas("-- RECEIPT"),
+        bodyHas("-> broadcast"), bodyHas("-> shuffle_hash")),
+      // st25: restart + compaction receipts (st19's discipline plus
+      // the MG-specific err>0 law).
+      "st25_stream_mg_restart" -> Seq(
+        bodyHas("continued the batch numbering"),
+        bodyHas("nonempty proper prefix"),
+        bodyHas("MG compacted (err>0)")))
     val missingLaws = sections.keySet -- laws.keySet
     assert(missingLaws.isEmpty,
       s"PLANS.md sections without pinned laws (add them here): $missingLaws")

@@ -717,4 +717,95 @@ class PropertySpec extends AnyFunSuite {
         r.getAs[Long]("n_rows"), s"flag marginal mismatch at $r")
     }
   }
+
+  // ---- adversarial merge-order sweep for the mergeable sketches ----
+  //
+  // The KLL/MG certificate laws must hold under ANY merge tree —
+  // that's what lets the engine (batch partial aggregation, streaming
+  // state stores) merge partials in whatever order it likes. The unit
+  // suites sample a few fixed groupings; this sweep GENERATES them:
+  // random data, random partition cuts (the repartition counts Spark
+  // could produce), random permutations of the parts, and random
+  // BINARY MERGE TREES (not just left folds — a tree merge hits the
+  // merge(merged, merged) path both stores exercise).
+
+  /** Fold `parts` with a random binary tree: split at a random point,
+    * recurse, merge the two results via `m` (left absorbs right). */
+  private def treeMerge[B](parts: Vector[B], rnd: scala.util.Random,
+      m: (B, B) => B): B =
+    if (parts.size == 1) parts.head
+    else {
+      val cut = 1 + rnd.nextInt(parts.size - 1)
+      m(treeMerge(parts.take(cut), rnd, m),
+        treeMerge(parts.drop(cut), rnd, m))
+    }
+
+  /** Random cuts of `data` into 1..8 contiguous parts, shuffled. */
+  private def randomParts[A](data: Seq[A], rnd: scala.util.Random): Vector[Seq[A]] = {
+    val nParts = 1 + rnd.nextInt(8)
+    val cuts = (Seq(0, data.size) ++
+      Seq.fill(nParts - 1)(rnd.nextInt(data.size + 1))).sorted
+    rnd.shuffle(
+      cuts.zip(cuts.tail).map { case (a, b) => data.slice(a, b) }.toVector)
+  }
+
+  test("KLL rank bound survives adversarially generated merge trees") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 25) {
+      val n = 200 + rnd.nextInt(4000)
+      val data = Seq.fill(n)(rnd.nextLong() % (1L << (1 + rnd.nextInt(40))))
+      val parts = randomParts(data, rnd)
+      val merged = treeMerge(
+        parts.map { p =>
+          val b = new graft.functions.KllBuffer(16) // small k: real compaction
+          p.foreach(b.insert)
+          b
+        }, rnd, (a: graft.functions.KllBuffer, b: graft.functions.KllBuffer) => {
+          a.mergeIn(b); a
+        })
+      assert(merged.n == n, s"trial $trial: lost mass")
+      val probes = rnd.shuffle(data).take(60) ++
+        Seq(Long.MinValue, Long.MaxValue, 0L)
+      probes.foreach { x =>
+        val (est, tr) = (merged.estRank(x), data.count(_ <= x).toLong)
+        assert(math.abs(est - tr) <= merged.err,
+          s"trial $trial: |est($x)=$est - true=$tr| > err=${merged.err}")
+      }
+      assert(merged.err <= merged.n, s"trial $trial: err exceeds n")
+    }
+  }
+
+  test("MG certificates survive adversarially generated merge trees") {
+    val rnd = new scala.util.Random(2424)
+    for (trial <- 0 until 25) {
+      val n = 200 + rnd.nextInt(4000)
+      // zipf-ish: heavy hitters exist so hh_present is load-bearing
+      val data = Seq.fill(n)(s"t${(math.pow(rnd.nextDouble(), 3) * 50).toInt}")
+      val k = 4 + rnd.nextInt(12)
+      val parts = randomParts(data, rnd)
+      val merged = treeMerge(
+        parts.map { p =>
+          val b = new graft.functions.MgBuffer(k)
+          p.foreach(b.insert)
+          b
+        }, rnd, (a: graft.functions.MgBuffer, b: graft.functions.MgBuffer) => {
+          a.mergeIn(b); a
+        })
+      val exact = data.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      assert(merged.n == n, s"trial $trial: lost mass")
+      assert(merged.err * (k + 1) <= merged.n,
+        s"trial $trial: err law broken: ${merged.err} * ${k + 1} > $n")
+      exact.foreach { case (t, cnt) =>
+        val mg = merged.count(t)
+        assert(mg <= cnt,
+          s"trial $trial k=$k: OVERCOUNT $t: mg=$mg > exact=$cnt")
+        assert(mg >= cnt - merged.err,
+          s"trial $trial k=$k: $t undercut past err: mg=$mg, " +
+            s"exact=$cnt, err=${merged.err}")
+        if (cnt > merged.err)
+          assert(mg > 0, s"trial $trial k=$k: heavy hitter $t lost " +
+            s"(exact=$cnt > err=${merged.err})")
+      }
+    }
+  }
 }

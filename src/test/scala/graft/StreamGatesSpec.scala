@@ -297,4 +297,21 @@ class StreamGatesSpec extends AnyFunSuite {
     // wm 6960 and stays pending.
     assert(got == Set((-800L, 2L), (2800L, 3L)), s"got $got")
   }
+
+  test("st25 restart spec: MG certificates survive the kill-and-resume") {
+    val rows = gate("st25_stream_mg_restart", sf0001).collect()
+    assert(rows.nonEmpty, "no emitted windows")
+    // every probed (window, top-user) row certifies: never-overcount
+    // within err, no heavy hitter lost, err law err*(k+1) <= n
+    val broken = rows.filterNot(r =>
+      r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6))
+    assert(broken.isEmpty,
+      s"certificates failed after restart: ${broken.take(3).toSeq}")
+    // the restart actually happened (batch numbering continued, the
+    // kill point split emission) and the sketch genuinely compacted
+    val receipt = Receipts.get("st25_stream_mg_restart").getOrElse("")
+    assert(receipt.contains("continued the batch numbering"), receipt)
+    assert(receipt.contains("nonempty proper prefix"), receipt)
+    assert(receipt.contains("MG compacted (err>0)"), receipt)
+  }
 }
