@@ -184,7 +184,7 @@ object StreamGates {
       extraConfs: Map[String, String])(
       pipe: DataFrame => DataFrame): DataFrame = {
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    iso.conf.set("spark.sql.shuffle.partitions", streamParts)
     extraConfs.foreach { case (k, v) => iso.conf.set(k, v) }
     val root = Scratch.dir(s"graft-$gate-")
     cleanupRoots.add(root)
@@ -199,6 +199,23 @@ object StreamGates {
     try q.processAllAvailable() finally q.stop()
     s.read.parquet(out.getPath)
   }
+
+  /** Shuffle-partition count inside the replayed micro-batches. State-
+    * store commit machinery scales with partitions × batches (each
+    * micro-batch snapshots/commits every partition's store), so the
+    * replay rigs run NARROW. MEASURED at sf0.1 over the five heaviest
+    * stream gates (st6/st22/st15/st5/st8, 3-4 walls per setting,
+    * loadavg 2.4-4.0): parts=4 {56, 65, 93} s, parts=2 {68} s,
+    * parts=1 {53, 79, 339} s — min-to-min the settings are within
+    * noise, and parts=1 shows a pathological tail (one stalled run at
+    * 6× the median: a single state partition serializes every
+    * commit). Conclusion: the 4-partition floor is REAL protocol cost
+    * (checkpoint + per-batch planning), not shuffle width, so 4 stays
+    * the default; override with SPARK_GRAFT_STREAM_PARTS to
+    * re-measure. At cluster scale the dial sizes per-partition state
+    * to executor memory, never to the session-wide shuffle width. */
+  private val streamParts =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
 
   private val HourUs = 3600L * 1000000
   private val DayUs  = 24L * HourUs
@@ -555,7 +572,7 @@ object StreamGates {
   private def ob5(s: SparkSession, d: String): DataFrame = {
     val src = stageSlices(s, d, 4)
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    iso.conf.set("spark.sql.shuffle.partitions", streamParts)
     val root = Scratch.dir("graft-ob5-")
     cleanupRoots.add(root)
     val stream = iso.readStream.schema(Tables.events(iso, d).schema)
@@ -913,7 +930,7 @@ object StreamGates {
   private def st13(s: SparkSession, d: String): DataFrame = {
     val src = stageSlices(s, d, 4)
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    iso.conf.set("spark.sql.shuffle.partitions", streamParts)
     val root = Scratch.dir("graft-st13-")
     cleanupRoots.add(root)
     val lastV = new java.util.concurrent.atomic.AtomicLong(-1L)
@@ -1131,7 +1148,7 @@ object StreamGates {
   private def st16(s: SparkSession, d: String): DataFrame = {
     val src = stageSlices(s, d, 4)
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    iso.conf.set("spark.sql.shuffle.partitions", streamParts)
     val t = graft.sources.LogSink.freshTable("st16")
     val root = Scratch.dir("graft-st16-")
     cleanupRoots.add(root)
@@ -1209,7 +1226,7 @@ object StreamGates {
     * a checkpoint restart resumes at the committed position. */
   private def st17(s: SparkSession, d: String): DataFrame = {
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    iso.conf.set("spark.sql.shuffle.partitions", streamParts)
     val root = Scratch.dir("graft-st17-")
     cleanupRoots.add(root)
     val out = new File(root, "out")
@@ -1307,7 +1324,7 @@ object StreamGates {
     * prefix. */
   private def st18(s: SparkSession, d: String): DataFrame = {
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    iso.conf.set("spark.sql.shuffle.partitions", streamParts)
     val root = Scratch.dir("graft-st18-")
     cleanupRoots.add(root)
     val out = new File(root, "out")
@@ -1412,7 +1429,7 @@ object StreamGates {
     // still splits (rows1 a nonempty proper prefix, require'd below).
     val shared = stageSlices(s, d, 2)
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    iso.conf.set("spark.sql.shuffle.partitions", streamParts)
     extraConfs.foreach { case (k, v) => iso.conf.set(k, v) }
     val root = Scratch.dir(s"graft-$gate-")
     cleanupRoots.add(root)
@@ -1652,7 +1669,7 @@ object StreamGates {
     // shared with st21's replayedDf staging (key|slices shape)
     val src = stageAny(s"$d|late21|4", 4)(fed)
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    iso.conf.set("spark.sql.shuffle.partitions", streamParts)
     // PIN the one-split-per-slice-file read regime the closed form
     // depends on: partial combining is per INPUT PARTITION, so a slice
     // file large enough to split (maxSplitBytes) would count a group
@@ -1771,7 +1788,7 @@ object StreamGates {
   private def st22(s: SparkSession, d: String): DataFrame = {
     val src = stageSlices(s, d, 4)
     val iso = s.newSession()
-    iso.conf.set("spark.sql.shuffle.partitions", "4")
+    iso.conf.set("spark.sql.shuffle.partitions", streamParts)
     val root = Scratch.dir("graft-st22-")
     cleanupRoots.add(root)
     val dimDir = new File(root, "dim")
