@@ -656,6 +656,27 @@ object ScaleProbe {
           println(f"st24 state law: ${sk.length}%d groups, max retained=" +
             f"${sk.map(_.getLong(1)).max}%d items (all within k*levels)")
         }
+        // st25 with its laws ASSERTED at replica scale: the MG summary
+        // is O(k) per open window through the state store AND a
+        // kill-and-resume (the gate require's the restart receipts
+        // internally); all three certificates must hold on the
+        // replica's per-day top users — the counting argument is
+        // corpus-size-free, and the time-shifted replica gives
+        // factor× the windows, each still genuinely compacting.
+        locally {
+          val t1 = System.nanoTime()
+          val rows = SparkEntry.queries("st25_stream_mg_restart")(spark, out)
+            .collect()
+          val s1 = (System.nanoTime() - t1) / 1e9
+          require(rows.nonEmpty, "st25 emitted no closed windows")
+          rows.foreach { r =>
+            require(r.getAs[Boolean]("certified") &&
+              r.getAs[Boolean]("hh_present") && r.getAs[Boolean]("err_law_ok"),
+              s"st25 certificate violated at replica scale: $r")
+          }
+          println(f"st25_stream_mg_restart rows=${rows.length}%10d " +
+            f"elapsed=$s1%7.1f s (certificates all true through restart)")
+        }
         // Doc-grain ingest replays (st8-st11) ride the documents
         // replica: st8's dedup state is bounded by in-flight
         // fingerprints (the watermark horizon), st9-st11 are stateless
@@ -751,7 +772,8 @@ object ScaleProbe {
       // st8-11/14/15 ride the doc-grain clocks; st17/st18 drain the
       // synthetic id universe and need neither replica
       val stDocs = Set(8, 9, 10, 11, 14, 15)
-      val stEvents = Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19, 20, 21, 22, 23, 24)
+      val stEvents =
+        Set(1, 2, 3, 4, 5, 6, 7, 12, 13, 16, 19, 20, 21, 22, 23, 24, 25)
       // Loud completeness check: a future st gate absent from both
       // hand-partitioned sets would silently stage NEITHER corpus and
       // fail obscurely mid-probe (round-11 advice). 17/18 drain the
