@@ -150,7 +150,9 @@ object PlanDump {
     "q28_sketch_planner" ->
       "Sketch-driven join-strategy selection: the SketchJoinHint rule consults a KMV-NDV x row-width statistic against a byte budget and emits a BROADCAST or SHUFFLE_HASH hint; the receipt records both directions firing on connector-fed joins with Spark's own size-based broadcast disabled — the decisive evidence is the decision ledger, not this assembly plan.",
     "st25_stream_mg_restart" ->
-      "Streaming Misra-Gries through a kill-and-resume: MG counters live in the state store and survive a checkpoint restart (snapshot reload + backlog merge — safe under ANY merge tree by the never-overcount law); the receipt pins batch-numbering continuity, the emission split, and the err>0 compaction count.")
+      "Streaming Misra-Gries through a kill-and-resume: MG counters live in the state store and survive a checkpoint restart (snapshot reload + backlog merge — safe under ANY merge tree by the never-overcount law); the receipt pins batch-numbering continuity, the emission split, and the err>0 compaction count.",
+    "q29_runtime_bloom" ->
+      "Native runtime Bloom-filter join pruning (InjectRuntimeFilter): the ON leg's executed plan must carry the bloom build + might_contain on the fact side, the OFF leg must be clean, and both legs' aggregates are identical — the receipt records the require'd facts; row-grain complement of q24's partition pruning.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

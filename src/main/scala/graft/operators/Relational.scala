@@ -1331,6 +1331,94 @@ object Relational {
       |  n_rows, sum_subs
       |FROM ce, ca""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+
+  /** q29: NATIVE RUNTIME BLOOM-FILTER JOIN PRUNING — Catalyst's
+    * `InjectRuntimeFilter` (spark.sql.optimizer.runtime.bloomFilter.*),
+    * the third runtime-pruning rung after q24's dynamic PARTITION
+    * pruning (needs a partitioned table) and the connector's
+    * `SupportsRuntimeFiltering` (needs a DSv2 source that cooperates):
+    * for a plain shuffle join of an unpartitioned fact against a
+    * SELECTIVELY FILTERED dim, the optimizer builds a Bloom filter of
+    * the dim's surviving join keys as a scalar subquery
+    * (`bloom_filter_agg`, an ObjectHashAggregate — the same
+    * bounded-state sketch family as la25/tx29/q27) and injects
+    * `might_contain` as a semi-join reduction ON THE FACT SIDE, so
+    * non-joining fact rows die at the scan instead of crossing the
+    * exchange. At 100 TB this is the difference between shuffling the
+    * whole fact and shuffling the ~1/5 of it a filtered dim can
+    * actually match — the row-grain complement of q24's
+    * partition-grain pruning, with dd17 as the hand-rolled history
+    * precedent (the reference's cache-hit short-circuit,
+    * youtube_api_handler.py:95-118, is the same admission idea).
+    *
+    * Both directions pinned, q28's discipline: the ON leg runs with
+    * the feature armed (size thresholds floored so bench-SF tables
+    * qualify; broadcast disabled so the join genuinely shuffles) and
+    * `require`s the bloom build + might_contain in the EXECUTED plan;
+    * the OFF leg disables the feature, `require`s the plan clean, and
+    * must produce IDENTICAL aggregates — the filter may only prune
+    * rows the join would drop anyway. The oracle recomputes both legs
+    * as the same plain SQL join; a leaked or over-pruning filter
+    * hash-mismatches the ON leg. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    def leg(on: Boolean): (String, Long, Long, Long) = {
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        on.toString)
+      if (on) {
+        // bench SFs sit far under the 10 GB/10 MB production
+        // thresholds — floor them so the injection condition is the
+        // JOIN SHAPE, not the corpus size
+        iso.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+          "applicationSideScanSizeThreshold", "0")
+        iso.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+          "128MB")
+      }
+      val dim = Tables.customer(iso, d)
+        .where(col("c_mktsegment") === "BUILDING")
+      val fact = Tables.events(iso, d).select(col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("value_cents"))
+      val j = fact.join(dim, col("user_id") === col("c_custkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value_cents")).as("value_cents"),
+          countDistinct(col("c_custkey")).as("n_buyers"))
+      val Array(row) = j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      val hasBloom = p.contains("bloom_filter") || p.contains("might_contain")
+      require(hasBloom == on,
+        s"runtime bloom filter ${if (on) "did not inject" else "leaked"}:\n$p")
+      (if (on) "bloom_on" else "bloom_off",
+        row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    val rows = Seq(leg(true), leg(false))
+    require(rows(0)._2 == rows(1)._2 && rows(0)._3 == rows(1)._3 &&
+      rows(0)._4 == rows(1)._4,
+      s"bloom filter changed RESULTS, not just the plan: $rows")
+    graft.Receipts.record("q29_runtime_bloom",
+      s"bloom_filter_agg + might_contain present in the ON leg's executed " +
+        s"plan and absent in the OFF leg's; aggregates identical " +
+        s"(n_rows=${rows(0)._2}, cents=${rows(0)._3}, buyers=${rows(0)._4})")
+    import s.implicits._
+    rows.toDF("leg", "n_rows", "value_cents", "n_buyers")
+  }
+
+  private val q29Sql =
+    """WITH j AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(sum((CAST(value AS DECIMAL(18,2)) * 100)::BIGINT) AS BIGINT)
+      |      AS value_cents,
+      |    count(DISTINCT c_custkey) AS n_buyers
+      |  FROM events JOIN customer ON user_id = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING')
+      |SELECT 'bloom_on' AS leg, n_rows, value_cents, n_buyers FROM j
+      |UNION ALL
+      |SELECT 'bloom_off' AS leg, n_rows, value_cents, n_buyers FROM j""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
     GateQuery("q1_agg", q1, Some(q1Sql), "hash agg w/ exact decimal sums (A1 shape)"),
     GateQuery("q2_dim_join", q2, Some(q2Sql), "broadcast dim chain join (J2)"),
@@ -1378,5 +1466,7 @@ object Relational {
     GateQuery("q27_cm_join_size", q27, Some(q27Sql),
       "CM-sketch join-size estimate (inner product, min over d rows): deterministic, never under the exact size"),
     GateQuery("q28_sketch_planner", q28, Some(q28Sql),
-      "sketch-driven join strategy: KMV estimate x schema width vs byte budget picks broadcast/shuffle-hash, plan-observed"))
+      "sketch-driven join strategy: KMV estimate x schema width vs byte budget picks broadcast/shuffle-hash, plan-observed"),
+    GateQuery("q29_runtime_bloom", q29, Some(q29Sql),
+      "native runtime bloom-filter join pruning: bloom build + might_contain in the ON plan, absent OFF, results identical"))
 }

@@ -209,7 +209,7 @@ class GateRegistrySpec extends AnyFunSuite {
     // Pin the documented numbers to the registry so drift fails CI.
     val total = GateQueries.all.size
     val oracled = GateQueries.all.count(_.oracle.isDefined)
-    assert(total == 247 && oracled == 247,
+    assert(total == 248 && oracled == 248,
       s"registry changed ($total/$oracled): update this pin, README.md and COVERAGE.md")
     val coverage = repoText("COVERAGE.md")
     assert(coverage.contains(s"**$total** total, **$oracled** oracle-checked"),
@@ -500,7 +500,13 @@ class GateRegistrySpec extends AnyFunSuite {
       "st25_stream_mg_restart" -> Seq(
         bodyHas("continued the batch numbering"),
         bodyHas("nonempty proper prefix"),
-        bodyHas("MG compacted (err>0)")))
+        bodyHas("MG compacted (err>0)")),
+      // q29: the decisive evidence is the in-gate require'd receipt
+      // (plan marker present ON / absent OFF, aggregates identical).
+      "q29_runtime_bloom" -> Seq(bodyHas("-- RECEIPT"),
+        bodyHas("might_contain present in the ON leg"),
+        bodyHas("absent in the OFF leg"),
+        bodyHas("aggregates identical")))
     val missingLaws = sections.keySet -- laws.keySet
     assert(missingLaws.isEmpty,
       s"PLANS.md sections without pinned laws (add them here): $missingLaws")
