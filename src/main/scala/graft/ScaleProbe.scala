@@ -555,20 +555,32 @@ object ScaleProbe {
           require(r.getAs[Boolean]("never_under") &&
             r.getAs[Long]("exact_pairs") > 0L,
             s"q27 never-undercount law violated at replica scale: $r")
-          // STATE-SIZE INVARIANCE asserted, not just implied: the CM
-          // sketch of the replica event log must still fit in ≤ d·w
-          // cells — the sketch is corpus-size-independent BY
-          // CONSTRUCTION, and this pins it on 20×/100× the rows.
-          val cells = graft.operators.Relational.cmSketch(
-            spark.read.parquet(s"$out/events.parquet"),
-            col("user_id"), "c").count()
-          val cap = graft.operators.Relational.cmD.toLong *
-            graft.operators.Relational.cmW
-          require(cells <= cap,
-            s"q27 CM sketch grew past d*w: $cells > $cap cells")
+          // The d·w cell cap is structural (groupBy of a pmod-bounded
+          // key can't exceed it — asserting it is a tautology); the
+          // FALSIFIABLE law the same scan buys is CM's row-sum
+          // conservation: every one of the d hash rows must account
+          // for EXACTLY the corpus (Σ_b cnt[j][b] = n for each j) —
+          // a NULL-producing bucket expression, a dropped row, or a
+          // short md5 substring all break it, and it is what makes
+          // the inner-product estimate's never-under law sound.
+          val cm = graft.operators.Relational.cmSketch(
+            Tables.events(spark, out), col("user_id"), "c")
+            .groupBy(col("j"))
+            .agg(sum(col("c")).as("mass"), count(lit(1)).as("cells"))
+            .collect()
+          val nEv = Tables.events(spark, out).count()
+          require(cm.length == graft.operators.Relational.cmD,
+            s"q27 CM sketch lost hash rows: ${cm.length}")
+          cm.foreach { row =>
+            require(row.getLong(1) == nEv,
+              s"q27 CM row ${row.get(0)} mass ${row.getLong(1)} != corpus $nEv " +
+                "— the sketch is not conserving rows")
+          }
+          val cells = cm.map(_.getLong(2)).max
           println(f"q27_cm_join_size exact=${r.getAs[Long]("exact_pairs")}%12d " +
-            f"est=${r.getAs[Long]("est_pairs")}%12d cells=$cells%5d/" +
-            f"$cap elapsed=$s1%7.1f s")
+            f"est=${r.getAs[Long]("est_pairs")}%12d max_cells=$cells%5d/" +
+            f"${graft.operators.Relational.cmW} elapsed=$s1%7.1f s " +
+            "(row-sum conservation holds on all d rows)")
         }
         // la25 with its classification ASSERTED: the sketch pass is one
         // map-side-combinable ObjectHashAggregate (state O(k·log n) per
@@ -626,8 +638,15 @@ object ScaleProbe {
         // the bound is merge-order-independent, so the engine's batch
         // boundaries cannot decay it.
         locally {
+          // ONE replay serves both checks: st24Emitted runs the
+          // streaming query, the state-law asserts and the gate's own
+          // audit (st24 ≡ st24Audit ∘ st24Emitted) then read the
+          // materialized sink — replaying the heaviest stream gate
+          // twice at replica scale measured nothing extra.
           val t1 = System.nanoTime()
-          val rows = SparkEntry.queries("st24_stream_kll")(spark, out).collect()
+          val emitted = graft.operators.StreamGates.st24Emitted(spark, out)
+          val rows = graft.operators.StreamGates
+            .st24Audit(spark, out, emitted).collect()
           val s1 = (System.nanoTime() - t1) / 1e9
           require(rows.nonEmpty, "st24 emitted no closed windows")
           rows.foreach { r =>
@@ -639,22 +658,23 @@ object ScaleProbe {
             f"elapsed=$s1%7.1f s (certificates all true)")
           // STATE-SIZE LAW asserted on the RAW sketch structs (the
           // gate's deterministic output drops them): per (window,
-          // type) group the retained items must stay ≤ k·levels with
-          // levels ≈ log2(n/k)+2 — KllSpec's space budget, re-pinned
-          // after the state store's serialize/merge path at factor×
-          // the event volume.
-          val sk = graft.operators.StreamGates.st24Emitted(spark, out)
+          // type) group the retained items must stay within the
+          // worst-case budget (k−1)·(⌊log2(n/k)⌋ + 2) — KllBuffer's
+          // actual retained-items ceiling, one level TIGHTER than the
+          // old k·(levels+1) spelling, so a regression that leaves an
+          // entire extra level resident after compaction fails here.
+          val sk = emitted
             .select(col("n_rows"), size(col("sk.items")).cast("long").as("ret"))
             .collect()
           sk.foreach { r =>
             val (n, ret) = (math.max(r.getLong(0), 64L), r.getLong(1))
-            val cap = 64L * (2 + (63 - java.lang.Long
-              .numberOfLeadingZeros(n / 64L)).max(0) + 1)
+            val cap = 63L * (2 + (63 - java.lang.Long
+              .numberOfLeadingZeros(n / 64L)).max(0))
             require(ret <= cap,
-              s"st24 sketch state $ret items exceeds k*levels cap $cap at n=$n")
+              s"st24 sketch state $ret items exceeds (k-1)*levels cap $cap at n=$n")
           }
           println(f"st24 state law: ${sk.length}%d groups, max retained=" +
-            f"${sk.map(_.getLong(1)).max}%d items (all within k*levels)")
+            f"${sk.map(_.getLong(1)).max}%d items (all within (k-1)*levels)")
         }
         // st25 with its laws ASSERTED at replica scale: the MG summary
         // is O(k) per open window through the state store AND a

@@ -23,7 +23,8 @@ private[functions] final class LongBuf(initCap: Int) {
   var size: Int = 0
 
   def add(v: Long): Unit = {
-    // max(…, 8) so a zero-capacity buffer still grows (0 * 2 == 0 loops).
+    // max(…, 8) so a zero-capacity buffer grows: copyOf(0 * 2) stays
+    // length 0 and the write below would throw AIOOBE.
     if (size == arr.length) {
       arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, 8))
     }

@@ -1904,8 +1904,11 @@ object StreamGates {
           col("event_type"), col("n_rows"), col("sk"))
     }
 
-  private def st24(s: SparkSession, d: String): DataFrame = {
-    val emitted = st24Emitted(s, d)
+  /** st24's audit half, split out so ScaleProbe can compose the gate
+    * from ONE st24Emitted replay (state-law asserts + certificates)
+    * instead of replaying the stream twice at replica scale. */
+  private[graft] def st24Audit(s: SparkSession, d: String,
+      emitted: DataFrame): DataFrame = {
     val evs = Tables.events(s, d).select(
       expr(s"(unix_micros(ts) div ${HourUs}L) * ${HourUs}L")
         .as("window_start_us"),
@@ -1918,6 +1921,9 @@ object StreamGates {
     KllAudit.certify(emitted, evs, Seq("window_start_us", "event_type"),
       Seq(("p50", 1, 2), ("p95", 19, 20)))
   }
+
+  private def st24(s: SparkSession, d: String): DataFrame =
+    st24Audit(s, d, st24Emitted(s, d))
 
   private val st24Sql = TimeWindows.evsSql +
     s""", wm AS (SELECT max(ts_us) // 1000 - 600000 AS wm_ms FROM evs),
