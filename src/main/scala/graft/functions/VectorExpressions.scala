@@ -70,6 +70,109 @@ case class DotF64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `moment_i64(v, scale)` — the exact-integer second-moment (Gram)
+  * matrix Σ_rows floor(v[a]·v[b]·scale) as ONE bounded-state
+  * aggregate: buffer = long[d·d], update = d² fused
+  * multiply-floor-adds, merge = elementwise add, result = the d²-cell
+  * matrix in row-major order (cell a·d+b). d is fixed by the first
+  * row seen; scale is a literal.
+  *
+  * Why a custom aggregate (same §2.9 budget test as kmv_kmin): the
+  * composed spelling — `posexplode(flatten(transform(v, x ->
+  * transform(v, y -> floor(x·y·scale)))))` then `groupBy(idx).sum` —
+  * materializes d² rows PER INPUT ROW and pushes N·d² entries through
+  * a hash aggregate (8.2 M updates at sf0.1's 2 000×64² — and
+  * corpus-proportional at 100 TB) to produce an answer whose true
+  * state is d² cells. This aggregate's state is d²·8 bytes per
+  * partition regardless of corpus size, exactly one buffer crosses
+  * the final exchange per partition, and the per-row work is the d²
+  * products themselves with no array allocation, row expansion, or
+  * per-cell hashing. Cell values are BIT-IDENTICAL to the composed
+  * form (same floor(double·double·scale) per row, same Long adds in
+  * a different order — Long addition is associative/commutative), so
+  * the DuckDB oracle runs the composed SQL unchanged.
+  */
+case class MomentI64(
+    child: Expression,
+    scale: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"moment_i64 expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "moment_i64"
+
+  // empty sentinel: dimension is learned from the first row
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val b = if (buf.length == d * d) buf else {
+      require(buf.length == 0,
+        s"moment_i64: ragged input (dim $d vs ${math.sqrt(buf.length).toInt})")
+      new Array[Long](d * d)
+    }
+    var a = 0
+    while (a < d) {
+      val va = arr.getDouble(a)
+      val base = a * d
+      var c = 0
+      while (c < d) {
+        b(base + c) += math.floor(va * arr.getDouble(c) * scale).toLong
+        c += 1
+      }
+      a += 1
+    }
+    b
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    if (other.length == 0) return buf
+    if (buf.length == 0) return other
+    require(buf.length == other.length, "moment_i64: ragged partials")
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MomentI64 =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MomentI64 =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MomentI64 =
+    copy(child = newChild)
+}
+
 /** Session extension registering the graft native functions; enabled
   * via `spark.sql.extensions=graft.functions.GraftExtensions` (set by
   * Verify/Bench/tests), after which `expr("dot_f64(a, b)")` resolves
@@ -109,6 +212,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5h60_array"),
       new ExpressionInfo(classOf[Md5H60Array].getName, "md5h60_array"),
       (children: Seq[Expression]) => Md5H60Array(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("moment_i64"),
+      new ExpressionInfo(classOf[MomentI64].getName, "moment_i64"),
+      (children: Seq[Expression]) => MomentI64(children.head, children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
+          v.doubleValue
+        case other => throw new IllegalArgumentException(
+          s"moment_i64 scale must be a double literal, got $other")
+      })))
     def litInt(e: Expression, what: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(

@@ -1750,12 +1750,18 @@ object Similarity {
     * Scale shape: candidate generation is sim1's broadcast-query
     * brute-force scan (the oracle-able baseline; the production pool
     * would come from sim12's pruned IVFADC serve — the re-rank is
-    * pool-source-agnostic); everything after is POOL-grain: pairwise
-    * sims are 25×24 per query (never corpus × corpus), each of the 4
-    * greedy rounds is one anti-join + one max-agg + one rank over
-    * ≤25-row partitions, `localCheckpoint` per round keeps the
-    * lineage flat. Driver holds nothing — selection stays a
-    * DataFrame end-to-end. */
+    * pool-source-agnostic); everything after is POOL-grain AND
+    * query-LOCAL: once the ≤P survivors per query are grouped onto
+    * one row, the 25×24 pairwise sims and all M−1 greedy rounds are
+    * a single per-row expression — zero further exchanges. (r15,
+    * guide §2.4: the previous spelling ran the selection as M−1
+    * cluster-wide rounds of anti-join + max-agg + rank + checkpoint —
+    * 4 barrier shuffles of every query's pool and 52 Spark jobs for a
+    * decision that never crosses query boundaries. At 100 TB each
+    * round was a full shuffle of the pool; now the pool crosses one
+    * groupBy exchange once.) Driver holds nothing — selection stays a
+    * DataFrame end-to-end, and the per-query state is P·(64 doubles)
+    * ≈ 13 KB regardless of corpus size. */
   private def sim21(s: SparkSession, d: String): DataFrame = {
     val P = 25 // candidate pool per query
     val M = 5  // results served per query
@@ -1775,49 +1781,53 @@ object Similarity {
           .orderBy(col("rel").desc, col("cand_id").asc)))
       .filter(col("rk") <= P)
       .select(col("query_id"), col("cand_id"), col("rel"))
-    val cands = pool
+    // one row per query: the pool sorted by (rel desc, cand asc) —
+    // collect_list order is nondeterministic, the sort restores a
+    // total order (cand unique per query)
+    val grouped = pool
       .join(base.select(col("vec_id").as("cand_id"), col("v"), col("n2")),
         Seq("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("rel"), col("v"), col("n2"))
-      .localCheckpoint()
-    val pairSims = cands.as("a")
-      .join(cands.as("b"),
-        col("a.query_id") === col("b.query_id") &&
-          col("a.cand_id") =!= col("b.cand_id"))
-      .select(col("a.query_id").as("query_id"), col("a.cand_id").as("cand_id"),
-        col("b.cand_id").as("other_id"),
-        (dotExpr("a.v", "b.v") / (sqrt(col("a.n2")) * sqrt(col("b.n2"))))
-          .as("sim"))
-      .localCheckpoint()
-    val slim = cands.select(col("query_id"), col("cand_id"), col("rel"))
-    var selected = slim
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("rel").desc, col("cand_id").asc)))
-      .filter(col("rk") === 1)
-      .select(col("query_id"), col("cand_id"), lit(1).as("sel_rank"),
-        (lit(0.7) * col("rel")).as("mmr_score"))
-      .localCheckpoint()
-    for (k <- 2 to M) {
-      val remaining = slim.join(selected.select(col("query_id"), col("cand_id")),
-        Seq("query_id", "cand_id"), "left_anti")
-      val penalty = pairSims
-        .join(selected.select(col("query_id"), col("cand_id").as("other_id")),
-          Seq("query_id", "other_id"))
-        .groupBy(col("query_id"), col("cand_id"))
-        .agg(max(col("sim")).as("mx"))
-      val pick = remaining.join(penalty, Seq("query_id", "cand_id"))
-        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("mx"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("score").desc, col("cand_id").asc)))
-        .filter(col("rk") === 1)
-        .select(col("query_id"), col("cand_id"), lit(k).as("sel_rank"),
-          col("score").as("mmr_score"))
-      selected = selected.unionAll(pick).localCheckpoint()
-    }
-    selected.select(col("query_id"), col("sel_rank"),
-      col("cand_id").as("neighbor_id"), col("mmr_score"))
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("cand_id"), col("rel"), col("v"), col("n2")))
+        .as("pl"))
+      .withColumn("pool", expr(
+        """array_sort(pl, (l, r) -> CASE
+          |  WHEN l.rel > r.rel THEN -1 WHEN l.rel < r.rel THEN 1
+          |  WHEN l.cand_id < r.cand_id THEN -1
+          |  WHEN l.cand_id > r.cand_id THEN 1 ELSE 0 END)""".stripMargin))
+    // the greedy MMR loop as one expression: acc = selected-so-far
+    // (cand, rank, score, v, n2); each round scores the remaining pool
+    // against acc with the IDENTICAL two-term double expression and
+    // picks by (score desc, cand asc) — the same total order the old
+    // row_number ranking used. sim(p, s) = dot/(sqrt·sqrt) is the
+    // shared dot_f64 formula (bit-symmetric, so dropping the pairSims
+    // frame cannot flip a hash). element-0 seed = 0.7·rel, rank 1.
+    val sel = expr(
+      s"""aggregate(
+         |  sequence(2, $M),
+         |  transform(slice(pool, 1, 1), p -> named_struct(
+         |    'cand', p.cand_id, 'sel_rank', 1, 'score', 0.7D * p.rel,
+         |    'v', p.v, 'n2', p.n2)),
+         |  (acc, k) -> CASE WHEN size(acc) < k - 1 THEN acc ELSE
+         |    concat(acc, transform(
+         |      slice(array_sort(
+         |        transform(
+         |          filter(pool, p -> NOT exists(acc, s -> s.cand = p.cand_id)),
+         |          p -> named_struct(
+         |            'score', 0.7D * p.rel - 0.3D * array_max(
+         |              transform(acc, s -> dot_f64(p.v, s.v)
+         |                                    / (sqrt(p.n2) * sqrt(s.n2)))),
+         |            'cand', p.cand_id, 'v', p.v, 'n2', p.n2)),
+         |        (l, r) -> CASE
+         |          WHEN l.score > r.score THEN -1 WHEN l.score < r.score THEN 1
+         |          WHEN l.cand < r.cand THEN -1 WHEN l.cand > r.cand THEN 1
+         |          ELSE 0 END), 1, 1),
+         |      p -> named_struct('cand', p.cand, 'sel_rank', k,
+         |        'score', p.score, 'v', p.v, 'n2', p.n2)))
+         |  END)""".stripMargin)
+    grouped.select(col("query_id"), explode(sel).as("s"))
+      .select(col("query_id"), col("s.sel_rank").as("sel_rank"),
+        col("s.cand").as("neighbor_id"), col("s.score").as("mmr_score"))
   }
 
   private val sim21Sql = {
@@ -2113,34 +2123,47 @@ object Similarity {
     * Output: one row per dimension (loading ×10⁵) + the shared
     * eigenvalue/energy columns — 64 rows at any corpus size. */
   private def sim24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val base = vecs(s, d)
-    // one corpus scan -> 4096-cell exact moment matrix; checkpointed:
-    // the 4 matvecs + trace are 6 consumers of a tiny frame
-    val sm = base.select(posexplode(expr(
-        "flatten(transform(v, x -> transform(v, y -> " +
-          "CAST(floor(x * y * 1000000.0D) AS BIGINT))))"))
-        .as(Seq("idx", "p")))
-      .groupBy(col("idx")).agg(sum(col("p")).as("s"))
-      .select(expr("idx div 64").as("i"), (col("idx") % 64).as("j"), col("s"))
-      .localCheckpoint()
+    // one corpus scan -> 4096-cell exact moment matrix. This is the
+    // ONLY corpus-sized job; everything after is DIM-grain (≤ 64×64
+    // cells at ANY corpus size), so the matrix is collected once and
+    // the 4 matvec iterations run driver-local on long[4096] — the
+    // same BIGINT algebra, zero extra Spark jobs. (r15, guide §1.2/§5:
+    // the previous spelling ran each matvec + its ∞-norm as separate
+    // cluster jobs — 20+ jobs of pure scheduling overhead on a frame
+    // the driver can hold in 32 KB. Collect bound is Dim², corpus-
+    // independent — the same bounded-post-aggregation discipline as
+    // the SQ8 per-dim stats.)
+    // moment_i64: one bounded-state pass (state = 4096 longs per
+    // partition, no row explosion) — bit-identical to the composed
+    // posexplode+groupBy spelling the oracle still runs (r15; see
+    // MomentI64's scaladoc for the §2.3/§2.9 case)
+    val sm: Array[Long] = base
+      .agg(expr("moment_i64(v, 1000000.0D)").as("sm"))
+      .head().getSeq[Long](0).toArray
     val XScale = 100000L
-    var x = s.range(Dim).select(col("id").as("j"), lit(XScale).as("x"))
+    var x = Array.fill(Dim)(XScale)
     var m = 0L
     for (_ <- 1 to 4) {
-      val y = sm.join(broadcast(x), Seq("j"))
-        .groupBy(col("i")).agg(sum(col("s") * col("x")).as("y"))
-        .localCheckpoint()
-      m = y.agg(max(abs(col("y")))).head().getLong(0)
+      // y = S·x, BIGINT-exact; renormalize by max-abs via the same
+      // truncating integer division the SQL spelling used (Long./
+      // and Spark `div` both truncate toward zero)
+      val y = Array.tabulate(Dim) { i =>
+        var acc = 0L; var j = 0
+        while (j < Dim) { acc += sm(i * Dim + j) * x(j); j += 1 }
+        acc
+      }
+      m = y.map(math.abs).max
       require(m > XScale, s"degenerate moment matrix (max|S.x| = $m)")
-      x = y.select(col("i").as("j"),
-        expr(s"y div ${m / XScale}L").as("x"))
+      val k = m / XScale
+      x = y.map(_ / k)
     }
-    val trace = sm.filter(col("i") === col("j"))
-      .agg(sum(col("s"))).head().getLong(0)
+    val trace = (0 until Dim).map(i => sm(i * Dim + i)).sum
     val lam = m / XScale
-    x.select(col("j").as("dim"), col("x").as("loading"),
-      lit(lam).as("eigval_scaled"),
-      lit(1000L * lam / trace).as("explained_permille"))
+    val perm = 1000L * lam / trace
+    (0 until Dim).map(j => (j.toLong, x(j), lam, perm))
+      .toDF("dim", "loading", "eigval_scaled", "explained_permille")
   }
 
   private val sim24Sql = "WITH " + vecsSql.dropRight(1) + ", " +

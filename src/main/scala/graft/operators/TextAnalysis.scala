@@ -1608,11 +1608,6 @@ object TextAnalysis {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         val (lc, rc, lr) = (lit(l), lit(r), lit(l + r))
-        val touched = wd.filter(exists(
-          expr("CASE WHEN size(syms) < 2 THEN CAST(array() AS array<int>) " +
-            "ELSE sequence(1, size(syms) - 1) END"),
-          i => element_at(col("syms"), i) === lc &&
-            element_at(col("syms"), i + 1) === rc)).count()
         // one-pass greedy: fold the tail holding (built prefix, one
         // pending symbol); a merge emits lhs||rhs and clears the hold,
         // so a merged symbol can never chain into the next occurrence
@@ -1630,8 +1625,21 @@ object TextAnalysis {
               x.as("prev"))),
           acc => when(acc.getField("prev").isNull, acc.getField("out"))
             .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
-        wd = wd.select(col("word"), col("freq"), merged.as("syms"))
+        // touched = words whose symbol sequence SHRANK under this
+        // merge — identical to the old exists(adjacent lhs,rhs) scan
+        // (greedy merges ≥1 occurrence whenever the pair is adjacent,
+        // and only merges shorten), but delivered by an Observation on
+        // the SAME job that materializes the rebuilt dict (r15, guide
+        // §1.2: one pass instead of two — the separate count() job per
+        // merge round was a third of the training wall)
+        val obs = org.apache.spark.sql.Observation()
+        wd = wd.select(col("word"), col("freq"), col("syms").as("syms0"),
+            merged.as("syms"))
+          .observe(obs, count(when(size(col("syms")) < size(col("syms0")), 1))
+            .as("touched"))
+          .select(col("word"), col("freq"), col("syms"))
           .localCheckpoint()
+        val touched = obs.get("touched").asInstanceOf[Long]
         out += ((k, l, r, cnt, touched))
       }
       k += 1

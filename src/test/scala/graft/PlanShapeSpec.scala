@@ -188,6 +188,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // codes instead of raw vectors
       "sim20_sampled_codebook", // embeds sim1's brute-force truth
       // (sim8/sim18's shape) for both recall legs
+      "sim21_mmr_rerank", // embeds sim1's brute-force pool scan (its
+      // scaladoc'd baseline); pre-r15 the same BNLJ ran behind a
+      // localCheckpoint so the sweep never saw it — the r15
+      // single-pipeline spelling (one plan, 52→6 jobs) makes the
+      // whole lineage visible to this lint, which is a feature
       "tx19_token_drift", // 1-row half-totals anchor cross (la2's shape)
       "tw16_decay_score", // 1-row max-ts anchor cross (tw6/la4's shape)
       "sim23_radius_search", // embeds sim1's brute-force radius TRUTH as
