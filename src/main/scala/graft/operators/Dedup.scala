@@ -1302,10 +1302,14 @@ object Dedup {
         .withColumn("n_bits_set", lit(0L))
         .withColumn("fill_permille", lit(0L))
     def posCol(c: Column, j: Int): Column = bloomPos(m)(c, j)
-    val blocks = bloomBlocks(hist, m, k).localCheckpoint()
-    val nBitsSet =
-      blocks.agg(coalesce(sum(expr("bit_count(word)")), lit(0L)))
-        .head.getLong(0)
+    // r15: the fill receipt rides the block materialization as an
+    // Observation instead of a second pass (guide §1.2)
+    val obsBits = org.apache.spark.sql.Observation()
+    val blocks = bloomBlocks(hist, m, k)
+      .observe(obsBits, coalesce(sum(expr("bit_count(word)")), lit(0L))
+        .as("n_bits"))
+      .localCheckpoint()
+    val nBitsSet = obsBits.get("n_bits").asInstanceOf[Long]
     // k broadcast-hash lookups on the block id — the bitmap stays
     // executor-side; a missing block means no bit in it is set
     val withBits = (0 until k).foldLeft(

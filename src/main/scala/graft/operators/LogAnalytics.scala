@@ -288,9 +288,13 @@ object LogAnalytics {
     // probe measured 5 120 files / 39 s; clustered: |days| files /
     // ~8 s) — at 100 TB, unclustered dynamic-partition writes are the
     // classic small-file factory
-    l.repartition(col("day_us"))
+    // r15: the retention cutoff's 1-row anchor rides the staging
+    // write as an Observation instead of a second scan (guide §1.2)
+    val obsMax = org.apache.spark.sql.Observation()
+    l.observe(obsMax, max(col("ts_us")).as("max_us"))
+      .repartition(col("day_us"))
       .write.mode("overwrite").partitionBy("day_us").parquet(dir)
-    val maxUs = l.agg(max(col("ts_us"))).head().getLong(0)
+    val maxUs = obsMax.get("max_us").asInstanceOf[Long]
     val cutoffDay = ((maxUs - 7L * DayUs) / DayUs) * DayUs
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -701,7 +705,13 @@ object LogAnalytics {
       (shiftright(tb, i) % 2) * lit(1L << (2 * i)) +
         (shiftright(vb, i) % 2) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
-    l.withColumn("z", z).repartitionByRange(32, col("z"))
+    // r15: the scale-gate row count rides the layout write as an
+    // Observation instead of a post-hoc re-read (guide §1.2); observed
+    // BELOW the range exchange so the clustered write order is
+    // untouched
+    val obsN = org.apache.spark.sql.Observation()
+    l.withColumn("z", z).observe(obsN, count(lit(1)).as("n"))
+      .repartitionByRange(32, col("z"))
       .sortWithinPartitions(col("z"))
       .drop("z").write.mode("overwrite").parquet(zdir)
     l.repartitionByRange(32, col("ts_us"))
@@ -726,7 +736,7 @@ object LogAnalytics {
     // the 32-way range exchange degenerates (≤1 file per value run)
     // and z-order can only tie — so the strict receipt is gated on
     // scale, and tiny fixtures assert no-worse instead of throwing
-    val nRows = s.read.parquet(zdir).count()
+    val nRows = obsN.get("n").asInstanceOf[Long]
     if (nRows >= 32L * 32L)
       require(zCand < lCand,
         s"z-order did not out-prune the linear layout ($zCand vs $lCand)")
@@ -797,15 +807,20 @@ object LogAnalytics {
     TmpDirs.withRoot(s, "la15") { dir =>
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
-    l.repartition(col("day_us"))
+    // r15: the 1-row id/ts anchors ride the staging write as an
+    // Observation (guide §1.2); the argmin target stays its own job
+    // (grouped argmin is not an observe-able whole-frame aggregate)
+    val obsAnchor = org.apache.spark.sql.Observation()
+    l.observe(obsAnchor, max(col("event_id")).as("max_id"),
+        max(col("ts_us")).as("max_ts"))
+      .repartition(col("day_us"))
       .write.mode("overwrite").partitionBy("day_us").parquet(dir)
     val target = l.groupBy(col("logger_name"))
       .agg(countDistinct(col("day_us")).as("nd"))
       .orderBy(col("nd").asc, col("logger_name").asc)
       .limit(1).head().getString(0)
-    val anchors = l.agg(max(col("event_id")), max(col("ts_us"))).head()
-    val (maxId, dayNew) =
-      (anchors.getLong(0), (anchors.getLong(1) / DayUs + 1) * DayUs)
+    val (maxId, dayNew) = (obsAnchor.get("max_id").asInstanceOf[Long],
+      (obsAnchor.get("max_ts").asInstanceOf[Long] / DayUs + 1) * DayUs)
     val affectedUpd = l.filter(col("logger_name") === target)
       .select(col("day_us")).distinct().collect().map(_.getLong(0)).toSet
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -943,7 +958,11 @@ object LogAnalytics {
     TmpDirs.withRoot(s, "la16") { dir =>
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
-    l.repartition(col("day_us"))
+    // r15: the commit-target's 1-row day anchor rides the staging
+    // write as an Observation instead of a second scan (guide §1.2)
+    val obsDay = org.apache.spark.sql.Observation()
+    l.observe(obsDay, max(col("day_us")).as("max_day"))
+      .repartition(col("day_us"))
       .write.mode("overwrite").partitionBy("day_us").parquet(dir)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -964,7 +983,7 @@ object LogAnalytics {
         .select("version", "level", "n_rows", "value_cents")
     val v0Before = rollup(manifest0, 0L).collect().sortBy(_.getString(1))
     // COMMIT v1: rewrite the max day (cents doubled), old files retained
-    val maxDay = l.agg(max(col("day_us"))).head().getLong(0)
+    val maxDay = obsDay.get("max_day").asInstanceOf[Long]
     val oldDayFiles = manifest0.filter(_.contains(s"day_us=$maxDay/"))
     val stage = new org.apache.hadoop.fs.Path(s"${dir}_stage")
     s.read.option("basePath", dir)
@@ -1128,7 +1147,9 @@ object LogAnalytics {
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
       .select("event_id", "ts_us", "level", "value_cents", "day_us")
-    l.repartition(col("day_us"))
+    val obsDay18 = org.apache.spark.sql.Observation()
+    l.observe(obsDay18, max(col("day_us")).as("max_day"))
+      .repartition(col("day_us"))
       .write.mode("overwrite").partitionBy("day_us").parquet(dir)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1139,7 +1160,8 @@ object LogAnalytics {
           .map(_.getPath.toUri.getPath)).toSet
     val manifest0 = allFiles()
     // COMMIT v1 (la16's backfill): rewrite the max day, cents doubled
-    val maxDay = l.agg(max(col("day_us"))).head().getLong(0)
+    // (r15: anchor observed on the staging write, same as la16)
+    val maxDay = obsDay18.get("max_day").asInstanceOf[Long]
     val retired = manifest0.filter(_.contains(s"day_us=$maxDay/"))
     val stage = new org.apache.hadoop.fs.Path(s"${dir}_stage")
     s.read.option("basePath", dir).parquet(retired.toSeq.sorted: _*)
@@ -1476,7 +1498,9 @@ object LogAnalytics {
     val l = logs(s, d)
       .withColumn("day_us", expr(s"(ts_us div ${DayUs}L) * ${DayUs}L"))
       .select("event_id", "ts_us", "level", "logger_name", "value_cents", "day_us")
-    l.repartition(col("day_us"))
+    val obsDay21 = org.apache.spark.sql.Observation()
+    l.observe(obsDay21, max(col("day_us")).as("max_day"))
+      .repartition(col("day_us"))
       .write.mode("overwrite").partitionBy("day_us").parquet(dir)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1486,7 +1510,8 @@ object LogAnalytics {
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toUri.getPath)).toSet
     val manifest0 = allFiles()
-    val maxDay = l.agg(max(col("day_us"))).head().getLong(0)
+    // r15: anchor observed on the staging write, same as la16
+    val maxDay = obsDay21.get("max_day").asInstanceOf[Long]
     // stage a batch: files LAND inside the partition dirs (so a
     // manifest-respecting reader must prove it ignores them) but are
     // not in any published manifest until the audit passes
