@@ -108,7 +108,7 @@ object PlanDump {
     "sim23_radius_search" ->
       "Radius search: probed-cell candidates via broadcast probe/query dims, a threshold filter REPLACES the per-query rank window (no sort at all on the serving leg); the brute-force truth leg rides alongside as the priced recall control.",
     "sim24_dominant_direction" ->
-      "Gram-matrix power iteration: ONE corpus scan emits in-row scaled products into a 4096-cell map-side-combined agg; the four matvecs are dim-grain broadcast joins over the checkpointed matrix — nothing corpus-sized moves twice.",
+      "Gram-matrix power iteration: ONE corpus scan through the bounded-state moment_i64 aggregate (state = 4096 longs/partition, no row explosion); the matrix is dim²-bounded so the four matvec iterations run driver-local — nothing corpus-sized moves twice, and nothing but the single agg runs as a job (r15: 27 jobs → 5).",
     "mm12_aspect_buckets" ->
       "Aspect bucketing: the catalog argmin is a zero-join codegen'd projection (array_position over inline distortions); the whole plan is scan -> project -> one 5-group hash agg.",
     "q25_skew_join" ->

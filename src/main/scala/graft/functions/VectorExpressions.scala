@@ -124,14 +124,22 @@ case class MomentI64(
         s"moment_i64: ragged input (dim $d vs ${math.sqrt(buf.length).toInt})")
       new Array[Long](d * d)
     }
+    // null elements: the composed spelling's x·y·scale is null when
+    // either factor is null, and SUM skips nulls — mirror that by
+    // skipping the cell (sim24's vecs() filter guarantees null-free
+    // input, but the registered function must match the composed form
+    // on every input)
     var a = 0
     while (a < d) {
-      val va = arr.getDouble(a)
-      val base = a * d
-      var c = 0
-      while (c < d) {
-        b(base + c) += math.floor(va * arr.getDouble(c) * scale).toLong
-        c += 1
+      if (!arr.isNullAt(a)) {
+        val va = arr.getDouble(a)
+        val base = a * d
+        var c = 0
+        while (c < d) {
+          if (!arr.isNullAt(c))
+            b(base + c) += math.floor(va * arr.getDouble(c) * scale).toLong
+          c += 1
+        }
       }
       a += 1
     }

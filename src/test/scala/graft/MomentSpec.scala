@@ -33,6 +33,21 @@ class MomentSpec extends AnyFunSuite {
     }
   }
 
+  test("moment_i64 matches the composed form on null elements (null products drop out)") {
+    val df = spark.sql(
+      "SELECT * FROM VALUES (array(1.5D, NULL, -2.0D)), (array(0.5D, 3.0D, NULL)) t(v)")
+    val viaAgg = df.agg(expr("moment_i64(v, 1000000.0D)")).head().getSeq[Long](0)
+    val viaExplode = df.select(posexplode(expr(
+        "flatten(transform(v, x -> transform(v, y -> " +
+          "CAST(floor(x * y * 1000000.0D) AS BIGINT))))"))
+        .as(Seq("idx", "p")))
+      .groupBy(col("idx")).agg(sum(col("p")).as("s"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    (0 until 9).foreach { i =>
+      assert(viaAgg(i) == viaExplode.getOrElse(i, 0L), s"cell $i differs")
+    }
+  }
+
   test("moment_i64 is repartition-invariant (merge path) and rejects ragged input") {
     val one = vecs.coalesce(1).agg(expr("moment_i64(v, 1000000.0D)"))
       .head().getSeq[Long](0)
