@@ -53,11 +53,15 @@ object GateProfile {
 
     (1 to reps).foreach { rep =>
       done.clear()
+      jobs.clear() // a straggler from the last rep must not leak in
       t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener bus is async; give it a beat to drain
-      Thread.sleep(300)
+      // listener bus is async: wait until every started job reported
+      // its end (bounded), not a fixed beat
+      var waited = 0
+      while (!jobs.isEmpty && waited < 2000) { Thread.sleep(100); waited += 100 }
+      Thread.sleep(200)
       val rows = done.toArray(Array.empty[(Int, Long, Long, String)]).sortBy(_._1)
       val wallStartMs = rows.headOption.map(_._2).getOrElse(0L)
       println(f"== $gate rep $rep: wall $wall%.3f s, rows=$n, jobs=${rows.length} ==")

@@ -119,6 +119,9 @@ case class MomentI64(
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val d = arr.numElements()
+    // empty array: the composed spelling's posexplode emits nothing
+    // for it — contribute nothing rather than flagging it ragged
+    if (d == 0) return buf
     val b = if (buf.length == d * d) buf else {
       require(buf.length == 0,
         s"moment_i64: ragged input (dim $d vs ${math.sqrt(buf.length).toInt})")
@@ -225,8 +228,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MomentI64].getName, "moment_i64"),
       (children: Seq[Expression]) => MomentI64(children.head, children(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
-          v.doubleValue
+        // parsed SQL decimal literals (no D suffix) arrive as
+        // o.a.s.sql.types.Decimal, not java.math.BigDecimal
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
         case other => throw new IllegalArgumentException(
           s"moment_i64 scale must be a double literal, got $other")
       })))

@@ -1791,8 +1791,15 @@ object Similarity {
       .agg(collect_list(struct(col("cand_id"), col("rel"), col("v"), col("n2")))
         .as("pl"))
       .withColumn("pool", expr(
+        // NaN arms: the replaced row_number().orderBy(rel.desc) (and
+        // DuckDB) order NaN as GREATEST — a bare >/< comparator would
+        // instead treat NaN as tied with everything (non-transitive).
+        // Unreachable on vecs() input unless a zero-norm vector slips
+        // a NaN cosine through; pinned anyway so the spelling cannot
+        // diverge from the oracle on any input.
         """array_sort(pl, (l, r) -> CASE
-          |  WHEN l.rel > r.rel THEN -1 WHEN l.rel < r.rel THEN 1
+          |  WHEN l.rel > r.rel OR (isnan(l.rel) AND NOT isnan(r.rel)) THEN -1
+          |  WHEN l.rel < r.rel OR (isnan(r.rel) AND NOT isnan(l.rel)) THEN 1
           |  WHEN l.cand_id < r.cand_id THEN -1
           |  WHEN l.cand_id > r.cand_id THEN 1 ELSE 0 END)""".stripMargin))
     // the greedy MMR loop as one expression: acc = selected-so-far
@@ -1819,7 +1826,10 @@ object Similarity {
          |                                    / (sqrt(p.n2) * sqrt(s.n2)))),
          |            'cand', p.cand_id, 'v', p.v, 'n2', p.n2)),
          |        (l, r) -> CASE
-         |          WHEN l.score > r.score THEN -1 WHEN l.score < r.score THEN 1
+         |          WHEN l.score > r.score
+         |            OR (isnan(l.score) AND NOT isnan(r.score)) THEN -1
+         |          WHEN l.score < r.score
+         |            OR (isnan(r.score) AND NOT isnan(l.score)) THEN 1
          |          WHEN l.cand < r.cand THEN -1 WHEN l.cand > r.cand THEN 1
          |          ELSE 0 END), 1, 1),
          |      p -> named_struct('cand', p.cand, 'sel_rank', k,

@@ -48,6 +48,15 @@ class MomentSpec extends AnyFunSuite {
     }
   }
 
+  test("moment_i64 skips empty arrays (as posexplode does) and takes a plain decimal scale") {
+    val df = spark.sql(
+      "SELECT * FROM VALUES (array(2.0D)), (CAST(array() AS array<double>)) t(v)")
+    // empty row contributes nothing; plain 1000000.0 (a Decimal
+    // literal, no D suffix) resolves via the Decimal builder arm
+    val out = df.coalesce(1).agg(expr("moment_i64(v, 1000000.0)")).head().getSeq[Long](0)
+    assert(out == Seq(4000000L))
+  }
+
   test("moment_i64 is repartition-invariant (merge path) and rejects ragged input") {
     val one = vecs.coalesce(1).agg(expr("moment_i64(v, 1000000.0D)"))
       .head().getSeq[Long](0)
