@@ -111,10 +111,41 @@ object Bench {
     def qmap(rs: Seq[(String, Double, Option[String])]): String =
       rs.map { case (k, v, _) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val seqTotal = seq.map(_._2).sum
+    // Contended-window self-labeling (r15 verdict: the r14 driver bench
+    // ran in a noisy-neighbor window and poisoned the next round's PERF
+    // comparison — flag it IN-ROUND). Compare this run's seq_total to
+    // the committed per-gate band (BENCH_BAND.json, built from 7 quiet
+    // runs): if the total lands >2x above the band's ceiling sum, the
+    // run is almost certainly contended, not a code regression. stderr
+    // + a detail-file field only — the stdout contract is unchanged.
+    val bandNote: Option[String] = try {
+      val p = java.nio.file.Paths.get("BENCH_BAND.json")
+      if (!java.nio.file.Files.exists(p)) None else {
+        val txt = java.nio.file.Files.readString(p)
+        // ceil values of gates measured in THIS run (band may lag the
+        // registry; unknown gates just don't contribute)
+        val ceilRe = ("\"([a-z0-9_]+)\"\\s*:\\s*\\{\\s*\"ceil\"\\s*:" +
+          "\\s*([0-9.]+)").r
+        val ceils = ceilRe.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val known = seq.filter(r => ceils.contains(r._1))
+        if (known.isEmpty) None else {
+          val knownTotal = known.map(_._2).sum
+          val ceilSum = known.map(r => ceils(r._1)).sum
+          if (knownTotal > 2.0 * ceilSum) Some(
+            f"seq_total over band-covered gates $knownTotal%.1f s is >2x " +
+              f"the committed band ceiling sum $ceilSum%.1f s (load " +
+              f"$loadBefore->${loadavg()}) - this window looks CONTENDED; " +
+              "do not adjudicate per-gate regressions from this run")
+          else None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    bandNote.foreach(n => System.err.println(s"[bench-band] $n"))
     // Full detail (every gate, both passes) → file; stdout stays small.
     val loadAfter = loadavg()
     val detail =
-      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":${qmap(results)},"queries_seq":${qmap(seq)},"seq_total":${r3(seqTotal)},"failed":${failed.map(jstr).mkString("[", ",", "]")},"load_before":${jstr(loadBefore)},"load_after":${jstr(loadAfter)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(wall)},"unit":"sec","queries":${qmap(results)},"queries_seq":${qmap(seq)},"seq_total":${r3(seqTotal)},"failed":${failed.map(jstr).mkString("[", ",", "]")},"load_before":${jstr(loadBefore)},"load_after":${jstr(loadAfter)},"band_note":${bandNote.map(jstr).getOrElse("null")},"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     // Headline subset for the size-capped stdout line: one

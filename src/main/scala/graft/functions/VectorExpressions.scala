@@ -91,6 +91,14 @@ case class DotF64(left: Expression, right: Expression)
   * form (same floor(double·double·scale) per row, same Long adds in
   * a different order — Long addition is associative/commutative), so
   * the DuckDB oracle runs the composed SQL unchanged.
+  *
+  * Overflow contract (the one divergence from the composed spelling):
+  * under ANSI mode (Spark 4 default) the composed CAST/SUM errors on
+  * Long overflow, while here `floor(...).toLong` saturates at
+  * ±Long.Max and the `+=` adds wrap. On the gates' inputs every cell
+  * is ≤ Σ|v|²·scale ≪ 2⁶³ (unit-norm 64-dim vectors, scale 10⁶), so
+  * the regimes never diverge in practice; on pathological magnitudes
+  * this aggregate returns wrapped values where ANSI SUM would raise.
   */
 case class MomentI64(
     child: Expression,
@@ -226,7 +234,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("moment_i64"),
       new ExpressionInfo(classOf[MomentI64].getName, "moment_i64"),
-      (children: Seq[Expression]) => MomentI64(children.head, children(1) match {
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"moment_i64 expects exactly 2 arguments (v array<double>, " +
+            s"scale double literal), got ${children.length}")
+        MomentI64(children.head, children(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
         // parsed SQL decimal literals (no D suffix) arrive as
         // o.a.s.sql.types.Decimal, not java.math.BigDecimal
@@ -234,7 +246,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
         case other => throw new IllegalArgumentException(
           s"moment_i64 scale must be a double literal, got $other")
-      })))
+      })}))
     def litInt(e: Expression, what: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(

@@ -705,16 +705,19 @@ object LogAnalytics {
       (shiftright(tb, i) % 2) * lit(1L << (2 * i)) +
         (shiftright(vb, i) % 2) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
-    // NOTE (r15): do NOT observe a count under repartitionByRange —
+    // NOTE (r15): do NOT observe a count BELOW repartitionByRange —
     // the range-boundary SAMPLING pass re-evaluates the CollectMetrics
     // child, so the metric reports 2N (measured on Spark 4.1.2: 1000
     // rows observe 2000 below a range exchange, correctly 1000 below a
-    // hash exchange). The scale-gate row count therefore stays a
-    // post-hoc read-back; the hash-partitioned anchor fusions in
-    // la9/la15/la16/la18/la21 are unaffected.
+    // hash exchange). r16: the scale-gate row count now rides the
+    // write as an observe ABOVE the exchange+sort (the post-shuffle
+    // side runs exactly once, in the write pass itself) — one full
+    // zdir read-back job removed, N identical by construction.
+    val obsN = org.apache.spark.sql.Observation()
     l.withColumn("z", z).repartitionByRange(32, col("z"))
       .sortWithinPartitions(col("z"))
-      .drop("z").write.mode("overwrite").parquet(zdir)
+      .drop("z").observe(obsN, count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(zdir)
     l.repartitionByRange(32, col("ts_us"))
       .sortWithinPartitions(col("ts_us"))
       .write.mode("overwrite").parquet(ldir)
@@ -737,7 +740,7 @@ object LogAnalytics {
     // the 32-way range exchange degenerates (≤1 file per value run)
     // and z-order can only tie — so the strict receipt is gated on
     // scale, and tiny fixtures assert no-worse instead of throwing
-    val nRows = s.read.parquet(zdir).count()
+    val nRows = obsN.get("n_rows").asInstanceOf[Long]
     if (nRows >= 32L * 32L)
       require(zCand < lCand,
         s"z-order did not out-prune the linear layout ($zCand vs $lCand)")

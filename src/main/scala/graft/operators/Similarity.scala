@@ -567,19 +567,24 @@ object Similarity {
     * codegen'd pq_encode/pq_dist_table expressions, so both the
     * corpus-wide cell assignment and the per-query probe ranking are
     * narrow maps — no centroid fan-out join, no assignment shuffle
-    * (see sim5). Candidates stay SLIM (query_id, vec_id) until one
-    * hash join pulls vectors back for scoring. */
+    * (see sim5). The probe join is a broadcast FANOUT (no exchange),
+    * so scoring happens in the assignment stage itself: (v, n2) ride
+    * the assignment map, the cosine is computed before anything is
+    * shuffled, and only (query, cand, cosine) crosses the rank
+    * exchange — the former join-back that pulled vectors in by vec_id
+    * was a full corpus shuffle of the payload at scale (r16, §2.4). */
   private def sim6(s: SparkSession, d: String): DataFrame = {
     val base = vecs(s, d)
     val cb = typedLit(codebookArr(s, d))
     val probes = probeCells(base, cb, nprobe = 2)
-    val assign = assignCells(base, cb)
     val qv = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
-    assign.join(broadcast(probes), Seq("clabel"))
+    base.filter(col("v").isNotNull)
+      .select(col("vec_id"),
+        element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
+          .getField("code").as("clabel"), col("v"), col("n2"))
+      .join(broadcast(probes), Seq("clabel"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id") // slim candidates through the joins
-      .join(base.select("vec_id", "v", "n2"), Seq("vec_id"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine",
         dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
@@ -863,18 +868,24 @@ object Similarity {
     * widest-probe scored pass — each candidate carries the probe rank
     * (`wmin`) of the cell that admitted it, and a narrower width is
     * just `wmin ≤ np` over the same scored frame, never a re-scan.
-    * Candidates stay slim (query_id, vec_id) until scoring; the exact
-    * truth executes once and left-joins the three top sets in one
-    * plan (sim8's shape); candidate VOLUMES come from the probe×
-    * cell-size algebra (Σ sizes of probed cells − the query's own
-    * membership), a broadcast-dim computation that never touches the
-    * candidate set. Output is |widths| rows. */
+    * Scoring happens IN the assignment stage: the probe join is a
+    * broadcast fanout (no exchange), so carrying (v, n2) through it
+    * costs no shuffle bytes and removes the join-back exchange of the
+    * vector payload entirely (r16, §2.4) — only (query, cand, rank,
+    * cosine) ever crosses an exchange. All three widths' top-10s come
+    * from ONE window pass: the widths share the identical
+    * (cosine desc, vec_id asc) total order, so each narrower width's
+    * row_number is a running conditional count over the widest sort
+    * (3 sorts+exchanges fused to 1), and the exact truth left-joins
+    * the single hit-flag frame once (3 broadcast joins fused to 1).
+    * Candidate VOLUMES come from the probe × cell-size algebra
+    * (Σ sizes of probed cells − the query's own membership), one agg
+    * over the broadcast-dim frame for all widths. Output is |widths|
+    * rows. */
   private def sim18(s: SparkSession, d: String): DataFrame = {
-    val widths = Seq(1, 2, 4)
-    val maxNp = widths.max
+    val maxNp = 4
     val base = vecs(s, d)
     val cb = typedLit(codebookArr(s, d))
-    val assign = assignCells(base, cb)
     // widest probe list WITH ranks (probeCells drops them)
     val probesR = base.filter(col("vec_id") % 100 === 0 && col("v").isNotNull)
       .select(col("vec_id").as("query_id"),
@@ -887,26 +898,39 @@ object Similarity {
       .select("query_id", "clabel", "crk")
     val qv = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
-    val scored = assign.join(broadcast(probesR), Seq("clabel"))
+    // cell assignment WITH the vector payload (see scaladoc: the
+    // probe fanout is broadcast, so this shuffles nothing)
+    val assignV = base.filter(col("v").isNotNull)
+      .select(col("vec_id"),
+        element_at(call_function("pq_encode", col("v"), cb, lit(Dim)), 1)
+          .getField("code").as("clabel"), col("v"), col("n2"))
+    val scored = assignV.join(broadcast(probesR), Seq("clabel"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("crk").as("wmin"))
-      .join(base.select("vec_id", "v", "n2"), Seq("vec_id"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine",
         dotExpr("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
-      .select("query_id", "vec_id", "wmin", "cosine")
-    def top(np: Int) = scored.filter(col("wmin") <= np)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id").asc)))
-      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("crk").as("wmin"),
+        col("cosine"))
+    // one sorted pass, three ranks: cr_np = #rows with wmin<=np at or
+    // before this row in (cosine desc, vec_id asc) order — exactly the
+    // row_number the per-width filtered window produced (vec_id is
+    // unique per query, so the order is total and NaN placement under
+    // desc is shared by construction)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tops = scored
+      .withColumn("cr1", sum(when(col("wmin") <= 1, 1L).otherwise(0L)).over(w))
+      .withColumn("cr2", sum(when(col("wmin") <= 2, 1L).otherwise(0L)).over(w))
+      .withColumn("cr4", sum(lit(1L)).over(w))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        lit(1L).as(s"hit$np"))
-    val audit = widths.foldLeft(
-        sim1(s, d).select(col("query_id"), col("neighbor_id"))) {
-        (acc, np) => acc.join(broadcast(top(np)),
-          Seq("query_id", "neighbor_id"), "left")
-      }
+        when(col("wmin") <= 1 && col("cr1") <= 10, 1L).as("hit1"),
+        when(col("wmin") <= 2 && col("cr2") <= 10, 1L).as("hit2"),
+        when(col("cr4") <= 10, 1L).as("hit4"))
+      .filter(col("hit1").isNotNull || col("hit2").isNotNull ||
+        col("hit4").isNotNull)
+    val audit = sim1(s, d).select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(tops), Seq("query_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("n_exact_pairs"),
         sum(coalesce(col("hit1"), lit(0L))).as("h1"),
         sum(coalesce(col("hit2"), lit(0L))).as("h2"),
@@ -914,15 +938,20 @@ object Similarity {
       .selectExpr("n_exact_pairs",
         "stack(3, 1L, h1, 2L, h2, 4L, h4) AS (nprobe, hits)")
     // candidate volume from the probe × cell-size algebra: the query's
-    // own cell is always probe rank 1, so subtract one per query
-    val cellSizes = assign.groupBy(col("clabel")).agg(count(lit(1)).as("sz"))
-    val candCounts = widths.map { np =>
-      probesR.filter(col("crk") <= np)
-        .join(broadcast(cellSizes), Seq("clabel"))
-        .agg((sum(col("sz")) - countDistinct(col("query_id")))
-          .as("n_candidates"))
-        .select(lit(np.toLong).as("nprobe"), col("n_candidates"))
-    }.reduce(_ unionAll _)
+    // own cell is always probe rank 1, so subtract one per query. ONE
+    // agg for all widths (each leg's filtered countDistinct equals the
+    // full query count: rank-1 is the query's own, non-empty, cell)
+    val cellSizes = assignV.groupBy(col("clabel")).agg(count(lit(1)).as("sz"))
+    val candCounts = probesR
+      .join(broadcast(cellSizes), Seq("clabel"))
+      .agg(
+        (sum(when(col("crk") <= 1, col("sz")))
+          - countDistinct(col("query_id"))).as("c1"),
+        (sum(when(col("crk") <= 2, col("sz")))
+          - countDistinct(col("query_id"))).as("c2"),
+        (sum(when(col("crk") <= 4, col("sz")))
+          - countDistinct(col("query_id"))).as("c4"))
+      .selectExpr("stack(3, 1L, c1, 2L, c2, 4L, c4) AS (nprobe, n_candidates)")
     audit.join(broadcast(candCounts), Seq("nprobe"))
       .select(col("nprobe"), col("n_exact_pairs"), col("hits"),
         (col("hits").cast("double") * 100 / col("n_exact_pairs"))
@@ -1761,7 +1790,15 @@ object Similarity {
     * round was a full shuffle of the pool; now the pool crosses one
     * groupBy exchange once.) Driver holds nothing — selection stays a
     * DataFrame end-to-end, and the per-query state is P·(64 doubles)
-    * ≈ 13 KB regardless of corpus size. */
+    * ≈ 13 KB regardless of corpus size.
+    *
+    * COST CEILING, measured (r15 ScaleProbe): the gate's wall is the
+    * declared O(Q·N) brute-force pool, not the re-rank — at the 100×
+    * replica (2 k queries × 200 k corpus) the probe read 146 s, all of
+    * it scored cosines in the pool scan; the grouped selection stayed
+    * seconds. That pool is the gate's LAW (it is sim1's oracle-able
+    * exact baseline); a production deployment swaps in sim12's pruned
+    * IVFADC pool and the re-rank below is unchanged. */
   private def sim21(s: SparkSession, d: String): DataFrame = {
     val P = 25 // candidate pool per query
     val M = 5  // results served per query
@@ -1951,9 +1988,15 @@ object Similarity {
     val tomb = base.filter(col("vec_id") % 100 === 3)
       .select(col("vec_id").as("dead_id"))
     val idx = s.read.parquet(dir)
-    val deadInIndex = idx.join(broadcast(tomb),
+    // r16 (guide §1.2): the tombstone count rides the containment
+    // check's broadcast build as an Observation instead of a second
+    // corpus scan — count() is evaluated exactly once there (the
+    // broadcast side materializes once per job; no range sampling)
+    val obsDead = org.apache.spark.sql.Observation()
+    val deadInIndex = idx.join(
+      broadcast(tomb.observe(obsDead, count(lit(1)).as("n_dead"))),
       col("vec_id") === col("dead_id"), "left_semi").count()
-    val nDead = tomb.count()
+    val nDead = obsDead.get("n_dead").asInstanceOf[Long]
     require(nDead > 0 && deadInIndex == nDead,
       s"tombstoned rows must stay in the files ($deadInIndex of $nDead found)")
     // (4) SERVE: sim6's IVF search over the maintained artifacts.
@@ -1966,13 +2009,18 @@ object Similarity {
     val probes = probeCells(base, cb, nprobe = 2)
     val probedCells = probes.select("clabel").distinct()
       .collect().map(_.getInt(0)).sorted
+    // r16 (guide §1.2): the file receipt rides the serve job itself as
+    // an Observation (collect_set of input_file_name — set semantics,
+    // idempotent even under re-evaluation) instead of a separate
+    // distinct+collect scan of the probed partitions; the require runs
+    // right after the serve collect, before anything is returned
+    val obsFiles = org.apache.spark.sql.Observation()
     val idxServe = idx.filter(col("clabel").isin(probedCells.map(Int.box): _*))
-    val servedFiles = idxServe.select(input_file_name()).distinct()
-      .collect().map(_.getString(0))
-    require(servedFiles.nonEmpty && servedFiles.forall(f =>
-        probedCells.exists(c => f.contains(s"clabel=$c/"))),
-      s"serve leg read unprobed partitions: ${servedFiles.filterNot(f =>
-        probedCells.exists(c => f.contains(s"clabel=$c/"))).mkString(",")}")
+      // input_file_name() must be projected before the metric (a bare
+      // nondeterministic expression inside CollectMetrics is rejected)
+      .withColumn("__served_file", input_file_name())
+      .observe(obsFiles, collect_set(col("__served_file")).as("served_files"))
+      .drop("__served_file")
     val qv = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
     val out = idxServe.join(broadcast(probes), Seq("clabel"))
@@ -1988,6 +2036,14 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cosine"), (col("vec_id") % 10 === 7).as("is_upserted"))
     val rows = out.collect()
+    // the pruning receipt, observed during the serve job above: every
+    // file the serve leg read must sit under a probed clabel=... dir
+    val servedFiles = obsFiles.get("served_files")
+      .asInstanceOf[scala.collection.Seq[String]]
+    require(servedFiles.nonEmpty && servedFiles.forall(f =>
+        probedCells.exists(c => f.contains(s"clabel=$c/"))),
+      s"serve leg read unprobed partitions: ${servedFiles.filterNot(f =>
+        probedCells.exists(c => f.contains(s"clabel=$c/"))).mkString(",")}")
     require(rows.exists(_.getAs[Boolean]("is_upserted")),
       "no upserted vector was ever served — the delta is not live")
     require(rows.forall(r => r.getAs[Long]("neighbor_id") % 100 != 3),
@@ -2152,6 +2208,11 @@ object Similarity {
     val sm: Array[Long] = base
       .agg(expr("moment_i64(v, 1000000.0D)").as("sm"))
       .head().getSeq[Long](0).toArray
+    // moment_i64 returns a ZERO-LENGTH array on an empty/fully-filtered
+    // corpus (dimension is learned from the first row); fail with the
+    // old composed path's intent instead of an opaque index error below
+    require(sm.length == Dim * Dim,
+      s"degenerate/empty moment matrix (${sm.length} cells, want ${Dim * Dim})")
     val XScale = 100000L
     var x = Array.fill(Dim)(XScale)
     var m = 0L
