@@ -21,16 +21,22 @@ object R16StProbe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config(Tables.requiredConfs)
-      .getOrCreate()
+    // session-conf A/B knob (GateProfile's SPARK_GRAFT_PROF_CONFS,
+    // same syntax) — for the per-action-floor experiments
+    val spark = sys.env.get("SPARK_GRAFT_PROF_CONFS").filter(_.nonEmpty)
+      .map(_.split(";").foldLeft(b0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }).getOrElse(b0).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val confNote = sys.env.getOrElse("SPARK_GRAFT_STREAM_CONFS", "<default>")
     println(s"== R16StProbe confs: $confNote parts=${
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")} ==")
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")} profConfs=${
+      sys.env.getOrElse("SPARK_GRAFT_PROF_CONFS", "<none>")} ==")
     gates.foreach { gate =>
       val fn = SparkEntry.queries(gate)
       val walls = (1 to reps).map { _ =>
