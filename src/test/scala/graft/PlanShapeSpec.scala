@@ -546,4 +546,23 @@ class PlanShapeSpec extends AnyFunSuite {
       _.getAs[Long]("n_rows")).sum ==
       Tables.lineitem(spark, sf0001).count())
   }
+
+  test("sim6/sim18 score in the assignment stage: no vec_id join-back") {
+    // r16: the IVF serving paths carry (v, n2) through the broadcast
+    // probe fanout and compute the cosine BEFORE anything shuffles.
+    // The old spelling kept candidates slim and joined the corpus
+    // back in by vec_id — one extra full-payload embeddings scan per
+    // serving leg (a broadcast at test SFs, a corpus-payload shuffle
+    // at 100 TB; measured 84.8 → 20.8 s at the 100× replica). Law:
+    // the embeddings relation appears at most 3× in sim6's optimized
+    // plan (assignment, probe ranking, query set) and at most 7× in
+    // sim18's (those three + sim1's two truth sides + the volume
+    // leg's probes + cell sizes) — the join-back scans are gone.
+    for ((g, cap) <- Seq("sim6_ivf_search" -> 3, "sim18_nprobe_curve" -> 7)) {
+      val lp = gate(g, sf0001).queryExecution.optimizedPlan.toString
+      val n = "Relation \\[vec_id".r.findAllIn(lp).length
+      assert(n <= cap && n > 0,
+        s"$g: expected 1..$cap embeddings scans in the optimized plan, got $n")
+    }
+  }
 }

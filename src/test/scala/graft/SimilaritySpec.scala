@@ -612,4 +612,47 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sim18 fused rank law: running conditional count == filtered row_number") {
+    // r16 rewrite pin: sim18's three per-width top-10s now come from
+    // ONE window pass — each narrower width's rank is a running
+    // conditional count over the shared (cosine desc, vec_id asc)
+    // total order. This test proves the spelling equivalence on a
+    // synthetic scored frame with HEAVY cosine ties (the case where a
+    // wrong frame spec — RANGE instead of ROWS — would diverge):
+    // for every width np, {rows with wmin<=np && cr_np<=10} must be
+    // exactly {rows kept by filter(wmin<=np) then row_number<=10},
+    // which is what the pre-r16 per-width windows computed.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val scored = spark.range(120).select(
+      (col("id") % 3).as("query_id"),
+      col("id").as("vec_id"), // unique → the shared order is TOTAL
+      when(col("id") % 4 === 0, 1).when(col("id") % 4 === 1, 2)
+        .otherwise(4).as("wmin"),
+      (col("id") % 7).cast("double").as("cosine")) // ~6-deep ties/query
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fused = scored
+      .withColumn("cr1", sum(when(col("wmin") <= 1, 1L).otherwise(0L)).over(w))
+      .withColumn("cr2", sum(when(col("wmin") <= 2, 1L).otherwise(0L)).over(w))
+      .withColumn("cr4", sum(lit(1L)).over(w))
+      .collect()
+    def oldTop(np: Int): Set[(Long, Long)] = scored
+      .filter(col("wmin") <= np)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    for ((np, cr) <- Seq(1 -> "cr1", 2 -> "cr2", 4 -> "cr4")) {
+      val fusedTop = fused.filter(r => r.getAs[Int]("wmin") <= np &&
+          r.getAs[Long](cr) <= 10L)
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      assert(fusedTop == oldTop(np),
+        s"np=$np: fused running-count top set != filtered row_number top set")
+      assert(fusedTop.nonEmpty, s"np=$np: degenerate fixture (empty top set)")
+    }
+  }
 }
